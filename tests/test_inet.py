@@ -1,0 +1,89 @@
+"""Port of /root/reference/test/sql/zeek_inet.test — INET typing,
+values, equality against literals, subnet containment (README.md:91-93),
+mixed pushdown + post-scan conjunctions."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark import read_zeek, register
+from zeek_duckdb_spark.functions.inet import ip_in_subnet
+
+REF = "/root/reference/data"
+KH0 = f"{REF}/known_hosts_20260116_00.00.00-01.00.00-0500.log.gz"
+
+
+@pytest.fixture(scope="module")
+def dns(spark):
+    register(spark)
+    return read_zeek(spark, f"{REF}/dns.log.gz", inet=True)
+
+
+def test_inet_values(dns):
+    r = dns.select("id_orig_h", "id_resp_h").first()
+    assert (r.id_orig_h, r.id_resp_h) == ("10.20.40.41", "8.8.4.4")
+
+
+def test_inet_equality_literal(dns):
+    # reference: addr_col = 'x.x.x.x'::inet  (zeek_inet.test:29-39)
+    assert dns.filter(F.col("id_resp_h") == "8.8.4.4").count() == 2
+    assert dns.filter(F.col("id_resp_h") == "8.8.8.8").count() == 0
+
+
+def test_inet_equality_canonicalized_literal(dns, spark):
+    # a non-canonical user literal must canonicalize to match scan output
+    lit = spark.sql("SELECT inet_canon('8.8.4.4') AS c").first().c
+    assert dns.filter(F.col("id_resp_h") == lit).count() == 2
+
+
+def test_ipv6_in_vector_canonical(dns):
+    rows = dns.select("answers").collect()
+    flat = [e for r in rows for e in r.answers]
+    assert "2620:0:2d0:200::17" in flat
+
+
+def test_subnet_containment(spark):
+    # README.md:91-93: WHERE host_ip <<= '10.21.0.0/16'
+    register(spark)
+    df = read_zeek(spark, f"{REF}/known_hosts*.gz", inet=True)
+    n = df.filter(ip_in_subnet(F.col("host_ip"), F.lit("10.21.0.0/16"))).count()
+    assert n == df.count()  # every known_hosts ip is 10.21.x.x
+    assert df.filter(ip_in_subnet(F.col("host_ip"), F.lit("192.168.0.0/16"))).count() == 0
+
+
+def test_subnet_containment_sql(spark):
+    register(spark)
+    read_zeek(spark, KH0, inet=True).createOrReplaceTempView("kh0")
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM kh0 WHERE ip_in_subnet(host_ip, '10.21.0.0/16')"
+    ).first().n
+    assert n == 1
+
+
+def test_mixed_pushdown_and_postscan_conjunction(dns):
+    # zeek_inet.test:41-45 — pushable (proto) AND non-pushable (inet fn)
+    n = dns.filter(
+        (F.col("proto") == "udp")
+        & ip_in_subnet(F.col("id_resp_h"), F.lit("8.8.0.0/16"))
+    ).count()
+    assert n == 2
+
+
+def test_ip_in_subnet_v6(spark):
+    register(spark)
+    r = spark.sql(
+        "SELECT ip_in_subnet('2620:0:2d0:200::17', '2620:0:2d0::/48') AS a, "
+        "       ip_in_subnet('2620:0:2d0:200::17', '10.0.0.0/8') AS b, "
+        "       ip_in_subnet('not-an-ip', '10.0.0.0/8') AS c"
+    ).first()
+    assert r.a is True
+    assert r.b is False  # version mismatch -> false
+    assert r.c is None   # invalid input -> null
+
+
+def test_ip_to_bytes_sortable(spark):
+    register(spark)
+    rows = spark.sql(
+        "SELECT ip_to_bytes('10.0.0.2') AS a, ip_to_bytes('10.0.0.10') AS b"
+    ).first()
+    assert rows.a < rows.b  # byte-wise comparable
