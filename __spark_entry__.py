@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 plus
+the LLM-pipeline operators); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only
+for ops that are genuinely not SQL-expressible: xxhash-based minhash /
+simhash / LSH signatures, mapInPandas decode, and the Zeek file scan
+which reads non-parquet input).
+
+Determinism rules used throughout so value-hashes match the oracle:
+- every computed column aliased identically on both sides;
+- double aggregates rounded (2/4/6 dp) on both sides;
+- float-embedding math cast to double and folded sequentially on both
+  sides (zip_with/aggregate <-> list_transform/list_sum);
+- top-k queries ordered by the rounded score with an id tie-break.
 """
 
 from __future__ import annotations
@@ -12,27 +21,706 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeek_duckdb_spark.operators import dedup as dd
+from zeek_duckdb_spark.operators import multimodal as mm
+from zeek_duckdb_spark.operators import similarity as sim
+from zeek_duckdb_spark.operators import textops as tx
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read ns as long (legacy conf) and truncate to a µs
+    timestamp with integer division (double math would lose precision
+    on ~1.7e18 ns values).  Oracles CAST(ts AS TIMESTAMP) to match."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# ----------------------------------------------------------------------
+# relational core (SURVEY.md §2.B surface)
+# ----------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    """TPC-H Q1-style pricing summary: scan+filter+groupBy+agg."""
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q02_filter_eq(spark, sf):
+    """Equality filter + single-row aggregate."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return l.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q03_top_orders(spark, sf):
+    """TPC-H Q3-style: 3-way join, group, top-10 by revenue."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q04_filter_in_groupby(spark, sf):
+    """IN-list filter + group aggregate."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def q05_nation_revenue(spark, sf):
+    """TPC-H Q5-style: snowflake join (broadcast dims), revenue per nation."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q06_range_revenue(spark, sf):
+    """TPC-H Q6-style: multi-range filter, single aggregate."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q07_like(spark, sf):
+    """LIKE filter + group count."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    return p.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+def q08_order_limit(spark, sf):
+    """Global top-k sort-limit (TakeOrderedAndProject, no full sort)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q09_group_big(spark, sf):
+    """High-cardinality groupBy (partial agg + single shuffle)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q10_count_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    a = o.agg(F.count_distinct("o_custkey").alias("v")).select(
+        F.lit("distinct_customers").alias("metric"), F.col("v")
+    )
+    b = l.agg(F.count_distinct("l_partkey", "l_suppkey").alias("v")).select(
+        F.lit("distinct_part_supp").alias("metric"), F.col("v")
+    )
+    return a.unionAll(b)
+
+
+def q11_window_rank(spark, sf):
+    """Window row_number: biggest order per customer (custkey<100)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q12_window_running(spark, sf):
+    """Running sum per user over time (users < 50)."""
+    e = _events(spark, sf).filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def q13_semi_join(spark, sf):
+    """Left-semi join: customers having any order > 450k, by segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q14_anti_join(spark, sf):
+    """Left-anti join: customers with NO order > 450k, by segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q15_set_ops(spark, sf):
+    """UNION / INTERSECT / EXCEPT of customer-key sets."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    u = building.union(urgent).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = building.intersect(urgent).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = building.exceptAll(urgent).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return u.unionAll(i).unionAll(e)
+
+
+def q16_case_having(spark, sf):
+    """Conditional aggregation + HAVING."""
+    o = _t(spark, sf, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+    )
+    return g.filter(F.col("n") > 10)
+
+
+def q17_scalar_subquery(spark, sf):
+    """Filter against a scalar aggregate (above-average quantity)."""
+    l = _t(spark, sf, "lineitem")
+    avg_qty = l.agg(F.avg("l_quantity").alias("a"))
+    return (
+        l.join(F.broadcast(avg_qty))
+        .filter(F.col("l_quantity") > F.col("a"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q18_date_trunc(spark, sf):
+    """Time bucketing: per-day event counts + value sums."""
+    e = _events(spark, sf)
+    return e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q19_json_extract(spark, sf):
+    """Semi-structured: JSON field extraction + aggregate."""
+    e = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q20_cross_join(spark, sf):
+    """Cross join (the one join the reference corpus exercises)."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count("*").alias("n_pairs"))
+
+
+def q21_union_tagged(spark, sf):
+    """UNION ALL of heterogeneous filters with a tag column."""
+    e = _events(spark, sf)
+    hi = e.filter(F.col("value") > 400).select(F.lit("high").alias("tag"), "event_id")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.lit("error").alias("tag"), "event_id"
+    )
+    return hi.unionAll(err).groupBy("tag").agg(F.count("*").alias("n"))
+
+
+def q22_array_norms(spark, sf):
+    """Array math on embeddings: dims + L2 norm (sequential dbl fold)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sim.l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+# ----------------------------------------------------------------------
+# LLM-pipeline operators (dedup / similarity / text / multimodal)
+# ----------------------------------------------------------------------
+
+def dd_exact_groups(spark, sf):
+    """Exact dedup groups on an 8-token prefix fingerprint."""
+    d = _t(spark, sf, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return dd.exact_dedup_groups(d, "doc_id", "text", key=key)
+
+
+def dd_jaccard_pairs(spark, sf):
+    """Exact token-set Jaccard near-dup pairs (doc_id<200, >=0.9)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9)
+
+
+def dd_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates (xxhash64 — no SQL oracle)."""
+    d = _t(spark, sf, "documents")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_k=3)
+    return dd.minhash_lsh_pairs(sigs, "doc_id", bands=8, threshold=0.7)
+
+
+def dd_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs, hamming<=3 (xxhash64 — no SQL oracle)."""
+    d = _t(spark, sf, "documents")
+    return dd.simhash_pairs(dd.simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
+
+
+def dd_cosine_pairs(spark, sf):
+    """Embedding near-dup pairs, cosine>=0.35 (vec_id<200, exact)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return sim.cosine_pairs(e, threshold=0.35, dim=64, exact=True)
+
+
+def sim_topk(spark, sf):
+    """Brute-force cosine top-20 neighbors of vec_id=0."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return sim.topk_neighbors(e, q, k=20, query_id_col="vec_id")
+
+
+def sim_ann_lsh(spark, sf):
+    """LSH-bucketed ANN for vec_id=0 (hash-derived planes — no oracle)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return sim.lsh_bucket_ann(e.filter(F.col("vec_id") != 0), q, dim=64, k=10)
+
+
+def tx_quality(spark, sf):
+    """Per-document quality features (doc_id<300)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return tx.quality_features(d.select("doc_id", "text")).drop("text")
+
+
+def tx_langid(spark, sf):
+    """Language-ID heuristic, distribution by guess."""
+    d = _t(spark, sf, "documents")
+    return d.select(tx.lang_id(F.col("text")).alias("lang_guess")).groupBy(
+        "lang_guess"
+    ).agg(F.count("*").alias("n"))
+
+
+def tx_token_counts(spark, sf):
+    """Whitespace + BPE-ish token counts (doc_id<300)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text"), "ws").alias("n_ws"),
+        tx.token_count(F.col("text"), "bpe").alias("n_bpe"),
+    )
+
+
+def tx_fingerprint(spark, sf):
+    """Content fingerprint distinctness by source."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(tx.fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+def mm_media_stats(spark, sf):
+    """Multimodal: binary payload + typed metadata, per-source stats."""
+    d = _t(spark, sf, "documents")
+    with_media = mm.attach_media(d, "text", fmt="utf8")
+    return mm.media_stats(with_media, "source")
+
+
+def mm_decode_fake(spark, sf):
+    """Multimodal decode plumbing via mapInPandas (stub decoder)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    with_media = mm.attach_media(d, "text", fmt="utf8")
+    return mm.decode_media(with_media, "doc_id", "media", fake=True).select(
+        "doc_id", "n_bytes", F.round(F.element_at("feature", 4), 1).alias("f4")
+    )
+
+
+def zeek_scan(spark, sf):
+    """The flagship source operator on the reference's own fixtures
+    (non-parquet input — rows-only check)."""
+    from zeek_duckdb_spark import read_zeek
+
+    df = read_zeek(spark, "/root/reference/data/known_hosts*.gz", filename=True)
+    return df.groupBy("host_ip").agg(
+        F.count("*").alias("n"),
+        F.sum("conns_opened").alias("conns_opened"),
+        F.count_distinct("filename").alias("n_files"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_eq": q02_filter_eq,
+        "q03_top_orders": q03_top_orders,
+        "q04_filter_in_groupby": q04_filter_in_groupby,
+        "q05_nation_revenue": q05_nation_revenue,
+        "q06_range_revenue": q06_range_revenue,
+        "q07_like": q07_like,
+        "q08_order_limit": q08_order_limit,
+        "q09_group_big": q09_group_big,
+        "q10_count_distinct": q10_count_distinct,
+        "q11_window_rank": q11_window_rank,
+        "q12_window_running": q12_window_running,
+        "q13_semi_join": q13_semi_join,
+        "q14_anti_join": q14_anti_join,
+        "q15_set_ops": q15_set_ops,
+        "q16_case_having": q16_case_having,
+        "q17_scalar_subquery": q17_scalar_subquery,
+        "q18_date_trunc": q18_date_trunc,
+        "q19_json_extract": q19_json_extract,
+        "q20_cross_join": q20_cross_join,
+        "q21_union_tagged": q21_union_tagged,
+        "q22_array_norms": q22_array_norms,
+        "dd_exact_groups": dd_exact_groups,
+        "dd_jaccard_pairs": dd_jaccard_pairs,
+        "dd_minhash_lsh": dd_minhash_lsh,
+        "dd_simhash_pairs": dd_simhash_pairs,
+        "dd_cosine_pairs": dd_cosine_pairs,
+        "sim_topk": sim_topk,
+        "sim_ann_lsh": sim_ann_lsh,
+        "tx_quality": tx_quality,
+        "tx_langid": tx_langid,
+        "tx_token_counts": tx_token_counts,
+        "tx_fingerprint": tx_fingerprint,
+        "mm_media_stats": mm_media_stats,
+        "mm_decode_fake": mm_decode_fake,
+        "zeek_scan": zeek_scan,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+_STOP_SQL = "('the','a','of','and','is','in','to','it')"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_eq": """
+            SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "q03_top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q04_filter_in_groupby": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS sum_total
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority
+        """,
+        "q05_nation_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q06_range_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q07_like": """
+            SELECT p_type, COUNT(*) AS n, ROUND(AVG(p_retailprice), 4) AS avg_price
+            FROM part WHERE p_name LIKE '%red%'
+            GROUP BY p_type
+        """,
+        "q08_order_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q09_group_big": """
+            SELECT l_partkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "q10_count_distinct": """
+            SELECT 'distinct_customers' AS metric, COUNT(DISTINCT o_custkey) AS v FROM orders
+            UNION ALL
+            SELECT 'distinct_part_supp' AS metric, COUNT(DISTINCT (l_partkey, l_suppkey)) AS v FROM lineitem
+        """,
+        "q11_window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders WHERE o_custkey < 100) t
+            WHERE rn = 1
+        """,
+        "q12_window_running": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS running_value
+            FROM events WHERE user_id < 50
+        """,
+        "q13_semi_join": """
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+            GROUP BY c_mktsegment
+        """,
+        "q14_anti_join": """
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+            GROUP BY c_mktsegment
+        """,
+        "q15_set_ops": """
+            WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 urgent AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM building UNION SELECT k FROM urgent) t
+            UNION ALL
+            SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM building INTERSECT SELECT k FROM urgent) t
+            UNION ALL
+            SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM building EXCEPT SELECT k FROM urgent) t
+        """,
+        "q16_case_having": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+                   ROUND(AVG(o_totalprice), 4) AS avg_total
+            FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 10
+        """,
+        "q17_scalar_subquery": """
+            SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+        """,
+        "q18_date_trunc": """
+            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+        """,
+        "q19_json_extract": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q20_cross_join": """
+            SELECT r_name, COUNT(*) AS n_pairs FROM region CROSS JOIN nation
+            GROUP BY r_name
+        """,
+        "q21_union_tagged": """
+            SELECT tag, COUNT(*) AS n FROM (
+              SELECT 'high' AS tag, event_id FROM events WHERE value > 400
+              UNION ALL
+              SELECT 'error' AS tag, event_id FROM events WHERE event_type = 'error') t
+            GROUP BY tag
+        """,
+        "q22_array_norms": """
+            SELECT vec_id, len(embedding) AS dim,
+                   ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 6) AS l2_norm
+            FROM embeddings WHERE vec_id < 100
+        """,
+        "dd_exact_groups": """
+            SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM (
+              SELECT doc_id,
+                     md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+              FROM documents) t
+            GROUP BY fp HAVING COUNT(*) > 1
+        """,
+        "dd_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+              FROM documents WHERE doc_id < 200),
+            sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(common * 1.0 / (sa.n_tok + sb.n_tok - common), 6) AS jaccard
+            FROM common
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE common * 1.0 / (sa.n_tok + sb.n_tok - common) >= 0.9
+        """,
+        "dd_cosine_pairs": """
+            WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings WHERE vec_id < 200),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) /
+                           (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
+                            SQRT(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine_sim
+              FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT q_id, vec_id,
+                   ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qe),
+                                                 p -> p[1] * p[2])) /
+                         (SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) *
+                          SQRT(list_sum(list_transform(qe, x -> x * x)))), 6) AS cosine_sim
+            FROM embeddings, q
+            WHERE vec_id <> q_id
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "tx_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks,
+                     LENGTH(text) AS q_chars,
+                     LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+              FROM documents WHERE doc_id < 300)
+            SELECT doc_id, q_chars,
+                   len(toks) AS q_tokens,
+                   ROUND(n_punct * 1.0 / q_chars, 6) AS punct_ratio,
+                   ROUND(len(list_filter(toks, x -> x IN """ + _STOP_SQL + """)) * 1.0 / len(toks), 6) AS stopword_ratio,
+                   ROUND(list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / len(toks), 6) AS mean_token_len
+            FROM t
+        """,
+        "tx_langid": """
+            WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+            s AS (SELECT
+                    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+                    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+                    len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS s_es
+                  FROM t)
+            SELECT lang_guess, COUNT(*) AS n FROM (
+              SELECT CASE
+                       WHEN s_en > 0 AND s_en >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr > 0 AND s_fr >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       WHEN s_es > 0 AND s_es >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+                       ELSE 'und' END AS lang_guess
+              FROM s) t
+            GROUP BY lang_guess
+        """,
+        "tx_token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+                   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS n_bpe
+            FROM documents WHERE doc_id < 300
+        """,
+        "tx_fingerprint": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct_fp
+            FROM documents GROUP BY source
+        """,
+        "mm_media_stats": """
+            SELECT source, COUNT(*) AS n_media,
+                   SUM(OCTET_LENGTH(encode(text))) AS total_bytes,
+                   ROUND(AVG(OCTET_LENGTH(encode(text))), 4) AS avg_bytes,
+                   COUNT(DISTINCT encode(text)) AS distinct_payloads
+            FROM documents GROUP BY source
+        """,
+        # no oracle (not SQL-expressible / non-parquet input):
+        #   dd_minhash_lsh, dd_simhash_pairs, sim_ann_lsh (xxhash64-based),
+        #   mm_decode_fake (mapInPandas stub), zeek_scan (Zeek file input)
+    }

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine/dot helpers are sequential-fold expressions
+  (``zip_with`` + ``aggregate`` over doubles) so results are
+  bit-reproducible across engines — the oracle SQL restates the same
+  left-to-right double accumulation.
+- ``topk_neighbors`` is the brute-force baseline: broadcast the query
+  row(s), one narrow pass over the corpus, top-k via sort-limit (Spark
+  executes as TakeOrderedAndProject — no full sort materialization).
+- ``lsh_bucket_ann`` is the scale path: deterministic random-hyperplane
+  signatures (hash-derived planes, no RNG state to ship), bucket join,
+  re-rank inside buckets.  At 100 TB the bucket join replaces the
+  O(n·q) scan with O(candidates).
+- ``cosine_pairs`` (near-dup): all pairs above a threshold, LSH-bucketed
+  unless exact=True.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "topk_neighbors",
+    "hyperplane_signature",
+    "lsh_bucket_ann",
+    "cosine_pairs",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_neighbors(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast ``query`` (one or few rows
+    with a ``q_vec`` column and optional id), score every corpus row,
+    take k.  Deterministic tie-break on id."""
+    q = query
+    if query_id_col is None:
+        q = q.select(F.col(vec_col).alias("q_vec"))
+        joined = df.crossJoin(F.broadcast(q))
+        keys = []
+    else:
+        q = q.select(F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        joined = df.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
+        keys = ["q_id"]
+    scored = joined.select(
+        *keys,
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _plane_component(p: int, d: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from xxhash64 of the (plane, dim) index — reproducible on
+    any cluster with no RNG state."""
+    h = F.xxhash64(F.lit(int(p * 65536 + d)))
+    return (F.pmod(h, F.lit(2000)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """LSH signature: bit p = sign of <vec, plane_p>.  Returned as a
+    long bucket id.  Pure column expressions — codegen, no UDF."""
+    bits = []
+    for p in range(planes):
+        proj = None
+        for d in range(dim):
+            term = vec[d].cast("double") * _plane_component(p, d)
+            proj = term if proj is None else proj + term
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucket_ann(
+    df: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via hyperplane-LSH buckets: candidates = same bucket as the
+    query, re-ranked by exact cosine.  Recall < 1.0 by construction;
+    raise ``planes`` bands or probe neighboring buckets for higher
+    recall (scale knob, not correctness knob)."""
+    sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    corpus = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    q = query.select(F.col(vec_col).alias("q_vec"), sig.alias("q_bucket"))
+    cands = corpus.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold, id_a < id_b.
+
+    exact=True does the O(n²) self-join (fine for verification /
+    small partitions); default buckets by hyperplane signature first so
+    only same-bucket pairs are scored — the 100 TB plan."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if exact:
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sig = hyperplane_signature(F.col(vec_col), dim, planes)
+        e = base.select(id_col, vec_col, sig.alias("bucket"))
+        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("bucket_b"))
+        pairs = a.join(
+            b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
