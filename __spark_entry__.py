@@ -79,7 +79,7 @@ def q03_top_orders(spark, sf):
     l = _t(spark, sf, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -99,7 +99,10 @@ def q04_filter_in_groupby(spark, sf):
 
 
 def q05_nation_revenue(spark, sf):
-    """TPC-H Q5-style: snowflake join (broadcast dims), revenue per nation."""
+    """TPC-H Q5-style snowflake join.  Only the constant-size dims
+    (region=5, nation=25 rows at every SF) carry broadcast hints;
+    customer/orders are left to AQE's size-based planning — a forced
+    broadcast there would OOM the driver at 100 TB scale."""
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf, "nation")
     c = _t(spark, sf, "customer")
@@ -107,7 +110,7 @@ def q05_nation_revenue(spark, sf):
     l = _t(spark, sf, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -331,16 +334,29 @@ def dd_jaccard_pairs(spark, sf):
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9)
 
 
+def _docs_parallel(spark, sf):
+    """documents.parquet is one small file at test SFs -> one input
+    partition; hash-heavy per-row ops (minhash/simhash) would run on a
+    single core.  Repartition up to the cluster's parallelism; at real
+    scale the input already has >= that many splits and this is a no-op
+    shuffle of modest rows."""
+    d = _t(spark, sf, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return d
+
+
 def dd_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates (xxhash64 — no SQL oracle)."""
-    d = _t(spark, sf, "documents")
+    d = _docs_parallel(spark, sf)
     sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_k=3)
     return dd.minhash_lsh_pairs(sigs, "doc_id", bands=8, threshold=0.7)
 
 
 def dd_simhash_pairs(spark, sf):
     """SimHash near-dup pairs, hamming<=3 (xxhash64 — no SQL oracle)."""
-    d = _t(spark, sf, "documents")
+    d = _docs_parallel(spark, sf)
     return dd.simhash_pairs(dd.simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
 
 

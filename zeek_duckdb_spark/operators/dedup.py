@@ -78,13 +78,19 @@ def minhash_signatures(
     xxhash64 is seeded per hash index, array_min folds per row; the
     whole signature costs zero shuffle."""
     sh = _shingles(F.col(text_col), shingle_k)
-
-    def seeded_hash(i):
-        # factory (a 2-arg lambda would receive the element index)
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
+    # One pass per row: transform each shingle to its num_hashes hash
+    # values, then fold with an element-wise min.  Crucially the shingle
+    # expression appears ONCE in the tree — num_hashes separate
+    # array_min(transform(...)) calls would make Catalyst inline (and
+    # re-evaluate) the tokenize+slice+distinct pipeline once per hash,
+    # a measured ~30x slowdown at 5k docs.
+    hash_matrix = F.transform(
+        sh, lambda s: F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+    )
+    sig = F.aggregate(
+        hash_matrix,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda l, r: F.least(l, r)),
     )
     return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("minhash"))
 
@@ -94,32 +100,37 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     threshold: float = 0.7,
+    num_hashes: int = 32,
 ) -> DataFrame:
     """Banded LSH candidate generation + exact-Jaccard verification.
 
-    signature length must divide evenly into ``bands``.  Each band's
-    slice hashes to a bucket; docs sharing any (band, bucket) are
-    candidates; candidates are verified with exact Jaccard over the
-    stored shingle sets.  Output: (id_a, id_b, jaccard) with
-    jaccard >= threshold, id_a < id_b.
+    Scale shape (what keeps this sane at 100 TB):
+    - the band-bucket explode carries ONLY (id, band, bucket) — the
+      shingle arrays stay out of the wide shuffle;
+    - candidate pairs are deduped across bands *before* verification,
+      so each pair pays the set-intersection cost exactly once;
+    - verification re-joins the (id -> shingles) side twice, which AQE
+      plans as shuffle joins keyed on id — no array ever rides an
+      exploded row.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
-    n = int(sig_df.select(F.size("minhash")).first()[0])
-    rows_per_band = n // bands
+    rows_per_band = num_hashes // bands
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+                F.xxhash64(
+                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    exploded = sig_df.select(
-        F.col(id_col), F.col("shingles"), F.explode(band_cols).alias("bb")
-    ).select(id_col, "shingles", "bb.band", "bb.bucket")
-
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = sig_df.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
@@ -130,15 +141,18 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = sig_df.select(F.col(id_col), F.col("shingles"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -149,31 +163,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     from each token's hash bit j."""
     toks = tokens(F.lower(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_merge(j):
-        # factory (extra lambda params would be misinterpreted by pyspark)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
-    bit_exprs = []
-    for j in range(64):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(j))
-        bit_exprs.append(
-            F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** j).cast("long")
-            if j < 63
-            # avoid 2**63 overflow: use shiftleft for the sign bit
-            else F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), 63)).otherwise(F.lit(0).cast("long"))
+    def contribs(h: Column) -> Column:
+        # per-token +-1 contribution vector for all 64 bits
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(64)
+            ]
         )
-    sim = functools_reduce_add(bit_exprs)
+
+    # single fold: the tokenize+hash pipeline appears once in the tree
+    # (64 separate aggregates would re-evaluate it per bit -- measured
+    # ~30x slowdown on the analogous minhash shape)
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c),
+    )
+    powers = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    )
+    bits = F.zip_with(
+        sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    sim = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
     return df.select(F.col(id_col), sim.alias("simhash"))
-
-
-def functools_reduce_add(cols: list[Column]) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = out + c
-    return out
 
 
 def simhash_pairs(
