@@ -260,11 +260,18 @@ def _read_strict(
             )
     names = first.column_names(replace_periods)
     raw = _read_group(spark, [h.source_file for h in kept], first, names)
-    typed = [
-        _cast_field(_qcol(n), zt, first, inet_canon).alias(n)
-        for n, zt in zip(names, first.types)
+    return raw.select(*typed_columns(first, replace_periods, inet_canon))
+
+
+def typed_columns(hdr: ZeekHeader, replace_periods: bool, inet_canon=None) -> list[Column]:
+    """The typed cast pipeline for one header, as a select list over the
+    all-string raw columns.  Shared by the batch reader and the
+    Structured Streaming reader (streaming/zeek_stream.py)."""
+    names = hdr.column_names(replace_periods)
+    return [
+        _cast_field(_qcol(n), zt, hdr, inet_canon).alias(n)
+        for n, zt in zip(names, hdr.types)
     ]
-    return raw.select(*typed)
 
 
 def _read_union(
