@@ -317,6 +317,74 @@ def q22_array_norms(spark, sf):
     )
 
 
+def q23_rollup(spark, sf):
+    """ROLLUP hierarchy aggregate (status -> priority -> grand total)."""
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def q24_supplier_revenue(spark, sf):
+    """Join on the supplier dimension: top-15 suppliers by revenue."""
+    s = _t(spark, sf, "supplier")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(15)
+    )
+
+
+def q25_exists_correlated(spark, sf):
+    """Correlated EXISTS (orders having any max-quantity line) -> semi."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 50)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q26_stats(spark, sf):
+    """Statistical aggregates per group (min/max/median/stddev)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+def q27_distinct(spark, sf):
+    """DISTINCT projection + order + limit."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q28_string_exprs(spark, sf):
+    """Scalar string/conditional expressions (upper/substr/concat/
+    coalesce/nullif) over the part table."""
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.lit("STD")).alias("type_or_std"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
 # ----------------------------------------------------------------------
 # LLM-pipeline operators (dedup / similarity / text / multimodal)
 # ----------------------------------------------------------------------
@@ -471,6 +539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_cross_join": q20_cross_join,
         "q21_union_tagged": q21_union_tagged,
         "q22_array_norms": q22_array_norms,
+        "q23_rollup": q23_rollup,
+        "q24_supplier_revenue": q24_supplier_revenue,
+        "q25_exists_correlated": q25_exists_correlated,
+        "q26_stats": q26_stats,
+        "q27_distinct": q27_distinct,
+        "q28_string_exprs": q28_string_exprs,
         "dd_exact_groups": dd_exact_groups,
         "dd_jaccard_pairs": dd_jaccard_pairs,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -638,6 +712,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 6) AS l2_norm
             FROM embeddings WHERE vec_id < 100
+        """,
+        "q23_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS sum_total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q24_supplier_revenue": """
+            SELECT s_suppkey, s_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY revenue DESC, s_suppkey ASC LIMIT 15
+        """,
+        "q25_exists_correlated": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+            GROUP BY o_orderstatus
+        """,
+        "q26_stats": """
+            SELECT l_returnflag,
+                   ROUND(MIN(l_extendedprice), 2) AS min_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price,
+                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q27_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q28_string_exprs": """
+            SELECT p_partkey, UPPER(p_name) AS uname,
+                   SUBSTRING(p_name, 1, 5) AS prefix5,
+                   CONCAT_WS('/', p_brand, p_type) AS brand_type,
+                   COALESCE(NULLIF(p_type, 'ECONOMY'), 'STD') AS type_or_std,
+                   LENGTH(p_name) AS name_len
+            FROM part WHERE p_partkey < 200
         """,
         "dd_exact_groups": """
             SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM (

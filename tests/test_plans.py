@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions: the scale-behavior contract.
+Correctness tests prove the answers are right; these prove the plans
+would still be the right plans at 1000x the data."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from zeek_duckdb_spark import read_zeek
+from zeek_duckdb_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+REF = "/root/reference/data"
+
+
+def test_q01_scan_pruned_and_filter_pushed(spark):
+    df = entry_mod.q01_pricing_summary(spark, SF)
+    schemas = audit.read_schemas(df)
+    assert len(schemas) == 1
+    cols = schemas[0]
+    # only the 5 needed columns are read, not all 11
+    for c in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert c in cols
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+    # the shipdate range predicate reaches the parquet scan
+    assert any("l_shipdate" in f for f in audit.pushed_filters(df))
+
+
+def test_q05_broadcasts_dims_single_agg_shuffle(spark):
+    df = entry_mod.q05_nation_revenue(spark, SF)
+    # all four joins are broadcast at this scale; no sort-merge join
+    assert audit.num_broadcast_joins(df) == 4
+    assert audit.num_sortmerge_joins(df) == 0
+    # the only shuffle is the final groupBy(n_name)
+    assert audit.num_shuffles(df) == 1
+
+
+def test_q06_all_filters_pushed(spark):
+    df = entry_mod.q06_range_revenue(spark, SF)
+    pushed = " ".join(audit.pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed
+
+
+def test_zeek_scan_prunes_columns(spark):
+    df = read_zeek(spark, f"{REF}/dns.log.gz", inet=False).select("proto")
+    schemas = audit.read_schemas(df)
+    assert schemas == ["proto:string"]
+
+
+def test_zeek_filter_reaches_scan_stage(spark):
+    # typed-cast columns can't push to the CSV reader, but the filter
+    # must still evaluate inside the scan's codegen stage (no separate
+    # shuffle or materialization before filtering)
+    df = read_zeek(spark, f"{REF}/dns.log.gz", inet=False).filter(
+        F.col("proto") == "udp"
+    )
+    assert audit.num_shuffles(df) == 0
+
+
+def test_minhash_no_shuffle_for_signatures(spark):
+    from zeek_duckdb_spark.operators import dedup as dd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dd.minhash_signatures(d).select("doc_id", "minhash")
+    # signature computation is a pure map — zero shuffles
+    assert audit.num_shuffles(sigs) == 0
+
+
+def test_topk_uses_take_ordered(spark):
+    df = entry_mod.q08_order_limit(spark, SF)
+    assert "TakeOrderedAndProject" in audit.physical_plan(df)

@@ -1,0 +1,55 @@
+"""Plan inspection helpers: programmatic checks that the physical plan
+has the shape you'd want at 100 TB — filters pushed to the scan, scans
+pruned to the projected columns, small dims broadcast, no accidental
+shuffles.  Used by tests/test_plans.py and handy at a REPL."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "physical_plan",
+    "pushed_filters",
+    "read_schemas",
+    "num_shuffles",
+    "num_broadcast_joins",
+    "num_sortmerge_joins",
+]
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Initial executed plan string (pre-AQE re-optimization).  Raises
+    the metadata truncation limit so PushedFilters/ReadSchema survive."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every file scan in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema structs from every file scan (column pruning proof)."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", physical_plan(df))
+
+
+def num_shuffles(df: DataFrame) -> int:
+    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def num_broadcast_joins(df: DataFrame) -> int:
+    return physical_plan(df).count("BroadcastHashJoin")
+
+
+def num_sortmerge_joins(df: DataFrame) -> int:
+    return physical_plan(df).count("SortMergeJoin")
