@@ -77,24 +77,29 @@ def _cast_scalar(col: Column, zeek_type: str) -> Column:
       bad input (ref src/zeek_scanner.cpp:838-841)
     - parse failure on numerics/time/interval -> NULL
     """
+    # try_cast throughout: Spark 4 runs in ANSI mode where a plain cast
+    # THROWS on malformed text; the reference uses TryCast semantics
+    # (bad input -> NULL, src/zeek_scanner.cpp:811-818)
     if zeek_type == "time":
-        return F.timestamp_micros((col.cast("double") * F.lit(1e6)).cast("long"))
+        return F.timestamp_micros(
+            (col.try_cast("double") * F.lit(1e6)).try_cast("long")
+        )
     if zeek_type == "interval":
-        micros = (col.cast("double") * F.lit(1e6)).cast("long")
+        micros = (col.try_cast("double") * F.lit(1e6)).try_cast("long")
         secs = micros.cast("decimal(20,0)") / F.lit(1000000)
         return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
     if zeek_type == "port":
-        p = col.cast("int")
+        p = col.try_cast("int")
         return F.when(p.between(0, 65535), p)
     if zeek_type == "count":
-        p = col.cast("long")
+        p = col.try_cast("long")
         return F.when(p >= 0, p)
     if zeek_type == "int":
-        return col.cast("long")
+        return col.try_cast("long")
     if zeek_type == "bool":
         return col.isin("T", "true")
     if zeek_type == "double":
-        return col.cast("double")
+        return col.try_cast("double")
     # string / enum / addr / subnet / unknown -> passthrough text
     return col
 
