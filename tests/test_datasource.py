@@ -1,0 +1,70 @@
+"""Python Data Source path (spark.read.format('zeek')) — must agree
+with the composed-reader read_zeek on the reference fixtures."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark import read_zeek
+from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
+
+REF = "/root/reference/data"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_zeek_datasource(spark)
+
+
+def _fmt(spark, path, **opts):
+    r = spark.read.format("zeek")
+    for k, v in opts.items():
+        r = r.option(k, str(v).lower())
+    return r.load(path)
+
+
+def _normalize(df):
+    rows = [tuple(r) for r in df.collect()]
+    def key(r):
+        return tuple("<null>" if v is None else str(v) for v in r)
+    return sorted(rows, key=key)
+
+
+def test_dns_matches_composed_reader(spark):
+    a = _fmt(spark, f"{REF}/dns.log.gz", inet=False)
+    b = read_zeek(spark, f"{REF}/dns.log.gz", inet=False)
+    assert a.schema == b.schema
+    assert _normalize(a) == _normalize(b)
+
+
+def test_glob_count_and_filename(spark):
+    df = _fmt(spark, f"{REF}/known_hosts*.gz", filename=True, inet=False)
+    assert df.count() == 27
+    assert df.select("filename").distinct().count() == 24
+
+
+def test_union_by_name(spark):
+    df = _fmt(
+        spark, f"{REF}/schema_union_overlap/*.log", union_by_name=True, inet=False
+    )
+    assert [f.name for f in df.schema] == ["ts", "id", "value", "extra", "newfield"]
+    assert df.count() == 4
+    assert df.filter(F.col("extra").isNull()).count() == 2
+
+
+def test_ignore_file_errors(spark):
+    df = _fmt(spark, f"{REF}/error_test/*.log.gz", ignore_file_errors=True, inet=False)
+    assert df.count() == 3
+
+
+def test_strict_mismatch_raises(spark):
+    with pytest.raises(Exception, match="different field count"):
+        _fmt(spark, f"{REF}/schema_extra/*.log", inet=False).count()
+
+
+def test_dhcp_set_and_intervals(spark):
+    row = _fmt(spark, f"{REF}/dhcp.log.gz", inet=False).first()
+    assert row.uids == ["Cxkiqn3Sto5tM1CHA4", "C1qMR61z0VQe1sDqYk"]
+    import datetime
+
+    assert row.lease_time == datetime.timedelta(days=1)

@@ -304,3 +304,13 @@ def test_replace_periods_false(spark):
     df = read_zeek(spark, f"{REF}/dns.log.gz", inet=False, replace_periods=False)
     assert "id.orig_h" in df.columns
     assert df.select(F.col("`id.orig_h`")).first()[0] == "10.20.40.41"
+
+
+# --- filter on the virtual filename column (pushdown path analog) -------
+
+def test_filter_on_filename_column(spark):
+    df = read_zeek(spark, f"{REF}/known_hosts*.gz", filename=True, inet=False)
+    one = df.filter(F.col("filename").endswith(
+        "known_hosts_20260116_00.00.00-01.00.00-0500.log.gz"))
+    assert one.count() == 1
+    assert one.first().kuid == "Kfoql5dpOG1K1"

@@ -22,9 +22,13 @@ from zeek_duckdb_spark.functions.inet import register_inet_functions
 
 
 def register(spark):
-    """Install all session-level functions (the Spark analogue of the
-    reference's extension load, src/zeek_extension.cpp:31-36)."""
+    """Install all session-level extensions (the Spark analogue of the
+    reference's extension load, src/zeek_extension.cpp:31-36): the INET
+    function family and the ``zeek`` data source format."""
+    from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
+
     register_inet_functions(spark)
+    register_zeek_datasource(spark)
     return spark
 
 
