@@ -171,3 +171,23 @@ def test_time_truncation_matches_reference(spark, tmp_path):
     micros = int(ts.timestamp() * 1e6)
     # python float(1768540789.9999999)*1e6 truncated
     assert micros == int(1768540789.9999999 * 1e6)
+
+
+def test_count_decimal_uint64_fidelity(spark, tmp_path):
+    import decimal
+
+    big = 2**63 + 12345  # overflows int64, fits uint64
+    body = (
+        STD_HEADER
+        + "#fields\tid\tn\n#types\tstring\tcount\n"
+        + f"a\t{big}\nb\t7\n"
+    )
+    p = write_log(tmp_path / "big.log", body)
+    # default LongType: overflow -> NULL (documented caveat)
+    rows = {r.id: r.n for r in read_zeek(spark, p, inet=False).collect()}
+    assert rows["a"] is None and rows["b"] == 7
+    # count_decimal: full fidelity
+    df = read_zeek(spark, p, inet=False, count_decimal=True)
+    assert df.schema["n"].dataType == T.DecimalType(20, 0)
+    rows = {r.id: r.n for r in df.collect()}
+    assert rows["a"] == decimal.Decimal(big) and rows["b"] == 7

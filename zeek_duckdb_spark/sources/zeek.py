@@ -64,7 +64,7 @@ def _marker_to_null(col: Column, hdr: ZeekHeader) -> Column:
     ).otherwise(col)
 
 
-def _cast_scalar(col: Column, zeek_type: str) -> Column:
+def _cast_scalar(col: Column, zeek_type: str, count_decimal: bool = False) -> Column:
     """Text -> typed value with the reference's parse semantics
     (ref src/zeek_scanner.cpp:806-884 and :23-31):
 
@@ -92,6 +92,10 @@ def _cast_scalar(col: Column, zeek_type: str) -> Column:
         p = col.try_cast("int")
         return F.when(p.between(0, 65535), p)
     if zeek_type == "count":
+        if count_decimal:
+            # full-uint64 fidelity: DECIMAL(20,0) holds [0, 2^64)
+            p = col.try_cast("decimal(20,0)")
+            return F.when(p >= 0, p)
         p = col.try_cast("long")
         return F.when(p >= 0, p)
     if zeek_type == "int":
@@ -104,7 +108,8 @@ def _cast_scalar(col: Column, zeek_type: str) -> Column:
     return col
 
 
-def _cast_field(raw: Column, zeek_type: str, hdr: ZeekHeader, inet_canon) -> Column:
+def _cast_field(raw: Column, zeek_type: str, hdr: ZeekHeader, inet_canon,
+                count_decimal: bool = False) -> Column:
     """Full field pipeline: marker->NULL, then list split + element casts
     for vector[...]/set[...] (ref src/zeek_scanner.cpp:332-437 — sets are
     read as lists, order preserved, no dedup), else scalar cast."""
@@ -124,13 +129,13 @@ def _cast_field(raw: Column, zeek_type: str, hdr: ZeekHeader, inet_canon) -> Col
                 return F.when(e2.isNull(), F.lit(None)).otherwise(
                     _cast_scalar(e2, "bool")
                 )
-            c = _cast_scalar(e2, inner)
+            c = _cast_scalar(e2, inner, count_decimal)
             return _canon_maybe(c, inner, inet_canon)
 
         return F.transform(elems, elem)
     if zt == "bool":
         return F.when(cell.isNull(), F.lit(None)).otherwise(_cast_scalar(cell, "bool"))
-    return _canon_maybe(_cast_scalar(cell, zt), zt, inet_canon)
+    return _canon_maybe(_cast_scalar(cell, zt, count_decimal), zt, inet_canon)
 
 
 def _canon_maybe(col: Column, zeek_type: str, inet_canon) -> Column:
@@ -185,6 +190,7 @@ def read_zeek(
     replace_periods: bool = True,
     union_by_name: bool = False,
     ignore_file_errors: bool = False,
+    count_decimal: bool = False,
 ) -> DataFrame:
     """Read Zeek log file(s) into a typed DataFrame.
 
@@ -204,6 +210,10 @@ def read_zeek(
       raise (ref src/zeek_scanner.cpp:506-589).
     - ``ignore_file_errors``: skip unreadable/unparseable files; if no
       file yields a schema, still raise (ref src/zeek_scanner.cpp:499-505).
+    - ``count_decimal``: map Zeek ``count`` to DECIMAL(20,0) for full
+      uint64 fidelity (values in [2^63, 2^64) overflow the default
+      LongType to NULL; the reference's UBIGINT keeps them —
+      SURVEY.md §1.4 caveat).
     """
     files = glob_zeek_files(path)
 
@@ -227,10 +237,10 @@ def read_zeek(
         inet_canon = inet_canon_col
 
     if union_by_name:
-        df = _read_union(spark, headers, replace_periods, inet_canon)
+        df = _read_union(spark, headers, replace_periods, inet_canon, count_decimal)
     else:
         df = _read_strict(spark, headers, replace_periods, inet_canon,
-                          ignore_file_errors)
+                          ignore_file_errors, count_decimal)
 
     if filename:
         df = df.withColumn("filename", _clean_file_path(F.input_file_name()))
@@ -243,6 +253,7 @@ def _read_strict(
     replace_periods: bool,
     inet_canon,
     ignore_file_errors: bool,
+    count_decimal: bool = False,
 ) -> DataFrame:
     """Strict mode: schema = first file's header; every other file must
     match exactly (field names+order, types, separators, markers; #path
@@ -265,16 +276,17 @@ def _read_strict(
             )
     names = first.column_names(replace_periods)
     raw = _read_group(spark, [h.source_file for h in kept], first, names)
-    return raw.select(*typed_columns(first, replace_periods, inet_canon))
+    return raw.select(*typed_columns(first, replace_periods, inet_canon, count_decimal))
 
 
-def typed_columns(hdr: ZeekHeader, replace_periods: bool, inet_canon=None) -> list[Column]:
+def typed_columns(hdr: ZeekHeader, replace_periods: bool, inet_canon=None,
+                  count_decimal: bool = False) -> list[Column]:
     """The typed cast pipeline for one header, as a select list over the
     all-string raw columns.  Shared by the batch reader and the
     Structured Streaming reader (streaming/zeek_stream.py)."""
     names = hdr.column_names(replace_periods)
     return [
-        _cast_field(_qcol(n), zt, hdr, inet_canon).alias(n)
+        _cast_field(_qcol(n), zt, hdr, inet_canon, count_decimal).alias(n)
         for n, zt in zip(names, hdr.types)
     ]
 
@@ -284,6 +296,7 @@ def _read_union(
     headers: list[ZeekHeader],
     replace_periods: bool,
     inet_canon,
+    count_decimal: bool = False,
 ) -> DataFrame:
     """union_by_name mode: fields unioned by name in first-encountered
     order across the sorted file list; per-file absent fields -> NULL
@@ -296,7 +309,14 @@ def _read_union(
         if replace_periods
         else list(union_fields)
     )
-    spark_types = {f: zeek_type_to_spark(t) for f, t in zip(union_fields, union_types)}
+    from pyspark.sql import types as _T
+
+    def _sp_type(t):
+        if count_decimal and t.strip() == "count":
+            return _T.DecimalType(20, 0)
+        return zeek_type_to_spark(t)
+
+    spark_types = {f: _sp_type(t) for f, t in zip(union_fields, union_types)}
 
     groups: dict[tuple, list[ZeekHeader]] = {}
     for h in headers:
@@ -313,7 +333,8 @@ def _read_union(
             if f in have:
                 src_name, src_zt = have[f]
                 cols.append(
-                    _cast_field(_qcol(src_name), src_zt, g, inet_canon).alias(out)
+                    _cast_field(_qcol(src_name), src_zt, g, inet_canon,
+                                count_decimal).alias(out)
                 )
             else:
                 cols.append(F.lit(None).cast(spark_types[f]).alias(out))
