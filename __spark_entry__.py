@@ -385,6 +385,23 @@ def q28_string_exprs(spark, sf):
     )
 
 
+def q29_sessionize(spark, sf):
+    """Inactivity-gap sessionization (window lag + running sum) with
+    per-session rollup — the batch twin of the streaming
+    applyInPandasWithState operator (operators/sessionize.py)."""
+    from zeek_duckdb_spark.operators.sessionize import sessionize_batch
+
+    e = _events(spark, sf).filter(F.col("user_id") < 30)
+    s = sessionize_batch(e, "user_id", "ts", gap_seconds=3600,
+                         order_cols=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max(F.col("ts")).cast("double")
+                - F.min(F.col("ts")).cast("double"), 6).alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # ----------------------------------------------------------------------
 # LLM-pipeline operators (dedup / similarity / text / multimodal)
 # ----------------------------------------------------------------------
@@ -545,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_stats": q26_stats,
         "q27_distinct": q27_distinct,
         "q28_string_exprs": q28_string_exprs,
+        "q29_sessionize": q29_sessionize,
         "dd_exact_groups": dd_exact_groups,
         "dd_jaccard_pairs": dd_jaccard_pairs,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -750,6 +768,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(NULLIF(p_type, 'ECONOMY'), 'STD') AS type_or_std,
                    LENGTH(p_name) AS name_len
             FROM part WHERE p_partkey < 200
+        """,
+        "q29_sessionize": """
+            WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                       FROM events WHERE user_id < 30),
+            g AS (SELECT user_id, ts, value,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+                         THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, value,
+                    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS duration_s,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "dd_exact_groups": """
             SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM (

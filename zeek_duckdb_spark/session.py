@@ -16,7 +16,13 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "zeek-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus)
+        # A/B-measured on the headline set: AQE-on + few initial shuffle
+        # partitions is fastest at local scale (AQE coalesces anyway, and
+        # fewer initial partitions = less scheduling overhead).  On a real
+        # cluster raise via SPARK_GRAFT_SHUFFLE_PARTITIONS (or rely on
+        # AQE's initialPartitionNum) — the data sizes there want hundreds+.
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env) if env else max(8, int(cpus) // 4)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
