@@ -28,6 +28,7 @@ HEADLINE = [
     "dd_minhash_lsh",
     "sim_topk",
     "tx_quality",
+    "q29_sessionize",
 ]
 
 
