@@ -458,6 +458,17 @@ def sim_topk(spark, sf):
     return sim.topk_neighbors(e, q, k=20, query_id_col="vec_id")
 
 
+def sim_ivf_topk(spark, sf):
+    """IVF-style ANN (sampled centroids, nprobe cell search, exact
+    re-rank) for vec_id=0 — rows-only (deterministic but the cell
+    pipeline is not worth restating in SQL)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return sim.ivf_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=16, nprobe=4
+    )
+
+
 def sim_ann_lsh(spark, sf):
     """LSH-bucketed ANN for vec_id=0 (hash-derived planes — no oracle)."""
     e = _t(spark, sf, "embeddings")
@@ -570,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cosine_pairs": dd_cosine_pairs,
         "sim_topk": sim_topk,
         "sim_ann_lsh": sim_ann_lsh,
+        "sim_ivf_topk": sim_ivf_topk,
         "tx_quality": tx_quality,
         "tx_langid": tx_langid,
         "tx_token_counts": tx_token_counts,

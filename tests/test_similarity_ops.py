@@ -1,0 +1,62 @@
+"""Similarity operator semantics: recall of the approximate paths vs
+the exact brute force, IVF structure invariants."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_topk_self_similarity(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    # including self, the top hit must be the query itself with sim 1.0
+    top = sim.topk_neighbors(emb, q.select(F.col("embedding")), k=1)
+    r = top.first()
+    assert r.vec_id == 0 and abs(r.cosine_sim - 1.0) < 1e-6
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in sim.topk_neighbors(corpus, q, k=10, query_id_col="vec_id").collect()}
+    approx = {r.vec_id for r in sim.ivf_topk(corpus, q, k=10, n_centroids=8, nprobe=8).collect()}
+    # nprobe == n_centroids -> searches every cell -> exact recall
+    assert approx == exact
+
+
+def test_ivf_partial_probe_is_subset_ranked(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    res = sim.ivf_topk(corpus, q, k=10, n_centroids=16, nprobe=4).collect()
+    assert 0 < len(res) <= 10
+    sims = [r.cosine_sim for r in res]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_results_are_true_cosines(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    res = sim.lsh_bucket_ann(corpus, q, dim=64, k=5).collect()
+    # every returned similarity must equal the exact cosine (re-ranked)
+    exact = {
+        r.vec_id: r.cosine_sim
+        for r in sim.topk_neighbors(corpus, q, k=500, query_id_col="vec_id").collect()
+    }
+    for r in res:
+        assert abs(r.cosine_sim - exact[r.vec_id]) < 1e-9
+
+
+def test_cosine_pairs_exact_vs_bucketed(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 100)
+    exact = {(r.id_a, r.id_b) for r in sim.cosine_pairs(sub, 0.3, dim=64, exact=True).collect()}
+    bucketed = {(r.id_a, r.id_b) for r in sim.cosine_pairs(sub, 0.3, dim=64, exact=False, planes=4).collect()}
+    # bucketed is a subset (candidates limited to same bucket)
+    assert bucketed.issubset(exact)

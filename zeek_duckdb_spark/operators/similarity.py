@@ -27,6 +27,8 @@ __all__ = [
     "topk_neighbors",
     "hyperplane_signature",
     "lsh_bucket_ann",
+    "ivf_assign",
+    "ivf_topk",
     "cosine_pairs",
 ]
 
@@ -118,6 +120,73 @@ def lsh_bucket_ann(
     cands = corpus.join(
         F.broadcast(q), F.col("bucket") == F.col("q_bucket")
     )
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (broadcast the
+    centroid table — it's K rows).  Returns (id, vec, cell).
+
+    Centroid choice here is deterministic sampling (lowest ids) rather
+    than trained k-means — the IVF *structure* (cell assignment +
+    probe-limited search) is what matters for the scale path; swap in
+    k-means centroids without touching the plan."""
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    scored = df.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("c_sim"), F.col("cell"), F.col(vec_col).alias("v"))).alias("b")
+    )
+    return best.select(
+        F.col(id_col), F.col("b.v").alias(vec_col), F.col("b.cell").alias("cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: deterministic sampled centroids, corpus assigned
+    to cells, query probes its ``nprobe`` nearest cells, exact re-rank
+    inside the probed cells.  Recall grows with nprobe (nprobe ==
+    n_centroids -> exact).  At scale, write the assigned corpus
+    partitioned by cell so a probe reads only its cells' files."""
+    centroids = df.orderBy(F.asc(id_col)).limit(n_centroids)
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+
+    c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
+    q = query.select(F.col(vec_col).alias("q_vec"))
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("q_vec", "cell", cosine(F.col("q_vec"), F.col("c_vec")).alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("q_vec", "cell")
+    )
+    cands = assigned.join(F.broadcast(probes), "cell")
     return (
         cands.select(
             F.col(id_col),
