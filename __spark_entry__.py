@@ -525,6 +525,19 @@ def mm_decode_fake(spark, sf):
     )
 
 
+def pipe_clean_corpus(spark, sf):
+    """End-to-end corpus cleaning: quality filter -> exact dedup ->
+    language tag -> per-language stats (operators/pipeline.py)."""
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    d = _t(spark, sf, "documents")
+    cleaned = clean_corpus(d, "doc_id", "text", min_tokens=5, max_punct_ratio=0.2)
+    return cleaned.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("q_tokens").alias("sum_tokens"),
+    )
+
+
 def zeek_scan(spark, sf):
     """The flagship source operator on the reference's own fixtures
     (non-parquet input — rows-only check)."""
@@ -588,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": tx_fingerprint,
         "mm_media_stats": mm_media_stats,
         "mm_decode_fake": mm_decode_fake,
+        "pipe_clean_corpus": pipe_clean_corpus,
         "zeek_scan": zeek_scan,
     }
 
@@ -887,6 +901,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs,
                    COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct_fp
             FROM documents GROUP BY source
+        """,
+        "pipe_clean_corpus": """
+            WITH feats AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS toks,
+                     LENGTH(text) AS q_chars,
+                     LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+              FROM documents),
+            kept AS (
+              SELECT doc_id, text, len(toks) AS q_tokens FROM feats
+              WHERE len(toks) >= 5 AND n_punct * 1.0 / q_chars <= 0.2),
+            keyed AS (
+              SELECT doc_id, text, q_tokens,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM kept),
+            keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM keyed GROUP BY fp),
+            dedup AS (SELECT k.doc_id, k.text, k.q_tokens
+                      FROM keyed k JOIN keepers USING (fp, doc_id)),
+            scored AS (
+              SELECT doc_id, q_tokens,
+                     string_split_regex(trim(lower(text)), '\\s+') AS lt
+              FROM dedup),
+            lang AS (
+              SELECT doc_id, q_tokens,
+                     len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) AS s_en,
+                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                     len(list_filter(lt, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+                     len(list_filter(lt, x -> x IN ('el','los','las','y','es'))) AS s_es
+              FROM scored)
+            SELECT lang_guess, COUNT(*) AS n_docs, SUM(q_tokens) AS sum_tokens FROM (
+              SELECT q_tokens, CASE
+                       WHEN s_en > 0 AND s_en >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr > 0 AND s_fr >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       WHEN s_es > 0 AND s_es >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+                       ELSE 'und' END AS lang_guess
+              FROM lang) t
+            GROUP BY lang_guess
         """,
         "mm_media_stats": """
             SELECT source, COUNT(*) AS n_media,
