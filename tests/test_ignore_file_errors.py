@@ -52,9 +52,15 @@ def test_ignore_file_errors_with_union_by_name(spark):
 
 
 def test_ignore_file_errors_values(spark):
+    import datetime
+
     df = read_zeek(spark, f"{ERR}/*.log.gz", inet=False, ignore_file_errors=True)
-    ids = [r.id for r in df.orderBy("id").collect()]
-    assert len(ids) == 3
+    rows = df.orderBy("id").collect()
+    # reference golden rows (test/sql/zeek_ignore_file_errors.test:46-55)
+    assert [(r.id, r.value) for r in rows] == [("A1", 100), ("A2", 200), ("A3", 300)]
+    assert rows[0].ts.replace(tzinfo=datetime.timezone.utc) == datetime.datetime.fromtimestamp(
+        1737003590.123456, datetime.timezone.utc
+    )
 
 
 def test_all_corrupt_still_errors(spark, tmp_path):
@@ -64,3 +70,12 @@ def test_all_corrupt_still_errors(spark, tmp_path):
     bad.write_bytes(b"")
     with pytest.raises(ZeekHeaderError, match="No valid Zeek log files found"):
         read_zeek(spark, str(tmp_path / "*.log.gz"), ignore_file_errors=True)
+
+
+def test_single_corrupt_with_ignore_still_errors(spark):
+    # reference: needs at least one valid file for schema
+    # (test/sql/zeek_ignore_file_errors.test:22-32)
+    with pytest.raises(ZeekHeaderError, match="No valid Zeek log files found in pattern"):
+        read_zeek(spark, f"{ERR}/corrupted.log.gz", ignore_file_errors=True)
+    with pytest.raises(ZeekHeaderError, match="No valid Zeek log files found in pattern"):
+        read_zeek(spark, f"{ERR}/fake_gzip.log.gz", ignore_file_errors=True)

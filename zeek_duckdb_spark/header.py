@@ -252,7 +252,7 @@ def resolve_union_schema(headers: list[ZeekHeader]) -> tuple[list[str], list[str
     (src/zeek_scanner.cpp:535-545).
     """
     if not headers:
-        raise ZeekHeaderError("No valid Zeek log files found")
+        raise ZeekHeaderError("No valid Zeek log files found in pattern")
     first = headers[0]
     for h in headers[1:]:
         if (

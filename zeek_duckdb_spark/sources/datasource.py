@@ -86,7 +86,7 @@ class ZeekDataSource(DataSource):
                     continue
                 raise
         if not headers:
-            raise ZeekHeaderError(f"No valid Zeek log files found matching '{path}'")
+            raise ZeekHeaderError(f"No valid Zeek log files found in pattern '{path}'")
         if union:
             names, types = resolve_union_schema(headers)
         else:

@@ -227,7 +227,7 @@ def read_zeek(
             raise
     if not headers:
         raise ZeekHeaderError(
-            f"No valid Zeek log files found matching '{path}'"
+            f"No valid Zeek log files found in pattern '{path}'"
         )
 
     inet_canon = None
