@@ -159,6 +159,14 @@ def _convert_scalar(v: str, zt: str, hdr: ZeekHeader):
 def _convert(v: str | None, zt: str, hdr: ZeekHeader):
     if v is None:
         return None
+    if v == "":
+        # whole zero-length cell -> NULL: engine-defined behavior shared
+        # with the composed reader (Spark CSV cannot distinguish an empty
+        # unquoted token from a missing trailing column; real Zeek output
+        # always writes the (empty)/unset markers, never bare empties).
+        # Empty *elements* inside arrays keep reference semantics — see
+        # _convert_scalar via the vector branch below.
+        return None
     if zt.startswith("vector[") or zt.startswith("set["):
         if v == hdr.unset_field or v == hdr.empty_field:
             return None

@@ -132,7 +132,10 @@ def _cast_field(raw: Column, zeek_type: str, hdr: ZeekHeader, inet_canon,
             c = _cast_scalar(e2, inner, count_decimal)
             return _canon_maybe(c, inner, inet_canon)
 
-        return F.transform(elems, elem)
+        arr = F.transform(elems, elem)
+        # zero-length cell -> empty list, not [NULL]: the reference's
+        # AppendListValue empty-cell branch (src/zeek_scanner.cpp:338-342)
+        return F.when(cell == "", F.slice(arr, 1, 0)).otherwise(arr)
     if zt == "bool":
         return F.when(cell.isNull(), F.lit(None)).otherwise(_cast_scalar(cell, "bool"))
     return _canon_maybe(_cast_scalar(cell, zt, count_decimal), zt, inet_canon)
@@ -176,6 +179,11 @@ def _read_group(
             escape="\u0000",
             mode="PERMISSIVE",
             header=False,
+            # keep zero-length cells distinguishable from missing
+            # trailing columns: default nullValue='' would fold an empty
+            # token to NULL, but the reference reads '' as empty string
+            # (scalars) / empty list (vectors) -- only short rows pad NULL
+            nullValue="\u0000__zeek_no_null__",
         )
         .csv(files)
     )
