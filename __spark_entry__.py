@@ -31,6 +31,9 @@ from zeek_duckdb_spark.operators import textops as tx
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps collect in session-local time; the DuckDB oracle yields
+    # naive UTC — pin the session tz so results agree under any driver
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
