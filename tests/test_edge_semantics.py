@@ -191,3 +191,27 @@ def test_count_decimal_uint64_fidelity(spark, tmp_path):
     assert df.schema["n"].dataType == T.DecimalType(20, 0)
     rows = {r.id: r.n for r in df.collect()}
     assert rows["a"] == decimal.Decimal(big) and rows["b"] == 7
+
+
+def test_large_plaintext_log_splits_into_tasks(spark, tmp_path):
+    # plain-text Zeek logs are byte-range splittable — at 100 TB one big
+    # uncompressed log still parallelizes (the reference's unit is the
+    # whole file).  Generate ~8 MB, read with a small partition size,
+    # verify >1 input partition and exact row count + sums.
+    n = 120_000
+    lines = [STD_HEADER + "#fields\tid\tn\tw\n#types\tcount\tcount\tstring\n"]
+    lines.extend(f"{i}\t{i % 97}\tword{i % 13}\n" for i in range(n))
+    p = tmp_path / "big.log"
+    p.write_text("".join(lines))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        df = read_zeek(spark, str(p), inet=False)
+        assert df.rdd.getNumPartitions() > 1
+        agg = df.agg(
+            F.count("*").alias("c"), F.sum("n").alias("s")
+        ).first()
+        assert agg.c == n
+        assert agg.s == sum(i % 97 for i in range(n))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -102,3 +102,19 @@ def test_corrupt_gzip_header():
 def test_glob_errors_on_no_match():
     with pytest.raises(FileNotFoundError):
         glob_zeek_files("/nonexistent/nada*.log")
+
+
+def test_union_separator_conflict_raises(tmp_path):
+    a = tmp_path / "a.log"
+    b = tmp_path / "b.log"
+    a.write_text(
+        "#separator \\x09\n#set_separator\t,\n#empty_field\t(empty)\n"
+        "#unset_field\t-\n#fields\tx\n#types\tcount\n1\n"
+    )
+    b.write_text(
+        "#separator \\x7c\n#set_separator|,\n#empty_field|(empty)\n"
+        "#unset_field|-\n#fields|x\n#types|count\n2\n"
+    )
+    hs = [parse_header(str(a)), parse_header(str(b))]
+    with pytest.raises(ZeekHeaderError, match="identical separators"):
+        resolve_union_schema(hs)
