@@ -68,3 +68,32 @@ def test_dhcp_set_and_intervals(spark):
     import datetime
 
     assert row.lease_time == datetime.timedelta(days=1)
+
+
+# --- filter pushdown (Spark 4.1 pushFilters; ref src/zeek_scanner.cpp:720-771)
+
+def test_pushed_filters_correct(spark):
+    df = _fmt(spark, f"{REF}/dns.log.gz", inet=False)
+    assert df.filter(F.col("proto") == "udp").count() == 2
+    assert df.filter(F.col("proto") == "tcp").count() == 0
+    assert df.filter(F.col("id_orig_p") > 50000).count() == 1
+    assert df.filter(F.col("id_orig_p").isin(51168, 49581)).count() == 2
+    kh = _fmt(
+        spark,
+        f"{REF}/known_hosts_20260116_00.00.00-01.00.00-0500.log.gz",
+        inet=False,
+    )
+    assert kh.filter(F.col("host_inner_vlan").isNull()).count() == 1
+    assert kh.filter(F.col("host_inner_vlan").isNotNull()).count() == 0
+
+
+def test_unpushable_filters_still_correct(spark):
+    # addr columns are declined (INET gating) -> Spark applies post-scan
+    df = _fmt(spark, f"{REF}/dns.log.gz", inet=False)
+    assert df.filter(F.col("id_resp_h") == "8.8.4.4").count() == 2
+    # mixed pushable + declined conjunction
+    assert df.filter(
+        (F.col("proto") == "udp") & (F.col("id_resp_h") == "8.8.4.4")
+    ).count() == 2
+    # filter on an array column (declined)
+    assert df.filter(F.size("answers") == 2).count() == 2

@@ -26,7 +26,20 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql import types as T
 
 from zeek_duckdb_spark.header import (
@@ -120,13 +133,27 @@ class ZeekDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "ZeekReader":
         headers, names, types, union = self._bind()
-        return ZeekReader(
+        replace = _opt_bool(self.options, "replace_periods", True)
+        out_names = [n.replace(".", "_") for n in names] if replace else list(names)
+        cls = ZeekReader
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None and str(
+                sess.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower() == "true":
+                cls = ZeekPushdownReader
+        except Exception:
+            pass
+        return cls(
             headers,
             names,
             types,
             union,
             with_filename=_opt_bool(self.options, "filename", False),
             ignore_file_errors=_opt_bool(self.options, "ignore_file_errors", False),
+            out_names=out_names,
         )
 
 
@@ -175,14 +202,52 @@ def _convert(v: str | None, zt: str, hdr: ZeekHeader):
     return _convert_scalar(v, zt, hdr)
 
 
+# filter pushdown gating mirrors the reference's supports_pushdown_type
+# (src/zeek_scanner.cpp:114-132): only cheap scalar types; LIST and
+# addr/subnet (INET) are declined so Spark re-applies them post-scan.
+# time/interval are also declined here for timezone-value safety.
+_PUSHABLE_ZEEK_TYPES = ("string", "enum", "count", "int", "port", "double", "bool")
+_SUPPORTED_FILTERS = (
+    EqualTo, In, IsNull, IsNotNull,
+    GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+)
+
+
+def _eval_filter(f: Filter, val):
+    """Row-level filter evaluation with the reference's NULL rule: a
+    NULL value fails every comparison (src/zeek_scanner.cpp:202-220)."""
+    if isinstance(f, IsNull):
+        return val is None
+    if isinstance(f, IsNotNull):
+        return val is not None
+    if val is None:
+        return False
+    if isinstance(f, EqualTo):
+        return val == f.value
+    if isinstance(f, In):
+        return val in f.value
+    if isinstance(f, GreaterThan):
+        return val > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return val >= f.value
+    if isinstance(f, LessThan):
+        return val < f.value
+    if isinstance(f, LessThanOrEqual):
+        return val <= f.value
+    return True  # unknown -> pass through, Spark re-filters (ref :239-242)
+
+
 class ZeekReader(DataSourceReader):
-    def __init__(self, headers, names, types, union, with_filename, ignore_file_errors):
+    def __init__(self, headers, names, types, union, with_filename,
+                 ignore_file_errors, out_names=None):
         self.headers = headers
         self.names = names
         self.types = types
         self.union = union
         self.with_filename = with_filename
         self.ignore_file_errors = ignore_file_errors
+        self.out_names = out_names or list(names)
+        self.pushed: list[tuple[int, Filter]] = []
 
     def partitions(self):
         parts = []
@@ -213,13 +278,21 @@ class ZeekReader(DataSourceReader):
                     if not line or line.startswith("#"):
                         continue
                     cells = line.split(hdr.separator)
-                    row = []
-                    for out_i in range(ncols):
+
+                    def cell_value(out_i):
                         src_i = fmap[out_i] if fmap is not None else out_i
                         if src_i < 0 or src_i >= len(cells):
-                            row.append(None)
-                        else:
-                            row.append(_convert(cells[src_i], self.types[out_i], hdr))
+                            return None
+                        return _convert(cells[src_i], self.types[out_i], hdr)
+
+                    # pushed filters evaluate before the full row is
+                    # converted — the reference's pre-parse row skip
+                    # (src/zeek_scanner.cpp:720-771)
+                    if self.pushed and not all(
+                        _eval_filter(f, cell_value(i)) for i, f in self.pushed
+                    ):
+                        continue
+                    row = [cell_value(out_i) for out_i in range(ncols)]
                     if self.with_filename:
                         row.append(partition.path)
                     yield tuple(row)
@@ -229,5 +302,38 @@ class ZeekReader(DataSourceReader):
             raise
 
 
+class ZeekPushdownReader(ZeekReader):
+    """ZeekReader + Spark 4.1 Python filter pushdown.  Kept as a
+    subclass because Spark refuses a reader that *implements*
+    pushFilters when spark.sql.python.filterPushdown.enabled is false —
+    the plain ZeekReader serves that case."""
+
+    def pushFilters(self, filters):
+        """Accept simple comparison filters on pushable scalar columns;
+        everything else is returned for Spark to apply post-scan
+        (the reference's own fallback contract,
+        src/zeek_scanner.cpp:239-242)."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            ok = (
+                isinstance(f, _SUPPORTED_FILTERS)
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in self.out_names
+                and self.types[self.out_names.index(attr[0])] in _PUSHABLE_ZEEK_TYPES
+            )
+            if ok:
+                self.pushed.append((self.out_names.index(attr[0]), f))
+            else:
+                yield f
+
+
 def register_zeek_datasource(spark) -> None:
+    # enable Python-DS filter pushdown for this session (runtime conf);
+    # reader() still falls back to the no-pushdown class if a foreign
+    # session has it disabled
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(ZeekDataSource)
