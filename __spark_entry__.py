@@ -723,7 +723,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q16_case_having": """
             SELECT o_orderstatus, COUNT(*) AS n,
-                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
                    ROUND(AVG(o_totalprice), 4) AS avg_total
             FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 10
         """,
@@ -801,14 +801,14 @@ def oracle_sql() -> dict[str, str]:
         "q29_sessionize": """
             WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
                        FROM events WHERE user_id < 30),
-            g AS (SELECT user_id, ts, value,
+            g AS (SELECT user_id, event_id, ts, value,
                     CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
                          THEN 1 ELSE 0 END AS ns
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (SELECT user_id, ts, value,
-                    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                   FROM g)
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS duration_s,
@@ -933,7 +933,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(lt, x -> x IN ('le','la','les','et','est'))) AS s_fr,
                      len(list_filter(lt, x -> x IN ('el','los','las','y','es'))) AS s_es
               FROM scored)
-            SELECT lang_guess, COUNT(*) AS n_docs, SUM(q_tokens) AS sum_tokens FROM (
+            SELECT lang_guess, COUNT(*) AS n_docs, CAST(SUM(q_tokens) AS BIGINT) AS sum_tokens FROM (
               SELECT q_tokens, CASE
                        WHEN s_en > 0 AND s_en >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
                        WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
@@ -945,7 +945,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_media_stats": """
             SELECT source, COUNT(*) AS n_media,
-                   SUM(OCTET_LENGTH(encode(text))) AS total_bytes,
+                   CAST(SUM(OCTET_LENGTH(encode(text))) AS BIGINT) AS total_bytes,
                    ROUND(AVG(OCTET_LENGTH(encode(text))), 4) AS avg_bytes,
                    COUNT(DISTINCT encode(text)) AS distinct_payloads
             FROM documents GROUP BY source
