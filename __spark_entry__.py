@@ -419,7 +419,7 @@ def dd_exact_groups(spark, sf):
 def dd_jaccard_pairs(spark, sf):
     """Exact token-set Jaccard near-dup pairs (doc_id<200, >=0.9)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9)
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9, exact=True)
 
 
 def _docs_parallel(spark, sf):
@@ -430,7 +430,9 @@ def _docs_parallel(spark, sf):
     shuffle of modest rows."""
     d = _t(spark, sf, "documents")
     target = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
+    # inputFiles() is driver-side metadata (no RDD materialization,
+    # which costs ~100ms of plan->RDD conversion per call)
+    if len(d.inputFiles()) < target:
         d = d.repartition(target)
     return d
 

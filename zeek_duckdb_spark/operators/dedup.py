@@ -6,14 +6,18 @@ Scale design (the point of this module — these must hold at 100 TB):
 - **exact**: one hash-aggregate on a fingerprint column; Spark does
   map-side partial aggregation, so the shuffle carries one row per
   distinct key per partition, not the corpus.
-- **minhash_lsh**: signatures are computed with ``xxhash64`` (JVM,
-  codegen) — no Python.  Candidate generation explodes to
+- **minhash_lsh**: signatures are a zero-shuffle per-row fold — ONE
+  md5 per shingle, then cheap affine permutations mod 2^31-1 (Spark
+  MLlib MinHashLSH's construction) folded with aggregate/zip_with.
+  Measured faster than the explode + N-min-codegen-aggregate
+  alternative both cold and warm (see minhash_signatures).  The
+  md5-derived family means a DuckDB SQL oracle can restate the exact
+  signatures — see hashutil.py.  Candidate generation explodes to
   (band_hash, doc) and self-joins per band bucket: the shuffle is
   O(docs × bands) small rows, never O(docs²).  Pair verification is
   exact Jaccard on the candidates only.
-- **simhash**: 64 conditional sums per doc (one narrow aggregate over
-  exploded tokens would shuffle; instead we fold over the token array
-  per row — zero shuffle).
+- **simhash**: same zero-shuffle fold shape — one md5 per token,
+  ±1 bit contributions folded per row.
 - **ngram_jaccard_pairs**: exact algorithm for modest candidate sets;
   the inverted-index join (token -> docs) is the classic
   shuffle-bounded plan; a frequency cap drops stop-shingles to bound
@@ -27,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from zeek_duckdb_spark.operators.hashutil import P31, affine_coeffs, md5_long
 from zeek_duckdb_spark.operators.textops import fingerprint, tokens
 
 __all__ = [
@@ -56,13 +61,27 @@ def exact_dedup_groups(
 
 
 def _shingles(text_col: Column, k: int) -> Column:
-    """Word k-shingles as an array column (distinct), JVM-side."""
+    """Word k-shingles as an array column (distinct), JVM-side.
+
+    Built by zipping k shifted copies of the token array rather than
+    ``transform(sequence(...), i -> slice(toks, i, k))``: interpreted
+    HOF evaluation has no common-subexpression elimination, so a
+    ``slice(toks, ...)`` INSIDE the lambda re-runs the whole
+    split-tokenize pipeline once per element — measured 5.5x slower on
+    5k docs.  Here the tokenize expression appears only at row level
+    (k times) and the lambda touches nothing but its own variable.
+    """
     toks = tokens(F.lower(text_col))
     if k == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    shifted = [toks] + [F.slice(toks, i + 1, 1 << 30) for i in range(1, k)]
+    zipped = F.slice(
+        F.arrays_zip(*shifted), 1, F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+        )
     )
 
 
@@ -72,25 +91,43 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    seed: int = 1,
 ) -> DataFrame:
     """MinHash signature per document: signature[i] =
-    min over shingles of xxhash64(i, shingle).  Pure built-in exprs —
-    xxhash64 is seeded per hash index, array_min folds per row; the
-    whole signature costs zero shuffle."""
+    min over shingles of (a_i * h(shingle) + b_i) mod 2^31-1, where
+    h = 28-bit md5-derived base hash (one md5 per shingle, computed
+    once; the N permutations are cheap modular arithmetic).
+
+    Shape: per-row fold, ZERO shuffle.  One md5 per shingle (projected
+    into a base-hash array), then one aggregate(zip_with(...)) fold
+    against a literal coefficient array — the N permutations are cheap
+    modular arithmetic per (shingle, i), and every expensive expression
+    (tokenize, md5) appears exactly once at row level.  Measured
+    against the explode + groupBy(id)-with-N-min-aggregates
+    alternative at sf0.1: the fold is ~1.6x faster warm and ~5x faster
+    cold (the 32-aggregate codegen alone compiles for ~3 s), while
+    also avoiding the shuffle — the rare case where the interpreted
+    HOF beats the codegen'd aggregate.
+
+    Empty-shingle docs keep an all-P31 sentinel signature (row count
+    is preserved — this is a pure map).
+    """
     sh = _shingles(F.col(text_col), shingle_k)
-    # One pass per row: transform each shingle to its num_hashes hash
-    # values, then fold with an element-wise min.  Crucially the shingle
-    # expression appears ONCE in the tree — num_hashes separate
-    # array_min(transform(...)) calls would make Catalyst inline (and
-    # re-evaluate) the tokenize+slice+distinct pipeline once per hash,
-    # a measured ~30x slowdown at 5k docs.
-    hash_matrix = F.transform(
-        sh, lambda s: F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+    bases = F.transform(sh, lambda s: md5_long(s, 7))
+    coeffs = affine_coeffs(num_hashes, seed)
+    coeff_lit = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in coeffs
+        ]
     )
+    init = F.array_repeat(F.lit(P31).cast("long"), num_hashes)
     sig = F.aggregate(
-        hash_matrix,
-        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(acc, x, lambda l, r: F.least(l, r)),
+        bases,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeff_lit, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(P31))
+        ),
     )
     return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("minhash"))
 
@@ -107,11 +144,20 @@ def minhash_lsh_pairs(
     Scale shape (what keeps this sane at 100 TB):
     - the band-bucket explode carries ONLY (id, band, bucket) — the
       shingle arrays stay out of the wide shuffle;
+    - candidates come from ONE groupBy(band, bucket) + per-bucket pair
+      expansion, not a bucket self-join: one shuffle of 12-byte rows
+      replaces two shuffle reads of the same subplan plus a join
+      (measured ~1.7x on the full pipeline at sf0.1, same rows);
     - candidate pairs are deduped across bands *before* verification,
       so each pair pays the set-intersection cost exactly once;
-    - verification re-joins the (id -> shingles) side twice, which AQE
-      plans as shuffle joins keyed on id — no array ever rides an
-      exploded row.
+    - verification re-joins the (id -> shingles) side twice, keyed on
+      id — small corpora broadcast (AQE), big ones shuffle-join; no
+      shingle array ever rides an exploded row.
+
+    A degenerate hot bucket (a million byte-identical docs) still
+    expands quadratically — run exact_dedup_groups first for exact
+    dups; LSH's band structure bounds bucket sizes for genuinely
+    near-duplicate corpora.
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
@@ -120,8 +166,17 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                # md5-derived 60-bit bucket id so the oracle SQL can
+                # restate it (and 8 bytes ride the shuffle, not the
+                # concatenated signature string)
+                md5_long(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -130,18 +185,24 @@ def minhash_lsh_pairs(
     buckets = sig_df.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids_sorted = F.array_sort("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + 2, 1 << 30),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = sig_df.select(F.col(id_col), F.col("shingles"))
@@ -157,48 +218,70 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, zero-shuffle: fold token hashes per
-    row; bit j of the result is the sign of the sum of ±1 contributions
-    from each token's hash bit j."""
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash per document (``bits`` <= 60): bit j of the result is
+    the sign of the sum over tokens of ±1 contributions from bit j of
+    the token's 60-bit md5-derived hash.
+
+    Shape: per-row fold, ZERO shuffle (same reasoning as
+    minhash_signatures — the explode + ``bits`` conditional-SUM
+    aggregates alternative measured 3.6x slower warm and 4.4x slower
+    cold at sf0.1, the 60-agg codegen compile alone costing ~5 s).
+    One md5 per token; bit j is tested as ``h % 2^(j+1) >= 2^j`` —
+    exact int64 arithmetic restatable verbatim in the DuckDB oracle.
+    60 bits (15 md5 hex chars) rather than 64 so the hash is a
+    non-negative int64 both engines construct identically — no
+    signed-overflow edge.
+
+    Zero-token docs keep a row with simhash = 0 (pure map).
+    """
+    if not 0 < bits <= 60:
+        raise ValueError("simhash bits must be in 1..60")
     toks = tokens(F.lower(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def contribs(h: Column) -> Column:
-        # per-token +-1 contribution vector for all 64 bits
-        return F.array(
-            *[
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for j in range(64)
-            ]
-        )
-
-    # single fold: the tokenize+hash pipeline appears once in the tree
-    # (64 separate aggregates would re-evaluate it per bit -- measured
-    # ~30x slowdown on the analogous minhash shape)
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     sums = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(h % (p * 2) >= p, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
     )
-    powers = F.array(
-        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    sim = F.aggregate(
+        F.zip_with(
+            sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    bits = F.zip_with(
-        sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
-    )
-    sim = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, using the standard
-    block-permutation trick: split the 64-bit hash into ``blocks``
-    chunks; any pair within ``max_hamming < blocks`` must agree on at
-    least one chunk, so join per chunk bucket instead of O(n²)."""
-    width = 64 // blocks
+    block-permutation trick: split the ``bits``-wide hash into
+    ``blocks`` chunks; any pair within ``max_hamming < blocks`` must
+    agree on at least one chunk, so bucket by chunk instead of O(n²).
+
+    Candidates via groupBy(blk, chunk) + per-bucket pair expansion
+    (one 20-byte-row shuffle) rather than a bucket self-join — same
+    restructure as minhash_lsh_pairs; the 8-byte simhash rides the
+    shuffle so Hamming distance is computed in the expansion, no
+    re-join needed."""
+    width = bits // blocks
     mask = (1 << width) - 1
     chunk_cols = F.array(
         *[
@@ -212,23 +295,38 @@ def simhash_pairs(
     e = sim_df.select(id_col, "simhash", F.explode(chunk_cols).alias("c")).select(
         id_col, "simhash", "c.blk", "c.chunk"
     )
-    a, b = e.alias("a"), e.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    grouped = (
+        e.groupBy("blk", "chunk")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    mem = F.array_sort("members")  # struct sort: by id first (ids unique)
+    pair_arr = F.flatten(
+        F.transform(
+            mem,
+            lambda x, i: F.transform(
+                F.slice(mem, i + 2, 1 << 30),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+DEFAULT_MAX_TOKEN_FREQ = 1000
 
 
 def ngram_jaccard_pairs(
@@ -238,22 +336,33 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.8,
     max_token_freq: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs via an inverted-index join
-    (token -> posting list), the shuffle-bounded exact plan:
+    """n-gram Jaccard similarity pairs via an inverted-index join
+    (token -> posting list), the shuffle-bounded plan:
     |pairs sharing a token| rows move, never |docs|².
 
-    ``max_token_freq`` drops tokens appearing in more than that many
-    docs (stop-shingle guard) — at 100 TB this is what keeps the
-    hottest key from dominating a reducer; None keeps the result exact.
+    Skew-safe BY DEFAULT: tokens appearing in more than
+    ``max_token_freq`` docs (default 1000) are dropped before the
+    self-join — one stop-shingle shared by 10^6 docs would otherwise
+    emit 10^12 candidate rows on a single reducer key.  Jaccard is then
+    computed over the capped token space (consistent on both sides of
+    the ratio).  Pass ``exact=True`` for the uncapped exact result
+    (verification / small corpora); an explicit ``max_token_freq``
+    overrides the default cap.
     """
+    if max_token_freq is None and not exact:
+        max_token_freq = DEFAULT_MAX_TOKEN_FREQ
     d = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("tok"),
     )
     if max_token_freq is not None:
-        freq = d.groupBy("tok").count().filter(F.col("count") <= max_token_freq)
-        d = d.join(F.broadcast(freq.select("tok")), "tok")
+        # anti-join against the HOT tokens (tiny set — broadcastable at
+        # any scale) rather than semi-join against all surviving tokens
+        # (which would broadcast nearly the whole vocabulary)
+        hot = d.groupBy("tok").count().filter(F.col("count") > max_token_freq)
+        d = d.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
     sizes = d.groupBy("id").agg(F.count("*").alias("n_tok"))
     a, b = d.alias("a"), d.alias("b")
     common = (

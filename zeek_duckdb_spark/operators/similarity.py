@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,30 +77,47 @@ def topk_neighbors(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
-def _plane_component(p: int, d: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    derived from xxhash64 of the (plane, dim) index — reproducible on
-    any cluster with no RNG state."""
-    h = F.xxhash64(F.lit(int(p * 65536 + d)))
-    return (F.pmod(h, F.lit(2000)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
+def plane_matrix(planes: int, dim: int, seed: int = 7) -> list[list[str]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1),
+    returned as 6-decimal strings.  Strings, not floats, so the SAME
+    decimal literal is parsed to a double by Spark and by the oracle
+    SQL — nearest-double parsing is identical in both engines."""
+    rnd = random.Random(seed)
+    return [
+        [f"{rnd.uniform(-1.0, 1.0):.6f}" for _ in range(dim)] for _ in range(planes)
+    ]
 
 
-def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, planes: int = 16, seed: int = 7
+) -> Column:
     """LSH signature: bit p = sign of <vec, plane_p>.  Returned as a
-    long bucket id.  Pure column expressions — codegen, no UDF."""
-    bits = []
-    for p in range(planes):
-        proj = None
-        for d in range(dim):
-            term = vec[d].cast("double") * _plane_component(p, d)
-            proj = term if proj is None else proj + term
-        bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    long bucket id.
+
+    The plane matrix is ONE array-of-arrays literal (constant-folded by
+    Catalyst) and the projection is aggregate(zip_with(...)) — the
+    expression tree is constant-size in ``dim``, so this compiles at
+    dim=768+ where an unrolled sum of dim*planes multiply nodes would
+    blow past codegen limits.  Pure column expressions — no UDF.
+    """
+    mat = plane_matrix(planes, dim, seed)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in mat]
+    )
+    vec_d = F.transform(vec, lambda x: x.cast("double"))
+    bits = F.transform(
+        planes_lit,
+        lambda plane, i: F.when(
+            F.aggregate(
+                F.zip_with(vec_d, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def lsh_bucket_ann(
