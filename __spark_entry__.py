@@ -475,10 +475,12 @@ def sim_ivf_topk(spark, sf):
 
 
 def sim_ann_lsh(spark, sf):
-    """LSH-bucketed ANN for vec_id=0 (hash-derived planes — no oracle)."""
+    """LSH-bucketed ANN for vec_id=0.  planes=6 (64 buckets) so the
+    query's bucket is populated at test SFs — the oracle restates the
+    seeded plane matrix verbatim in SQL."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
-    return sim.lsh_bucket_ann(e.filter(F.col("vec_id") != 0), q, dim=64, k=10)
+    return sim.lsh_bucket_ann(e.filter(F.col("vec_id") != 0), q, dim=64, k=10, planes=6)
 
 
 def tx_quality(spark, sf):

@@ -1,0 +1,134 @@
+"""Unit tests for the sketch-dedup operators (minhash/simhash/jaccard)
+and the codegen-safety of hyperplane signatures."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from zeek_duckdb_spark.operators import dedup as dd
+from zeek_duckdb_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two near-identical docs and one unrelated: the similar pair's
+    # signature agreement must far exceed the dissimilar pairs'
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " lambda"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    sigs = {
+        r["doc_id"]: r["minhash"]
+        for r in dd.minhash_signatures(
+            _docs(spark, rows), num_hashes=64, shingle_k=2
+        ).collect()
+    }
+
+    def agree(a, b):
+        return sum(x == y for x, y in zip(a, b)) / len(a)
+
+    assert agree(sigs[1], sigs[2]) > 0.5
+    assert agree(sigs[1], sigs[3]) < 0.2
+
+
+def test_minhash_lsh_finds_near_dups_and_orders_ids(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (10, base),
+        (11, base + " extra"),
+        (12, "completely different words entirely here now"),
+    ]
+    sigs = dd.minhash_signatures(_docs(spark, rows), num_hashes=32, shingle_k=3)
+    pairs = dd.minhash_lsh_pairs(sigs, bands=8, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(10, 11)]
+    assert all(p.id_a < p.id_b for p in pairs)
+    assert 0.0 < pairs[0].jaccard <= 1.0
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    base = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    h = {r["doc_id"]: r["simhash"] for r in dd.simhash(_docs(spark, rows)).collect()}
+    near = bin(h[1] ^ h[2]).count("1")
+    far = bin(h[1] ^ h[3]).count("1")
+    assert near < far
+    assert all(0 <= v < (1 << 60) for v in h.values())
+
+
+def test_simhash_zero_token_doc_keeps_row(spark):
+    rows = [(1, "alpha beta"), (2, "")]
+    out = dd.simhash(_docs(spark, rows)).collect()
+    assert len(out) == 2
+
+
+def test_ngram_jaccard_hot_token_guard(spark):
+    # 40 docs share one hot token; each also has a unique token.  With
+    # the default cap (here forced low) the hot token is dropped, so no
+    # candidate pairs survive — without it, 40*39/2 pairs explode.
+    rows = [(i, f"hot unique{i}") for i in range(40)]
+    df = _docs(spark, rows)
+    capped = dd.ngram_jaccard_pairs(df, threshold=0.01, max_token_freq=10)
+    assert capped.count() == 0
+    exact = dd.ngram_jaccard_pairs(df, threshold=0.01, exact=True)
+    assert exact.count() == 40 * 39 // 2
+
+
+def test_ngram_jaccard_default_is_capped(spark):
+    import inspect
+
+    sig = inspect.signature(dd.ngram_jaccard_pairs)
+    assert sig.parameters["exact"].default is False
+    assert dd.DEFAULT_MAX_TOKEN_FREQ == 1000
+
+
+def test_hyperplane_signature_compiles_at_dim_768(spark):
+    big = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(768)),
+            lambda i: ((i % 17).cast("double") - 8.0) / 17.0,
+        ).alias("embedding"),
+    )
+    out = big.select(
+        "vec_id", sim.hyperplane_signature(F.col("embedding"), 768, 16).alias("b")
+    ).collect()
+    assert len(out) == 8
+    assert all(0 <= r.b < (1 << 16) for r in out)
+
+
+def test_hyperplane_signature_matches_unrolled_reference(spark):
+    # same plane constants, dumb unrolled projection — buckets must match
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    dim, planes = 64, 12
+    mat = sim.plane_matrix(planes, dim)
+    vec = F.col("embedding")
+    bits = []
+    for p in range(planes):
+        proj = None
+        for d in range(dim):
+            term = vec[d].cast("double") * F.lit(float(mat[p][d]))
+            proj = term if proj is None else proj + term
+        bits.append(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    ref = bits[0]
+    for b in bits[1:]:
+        ref = ref + b
+    out = e.select(
+        "vec_id",
+        sim.hyperplane_signature(vec, dim, planes).alias("fast"),
+        ref.alias("slow"),
+    )
+    assert out.filter(F.col("fast") != F.col("slow")).count() == 0
