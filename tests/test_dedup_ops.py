@@ -91,6 +91,53 @@ def test_ngram_jaccard_default_is_capped(spark):
     assert dd.DEFAULT_MAX_TOKEN_FREQ == 1000
 
 
+def test_minhash_lsh_excludes_empty_shingle_docs(spark):
+    # docs shorter than the shingle width share the sentinel signature;
+    # before the filter they collided in every band and verified with
+    # union=0 (ANSI divide-by-zero).  Now they're excluded from banding.
+    rows = [(1, "only two"), (2, "tokens here"), (3, "three little words")]
+    sigs = dd.minhash_signatures(_docs(spark, rows), num_hashes=32, shingle_k=3)
+    assert dd.minhash_lsh_pairs(sigs, bands=8, threshold=0.1).collect() == []
+
+
+def test_lsh_bucket_guard_errors_loudly(spark):
+    from pyspark.errors import PySparkException
+
+    rows = [(i, "shared common shingle text for every doc") for i in range(8)]
+    sigs = dd.minhash_signatures(_docs(spark, rows), num_hashes=32, shingle_k=3)
+    with pytest.raises(PySparkException, match="max_bucket_size"):
+        dd.minhash_lsh_pairs(sigs, bands=8, threshold=0.1, max_bucket_size=4).collect()
+
+
+def test_lsh_bucket_guard_drop_mode(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base) for i in range(8)] + [(100, base + " x"), (101, base + " x y")]
+    sigs = dd.minhash_signatures(_docs(spark, rows), num_hashes=32, shingle_k=3)
+    # the 8-identical-doc mega-bucket is dropped; the (100, 101) pair
+    # survives in buckets below the cap
+    pairs = dd.minhash_lsh_pairs(
+        sigs, bands=8, threshold=0.5, max_bucket_size=4, on_oversize="drop"
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert all(a not in range(8) or b not in range(8) for a, b in got)
+    # unguarded run finds the identical-doc pairs too
+    full = dd.minhash_lsh_pairs(sigs, bands=8, threshold=0.5)
+    assert full.count() > len(got)
+
+
+def test_simhash_pairs_bucket_guard(spark):
+    from pyspark.errors import PySparkException
+
+    rows = [(i, "identical text for everyone") for i in range(10)]
+    sim_df = dd.simhash(_docs(spark, rows))
+    with pytest.raises(PySparkException, match="max_bucket_size"):
+        dd.simhash_pairs(sim_df, max_hamming=3, max_bucket_size=5).collect()
+    ok = dd.simhash_pairs(
+        sim_df, max_hamming=3, max_bucket_size=5, on_oversize="drop"
+    )
+    assert ok.count() == 0
+
+
 def test_hyperplane_signature_compiles_at_dim_768(spark):
     big = spark.range(8).select(
         F.col("id").alias("vec_id"),

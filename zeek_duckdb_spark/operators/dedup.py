@@ -132,16 +132,53 @@ def minhash_signatures(
     return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("minhash"))
 
 
+def _guard_bucket_size(
+    grouped: DataFrame, list_col: str, max_bucket_size: int | None, on_oversize: str
+) -> DataFrame:
+    """Bound the per-bucket collect_list blowup: a degenerate bucket
+    (e.g. 10^6 byte-identical docs slipping past exact dedup) would
+    otherwise materialize one giant array row and expand O(m^2) structs
+    in memory.  'error' fails the job with an actionable message (loud,
+    the default); 'drop' excludes the bucket from candidate generation
+    (documented recall loss on poisoned buckets only)."""
+    if max_bucket_size is None:
+        return grouped
+    if on_oversize == "drop":
+        return grouped.filter(F.size(list_col) <= max_bucket_size)
+    if on_oversize == "error":
+        return grouped.withColumn(
+            list_col,
+            F.when(F.size(list_col) <= max_bucket_size, F.col(list_col)).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "LSH bucket exceeds max_bucket_size=%s (size=%s): run "
+                        "exact_dedup_groups first or pass on_oversize='drop'",
+                        F.lit(str(max_bucket_size)),
+                        F.size(list_col).cast("string"),
+                    )
+                )
+            ),
+        )
+    raise ValueError(f"on_oversize must be 'error' or 'drop', got '{on_oversize}'")
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     threshold: float = 0.7,
     num_hashes: int = 32,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Banded LSH candidate generation + exact-Jaccard verification.
 
     Scale shape (what keeps this sane at 100 TB):
+    - docs with ZERO shingles (shorter than the shingle width) are
+      excluded from banding up front: they all share the sentinel
+      signature, so they'd otherwise collide into one mega-bucket in
+      every band and verify with union=0 (a divide-by-zero under ANSI
+      mode).  "No shingles" means "no evidence of similarity";
     - the band-bucket explode carries ONLY (id, band, bucket) — the
       shingle arrays stay out of the wide shuffle;
     - candidates come from ONE groupBy(band, bucket) + per-bucket pair
@@ -154,14 +191,19 @@ def minhash_lsh_pairs(
       id — small corpora broadcast (AQE), big ones shuffle-join; no
       shingle array ever rides an exploded row.
 
-    A degenerate hot bucket (a million byte-identical docs) still
-    expands quadratically — run exact_dedup_groups first for exact
-    dups; LSH's band structure bounds bucket sizes for genuinely
-    near-duplicate corpora.
+    A degenerate hot bucket (a million byte-identical docs) would
+    materialize one giant collect_list row and expand quadratically.
+    ``max_bucket_size`` bounds that failure mode LOUDLY: a bucket
+    exceeding it raises (``on_oversize='error'``, the default — a
+    poisoned corpus fails with a message naming the fix, not an
+    executor OOM) or is dropped from candidate generation
+    (``on_oversize='drop'``, for corpora where oversized buckets are
+    known exact-dup clusters already handled by exact_dedup_groups).
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
+    sig_df = sig_df.filter(F.size("shingles") > 0)
     band_cols = F.array(
         *[
             F.struct(
@@ -190,6 +232,7 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    grouped = _guard_bucket_size(grouped, "ids", max_bucket_size, on_oversize)
     ids_sorted = F.array_sort("ids")
     pair_arr = F.flatten(
         F.transform(
@@ -270,6 +313,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     bits: int = 60,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, using the standard
     block-permutation trick: split the ``bits``-wide hash into
@@ -280,7 +325,8 @@ def simhash_pairs(
     (one 20-byte-row shuffle) rather than a bucket self-join — same
     restructure as minhash_lsh_pairs; the 8-byte simhash rides the
     shuffle so Hamming distance is computed in the expansion, no
-    re-join needed."""
+    re-join needed.  ``max_bucket_size``/``on_oversize`` bound the
+    degenerate-bucket blowup exactly as in minhash_lsh_pairs."""
     width = bits // blocks
     mask = (1 << width) - 1
     chunk_cols = F.array(
@@ -304,6 +350,7 @@ def simhash_pairs(
         )
         .filter(F.size("members") > 1)
     )
+    grouped = _guard_bucket_size(grouped, "members", max_bucket_size, on_oversize)
     mem = F.array_sort("members")  # struct sort: by id first (ids unique)
     pair_arr = F.flatten(
         F.transform(
