@@ -3,10 +3,13 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 plus
 the LLM-pipeline operators); each callable takes (spark, sf_dir).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only
-for ops that are genuinely not SQL-expressible: xxhash-based minhash /
-simhash / LSH signatures, mapInPandas decode, and the Zeek file scan
-which reads non-parquet input).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.  The sketch
+operators (minhash/LSH, simhash, hyperplane ANN, IVF) use an
+md5-derived hash family and decimal-string plane constants precisely so
+the oracle can restate their exact signatures in SQL — see the
+``_*_oracle`` builders below.  Only ``zeek_scan`` has no oracle entry
+(it reads non-parquet Zeek log input DuckDB's pre-registered views
+can't see), so the driver records a rows-only check for it.
 
 Determinism rules used throughout so value-hashes match the oracle:
 - every computed column aliased identically on both sides;
@@ -438,14 +441,18 @@ def _docs_parallel(spark, sf):
 
 
 def dd_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidates (xxhash64 — no SQL oracle)."""
+    """MinHash+LSH near-dup candidates.  The md5-derived hash family
+    lets the oracle restate the exact signatures and band buckets in
+    SQL (see _minhash_lsh_oracle)."""
     d = _docs_parallel(spark, sf)
     sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_k=3)
     return dd.minhash_lsh_pairs(sigs, "doc_id", bands=8, threshold=0.7)
 
 
 def dd_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs, hamming<=3 (xxhash64 — no SQL oracle)."""
+    """SimHash near-dup pairs, hamming<=3.  The 60-bit md5-derived hash
+    is int64-exact in both engines, so the oracle restates the full
+    bit-fold in SQL (see _simhash_pairs_oracle)."""
     d = _docs_parallel(spark, sf)
     return dd.simhash_pairs(dd.simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
 
@@ -465,8 +472,8 @@ def sim_topk(spark, sf):
 
 def sim_ivf_topk(spark, sf):
     """IVF-style ANN (sampled centroids, nprobe cell search, exact
-    re-rank) for vec_id=0 — rows-only (deterministic but the cell
-    pipeline is not worth restating in SQL)."""
+    re-rank) for vec_id=0.  Fully deterministic — the oracle restates
+    the cell assignment and probe pipeline in SQL (_ivf_topk_oracle)."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     return sim.ivf_topk(
@@ -614,6 +621,208 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP_SQL = "('the','a','of','and','is','in','to','it')"
+
+
+# ----------------------------------------------------------------------
+# Oracle builders for the sketch operators.  Each restates the EXACT
+# Spark computation in DuckDB SQL: the md5-derived hash family
+# (hashutil.md5_long / md5_long_sql) is bit-identical in both engines,
+# the affine coefficients and hyperplane constants are the same Python
+# literals inlined on both sides, and double folds are sequential
+# left-to-right on both sides (aggregate/zip_with <-> list_sum/
+# list_transform — the proven recipe from sim_topk/dd_cosine_pairs).
+# ----------------------------------------------------------------------
+
+# word-3-shingles over whitespace tokens of trim(lower(text)) —
+# DuckDB restatement of dedup._shingles(F.lower(text), 3)
+_SHINGLE3_SQL = """
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents)"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Sequential-fold cosine similarity between two DOUBLE[] exprs."""
+    return (
+        f"(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) / "
+        f"(SQRT(list_sum(list_transform({a}, x -> x * x))) * "
+        f"SQRT(list_sum(list_transform({b}, x -> x * x)))))"
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    """dd_minhash_lsh: signatures = min over shingles of the affine
+    permutations of the 28-bit md5 base hash; candidates = pairs
+    agreeing on any band's 4-row signature segment (the Spark side
+    hashes the segment to a 60-bit bucket id — md5 is collision-free at
+    corpus scale, so segment equality == bucket equality); verification
+    = exact Jaccard on shingle sets, rounded to 6 dp."""
+    from zeek_duckdb_spark.operators.hashutil import P31, affine_coeffs, md5_long_sql
+
+    coeffs = affine_coeffs(32, seed=1)
+    sig_items = ",\n                 ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P31}))"
+        for a, b in coeffs
+    )
+    band_structs = ",\n                 ".join(
+        "{'band': %d, 'key': concat_ws(',', %s)}"
+        % (b, ", ".join(f"CAST(sg[{b * 4 + r + 1}] AS VARCHAR)" for r in range(4)))
+        for b in range(8)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLE3_SQL}),
+        h AS (
+          SELECT doc_id, sh, list_transform(sh, s -> {md5_long_sql('s', 7)}) AS hs
+          FROM sh WHERE len(sh) > 0),
+        sig AS (
+          SELECT doc_id,
+                 [{sig_items}] AS sg
+          FROM h),
+        bands AS (
+          SELECT doc_id,
+                 unnest([{band_structs}]) AS u
+          FROM sig),
+        bb AS (SELECT doc_id, u.band AS band, u.key AS key FROM bands),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bb a JOIN bb b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id),
+        scored AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+                       6) AS jaccard
+          FROM cand
+          JOIN h sa ON sa.doc_id = id_a
+          JOIN h sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    """dd_simhash_pairs: the full 60-bit simhash fold (±1 per token per
+    bit, bit set when the sum is positive), then block-permutation
+    bucketing ((simhash >> 15i) & 0x7fff) and Hamming filtering."""
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    bit_terms = "\n               + ".join(
+        f"(CASE WHEN COALESCE(list_sum(list_transform(hs, "
+        f"x -> CASE WHEN x % {2 << j} >= {1 << j} THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(60)
+    )
+    chunk_structs = ", ".join(
+        "{'blk': %d, 'chunk': (sh >> %d) & 32767}" % (i, i * 15) for i in range(4)
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                                s -> {md5_long_sql('s', 15)}) AS hs
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST({bit_terms} AS BIGINT) AS sh
+          FROM h),
+        e AS (SELECT doc_id, sh, unnest([{chunk_structs}]) AS u FROM s),
+        ee AS (SELECT doc_id, sh, u.blk AS blk, u.chunk AS chunk FROM e)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM ee a JOIN ee b ON a.blk = b.blk AND a.chunk = b.chunk
+                           AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+def _hyperplane_bucket_sql(vec: str, planes: int, dim: int, seed: int = 7) -> str:
+    """Bucket id = sum over planes of 2^p when <vec, plane_p> > 0 — the
+    same decimal-string plane constants similarity.plane_matrix feeds
+    Spark, parsed to identical doubles by both engines."""
+    from zeek_duckdb_spark.operators.similarity import plane_matrix
+
+    mat = plane_matrix(planes, dim, seed)
+    terms = []
+    for p, row in enumerate(mat):
+        lit = "CAST([" + ", ".join(row) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({vec}, {lit}), "
+            f"p -> p[1] * p[2])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + "\n             + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle() -> str:
+    """sim_ann_lsh: bucket every vector with the seeded 6-plane matrix,
+    keep corpus rows sharing vec_id=0's bucket, exact cosine re-rank."""
+    bucket = _hyperplane_bucket_sql("v", planes=6, dim=64)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (
+          SELECT vec_id, v,
+             {bucket} AS bucket
+          FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
+        SELECT vec_id, ROUND({_cos_sql('v', 'qv')}, 6) AS cosine_sim
+        FROM sig, q
+        WHERE vec_id <> 0 AND bucket = qb
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _ivf_topk_oracle() -> str:
+    """sim_ivf_topk: centroids = 16 lowest corpus vec_ids; cells by
+    argmax cosine (ties -> higher cell, mirroring Spark's max-struct
+    tie-break); probe the query's 4 best cells (ties -> lower cell);
+    exact re-rank inside probed cells."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id <> 0),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, e.v, c.cell,
+                 {_cos_sql('e.v', 'c.cv')} AS c_sim
+          FROM e CROSS JOIN c),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c_sim DESC, cell DESC) AS rn
+            FROM scored) t
+          WHERE rn = 1),
+        probes AS (
+          SELECT cell FROM (
+            SELECT c.cell, {_cos_sql('q.qv', 'c.cv')} AS c_sim
+            FROM q CROSS JOIN c) t
+          ORDER BY c_sim DESC, cell ASC LIMIT 4)
+        SELECT a.vec_id, ROUND({_cos_sql('a.v', 'q.qv')}, 6) AS cosine_sim
+        FROM assigned a JOIN probes USING (cell) CROSS JOIN q
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _decode_fake_oracle() -> str:
+    """mm_decode_fake: n_bytes and feature[4] = sum(first 64 bytes) mod
+    997 of the utf-8 payload, byte values recovered from the hex dump
+    (DuckDB 1.0 has no direct blob indexing)."""
+    return """
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id, n_bytes,
+                 COALESCE(list_sum(list_transform(range(1, least(n_bytes, 64) + 1),
+                   i -> CAST(concat('0x', substring(hx, 2*i - 1, 2)) AS INTEGER))), 0)
+                 AS bsum
+          FROM b)
+        SELECT doc_id, n_bytes, ROUND(CAST(bsum % 997 AS DOUBLE), 1) AS f4 FROM s
+    """
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -954,7 +1163,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT encode(text)) AS distinct_payloads
             FROM documents GROUP BY source
         """,
-        # no oracle (not SQL-expressible / non-parquet input):
-        #   dd_minhash_lsh, dd_simhash_pairs, sim_ann_lsh (xxhash64-based),
-        #   mm_decode_fake (mapInPandas stub), zeek_scan (Zeek file input)
+        "dd_minhash_lsh": _minhash_lsh_oracle(),
+        "dd_simhash_pairs": _simhash_pairs_oracle(),
+        "sim_ann_lsh": _ann_lsh_oracle(),
+        "sim_ivf_topk": _ivf_topk_oracle(),
+        "mm_decode_fake": _decode_fake_oracle(),
+        # zeek_scan: no oracle possible — it reads the reference's Zeek
+        # log files, not the pre-registered parquet views (rows-only).
     }
