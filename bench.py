@@ -2,16 +2,26 @@
 """Benchmark headline queries; prints ONE JSON line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_ITERS (default 5).
 
 Each query is forced through a noop sink so the full plan materializes
 (a bare count() would let Catalyst prune aggregate columns).
+
+Noise control: one untimed warm-up pass over all queries (JIT, codegen
+compile, parquet footers, page cache), then ITERS timed runs per query;
+the reported per-query number is the MEDIAN, with the min..max spread
+in a side channel.  A single timed run was observed to swing +-2.5x on
+an unchanged query (q05: 0.77 / 2.19 / 0.87 s across three round-2
+runs), which made every bench delta unfalsifiable; medians of 5 agree
+within ~10% run-to-run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -38,18 +48,22 @@ def main() -> None:
     spark = get_spark("zeek-spark-bench")
     queries = entry_mod.queries()
 
-    # Steady-state measurement: one untimed warm-up run per query (JVM
-    # JIT, whole-stage codegen compile, parquet footer + OS page cache),
-    # then the timed run.  The baseline engine gets the same warm-cache
-    # treatment implicitly (its second run is what users experience).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in HEADLINE:
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+
+    def run(name: str) -> float:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter() - t0
 
+    for name in HEADLINE:  # untimed warm-up pass
+        run(name)
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _ in range(iters):  # interleave iterations so drift hits all queries
+        for name in HEADLINE:
+            samples[name].append(run(name))
+
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -58,6 +72,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "iters": iters,
                 "sf": sf,
             }
         )
