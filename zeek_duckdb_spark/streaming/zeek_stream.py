@@ -67,6 +67,9 @@ def read_zeek_stream(
             escape="\u0000",
             mode="PERMISSIVE",
             header=False,
+            # bare '' cells read NULL here exactly as in the batch scan
+            # (univocity nulls zero-length unquoted tokens; see the
+            # _read_group note in sources/zeek.py)
         )
     )
     if max_files_per_trigger is not None:
