@@ -70,6 +70,9 @@ def _shingles(text_col: Column, k: int) -> Column:
     split-tokenize pipeline once per element — measured 5.5x slower on
     5k docs.  Here the tokenize expression appears only at row level
     (k times) and the lambda touches nothing but its own variable.
+    (When the token array is already materialized as a column, use
+    :func:`_shingles_from_tokens` — slicing a stored array inside the
+    lambda is cheap and the whole expression is one SQL parse.)
     """
     toks = tokens(F.lower(text_col))
     if k == 1:
@@ -82,6 +85,21 @@ def _shingles(text_col: Column, k: int) -> Column:
         F.transform(
             zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
         )
+    )
+
+
+def _shingles_from_tokens(tok_col: str, k: int) -> Column:
+    """k-shingles over a MATERIALIZED token-array column (same values
+    as :func:`_shingles`, first-occurrence order preserved): slicing a
+    stored array per element is cheap, and generating the expression as
+    one SQL string avoids the py4j tree-building cost at plan time."""
+    if k == 1:
+        return F.array_distinct(F.col(tok_col))
+    return F.expr(
+        f"if(size({tok_col}) >= {k}, "
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {k}), "
+        f"i -> concat_ws(' ', slice({tok_col}, i + 1, {k})))), "
+        f"array())"
     )
 
 
@@ -111,31 +129,44 @@ def minhash_signatures(
     also avoiding the shuffle.
 
     Empty-shingle docs keep an all-P31 sentinel signature (row count
-    is preserved — this is a pure map; P31 is unreachable for any real
-    shingle since the permutations are mod P31).
+    is preserved — this is a pure map).  The output carries a
+    ``__nonempty`` boolean (size(tokens) >= k, equivalent to "has at
+    least one shingle") computed at the token level: filtering on it
+    costs one tokenize at the scan, whereas any predicate over
+    ``shingles``/``minhash`` gets alias-substituted below the
+    projection chain by predicate pushdown and re-evaluates the md5
+    fold per row (measured 10x: 0.32 s vs 3.6 s at sf0.1).
     """
-    sh = _shingles(F.col(text_col), shingle_k)
-    based = df.select(
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    shingled = toked.select(
         F.col(id_col),
-        sh.alias("shingles"),
-        F.transform(sh, lambda s: md5_long(s, 7)).alias("__bases"),
+        _shingles_from_tokens("__toks", shingle_k).alias("shingles"),
+        (F.size("__toks") >= shingle_k).alias("__nonempty"),
+    )
+    based = shingled.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.col("__nonempty"),
+        F.expr(
+            "transform(shingles, s -> "
+            "CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"
+        ).alias("__bases"),
     )
     coeffs = affine_coeffs(num_hashes, seed)
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        F.col("__bases"),
-                        lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31),
-                    )
-                ),
-                F.lit(P31).cast("long"),
-            )
-            for a, b in coeffs
-        ]
+    # one F.expr over a generated SQL string: building N HOF trees
+    # through the Column API costs ~0.9 s of py4j round-trips per plan
+    # construction; one server-side parse costs milliseconds
+    terms = ", ".join(
+        f"coalesce(array_min(transform(__bases, h -> ({a}L * h + {b}L) % {P31}L)),"
+        f" {P31}L)"
+        for a, b in coeffs
     )
-    return based.select(F.col(id_col), F.col("shingles"), sig.alias("minhash"))
+    sig = F.expr(f"array({terms})")
+    return based.select(
+        F.col(id_col), F.col("shingles"), F.col("__nonempty"), sig.alias("minhash")
+    )
 
 
 def _guard_bucket_size(
@@ -224,30 +255,32 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # sentinel filter (banding side only): empty-shingle docs keep the
-    # all-P31 init value, which (a*h+b) % P31 can never produce — no
-    # shingle recompute needed.  Verification needs no filter: candidate
-    # ids come from the banded side, so sentinel docs never join.
-    banded = sig_df.filter(F.col("minhash")[0] != F.lit(P31).cast("long"))
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                # md5-derived 60-bit bucket id so the oracle SQL can
-                # restate it (and 8 bytes ride the shuffle, not the
-                # concatenated signature string)
-                md5_long(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("minhash")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    # empty-shingle exclusion (banding side only — candidate ids come
+    # from the banded side, so excluded docs never join verification):
+    # prefer the token-level __nonempty flag from minhash_signatures
+    # (pushdown-cheap, see its docstring); fall back to size(shingles)
+    # for externally-built signature frames
+    if "__nonempty" in sig_df.columns:
+        banded = sig_df.filter(F.col("__nonempty"))
+    else:
+        banded = sig_df.filter(F.size("shingles") > 0)
+    # md5-derived 60-bit bucket id so the oracle SQL can restate it (and
+    # 8 bytes ride the shuffle, not the concatenated signature string);
+    # generated as one SQL string — see the F.expr note in
+    # minhash_signatures (construction cost, not semantics)
+    def _bucket_sql(b: int) -> str:
+        parts = ", ".join(
+            f"CAST(minhash[{b * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)
+        )
+        return (
+            f"named_struct('band', {b}, 'bucket', "
+            f"CAST(conv(substring(md5(concat_ws(',', {parts})), 1, 15), 16, 10)"
+            f" AS BIGINT))"
+        )
+
+    band_cols = F.expr(
+        "array(" + ", ".join(_bucket_sql(b) for b in range(bands)) + ")"
     )
     buckets = banded.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
@@ -258,15 +291,15 @@ def minhash_lsh_pairs(
         .filter(F.size("ids") > 1)
     )
     grouped = _guard_bucket_size(grouped, "ids", max_bucket_size, on_oversize)
-    ids_sorted = F.array_sort("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids_sorted,
-            lambda x, i: F.transform(
-                F.slice(ids_sorted, i + 2, 1 << 30),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # materialize the sort in its own projection: referencing an
+    # array_sort(...) EXPRESSION inside the pair-expansion lambda would
+    # re-sort per outer element (interpreted HOFs have no CSE) —
+    # O(m² log m) per bucket instead of O(m log m)
+    grouped = grouped.withColumn("ids", F.array_sort("ids"))
+    pair_arr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        f"transform(slice(ids, i + 2, {1 << 30}), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
     )
     cand = (
         grouped.select(F.explode(pair_arr).alias("p"))
@@ -388,19 +421,14 @@ def simhash_pairs(
         .filter(F.size("members") > 1)
     )
     grouped = _guard_bucket_size(grouped, "members", max_bucket_size, on_oversize)
-    mem = F.array_sort("members")  # struct sort: by id first (ids unique)
-    pair_arr = F.flatten(
-        F.transform(
-            mem,
-            lambda x, i: F.transform(
-                F.slice(mem, i + 2, 1 << 30),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
-                ),
-            ),
-        )
+    # struct sort: by id first (ids unique); materialized projection for
+    # the same no-CSE reason as minhash_lsh_pairs
+    grouped = grouped.withColumn("members", F.array_sort("members"))
+    pair_arr = F.expr(
+        "flatten(transform(members, (x, i) -> "
+        f"transform(slice(members, i + 2, {1 << 30}), "
+        "y -> named_struct('id_a', x.id, 'id_b', y.id, "
+        "'hamming', bit_count(x.sh ^ y.sh)))))"
     )
     return (
         grouped.select(F.explode(pair_arr).alias("p"))
