@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zeek_duckdb_spark.operators import dedup as dd
+from zeek_duckdb_spark.operators import graph as gr
 from zeek_duckdb_spark.operators import multimodal as mm
 from zeek_duckdb_spark.operators import similarity as sim
 from zeek_duckdb_spark.operators import textops as tx
@@ -437,6 +438,30 @@ def dd_jaccard_pairs(spark, sf):
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9, exact=True)
 
 
+def dd_clusters(spark, sf):
+    """Duplicate CLUSTERS from candidate pairs — the transitive-closure
+    step a real dedup pass needs after pair generation (operators/
+    graph.py, iterative min-label propagation; unique fixed point, so
+    deterministic).  The oracle restates the closure as a recursive
+    CTE over the same jaccard pairs."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9, exact=True)
+    return gr.dedup_clusters(pairs)
+
+
+def tx_boilerplate(spark, sf):
+    """Boilerplate-line removal over multi-line docs built
+    deterministically from the corpus (text + lang + source as lines):
+    the low-cardinality lang/source lines are hot across >= 5 docs and
+    get stripped; each unique text line survives.  Exercises the
+    hot-line aggregate, the broadcast anti-join, and order-preserving
+    reassembly (operators/textops.strip_boilerplate)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.concat_ws("\n", "text", "lang", "source").alias("text")
+    )
+    return tx.strip_boilerplate(d, "doc_id", "text", min_docs=5)
+
+
 def _estimated_scan_partitions(spark, df) -> int:
     """Estimate how many input splits the file scan will produce:
     sum(ceil(size / maxPartitionBytes)) over the scan's files.  File
@@ -646,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_sessionize": q29_sessionize,
         "dd_exact_groups": dd_exact_groups,
         "dd_jaccard_pairs": dd_jaccard_pairs,
+        "dd_clusters": dd_clusters,
         "dd_minhash_lsh": dd_minhash_lsh,
         "dd_simhash_pairs": dd_simhash_pairs,
         "dd_cosine_pairs": dd_cosine_pairs,
@@ -653,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "tx_quality": tx_quality,
+        "tx_boilerplate": tx_boilerplate,
         "tx_langid": tx_langid,
         "tx_token_counts": tx_token_counts,
         "tx_fingerprint": tx_fingerprint,
@@ -1094,6 +1121,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE common * 1.0 / (sa.n_tok + sb.n_tok - common) >= 0.9
         """,
+        # same jaccard pairs + transitive closure as a recursive CTE;
+        # the Spark side computes the closure with iterative min-label
+        # propagation (operators/graph.py) — unique fixed point, so the
+        # two formulations must agree exactly
+        "dd_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+              FROM documents WHERE doc_id < 200),
+            sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE common * 1.0 / (sa.n_tok + sb.n_tok - common) >= 0.9),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(v, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.v),
+            comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+            SELECT component AS cluster_id, COUNT(*) AS cluster_size,
+                   list_sort(list(v)) AS members
+            FROM comp GROUP BY component
+        """,
         "dd_cosine_pairs": """
             WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                          FROM embeddings WHERE vec_id < 200),
@@ -1131,6 +1189,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len(list_filter(toks, x -> x IN """ + _STOP_SQL + """)) * 1.0 / len(toks), 6) AS stopword_ratio,
                    ROUND(list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / len(toks), 6) AS mean_token_len
             FROM t
+        """,
+        "tx_boilerplate": """
+            WITH d AS (
+              SELECT doc_id, concat_ws(chr(10), text, lang, source) AS text
+              FROM documents),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+            lines AS (
+              SELECT doc_id,
+                     unnest(range(1, len(parts) + 1)) AS pos,
+                     unnest(parts) AS line
+              FROM sp),
+            hot AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5),
+            kept AS (SELECT l.* FROM lines l ANTI JOIN hot h ON l.line = h.line),
+            asm AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.text, '') AS text
+            FROM d LEFT JOIN asm a USING (doc_id)
         """,
         "tx_langid": """
             WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),

@@ -1,0 +1,76 @@
+"""Connected components / dedup clustering (operators/graph.py) and
+boilerplate-line removal (operators/textops.strip_boilerplate)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.graph import connected_components, dedup_clusters
+from zeek_duckdb_spark.operators.textops import strip_boilerplate
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_cc_triangle_and_chain(spark):
+    # triangle {1,2,3}, chain {10-11-12-13}, isolated pair {20,21}
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+    )
+    cc = {r.v: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 20
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n)])
+    cc = connected_components(pairs)
+    assert {r.component for r in cc.collect()} == {0}
+    assert cc.count() == n + 1
+
+
+def test_cc_max_iter_raises(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_dedup_clusters_shape(spark):
+    pairs = _pairs(spark, [(5, 9), (9, 7), (30, 31)])
+    rows = {r.cluster_id: r for r in dedup_clusters(pairs).collect()}
+    assert rows[5].cluster_size == 3 and rows[5].members == [5, 7, 9]
+    assert rows[30].cluster_size == 2 and rows[30].members == [30, 31]
+
+
+def test_strip_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCOOKIE BANNER\nfooter"),
+            (2, "unique two\nCOOKIE BANNER\nfooter"),
+            (3, "unique three\nCOOKIE BANNER\nfooter"),
+            (4, "COOKIE BANNER"),          # all-boilerplate doc
+            (5, "standalone text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in strip_boilerplate(docs, min_docs=3).collect()}
+    assert out[1] == "unique one"          # hot lines stripped, order kept
+    assert out[2] == "unique two"
+    assert out[3] == "unique three"
+    assert out[4] == ""                    # survives as empty, not dropped
+    assert out[5] == "standalone text"     # untouched (footer seen 3x, banner 4x)
+    assert len(out) == 5
+
+
+def test_strip_boilerplate_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i}\nHOT\nbeta{i}\nHOT\ngamma{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = strip_boilerplate(docs, min_docs=2).collect()
+    # repeated HOT lines removed (both occurrences), unique lines in order
+    assert {r.doc_id: r.text for r in out} == {
+        i: f"alpha{i}\nbeta{i}\ngamma{i}" for i in range(3)
+    }

@@ -17,6 +17,7 @@ __all__ = [
     "quality_features",
     "lang_id",
     "fingerprint",
+    "strip_boilerplate",
 ]
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -104,3 +105,58 @@ def fingerprint(col: Column) -> Column:
     text.  A content-defined identity for exact dedup that survives
     formatting noise."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove boilerplate lines — lines occurring (as exact strings) in
+    at least ``min_docs`` distinct documents — from every document;
+    the standard web-corpus cleaning pass for headers, footers, nav
+    text, and cookie banners.
+
+    Shape: explode to (id, pos, line); the hot-line set is a
+    countDistinct aggregate (map-side partial, shuffle carries one row
+    per distinct line per partition) and is TINY relative to the corpus
+    (lines crossing the threshold), so the exclusion join broadcasts at
+    any scale; reassembly is one groupBy(id) with an order-restoring
+    sort_array over (pos, line) structs — deterministic, so the oracle
+    can restate it with an ordered string_agg.
+
+    Output: (id, text) with boilerplate lines removed, empty string if
+    everything was boilerplate; line order otherwise preserved.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    assembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    # docs whose every line was boilerplate have no kept rows — restore
+    # them as empty strings so the row count is input-preserving
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+        )
+    )
