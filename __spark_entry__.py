@@ -620,6 +620,48 @@ def pipe_clean_corpus(spark, sf):
     )
 
 
+def pipe_sample(spark, sf):
+    """Deterministic stratified sampling — the source-mixing knob of a
+    training-data pipeline (operators/pipeline.stratified_sample):
+    md5-bucket Bernoulli per doc_id, per-source fractions.  Pure
+    pushable filter, reproducible on any cluster; the oracle restates
+    the identical hash arithmetic."""
+    from zeek_duckdb_spark.operators.pipeline import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, "doc_id", "source",
+        {"src1": 1.0, "src2": 0.5, "src3": 0.2},
+        default=0.05, seed=42,
+    ).select("doc_id", "lang", "source")
+
+
+def ev_asof_attrib(spark, sf):
+    """Backward as-of join (operators/asof.py): attach to every click
+    the same user's most recent view at-or-before it — the
+    click-attribution / point-in-time-feature shape.  The oracle uses
+    DuckDB's native ASOF LEFT JOIN; the Spark side is the union-tag +
+    window composition (one co-partitioning shuffle).  The view side
+    is pre-aggregated to one row per (user, ts) because duplicate
+    right timestamps are undefined under ASOF in any engine."""
+    from zeek_duckdb_spark.operators.asof import asof_join
+
+    e = _events(spark, sf)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    out = asof_join(clicks, views, on="user_id", ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("view_ts"), "view_value",
+    )
+
+
 def zeek_scan(spark, sf):
     """The flagship source operator on the reference's own fixtures
     (non-parquet input — rows-only check)."""
@@ -686,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_stats": mm_media_stats,
         "mm_decode_fake": mm_decode_fake,
         "pipe_clean_corpus": pipe_clean_corpus,
+        "pipe_sample": pipe_sample,
+        "ev_asof_attrib": ev_asof_attrib,
         "zeek_scan": zeek_scan,
     }
 
@@ -1014,6 +1058,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
             FROM lineitem
             WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+        """,
+        "pipe_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x', substring(md5(
+                      concat_ws(':', CAST(doc_id AS VARCHAR), '42')), 1, 15))
+                    AS BIGINT) % 1000000
+                  < CASE WHEN source = 'src1' THEN 1000000
+                         WHEN source = 'src2' THEN 500000
+                         WHEN source = 'src3' THEN 200000
+                         ELSE 50000 END
+        """,
+        "ev_asof_attrib": """
+            WITH ev AS (
+              SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                     event_type, value
+              FROM events),
+            clicks AS (
+              SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+              FROM ev WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.ts AS view_ts, v.view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
         "q18_date_trunc": """
             SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, COUNT(*) AS n,

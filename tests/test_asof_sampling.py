@@ -1,0 +1,89 @@
+"""As-of join (operators/asof.py) and deterministic sampling
+(operators/pipeline.py)."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.asof import asof_join
+from zeek_duckdb_spark.operators.pipeline import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+TS = datetime.datetime
+
+
+def _ts(m):
+    return TS(2024, 1, 1, 0, m)
+
+
+def test_asof_basic_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(9)), (3, 10, _ts(1)), (4, 20, _ts(7))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(2), 1.0), (10, _ts(5), 2.0), (10, _ts(8), 3.0), (30, _ts(0), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r.id: r for r in asof_join(left, right, on="k", ts_col="ts").collect()}
+    assert out[1].v == 2.0 and out[1].ts_r == _ts(5)   # equal ts matches (<=)
+    assert out[2].v == 3.0 and out[2].ts_r == _ts(8)   # most recent prior
+    assert out[3].v is None and out[3].ts_r is None    # nothing at-or-before
+    assert out[4].v is None                            # key has no right rows
+    assert len(out) == 4                               # left-join row count
+
+
+def test_asof_row_atomic_carry(spark):
+    # the newest right row has v=NULL; the match must NOT fall back to
+    # the older row's non-null v (row-atomic struct carry)
+    left = spark.createDataFrame([(1, 10, _ts(9))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(2), 7.0), (10, _ts(5), None)],
+        "k long, ts timestamp, v double",
+    )
+    r = asof_join(left, right, on="k", ts_col="ts").first()
+    assert r.ts_r == _ts(5) and r.v is None
+
+
+def test_asof_no_right_col_collision(spark):
+    left = spark.createDataFrame([(1, 10, _ts(3))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(1), 5.0)], "k long, ts timestamp, other double"
+    )
+    r = asof_join(left, right, on="k", ts_col="ts").first()
+    assert r.other == 5.0 and r.ts_r == _ts(1)  # non-colliding name kept
+
+
+def test_deterministic_sample_reproducible(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in deterministic_sample(df, "doc_id", 0.3, seed=7).collect())
+    b = sorted(r.doc_id for r in deterministic_sample(df, "doc_id", 0.3, seed=7).collect())
+    assert a == b and 0.2 < len(a) / 2000 < 0.4
+    c = sorted(r.doc_id for r in deterministic_sample(df, "doc_id", 0.3, seed=8).collect())
+    assert a != c                       # different seed, different subset
+    # nesting property: smaller fraction is a subset of larger
+    small = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.1, seed=7).collect())
+    assert small <= set(a)
+
+
+def test_deterministic_sample_validates(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", 1.5)
+
+
+def test_stratified_sample_fractions(spark):
+    rows = [(i, "keep_all" if i % 3 == 0 else ("half" if i % 3 == 1 else "rare"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_sample(
+        df, "doc_id", "src", {"keep_all": 1.0, "half": 0.5}, default=0.0, seed=1
+    ).groupBy("src").count().collect()
+    counts = {r.src: r["count"] for r in out}
+    assert counts["keep_all"] == 1000           # fraction 1.0 keeps everything
+    assert 350 < counts.get("half", 0) < 650    # ~0.5
+    assert "rare" not in counts                 # default 0.0 drops stratum

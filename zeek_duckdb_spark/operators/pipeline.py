@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.textops import fingerprint, lang_id, quality_features
 
-__all__ = ["clean_corpus", "salted_group_count"]
+__all__ = ["clean_corpus", "salted_group_count", "deterministic_sample", "stratified_sample"]
 
 
 def clean_corpus(
@@ -69,3 +69,50 @@ def salted_group_count(
     )
     partial = salted.groupBy(key_col, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key_col).agg(F.sum("_c").alias("count"))
+
+
+def _sample_bucket(key: Column, seed: int) -> Column:
+    """Deterministic per-key bucket in [0, 1e6): md5 of key:seed, first
+    15 hex chars as int64, mod 1e6.  Engine-portable (md5_long_sql
+    restates it for the oracle) and stable across runs, partitionings,
+    and cluster sizes — unlike rand()- or TABLESAMPLE-based sampling,
+    which is non-reproducible and per-partition-dependent."""
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    return md5_long(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))) % F.lit(1_000_000)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep rows whose key hashes below
+    ``fraction``.  Same key -> same decision in every run and on every
+    cluster, so training-data subsets are exactly re-derivable.  Pure
+    pushable filter: no shuffle, no state."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_sample_bucket(F.col(key_col), seed) < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the source-mixing knob of a
+    training-data pipeline ("keep all of wiki, 10% of web").  A CASE
+    over ``strata_col`` picks the fraction; the hash-bucket decision is
+    the same as deterministic_sample.  Still a pure map-side filter."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum '{s}' must be in [0, 1]")
+    thresh = F.lit(int(default * 1_000_000))
+    for s, f in fractions.items():
+        thresh = F.when(F.col(strata_col) == s, F.lit(int(f * 1_000_000))).otherwise(thresh)
+    return df.filter(_sample_bucket(F.col(key_col), seed) < thresh)
