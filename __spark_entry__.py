@@ -662,6 +662,31 @@ def ev_asof_attrib(spark, sf):
     )
 
 
+def ev_range_join(spark, sf):
+    """Bucketized range join (operators/rangejoin.py): clicks landing
+    inside each same-user 10-minute post-error window.  Spark would
+    plan the raw inequality join as a nested-loop product; the
+    bucketize-equi-join-refilter composition shuffles like any
+    equi-join.  The oracle runs the plain inequality join on DuckDB's
+    native range-join machinery."""
+    from zeek_duckdb_spark.operators.rangejoin import range_join_point
+
+    e = _events(spark, sf)
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = range_join_point(
+        errors, clicks, "t0", "t1", "ts", on="user_id", bucket_width_s=600
+    )
+    return out.select("err_id", "click_id", "user_id")
+
+
 def zeek_scan(spark, sf):
     """The flagship source operator on the reference's own fixtures
     (non-parquet input — rows-only check)."""
@@ -730,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_clean_corpus": pipe_clean_corpus,
         "pipe_sample": pipe_sample,
         "ev_asof_attrib": ev_asof_attrib,
+        "ev_range_join": ev_range_join,
         "zeek_scan": zeek_scan,
     }
 
@@ -1083,6 +1109,21 @@ def oracle_sql() -> dict[str, str]:
                    v.ts AS view_ts, v.view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "ev_range_join": """
+            WITH ev AS (
+              SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+              FROM events),
+            err AS (
+              SELECT event_id AS err_id, user_id, ts AS t0,
+                     ts + INTERVAL 10 MINUTE AS t1
+              FROM ev WHERE event_type = 'error'),
+            cl AS (
+              SELECT event_id AS click_id, user_id, ts
+              FROM ev WHERE event_type = 'click')
+            SELECT e.err_id, c.click_id, e.user_id
+            FROM err e JOIN cl c
+              ON e.user_id = c.user_id AND c.ts BETWEEN e.t0 AND e.t1
         """,
         "q18_date_trunc": """
             SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, COUNT(*) AS n,

@@ -87,3 +87,44 @@ def test_stratified_sample_fractions(spark):
     assert counts["keep_all"] == 1000           # fraction 1.0 keeps everything
     assert 350 < counts.get("half", 0) < 650    # ~0.5
     assert "rare" not in counts                 # default 0.0 drops stratum
+
+
+def test_range_join_point(spark):
+    from zeek_duckdb_spark.operators.rangejoin import range_join_point
+
+    ivals = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(10)), (2, 10, _ts(20), _ts(30)), (3, 20, _ts(0), _ts(59))],
+        "iid long, k long, t0 timestamp, t1 timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(100, 10, _ts(5)), (101, 10, _ts(10)), (102, 10, _ts(15)),
+         (103, 20, _ts(30)), (104, 30, _ts(5))],
+        "pid long, k long, ts timestamp",
+    )
+    out = sorted(
+        (r.iid, r.pid)
+        for r in range_join_point(
+            ivals, pts, "t0", "t1", "ts", on="k", bucket_width_s=120
+        ).collect()
+    )
+    # 100 in [0,10]; 101 at the inclusive end; 102 matches nothing;
+    # 103 in key-20's wide interval; 104 has no interval for its key
+    assert out == [(1, 100), (1, 101), (3, 103)]
+
+
+def test_range_join_bucket_guard(spark):
+    import datetime
+
+    from zeek_duckdb_spark.operators.rangejoin import range_join_point
+
+    ivals = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), datetime.datetime(2034, 1, 1))],
+        "iid long, t0 timestamp, t1 timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(2, datetime.datetime(2024, 6, 1))], "pid long, ts timestamp"
+    )
+    with pytest.raises(Exception, match="more than"):
+        range_join_point(
+            ivals, pts, "t0", "t1", "ts", bucket_width_s=60, max_buckets=100
+        ).collect()

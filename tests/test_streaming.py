@@ -91,3 +91,56 @@ def test_windowed_rollup(spark, log_dir):
     assert "window" in out.columns
     rows = out.collect()
     assert all(r.n >= 1 for r in rows)
+
+
+def test_exact_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark horizon
+    collapse to one emitted row per fingerprint (stream vs batch
+    fingerprint sets agree; which duplicate survives is
+    arrival-order-dependent by design)."""
+    import json
+
+    from pyspark.sql import types as ST
+
+    from zeek_duckdb_spark.operators.dedup import exact_dedup_stream
+    from zeek_duckdb_spark.operators.textops import fingerprint
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": "alpha beta"},
+        {"doc_id": 2, "ts": "2024-01-01T00:00:10", "text": "alpha  BETA"},  # dup (normalized)
+        {"doc_id": 3, "ts": "2024-01-01T00:00:20", "text": "gamma"},
+        {"doc_id": 4, "ts": "2024-01-01T00:00:30", "text": "alpha beta"},  # dup
+        {"doc_id": 5, "ts": "2024-01-01T00:00:40", "text": "delta"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampType()),
+            ST.StructField("text", ST.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    deduped = exact_dedup_stream(stream, "ts", watermark_delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_stream_out").collect()
+    assert len(out) == 3  # alpha-beta group, gamma, delta
+    got_fps = sorted(
+        r.fp for r in spark.createDataFrame(out)
+        .select(fingerprint(F.col("text")).alias("fp")).collect()
+    )
+    batch_fps = sorted(
+        r.fp
+        for r in spark.read.schema(schema).json(str(d))
+        .select(fingerprint(F.col("text")).alias("fp")).distinct().collect()
+    )
+    assert got_fps == batch_fps

@@ -41,6 +41,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "exact_dedup_stream",
 ]
 
 
@@ -491,3 +492,26 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content fingerprint was
+    already emitted within the watermark horizon — the ingest-time twin
+    of :func:`exact_dedup_groups` for a continuously-arriving corpus.
+
+    Built on ``dropDuplicatesWithinWatermark``: the state store keeps
+    one entry per fingerprint, expired once the watermark passes
+    ``watermark_delay`` — state is BOUNDED by the late-data horizon,
+    not the stream's lifetime, and is partitioned across the cluster
+    by fingerprint like any stateful operator.  Exactly one row per
+    duplicate group within the horizon is emitted (which one is
+    arrival-order-dependent, as in any streaming dedup)."""
+    k = key if key is not None else fingerprint(F.col(text_col))
+    s = stream.withColumn("__fp", k).withWatermark(ts_col, watermark_delay)
+    return s.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
