@@ -662,6 +662,16 @@ def ev_asof_attrib(spark, sf):
     )
 
 
+def sim_quant_topk(spark, sf):
+    """Top-k by cosine over int8-quantized embeddings
+    (similarity.quantize_embeddings / quantized_topk): 4x-compressed
+    corpus, integer dot products.  All integer arithmetic is exact, so
+    the oracle matches bit-for-bit up to the final double division."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return sim.quantized_topk(emb, q, k=20)
+
+
 def ev_range_join(spark, sf):
     """Bucketized range join (operators/rangejoin.py): clicks landing
     inside each same-user 10-minute post-error window.  Spark would
@@ -756,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_sample": pipe_sample,
         "ev_asof_attrib": ev_asof_attrib,
         "ev_range_join": ev_range_join,
+        "sim_quant_topk": sim_quant_topk,
         "zeek_scan": zeek_scan,
     }
 
@@ -1109,6 +1120,24 @@ def oracle_sql() -> dict[str, str]:
                    v.ts AS view_ts, v.view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "sim_quant_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+            qz AS (
+              SELECT vec_id,
+                     list_transform(x, v -> CAST(floor(v / s + 0.5) AS INT)) AS qvec
+              FROM (SELECT vec_id, x,
+                           greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127.0 AS s
+                    FROM e)),
+            q AS (SELECT vec_id AS q_id, qvec AS q_qvec FROM qz WHERE vec_id = 0)
+            SELECT q_id, vec_id,
+                   ROUND(list_sum(list_transform(list_zip(qvec, q_qvec),
+                                                 p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) /
+                         (SQRT(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v))) *
+                          SQRT(list_sum(list_transform(q_qvec, v -> CAST(v AS BIGINT) * v)))), 6) AS qcos
+            FROM qz, q WHERE vec_id <> q_id
+            ORDER BY qcos DESC, vec_id ASC LIMIT 20
         """,
         "ev_range_join": """
             WITH ev AS (

@@ -60,3 +60,43 @@ def test_cosine_pairs_exact_vs_bucketed(spark, emb):
     bucketed = {(r.id_a, r.id_b) for r in sim.cosine_pairs(sub, 0.3, dim=64, exact=False, planes=4).collect()}
     # bucketed is a subset (candidates limited to same bucket)
     assert bucketed.issubset(exact)
+
+
+def test_quantize_embeddings_bounds(spark):
+    from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0, -4.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert rows[1].qvec == [64, -127, 32]       # scale = 1/127
+    assert rows[2].qvec == [0, 0, 0]            # all-zero vector stays zero
+    assert max(abs(v) for v in rows[3].qvec) == 127
+    # reconstruction error bounded by scale/2 per component
+    for r in rows.values():
+        orig = {1: [0.5, -1.0, 0.25], 2: [0.0, 0.0, 0.0], 3: [2.0, -4.0, 1.0]}[r.vec_id]
+        for o, q in zip(orig, r.qvec):
+            assert abs(o - q * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_quantized_topk_approximates_exact(spark):
+    from zeek_duckdb_spark.operators.similarity import quantized_topk, topk_neighbors
+
+    import math
+    import random
+
+    rnd = random.Random(3)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+
+    def jitter(eps):
+        return [b + rnd.uniform(-eps, eps) for b in base]
+
+    rows = [(0, base)] + [(i, jitter(0.05 * i)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    exact = [r.vec_id for r in topk_neighbors(df.filter("vec_id <> 0"), q, k=5,
+                                              query_id_col="vec_id").collect()]
+    quant = [r.vec_id for r in quantized_topk(df, q, k=5).collect()]
+    # int8 quantization preserves the neighborhood (allow 1 swap at the tail)
+    assert len(set(exact[:4]) & set(quant)) >= 3
