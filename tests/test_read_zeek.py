@@ -4,6 +4,7 @@ assertion on a DataFrame, each `statement error` asserts the message
 contains the reference's substring (SURVEY.md §5)."""
 
 import datetime
+import os
 
 import pytest
 
@@ -81,8 +82,22 @@ def test_glob_filename_distinct_24(spark):
 
 def test_filename_content(spark):
     v = read_zeek(spark, KH0, filename=True, inet=False).select("filename").first()[0]
-    # reference echoes the given path; we give the resolved absolute path
-    assert v.endswith("known_hosts_20260116_00.00.00-01.00.00-0500.log.gz")
+    # reference echoes the given path verbatim (src/zeek_scanner.cpp:778-781)
+    assert v == KH0
+
+
+def test_filename_relative_path_echoed(spark, monkeypatch):
+    # reference parity: a RELATIVE glob yields relative filename values
+    monkeypatch.chdir(os.path.dirname(REF))
+    rel = os.path.join(os.path.basename(REF), "known_hosts*.gz")
+    vals = {
+        r.filename
+        for r in read_zeek(spark, rel, filename=True, inet=False)
+        .select("filename").distinct().collect()
+    }
+    assert len(vals) == 24
+    assert all(not v.startswith("/") for v in vals)
+    assert all(v.startswith(os.path.basename(REF) + "/") for v in vals)
 
 
 # --- list types (zeek.test:49-71) --------------------------------------

@@ -25,6 +25,7 @@ Behavioral parity targets are cited per function against
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,11 +146,29 @@ def _canon_maybe(col: Column, zeek_type: str, inet_canon) -> Column:
 
 
 def _clean_file_path(col: Column) -> Column:
-    """input_file_name() yields a file: URI; normalize to a plain path.
-    (The reference echoes the user-supplied relative path,
-    src/zeek_scanner.cpp:778-781; a canonical absolute path is the
-    distributed-filesystem-correct analogue.)"""
+    """input_file_name() yields a file: URI; normalize to a plain path."""
     return F.regexp_replace(col, r"^file:(//)?", "")
+
+
+# Past this many files the abs->as-given map would bloat the plan with a
+# literal per file; fall back to the canonical absolute path (on a real
+# distributed filesystem the two coincide anyway — relative paths only
+# arise from local-filesystem globs).
+_FILENAME_MAP_MAX_FILES = 10_000
+
+
+def _as_given_file_path(col: Column, files: list[str]) -> Column:
+    """Echo the path in the form the USER supplied (relative stays
+    relative), matching the reference (src/zeek_scanner.cpp:778-781):
+    a driver-built literal map from canonical absolute path back to the
+    glob's as-given form, applied to input_file_name().  Identity-skip
+    when every glob match is already absolute."""
+    cleaned = _clean_file_path(col)
+    pairs = [(os.path.abspath(f), f) for f in files]
+    if len(files) > _FILENAME_MAP_MAX_FILES or all(a == g for a, g in pairs):
+        return cleaned
+    m = F.create_map(*[F.lit(x) for pair in pairs for x in pair])
+    return F.coalesce(m.getItem(cleaned), cleaned)
 
 
 def _raw_schema(names: list[str]) -> T.StructType:
@@ -184,7 +203,10 @@ def _read_group(
             # (src/zeek_scanner.cpp:338-342), but real Zeek output always
             # writes the (empty)/unset markers, never bare empties.
         )
-        .csv(files)
+        # absolutize for the JVM: Spark resolves relative paths against
+        # the JVM's CWD, which need not match the Python driver's (the
+        # as-given form is still echoed by the filename column)
+        .csv([os.path.abspath(f) for f in files])
     )
 
 
@@ -250,7 +272,9 @@ def read_zeek(
                           ignore_file_errors, count_decimal)
 
     if filename:
-        df = df.withColumn("filename", _clean_file_path(F.input_file_name()))
+        df = df.withColumn(
+            "filename", _as_given_file_path(F.input_file_name(), files)
+        )
     return df
 
 
