@@ -607,6 +607,37 @@ def mm_decode_fake(spark, sf):
     )
 
 
+def mm_resize_fake(spark, sf):
+    """Multimodal resize plumbing (multimodal.resize_media stub): tile-
+    and-truncate to 8x4 bytes; compared via hex so the oracle can slice
+    the repeated payload as a string (DuckDB 1.0 has no blob slicing)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    with_media = mm.attach_media(d, "text", fmt="utf8")
+    out = mm.resize_media(with_media, 8, 4, "doc_id", "media", fake=True)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        F.hex("resized").alias("resized_hex"),
+    )
+
+
+def mm_frame_sample(spark, sf):
+    """Multimodal frame-sampling plumbing (multimodal.sample_frames
+    stub): every 2nd 64-byte frame, up to 4 per doc — the row-expanding
+    mapInPandas shape.  Frames compared via hex; the oracle unnests a
+    stride range and slices the hex dump."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    with_media = mm.attach_media(d, "text", fmt="utf8")
+    out = mm.sample_frames(
+        with_media, frame_bytes=64, stride=2, max_frames=4,
+        id_col="doc_id", media_col="media", fake=True,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
 def pipe_clean_corpus(spark, sf):
     """End-to-end corpus cleaning: quality filter -> exact dedup ->
     language tag -> per-language stats (operators/pipeline.py)."""
@@ -762,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": tx_fingerprint,
         "mm_media_stats": mm_media_stats,
         "mm_decode_fake": mm_decode_fake,
+        "mm_resize_fake": mm_resize_fake,
+        "mm_frame_sample": mm_frame_sample,
         "pipe_clean_corpus": pipe_clean_corpus,
         "pipe_sample": pipe_sample,
         "ev_asof_attrib": ev_asof_attrib,
@@ -1428,6 +1461,33 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": _ann_lsh_oracle(),
         "sim_ivf_topk": _ivf_topk_oracle(),
         "mm_decode_fake": _decode_fake_oracle(),
+        "mm_resize_fake": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents WHERE doc_id < 100)
+            SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+                   CASE WHEN n = 0 THEN ''
+                        ELSE substring(repeat(hx, CAST(ceil(32.0 / n) AS BIGINT)),
+                                       1, 64)
+                   END AS resized_hex
+            FROM b
+        """,
+        "mm_frame_sample": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents WHERE doc_id < 100),
+            f AS (
+              SELECT doc_id, hx,
+                     unnest(range(0, least(CAST(ceil(n / 64.0) AS BIGINT), 8), 2))
+                       AS frame_idx
+              FROM b)
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   substring(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128)
+                     AS frame_hex
+            FROM f
+        """,
         # zeek_scan: no oracle possible — it reads the reference's Zeek
         # log files, not the pre-registered parquet views (rows-only).
     }

@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media", "decode_media", "media_stats"]
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_media",
+    "decode_media",
+    "resize_media",
+    "sample_frames",
+    "media_stats",
+]
 
 # typed metadata struct carried alongside the opaque payload
 MEDIA_META_SCHEMA = T.StructType(
@@ -104,6 +111,133 @@ def decode_media(
             )
 
     return df.mapInPandas(batches, _DECODED_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize an image payload to width x height via mapInPandas.
+
+    fake=False requires a real image library -> NotImplementedError
+    (clearly-marked stub; the container has no PIL).  fake=True emits a
+    deterministic width*height-byte payload (the source bytes tiled and
+    truncated) so the distributed plumbing — binary-in/binary-out Arrow
+    batches, output sizing — is testable end-to-end and restatable as a
+    DuckDB oracle (repeat + hex-string slice).
+
+    Output: (id, width int, height int, resized binary).  Pure map;
+    output rows == input rows; each output cell is exactly
+    width*height bytes (empty payload stays empty).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires an image library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    wh = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def rz(b):
+                if b is None:
+                    return None
+                b = bytes(b)
+                if not b:
+                    return b
+                reps = -(-wh // len(b))
+                return (b * reps)[:wh]
+
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized": pdf[media_col].map(rz),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+    return df.mapInPandas(batches, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 2,
+    max_frames: int = 4,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Sample frames from a video payload via mapInPandas — the
+    row-EXPANDING multimodal shape (one input row -> up to
+    ``max_frames`` frame rows), the plumbing a real ffmpeg/decord
+    frame sampler drops into.
+
+    fake=False -> NotImplementedError (no video library in this
+    container).  fake=True treats the payload as consecutive
+    ``frame_bytes``-byte frames and emits every ``stride``-th frame up
+    to ``max_frames`` — deterministic byte slices, restatable as a
+    DuckDB oracle (range unnest + hex-string slice).
+
+    The per-row Python loop here is the decode stub itself (a real
+    frame decoder is inherently per-payload work); everything around it
+    is Arrow-batched.  Null payloads emit no frames; a non-empty
+    payload's final partial frame is kept (ceil division), so every
+    byte is reachable.
+
+    Output: (id, frame_idx int, frame binary).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires a video library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                n_frames = -(-len(b) // frame_bytes)
+                for j, f_idx in enumerate(range(0, n_frames, stride)):
+                    if j >= max_frames:
+                        break
+                    ids.append(i)
+                    idxs.append(f_idx)
+                    frames.append(b[f_idx * frame_bytes:(f_idx + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return df.mapInPandas(batches, schema)
 
 
 def media_stats(df: DataFrame, group_col: str) -> DataFrame:
