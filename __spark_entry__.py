@@ -564,6 +564,20 @@ def tx_quality(spark, sf):
     return tx.quality_features(d.select("doc_id", "text")).drop("text")
 
 
+def tx_repetition(spark, sf):
+    """Gopher-style repetition signals (textops.repetition_features).
+    documents are single-line, so multi-line text is synthesized as
+    text+lang+source+lang (the repeated lang line exercises the
+    dup-line path with real varying data); the bigram mode runs on the
+    real token stream."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    multi = d.select(
+        "doc_id",
+        F.concat_ws("\n", "text", "lang", "source", "lang").alias("text"),
+    )
+    return tx.repetition_features(multi)
+
+
 def tx_langid(spark, sf):
     """Language-ID heuristic, distribution by guess."""
     d = _t(spark, sf, "documents")
@@ -787,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "tx_quality": tx_quality,
+        "tx_repetition": tx_repetition,
         "tx_boilerplate": tx_boilerplate,
         "tx_langid": tx_langid,
         "tx_token_counts": tx_token_counts,
@@ -1361,6 +1376,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len(list_filter(toks, x -> x IN """ + _STOP_SQL + """)) * 1.0 / len(toks), 6) AS stopword_ratio,
                    ROUND(list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / len(toks), 6) AS mean_token_len
             FROM t
+        """,
+        "tx_repetition": """
+            WITH d AS (
+              SELECT doc_id, concat_ws(chr(10), text, lang, source, lang) AS t
+              FROM documents WHERE doc_id < 300),
+            b AS (
+              SELECT doc_id, LENGTH(t) AS n_chars,
+                     string_split(t, chr(10)) AS lines,
+                     string_split_regex(trim(t), '\\s+') AS toks
+              FROM d),
+            l AS (
+              SELECT doc_id, n_chars, toks,
+                     len(lines) AS L, len(list_distinct(lines)) AS D,
+                     list_sort(lines) AS s
+              FROM b),
+            dc AS (
+              SELECT doc_id,
+                     COALESCE(list_sum(list_transform(range(1, L + 1), i ->
+                       CASE WHEN (i > 1 AND s[i] = s[i-1])
+                              OR (i < L AND s[i] = s[i+1])
+                            THEN LENGTH(s[i]) ELSE 0 END)), 0) AS dupc
+              FROM l),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)), i ->
+                            concat(toks[i], ' ', toks[i + 1]))) AS gram
+              FROM l WHERE len(toks) >= 2),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+            top AS (
+              SELECT doc_id, gram, c FROM (
+                SELECT doc_id, gram, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM gc) WHERE rn = 1)
+            SELECT l.doc_id,
+                   CAST(L AS INT) AS n_lines,
+                   ROUND((L - D) * 1.0 / L, 6) AS dup_line_ratio,
+                   ROUND(CASE WHEN n_chars = 0 THEN 0
+                              ELSE dupc * 1.0 / n_chars END, 6)
+                     AS dup_line_char_ratio,
+                   ROUND(CASE WHEN n_chars = 0 OR top.c IS NULL THEN 0
+                              ELSE top.c * LENGTH(top.gram) * 1.0 / n_chars
+                         END, 6) AS top_bigram_ratio
+            FROM l JOIN dc USING (doc_id) LEFT JOIN top USING (doc_id)
         """,
         "tx_boilerplate": """
             WITH d AS (

@@ -15,6 +15,7 @@ __all__ = [
     "tokens",
     "token_count",
     "quality_features",
+    "repetition_features",
     "lang_id",
     "fingerprint",
     "strip_boilerplate",
@@ -74,6 +75,111 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         F.round(sum_tok_len.cast("double") / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (the classic
+    web-corpus quality filters beyond simple length/punct ratios):
+
+    - ``n_lines``: line count;
+    - ``dup_line_ratio``: fraction of line OCCURRENCES that are
+      duplicates of another line in the same document
+      (``(L - distinct) / L``);
+    - ``dup_line_char_ratio``: fraction of characters belonging to
+      lines that occur more than once;
+    - ``top_bigram_ratio``: fraction of characters covered by the most
+      frequent word 2-gram (``count * len(gram) / chars``; ties break
+      to the lexicographically smallest gram).
+
+    Shape: pure per-row map, ZERO shuffle — duplicate detection sorts
+    the per-document line array and compares neighbours
+    (O(L log L) per doc, never the O(L²) count-occurrences-per-line
+    HOF), and the bigram mode is a single run-length fold over the
+    sorted bigram array.  Contrast the oracle, which restates the mode
+    relationally (unnest + GROUP BY + ROW_NUMBER — an extra shuffle per
+    metric at scale); the fold IS the reason this stays a map.
+    Sorted + strict-improvement fold = first run of the maximum length
+    wins, i.e. the lexicographically smallest gram — deterministic and
+    restatable.
+
+    All element access is index-guarded through lazily-evaluated IF
+    arms (ANSI mode errors on out-of-bounds ``element_at``).
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(t).alias("__chars"),
+        F.split(t, "\n").alias("__lines"),
+        tokens(t).alias("__toks"),
+    )
+    # materialized projections: the sort/gram expressions are referenced
+    # many times below, and interpreted HOFs have no CSE (see
+    # dedup._shingles)
+    sortd = base.select(
+        F.col(id_col),
+        "__chars",
+        F.size("__lines").alias("__nl"),
+        F.size(F.array_distinct("__lines")).alias("__ndl"),
+        F.array_sort("__lines").alias("__sl"),
+        F.expr(
+            "if(size(__toks) >= 2, "
+            "array_sort(transform(sequence(1, size(__toks) - 1), "
+            "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))), "
+            "array())"
+        ).alias("__grams"),
+    )
+    dup_chars = F.expr(
+        "aggregate(sequence(1, size(__sl)), 0L, (acc, i) -> acc + "
+        "if(if(i > 1, element_at(__sl, i - 1) = element_at(__sl, i), false) "
+        "   or if(i < size(__sl), element_at(__sl, i + 1) = element_at(__sl, i), false), "
+        "   length(element_at(__sl, i)), 0L))"
+    )
+    top = F.expr(
+        "aggregate(__grams, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, "
+        "             'best', CAST(NULL AS STRING), 'bestn', 0), "
+        "(a, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1), "
+        "  'best', if(if(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1) > a.bestn, "
+        "             x, a.best), "
+        "  'bestn', greatest(a.bestn, "
+        "                    if(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))))"
+    )
+    scored = sortd.select(
+        F.col(id_col),
+        "__chars",
+        "__nl",
+        "__ndl",
+        dup_chars.alias("__dupc"),
+        top.alias("__top"),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("__nl").cast("int").alias("n_lines"),
+        F.round((F.col("__nl") - F.col("__ndl")) * F.lit(1.0) / F.col("__nl"), 6).alias(
+            "dup_line_ratio"
+        ),
+        F.round(
+            F.when(F.col("__chars") == 0, F.lit(0.0)).otherwise(
+                F.col("__dupc") * F.lit(1.0) / F.col("__chars")
+            ),
+            6,
+        ).alias("dup_line_char_ratio"),
+        F.round(
+            F.when(
+                (F.col("__chars") == 0) | (F.col("__top.bestn") == 0), F.lit(0.0)
+            ).otherwise(
+                F.col("__top.bestn")
+                * F.length(F.col("__top.best"))
+                * F.lit(1.0)
+                / F.col("__chars")
+            ),
+            6,
+        ).alias("top_bigram_ratio"),
     )
 
 
