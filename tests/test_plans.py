@@ -73,3 +73,41 @@ def test_minhash_signature_plan_shape(spark):
 def test_topk_uses_take_ordered(spark):
     df = entry_mod.q08_order_limit(spark, SF)
     assert "TakeOrderedAndProject" in audit.physical_plan(df)
+
+
+def test_repetition_features_is_pure_map(spark):
+    from zeek_duckdb_spark.operators.textops import repetition_features
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # sorted-neighbour + run-length folds: zero shuffles, no Python
+    df = repetition_features(d)
+    assert audit.num_shuffles(df) == 0
+    plan = audit.physical_plan(df)
+    assert "Python" not in plan  # stays JVM-side
+
+
+def test_quantized_topk_broadcasts_query_side(spark):
+    from zeek_duckdb_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    df = quantized_topk(emb, q, k=10)
+    plan = audit.physical_plan(df)
+    # corpus side never shuffles: broadcast the (tiny) query side and
+    # reduce with TakeOrderedAndProject — the 100 TB shape
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert audit.num_sortmerge_joins(df) == 0
+
+
+def test_sample_frames_single_python_stage(spark):
+    from zeek_duckdb_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = mm.sample_frames(
+        mm.attach_media(d, "text"), frame_bytes=64, fake=True
+    )
+    # the row-expanding decode is ONE mapInPandas stage over the scan —
+    # no shuffle before or after
+    assert audit.num_shuffles(out) == 0
+    assert audit.physical_plan(out).count("MapInPandas") == 1
