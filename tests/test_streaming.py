@@ -144,3 +144,43 @@ def test_exact_dedup_stream(spark, tmp_path):
         .select(fingerprint(F.col("text")).alias("fp")).distinct().collect()
     )
     assert got_fps == batch_fps
+
+
+def test_near_dedup_stream_collapses_reorderings(spark, tmp_path):
+    """Streaming SimHash dedup: token reorderings (identical sketch,
+    different fingerprint) collapse; distinct content survives."""
+    import json
+
+    from zeek_duckdb_spark.operators.dedup import near_dedup_stream
+
+    d = tmp_path / "near_dedup_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": "alpha beta gamma"},
+        {"doc_id": 2, "ts": "2024-01-01T00:00:10", "text": "gamma beta alpha"},  # reorder
+        {"doc_id": 3, "ts": "2024-01-01T00:00:20", "text": "  ALPHA beta gamma "},  # case+ws
+        {"doc_id": 4, "ts": "2024-01-01T00:00:30", "text": "totally different words"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        near_dedup_stream(stream, "ts", watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("near_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM near_dedup_out").collect()
+    # docs 1-3 share a sketch (order-independent token multiset); doc 4 survives
+    assert len(out) == 2
+    assert {r.doc_id for r in out} & {1, 2, 3}
+    assert any(r.doc_id == 4 for r in out)

@@ -39,9 +39,11 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_col",
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "exact_dedup_stream",
+    "near_dedup_stream",
 ]
 
 
@@ -335,9 +337,15 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
-    """SimHash per document (``bits`` <= 60): bit j of the result is
-    the sign of the sum over tokens of ±1 contributions from bit j of
-    the token's 60-bit md5-derived hash.
+    """SimHash per document — see :func:`simhash_col` for the
+    construction; this is the DataFrame-level wrapper."""
+    return df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_col(text: Column, bits: int = 60) -> Column:
+    """SimHash as a column expression (``bits`` <= 60): bit j of the
+    result is the sign of the sum over tokens of ±1 contributions from
+    bit j of the token's 60-bit md5-derived hash.
 
     Shape: per-row fold, ZERO shuffle (same reasoning as
     minhash_signatures — the explode + ``bits`` conditional-SUM
@@ -353,7 +361,7 @@ def simhash(
     """
     if not 0 < bits <= 60:
         raise ValueError("simhash bits must be in 1..60")
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = tokens(F.lower(text))
     hashes = F.transform(toks, lambda t: md5_long(t))
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     sums = F.aggregate(
@@ -368,14 +376,13 @@ def simhash(
             ),
         ),
     )
-    sim = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return df.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -515,3 +522,26 @@ def exact_dedup_stream(
     k = key if key is not None else fingerprint(F.col(text_col))
     s = stream.withColumn("__fp", k).withWatermark(ts_col, watermark_delay)
     return s.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+
+
+def near_dedup_stream(
+    stream: DataFrame,
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """Streaming SKETCH-level near-dup: drop documents whose SimHash
+    collides with one already emitted within the watermark horizon —
+    the streaming twin of sketch dedup for an ingest pipeline.
+
+    SimHash is order-independent over the token multiset, so token
+    reorderings and whitespace noise collapse to the same key where
+    content fingerprints differ; genuinely near (hamming > 0) pairs
+    need the batch :func:`simhash_pairs` sweep — a streaming state
+    store can only key on equality.  State is one 8-byte key per
+    distinct sketch within the horizon, sharded by key like any
+    stateful operator (same bound as :func:`exact_dedup_stream`)."""
+    return exact_dedup_stream(
+        stream, ts_col, watermark_delay, key=simhash_col(F.col(text_col), bits)
+    )
