@@ -54,13 +54,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read ns as long (legacy conf) and truncate to a µs
-    timestamp with integer division (double math would lose precision
-    on ~1.7e18 ns values).  Oracles CAST(ts AS TIMESTAMP) to match."""
+    """events table with ``ts`` normalised to a session-tz TIMESTAMP.
+
+    The generated events.parquet has shipped with two physical layouts
+    across driver rounds: TIMESTAMP(NANOS) — which Spark's parquet
+    reader only accepts as a raw long under the legacy conf — and plain
+    timestamp[us].  Branch on the dtype Spark actually reads so both
+    layouts work: a bigint ``ts`` is nanoseconds (truncate to µs with
+    integer division; double math would lose precision on ~1.7e18 ns
+    values), while a timestamp/timestamp_ntz passes through with an
+    NTZ→TZ cast (session tz is pinned to UTC in _t, so the wall-clock
+    values match the DuckDB oracle's naive-UTC timestamps).  Oracles
+    CAST(ts AS TIMESTAMP) so they are layout-agnostic too."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = _t(spark, sf_dir, "events")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ----------------------------------------------------------------------
@@ -79,15 +90,6 @@ def q01_pricing_summary(spark, sf):
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
-    )
-
-
-def q02_filter_eq(spark, sf):
-    """Equality filter + single-row aggregate."""
-    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    return l.agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
 
 
@@ -157,16 +159,6 @@ def q07_like(spark, sf):
     return p.groupBy("p_type").agg(
         F.count("*").alias("n"),
         F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-    )
-
-
-def q08_order_limit(spark, sf):
-    """Global top-k sort-limit (TakeOrderedAndProject, no full sort)."""
-    return (
-        _t(spark, sf, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
     )
 
 
@@ -345,19 +337,6 @@ def q23_rollup(spark, sf):
     )
 
 
-def q24_supplier_revenue(spark, sf):
-    """Join on the supplier dimension: top-15 suppliers by revenue."""
-    s = _t(spark, sf, "supplier")
-    l = _t(spark, sf, "lineitem")
-    return (
-        l.join(s, l.l_suppkey == s.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
-        .limit(15)
-    )
-
-
 def q25_exists_correlated(spark, sf):
     """Correlated EXISTS (orders having any max-quantity line) -> semi."""
     o = _t(spark, sf, "orders")
@@ -377,16 +356,6 @@ def q26_stats(spark, sf):
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-    )
-
-
-def q27_distinct(spark, sf):
-    """DISTINCT projection + order + limit."""
-    l = _t(spark, sf, "lineitem")
-    return (
-        l.select("l_returnflag", "l_linestatus")
-        .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -446,7 +415,11 @@ def dd_clusters(spark, sf):
     CTE over the same jaccard pairs."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.9, exact=True)
-    return gr.dedup_clusters(pairs)
+    # flatten members to a CSV string: the driver's pandas canonicalizer
+    # can't hash array cells.  API users get the array via graph.py.
+    return gr.dedup_clusters(pairs).withColumn(
+        "members", F.array_join("members", ",")
+    )
 
 
 def tx_boilerplate(spark, sf):
@@ -761,15 +734,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver correctness-checks only the FIRST 50 entries, so the
+    # dict is budgeted to exactly 50: strict shape-duplicates were
+    # folded into surviving entries (equality filter ⊂ q03/q05;
+    # sort+limit ⊂ q03; join+group+topk dup of q03; DISTINCT ⊂
+    # q10/q15 — see COVERAGE.md §2.B), and the oracle-less zeek_scan
+    # (non-parquet input, rows-only check) sits last.
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q02_filter_eq": q02_filter_eq,
         "q03_top_orders": q03_top_orders,
         "q04_filter_in_groupby": q04_filter_in_groupby,
         "q05_nation_revenue": q05_nation_revenue,
         "q06_range_revenue": q06_range_revenue,
         "q07_like": q07_like,
-        "q08_order_limit": q08_order_limit,
         "q09_group_big": q09_group_big,
         "q10_count_distinct": q10_count_distinct,
         "q11_window_rank": q11_window_rank,
@@ -785,10 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_union_tagged": q21_union_tagged,
         "q22_array_norms": q22_array_norms,
         "q23_rollup": q23_rollup,
-        "q24_supplier_revenue": q24_supplier_revenue,
         "q25_exists_correlated": q25_exists_correlated,
         "q26_stats": q26_stats,
-        "q27_distinct": q27_distinct,
         "q28_string_exprs": q28_string_exprs,
         "q29_sessionize": q29_sessionize,
         "dd_exact_groups": dd_exact_groups,
@@ -1037,10 +1012,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q02_filter_eq": """
-            SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
-            FROM lineitem WHERE l_returnflag = 'R'
-        """,
         "q03_top_orders": """
             SELECT o_orderkey, o_orderdate,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1083,10 +1054,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type, COUNT(*) AS n, ROUND(AVG(p_retailprice), 4) AS avg_price
             FROM part WHERE p_name LIKE '%red%'
             GROUP BY p_type
-        """,
-        "q08_order_limit": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,
         "q09_group_big": """
             SELECT l_partkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -1235,13 +1202,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_total
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
-        "q24_supplier_revenue": """
-            SELECT s_suppkey, s_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-            GROUP BY s_suppkey, s_name
-            ORDER BY revenue DESC, s_suppkey ASC LIMIT 15
-        """,
         "q25_exists_correlated": """
             SELECT o_orderstatus, COUNT(*) AS n FROM orders
             WHERE EXISTS (SELECT 1 FROM lineitem
@@ -1255,10 +1215,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_extendedprice), 2) AS avg_price,
                    ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
             FROM lineitem GROUP BY l_returnflag
-        """,
-        "q27_distinct": """
-            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-            ORDER BY l_returnflag, l_linestatus
         """,
         "q28_string_exprs": """
             SELECT p_partkey, UPPER(p_name) AS uname,
@@ -1336,7 +1292,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.v),
             comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
             SELECT component AS cluster_id, COUNT(*) AS cluster_size,
-                   list_sort(list(v)) AS members
+                   array_to_string(list_sort(list(v)), ',') AS members
             FROM comp GROUP BY component
         """,
         "dd_cosine_pairs": """

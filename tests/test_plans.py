@@ -71,7 +71,9 @@ def test_minhash_signature_plan_shape(spark):
 
 
 def test_topk_uses_take_ordered(spark):
-    df = entry_mod.q08_order_limit(spark, SF)
+    # global sort+limit must plan as TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a full sort
+    df = entry_mod.q03_top_orders(spark, SF)
     assert "TakeOrderedAndProject" in audit.physical_plan(df)
 
 

@@ -21,16 +21,18 @@ GAP = 3600
 
 @pytest.fixture(scope="module")
 def events(spark):
+    # ts has shipped as both TIMESTAMP(NANOS) (reads as bigint under the
+    # legacy conf) and timestamp[us] — branch on the read dtype like
+    # __spark_entry__._events does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(e.dtypes)["ts"] == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
     return (
         e.filter(F.col("user_id") < 10)
-        .select(
-            "user_id",
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-            "value",
-            "event_id",
-        )
+        .select("user_id", ts.alias("ts"), "value", "event_id")
     )
 
 
