@@ -77,6 +77,17 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in audit.physical_plan(df)
 
 
+def test_ivf_assign_is_zero_shuffle(spark):
+    from zeek_duckdb_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.orderBy(F.asc("vec_id")).limit(8)
+    # centroids inline as an array literal; per-row argmax is a pure
+    # column expression — the assignment subplan must not exchange
+    # (the old crossJoin+groupBy argmax shuffled the corpus K× wide)
+    assert audit.num_shuffles(ivf_assign(emb, cent)) == 0
+
+
 def test_repetition_features_is_pure_map(spark):
     from zeek_duckdb_spark.operators.textops import repetition_features
 

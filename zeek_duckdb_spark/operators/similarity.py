@@ -157,27 +157,55 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (broadcast the
-    centroid table — it's K rows).  Returns (id, vec, cell).
+    """IVF cell assignment: nearest centroid by cosine.  Returns
+    (id, vec, cell).
+
+    Zero-shuffle: the K centroid vectors are collected once (K rows —
+    a dimension, not data) and inlined as ONE array-of-structs literal;
+    the per-row argmax is then ``array_max`` over
+    ``transform(centroids, c -> struct(cosine(vec, c.vec), c.cell))``
+    — a pure column expression, same plan family as
+    ``hyperplane_signature``.  The earlier crossJoin + groupBy-argmax
+    formulation shuffled the full corpus K× wide (every row carried K
+    copies of its embedding through an exchange) for a computation that
+    needs none; at 100 TB of embeddings that exchange was the
+    bottleneck.  The literal costs K·dim doubles in the plan (16×128
+    here; fine up to K·dim ~ 1e6, i.e. IVF with thousands of cells at
+    768-d — beyond that, chunk the centroid array or pre-partition).
+
+    Struct comparison is lexicographic, so ties on cosine break to the
+    HIGHER cell id — identical to the previous max(struct(sim, cell))
+    semantics and to the oracle's ``ORDER BY c_sim DESC, cell DESC``.
 
     Centroid choice here is deterministic sampling (lowest ids) rather
     than trained k-means — the IVF *structure* (cell assignment +
     probe-limited search) is what matters for the scale path; swap in
     k-means centroids without touching the plan."""
-    c = centroids.select(
+    rows = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    ).collect()
+    if not rows:
+        raise ValueError("ivf_assign: centroids is empty")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["c_vec"]]).alias("c_vec"),
+            )
+            for r in rows
+        ]
     )
-    scored = df.crossJoin(F.broadcast(c)).select(
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["c_vec"]).alias("sim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("cell"),
-        cosine(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("c_sim"), F.col("cell"), F.col(vec_col).alias("v"))).alias("b")
-    )
-    return best.select(
-        F.col(id_col), F.col("b.v").alias(vec_col), F.col("b.cell").alias("cell")
+        F.array_max(scored)["cell"].alias("cell"),
     )
 
 
