@@ -23,6 +23,21 @@ def test_exact_topk_self_similarity(spark, emb):
     assert r.vec_id == 0 and abs(r.cosine_sim - 1.0) < 1e-6
 
 
+def test_arrow_kernel_matches_expr_kernel(spark, emb):
+    # the Arrow fast path must return the same rows in the same order
+    # as the bit-reproducible fold after the 6-dp round
+    q = emb.filter(F.col("vec_id") == 0)
+    a = sim.topk_neighbors(emb, q, k=20, query_id_col="vec_id", kernel="expr").collect()
+    b = sim.topk_neighbors(emb, q, k=20, query_id_col="vec_id", kernel="arrow").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_arrow_kernel_rejects_multirow_query(spark, emb):
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="one query row"):
+        sim.topk_neighbors(emb, q, k=5, query_id_col="vec_id", kernel="arrow")
+
+
 def test_ivf_recall_vs_exact(spark, emb):
     q = emb.filter(F.col("vec_id") == 0)
     corpus = emb.filter(F.col("vec_id") != 0)
