@@ -11,7 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from zeek_duckdb_spark.streaming.zeek_stream import read_zeek_stream, windowed_rollup
+from zeek_duckdb_spark.streaming.zeek_stream import (
+    read_zeek_stream,
+    validate_stream_schemas,
+    windowed_rollup,
+)
 
 REF = "/root/reference/data"
 
@@ -184,3 +188,32 @@ def test_near_dedup_stream_collapses_reorderings(spark, tmp_path):
     assert len(out) == 2
     assert {r.doc_id for r in out} & {1, 2, 3}
     assert any(r.doc_id == 4 for r in out)
+
+
+# --- offline schema-divergence detection (the batch A22 guarantee,
+# recovered for streams via a periodic validator) ---------------------
+
+
+def test_validate_stream_schemas_clean_directory():
+    # 24 rotated files, identical headers -> no divergence
+    assert validate_stream_schemas(REF, pattern="known_hosts_*.log.gz") == []
+
+
+@pytest.mark.parametrize(
+    ("fixture", "substr"),
+    [
+        ("schema_extra", "different field count"),
+        ("schema_reorder", "field 0 differs"),
+        ("schema_type", "type for field"),
+    ],
+)
+def test_validate_stream_schemas_detects_divergence(fixture, substr):
+    from zeek_duckdb_spark.header import ZeekHeaderError
+
+    with pytest.raises(ZeekHeaderError, match=substr):
+        validate_stream_schemas(f"{REF}/{fixture}", pattern="*.log")
+    # report mode returns the divergent file instead of raising
+    bad = validate_stream_schemas(
+        f"{REF}/{fixture}", pattern="*.log", raise_on_divergence=False
+    )
+    assert len(bad) == 1 and bad[0][0].endswith("b.log") and substr in bad[0][1]

@@ -23,10 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zeek_duckdb_spark.header import ZeekHeader, glob_zeek_files, parse_header
+from zeek_duckdb_spark.header import (
+    ZeekHeader,
+    ZeekHeaderError,
+    glob_zeek_files,
+    parse_header,
+    same_schema,
+)
 from zeek_duckdb_spark.sources.zeek import _raw_schema, typed_columns
 
-__all__ = ["read_zeek_stream", "windowed_rollup"]
+__all__ = ["read_zeek_stream", "validate_stream_schemas", "windowed_rollup"]
 
 
 def read_zeek_stream(
@@ -43,9 +49,18 @@ def read_zeek_stream(
 
     ``schema_from``: path of a file whose header defines the stream
     schema; default = first (sorted) existing file matching ``pattern``
-    in ``directory``.  Files whose schema later diverges produce NULLs /
-    misparsed columns rather than failing the stream — validate offline
-    with the batch reader if the log type evolves.
+    in ``directory``.
+
+    SCHEMA-DIVERGENCE CAVEAT (the one place this engine could misparse
+    without an error): a streaming file source cannot re-validate each
+    new file's header the way the batch paths do (A22 — the batch scan
+    errors loudly on a header swap), so a file whose ``#fields`` /
+    ``#types`` later diverge produces NULLs / misparsed columns in the
+    stream rather than failing it.  Run
+    ``validate_stream_schemas(directory)`` periodically (e.g. from the
+    rotation cron, or a foreachBatch hook listing newly-seen files) —
+    it re-parses every header with the batch module and raises with the
+    reference's exact error wording on the first divergent file.
     """
     if schema_from is None:
         schema_from = glob_zeek_files(f"{directory.rstrip('/')}/{pattern}")[0]
@@ -76,6 +91,42 @@ def read_zeek_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.csv(f"{directory.rstrip('/')}/{pattern}")
     return raw.select(*typed_columns(hdr, replace_periods, inet_canon))
+
+
+def validate_stream_schemas(
+    directory: str,
+    *,
+    pattern: str = "*.log*",
+    schema_from: str | None = None,
+    raise_on_divergence: bool = True,
+) -> list[tuple[str, str]]:
+    """Offline schema check for a streamed directory: parse every
+    matching file's header (driver-side, header lines only — no data
+    read) and compare against the stream's resolved schema with the
+    batch path's strict ``same_schema`` (A6/A22 semantics, same error
+    wording the reference tests assert on).
+
+    Returns ``[(path, reason), ...]`` for divergent files (empty =
+    clean).  With ``raise_on_divergence`` (default) the first
+    divergence raises ``ZeekHeaderError`` instead, matching the batch
+    scan's loud failure.  Intended to run from the log-rotation hook or
+    a scheduled job so stream misparses are caught within a rotation
+    period."""
+    files = glob_zeek_files(f"{directory.rstrip('/')}/{pattern}")
+    if schema_from is None:
+        schema_from = files[0]
+    expected = parse_header(schema_from)
+    divergent: list[tuple[str, str]] = []
+    for path in files:
+        reason = same_schema(expected, parse_header(path))
+        if reason is not None:
+            if raise_on_divergence:
+                raise ZeekHeaderError(
+                    f"schema of '{path}' diverges from stream schema "
+                    f"('{schema_from}'): {reason}"
+                )
+            divergent.append((path, reason))
+    return divergent
 
 
 def windowed_rollup(
