@@ -179,3 +179,64 @@ def test_hyperplane_signature_matches_unrolled_reference(spark):
         ref.alias("slow"),
     )
     assert out.filter(F.col("fast") != F.col("slow")).count() == 0
+
+
+# --- benchmark decontamination ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decontam_data(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every single day"),
+            (2, "completely unrelated text about spark partitions and shuffles"),
+            (3, "short doc"),  # < n tokens: can never collide
+            (4, "prefix words then the quick brown fox jumps over the lazy dog every single day suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quiz: the quick brown fox jumps over the lazy dog every single day indeed")],
+        "doc_id long, text string",
+    )
+    return corpus, bench
+
+
+def test_decontaminate_drop(spark, decontam_data):
+    from zeek_duckdb_spark.operators.dedup import ngram_decontaminate
+
+    corpus, bench = decontam_data
+    clean = ngram_decontaminate(corpus, bench, n=12)
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+    assert clean.columns == corpus.columns
+
+
+def test_decontaminate_flag(spark, decontam_data):
+    from zeek_duckdb_spark.operators.dedup import ngram_decontaminate
+
+    corpus, bench = decontam_data
+    flagged = ngram_decontaminate(corpus, bench, n=12, mode="flag")
+    got = {r.doc_id: r.contaminated for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+    with pytest.raises(ValueError, match="unknown mode"):
+        ngram_decontaminate(corpus, bench, mode="purge")
+
+
+def test_decontaminate_short_docs_never_collide(spark, decontam_data):
+    from zeek_duckdb_spark.operators.dedup import ngram_decontaminate
+
+    corpus, bench = decontam_data
+    # n larger than every corpus doc -> nothing collides
+    assert ngram_decontaminate(corpus, bench, n=20).count() == corpus.count()
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, decontam_data):
+    from zeek_duckdb_spark.operators.dedup import ngram_decontaminate
+    from zeek_duckdb_spark.plans import audit
+
+    corpus, bench = decontam_data
+    plan = audit.physical_plan(ngram_decontaminate(corpus, bench, n=12))
+    # both the gram probe and the id anti-join must be broadcast joins —
+    # the corpus side never shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

@@ -3,7 +3,11 @@ oracle-checked end-to-end via tests/test_entry_oracle.py)."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from zeek_duckdb_spark.operators.textops import repetition_features
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -53,3 +57,50 @@ def test_row_count_preserved(spark):
         [(i, f"tok{i} tok{i}") for i in range(50)], "doc_id long, text string"
     )
     assert repetition_features(df).count() == 50
+
+
+# --- PII redaction ----------------------------------------------------
+
+
+def test_pii_redact_all_kinds(spark):
+    from zeek_duckdb_spark.operators.textops import pii_redact
+
+    rows = [
+        ("contact bob.smith+x@example.co.uk today", "contact <EMAIL> today"),
+        ("server at 10.21.7.136 rebooted", "server at <IP> rebooted"),
+        ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+        ("call (415) 555-2671 or 415-555-2671", "call <PHONE> or <PHONE>"),
+        ("+1 415.555.2671 works too", "<PHONE> works too"),
+        ("no pii here at all", "no pii here at all"),
+        # version strings must NOT be eaten by the IP pattern
+        ("upgrade to 1.2.3.4.5 now", "upgrade to 1.2.3.4.5 now"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "want"])
+    out = df.select("want", pii_redact(F.col("text")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want
+
+
+def test_pii_redact_idempotent_and_subset(spark):
+    from zeek_duckdb_spark.operators.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [("mail a@b.io from 1.2.3.4 call 415-555-2671",)], ["text"]
+    )
+    once = df.select(pii_redact(F.col("text")).alias("t"))
+    twice = once.select(pii_redact(F.col("t")).alias("t"))
+    assert once.first().t == twice.first().t
+    only_email = df.select(pii_redact(F.col("text"), kinds=("email",)).alias("t")).first().t
+    assert "<EMAIL>" in only_email and "1.2.3.4" in only_email
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        pii_redact(F.col("text"), kinds=("email", "nope"))
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    from zeek_duckdb_spark.operators.textops import pii_redact
+    from zeek_duckdb_spark.plans import audit
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = d.select(pii_redact(F.col("text")).alias("t"))
+    assert audit.num_shuffles(df) == 0
+    assert "Python" not in audit.physical_plan(df)

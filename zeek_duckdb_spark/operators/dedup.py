@@ -42,6 +42,7 @@ __all__ = [
     "simhash_col",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "ngram_decontaminate",
     "exact_dedup_stream",
     "near_dedup_stream",
 ]
@@ -498,6 +499,55 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any
+    word ``n``-gram with a benchmark/eval set and drop (or flag) them —
+    the standard 13-gram-collision test-set-leakage filter an LLM
+    training pipeline runs before training.
+
+    Scale shape: the benchmark's distinct n-grams are a SMALL set (eval
+    suites are MBs, the corpus is TBs), so the collision check is an
+    exploded-corpus-shingles ⋈ broadcast(benchmark-shingles) semi-join
+    — the corpus never shuffles, each row only explodes and probes a
+    broadcast hash table; contaminated ids (tiny) then broadcast back
+    as an anti-join (``drop``) or left-semi flag (``flag``).  No step
+    moves corpus-sized data across the network.
+
+    Documents shorter than ``n`` tokens have no n-grams and can never
+    collide (standard for this filter — lower ``n`` to tighten).
+
+    ``mode``: ``"drop"`` returns the clean corpus (original columns);
+    ``"flag"`` returns the full corpus plus a boolean ``contaminated``.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r} (want 'drop' or 'flag')")
+    bench_grams = benchmark.select(
+        F.explode(_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    flagged = contaminated.withColumn("contaminated", F.lit(True))
+    return corpus.join(F.broadcast(flagged), id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
 
 

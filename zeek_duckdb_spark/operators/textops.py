@@ -19,7 +19,23 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "strip_boilerplate",
+    "pii_redact",
 ]
+
+# PII patterns (Java regex — this column is evaluated JVM-side).  Order
+# matters: emails before phones (an email's local part can contain
+# digit runs), IPs before phones (dotted quads would otherwise feed the
+# phone pattern's separator classes).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])", "<IP>"),
+    ("ssn", r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])", "<SSN>"),
+    (
+        "phone",
+        r"(?<![\d-])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]\d{4}(?![\d-])",
+        "<PHONE>",
+    ),
+)
 
 # Marker stopwords per language for the n-gram/stopword language-ID
 # heuristic.  Deliberately tiny and explicit so the oracle SQL can
@@ -266,3 +282,34 @@ def strip_boilerplate(
             F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
         )
     )
+
+
+def pii_redact(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Redact common PII (emails, IPv4s, SSN-style ids, NANP-style
+    phone numbers) from a text column, replacing each match with a
+    typed placeholder token — the scrub pass a training-data pipeline
+    runs before anything else sees the text.
+
+    Pure chained ``regexp_replace`` — JVM-side, whole-stage codegen, no
+    shuffle, linear in input size; at 100 TB this is a map over the
+    corpus like every other textop.  Pattern-based redaction is a
+    RECALL FLOOR, not a guarantee: obfuscated or free-form PII (names,
+    addresses) needs an NER pass, which is a model-inference op outside
+    this engine's scope.
+
+    ``kinds`` selects a subset of :data:`PII_PATTERNS` keys (default:
+    all, in the order listed there — order is part of the semantics,
+    see the PII_PATTERNS note).  Idempotent: placeholder tokens contain
+    no redactable substrings.
+    """
+    if kinds is None:
+        selected = PII_PATTERNS
+    else:
+        unknown = set(kinds) - {k for k, _, _ in PII_PATTERNS}
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        selected = tuple(p for p in PII_PATTERNS if p[0] in kinds)
+    out = col
+    for _, pattern, token in selected:
+        out = F.regexp_replace(out, pattern, token)
+    return out
