@@ -198,6 +198,30 @@ def main() -> None:
         "the right edge of this table, entirely in amortized territory —",
         "and past what a single-node engine can hold at all.",
         "",
+        "## Cosine kernel A/B (expr fold vs Arrow pandas_udf)",
+        "",
+        "`topk_neighbors(..., kernel=)` offers two scoring kernels; measured",
+        "medians of 5 after warm-up, 32 threads, k=20, dim=64 (one-off",
+        "measurement, not regenerated by this script):",
+        "",
+        "| corpus | expr (HOF fold) | arrow (numpy mat@vec) | speedup |",
+        "|---|---|---|---|",
+        "| 2,000 rows (sf0.1 as-is) | 0.374 s | 0.310 s | 1.2x (fixed cost dominates) |",
+        "| 512,000 rows (256x replicate) | 9.93 s | 1.26 s | **7.9x** |",
+        "",
+        "The interpreted `zip_with`+`aggregate` fold costs ~19 µs/row at",
+        "dim=64 and grows linearly with dim; the Arrow kernel amortizes to",
+        "~2.4 µs/row (one BLAS mat@vec per ~10k-row batch) and grows far",
+        "slower with dim (SIMD).  At real embedding-corpus sizes the fold is",
+        "the hot loop, so:",
+        "",
+        "- **oracle-checked paths keep `kernel=\"expr\"`** — the sequential",
+        "  fold is bit-reproducible against the DuckDB restatement;",
+        "- **serving / pipeline paths should pass `kernel=\"arrow\"`** — same",
+        "  plan shape (narrow scan + TakeOrderedAndProject, no shuffle), same",
+        "  results after the 6-dp round (verified identical at sf0.1), ~8x",
+        "  less scoring CPU.",
+        "",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))

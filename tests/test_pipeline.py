@@ -28,3 +28,27 @@ def test_salted_group_count_equivalence(spark):
     salted = {(r.o_orderpriority, r["count"]) for r in
               salted_group_count(d, "o_orderpriority", salt=16).collect()}
     assert plain == salted
+
+
+def test_clean_corpus_optional_stages(spark):
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "mail me at a@b.io about the data and the results today ok"),
+            (2, "the quick brown fox jumps over the lazy dog every single day"),
+            (3, "an unrelated document with plenty of ordinary tokens in it"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog every single day")],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        corpus, min_tokens=3, redact_pii=True, benchmark=bench, decontam_ngram=10
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert 2 not in rows  # decontaminated
+    assert "<EMAIL>" in rows[1]  # redacted before features/dedup
+    assert 3 in rows

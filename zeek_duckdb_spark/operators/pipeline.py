@@ -37,14 +37,39 @@ def clean_corpus(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.2,
     dedup_key: Column | None = None,
+    redact_pii: bool = False,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
     Keeps the lowest-id document of each duplicate group (the usual
     'first seen wins' policy).  Returns the cleaned rows with
     ``lang_guess`` attached.
+
+    Optional extra stages (off by default — the oracle-checked entry
+    covers the base pipeline):
+
+    - ``redact_pii=True`` scrubs the text FIRST (textops.pii_redact),
+      so quality features, dedup fingerprints, and everything
+      downstream see the redacted form — still a fused map stage.
+    - ``benchmark=<df>`` drops documents colliding with the benchmark
+      set on any ``decontam_ngram``-gram (dedup.ngram_decontaminate)
+      before quality filtering; the benchmark side broadcasts, so this
+      adds no corpus-sized shuffle.
     """
-    feats = quality_features(df.select(id_col, text_col), text_col)
+    base = df.select(id_col, text_col)
+    if redact_pii:
+        from zeek_duckdb_spark.operators.textops import pii_redact
+
+        base = base.withColumn(text_col, pii_redact(F.col(text_col)))
+    if benchmark is not None:
+        from zeek_duckdb_spark.operators.dedup import ngram_decontaminate
+
+        base = ngram_decontaminate(
+            base, benchmark, id_col, text_col, n=decontam_ngram
+        )
+    feats = quality_features(base, text_col)
     kept = feats.filter(
         (F.col("q_tokens") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
