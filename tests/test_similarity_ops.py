@@ -115,3 +115,28 @@ def test_quantized_topk_approximates_exact(spark):
     quant = [r.vec_id for r in quantized_topk(df, q, k=5).collect()]
     # int8 quantization preserves the neighborhood (allow 1 swap at the tail)
     assert len(set(exact[:4]) & set(quant)) >= 3
+
+
+def test_batch_topk_matches_per_query_topk(spark, emb):
+    # batch kernel must agree with the single-query path for every query
+    qs = emb.filter(F.col("vec_id") < 3)
+    batch = sim.topk_neighbors_batch(emb, qs, k=5).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.cosine_sim))
+    assert set(got) == {0, 1, 2}
+    for qid in got:
+        one = sim.topk_neighbors(
+            emb, emb.filter(F.col("vec_id") == qid), k=5,
+            query_id_col="vec_id", kernel="arrow",
+        ).collect()
+        assert [(r.vec_id, r.cosine_sim) for r in one] == got[qid]
+
+
+def test_batch_topk_emits_exactly_k_per_query(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 4)
+    out = sim.topk_neighbors_batch(emb, qs, k=7)
+    counts = {r.q_id: r.n for r in out.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 7, 1: 7, 2: 7, 3: 7}
+    with pytest.raises(ValueError, match="queries is empty"):
+        sim.topk_neighbors_batch(emb, emb.filter(F.col("vec_id") < 0), k=3)

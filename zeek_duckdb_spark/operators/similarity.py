@@ -29,6 +29,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "topk_neighbors",
+    "topk_neighbors_batch",
     "hyperplane_signature",
     "lsh_bucket_ann",
     "ivf_assign",
@@ -149,6 +150,86 @@ def _topk_neighbors_arrow(
         F.round(_cos(F.col(vec_col)), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def topk_neighbors_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k for MANY query vectors at once — the batch-serving
+    shape (score a whole eval/request batch against the corpus in one
+    pass instead of Q separate scans).
+
+    Plan: the Q query vectors are collected once (a request batch, not
+    data) and closed over by a mapInPandas kernel; every Arrow batch of
+    corpus vectors is scored with ONE numpy ``M @ Q.T`` matmul, and
+    only each batch's top-k rows PER QUERY are emitted
+    (``≤ k·Q`` rows per batch — the corpus itself never leaves the
+    scan stage).  A final window top-k merges the partial candidates;
+    that shuffle moves candidate rows only, bounded by k·Q·#batches.
+
+    Output: (q_id, id, cosine_sim) rows, exactly k per query, ordered
+    within each query by (cosine_sim DESC, id ASC) — the same
+    deterministic tie-break as :func:`topk_neighbors`.  Scores use the
+    numpy kernel (see the ``kernel="arrow"`` note on topk_neighbors:
+    not bit-identical to the expr fold pre-round, identical rows after
+    the 6-dp round in practice).  Rows whose id equals the query id are
+    excluded, matching topk_neighbors(query_id_col=...).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("topk_neighbors_batch: queries is empty")
+    q_ids = np.asarray([r["q_id"] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :])
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]
+                cand_ids, cand_sims = ids[mask], col[mask]
+                # deterministic per-batch top-k: (-sim, id) lexsort so a
+                # boundary tie keeps the row the global tie-break keeps
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), q_ids[j]))
+                out_id.append(cand_ids[order])
+                out_sim.append(np.round(cand_sims[order], 6))
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine_sim": np.concatenate(out_sim),
+                }
+            )
+
+    cands = df.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=f"q_id long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("q_id", F.desc("cosine_sim"), F.asc(id_col))
+    )
 
 
 def plane_matrix(planes: int, dim: int, seed: int = 7) -> list[list[str]]:
