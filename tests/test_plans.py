@@ -77,6 +77,18 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in audit.physical_plan(df)
 
 
+def test_batch_topk_shuffles_candidates_only(spark):
+    from zeek_duckdb_spark.operators.similarity import topk_neighbors_batch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    df = topk_neighbors_batch(emb, qs, k=5)
+    # the corpus is consumed inside the mapInPandas scan stage; only the
+    # per-batch candidates move — window merge + presentation sort are
+    # the sole exchanges
+    assert audit.num_shuffles(df) <= 2
+
+
 def test_ivf_assign_is_zero_shuffle(spark):
     from zeek_duckdb_spark.operators.similarity import ivf_assign
 
