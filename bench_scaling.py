@@ -198,6 +198,13 @@ def main() -> None:
         "the right edge of this table, entirely in amortized territory —",
         "and past what a single-node engine can hold at all.",
         "",
+        "Plan audit of the join gap (executed plans at sf~1): q05 runs 4",
+        "BroadcastHashJoins + 1 agg exchange, q03 runs 2 BroadcastHashJoins +",
+        "TakeOrderedAndProject — AQE converts every join, zero SortMergeJoin.",
+        "The residual 1.7-2.0 s is scan/task/codegen constants, not plan",
+        "shape; there is no structural change left that a bigger cluster",
+        "wouldn't amortize.",
+        "",
         "## Cosine kernel A/B (expr fold vs Arrow pandas_udf)",
         "",
         "`topk_neighbors(..., kernel=)` offers two scoring kernels; measured",
