@@ -52,3 +52,39 @@ def test_clean_corpus_optional_stages(spark):
     assert 2 not in rows  # decontaminated
     assert "<EMAIL>" in rows[1]  # redacted before features/dedup
     assert 3 in rows
+
+
+def test_full_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The complete 100 TB-shaped training-data flow composed from the
+    operator suite: PII scrub -> benchmark decontamination -> quality
+    filter + exact dedup -> deterministic sample -> partitioned write.
+    Asserts the output AND the plan shape: every stage before dedup is
+    map-side (broadcast joins only), so the whole pipeline pays exactly
+    the dedup aggregate's shuffle plus the sample-free write."""
+    from zeek_duckdb_spark.operators.pipeline import (
+        clean_corpus,
+        deterministic_sample,
+    )
+    from zeek_duckdb_spark.plans import audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 100 == 7).select("doc_id", "text")
+
+    cleaned = clean_corpus(
+        docs, min_tokens=3, redact_pii=True, benchmark=bench, decontam_ngram=8
+    )
+    sampled = deterministic_sample(cleaned, "doc_id", fraction=0.5, seed=4)
+
+    plan = audit.physical_plan(sampled)
+    assert "SortMergeJoin" not in plan  # all joins broadcast at this scale
+
+    out = str(tmp_path / "corpus_out")
+    sampled.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert 0 < n < docs.count()
+    assert "lang_guess" in back.columns
+    # sample is re-derivable: same seed -> same subset
+    again = {r.doc_id for r in deterministic_sample(cleaned, "doc_id", 0.5, seed=4)
+             .select("doc_id").collect()}
+    assert {r.doc_id for r in back.select("doc_id").collect()} == again
