@@ -217,3 +217,18 @@ def test_validate_stream_schemas_detects_divergence(fixture, substr):
         f"{REF}/{fixture}", pattern="*.log", raise_on_divergence=False
     )
     assert len(bad) == 1 and bad[0][0].endswith("b.log") and substr in bad[0][1]
+
+
+def test_stream_open_validates_existing_files(spark):
+    from zeek_duckdb_spark.header import ZeekHeaderError
+
+    # a directory already containing a divergent header fails at open
+    # (the batch A22 guarantee, applied eagerly to pre-existing files)
+    with pytest.raises(ZeekHeaderError, match="type for field"):
+        read_zeek_stream(spark, f"{REF}/schema_type", pattern="*.log", inet=False)
+    # opt-out restores the old open-blind behavior
+    s = read_zeek_stream(
+        spark, f"{REF}/schema_type", pattern="*.log", inet=False,
+        validate_existing=False,
+    )
+    assert s.isStreaming

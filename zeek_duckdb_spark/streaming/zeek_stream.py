@@ -44,6 +44,7 @@ def read_zeek_stream(
     inet: bool = True,
     replace_periods: bool = True,
     max_files_per_trigger: int | None = None,
+    validate_existing: bool = True,
 ) -> DataFrame:
     """Open a streaming DataFrame over a directory of rotating Zeek logs.
 
@@ -61,9 +62,16 @@ def read_zeek_stream(
     rotation cron, or a foreachBatch hook listing newly-seen files) —
     it re-parses every header with the batch module and raises with the
     reference's exact error wording on the first divergent file.
+
+    ``validate_existing`` (default True) applies the batch guarantee to
+    every file ALREADY in the directory at open time — headers are
+    strict-compared before the stream starts, so only files rotated in
+    later fall back to the periodic-validator recipe.
     """
     if schema_from is None:
         schema_from = glob_zeek_files(f"{directory.rstrip('/')}/{pattern}")[0]
+    if validate_existing:
+        validate_stream_schemas(directory, pattern=pattern, schema_from=schema_from)
     hdr: ZeekHeader = parse_header(schema_from)
 
     inet_canon = None
