@@ -104,3 +104,45 @@ def test_pii_redact_stays_jvm_side(spark):
     df = d.select(pii_redact(F.col("text")).alias("t"))
     assert audit.num_shuffles(df) == 0
     assert "Python" not in audit.physical_plan(df)
+
+
+def test_pii_redact_bulk_randomized(spark):
+    """300 generated docs mixing random filler with embedded PII: after
+    redaction no raw email/SSN/IPv4 survives (re-checked with an
+    independent Python regex), and redaction is idempotent row-wise."""
+    import random
+    import re
+
+    from zeek_duckdb_spark.operators.textops import pii_redact
+
+    rnd = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "log", "data", "x9", "v1.2"]
+
+    def email():
+        return f"{rnd.choice(words)}.{rnd.randrange(99)}@ex{rnd.randrange(9)}.org"
+
+    def ip():
+        return ".".join(str(rnd.randrange(256)) for _ in range(4))
+
+    def ssn():
+        return f"{rnd.randrange(100,999)}-{rnd.randrange(10,99)}-{rnd.randrange(1000,9999)}"
+
+    rows = []
+    for i in range(300):
+        parts = [rnd.choice(words) for _ in range(rnd.randrange(3, 9))]
+        for mk in (email, ip, ssn):
+            if rnd.random() < 0.5:
+                parts.insert(rnd.randrange(len(parts) + 1), mk())
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "i long, text string")
+    once = df.select("i", pii_redact(F.col("text")).alias("t"))
+    twice = once.select("i", pii_redact(F.col("t")).alias("t2"), "t")
+    collected = twice.collect()
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ssn_re = re.compile(r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])")
+    ip_re = re.compile(r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])")
+    for r in collected:
+        assert r.t == r.t2, f"not idempotent: {r.t!r}"
+        assert not email_re.search(r.t), r.t
+        assert not ssn_re.search(r.t), r.t
+        assert not ip_re.search(r.t), r.t
