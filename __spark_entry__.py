@@ -941,6 +941,7 @@ def _ann_lsh_oracle() -> str:
         SELECT vec_id, ROUND({_cos_sql('v', 'qv')}, 6) AS cosine_sim
         FROM sig, q
         WHERE vec_id <> 0 AND bucket = qb
+          AND NOT isnan({_cos_sql('v', 'qv')})
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT 10
     """
@@ -975,6 +976,7 @@ def _ivf_topk_oracle() -> str:
           ORDER BY c_sim DESC, cell ASC LIMIT 4)
         SELECT a.vec_id, ROUND({_cos_sql('a.v', 'q.qv')}, 6) AS cosine_sim
         FROM assigned a JOIN probes USING (cell) CROSS JOIN q
+        WHERE NOT isnan({_cos_sql('a.v', 'q.qv')})
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT 10
     """
@@ -1145,13 +1147,16 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT vec_id, x,
                            greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127.0 AS s
                     FROM e)),
-            q AS (SELECT vec_id AS q_id, qvec AS q_qvec FROM qz WHERE vec_id = 0)
-            SELECT q_id, vec_id,
-                   ROUND(list_sum(list_transform(list_zip(qvec, q_qvec),
-                                                 p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) /
-                         (SQRT(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v))) *
-                          SQRT(list_sum(list_transform(q_qvec, v -> CAST(v AS BIGINT) * v)))), 6) AS qcos
-            FROM qz, q WHERE vec_id <> q_id
+            q AS (SELECT vec_id AS q_id, qvec AS q_qvec FROM qz WHERE vec_id = 0),
+            scored AS (
+              SELECT q_id, vec_id,
+                     ROUND(list_sum(list_transform(list_zip(qvec, q_qvec),
+                                                   p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) /
+                           (SQRT(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v))) *
+                            SQRT(list_sum(list_transform(q_qvec, v -> CAST(v AS BIGINT) * v)))), 6) AS qcos
+              FROM qz, q WHERE vec_id <> q_id)
+            SELECT q_id, vec_id, qcos FROM scored
+            WHERE NOT isnan(qcos)
             ORDER BY qcos DESC, vec_id ASC LIMIT 20
         """,
         "ev_range_join": """
@@ -1308,14 +1313,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_topk": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-                       FROM embeddings WHERE vec_id = 0)
-            SELECT q_id, vec_id,
-                   ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qe),
-                                                 p -> p[1] * p[2])) /
-                         (SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) *
-                          SQRT(list_sum(list_transform(qe, x -> x * x)))), 6) AS cosine_sim
-            FROM embeddings, q
-            WHERE vec_id <> q_id
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT q_id, vec_id,
+                     ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qe),
+                                                   p -> p[1] * p[2])) /
+                           (SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) *
+                            SQRT(list_sum(list_transform(qe, x -> x * x)))), 6) AS cosine_sim
+              FROM embeddings, q
+              WHERE vec_id <> q_id)
+            SELECT q_id, vec_id, cosine_sim FROM scored
+            WHERE NOT isnan(cosine_sim)
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 20
         """,

@@ -88,3 +88,27 @@ def test_full_corpus_pipeline_end_to_end(spark, tmp_path):
     again = {r.doc_id for r in deterministic_sample(cleaned, "doc_id", 0.5, seed=4)
              .select("doc_id").collect()}
     assert {r.doc_id for r in back.select("doc_id").collect()} == again
+
+
+def test_decontamination_catches_pii_spanning_ngrams(spark):
+    """A benchmark n-gram that CONTAINS an email must still collide
+    with the (redacted) corpus when redact_pii=True — the benchmark
+    side is redacted identically before its grams are built, so PII
+    inside the overlap can't mask contamination."""
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    leak = "please contact bob@example.com about the seventh annual review meeting today"
+    corpus = spark.createDataFrame(
+        [
+            (1, leak),  # contaminated, PII inside the overlapping gram
+            (2, "an unrelated document with plenty of ordinary tokens in it"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    out = clean_corpus(
+        corpus, min_tokens=3, redact_pii=True, benchmark=bench, decontam_ngram=8
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 not in ids  # dropped despite the email inside the n-gram
+    assert 2 in ids

@@ -140,3 +140,58 @@ def test_batch_topk_emits_exactly_k_per_query(spark, emb):
     assert counts == {0: 7, 1: 7, 2: 7, 3: 7}
     with pytest.raises(ValueError, match="queries is empty"):
         sim.topk_neighbors_batch(emb, emb.filter(F.col("vec_id") < 0), k=3)
+
+
+def test_batch_topk_boundary_cut_uses_rounded_tiebreak(spark):
+    # Two candidates whose RAW sims differ but round equal at 6 dp,
+    # straddling the k=1 boundary: the cut must keep the row the global
+    # (rounded sim DESC, id ASC) tie-break keeps — id 1 — regardless of
+    # raw-sim order (id 2 has the higher raw sim).
+    rows = [
+        (1, [1.0, 3e-4]),   # cos vs [1,0] ~ 1 - 4.5e-8 -> rounds to 1.0
+        (2, [1.0, 1e-4]),   # cos ~ 1 - 5e-9            -> rounds to 1.0
+        (3, [0.9, 0.5]),    # clearly lower
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = sim.topk_neighbors_batch(df, q, k=1).collect()
+    assert len(out) == 1
+    assert out[0].vec_id == 1 and out[0].cosine_sim == 1.0
+    # and it agrees with the single-query global path
+    one = sim.topk_neighbors(df, q, k=1, query_id_col="vec_id", kernel="arrow").collect()
+    assert (out[0].vec_id, out[0].cosine_sim) == (one[0].vec_id, one[0].cosine_sim)
+
+
+def test_batch_topk_string_ids(spark):
+    # id columns keep their input types — string ids must work, not
+    # silently coerce to long
+    rows = [("a", [1.0, 0.0]), ("b", [0.8, 0.6]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    qs = spark.createDataFrame([("q1", [1.0, 0.1])], "doc string, embedding array<double>")
+    out = sim.topk_neighbors_batch(
+        df, qs, k=2, id_col="doc", query_id_col="doc"
+    )
+    assert dict(out.dtypes) == {"q_id": "string", "doc": "string", "cosine_sim": "double"}
+    got = [(r.q_id, r.doc) for r in out.collect()]
+    assert got == [("q1", "a"), ("q1", "b")]
+
+
+def test_topk_kernels_exclude_nan_scores(spark):
+    # zero-norm vectors have undefined cosine -> excluded in EVERY
+    # kernel (Spark sorts NaN first under DESC, numpy lexsort last;
+    # without the filter the kernels would disagree)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),   # degenerate: zero norm
+        (3, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    for kernel in ("expr", "arrow"):
+        got = [r.vec_id for r in
+               sim.topk_neighbors(df, q, k=3, query_id_col="vec_id", kernel=kernel).collect()]
+        assert got == [1, 3], kernel
+    got = [r.vec_id for r in sim.topk_neighbors_batch(df, q, k=3).collect()]
+    assert got == [1, 3]
+    got = [r.vec_id for r in sim.quantized_topk(df, q, k=3).collect()]
+    assert got == [1, 3]

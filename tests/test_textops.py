@@ -74,6 +74,9 @@ def test_pii_redact_all_kinds(spark):
         ("no pii here at all", "no pii here at all"),
         # version strings must NOT be eaten by the IP pattern
         ("upgrade to 1.2.3.4.5 now", "upgrade to 1.2.3.4.5 now"),
+        # ...but sentence-final punctuation must not suppress redaction
+        ("rebooted 10.0.0.1.", "rebooted <IP>."),
+        ("pinged 10.0.0.1. then slept", "pinged <IP>. then slept"),
     ]
     df = spark.createDataFrame(rows, ["text", "want"])
     out = df.select("want", pii_redact(F.col("text")).alias("got")).collect()

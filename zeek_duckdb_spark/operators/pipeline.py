@@ -66,8 +66,18 @@ def clean_corpus(
     if benchmark is not None:
         from zeek_duckdb_spark.operators.dedup import ngram_decontaminate
 
+        bench = benchmark
+        if redact_pii:
+            # the corpus side was redacted above, so a benchmark n-gram
+            # spanning an email/IP/SSN/phone could never collide with
+            # the redacted corpus text — redact the benchmark
+            # identically so contaminated docs with PII inside the
+            # overlap are still caught
+            from zeek_duckdb_spark.operators.textops import pii_redact
+
+            bench = bench.withColumn(text_col, pii_redact(F.col(text_col)))
         base = ngram_decontaminate(
-            base, benchmark, id_col, text_col, n=decontam_ngram
+            base, bench, id_col, text_col, n=decontam_ngram
         )
     feats = quality_features(base, text_col)
     kept = feats.filter(

@@ -13,6 +13,17 @@
   O(n·q) scan with O(candidates).
 - ``cosine_pairs`` (near-dup): all pairs above a threshold, LSH-bucketed
   unless exact=True.
+
+Degenerate-vector policy (uniform across every kernel here): a
+zero-norm vector has an undefined cosine and is EXCLUDED from results.
+Mechanically: ``cosine()`` null-guards the denominator (Spark 4 ANSI
+mode would otherwise raise DIVIDE_BY_ZERO), the numpy kernels produce
+NaN (IEEE 0/0), and every top-k kernel filters NULL/NaN scores before
+ranking (a NULL predicate drops the row; NaN is masked before the
+batch kernel's per-batch cut).  ``cosine_pairs`` drops both for free
+because ``NULL/NaN >= threshold`` is never true.  Without this the
+kernels disagree (Spark/DuckDB sort NaN first under DESC; numpy
+lexsort sorts it last), so results would depend on which kernel ran.
 """
 
 # NOTE: no `from __future__ import annotations` here — pandas_udf
@@ -51,7 +62,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI divide-by-zero error, not NaN) when either
+    vector has zero norm — the top-k kernels then drop those rows, the
+    module-wide degenerate-vector policy."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != F.lit(0.0), dot(a, b) / denom)
 
 
 def topk_neighbors(
@@ -98,7 +113,11 @@ def topk_neighbors(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
     )
-    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+    return (
+        scored.filter(F.col("cosine_sim").isNotNull() & ~F.isnan(F.col("cosine_sim")))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def _topk_neighbors_arrow(
@@ -149,7 +168,11 @@ def _topk_neighbors_arrow(
         F.col(id_col),
         F.round(_cos(F.col(vec_col)), 6).alias("cosine_sim"),
     )
-    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+    return (
+        scored.filter(F.col("cosine_sim").isNotNull() & ~F.isnan(F.col("cosine_sim")))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def topk_neighbors_batch(
@@ -174,23 +197,33 @@ def topk_neighbors_batch(
 
     Output: (q_id, id, cosine_sim) rows, exactly k per query, ordered
     within each query by (cosine_sim DESC, id ASC) — the same
-    deterministic tie-break as :func:`topk_neighbors`.  Scores use the
-    numpy kernel (see the ``kernel="arrow"`` note on topk_neighbors:
-    not bit-identical to the expr fold pre-round, identical rows after
-    the 6-dp round in practice).  Rows whose id equals the query id are
-    excluded, matching topk_neighbors(query_id_col=...).
+    deterministic tie-break as :func:`topk_neighbors`.  The per-batch
+    candidate cut sorts on the 6-dp ROUNDED scores (the same key the
+    global window merge uses), so the emitted rows are independent of
+    Arrow batching / partitioning and agree with topk_neighbors even
+    when raw scores straddling the k boundary round equal.  Scores use
+    the numpy kernel (see the ``kernel="arrow"`` note on
+    topk_neighbors: not bit-identical to the expr fold pre-round,
+    identical rows after the 6-dp round in practice).  Rows whose id
+    equals the query id are excluded, matching
+    topk_neighbors(query_id_col=...); rows whose score is NaN
+    (zero-norm corpus vectors) are excluded in every kernel.  Id
+    columns keep the input types (long, string, ... — derived from the
+    input schemas, not hardcoded).
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[query_id_col].dataType.simpleString()
     q_rows = queries.select(
         F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).collect()
     if not q_rows:
         raise ValueError("topk_neighbors_batch: queries is empty")
-    q_ids = np.asarray([r["q_id"] for r in q_rows], dtype=np.int64)
+    q_ids = np.asarray([r["q_id"] for r in q_rows])
     qm = np.asarray([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))
 
@@ -203,15 +236,19 @@ def topk_neighbors_batch(
             sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :])
             out_q, out_id, out_sim = [], [], []
             for j in range(len(q_ids)):
-                col = sims[:, j]
                 mask = ids != q_ids[j]
-                cand_ids, cand_sims = ids[mask], col[mask]
-                # deterministic per-batch top-k: (-sim, id) lexsort so a
-                # boundary tie keeps the row the global tie-break keeps
+                cand_ids = ids[mask]
+                # round BEFORE the cut so the per-batch ordering is the
+                # global (rounded sim DESC, id ASC) tie-break — raw-sim
+                # ordering here would make boundary picks depend on
+                # Arrow batch boundaries
+                cand_sims = np.round(sims[:, j][mask], 6)
+                valid = ~np.isnan(cand_sims)
+                cand_ids, cand_sims = cand_ids[valid], cand_sims[valid]
                 order = np.lexsort((cand_ids, -cand_sims))[:k]
                 out_q.append(np.full(len(order), q_ids[j]))
                 out_id.append(cand_ids[order])
-                out_sim.append(np.round(cand_sims[order], 6))
+                out_sim.append(cand_sims[order])
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),
@@ -221,7 +258,8 @@ def topk_neighbors_batch(
             )
 
     cands = df.select(id_col, vec_col).mapInPandas(
-        score_batches, schema=f"q_id long, {id_col} long, cosine_sim double"
+        score_batches,
+        schema=f"q_id {q_id_type}, {id_col} {id_type}, cosine_sim double",
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
@@ -299,6 +337,7 @@ def lsh_bucket_ann(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
         )
+        .filter(F.col("cosine_sim").isNotNull() & ~F.isnan(F.col("cosine_sim")))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -394,6 +433,7 @@ def ivf_topk(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cosine_sim"),
         )
+        .filter(F.col("cosine_sim").isNotNull() & ~F.isnan(F.col("cosine_sim")))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -507,11 +547,16 @@ def quantized_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    qdenom = F.sqrt(inorm("qvec")) * F.sqrt(inorm("q_qvec"))
     scored = joined.select(
         F.col("q_id"),
         F.col(id_col),
         F.round(
-            idot / (F.sqrt(inorm("qvec")) * F.sqrt(inorm("q_qvec"))), 6
+            F.when(qdenom != F.lit(0.0), idot / qdenom), 6
         ).alias("qcos"),
     )
-    return scored.orderBy(F.desc("qcos"), F.asc(id_col)).limit(k)
+    return (
+        scored.filter(F.col("qcos").isNotNull() & ~F.isnan(F.col("qcos")))
+        .orderBy(F.desc("qcos"), F.asc(id_col))
+        .limit(k)
+    )

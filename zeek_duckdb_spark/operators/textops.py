@@ -28,7 +28,10 @@ __all__ = [
 # phone pattern's separator classes).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])", "<IP>"),
+    # trailing guard rejects only ".<digit>" (a longer dotted run, e.g.
+    # version strings 1.2.3.4.5) — a bare "(?![\d.])" would also block
+    # sentence-final IPs ("rebooted 10.0.0.1.")
+    ("ip", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?!\.?\d)", "<IP>"),
     ("ssn", r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])", "<SSN>"),
     (
         "phone",
