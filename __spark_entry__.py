@@ -108,17 +108,6 @@ def q03_top_orders(spark, sf):
     )
 
 
-def q04_filter_in_groupby(spark, sf):
-    """IN-list filter + group aggregate."""
-    o = _t(spark, sf, "orders").filter(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    )
-    return o.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-    )
-
-
 def q05_nation_revenue(spark, sf):
     """TPC-H Q5-style snowflake join.  Only the constant-size dims
     (region=5, nation=25 rows at every SF) carry broadcast hints;
@@ -153,15 +142,6 @@ def q06_range_revenue(spark, sf):
     )
 
 
-def q07_like(spark, sf):
-    """LIKE filter + group count."""
-    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
-    return p.groupBy("p_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-    )
-
-
 def q09_group_big(spark, sf):
     """High-cardinality groupBy (partial agg + single shuffle)."""
     return (
@@ -172,18 +152,6 @@ def q09_group_big(spark, sf):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
-
-
-def q10_count_distinct(spark, sf):
-    o = _t(spark, sf, "orders")
-    l = _t(spark, sf, "lineitem")
-    a = o.agg(F.count_distinct("o_custkey").alias("v")).select(
-        F.lit("distinct_customers").alias("metric"), F.col("v")
-    )
-    b = l.agg(F.count_distinct("l_partkey", "l_suppkey").alias("v")).select(
-        F.lit("distinct_part_supp").alias("metric"), F.col("v")
-    )
-    return a.unionAll(b)
 
 
 def q11_window_rank(spark, sf):
@@ -261,8 +229,12 @@ def q15_set_ops(spark, sf):
 
 
 def q16_case_having(spark, sf):
-    """Conditional aggregation + HAVING."""
-    o = _t(spark, sf, "orders")
+    """Conditional aggregation + HAVING over an IN-list-filtered input
+    (absorbs the former q04 IN-filter+group shape — the IN predicate is
+    pushable and actually prunes a priority class)."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED")
+    )
     g = o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
@@ -349,20 +321,26 @@ def q25_exists_correlated(spark, sf):
 
 
 def q26_stats(spark, sf):
-    """Statistical aggregates per group (min/max/median/stddev)."""
+    """Statistical aggregates per group (min/max/stddev) plus single-
+    and multi-column COUNT DISTINCT (absorbs the former q10 shape)."""
     l = _t(spark, sf, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_partkey", "l_suppkey").alias("n_part_supp"),
     )
 
 
 def q28_string_exprs(spark, sf):
     """Scalar string/conditional expressions (upper/substr/concat/
-    coalesce/nullif) over the part table."""
-    p = _t(spark, sf, "part").filter(F.col("p_partkey") < 200)
+    coalesce/nullif) over a LIKE-filtered part table (absorbs the
+    former q07 LIKE-pushdown shape)."""
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_partkey") < 300) & F.col("p_name").like("%a%")
+    )
     return p.select(
         "p_partkey",
         F.upper("p_name").alias("uname"),
@@ -690,6 +668,54 @@ def sim_quant_topk(spark, sf):
     return sim.quantized_topk(emb, q, k=20)
 
 
+def pipe_pack(spark, sf):
+    """Concat-and-chunk sequence packing (pipeline.pack_sequences):
+    documents laid head-to-tail per deterministic md5 shard, cut into
+    512-token training sequences.  Returns the per-document layout
+    (shard, seq_id, seq_offset) — all integer arithmetic over a
+    per-shard running sum, so the oracle restates it with one window
+    function."""
+    from zeek_duckdb_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, seq_len=512, n_shards=4, seed=7).select(
+        "doc_id", "n_tokens", "shard", "seq_id", "seq_offset"
+    )
+
+
+def dd_dup_spans(spark, sf):
+    """Substring-level duplicate detection (dedup.duplicate_spans):
+    8-token window fingerprints occurring in >= 2 distinct documents,
+    summarized per document.  The windowed chunk-fingerprint
+    approximation of Lee et al.'s exact-substring dedup."""
+    from zeek_duckdb_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    s = duplicate_spans(d, width=8, stride=1, min_docs=2)
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.count_distinct("fp").alias("n_dup_fps"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+def sim_kmeans_ivf(spark, sf):
+    """IVF ANN with TRAINED centroids (operators/kmeans.py): 2 Lloyd
+    iterations over the int8-quantized corpus (exact int64 sums make
+    the distributed centroid means bit-reproducible), zero-shuffle
+    argmax assignment, nprobe=2 probe, exact quantized re-rank.  The
+    oracle restates both unrolled iterations in SQL."""
+    from zeek_duckdb_spark.operators.kmeans import kmeans_ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return kmeans_ivf_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=2, iters=2
+    )
+
+
 def ev_range_join(spark, sf):
     """Bucketized range join (operators/rangejoin.py): clicks landing
     inside each same-user 10-minute post-error window.  Spark would
@@ -737,18 +763,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver correctness-checks only the FIRST 50 entries, so the
     # dict is budgeted to exactly 50: strict shape-duplicates were
     # folded into surviving entries (equality filter ⊂ q03/q05;
-    # sort+limit ⊂ q03; join+group+topk dup of q03; DISTINCT ⊂
-    # q10/q15 — see COVERAGE.md §2.B), and the oracle-less zeek_scan
-    # (non-parquet input, rows-only check) sits last.
+    # sort+limit ⊂ q03; join+group+topk dup of q03; DISTINCT ⊂ q15;
+    # IN-filter ⊂ q16; LIKE ⊂ q28; COUNT DISTINCT ⊂ q26 — see
+    # COVERAGE.md §2.B), and the oracle-less zeek_scan (non-parquet
+    # input, rows-only check) sits last.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
-        "q04_filter_in_groupby": q04_filter_in_groupby,
         "q05_nation_revenue": q05_nation_revenue,
         "q06_range_revenue": q06_range_revenue,
-        "q07_like": q07_like,
         "q09_group_big": q09_group_big,
-        "q10_count_distinct": q10_count_distinct,
         "q11_window_rank": q11_window_rank,
         "q12_window_running": q12_window_running,
         "q13_semi_join": q13_semi_join,
@@ -790,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_attrib": ev_asof_attrib,
         "ev_range_join": ev_range_join,
         "sim_quant_topk": sim_quant_topk,
+        "sim_kmeans_ivf": sim_kmeans_ivf,
+        "pipe_pack": pipe_pack,
+        "dd_dup_spans": dd_dup_spans,
         "zeek_scan": zeek_scan,
     }
 
@@ -982,6 +1009,90 @@ def _ivf_topk_oracle() -> str:
     """
 
 
+def _kmeans_ivf_oracle(
+    k: int = 10, n_centroids: int = 8, nprobe: int = 2, iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """sim_kmeans_ivf: unrolled Lloyd iterations over the int8-quantized
+    corpus.  Reproducibility chain (kmeans.py docstring): quantization
+    arithmetic is the proven sim_quant_topk restatement; centroid means
+    are exact int64 sums + one rounded division (order-independent);
+    assignment is the sequential-fold cosine with ties -> higher cell;
+    probe ties -> lower cell; re-rank is exact int64 dot products."""
+    # NB: DuckDB list indexing is 1-based; positions CTE spans 1..dim.
+    steps = []
+    cur = "c0"
+    for it in range(1, iters + 1):
+        a, m, c = f"a{it}", f"m{it}", f"c{it}"
+        steps.append(f"""
+        {a} AS (
+          SELECT vec_id, qvec, cell FROM (
+            SELECT b.vec_id, b.qvec, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_cos_sql('b.qd', 'c.cv')} DESC,
+                                               c.cell DESC) AS rn
+            FROM base b CROSS JOIN {cur} c) t
+          WHERE rn = 1),
+        {m} AS (
+          SELECT cell, list(m ORDER BY i) AS cv FROM (
+            SELECT a.cell, p.i,
+                   CAST(SUM(a.qvec[p.i]) AS DOUBLE) / COUNT(*) AS m
+            FROM {a} a CROSS JOIN pos p
+            GROUP BY a.cell, p.i) t
+          GROUP BY cell),
+        {c} AS (
+          SELECT prev.cell AS cell, COALESCE({m}.cv, prev.cv) AS cv
+          FROM {cur} prev LEFT JOIN {m} USING (cell))""")
+        cur = f"c{it}"
+    unrolled = ",".join(steps)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(x, v -> CAST(floor(v / s + 0.5) AS INT)) AS qvec
+          FROM (SELECT vec_id, x,
+                       greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127.0 AS s
+                FROM e)),
+        base AS (
+          SELECT vec_id, qvec, CAST(qvec AS DOUBLE[]) AS qd
+          FROM qz
+          WHERE vec_id <> 0 AND len(list_filter(qvec, v -> v <> 0)) > 0),
+        qrow AS (
+          SELECT qvec AS q_qvec, CAST(qvec AS DOUBLE[]) AS qd
+          FROM qz WHERE vec_id = 0),
+        pos AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, qd AS cv
+          FROM (SELECT vec_id, qd FROM base ORDER BY vec_id ASC LIMIT {n_centroids})),
+        {unrolled},
+        afin AS (
+          SELECT vec_id, qvec, cell FROM (
+            SELECT b.vec_id, b.qvec, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_cos_sql('b.qd', 'c.cv')} DESC,
+                                               c.cell DESC) AS rn
+            FROM base b CROSS JOIN {cur} c) t
+          WHERE rn = 1),
+        probes AS (
+          SELECT cell FROM {cur} c CROSS JOIN qrow q
+          ORDER BY {_cos_sql('q.qd', 'c.cv')} DESC, cell ASC
+          LIMIT {nprobe}),
+        scored AS (
+          SELECT a.vec_id,
+                 ROUND(list_sum(list_transform(list_zip(a.qvec, q.q_qvec),
+                                               p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) /
+                       (SQRT(list_sum(list_transform(a.qvec, v -> CAST(v AS BIGINT) * v))) *
+                        SQRT(list_sum(list_transform(q.q_qvec, v -> CAST(v AS BIGINT) * v)))), 6)
+                   AS cosine_sim
+          FROM afin a JOIN probes USING (cell) CROSS JOIN qrow q)
+        SELECT vec_id, cosine_sim FROM scored
+        WHERE NOT isnan(cosine_sim)
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _decode_fake_oracle() -> str:
     """mm_decode_fake: n_bytes and feature[4] = sum(first 64 bytes) mod
     997 of the utf-8 payload, byte values recovered from the hex dump
@@ -1025,13 +1136,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
         """,
-        "q04_filter_in_groupby": """
-            SELECT o_orderpriority, COUNT(*) AS n,
-                   ROUND(SUM(o_totalprice), 2) AS sum_total
-            FROM orders
-            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-            GROUP BY o_orderpriority
-        """,
         "q05_nation_revenue": """
             SELECT n_name,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1052,19 +1156,9 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
-        "q07_like": """
-            SELECT p_type, COUNT(*) AS n, ROUND(AVG(p_retailprice), 4) AS avg_price
-            FROM part WHERE p_name LIKE '%red%'
-            GROUP BY p_type
-        """,
         "q09_group_big": """
             SELECT l_partkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY l_partkey
-        """,
-        "q10_count_distinct": """
-            SELECT 'distinct_customers' AS metric, COUNT(DISTINCT o_custkey) AS v FROM orders
-            UNION ALL
-            SELECT 'distinct_part_supp' AS metric, COUNT(DISTINCT (l_partkey, l_suppkey)) AS v FROM lineitem
         """,
         "q11_window_rank": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1106,7 +1200,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(*) AS n,
                    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
                    ROUND(AVG(o_totalprice), 4) AS avg_total
-            FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 10
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED')
+            GROUP BY o_orderstatus HAVING COUNT(*) > 10
         """,
         "q17_scalar_subquery": """
             SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -1218,7 +1314,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(l_extendedprice), 2) AS min_price,
                    ROUND(MAX(l_extendedprice), 2) AS max_price,
                    ROUND(AVG(l_extendedprice), 2) AS avg_price,
-                   ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
+                   ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
             FROM lineitem GROUP BY l_returnflag
         """,
         "q28_string_exprs": """
@@ -1227,7 +1325,7 @@ def oracle_sql() -> dict[str, str]:
                    CONCAT_WS('/', p_brand, p_type) AS brand_type,
                    COALESCE(NULLIF(p_type, 'ECONOMY'), 'STD') AS type_or_std,
                    LENGTH(p_name) AS name_len
-            FROM part WHERE p_partkey < 200
+            FROM part WHERE p_partkey < 300 AND p_name LIKE '%a%'
         """,
         "q29_sessionize": """
             WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
@@ -1483,6 +1581,54 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash_pairs": _simhash_pairs_oracle(),
         "sim_ann_lsh": _ann_lsh_oracle(),
         "sim_ivf_topk": _ivf_topk_oracle(),
+        "sim_kmeans_ivf": _kmeans_ivf_oracle(),
+        "pipe_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(concat('0x', substring(md5(
+                         concat_ws(':', CAST(doc_id AS VARCHAR), '7')), 1, 15))
+                       AS BIGINT) % 4 AS shard
+              FROM t),
+            w AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start
+              FROM s)
+            SELECT doc_id, n_tokens, shard,
+                   start // 512 AS seq_id,
+                   start % 512 AS seq_offset
+            FROM w
+        """,
+        "dd_dup_spans": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     unnest(range(0, greatest(len(toks) - 7, 0), 1)) AS pos,
+                     toks
+              FROM t),
+            f AS (
+              SELECT doc_id, pos,
+                     CAST(concat('0x', substring(md5(
+                         array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')),
+                         1, 15)) AS BIGINT) AS fp
+              FROM w),
+            hot AS (
+              SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT doc_id, COUNT(*) AS n_dup_spans,
+                   COUNT(DISTINCT fp) AS n_dup_fps,
+                   MIN(pos) AS first_pos
+            FROM f JOIN hot USING (fp)
+            GROUP BY doc_id
+        """,
         "mm_decode_fake": _decode_fake_oracle(),
         "mm_resize_fake": """
             WITH b AS (

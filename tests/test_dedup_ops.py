@@ -240,3 +240,50 @@ def test_decontaminate_benchmark_side_broadcasts(spark, decontam_data):
     # the corpus side never shuffles
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_spans_finds_copied_passage(spark):
+    from zeek_duckdb_spark.operators.dedup import duplicate_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    rows = [
+        (1, "intro words first " + passage + " tail one"),
+        (2, "other document text " + passage + " different ending here"),
+        (3, "completely unrelated text with no shared windows at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, width=8, stride=1, min_docs=2).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {1, 2}
+    # the copied 8-gram occurs at token offset 3 in both docs
+    pos = {(r.doc_id, r.pos) for r in out}
+    assert (1, 3) in pos and (2, 3) in pos
+    assert all(r.n_docs == 2 for r in out)
+
+
+def test_duplicate_spans_short_docs_and_stride(spark):
+    from zeek_duckdb_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    # width 8 > 3 tokens -> no windows, no phantom sequence()
+    assert duplicate_spans(df, width=8).count() == 0
+    # width 2 stride 2 -> one window ("a b") per doc, duplicated
+    out = duplicate_spans(df, width=2, stride=2).collect()
+    assert {(r.doc_id, r.pos) for r in out} == {(1, 0), (2, 0)}
+    with pytest.raises(ValueError, match="width and stride"):
+        duplicate_spans(df, width=0)
+
+
+def test_duplicate_spans_exact_dup_docs_share_every_window(spark):
+    from zeek_duckdb_spark.operators.dedup import duplicate_spans
+
+    text = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = duplicate_spans(df, width=8, stride=1).collect()
+    # 12 tokens -> 5 windows each, all duplicated
+    assert len(out) == 10
+    assert {r.pos for r in out} == {0, 1, 2, 3, 4}

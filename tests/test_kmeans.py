@@ -1,0 +1,77 @@
+"""Trained-k-means IVF semantics: deterministic fit, exactness vs the
+quantized brute force when every cell is probed, iteration invariants."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators import similarity as sim
+from zeek_duckdb_spark.operators.kmeans import kmeans_fit_quantized, kmeans_ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_fit_is_deterministic_across_partitionings(spark, emb):
+    # exact int64 sums make the centroid means order-independent — the
+    # whole point of training over quantized vectors
+    a = kmeans_fit_quantized(emb, k=4, iters=2)
+    b = kmeans_fit_quantized(emb.repartition(13), k=4, iters=2)
+    assert a == b
+
+
+def test_fit_zero_iters_returns_init(spark, emb):
+    cents = kmeans_fit_quantized(emb, k=3, iters=0)
+    assert [c for c, _ in cents] == [0, 1, 2]
+    # init = quantized vectors of the 3 lowest ids
+    from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+    init = {
+        r.vec_id: [float(v) for v in r.qvec]
+        for r in quantize_embeddings(emb).filter(F.col("vec_id") < 3).collect()
+    }
+    assert cents[0][1] == init[0] and cents[2][1] == init[2]
+
+
+def test_fit_rejects_tiny_corpus(spark, emb):
+    with pytest.raises(ValueError, match="usable rows"):
+        kmeans_fit_quantized(emb.filter(F.col("vec_id") < 2), k=5)
+
+
+def test_full_probe_equals_quantized_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    full = kmeans_ivf_topk(corpus, q, k=10, n_centroids=4, nprobe=4, iters=2)
+    exact = sim.quantized_topk(emb, q, k=10)
+    assert [(r.vec_id, r.cosine_sim) for r in full.collect()] == [
+        (r.vec_id, r.qcos) for r in exact.collect()
+    ]
+
+
+def test_partial_probe_is_ranked_subset(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    res = kmeans_ivf_topk(corpus, q, k=10, n_centroids=8, nprobe=2, iters=2).collect()
+    assert 0 < len(res) <= 10
+    sims = [r.cosine_sim for r in res]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_training_does_not_shuffle_the_corpus_assignment(spark, emb):
+    # the cell-assignment subplan must be shuffle-free: centroids ride
+    # as a literal, so the only exchange in a fit iteration is the
+    # K-row partial-aggregate collect
+    from zeek_duckdb_spark.operators.kmeans import _argmax_cell
+    from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+    cents = kmeans_fit_quantized(emb, k=4, iters=1)
+    base = quantize_embeddings(emb).select("vec_id", "qvec")
+    assigned = base.select(
+        "vec_id", _argmax_cell(F.col("qvec"), cents).alias("cell")
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

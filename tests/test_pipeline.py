@@ -1,5 +1,7 @@
 """Pipeline composition + skew-guard equivalence tests."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.pipeline import clean_corpus, salted_group_count
@@ -112,3 +114,52 @@ def test_decontamination_catches_pii_spanning_ngrams(spark):
     ids = {r.doc_id for r in out.collect()}
     assert 1 not in ids  # dropped despite the email inside the n-gram
     assert 2 in ids
+
+
+def test_shard_corpus_deterministic_and_complete(spark):
+    from zeek_duckdb_spark.operators.pipeline import shard_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: r.shard for r in shard_corpus(df, 8).collect()}
+    b = {r.doc_id: r.shard for r in shard_corpus(df.repartition(7), 8).collect()}
+    assert a == b                       # placement-independent
+    assert set(a.values()) <= set(range(8))
+    c = {r.doc_id: r.shard for r in shard_corpus(df, 8, seed=1).collect()}
+    assert a != c                       # seed actually reshuffles
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_corpus(df, 0)
+
+
+def test_pack_sequences_concat_and_chunk_invariants(spark):
+    from zeek_duckdb_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(50)]   # 100..499 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, seq_len=512, n_shards=4).collect()
+    assert len(out) == 50                                   # no doc dropped
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in docs:                                      # running layout
+            assert r.seq_id == start // 512
+            assert r.seq_offset == start % 512
+            start += r.n_tokens
+    # deterministic under repartitioning
+    again = pack_sequences(df.repartition(9), seq_len=512, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_single_shard_layout(spark):
+    from zeek_duckdb_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300)], "doc_id long, n_tokens long"
+    )
+    got = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in pack_sequences(df, seq_len=512).collect()}
+    # doc2 STARTS inside seq 0 at offset 300 (straddles into seq 1);
+    # doc3 starts in seq 1 at offset 88
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88)}

@@ -149,3 +149,49 @@ def test_pii_redact_bulk_randomized(spark):
         assert not email_re.search(r.t), r.t
         assert not ssn_re.search(r.t), r.t
         assert not ip_re.search(r.t), r.t
+
+
+# --- URL / domain hygiene ---------------------------------------------
+
+
+def test_extract_urls_and_hosts(spark):
+    from zeek_duckdb_spark.operators.textops import extract_urls, registered_domain, url_host
+
+    df = spark.createDataFrame(
+        [("see https://Sub.Example.com/a/b and http://spam.bad.net:8080/x?q=1 end",)],
+        ["text"],
+    )
+    r = df.select(
+        extract_urls(F.col("text")).alias("urls"),
+    ).first()
+    assert r.urls == ["https://Sub.Example.com/a/b", "http://spam.bad.net:8080/x?q=1"]
+    hosts = df.select(
+        F.transform(
+            extract_urls(F.col("text")),
+            lambda u: registered_domain(url_host(u)),
+        ).alias("doms")
+    ).first()
+    assert hosts.doms == ["example.com", "bad.net"]
+
+
+def test_filter_blocked_domains_drop_and_flag(spark):
+    from zeek_duckdb_spark.operators.textops import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "link to https://a.spam.example/page here"),
+            (2, "clean doc citing https://ok.org/paper only"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    blocked = spark.createDataFrame([("spam.example",)], ["domain"])
+    kept = {r.doc_id for r in filter_blocked_domains(docs, blocked).collect()}
+    assert kept == {2, 3}
+    flags = {
+        r.doc_id: r.blocked
+        for r in filter_blocked_domains(docs, blocked, mode="flag").collect()
+    }
+    assert flags == {1: True, 2: False, 3: False}
+    with pytest.raises(ValueError, match="unknown mode"):
+        filter_blocked_domains(docs, blocked, mode="nope")

@@ -43,6 +43,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "ngram_decontaminate",
+    "duplicate_spans",
     "exact_dedup_stream",
     "near_dedup_stream",
 ]
@@ -549,6 +550,66 @@ def ngram_decontaminate(
     return corpus.join(F.broadcast(flagged), id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-LEVEL duplicate detection — the chunk-fingerprint
+    approximation of exact-substring dedup (the suffix-array pass of
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): fingerprint every ``width``-token window (step
+    ``stride``) and surface windows whose fingerprint occurs in at
+    least ``min_docs`` DISTINCT documents.  Catches copied passages
+    inside otherwise-different documents, which doc-level
+    MinHash/SimHash miss.
+
+    Output: one row per duplicated window occurrence —
+    (fp, id, pos, n_docs) with ``pos`` the 0-based token offset.
+    Downstream either drops the spans (substring-level cleaning) or
+    drops/flags the documents.
+
+    Scale shape: tokens are materialized once per row; windows explode
+    to (fp 8B, id, pos) — the per-token shuffle IS the computation, and
+    ``stride`` is the linear cost knob (stride=width -> disjoint
+    chunks, ~1/width the rows, boundary-shift sensitivity).  The hot
+    set comes from one count-distinct aggregate (map-side partials, no
+    collect_list, so a boilerplate fingerprint occurring 10^6 times
+    cannot OOM a reducer), and survivors re-join it on the 8-byte
+    fingerprint (AQE broadcasts the hot side when small).  A suffix
+    array would find variable-length repeats exactly but needs global
+    order — this windowed form is embarrassingly parallel.
+    """
+    if width < 1 or stride < 1:
+        raise ValueError("duplicate_spans: width and stride must be >= 1")
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    # one generated-SQL expression (py4j-cost note in minhash_signatures);
+    # guard size<width explicitly — sequence(0, negative) would infer a
+    # NEGATIVE step and emit phantom windows
+    wins = F.expr(
+        f"if(size(__toks) >= {width}, "
+        f"transform(sequence(0, size(__toks) - {width}, {stride}), "
+        f"i -> named_struct('pos', i, 'fp', "
+        f"CAST(conv(substring(md5(concat_ws(' ', slice(__toks, i + 1, {width}))), "
+        f"1, 15), 16, 10) AS BIGINT))), "
+        f"array())"
+    )
+    spans = toked.select(F.col(id_col), F.explode(wins).alias("w")).select(
+        id_col, F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp")
+    )
+    hot = (
+        spans.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(hot, "fp").select("fp", id_col, "pos", "n_docs")
 
 
 def exact_dedup_stream(

@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.textops import fingerprint, lang_id, quality_features
 
-__all__ = ["clean_corpus", "salted_group_count", "deterministic_sample", "stratified_sample"]
+__all__ = [
+    "clean_corpus",
+    "salted_group_count",
+    "deterministic_sample",
+    "stratified_sample",
+    "shard_corpus",
+    "pack_sequences",
+]
 
 
 def clean_corpus(
@@ -151,3 +158,74 @@ def stratified_sample(
     for s, f in fractions.items():
         thresh = F.when(F.col(strata_col) == s, F.lit(int(f * 1_000_000))).otherwise(thresh)
     return df.filter(_sample_bucket(F.col(key_col), seed) < thresh)
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment: ``md5(key:seed) % n_shards``.
+    Same key -> same shard on every run and cluster size (unlike
+    hash-partitioning, whose physical placement varies with
+    parallelism).  A pure map; write with ``partitionBy(shard_col)``
+    to get stable, reproducible training shards."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    return df.withColumn(
+        shard_col,
+        md5_long(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+        % F.lit(n_shards),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    n_shards: int = 1,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the final layout step of an
+    LLM training pipeline: documents are laid head-to-tail in a
+    deterministic order and cut into ``seq_len``-token training
+    sequences.  Adds three columns:
+
+    - ``shard``: deterministic md5 shard of the id (:func:`shard_corpus`);
+    - ``seq_id``: which training sequence (within the shard) this
+      document STARTS in — ``start_offset DIV seq_len`` where
+      start_offset is the running token total of all earlier docs in
+      (shard, id) order;
+    - ``seq_offset``: token position within that sequence
+      (``start_offset % seq_len``).
+
+    A document whose tokens straddle a boundary continues into the next
+    sequence — exactly the concat-then-chunk model trainers use (no doc
+    is dropped or split here; the chunker downstream does the split).
+
+    Scale shape: the ONLY wide operation is a running SUM windowed BY
+    SHARD — each shard sorts independently, so parallelism and memory
+    are governed by ``n_shards`` (pick shards ≫ executors; a single
+    global window over 100 TB would serialize on one task).  All
+    arithmetic is integer (exact, engine-portable); the order within a
+    shard is the id sort, so the layout is bit-reproducible on any
+    cluster."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from pyspark.sql import Window
+
+    sharded = shard_corpus(df, n_shards, id_col, seed)
+    w = Window.partitionBy("shard").orderBy(F.asc(id_col))
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    return (
+        sharded.withColumn("__start", start)
+        .withColumn("seq_id", F.expr(f"__start DIV {int(seq_len)}"))
+        .withColumn("seq_offset", F.col("__start") % F.lit(int(seq_len)))
+        .drop("__start")
+    )

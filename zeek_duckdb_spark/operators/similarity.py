@@ -483,6 +483,7 @@ def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
     q[i] = floor(x[i] / scale + 0.5) — 4x smaller than float32 on disk
@@ -496,11 +497,14 @@ def quantize_embeddings(
     re-run the max-abs fold once per element inside the interpreted
     lambda (no CSE; same lesson as minhash_signatures).
 
-    Output: (id, qvec array<int>, scale double).  Pure map, no shuffle.
+    Output: (id, qvec array<int>, scale double [, *keep]).  Pure map,
+    no shuffle.  ``keep`` carries extra input columns through (e.g. the
+    original vector for a later exact re-rank).
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scaled = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         x.alias("__x"),
         (
             F.greatest(
@@ -516,6 +520,7 @@ def quantize_embeddings(
         F.col(id_col),
         F.expr("transform(__x, v -> CAST(floor(v / scale + 0.5) AS INT))").alias("qvec"),
         F.col("scale"),
+        *[F.col(c) for c in keep],
     )
 
 
