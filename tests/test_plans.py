@@ -2,6 +2,8 @@
 Correctness tests prove the answers are right; these prove the plans
 would still be the right plans at 1000x the data."""
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -136,3 +138,33 @@ def test_sample_frames_single_python_stage(spark):
     # no shuffle before or after
     assert audit.num_shuffles(out) == 0
     assert audit.physical_plan(out).count("MapInPandas") == 1
+
+
+def test_pack_sequences_single_shard_bounded_exchange(spark):
+    # the ONLY wide op is the per-shard running-sum window: one
+    # exchange on the shard key, no global single-partition sort
+    from zeek_duckdb_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, seq_len=512, n_shards=16)
+    plan = audit.physical_plan(out)
+    assert audit.num_shuffles(out) == 1
+    assert "hashpartitioning(shard" in plan
+    # NOT a global window: partition spec must be present
+    assert "SinglePartition" not in plan
+
+
+def test_duplicate_spans_shuffles_fingerprints_not_text(spark):
+    # the count-distinct hot-set aggregate and the fp re-join shuffle
+    # (fp, id, pos) rows only — the token arrays stay in the scan stage
+    from zeek_duckdb_spark.operators.dedup import duplicate_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = duplicate_spans(d, width=8, min_docs=2)
+    plan = audit.physical_plan(out)
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__toks" not in ex and "text" not in ex
+    # no collect_list anywhere: the hot-set is a count-distinct agg
+    assert "collect_list" not in plan
