@@ -195,3 +195,39 @@ def test_topk_kernels_exclude_nan_scores(spark):
     assert got == [1, 3]
     got = [r.vec_id for r in sim.quantized_topk(df, q, k=3).collect()]
     assert got == [1, 3]
+
+
+def test_multiprobe_lsh_improves_recall(spark, emb):
+    # probing Hamming-1 buckets must recover a superset of the exact
+    # bucket's candidates and close on the true top-k
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in
+             sim.topk_neighbors(corpus, q.select("embedding"), k=10).collect()]
+    one = sim.lsh_bucket_ann(corpus, q.select("embedding"), dim=64, k=10, planes=6)
+    multi = sim.lsh_bucket_ann(
+        corpus, q.select("embedding"), dim=64, k=10, planes=6, probe_hamming=1
+    )
+    r_one = {r.vec_id for r in one.collect()}
+    r_multi = {r.vec_id for r in multi.collect()}
+    # multi-probe candidates strictly contain the single-bucket hits it
+    # keeps, and recall vs brute force must not decrease
+    assert len(r_multi & set(exact)) >= len(r_one & set(exact))
+    assert len(r_multi) >= len(r_one)
+    # scores are true cosines: every multi-probe hit present in the
+    # brute-force TOP-k list has the identical rounded score
+    bf = {r.vec_id: r.cosine_sim for r in
+          sim.topk_neighbors(corpus, q.select("embedding"), k=500).collect()}
+    for r in multi.collect():
+        assert bf[r.vec_id] == r.cosine_sim
+    with pytest.raises(ValueError, match="probe_hamming"):
+        sim.lsh_bucket_ann(corpus, q.select("embedding"), dim=64, probe_hamming=2)
+
+
+def test_multiprobe_lsh_plan_is_one_broadcast_join(spark, emb):
+    from zeek_duckdb_spark.plans import audit
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    df = sim.lsh_bucket_ann(emb, q, dim=64, k=5, planes=6, probe_hamming=1)
+    assert audit.num_broadcast_joins(df) == 1
+    assert audit.num_sortmerge_joins(df) == 0

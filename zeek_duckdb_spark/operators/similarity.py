@@ -335,14 +335,35 @@ def lsh_bucket_ann(
     planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN via hyperplane-LSH buckets: candidates = same bucket as the
     query, re-ranked by exact cosine.  Recall < 1.0 by construction;
-    raise ``planes`` bands or probe neighboring buckets for higher
-    recall (scale knob, not correctness knob)."""
+    raise ``planes`` bands for precision, or ``probe_hamming=1`` for
+    recall (multi-probe: also search every bucket whose signature
+    differs in ONE plane — the vectors a near-boundary query just
+    misses).  Both are scale knobs, not correctness knobs.
+
+    Multi-probe costs nothing on the corpus side: the probe set is
+    expanded on the QUERY side (1 row -> planes+1 rows, still a
+    broadcast), so the plan stays one equi-join — candidates grow from
+    1 bucket's rows to (planes+1) buckets' rows, vs 2^planes buckets
+    total.  The standard recall/latency trade (Lv et al., multi-probe
+    LSH) without re-hashing or a second corpus pass."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
     corpus = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
     q = query.select(F.col(vec_col).alias("q_vec"), sig.alias("q_bucket"))
+    if probe_hamming == 1:
+        flips = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(planes)
+            ],
+        )
+        q = q.select("q_vec", F.explode(flips).alias("q_bucket"))
     cands = corpus.join(
         F.broadcast(q), F.col("bucket") == F.col("q_bucket")
     )
