@@ -75,3 +75,39 @@ def test_training_does_not_shuffle_the_corpus_assignment(spark, emb):
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_materialized_ivf_probe_matches_inline(spark, emb, tmp_path):
+    # write the index partitioned by cell, probe it, and get exactly
+    # what the inline (unmaterialized) path computes
+    from zeek_duckdb_spark.operators.kmeans import ivf_probe_topk, ivf_write
+
+    path = str(tmp_path / "ivf")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    cents = ivf_write(corpus, path, n_centroids=4, iters=2)
+    probed = ivf_probe_topk(spark, path, cents, q, k=10, nprobe=2)
+    inline = kmeans_ivf_topk(corpus, q, k=10, n_centroids=4, nprobe=2, iters=2)
+    assert [(r.vec_id, r.cosine_sim) for r in probed.collect()] == [
+        (r.vec_id, r.cosine_sim) for r in inline.collect()
+    ]
+
+
+def test_materialized_ivf_probe_prunes_partitions(spark, emb, tmp_path):
+    # the whole point of the layout: cell IN (...) must be a PARTITION
+    # filter — unprobed cells' files are never read
+    from zeek_duckdb_spark.operators.kmeans import ivf_probe_topk, ivf_write
+    from zeek_duckdb_spark.plans import audit
+
+    path = str(tmp_path / "ivf")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    cents = ivf_write(corpus, path, n_centroids=4, iters=1)
+    probed = ivf_probe_topk(spark, path, cents, q, k=5, nprobe=1)
+    plan = audit.physical_plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    # and the layout on disk is one directory per cell
+    import os
+
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    assert len(cells) >= 2

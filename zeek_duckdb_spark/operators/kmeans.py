@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.similarity import cosine, quantize_embeddings
 
-__all__ = ["kmeans_fit_quantized", "kmeans_ivf_topk"]
+__all__ = ["kmeans_fit_quantized", "kmeans_ivf_topk", "ivf_write", "ivf_probe_topk"]
 
 
 def _argmax_cell(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
@@ -163,23 +163,9 @@ def kmeans_ivf_topk(
         )
     q_id, q_qvec = q_rows[0]["q_id"], [int(v) for v in q_rows[0]["qvec"]]
 
-    def _cos(a: list[float], b: list[float]) -> float:
-        # sequential left-to-right fold — the same IEEE op sequence as
-        # the SQL oracle's list_sum(list_transform(...)) restatement
-        num = 0.0
-        na = 0.0
-        nb = 0.0
-        for x, y in zip(a, b):
-            num += float(x) * float(y)
-        for x in a:
-            na += float(x) * float(x)
-        for y in b:
-            nb += float(y) * float(y)
-        d = (na ** 0.5) * (nb ** 0.5)
-        return num / d if d != 0.0 else float("-inf")
-
+    qd = [float(v) for v in q_qvec]
     probe_scored = sorted(
-        ((c, _cos([float(v) for v in q_qvec], v)) for c, v in cents),
+        ((c, _seq_cosine(qd, v)) for c, v in cents),
         key=lambda t: (-t[1], t[0]),
     )
     probe_cells = [c for c, _ in probe_scored[:nprobe]]
@@ -206,8 +192,121 @@ def kmeans_ivf_topk(
             F.round(idot / qdenom, 6).alias("cosine_sim"),
         )
     )
+    # post-limit degenerate-row trim — see similarity.topk_neighbors:
+    # a pre-sort filter on the aliased score is pushed below the
+    # projection and re-evaluates the integer fold per row
     return (
-        scored.filter(F.col("cosine_sim").isNotNull() & ~F.isnan(F.col("cosine_sim")))
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        scored.orderBy(F.desc_nulls_last("cosine_sim"), F.asc(id_col))
         .limit(k)
+        .filter(F.col("cosine_sim").isNotNull())
     )
+
+
+def ivf_write(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: fit centroids, assign the corpus, and
+    write it PARTITIONED BY CELL (``path/cell=<c>/...parquet``).  This
+    is the 100 TB serving layout — a probe then reads only its cells'
+    files via partition pruning instead of scanning the corpus (see
+    :func:`ivf_probe_topk`, and the plan test asserting the pruned
+    scan).  Returns the fitted centroids; persist them next to the
+    index (they are K·dim doubles — the "model" is trivially small).
+
+    The write repartitions by cell so each cell lands as one file set
+    written by one task — without it every task would open a file per
+    cell (small-files explosion at scale).
+    """
+    cents = kmeans_fit_quantized(df, n_centroids, iters, id_col, vec_col)
+    dq = quantize_embeddings(df, id_col, vec_col, keep=(vec_col,))
+    base = dq.filter(_nonzero("qvec")).select(
+        F.col(id_col), F.col(vec_col), F.col("qvec")
+    )
+    assigned = base.withColumn("cell", _argmax_cell(F.col("qvec"), cents))
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized IVF index (:func:`ivf_write`): pick the
+    query's ``nprobe`` best cells driver-side (K cosines over the tiny
+    centroid model), then scan ONLY those cells' files —
+    ``cell IN (...)`` is a partition filter, so the other cells' data
+    is never read (PartitionFilters in the scan, proven in
+    tests/test_plans.py).  Exact quantized re-rank inside the probed
+    cells, same scoring as :func:`kmeans_ivf_topk`."""
+    q_rows = (
+        quantize_embeddings(query, query_id_col, vec_col)
+        .select(F.col(query_id_col).alias("q_id"), F.col("qvec"))
+        .collect()
+    )
+    if len(q_rows) != 1:
+        raise ValueError(
+            f"ivf_probe_topk: query must be exactly one row, got {len(q_rows)}"
+        )
+    q_id, q_qvec = q_rows[0]["q_id"], [int(v) for v in q_rows[0]["qvec"]]
+
+    qd = [float(v) for v in q_qvec]
+    probe_scored = sorted(
+        ((c, _seq_cosine(qd, v)) for c, v in cents), key=lambda t: (-t[1], t[0])
+    )
+    probe_cells = [int(c) for c, _ in probe_scored[:nprobe]]
+
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    q_lit = F.array(*[F.lit(v) for v in q_qvec])
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec"), q_lit, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inorm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v.cast("long") * v.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qdenom = F.nullif(
+        F.sqrt(inorm(F.col("qvec"))) * F.sqrt(inorm(q_lit)), F.lit(0.0)
+    )
+    scored = idx.filter(F.col(id_col) != F.lit(q_id)).select(
+        F.col(id_col), F.round(idot / qdenom, 6).alias("cosine_sim")
+    )
+    return (
+        scored.orderBy(F.desc_nulls_last("cosine_sim"), F.asc(id_col))
+        .limit(k)
+        .filter(F.col("cosine_sim").isNotNull())
+    )
+
+
+def _seq_cosine(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right cosine fold — the same IEEE op sequence
+    as the SQL oracle restatement (shared by probe selection here and
+    in kmeans_ivf_topk)."""
+    num = na = nb = 0.0
+    for x, y in zip(a, b):
+        num += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    d = (na ** 0.5) * (nb ** 0.5)
+    return num / d if d != 0.0 else float("-inf")
