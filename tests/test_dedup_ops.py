@@ -287,3 +287,34 @@ def test_duplicate_spans_exact_dup_docs_share_every_window(spark):
     # 12 tokens -> 5 windows each, all duplicated
     assert len(out) == 10
     assert {r.pos for r in out} == {0, 1, 2, 3, 4}
+
+
+def test_strip_duplicate_spans_keeps_first_occurrence(spark):
+    from zeek_duckdb_spark.operators.dedup import strip_duplicate_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    rows = [
+        (1, "intro words first " + passage + " tail one"),
+        (2, "other document text " + passage + " different ending here"),
+        (3, "completely unrelated text with no shared windows at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           strip_duplicate_spans(df, width=8, min_docs=2).collect()}
+    assert out[1] == rows[0][1]                 # keeper: untouched
+    assert passage not in out[2]                # copied passage removed
+    assert out[2].startswith("other document text")
+    assert out[2].endswith("different ending here")
+    assert out[3] == rows[2][1]                 # uninvolved doc untouched
+
+
+def test_strip_duplicate_spans_full_dup_becomes_empty(spark):
+    from zeek_duckdb_spark.operators.dedup import strip_duplicate_spans
+
+    text = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in strip_duplicate_spans(df, width=8).collect()}
+    assert out[1] == text
+    assert out[2] == ""
+    # row count preserved either way
+    assert len(out) == 2

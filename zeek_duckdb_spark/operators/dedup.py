@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_decontaminate",
     "duplicate_spans",
+    "strip_duplicate_spans",
     "exact_dedup_stream",
     "near_dedup_stream",
 ]
@@ -655,4 +656,58 @@ def near_dedup_stream(
     stateful operator (same bound as :func:`exact_dedup_stream`)."""
     return exact_dedup_stream(
         stream, ts_col, watermark_delay, key=simhash_col(F.col(text_col), bits)
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level CLEANING: remove duplicated passages from every
+    document except the first (lowest-id) one that contains them — the
+    "remove the duplicated substring, keep one copy" policy of
+    exact-substring dedup, over :func:`duplicate_spans` windows.
+
+    Per duplicated fingerprint the lowest occurring id is the keeper;
+    every other document drops the tokens covered by that window
+    (overlapping windows merge naturally — a token is dropped if ANY
+    non-keeper window covers it).  Output: (id, text) with the same row
+    count; a fully-duplicated document becomes an empty string (run
+    exact dedup first — doc-level dups are its job, not this pass's).
+
+    Rebuilt text is single-space joined (token-level cleaners cannot
+    preserve original whitespace — standard caveat).
+
+    Scale shape: on top of duplicate_spans' aggregate, one
+    ``collect_list(pos)`` per (doc that loses spans) — bounded by the
+    doc's own token count, never corpus-sized — broadcast-joined back
+    (losing docs ≪ corpus); the rebuild is a per-row HOF over the
+    token array (O(tokens · spans-in-doc)).
+    """
+    spans = duplicate_spans(df, id_col, text_col, width, stride, min_docs)
+    keepers = spans.groupBy("fp").agg(F.min(id_col).alias("__keep_id"))
+    losing = (
+        spans.join(keepers, "fp")
+        .filter(F.col(id_col) != F.col("__keep_id"))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__cut"))
+    )
+    base = df.select(F.col(id_col), F.col(text_col))
+    joined = base.join(losing, id_col, "left")
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.exists(
+            F.col("__cut"), lambda p: (j >= p) & (j < p + F.lit(width))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__cut").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
     )
