@@ -38,3 +38,44 @@ def test_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(p_date" in plan
     assert 0 < pruned.count() < df.count()
     assert pruned.count() + df.filter(F.col("p_date") != "2026-01-16").count() == 27
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The co-located-join layout: two tables bucketed on the join key
+    join with zero shuffle (pay the exchange once at ingest)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.plans import audit
+    from zeek_duckdb_spark.sources.sink import write_bucketed
+
+    sfx = uuid.uuid4().hex[:8]
+    a_name, b_name = f"conn_b_{sfx}", f"dns_b_{sfx}"
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("host"), (F.col("id") * 2).alias("conns")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("host"), (F.col("id") * 3).alias("queries")
+    )
+    try:
+        write_bucketed(a, a_name, "host", n_buckets=8, sort_col="host")
+        write_bucketed(b, b_name, "host", n_buckets=8, sort_col="host")
+        ta, tb = spark.table(a_name), spark.table(b_name)
+        # force the merge-join path: with broadcast allowed a tiny table
+        # would make "no exchange" trivially true
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ta.join(tb, "host").agg(F.sum(ta.conns + tb.queries).alias("s"))
+            plan = audit.physical_plan(joined)
+            assert "SortMergeJoin" in plan
+            # no Exchange feeding the join: bucket layout co-locates keys
+            assert "Exchange hashpartitioning(host" not in plan
+            # and the answer is right
+            assert joined.first().s == sum(i * 2 + i * 3 for i in range(1000))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_zeek_parquet", "ingest_zeek_to_parquet"]
+__all__ = ["write_zeek_parquet", "ingest_zeek_to_parquet", "write_bucketed"]
 
 
 def write_zeek_parquet(
@@ -64,3 +64,33 @@ def ingest_zeek_to_parquet(
     df = read_zeek(spark, pattern, **read_opts)
     write_zeek_parquet(df, out_path, ts_col=ts_col, granularity=granularity)
     return spark.read.parquet(out_path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a BUCKETED parquet table (Hive-style bucketing via
+    ``bucketBy``) — the co-located-join layout: two tables bucketed the
+    same way on the join key (e.g. conn and dns on ``id_orig_h``) join
+    with ZERO exchange, because matching buckets are read into matching
+    partitions.  At 100 TB this turns every host-correlation join from
+    a corpus-wide shuffle into a bucket-local merge — pay the shuffle
+    once at ingest, never per query.
+
+    ``sort_col`` additionally sorts within buckets
+    (``sortBy``) so equality lookups skip via min/max and merge joins
+    need no sort.  Bucketed writes must go through the session catalog
+    (``saveAsTable``) — plain ``.parquet(path)`` silently drops bucket
+    metadata, which is the part that eliminates the exchange.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
