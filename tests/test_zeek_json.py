@@ -82,7 +82,10 @@ def test_typed_read_matches_tsv_semantics(spark, conn_dir):
     assert rows["C2"].orig_bytes is None      # negative count -> NULL
     assert rows["C2"].id_resp_h is None       # omitted field -> NULL
     assert rows["C2"].duration is None        # omitted interval -> NULL
-    assert rows["C2"].service_list == []      # empty set stays []
+    # empty set stays [] — a real JSON value; NOTE the TSV format cannot
+    # say this ("(empty)" reads NULL per the reference), so [] is one
+    # thing the JSON surface represents that TSV can't
+    assert rows["C2"].service_list == []
     assert rows["C1"].local_orig is True and rows["C2"].local_orig is False
 
 
