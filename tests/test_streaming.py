@@ -232,3 +232,29 @@ def test_stream_open_validates_existing_files(spark):
         validate_existing=False,
     )
     assert s.isStreaming
+
+
+def test_json_stream_reads_typed_rows(spark, tmp_path):
+    import json as _json
+
+    from zeek_duckdb_spark.streaming.zeek_stream import read_zeek_json_stream
+
+    d = tmp_path / "json_logs"
+    d.mkdir()
+    types = {"ts": "time", "uid": "string", "id.orig_p": "port", "orig_bytes": "count"}
+    with open(d / "conn_1.json", "w") as f:
+        f.write(_json.dumps({"ts": 1591367999.305988, "uid": "C1",
+                             "id.orig_p": 443, "orig_bytes": 10}) + "\n")
+        f.write(_json.dumps({"ts": 1591368000.5, "uid": "C2",
+                             "id.orig_p": 99999, "orig_bytes": -1}) + "\n")
+    stream = read_zeek_json_stream(spark, str(d), types)
+    assert stream.isStreaming
+    assert dict(stream.dtypes) == {
+        "ts": "timestamp", "uid": "string", "id_orig_p": "int", "orig_bytes": "bigint",
+    }
+    _run_available_now(stream, "jsonstream")
+    rows = {r.uid: r for r in spark.table("jsonstream").collect()}
+    assert rows["C1"].ts.microsecond == 305988 and rows["C1"].id_orig_p == 443
+    assert rows["C2"].id_orig_p is None and rows["C2"].orig_bytes is None
+    with pytest.raises(ValueError, match="timestamps"):
+        read_zeek_json_stream(spark, str(d), types, timestamps="nope")

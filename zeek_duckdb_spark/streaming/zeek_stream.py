@@ -32,7 +32,7 @@ from zeek_duckdb_spark.header import (
 )
 from zeek_duckdb_spark.sources.zeek import _raw_schema, typed_columns
 
-__all__ = ["read_zeek_stream", "validate_stream_schemas", "windowed_rollup"]
+__all__ = ["read_zeek_stream", "read_zeek_json_stream", "validate_stream_schemas", "windowed_rollup"]
 
 
 def read_zeek_stream(
@@ -156,3 +156,64 @@ def windowed_rollup(
         .groupBy(F.window(F.col(ts_col), window), *group_cols)
         .agg(*aggs)
     )
+
+
+def read_zeek_json_stream(
+    spark: SparkSession,
+    directory: str,
+    types: dict[str, str],
+    *,
+    pattern: str = "*.json*",
+    replace_periods: bool = True,
+    timestamps: str = "epoch",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`zeek_json.read_zeek_json` for rotating
+    JSON logs (``LogAscii::use_json`` deployments rotate exactly like
+    TSV ones).  ``types`` is REQUIRED here — a stream cannot sample
+    files to infer schema, and Zeek streams keep a stable schema per
+    log type — and gets the same typed-cast pipeline as the batch JSON
+    reader (epoch/ISO time handling, port range checks, recursive
+    containers).
+
+    Same scale shape as :func:`read_zeek_stream`: listing + per-file
+    tasks, ``maxFilesPerTrigger`` bounding each micro-batch, stock
+    watermark/rollup/stateful operators downstream.  The JSON format
+    sidesteps the TSV stream's schema-divergence caveat mechanically —
+    there is no header to diverge — but a producer adding NEW fields
+    is silently ignored until ``types`` is updated (absent-field NULLs
+    cover the removal direction)."""
+    from pyspark.sql import types as T
+
+    from zeek_duckdb_spark.sources.zeek_json import (
+        _cast_json_field,
+        _json_read_type,
+    )
+
+    if timestamps not in ("epoch", "iso"):
+        raise ValueError("timestamps must be 'epoch' or 'iso'")
+    read_schema = T.StructType(
+        [
+            T.StructField(
+                name,
+                T.StringType()
+                if (zt.strip() == "time" and timestamps == "iso")
+                else _json_read_type(zt),
+                True,
+            )
+            for name, zt in types.items()
+        ]
+    )
+    reader = spark.readStream.schema(read_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", pattern).json(directory)
+    df = df.select(
+        *[
+            _cast_json_field(F.col(f"`{name}`"), zt, timestamps).alias(
+                name.replace(".", "_") if replace_periods else name
+            )
+            for name, zt in types.items()
+        ]
+    )
+    return df
