@@ -163,3 +163,40 @@ def test_pack_sequences_single_shard_layout(spark):
     # doc2 STARTS inside seq 0 at offset 300 (straddles into seq 1);
     # doc3 starts in seq 1 at offset 88
     assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88)}
+
+
+def test_clean_corpus_full_stage_stack(spark):
+    """Every optional stage at once, in crawl-pipeline order: domain
+    blocklist -> PII redaction -> decontamination -> span stripping ->
+    quality filter -> exact dedup."""
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    bench_text = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = spark.createDataFrame(
+        [
+            (1, "spam link https://bad.example/x plus plenty of other tokens here"),
+            (2, "mail me at a@b.io about the data and the results today ok"),
+            (3, bench_text),
+            (4, "document one has " + passage + " inside plus unique tail text"),
+            (5, "document two has " + passage + " inside plus other words entirely"),
+            (6, "an unrelated document with plenty of ordinary tokens in it"),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        corpus,
+        min_tokens=3,
+        redact_pii=True,
+        benchmark=spark.createDataFrame([(9, bench_text)], "doc_id long, text string"),
+        decontam_ngram=10,
+        blocked_domains=spark.createDataFrame([("bad.example",)], ["domain"]),
+        strip_dup_spans=True,
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert 1 not in rows                      # blocklisted domain
+    assert "<EMAIL>" in rows[2]               # redacted
+    assert 3 not in rows                      # decontaminated
+    assert passage in rows[4]                 # keeper keeps the passage
+    assert passage not in rows[5]             # dup span stripped
+    assert 6 in rows

@@ -47,6 +47,9 @@ def clean_corpus(
     redact_pii: bool = False,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 13,
+    blocked_domains: DataFrame | None = None,
+    strip_dup_spans: bool = False,
+    dup_span_width: int = 8,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -55,17 +58,31 @@ def clean_corpus(
     ``lang_guess`` attached.
 
     Optional extra stages (off by default — the oracle-checked entry
-    covers the base pipeline):
+    covers the base pipeline), applied in crawl-pipeline order:
 
-    - ``redact_pii=True`` scrubs the text FIRST (textops.pii_redact),
+    - ``blocked_domains=<df with 'domain'>`` drops documents citing a
+      blocklisted domain FIRST (textops.filter_blocked_domains) —
+      cheapest filter, and PII/quality work shouldn't run on rejected
+      docs; broadcast probe, no corpus shuffle.
+    - ``redact_pii=True`` scrubs the text next (textops.pii_redact),
       so quality features, dedup fingerprints, and everything
       downstream see the redacted form — still a fused map stage.
     - ``benchmark=<df>`` drops documents colliding with the benchmark
       set on any ``decontam_ngram``-gram (dedup.ngram_decontaminate)
       before quality filtering; the benchmark side broadcasts, so this
       adds no corpus-sized shuffle.
+    - ``strip_dup_spans=True`` removes duplicated passages
+      (dedup.strip_duplicate_spans, ``dup_span_width`` tokens) BEFORE
+      quality scoring — substring-level cleaning changes token counts,
+      so filters must see the cleaned text; runs after exact-dup docs
+      would be caught anyway (the final exact dedup keeps one copy of
+      any doc this pass empties).
     """
     base = df.select(id_col, text_col)
+    if blocked_domains is not None:
+        from zeek_duckdb_spark.operators.textops import filter_blocked_domains
+
+        base = filter_blocked_domains(base, blocked_domains, id_col, text_col)
     if redact_pii:
         from zeek_duckdb_spark.operators.textops import pii_redact
 
@@ -85,6 +102,12 @@ def clean_corpus(
             bench = bench.withColumn(text_col, pii_redact(F.col(text_col)))
         base = ngram_decontaminate(
             base, bench, id_col, text_col, n=decontam_ngram
+        )
+    if strip_dup_spans:
+        from zeek_duckdb_spark.operators.dedup import strip_duplicate_spans
+
+        base = strip_duplicate_spans(
+            base, id_col, text_col, width=dup_span_width
         )
     feats = quality_features(base, text_col)
     kept = feats.filter(
