@@ -195,3 +195,82 @@ def test_filter_blocked_domains_drop_and_flag(spark):
     assert flags == {1: True, 2: False, 3: False}
     with pytest.raises(ValueError, match="unknown mode"):
         filter_blocked_domains(docs, blocked, mode="nope")
+
+
+# --- hashed linear quality classifier ---------------------------------
+
+
+def test_quality_classifier_matches_duckdb_restatement(spark):
+    """The score fold is engine-portable: DuckDB computing the identical
+    arithmetic (md5 bucket, sequential mean, sigmoid) agrees to 1e-12."""
+    import random
+
+    import duckdb
+
+    from zeek_duckdb_spark.operators.textops import quality_classifier_score
+
+    rng = random.Random(3)
+    D = 64
+    weights = [round(rng.uniform(-2, 2), 6) for _ in range(D)]
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "click here buy now cheap pills limited offer"),
+        (3, "solo"),
+        (4, "a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", quality_classifier_score(F.col("text"), weights, bias=0.1).alias("s")
+        ).collect()
+    }
+    w_sql = "[" + ", ".join(str(w) for w in weights) + "]"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(f"""
+        WITH w AS (SELECT {w_sql}::DOUBLE[] AS wv)
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(0.1 + COALESCE(
+                 list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                   tk -> wv[CAST((CAST(concat('0x', substring(md5(tk), 1, 15)) AS BIGINT) % {D}) + 1 AS INT)]))
+                 / len(string_split_regex(trim(text), '\\s+')), 0.0)))) AS s
+        FROM t, w
+        """).fetchall()
+    )
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_quality_classifier_separates_and_is_pure_map(spark):
+    from zeek_duckdb_spark.operators.textops import quality_classifier_score
+    from zeek_duckdb_spark.plans import audit
+
+    # hand-built weights: boost buckets of "good" words, sink "spam" ones
+    from zeek_duckdb_spark.operators.hashutil import md5_long as _  # noqa: F401
+
+    import hashlib
+
+    D = 256
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+
+    weights = [0.0] * D
+    for t in ("informative", "article", "research"):
+        weights[bucket(t)] += 3.0
+    for t in ("buy", "cheap", "pills"):
+        weights[bucket(t)] -= 3.0
+    df = spark.createDataFrame(
+        [(1, "informative research article"), (2, "buy cheap pills")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", quality_classifier_score(F.col("text"), weights).alias("s"))
+    scores = {r.doc_id: r.s for r in out.collect()}
+    assert scores[1] > 0.8 > 0.5 > 0.2 > scores[2]
+    assert audit.num_shuffles(out) == 0
+    assert "Python" not in audit.physical_plan(out)
+    with pytest.raises(ValueError, match="non-empty"):
+        quality_classifier_score(F.col("text"), [])

@@ -24,6 +24,7 @@ __all__ = [
     "url_host",
     "registered_domain",
     "filter_blocked_domains",
+    "quality_classifier_score",
 ]
 
 # PII patterns (Java regex — this column is evaluated JVM-side).  Order
@@ -387,3 +388,42 @@ def filter_blocked_domains(
     return df.join(F.broadcast(flagged), id_col, "left").withColumn(
         "blocked", F.coalesce(F.col("blocked"), F.lit(False))
     )
+
+
+def quality_classifier_score(
+    col: Column, weights: list[float], bias: float = 0.0
+) -> Column:
+    """Linear text-classifier score over hashed bag-of-tokens features —
+    the fastText-style "reference-corpus vs crawl" quality classifier
+    (the GPT-3/LLaMA-pipeline document filter), as a pure column fold:
+
+        z = bias + mean over tokens of weights[md5(token) mod D]
+        score = sigmoid(z)
+
+    ``weights`` (dimension D = len(weights)) comes from OFFLINE training
+    (a logistic regression over hashed features of known-good vs crawl
+    text); scoring is the part that must run over 100 TB, and here it is
+    a zero-shuffle JVM expression: the weight vector rides as one array
+    literal (fine to ~10^5 dims — same plan family as the LSH plane
+    matrix), the md5 bucket is the engine-portable hashutil family, and
+    the fold is sequential left-to-right so an oracle can restate it
+    bit-for-bit.  Empty/whitespace docs score sigmoid(bias).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    d = len(weights)
+    w_lit = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(w_lit, (md5_long(t) % F.lit(d) + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
