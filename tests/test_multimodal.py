@@ -78,3 +78,91 @@ def test_sample_frames_partial_tail_and_null(spark):
     assert sorted(by_id[1]) == [(0, b"abcd"), (1, b"efg")]
     assert 2 not in by_id  # null payload: no frames
     assert 3 not in by_id  # empty payload: zero frames
+
+
+# --- content-defined chunking -----------------------------------------
+
+
+def _cdc_df(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cdc_chunks_tile_and_are_deterministic(spark):
+    import random as _r
+
+    from zeek_duckdb_spark.operators.multimodal import cdc_chunks
+
+    rng = _r.Random(1)
+    blob = bytes(rng.randrange(256) for _ in range(5000))
+    df = _cdc_df(spark, [(1, bytearray(blob))])
+    a = sorted(
+        (r.chunk_idx, r.offset, r.length, r.chunk_hash)
+        for r in cdc_chunks(df, min_size=64, avg_size=256, max_size=1024).collect()
+    )
+    # chunks tile the blob exactly: contiguous, full coverage
+    pos = 0
+    for _, off, ln, _h in a:
+        assert off == pos and 64 <= ln <= 1024 or (off + ln == 5000)
+        pos = off + ln
+    assert pos == 5000
+    b = sorted(
+        (r.chunk_idx, r.offset, r.length, r.chunk_hash)
+        for r in cdc_chunks(
+            df.repartition(3), min_size=64, avg_size=256, max_size=1024
+        ).collect()
+    )
+    assert a == b
+
+
+def test_cdc_chunks_are_shift_resistant(spark):
+    """The CDC property fixed-size blocks lack: prepending bytes leaves
+    most downstream chunk hashes unchanged."""
+    import random as _r
+
+    from zeek_duckdb_spark.operators.multimodal import cdc_chunks
+
+    rng = _r.Random(2)
+    body = bytes(rng.randrange(256) for _ in range(8000))
+    rng2 = _r.Random(3)
+    shifted = bytes(rng2.randrange(256) for _ in range(37)) + body
+    df = _cdc_df(spark, [(1, bytearray(body)), (2, bytearray(shifted))])
+    ch = cdc_chunks(df, min_size=64, avg_size=256, max_size=1024)
+    h1 = {r.chunk_hash for r in ch.filter("doc_id = 1").collect()}
+    h2 = {r.chunk_hash for r in ch.filter("doc_id = 2").collect()}
+    shared = len(h1 & h2) / len(h1)
+    assert shared > 0.7, f"only {shared:.0%} of chunks survived a 37-byte shift"
+
+
+def test_chunk_dedup_groups_reclaimable_bytes(spark):
+    from zeek_duckdb_spark.operators.multimodal import cdc_chunks, chunk_dedup_groups
+
+    blob = bytes(i % 251 for i in range(4096))
+    df = _cdc_df(spark, [(1, bytearray(blob)), (2, bytearray(blob))])
+    groups = chunk_dedup_groups(cdc_chunks(df)).collect()
+    assert groups, "identical blobs must share every chunk"
+    for g in groups:
+        assert g.n_copies == 2 and g.n_blobs == 2
+        assert g.bytes_reclaimable == g.length
+    # every byte of one copy is reclaimable
+    assert sum(g.bytes_reclaimable for g in groups) == 4096
+
+
+def test_cdc_chunks_validates_params(spark):
+    from zeek_duckdb_spark.operators.multimodal import cdc_chunks
+
+    df = _cdc_df(spark, [(1, bytearray(b"xyz"))])
+    with pytest.raises(ValueError, match="power of two"):
+        cdc_chunks(df, avg_size=100)
+    with pytest.raises(ValueError, match="min_size"):
+        cdc_chunks(df, min_size=0)
+    # empty / NULL payloads produce no chunks, no crash
+    df2 = _cdc_df(spark, [(1, bytearray(b"")), (2, None)])
+    assert cdc_chunks(df2).count() == 0

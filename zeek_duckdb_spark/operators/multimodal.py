@@ -16,6 +16,8 @@ modest when media cells are MBs so a batch fits executor memory.
 
 from __future__ import annotations
 
+import random
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +33,8 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "media_stats",
+    "cdc_chunks",
+    "chunk_dedup_groups",
 ]
 
 # typed metadata struct carried alongside the opaque payload
@@ -253,4 +257,132 @@ def media_stats(df: DataFrame, group_col: str) -> DataFrame:
             # so the oracle counts DISTINCT encode(text) — same cardinality)
             F.count_distinct(F.col("media")).alias("distinct_payloads"),
         )
+    )
+
+
+def _gear_table(seed: int):
+    """Deterministic 256-entry uint64 gear table (seeded, no RNG state
+    shipped to executors — rebuilt identically in every task)."""
+    import numpy as np
+
+    rnd = random.Random(seed)
+    return np.array(
+        [rnd.getrandbits(64) for _ in range(256)], dtype=np.uint64
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+    window: int = 32,
+    seed: int = 9,
+) -> DataFrame:
+    """Content-defined chunking of binary payloads (Gear/FastCDC-style
+    rolling hash): split each blob at content-determined boundaries so
+    identical SUBSEQUENCES across blobs produce identical chunks even
+    when preceded by different bytes — the shift-resistant storage-dedup
+    primitive fixed-size blocks lack.  Output: one row per chunk —
+    (id, chunk_idx, offset, length, chunk_hash md5-hex).
+
+    Boundary rule: cut after byte i when ``H(i) % avg_size == avg_size-1``
+    (``avg_size`` must be a power of two), where H is the windowed gear
+    hash ``sum_{j<window} gear[b[i-j]] << j``; ``min_size``/``max_size``
+    bound chunk lengths (a cut candidate inside min_size is skipped, a
+    run past max_size force-cuts).
+
+    Execution shape: mapInPandas (binary payloads are opaque to JVM
+    expressions — Python is unavoidable, so it is Arrow-batched and
+    numpy-vectorized: the windowed hash is ``window`` shifted uint64
+    adds over the whole byte array, then candidate boundaries come from
+    one vectorized mask; only the min/max enforcement walks the (few)
+    candidates).  Chunking is per-row — embarrassingly parallel, no
+    shuffle; cross-blob dedup is then one hash-aggregate over the
+    8-to-32-byte chunk_hash column (:func:`chunk_dedup_groups`).
+    """
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("chunk_hash", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        gear = _gear_table(seed)
+        mask = np.uint64(avg_size - 1)
+        target = np.uint64(avg_size - 1)
+        for pdf in it:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None or len(blob) == 0:
+                    continue
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                g = gear[b]
+                h = np.zeros(len(b), dtype=np.uint64)
+                for j in range(min(window, len(b))):
+                    # h[i] += gear[b[i-j]] << j  (uint64 wraparound ok)
+                    h[j:] += g[: len(b) - j] << np.uint64(j)
+                cand = np.flatnonzero((h & mask) == target) + 1  # cut AFTER i
+                bounds, start = [], 0
+                ci = 0
+                n = len(b)
+                while start < n:
+                    end = min(start + max_size, n)
+                    lo = start + min_size
+                    while ci < len(cand) and cand[ci] < lo:
+                        ci += 1
+                    if ci < len(cand) and cand[ci] <= end:
+                        end = int(cand[ci])
+                        ci += 1
+                    bounds.append((start, end))
+                    start = end
+                for k, (s, e) in enumerate(bounds):
+                    ids.append(rid)
+                    idxs.append(k)
+                    offs.append(s)
+                    lens.append(e - s)
+                    hashes.append(hashlib.md5(b[s:e].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "length": pd.Series(lens, dtype="int64"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, out_schema
+    )
+
+
+def chunk_dedup_groups(chunks: DataFrame) -> DataFrame:
+    """Cross-blob chunk dedup stats over :func:`cdc_chunks` output: one
+    row per duplicated chunk_hash with copy count, distinct-blob count,
+    and reclaimable bytes ((copies-1) · length).  One hash-aggregate on
+    a short key — map-side partials, no collect_list, 100 TB-safe."""
+    return (
+        chunks.groupBy("chunk_hash", "length")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_blobs"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .withColumn("bytes_reclaimable", (F.col("n_copies") - 1) * F.col("length"))
     )
