@@ -318,3 +318,16 @@ def test_strip_duplicate_spans_full_dup_becomes_empty(spark):
     assert out[2] == ""
     # row count preserved either way
     assert len(out) == 2
+
+
+def test_minhash_min_parallelism_widens_single_partition_input(spark):
+    from zeek_duckdb_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").coalesce(1)
+    wide = minhash_signatures(d, min_parallelism=8)
+    assert wide.rdd.getNumPartitions() >= 8
+    # results identical to the unrepartitioned fold
+    narrow = minhash_signatures(d)
+    a = sorted((r.doc_id, tuple(r.minhash)) for r in wide.collect())
+    b = sorted((r.doc_id, tuple(r.minhash)) for r in narrow.collect())
+    assert a == b
