@@ -712,7 +712,8 @@ def sim_kmeans_ivf(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     return kmeans_ivf_topk(
-        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=2, iters=2
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=2, iters=2,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 

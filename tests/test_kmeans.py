@@ -71,7 +71,7 @@ def test_training_does_not_shuffle_the_corpus_assignment(spark, emb):
     cents = kmeans_fit_quantized(emb, k=4, iters=1)
     base = quantize_embeddings(emb).select("vec_id", "qvec")
     assigned = base.select(
-        "vec_id", _argmax_cell(F.col("qvec"), cents).alias("cell")
+        "vec_id", _argmax_cell("qvec", cents).alias("cell")
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

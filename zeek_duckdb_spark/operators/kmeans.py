@@ -40,37 +40,118 @@ reference" track).
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from zeek_duckdb_spark.operators.similarity import cosine, quantize_embeddings
+from zeek_duckdb_spark.operators.similarity import quantize_embeddings
 
 __all__ = ["kmeans_fit_quantized", "kmeans_ivf_topk", "ivf_write", "ivf_probe_topk"]
 
 
-def _argmax_cell(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid cell by cosine, as a pure column expression over
-    an array-of-structs literal (zero shuffle; ties -> higher cell via
-    max-struct lexicographic comparison)."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).cast("long").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("c_vec"),
-            )
-            for c, v in cents
+def _argmax_cell(vec_name: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell by cosine over the named int-array column,
+    as a pure column expression with the centroids inlined (zero
+    shuffle; ties -> higher cell via max-struct lexicographic
+    comparison).
+
+    Generated as ONE SQL string: the Column-API equivalent builds
+    K·dim literal nodes through py4j (~0.5 s per call at K=8, dim=64 —
+    and fit+assign needs it iters+1 times); one server-side parse costs
+    milliseconds (the minhash_signatures lesson).  The cosine text
+    restates ``similarity.cosine`` exactly — same sequential zip_with/
+    aggregate folds, same nullif zero-norm guard — so values are
+    bit-identical to the Column form (the sim_kmeans_ivf oracle pins
+    this).  Used for one-shot assignment (ivf_write); the Lloyd loop
+    uses :func:`_assign_cells` instead, whose broadcast-attribute form
+    avoids a codegen recompile per iteration."""
+    return F.expr(_argmax_cell_sql(vec_name, _cent_literal_sql(cents)))
+
+
+def _argmax_cell_sql(vec_name: str, cents_expr: str) -> str:
+    """argmax-cosine SQL over ``cents_expr`` (an array<struct<cell,
+    c_vec>> expression — a column name or an inline literal)."""
+    cos = (
+        f"(aggregate(zip_with({vec_name}, c.c_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+        f"nullif(sqrt(aggregate(zip_with({vec_name}, {vec_name}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+        f"sqrt(aggregate(zip_with(c.c_vec, c.c_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), CAST(0.0 AS DOUBLE)))"
+    )
+    return (
+        f"array_max(transform({cents_expr}, "
+        f"c -> named_struct('sim', {cos}, 'cell', c.cell)))['cell']"
+    )
+
+
+def _cent_literal_sql(cents: list[tuple[int, list[float]]]) -> str:
+    return "array(" + ", ".join(
+        "named_struct('cell', CAST(%d AS BIGINT), 'c_vec', array(%s))"
+        % (int(c), ", ".join(f"{float(x)!r}D" for x in v))
+        for c, v in cents
+    ) + ")"
+
+
+_CENTS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("c_vec", T.ArrayType(T.DoubleType())),
         ]
     )
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            cosine(vec, c["c_vec"]).alias("sim"),
-            c["cell"].alias("cell"),
-        ),
+)
+
+
+def _assign_cells(base: DataFrame, cents: list[tuple[int, list[float]]],
+                  vec_name: str = "qvec") -> DataFrame:
+    """``base`` + a ``cell`` column (argmax cosine vs ``cents``).
+
+    The centroids ride as a BROADCAST 1-row DataFrame, not an inline
+    literal: literals are embedded as constants in the generated Java,
+    so per-iteration centroid changes forced a full whole-stage-codegen
+    recompile of the (large) stage every Lloyd step (~3-5 s per job at
+    K=8, dim=64 — dominating small-corpus fits).  As a joined attribute
+    the generated code is IDENTICAL across iterations and the codegen
+    cache hits; the 1-row broadcast join is map-side, so the zero-
+    corpus-shuffle shape is unchanged.  Values are bit-identical either
+    way (same doubles, same fold)."""
+    spark = base.sparkSession
+    cents_df = spark.createDataFrame(
+        [([{"cell": int(c), "c_vec": [float(x) for x in v]} for c, v in cents],)],
+        T.StructType([T.StructField("__cents", _CENTS_TYPE)]),
     )
-    return F.array_max(scored)["cell"]
+    return (
+        base.crossJoin(F.broadcast(cents_df))
+        .withColumn("cell", F.expr(_argmax_cell_sql(vec_name, "__cents")))
+        .drop("__cents")
+    )
 
 
 def _nonzero(qvec_col: str) -> Column:
     return F.exists(F.col(qvec_col), lambda v: v != F.lit(0))
+
+
+def _quantized_base(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_parallelism: int | None,
+) -> DataFrame:
+    """(id, qvec) with degenerate rows dropped; widened to
+    ``min_parallelism`` partitions when the scan delivers fewer (a
+    small input file arrives as ONE partition and every interpreted
+    fold here would serialize on one core — same guard as
+    dedup._ensure_parallelism; no-op at real scale).
+
+    The repartition goes on the RAW input, BEFORE the quantize
+    projection: Catalyst keeps projections with their child stage, so
+    repartitioning the quantized output would still evaluate the
+    max-abs/scale folds inside the narrow single-partition stage —
+    exactly the cost the widening exists to spread."""
+    src = df
+    if min_parallelism is not None and src.rdd.getNumPartitions() < min_parallelism:
+        src = src.repartition(min_parallelism)
+    dq = quantize_embeddings(src, id_col, vec_col)
+    return dq.filter(_nonzero("qvec")).select(F.col(id_col), F.col("qvec"))
 
 
 def kmeans_fit_quantized(
@@ -79,6 +160,8 @@ def kmeans_fit_quantized(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_parallelism: int | None = None,
+    _base: DataFrame | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Fit ``k`` centroids with ``iters`` Lloyd iterations over the
     int8-quantized corpus.  Returns ``[(cell, centroid)]`` with
@@ -95,8 +178,16 @@ def kmeans_fit_quantized(
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans_fit_quantized: need k >= 1, iters >= 0")
-    dq = quantize_embeddings(df, id_col, vec_col)
-    base = dq.filter(_nonzero("qvec")).select(F.col(id_col), F.col("qvec"))
+    base = _base if _base is not None else _quantized_base(
+        df, id_col, vec_col, min_parallelism
+    )
+    # Lloyd re-scans the corpus every iteration; persist the quantized
+    # form so iterations don't re-run the parquet scan + quantize fold
+    # (MEMORY_AND_DISK — at 100 TB this is the standard trained-model
+    # iteration cache, spilled if it doesn't fit)
+    owns_cache = _base is None
+    if owns_cache:
+        base = base.persist()
     init_rows = base.orderBy(F.asc(id_col)).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(
@@ -109,18 +200,20 @@ def kmeans_fit_quantized(
     # one generated-SQL agg list (see the F.expr note in
     # minhash_signatures: N Column-API trees cost py4j round-trips)
     sum_exprs = [F.expr(f"sum(qvec[{i}]) AS s{i}") for i in range(dim)]
-    for _ in range(iters):
-        assigned = base.select(
-            F.col(id_col), F.col("qvec"), _argmax_cell(F.col("qvec"), cents).alias("cell")
-        )
-        stats = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"), *sum_exprs
-        ).collect()
-        means = {
-            int(r["cell"]): [r[f"s{i}"] / r["n"] for i in range(dim)]
-            for r in stats
-        }
-        cents = [(c, means.get(c, v)) for c, v in cents]
+    try:
+        for _ in range(iters):
+            assigned = _assign_cells(base, cents)
+            stats = assigned.groupBy("cell").agg(
+                F.count("*").alias("n"), *sum_exprs
+            ).collect()
+            means = {
+                int(r["cell"]): [r[f"s{i}"] / r["n"] for i in range(dim)]
+                for r in stats
+            }
+            cents = [(c, means.get(c, v)) for c, v in cents]
+    finally:
+        if owns_cache:
+            base.unpersist()
     return cents
 
 
@@ -134,6 +227,7 @@ def kmeans_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """IVF ANN with TRAINED centroids: fit Lloyd centroids, assign the
     corpus (zero-shuffle argmax), probe the query's ``nprobe`` best
@@ -144,13 +238,18 @@ def kmeans_ivf_topk(
     state, not data) with the same left-to-right float fold the SQL
     oracle uses — bit-identical.  At scale, write the assigned corpus
     partitioned by cell so a probe reads only its cells' files.
+
+    One quantized-base lineage is shared by the fit iterations and the
+    final assignment; with the parallelism guard its recompute per
+    action is a wide cheap map, so no persist is held beyond the fit
+    loop's own (which would outlive this call in the returned lazy
+    DataFrame).
     """
-    cents = kmeans_fit_quantized(df, n_centroids, iters, id_col, vec_col)
-    dq = quantize_embeddings(df, id_col, vec_col)
-    base = dq.filter(_nonzero("qvec")).select(F.col(id_col), F.col("qvec"))
-    assigned = base.select(
-        F.col(id_col), F.col("qvec"), _argmax_cell(F.col("qvec"), cents).alias("cell")
+    base = _quantized_base(df, id_col, vec_col, min_parallelism)
+    cents = kmeans_fit_quantized(
+        df, n_centroids, iters, id_col, vec_col, _base=base
     )
+    assigned = _assign_cells(base, cents)
 
     q_rows = (
         quantize_embeddings(query, query_id_col, vec_col)
@@ -227,7 +326,7 @@ def ivf_write(
     base = dq.filter(_nonzero("qvec")).select(
         F.col(id_col), F.col(vec_col), F.col("qvec")
     )
-    assigned = base.withColumn("cell", _argmax_cell(F.col("qvec"), cents))
+    assigned = base.withColumn("cell", _argmax_cell("qvec", cents))
     (
         assigned.repartition("cell")
         .write.mode("overwrite")
