@@ -692,7 +692,7 @@ def dd_dup_spans(spark, sf):
     approximation of Lee et al.'s exact-substring dedup."""
     from zeek_duckdb_spark.operators.dedup import duplicate_spans
 
-    d = _t(spark, sf, "documents")
+    d = _docs_parallel(spark, sf)   # md5-per-window fold: widen 1-file input
     s = duplicate_spans(d, width=8, stride=1, min_docs=2)
     return s.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
