@@ -438,25 +438,34 @@ def _estimated_scan_partitions(spark, df) -> int:
         return len(files)
 
 
-_DOCS_PARALLEL_CACHE: dict = {}
+_PARALLEL_CACHE: dict = {}
 
 
-def _docs_parallel(spark, sf):
-    """documents.parquet is one small file at test SFs -> one input
-    partition; hash-heavy per-row ops (minhash/simhash) would run on a
-    single core.  Repartition up to the cluster's parallelism; at real
-    scale the input already has >= that many splits and this is a no-op
-    shuffle of modest rows.  The split estimate costs ~0.2 s of driver
-    metadata (inputFiles) — memoized per (session, dir) like _t."""
-    key = (id(spark), sf)
-    d = _DOCS_PARALLEL_CACHE.get(key)
+def _tbl_parallel(spark, sf, table):
+    """documents/embeddings are one small file each at test SFs -> one
+    input partition; the interpreted per-row folds (minhash/simhash/
+    md5-window/cosine) would serialize on a single core.  Repartition
+    up to the cluster's parallelism; at real scale the input already
+    has >= that many splits and this is a no-op shuffle of modest rows.
+    The split estimate costs ~0.2 s of driver metadata (inputFiles) —
+    memoized per (session, dir, table) like _t."""
+    key = (id(spark), sf, table)
+    d = _PARALLEL_CACHE.get(key)
     if d is None:
-        d = _t(spark, sf, "documents")
+        d = _t(spark, sf, table)
         target = spark.sparkContext.defaultParallelism
         if _estimated_scan_partitions(spark, d) < target:
             d = d.repartition(target)
-        _DOCS_PARALLEL_CACHE[key] = d
+        _PARALLEL_CACHE[key] = d
     return d
+
+
+def _docs_parallel(spark, sf):
+    return _tbl_parallel(spark, sf, "documents")
+
+
+def _emb_parallel(spark, sf):
+    return _tbl_parallel(spark, sf, "embeddings")
 
 
 def dd_minhash_lsh(spark, sf):
@@ -478,13 +487,13 @@ def dd_simhash_pairs(spark, sf):
 
 def dd_cosine_pairs(spark, sf):
     """Embedding near-dup pairs, cosine>=0.35 (vec_id<200, exact)."""
-    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    e = _emb_parallel(spark, sf).filter(F.col("vec_id") < 200)
     return sim.cosine_pairs(e, threshold=0.35, dim=64, exact=True)
 
 
 def sim_topk(spark, sf):
     """Brute-force cosine top-20 neighbors of vec_id=0."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb_parallel(spark, sf)
     q = e.filter(F.col("vec_id") == 0)
     return sim.topk_neighbors(e, q, k=20, query_id_col="vec_id")
 
@@ -493,7 +502,7 @@ def sim_ivf_topk(spark, sf):
     """IVF-style ANN (sampled centroids, nprobe cell search, exact
     re-rank) for vec_id=0.  Fully deterministic — the oracle restates
     the cell assignment and probe pipeline in SQL (_ivf_topk_oracle)."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb_parallel(spark, sf)
     q = e.filter(F.col("vec_id") == 0)
     return sim.ivf_topk(
         e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=16, nprobe=4
@@ -504,7 +513,7 @@ def sim_ann_lsh(spark, sf):
     """LSH-bucketed ANN for vec_id=0.  planes=6 (64 buckets) so the
     query's bucket is populated at test SFs — the oracle restates the
     seeded plane matrix verbatim in SQL."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb_parallel(spark, sf)
     q = e.filter(F.col("vec_id") == 0)
     return sim.lsh_bucket_ann(e.filter(F.col("vec_id") != 0), q, dim=64, k=10, planes=6)
 
@@ -709,7 +718,7 @@ def sim_kmeans_ivf(spark, sf):
     oracle restates both unrolled iterations in SQL."""
     from zeek_duckdb_spark.operators.kmeans import kmeans_ivf_topk
 
-    e = _t(spark, sf, "embeddings")
+    e = _emb_parallel(spark, sf)
     q = e.filter(F.col("vec_id") == 0)
     return kmeans_ivf_topk(
         e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=2, iters=2,
