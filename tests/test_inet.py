@@ -87,3 +87,56 @@ def test_ip_to_bytes_sortable(spark):
         "SELECT ip_to_bytes('10.0.0.2') AS a, ip_to_bytes('10.0.0.10') AS b"
     ).first()
     assert rows.a < rows.b  # byte-wise comparable
+
+
+def test_ip_prefix_v4_matches_ipaddress_and_stays_jvm(spark):
+    import ipaddress
+    import random
+
+    from zeek_duckdb_spark.functions.inet import ip_prefix, ip_prefix_v4
+    from zeek_duckdb_spark.plans import audit
+
+    rng = random.Random(6)
+    addrs = [
+        ".".join(str(rng.randrange(256)) for _ in range(4)) for _ in range(200)
+    ] + ["10.21.7.136", "255.255.255.255", "0.0.0.0"]
+    bad = ["fe80::1", "not-an-ip", "1.2.3", "1.2.3.4.5", "300.1.1.1", None]
+    df = spark.createDataFrame([(a,) for a in addrs + bad], ["a"])
+    for bits in (0, 8, 16, 24, 32):
+        got = {r.a: r.p for r in df.select(
+            "a", ip_prefix_v4(F.col("a"), bits).alias("p")).collect()}
+        for a in addrs:
+            want = str(ipaddress.ip_network(f"{a}/{bits}", strict=False))
+            assert got[a] == want, (a, bits, got[a], want)
+        for a in bad:
+            if a is not None:
+                assert got[a] is None, (a, bits, got[a])
+    # v4 fast path is pure JVM; the dual-stack fallback agrees on v4
+    plan = audit.physical_plan(df.select(ip_prefix_v4(F.col("a"), 24)))
+    assert "Python" not in plan and "Arrow" not in plan
+    both = df.select(
+        ip_prefix_v4(F.col("a"), 24).alias("fast"),
+        ip_prefix(F.col("a"), 24).alias("gen"),
+    ).collect()
+    for r in both:
+        if r.fast is not None:
+            assert r.fast == r.gen
+
+
+def test_ip_prefix_dual_stack_and_sql_registration(spark):
+    from zeek_duckdb_spark.functions.inet import ip_prefix, register_inet_functions
+
+    df = spark.createDataFrame(
+        [("2001:db8:abcd::1",), ("10.1.2.3",)], ["a"]
+    )
+    got = {r.a: r.p for r in df.select("a", ip_prefix(F.col("a"), 48).alias("p")).collect()}
+    assert got["2001:db8:abcd::1"] == "2001:db8:abcd::/48"
+    register_inet_functions(spark)
+    df.createOrReplaceTempView("ips")
+    r = spark.sql("SELECT ip_prefix(a, 24) AS p FROM ips WHERE a = '10.1.2.3'").first()
+    assert r.p == "10.1.2.0/24"
+    import pytest as _pytest
+
+    from zeek_duckdb_spark.functions.inet import ip_prefix_v4
+    with _pytest.raises(ValueError, match="bits"):
+        ip_prefix_v4(F.col("a"), 33)
