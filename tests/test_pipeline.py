@@ -200,3 +200,39 @@ def test_clean_corpus_full_stage_stack(spark):
     assert passage in rows[4]                 # keeper keeps the passage
     assert passage not in rows[5]             # dup span stripped
     assert 6 in rows
+
+
+def test_mix_corpora_epochs_and_determinism(spark):
+    from zeek_duckdb_spark.operators.pipeline import mix_corpora
+
+    wiki = spark.createDataFrame([(i, f"w{i}") for i in range(100)],
+                                 "doc_id long, text string")
+    web = spark.createDataFrame([(i, f"c{i}") for i in range(1000)],
+                                "doc_id long, text string")
+    mixed = mix_corpora({"wiki": (wiki, 2.5), "web": (web, 0.3)}, seed=7)
+    rows = mixed.collect()
+    n_wiki = sum(1 for r in rows if r.source == "wiki")
+    n_web = sum(1 for r in rows if r.source == "web")
+    # 2 full epochs + ~half of a third; ~30% of one web epoch
+    assert 230 <= n_wiki <= 270 and 250 <= n_web <= 350
+    epochs = {r.epoch for r in rows if r.source == "wiki"}
+    assert epochs == {0, 1, 2}
+    # every wiki doc appears exactly twice in full epochs
+    from collections import Counter
+
+    full = Counter(r.doc_id for r in rows if r.source == "wiki" and r.epoch < 2)
+    assert set(full.values()) == {2}
+    # deterministic under reshuffling and re-run
+    again = mix_corpora(
+        {"wiki": (wiki.repartition(5), 2.5), "web": (web.repartition(3), 0.3)},
+        seed=7,
+    ).collect()
+    key = lambda r: (r.source, r.epoch, r.doc_id, r.mix_key)  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    # mix_key interleaves sources (not blocked by source)
+    first200 = [r.source for r in sorted(rows, key=lambda r: r.mix_key)[:200]]
+    assert {"wiki", "web"} <= set(first200)
+    with pytest.raises(ValueError, match="weight"):
+        mix_corpora({"x": (wiki, 0.0)})
+    with pytest.raises(ValueError, match="sources"):
+        mix_corpora({})

@@ -34,6 +34,7 @@ __all__ = [
     "stratified_sample",
     "shard_corpus",
     "pack_sequences",
+    "mix_corpora",
 ]
 
 
@@ -252,3 +253,72 @@ def pack_sequences(
         .withColumn("seq_offset", F.col("__start") % F.lit(int(seq_len)))
         .drop("__start")
     )
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted source mixing — the epoch knob of a
+    training run ("2.5 epochs of wiki, 0.3 of web"): each source's rows
+    appear ``floor(weight)`` full times (an ``epoch`` column counts the
+    repeats) plus a :func:`deterministic_sample` of the fractional
+    remainder, and every emitted row gets a reproducible ``mix_key``
+    (md5 of source:epoch:id:seed) to ORDER the training stream by.
+
+    Scale shape: repeats are an in-row ``explode(sequence(...))`` — no
+    self-union of scans, one pass per source; the fractional part is a
+    pushable hash filter; the global interleave order is just the
+    mix_key sort, which downstream consumes per-shard
+    (:func:`pack_sequences` on ``mix_key``-derived shards) rather than
+    as one global sort.  Same inputs + seed -> byte-identical mix on
+    any cluster — resumable training data, not a ``rand()`` roll.
+
+    Output: each source's rows with added ``source``, ``epoch`` (0-based
+    repeat index) and ``mix_key`` columns; column sets must match
+    across sources (unioned by name).
+    """
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    if not sources:
+        raise ValueError("mix_corpora: sources is empty")
+    parts = []
+    for name, (df, weight) in sources.items():
+        if weight <= 0:
+            raise ValueError(f"mix_corpora: weight for '{name}' must be > 0")
+        full = int(weight)
+        frac = weight - full
+        reps = None
+        if full > 0:
+            reps = df.withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), F.lit(full - 1)))
+            )
+        if frac > 0:
+            # stable per-source seed: Python's hash() is randomized per
+            # process (PYTHONHASHSEED), which would break the
+            # same-seed-same-mix contract across runs
+            import zlib
+
+            extra = deterministic_sample(
+                df, id_col, frac, seed=seed + zlib.crc32(name.encode()) % 1000
+            ).withColumn("epoch", F.lit(full))
+            reps = extra if reps is None else reps.unionByName(extra)
+        part = reps.withColumn("source", F.lit(name))
+        part = part.withColumn(
+            "mix_key",
+            md5_long(
+                F.concat_ws(
+                    ":",
+                    F.lit(name),
+                    F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
