@@ -331,3 +331,68 @@ def test_minhash_min_parallelism_widens_single_partition_input(spark):
     a = sorted((r.doc_id, tuple(r.minhash)) for r in wide.collect())
     b = sorted((r.doc_id, tuple(r.minhash)) for r in narrow.collect())
     assert a == b
+
+
+def test_strip_duplicate_spans_property_randomized(spark):
+    """Randomized corpora with planted shared passages: after stripping
+    (width=W, min_docs=2), (a) for every duplicated window the lowest
+    occurring doc keeps its text verbatim, (b) no other doc still
+    contains that window's exact token run, (c) docs without duplicated
+    windows are byte-identical.  One Spark job over many generated
+    corpora (hypothesis-style coverage without per-example Spark
+    overhead)."""
+    import random
+
+    from zeek_duckdb_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    did = 0
+    for corpus_i in range(25):
+        passage = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 12)))
+        n_docs = rng.randint(2, 5)
+        for _ in range(n_docs):
+            pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+            post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+            share = rng.random() < 0.7
+            body = f"{pre} {passage} {post}" if share else " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(10, 25))
+            )
+            rows.append((did, " ".join(body.split())))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 8
+    spans = duplicate_spans(df, width=W, min_docs=2).collect()
+    out = {r.doc_id: r.text for r in strip_duplicate_spans(df, width=W, min_docs=2).collect()}
+    orig = dict(rows)
+    assert set(out) == set(orig)                      # row count preserved
+
+    from collections import defaultdict
+
+    by_fp = defaultdict(list)
+    fp_window = {}
+    for r in spans:
+        by_fp[r.fp].append(r.doc_id)
+        fp_window[(r.fp, r.doc_id, r.pos)] = r.pos
+    docs_with_spans = {r.doc_id for r in spans}
+    for d in set(orig) - docs_with_spans:
+        assert out[d] == orig[d], f"untouched doc {d} changed"
+    # a doc is untouched iff it is the keeper (min id) for EVERY one of
+    # its duplicated windows; it loses exactly the windows it is not
+    # the keeper of
+    loses = defaultdict(set)
+    for r in spans:
+        if r.doc_id != min(by_fp[r.fp]):
+            loses[r.doc_id].add((r.fp, r.pos))
+    for d in docs_with_spans:
+        if not loses[d]:
+            assert out[d] == orig[d], f"all-keeper doc {d} changed"
+    for r in spans:
+        if r.doc_id == min(by_fp[r.fp]):
+            continue
+        window = " ".join(orig[r.doc_id].lower().split()[r.pos : r.pos + W])
+        joined = " ".join(out[r.doc_id].lower().split())
+        assert window not in joined, (
+            f"doc {r.doc_id} still contains duplicated window {window!r}"
+        )
