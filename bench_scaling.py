@@ -185,7 +185,10 @@ def main() -> None:
     lines.append("| " + " | ".join(row) + " |")
     lines += [
         "",
-        "Reading: totals sit inside the 2x-of-baseline bar at both scales.",
+        "Reading: totals move with machine load — idle-machine runs sit at",
+        "~1.0x (sf0.1) / ~1.9x (sf~1), loaded runs reach ~1.6x / ~2.2x, and",
+        "every query (touched or not) moves together, so the spread is",
+        "contention noise, not plan variance.",
         "Where the time goes differs by query class: for scan/window/agg",
         "queries (q09, q12, q29, tx_quality, sim_topk) the ratio falls with",
         "scale as Spark's fixed per-query cost (~0.2-0.5 s of stage",
@@ -228,6 +231,23 @@ def main() -> None:
         "  plan shape (narrow scan + TakeOrderedAndProject, no shuffle), same",
         "  results after the 6-dp round (verified identical at sf0.1), ~8x",
         "  less scoring CPU.",
+        "",
+        "## Round-5 operators (one-off medians of 3, idle machine; not in",
+        "## the HEADLINE set this script regenerates)",
+        "",
+        "| operator | sf0.1 | sf~1 (10x) | scaling |",
+        "|---|---|---|---|",
+        "| sim_kmeans_ivf (2 Lloyd iters, K=8, nprobe=2) | 3.77 s | 5.79 s | 1.5x on 10x data — fit job fixed costs amortize |",
+        "| pipe_pack (512-token concat-and-chunk layout) | 0.18 s | 0.24 s | flat — one per-shard window over (id, n_tokens) |",
+        "| dd_dup_spans (8-token window fingerprints) | 0.75 s | 5.81 s | near-linear — the per-token explode IS the computation |",
+        "",
+        "kmeans note: the fit originally cost 26.6 s at sf0.1 — inline",
+        "centroid literals forced a whole-stage-codegen recompile",
+        "(~3-5 s/job) every Lloyd iteration, and the quantize fold ran on",
+        "the single input partition.  Centroids now join as a broadcast",
+        "1-row attribute (generated code identical across iterations ->",
+        "codegen cache hits) and the parallelism guard widens the raw scan:",
+        "6.7x less fixed overhead, bit-identical results (oracle-pinned).",
         "",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
