@@ -236,3 +236,24 @@ def test_mix_corpora_epochs_and_determinism(spark):
         mix_corpora({"x": (wiki, 0.0)})
     with pytest.raises(ValueError, match="sources"):
         mix_corpora({})
+
+
+def test_pack_sequences_rejects_bad_token_counts(spark):
+    from zeek_duckdb_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="non-negative token count"):
+        pack_sequences(df, seq_len=512).collect()
+    df2 = spark.createDataFrame(
+        [(1, 100), (2, -7)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="non-negative token count"):
+        pack_sequences(df2, seq_len=512).collect()
+    # zero is a legal count (empty doc occupies no tokens)
+    ok = pack_sequences(
+        spark.createDataFrame([(1, 0), (2, 10)], "doc_id long, n_tokens long"),
+        seq_len=512,
+    ).collect()
+    assert len(ok) == 2

@@ -243,7 +243,25 @@ def pack_sequences(
         raise ValueError("seq_len must be >= 1")
     from pyspark.sql import Window
 
-    sharded = shard_corpus(df, n_shards, id_col, seed)
+    # NULL/negative token counts would silently corrupt every later
+    # offset in the shard (SUM OVER skips NULLs; negatives walk the
+    # layout backwards) — fail loudly at the first bad row instead
+    checked = F.when(
+        F.col(token_col).isNull() | (F.col(token_col) < 0),
+        F.raise_error(
+            F.format_string(
+                "pack_sequences: %s must be a non-negative token count, got "
+                "%s for %s=%s",
+                F.lit(token_col),
+                F.coalesce(F.col(token_col).cast("string"), F.lit("NULL")),
+                F.lit(id_col),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(token_col))
+    sharded = shard_corpus(
+        df.withColumn(token_col, checked), n_shards, id_col, seed
+    )
     w = Window.partitionBy("shard").orderBy(F.asc(id_col))
     cum = F.sum(token_col).over(w)
     start = (cum - F.col(token_col)).cast("long")
