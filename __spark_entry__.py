@@ -414,28 +414,12 @@ def tx_boilerplate(spark, sf):
 
 
 def _estimated_scan_partitions(spark, df) -> int:
-    """Estimate how many input splits the file scan will produce:
-    sum(ceil(size / maxPartitionBytes)) over the scan's files.  File
-    count alone both over-counts (many tiny files Spark coalesces) and
-    under-counts (one large splittable parquet), so size the estimate
-    the way Spark's FilePartition packing does.  Driver-side metadata
-    only — no RDD materialization (~100 ms of plan->RDD conversion)."""
-    import os
-    import re
+    """Shared file-size split estimate — see plans/scanstats.py
+    (sum(ceil(size / maxPartitionBytes)); driver-side metadata only,
+    no plan->RDD conversion)."""
+    from zeek_duckdb_spark.plans.scanstats import estimated_scan_partitions
 
-    files = df.inputFiles()
-    try:
-        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                 "134217728"))
-        mpb = int(raw.lower().rstrip("b")) or 1
-        total = 0
-        for f in files:
-            p = re.sub(r"^[a-z0-9.+-]+:(//)?", "", f)
-            total += max(1, -(-os.path.getsize(p) // mpb))
-        return total
-    except (OSError, ValueError):
-        # non-local filesystem or unparsable conf -> file count fallback
-        return len(files)
+    return estimated_scan_partitions(df)
 
 
 _PARALLEL_CACHE: dict = {}
@@ -1010,6 +994,7 @@ def _ivf_topk_oracle() -> str:
           SELECT cell FROM (
             SELECT c.cell, {_cos_sql('q.qv', 'c.cv')} AS c_sim
             FROM q CROSS JOIN c) t
+          WHERE NOT isnan(c_sim)
           ORDER BY c_sim DESC, cell ASC LIMIT 4)
         SELECT a.vec_id, ROUND({_cos_sql('a.v', 'q.qv')}, 6) AS cosine_sim
         FROM assigned a JOIN probes USING (cell) CROSS JOIN q
@@ -1086,6 +1071,7 @@ def _kmeans_ivf_oracle(
           WHERE rn = 1),
         probes AS (
           SELECT cell FROM {cur} c CROSS JOIN qrow q
+          WHERE list_sum(list_transform(c.cv, x -> x * x)) > 0
           ORDER BY {_cos_sql('q.qd', 'c.cv')} DESC, cell ASC
           LIMIT {nprobe}),
         scored AS (

@@ -100,7 +100,12 @@ def test_ip_prefix_v4_matches_ipaddress_and_stays_jvm(spark):
     addrs = [
         ".".join(str(rng.randrange(256)) for _ in range(4)) for _ in range(200)
     ] + ["10.21.7.136", "255.255.255.255", "0.0.0.0"]
-    bad = ["fe80::1", "not-an-ip", "1.2.3", "1.2.3.4.5", "300.1.1.1", None]
+    # leading-zero octets, signs, and padding are rejected by Python's
+    # ipaddress, so the JVM fast path must NULL them too (it used to
+    # accept '010.1.1.1' via a bare numeric-range check)
+    bad = ["fe80::1", "not-an-ip", "1.2.3", "1.2.3.4.5", "300.1.1.1",
+           "010.1.1.1", "1.02.3.4", "1.2.3.004", "+1.2.3.4", " 1.2.3.4",
+           "1.2.3.4 ", None]
     df = spark.createDataFrame([(a,) for a in addrs + bad], ["a"])
     for bits in (0, 8, 16, 24, 32):
         got = {r.a: r.p for r in df.select(

@@ -111,3 +111,24 @@ def test_materialized_ivf_probe_prunes_partitions(spark, emb, tmp_path):
 
     cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
     assert len(cells) >= 2
+
+
+def test_zero_norm_centroid_excluded_from_probe_ranking(spark, emb, tmp_path):
+    # a degenerate (all-zero) centroid has undefined cosine; the Python
+    # fold's -inf sorts LAST while a SQL oracle's NaN sorts FIRST under
+    # ORDER BY DESC — so both sides must exclude it from probe scoring.
+    # Plant a zero centroid alongside the trained ones: the probe set
+    # (and thus the result) must be identical with and without it.
+    from zeek_duckdb_spark.operators.kmeans import ivf_probe_topk, ivf_write
+
+    path = str(tmp_path / "ivf")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    cents = ivf_write(corpus, path, n_centroids=4, iters=1)
+    dim = len(cents[0][1])
+    with_zero = cents + [(99, [0.0] * dim)]
+    want = [(r.vec_id, r.cosine_sim)
+            for r in ivf_probe_topk(spark, path, cents, q, k=5, nprobe=1).collect()]
+    got = [(r.vec_id, r.cosine_sim)
+           for r in ivf_probe_topk(spark, path, with_zero, q, k=5, nprobe=1).collect()]
+    assert got == want and len(got) > 0

@@ -166,3 +166,26 @@ def test_cdc_chunks_validates_params(spark):
     # empty / NULL payloads produce no chunks, no crash
     df2 = _cdc_df(spark, [(1, bytearray(b"")), (2, None)])
     assert cdc_chunks(df2).count() == 0
+
+
+def test_cdc_chunks_respects_string_id_column(spark):
+    # the output id field derives name AND type from the input id
+    # column (it used to hardcode doc_id:int64, crashing on string ids)
+    import random as _r
+
+    from zeek_duckdb_spark.operators.multimodal import cdc_chunks, chunk_dedup_groups
+
+    rng = _r.Random(4)
+    blob = bytearray(rng.randrange(256) for _ in range(3000))
+    df = spark.createDataFrame(
+        [("img-a", blob), ("img-b", blob)], "media_id string, media binary"
+    )
+    ch = cdc_chunks(df, id_col="media_id", min_size=64, avg_size=256, max_size=1024)
+    assert ch.columns[0] == "media_id"
+    assert dict(ch.dtypes)["media_id"] == "string"
+    rows = ch.collect()
+    assert {r.media_id for r in rows} == {"img-a", "img-b"}
+    # identical blobs chunk identically, and the dedup aggregate counts
+    # distinct blobs by the string id
+    groups = chunk_dedup_groups(ch).collect()
+    assert groups and all(g.n_blobs == 2 for g in groups)

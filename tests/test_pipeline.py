@@ -238,6 +238,29 @@ def test_mix_corpora_epochs_and_determinism(spark):
         mix_corpora({})
 
 
+def test_mix_corpora_fractional_samples_decorrelated_across_sources(spark):
+    # the per-source fractional sample folds the SOURCE NAME into the
+    # hash key.  The earlier crc32(name) % 1000 seed derivation let
+    # names collide ('p' and 'ak' both hash to 457), and colliding
+    # sources with overlapping id spaces made identical keep/drop
+    # decisions — a silently biased mix
+    from zeek_duckdb_spark.operators.pipeline import mix_corpora
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(1000)],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(1000)],
+                              "doc_id long, text string")
+    mixed = mix_corpora({"p": (a, 0.5), "ak": (b, 0.5)}, seed=7)
+    rows = mixed.collect()
+    kept_a = {r.doc_id for r in rows if r.source == "p"}
+    kept_b = {r.doc_id for r in rows if r.source == "ak"}
+    # independent ~50% samples overlap in ~25% of ids, not ~50%
+    assert 400 <= len(kept_a) <= 600 and 400 <= len(kept_b) <= 600
+    assert kept_a != kept_b
+    overlap = len(kept_a & kept_b)
+    assert 150 <= overlap <= 350, overlap
+
+
 def test_pack_sequences_rejects_bad_token_counts(spark):
     from zeek_duckdb_spark.operators.pipeline import pack_sequences
 

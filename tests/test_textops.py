@@ -217,6 +217,8 @@ def test_quality_classifier_matches_duckdb_restatement(spark):
         (2, "click here buy now cheap pills limited offer"),
         (3, "solo"),
         (4, "a b a b a b"),
+        (5, ""),          # empty doc -> sigmoid(bias), not weight[md5('')]
+        (6, "   \t  "),   # whitespace-only doc -> sigmoid(bias)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -231,17 +233,26 @@ def test_quality_classifier_matches_duckdb_restatement(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = dict(
         con.execute(f"""
-        WITH w AS (SELECT {w_sql}::DOUBLE[] AS wv)
+        WITH w AS (SELECT {w_sql}::DOUBLE[] AS wv),
+        tk AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  tk -> tk <> '') AS toks
+               FROM t)
         SELECT doc_id,
                1.0 / (1.0 + exp(-(0.1 + COALESCE(
-                 list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                 list_sum(list_transform(toks,
                    tk -> wv[CAST((CAST(concat('0x', substring(md5(tk), 1, 15)) AS BIGINT) % {D}) + 1 AS INT)]))
-                 / len(string_split_regex(trim(text), '\\s+')), 0.0)))) AS s
-        FROM t, w
+                 / len(toks), 0.0)))) AS s
+        FROM tk, w
         """).fetchall()
     )
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    # empty/whitespace docs score exactly sigmoid(bias) as documented
+    import math
+
+    sig_bias = 1.0 / (1.0 + math.exp(-0.1))
+    assert abs(got[5] - sig_bias) < 1e-12 and abs(got[6] - sig_bias) < 1e-12
 
 
 def test_quality_classifier_separates_and_is_pure_map(spark):

@@ -155,7 +155,15 @@ def ip_prefix_v4(addr: Column, bits: int) -> Column:
     ok = (
         (F.size(o) == 4)
         & n.isNotNull()
-        & F.forall(o, lambda x: x.try_cast("long").between(0, 255))
+        & F.forall(
+            o,
+            # the cast round-trip rejects leading-zero octets ('010'),
+            # signs, and padding, which Python's ipaddress (the
+            # ip_prefix path this must agree with) also rejects — a
+            # bare between() would silently accept '010.1.1.1'
+            lambda x: x.try_cast("long").between(0, 255)
+            & (x == x.try_cast("long").cast("string")),
+        )
     )
     return F.when(ok, F.concat(net, F.lit(f"/{bits}")))
 

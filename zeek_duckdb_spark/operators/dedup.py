@@ -110,16 +110,12 @@ def _shingles_from_tokens(tok_col: str, k: int) -> Column:
 
 
 def _ensure_parallelism(df: DataFrame, min_parallelism: int | None) -> DataFrame:
-    """Round-robin repartition when the input has fewer partitions than
-    requested.  The expensive per-row folds in this module inherit the
-    SCAN's partitioning — a small input file arrives as ONE partition
-    and the whole fold serializes on one core (measured 2.4x on the
-    sf0.1 LSH pipeline, 32 cores).  At real scale inputs split
-    naturally and this is a no-op; results are partitioning-independent
-    either way."""
-    if min_parallelism is None or df.rdd.getNumPartitions() >= min_parallelism:
-        return df
-    return df.repartition(min_parallelism)
+    """Widen a narrow scan before the expensive per-row folds in this
+    module — see :func:`plans.scanstats.ensure_min_parallelism` (file-
+    size estimate, no driver-side plan->RDD conversion)."""
+    from zeek_duckdb_spark.plans.scanstats import ensure_min_parallelism
+
+    return ensure_min_parallelism(df, min_parallelism)
 
 
 def minhash_signatures(

@@ -137,19 +137,13 @@ def _quantized_base(
     min_parallelism: int | None,
 ) -> DataFrame:
     """(id, qvec) with degenerate rows dropped; widened to
-    ``min_parallelism`` partitions when the scan delivers fewer (a
-    small input file arrives as ONE partition and every interpreted
-    fold here would serialize on one core — same guard as
-    dedup._ensure_parallelism; no-op at real scale).
+    ``min_parallelism`` partitions when the scan delivers fewer —
+    see :func:`plans.scanstats.ensure_min_parallelism` (file-size
+    estimate, no driver-side plan->RDD conversion; the repartition
+    lands on the RAW input, before the quantize projection)."""
+    from zeek_duckdb_spark.plans.scanstats import ensure_min_parallelism
 
-    The repartition goes on the RAW input, BEFORE the quantize
-    projection: Catalyst keeps projections with their child stage, so
-    repartitioning the quantized output would still evaluate the
-    max-abs/scale folds inside the narrow single-partition stage —
-    exactly the cost the widening exists to spread."""
-    src = df
-    if min_parallelism is not None and src.rdd.getNumPartitions() < min_parallelism:
-        src = src.repartition(min_parallelism)
+    src = ensure_min_parallelism(df, min_parallelism)
     dq = quantize_embeddings(src, id_col, vec_col)
     return dq.filter(_nonzero("qvec")).select(F.col(id_col), F.col("qvec"))
 
@@ -264,7 +258,16 @@ def kmeans_ivf_topk(
 
     qd = [float(v) for v in q_qvec]
     probe_scored = sorted(
-        ((c, _seq_cosine(qd, v)) for c, v in cents),
+        # zero-norm centroids are excluded from probe ranking: their
+        # cosine is undefined, and the two engines order undefined
+        # scores oppositely (_seq_cosine's -inf sorts last; the
+        # oracle's NaN sorts FIRST under DuckDB ORDER BY DESC) — the
+        # oracle applies the same exclusion
+        (
+            (c, _seq_cosine(qd, v))
+            for c, v in cents
+            if any(x != 0.0 for x in v)
+        ),
         key=lambda t: (-t[1], t[0]),
     )
     probe_cells = [c for c, _ in probe_scored[:nprobe]]
@@ -367,7 +370,13 @@ def ivf_probe_topk(
 
     qd = [float(v) for v in q_qvec]
     probe_scored = sorted(
-        ((c, _seq_cosine(qd, v)) for c, v in cents), key=lambda t: (-t[1], t[0])
+        # zero-norm centroids excluded — see kmeans_ivf_topk
+        (
+            (c, _seq_cosine(qd, v))
+            for c, v in cents
+            if any(x != 0.0 for x in v)
+        ),
+        key=lambda t: (-t[1], t[0]),
     )
     probe_cells = [int(c) for c, _ in probe_scored[:nprobe]]
 

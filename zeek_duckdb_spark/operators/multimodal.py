@@ -308,9 +308,21 @@ def cdc_chunks(
     if not (0 < min_size <= avg_size <= max_size):
         raise ValueError("need 0 < min_size <= avg_size <= max_size")
 
+    # the output id field keeps the INPUT id column's name and type
+    # (string ids are as legitimate as longs for blobs) — same derive-
+    # from-schema rule as similarity.topk_neighbors_batch
+    id_field = df.schema[id_col]
+    id_dtype = {
+        "bigint": "int64",
+        "int": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "double": "float64",
+        "float": "float32",
+    }.get(id_field.dataType.simpleString(), "object")
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, id_field.dataType),
             T.StructField("chunk_idx", T.IntegerType()),
             T.StructField("offset", T.LongType()),
             T.StructField("length", T.LongType()),
@@ -359,7 +371,7 @@ def cdc_chunks(
                     hashes.append(hashlib.md5(b[s:e].tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype=id_dtype),
                     "chunk_idx": pd.Series(idxs, dtype="int32"),
                     "offset": pd.Series(offs, dtype="int64"),
                     "length": pd.Series(lens, dtype="int64"),
@@ -376,12 +388,16 @@ def chunk_dedup_groups(chunks: DataFrame) -> DataFrame:
     """Cross-blob chunk dedup stats over :func:`cdc_chunks` output: one
     row per duplicated chunk_hash with copy count, distinct-blob count,
     and reclaimable bytes ((copies-1) · length).  One hash-aggregate on
-    a short key — map-side partials, no collect_list, 100 TB-safe."""
+    a short key — map-side partials, no collect_list, 100 TB-safe.
+
+    The blob-id column is whatever :func:`cdc_chunks` emitted first
+    (it keeps the input id column's name), so this works for any
+    id name/type."""
     return (
         chunks.groupBy("chunk_hash", "length")
         .agg(
             F.count("*").alias("n_copies"),
-            F.count_distinct("doc_id").alias("n_blobs"),
+            F.count_distinct(chunks.columns[0]).alias("n_blobs"),
         )
         .filter(F.col("n_copies") > 1)
         .withColumn("bytes_reclaimable", (F.col("n_copies") - 1) * F.col("length"))

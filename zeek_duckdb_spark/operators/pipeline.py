@@ -313,13 +313,17 @@ def mix_corpora(
                 "epoch", F.explode(F.sequence(F.lit(0), F.lit(full - 1)))
             )
         if frac > 0:
-            # stable per-source seed: Python's hash() is randomized per
-            # process (PYTHONHASHSEED), which would break the
-            # same-seed-same-mix contract across runs
-            import zlib
-
-            extra = deterministic_sample(
-                df, id_col, frac, seed=seed + zlib.crc32(name.encode()) % 1000
+            # fold the SOURCE NAME into the sample hash key itself:
+            # deriving a per-source int seed (e.g. crc32(name) % N)
+            # lets two names collide, and since the bucket is keyed on
+            # the id alone, colliding sources with overlapping id
+            # spaces would make keep/drop decisions correlate — a
+            # silently biased mix
+            sample_key = F.concat_ws(
+                ":", F.lit(name), F.col(id_col).cast("string")
+            )
+            extra = df.filter(
+                _sample_bucket(sample_key, seed) < int(frac * 1_000_000)
             ).withColumn("epoch", F.lit(full))
             reps = extra if reps is None else reps.unionByName(extra)
         part = reps.withColumn("source", F.lit(name))

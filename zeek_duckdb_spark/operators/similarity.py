@@ -458,6 +458,10 @@ def ivf_topk(
     probes = (
         q.crossJoin(F.broadcast(c))
         .select("q_vec", "cell", cosine(F.col("q_vec"), F.col("c_vec")).alias("c_sim"))
+        # zero-norm centroids have undefined cosine (NULL here, NaN in
+        # a SQL restatement) and the engines order undefined scores
+        # oppositely — exclude them from probe ranking on both sides
+        .filter(F.col("c_sim").isNotNull())
         .orderBy(F.desc("c_sim"), F.asc("cell"))
         .limit(nprobe)
         .select("q_vec", "cell")

