@@ -280,3 +280,48 @@ def test_pack_sequences_rejects_bad_token_counts(spark):
         seq_len=512,
     ).collect()
     assert len(ok) == 2
+
+
+def test_clean_corpus_near_dedup_removes_planted_near_dups(spark):
+    # exact dedup misses boilerplate-perturbed copies; near_dedup must
+    # catch them and keep the lowest id of each fuzzy cluster
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sailors watch from the harbour wall in the evening light")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),                       # near-dup of 1
+            (3, base.replace("evening", "morning")),      # near-dup of 1
+            (4, "a completely different document about spark shuffle "
+                "partitioning strategies and broadcast joins at scale"),
+            (5, base),                                    # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    for strategy in ("minhash", "simhash"):
+        out = clean_corpus(
+            corpus, min_tokens=5, max_punct_ratio=0.5,
+            near_dedup=strategy,
+            near_params={"threshold": 0.6} if strategy == "minhash"
+            else {"max_hamming": 6},
+        )
+        kept = sorted(r.doc_id for r in out.collect())
+        assert kept == [1, 4], (strategy, kept)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="near_dedup"):
+        clean_corpus(corpus, near_dedup="nope").collect()
+
+
+def test_clean_corpus_near_dedup_shuffle_budget(spark):
+    # the fuzzy pass must stay one-shuffle-per-stage: candidate
+    # banding, cluster propagation, and the final anti-join — no
+    # corpus-sized collect, no cartesian product
+    from zeek_duckdb_spark.plans import audit
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = clean_corpus(d, near_dedup="minhash")
+    plan = audit.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() > 0

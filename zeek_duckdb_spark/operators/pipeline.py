@@ -51,6 +51,8 @@ def clean_corpus(
     blocked_domains: DataFrame | None = None,
     strip_dup_spans: bool = False,
     dup_span_width: int = 8,
+    near_dedup: str | None = None,
+    near_params: dict | None = None,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -78,6 +80,20 @@ def clean_corpus(
       so filters must see the cleaned text; runs after exact-dup docs
       would be caught anyway (the final exact dedup keeps one copy of
       any doc this pass empties).
+    - ``near_dedup='minhash'|'simhash'`` runs a FUZZY dedup pass after
+      the exact one — the most important stage of a crawl pipeline
+      (exact dedup misses boilerplate-perturbed copies).  Candidate
+      pairs come from the banded-LSH / block-permutation operators
+      (dedup.minhash_lsh_pairs / simhash_pairs — bucketed,
+      shuffle-bounded, never all-pairs), clusters from
+      graph.dedup_clusters' connected components, and the keep policy
+      is the same 'lowest id wins' as the exact pass: every non-min
+      member of a cluster is dropped via one anti-join.  Running AFTER
+      exact dedup keeps the LSH buckets free of byte-identical
+      mega-clusters (the failure mode minhash_lsh_pairs'
+      max_bucket_size guards against).  ``near_params`` passes
+      operator knobs through (minhash: num_hashes/shingle_k/bands/
+      threshold/seed; simhash: bits/blocks/max_hamming).
     """
     base = df.select(id_col, text_col)
     if blocked_domains is not None:
@@ -119,7 +135,73 @@ def clean_corpus(
     with_key = kept.withColumn("fp", key)
     keepers = with_key.groupBy("fp").agg(F.min(id_col).alias(id_col))
     deduped = with_key.join(keepers, [id_col, "fp"], "left_semi").drop("fp")
+    if near_dedup is not None:
+        deduped = _near_dedup_pass(
+            deduped, id_col, text_col, near_dedup, near_params
+        )
     return deduped.withColumn("lang_guess", lang_id(F.col(text_col)))
+
+
+def _near_dedup_pass(
+    deduped: DataFrame,
+    id_col: str,
+    text_col: str,
+    strategy: str,
+    params: dict | None,
+) -> DataFrame:
+    """Fuzzy-dedup stage of :func:`clean_corpus`: LSH candidate pairs
+    -> connected-component clusters -> drop every non-min member.  One
+    anti-join against the (small) loser set; the corpus itself pays
+    only the candidate-generation shuffle the pair operators already
+    bound."""
+    from zeek_duckdb_spark.operators import dedup as dd
+    from zeek_duckdb_spark.operators.graph import connected_components
+
+    p = dict(params or {})
+    if strategy == "minhash":
+        num_hashes = p.get("num_hashes", 32)
+        shingle_k = p.get("shingle_k", 3)
+        sigs = dd.minhash_signatures(
+            deduped,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            seed=p.get("seed", 1),
+        )
+        pairs = dd.minhash_lsh_pairs(
+            sigs,
+            id_col,
+            bands=p.get("bands", 8),
+            threshold=p.get("threshold", 0.7),
+            num_hashes=num_hashes,
+            max_bucket_size=p.get("max_bucket_size", 100_000),
+            on_oversize=p.get("on_oversize", "error"),
+            text_col=text_col,
+            shingle_k=shingle_k,
+        ).select("id_a", "id_b")
+    elif strategy == "simhash":
+        bits = p.get("bits", 60)
+        sims = dd.simhash(deduped, id_col, text_col, bits=bits)
+        pairs = dd.simhash_pairs(
+            sims,
+            id_col,
+            max_hamming=p.get("max_hamming", 3),
+            blocks=p.get("blocks", 4),
+            bits=bits,
+            max_bucket_size=p.get("max_bucket_size", 100_000),
+            on_oversize=p.get("on_oversize", "error"),
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(
+            f"near_dedup must be 'minhash' or 'simhash', got '{strategy}'"
+        )
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("v") != F.col("component"))
+        .select(F.col("v").alias(id_col))
+    )
+    return deduped.join(losers, id_col, "left_anti")
 
 
 def salted_group_count(
