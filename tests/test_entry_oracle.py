@@ -87,3 +87,18 @@ def test_query_vs_oracle(spark, ora, name):
     b = _normalize(ora_rows, ora_cols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first value mismatch {mismatches[:3]}"
+
+
+def test_zeek_scan_landing_golden(spark):
+    """Golden pin for the hash-grade zeek_scan entry: the re-landed
+    reference corpus totals (27 rows / 43 conns_opened across 24
+    files, one host) match the reference's sqllogictest values
+    (/root/reference/test/sql/zeek.test)."""
+    df = QUERIES["zeek_scan"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 24                               # one per file
+    assert sum(r.n for r in rows) == 27
+    assert sum(r.conns_opened for r in rows) == 43
+    assert {r.n_hosts for r in rows} == {1}
+    # the landing file exists where the oracle reads it
+    assert os.path.exists(entry_mod._ZEEK_LANDING)
