@@ -558,27 +558,36 @@ def mm_media_stats(spark, sf):
 
 
 def mm_decode_fake(spark, sf):
-    """Multimodal decode plumbing via mapInPandas (stub decoder)."""
+    """Multimodal decode + resize plumbing in ONE entry (both stub-
+    decoder mapInPandas paths; the former separate mm_resize_fake row
+    was folded in here to free a 50-cap slot for sim_topk_batch):
+    decode_media's per-doc features joined with resize_media's
+    tile-and-truncate 8x4 output on doc_id.  Resized bytes compared
+    via hex so the oracle can slice the repeated payload as a string
+    (DuckDB 1.0 has no blob slicing)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     with_media = mm.attach_media(d, "text", fmt="utf8")
-    return mm.decode_media(with_media, "doc_id", "media", fake=True).select(
+    dec = mm.decode_media(with_media, "doc_id", "media", fake=True).select(
         "doc_id", "n_bytes", F.round(F.element_at("feature", 4), 1).alias("f4")
     )
-
-
-def mm_resize_fake(spark, sf):
-    """Multimodal resize plumbing (multimodal.resize_media stub): tile-
-    and-truncate to 8x4 bytes; compared via hex so the oracle can slice
-    the repeated payload as a string (DuckDB 1.0 has no blob slicing)."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    with_media = mm.attach_media(d, "text", fmt="utf8")
-    out = mm.resize_media(with_media, 8, 4, "doc_id", "media", fake=True)
-    return out.select(
+    rez = mm.resize_media(with_media, 8, 4, "doc_id", "media", fake=True).select(
         F.col("id").alias("doc_id"),
         "width",
         "height",
         F.hex("resized").alias("resized_hex"),
     )
+    return dec.join(rez, "doc_id")
+
+
+def sim_topk_batch(spark, sf):
+    """Batch ANN serving shape: cosine top-20 for FOUR query vectors in
+    one pass (similarity.topk_neighbors_batch — mapInPandas numpy
+    M@Q^T scoring with per-batch candidate cut + window top-k merge).
+    The oracle restates the same per-query brute force with a
+    ROW_NUMBER window."""
+    e = _emb_parallel(spark, sf)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3))
+    return sim.topk_neighbors_batch(e, q, k=20, query_id_col="vec_id")
 
 
 def mm_frame_sample(spark, sf):
@@ -882,7 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": tx_fingerprint,
         "mm_media_stats": mm_media_stats,
         "mm_decode_fake": mm_decode_fake,
-        "mm_resize_fake": mm_resize_fake,
+        "sim_topk_batch": sim_topk_batch,
         "mm_frame_sample": mm_frame_sample,
         "pipe_clean_corpus": pipe_clean_corpus,
         "pipe_sample": pipe_sample,
@@ -1171,9 +1180,11 @@ def _kmeans_ivf_oracle(
 
 
 def _decode_fake_oracle() -> str:
-    """mm_decode_fake: n_bytes and feature[4] = sum(first 64 bytes) mod
-    997 of the utf-8 payload, byte values recovered from the hex dump
-    (DuckDB 1.0 has no direct blob indexing)."""
+    """mm_decode_fake (decode + resize folded): n_bytes and feature[4]
+    = sum(first 64 bytes) mod 997 of the utf-8 payload, byte values
+    recovered from the hex dump (DuckDB 1.0 has no direct blob
+    indexing), joined with the 8x4 tile-and-truncate resize restated
+    as hex-string slicing."""
     return """
         WITH b AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -1184,8 +1195,17 @@ def _decode_fake_oracle() -> str:
                  COALESCE(list_sum(list_transform(range(1, least(n_bytes, 64) + 1),
                    i -> CAST(concat('0x', substring(hx, 2*i - 1, 2)) AS INTEGER))), 0)
                  AS bsum
+          FROM b),
+        r AS (
+          SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+                 CASE WHEN n_bytes = 0 THEN ''
+                      ELSE substring(repeat(hx, CAST(ceil(32.0 / n_bytes) AS BIGINT)),
+                                     1, 64)
+                 END AS resized_hex
           FROM b)
-        SELECT doc_id, n_bytes, ROUND(CAST(bsum % 997 AS DOUBLE), 1) AS f4 FROM s
+        SELECT s.doc_id, s.n_bytes, ROUND(CAST(s.bsum % 997 AS DOUBLE), 1) AS f4,
+               r.width, r.height, r.resized_hex
+        FROM s JOIN r USING (doc_id)
     """
 
 def oracle_sql() -> dict[str, str]:
@@ -1707,17 +1727,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "mm_decode_fake": _decode_fake_oracle(),
-        "mm_resize_fake": """
-            WITH b AS (
-              SELECT doc_id, hex(encode(text)) AS hx,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS n
-              FROM documents WHERE doc_id < 100)
-            SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
-                   CASE WHEN n = 0 THEN ''
-                        ELSE substring(repeat(hx, CAST(ceil(32.0 / n) AS BIGINT)),
-                                       1, 64)
-                   END AS resized_hex
-            FROM b
+        "sim_topk_batch": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            scored AS (
+              SELECT q_id, vec_id,
+                     ROUND(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qe),
+                                                   p -> p[1] * p[2])) /
+                           (SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) *
+                            SQRT(list_sum(list_transform(qe, x -> x * x)))), 6) AS cosine_sim
+              FROM embeddings, q
+              WHERE vec_id <> q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cosine_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+              FROM scored WHERE NOT isnan(cosine_sim))
+            SELECT q_id, vec_id, cosine_sim FROM ranked WHERE rn <= 20
         """,
         "mm_frame_sample": """
             WITH b AS (

@@ -168,3 +168,51 @@ def test_duplicate_spans_shuffles_fingerprints_not_text(spark):
         assert "__toks" not in ex and "text" not in ex
     # no collect_list anywhere: the hot-set is a count-distinct agg
     assert "collect_list" not in plan
+
+
+def test_bucketed_landing_q03_zero_exchange(spark):
+    """The engine's own co-location machinery on its headline join:
+    lineitem and orders landed via sink.write_bucketed on the join key
+    make q03's fact-fact join AND its groupBy (keyed on a superset of
+    the bucket key) run with ZERO shuffle exchanges — the pay-the-
+    shuffle-once-at-ingest layout that turns the per-query exchange
+    into a bucket-local merge at 100 TB."""
+    from zeek_duckdb_spark.sources.sink import write_bucketed
+
+    for t in ("b_li_q03", "b_ord_q03"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed(li, "b_li_q03", "l_orderkey", 8, sort_col="l_orderkey")
+    write_bucketed(o, "b_ord_q03", "o_orderkey", 8, sort_col="o_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable size-based broadcast so the fact-fact join really runs
+    # as a merge join — the point is the absent exchange, not AQE
+    # hiding it behind a broadcast at toy scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb, ob = spark.table("b_li_q03"), spark.table("b_ord_q03")
+        c = spark.read.parquet(f"{SF}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        q = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .join(F.broadcast(c), ob.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+        assert audit.num_shuffles(q) == 0, audit.physical_plan(q)
+        assert audit.num_sortmerge_joins(q) >= 1
+        got = [tuple(r) for r in q.collect()]
+        want = [tuple(r) for r in entry_mod.q03_top_orders(spark, SF).collect()]
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("b_li_q03", "b_ord_q03"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
