@@ -324,22 +324,27 @@ def main() -> None:
         "the right edge of this table, entirely in amortized territory —",
         "and past what a single-node engine can hold at all.",
         "",
-        "Plan audit of the join gap (executed plans at sf~1): q05 runs 4",
-        "BroadcastHashJoins + 1 agg exchange, q03 runs 2 BroadcastHashJoins +",
-        "TakeOrderedAndProject — AQE converts every join, zero SortMergeJoin.",
-        "The residual 1.7-2.0 s is scan/task/codegen constants, not plan",
-        "shape; there is no structural change left that a bigger cluster",
-        "wouldn't amortize.",
+        "Plan audit of the join family (round 6 rework): q03/q05 now run",
+        "selectivity-first with EAGER PRE-AGGREGATION — lineitem reduces to",
+        "(orderkey, revenue) partials before any join, the dimension chain",
+        "reduces first carrying int keys only, and the two unbounded-side",
+        "joins carry shuffle-hash hints (Spark's static size estimate",
+        "otherwise picked the 7.5M-row orders scan as a broadcast BUILD —",
+        "2.3 s of hash-relation build at sf~5 — and its sort-merge default",
+        "pays a pointless sort on narrow pre-projected keys).  Every",
+        "exchange carries pre-reduced narrow rows; no unbounded relation is",
+        "ever broadcast (plan pinned by tests/test_plans.py).",
         "",
     ]
     if sf5_results is not None:
         lines += [
             "## sf~5 replicate (50x) — does the join ratio turn over?",
             "",
-            "The q03/q05 per-query ratio ROSE from sf0.1 to sf~1, leaving",
-            "'the constants amortize' asserted rather than measured.  This",
-            "tier measures it: 50x-replicated facts (~30M lineitem rows),",
-            "join-family queries only.",
+            "Under the round-5 naive join order the q03/q05 ratio ROSE with",
+            "scale (12.6x -> 14.9x -> 19.5x for q03 at sf0.1/1/5), leaving",
+            "'the constants amortize' asserted rather than measured.  With",
+            "the reworked plans above it falls monotonically — measured on",
+            "50x-replicated facts (~30M lineitem rows), join-family only.",
             "",
             "| query | spark sf5 | duckdb sf5 | ratio | (ratio sf0.1 -> sf1 -> sf5) |",
             "|---|---|---|---|---|",

@@ -29,13 +29,23 @@ def test_q01_scan_pruned_and_filter_pushed(spark):
     assert any("l_shipdate" in f for f in audit.pushed_filters(df))
 
 
-def test_q05_broadcasts_dims_single_agg_shuffle(spark):
+def test_q05_broadcasts_dims_shuffles_narrow_sides_only(spark):
     df = entry_mod.q05_nation_revenue(spark, SF)
-    # all four joins are broadcast at this scale; no sort-merge join
+    plan = audit.physical_plan(df)
+    # constant-size dims (region, nation x2) broadcast; the unbounded
+    # customer/orders subjoins run as SHUFFLED hash joins (bounded
+    # per-partition build), never sort-merge and never broadcast
     assert audit.num_broadcast_joins(df) == 4
+    assert plan.count("ShuffledHashJoin") == 2
     assert audit.num_sortmerge_joins(df) == 0
-    # the only shuffle is the final groupBy(n_name)
-    assert audit.num_shuffles(df) == 1
+    # every exchange carries a narrow pre-reduced relation: the
+    # pre-aggregated (orderkey, rev) partials and the int-key dim
+    # chain — lineitem's raw width never rides a shuffle
+    for ex_cols in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan):
+        assert ex_cols.split("#")[0] in (
+            "l_orderkey", "o_orderkey", "o_custkey", "c_custkey", "n_nationkey"
+        ), ex_cols
+    assert "l_extendedprice" not in plan.split("HashAggregate")[0]
 
 
 def test_q06_all_filters_pushed(spark):
