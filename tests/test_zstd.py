@@ -2,14 +2,15 @@
 .log.zst, auto-detecting the codec by magic bytes (README.md:52;
 src/zeek_scanner.cpp:261-262 FileCompressionType::AUTO_DETECT).
 
-This environment may or may not ship the ``zstandard`` module, so the
-suite exercises whichever half of the behavior is reachable:
-
-- module absent  -> a magic-detected zstd file must raise the clear
-  "zstandard module is unavailable" ZeekHeaderError at bind time
-  (never a silent misparse of compressed bytes as text);
-- module present -> a real .log.zst round-trips through both scan
-  paths' shared opener and yields the same rows as the plain .log.
+This environment has no ``zstandard`` module, so the repo vendors a
+store-mode zstd codec (sources/zstd_raw.py: spec-valid raw/RLE-block
+frames) that makes the POSITIVE path executable here: a real .log.zst
+fixture round-trips through both scan paths' shared opener.  Frames
+with entropy-coded blocks still require ``zstandard`` and must fail at
+bind time with a clear message naming that remedy (never a silent
+misparse of compressed bytes as text).  When ``zstandard`` IS present
+it takes priority in the opener and the vendored frames cross-check
+against it.
 """
 
 import gzip
@@ -19,6 +20,12 @@ import pytest
 
 from zeek_duckdb_spark import read_zeek
 from zeek_duckdb_spark.header import ZSTD_MAGIC, ZeekHeaderError, open_zeek_text, parse_header
+from zeek_duckdb_spark.sources.zstd_raw import (
+    ZstdCompressedBlockError,
+    ZstdRawError,
+    compress_store,
+    decompress,
+)
 
 REF = "/root/reference/data"
 
@@ -30,6 +37,13 @@ except ImportError:
     HAVE_ZSTD = False
 
 
+# a minimal frame with one entropy-coded block (block_type=2): the
+# shape the vendored codec must REFUSE loudly
+COMPRESSED_BLOCK_FRAME = ZSTD_MAGIC + bytes([0x20, 0x04]) + (
+    (1 | (2 << 1) | (4 << 3)).to_bytes(3, "little")
+) + b"\xde\xad\xbe\xef"
+
+
 @pytest.fixture()
 def dns_log_text(tmp_path):
     """The dns fixture decompressed to plain text."""
@@ -39,43 +53,136 @@ def dns_log_text(tmp_path):
     return out
 
 
-@pytest.mark.skipif(HAVE_ZSTD, reason="zstandard installed; error path unreachable")
-def test_zstd_without_module_raises_clearly(tmp_path):
-    p = tmp_path / "conn.log.zst"
-    p.write_bytes(ZSTD_MAGIC + b"\x00" * 32)
-    with pytest.raises(ZeekHeaderError, match="zstandard module is unavailable"):
-        parse_header(str(p))
+# --- vendored codec unit behavior --------------------------------------
 
 
-@pytest.mark.skipif(HAVE_ZSTD, reason="zstandard installed; error path unreachable")
-def test_zstd_without_module_fails_at_bind_not_scan(spark, tmp_path):
-    # read_zeek must surface the missing-codec error at bind time, like
-    # every other header-level error (no job launched, no misparse)
-    p = tmp_path / "conn.log.zst"
-    p.write_bytes(ZSTD_MAGIC + b"\x00" * 32)
-    with pytest.raises(ZeekHeaderError, match="zstandard module is unavailable"):
-        read_zeek(spark, str(p))
+def test_store_codec_roundtrips():
+    import random
+
+    rng = random.Random(9)
+    cases = [
+        b"",
+        b"x",
+        b"a" * 255,
+        b"b" * 256,
+        bytes(rng.randrange(256) for _ in range(70_000)),
+        bytes(rng.randrange(256) for _ in range(300_000)),  # >2 blocks
+    ]
+    for payload in cases:
+        enc = compress_store(payload)
+        assert enc[:4] == ZSTD_MAGIC
+        assert decompress(enc) == payload
+    # concatenated frames decode as concatenated payloads
+    assert decompress(compress_store(b"one") + compress_store(b"two")) == b"onetwo"
+
+
+def test_decoder_handles_rle_and_skippable_frames():
+    # hand-built frame: single-segment, FCS=8, one RLE block of 8 'z's
+    rle_frame = ZSTD_MAGIC + bytes([0x20, 0x08]) + (
+        (1 | (1 << 1) | (8 << 3)).to_bytes(3, "little")
+    ) + b"z"
+    assert decompress(rle_frame) == b"zzzzzzzz"
+    # skippable frame (magic 0x184D2A50, 4-byte size) is ignored
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    assert decompress(skip + compress_store(b"data")) == b"data"
+
+
+def test_decoder_rejects_garbage_and_truncation():
+    with pytest.raises(ZstdRawError, match="magic"):
+        decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+    with pytest.raises(ZstdRawError):
+        decompress(ZSTD_MAGIC + b"\x00" * 32)          # never-ending blocks
+    with pytest.raises(ZstdRawError, match="truncated raw block"):
+        decompress(compress_store(b"hello world")[:-4])
+
+
+def test_decoder_refuses_compressed_blocks_with_remedy():
+    with pytest.raises(ZstdCompressedBlockError, match="zstandard"):
+        decompress(COMPRESSED_BLOCK_FRAME)
 
 
 @pytest.mark.skipif(not HAVE_ZSTD, reason="zstandard module not installed")
+def test_store_frames_cross_check_against_real_zstd(dns_log_text):
+    payload = dns_log_text.read_bytes()
+    # vendored encode -> real decode
+    assert zstandard.ZstdDecompressor().decompress(
+        compress_store(payload), max_output_size=len(payload) + 1
+    ) == payload
+
+
+# --- opener + scan-path behavior ---------------------------------------
+
+
+def test_zst_compressed_blocks_fail_at_bind_with_remedy(spark, tmp_path):
+    # entropy-coded zstd without the module: a clear bind-time error
+    # naming the zstandard remedy, from parse_header AND read_zeek
+    if HAVE_ZSTD:
+        pytest.skip("zstandard installed; module-absent path unreachable")
+    p = tmp_path / "conn.log.zst"
+    p.write_bytes(COMPRESSED_BLOCK_FRAME)
+    with pytest.raises(ZeekHeaderError, match="zstandard"):
+        parse_header(str(p))
+    with pytest.raises(ZeekHeaderError, match="zstandard"):
+        read_zeek(spark, str(p))
+
+
+def test_zst_garbage_after_magic_fails_at_bind(tmp_path):
+    p = tmp_path / "conn.log.zst"
+    p.write_bytes(ZSTD_MAGIC + b"\x00" * 32)
+    with pytest.raises(ZeekHeaderError):
+        parse_header(str(p))
+
+
 def test_zst_opener_roundtrip(tmp_path, dns_log_text):
     zst = tmp_path / "dns.log.zst"
-    zst.write_bytes(zstandard.ZstdCompressor().compress(dns_log_text.read_bytes()))
+    zst.write_bytes(compress_store(dns_log_text.read_bytes()))
     with open_zeek_text(str(dns_log_text)) as plain, open_zeek_text(str(zst)) as z:
         assert z.read() == plain.read()
 
 
-@pytest.mark.skipif(not HAVE_ZSTD, reason="zstandard module not installed")
+def test_zst_composed_scan_matches_plain(spark, tmp_path, dns_log_text):
+    zst = tmp_path / "dns.log.zst"
+    zst.write_bytes(compress_store(dns_log_text.read_bytes()))
+    plain_rows = sorted(
+        tuple(r) for r in read_zeek(spark, str(dns_log_text)).collect()
+    )
+    zst_rows = sorted(tuple(r) for r in read_zeek(spark, str(zst)).collect())
+    assert zst_rows == plain_rows and len(zst_rows) > 0
+
+
 def test_zst_datasource_scan_matches_plain(spark, tmp_path, dns_log_text):
     from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
 
     register_zeek_datasource(spark)
     zst = tmp_path / "dns.log.zst"
-    zst.write_bytes(zstandard.ZstdCompressor().compress(dns_log_text.read_bytes()))
+    zst.write_bytes(compress_store(dns_log_text.read_bytes()))
     plain_rows = sorted(
         tuple(r) for r in spark.read.format("zeek").load(str(dns_log_text)).collect()
     )
     zst_rows = sorted(
         tuple(r) for r in spark.read.format("zeek").load(str(zst)).collect()
     )
+    assert zst_rows == plain_rows and len(zst_rows) > 0
+
+
+def test_real_entropy_zst_composed_scan_via_jvm_fallback(spark, tmp_path, dns_log_text):
+    """A REAL (entropy-coded) .zst log, produced by the JVM's bundled
+    zstd-jni: without the zstandard module the driver-side header parse
+    falls back to the same JVM codec, and the JVM scan reads the data
+    rows natively — so the composed path handles genuine zstd logs
+    end-to-end with zero extra dependencies."""
+    jvm = spark._jvm
+    zst = tmp_path / "dns_real.log.zst"
+    fos = jvm.java.io.FileOutputStream(str(zst))
+    zos = jvm.com.github.luben.zstd.ZstdOutputStream(fos)
+    zos.write(dns_log_text.read_bytes())
+    zos.close()
+    raw = zst.read_bytes()
+    assert raw[:4] == ZSTD_MAGIC
+    with pytest.raises(ZstdCompressedBlockError):
+        decompress(raw)  # really entropy-coded, vendored codec refuses
+    plain_rows = sorted(
+        tuple(r) for r in read_zeek(spark, str(dns_log_text)).collect()
+    )
+    zst_rows = sorted(tuple(r) for r in read_zeek(spark, str(zst)).collect())
     assert zst_rows == plain_rows and len(zst_rows) > 0

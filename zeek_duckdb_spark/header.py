@@ -117,10 +117,8 @@ def open_zeek_text(path: str) -> io.TextIOBase:
     if magic == ZSTD_MAGIC:
         try:
             import zstandard  # type: ignore
-        except ImportError as exc:  # pragma: no cover - zstd optional in env
-            raise ZeekHeaderError(
-                f"'{path}' is zstd-compressed but the zstandard module is unavailable"
-            ) from exc
+        except ImportError:
+            return _open_zstd_fallback(path)
         fh = zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
         return io.TextIOWrapper(fh, encoding="utf-8", newline="")
     if path.endswith(".gz"):
@@ -128,6 +126,67 @@ def open_zeek_text(path: str) -> io.TextIOBase:
         # reference's fake_gzip fixture (test/sql/zeek_ignore_file_errors.test).
         raise ZeekHeaderError(f"Input is not a GZIP stream: '{path}'")
     return open(path, "r", encoding="utf-8", newline="")
+
+
+def _open_zstd_fallback(path: str) -> io.TextIOBase:
+    """zstd decode without the ``zstandard`` module, tried in order:
+
+    1. the vendored store-mode codec (sources/zstd_raw.py — raw/RLE
+       blocks, pure Python);
+    2. for entropy-coded frames ON THE DRIVER, the Spark JVM's bundled
+       zstd-jni via py4j (the same codec the JVM scan uses to read the
+       data rows, so a header parse here means the composed path reads
+       the whole file end-to-end).  Python executor workers have no
+       py4j gateway, so the Python-DataSource scan path still needs
+       ``zstandard`` for entropy-coded inputs — the error says so.
+
+    Both fallbacks buffer the decoded file in memory (driver-side,
+    header-parse scale); install ``zstandard`` for streaming decode."""
+    from zeek_duckdb_spark.sources.zstd_raw import (
+        ZstdCompressedBlockError,
+        ZstdRawError,
+        decompress,
+    )
+
+    with open(path, "rb") as fh_in:
+        raw = fh_in.read()
+    try:
+        data = decompress(raw)
+    except ZstdCompressedBlockError as exc:
+        data = _jvm_zstd_decompress(raw)
+        if data is None:
+            raise ZeekHeaderError(
+                f"'{path}' is zstd-compressed and the zstandard "
+                f"module is unavailable ({exc})"
+            ) from exc
+    except ZstdRawError as exc:
+        raise ZeekHeaderError(
+            f"'{path}' is zstd-compressed and the zstandard "
+            f"module is unavailable ({exc})"
+        ) from exc
+    return io.TextIOWrapper(io.BytesIO(data), encoding="utf-8", newline="")
+
+
+def _jvm_zstd_decompress(raw: bytes) -> bytes | None:
+    """Driver-side entropy zstd decode through the active SparkSession's
+    JVM (zstd-jni ships with Spark).  Returns None when no JVM gateway
+    is reachable (no active session, or running inside a Python
+    executor worker)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        jvm = spark._jvm
+        bis = jvm.java.io.ByteArrayInputStream(raw)
+        zis = jvm.com.github.luben.zstd.ZstdInputStream(bis)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        zis.transferTo(bos)
+        zis.close()
+        return bytes(bos.toByteArray())
+    except Exception:
+        return None
 
 
 def parse_header(path: str) -> ZeekHeader:
