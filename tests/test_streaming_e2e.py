@@ -1,0 +1,171 @@
+"""End-to-end streaming composition: the reference's 24 hourly-rotated
+known_hosts fixtures flow through read_zeek_stream -> near_dedup_stream
+-> sessionize_stream in ONE streaming query (three chained stateful
+operators), with a replayed rotation file proving the dedup stage drops
+re-delivered rows before they can inflate session event counts.
+
+A second test proves checkpointed exactly-once delivery to a file sink
+across a query restart: rows drained before the restart are not
+re-emitted, new files are picked up, and a replayed old file adds
+nothing.
+
+Each streaming operator is covered alone in test_streaming.py /
+test_sessionize.py; these tests exist to prove they COMPOSE (Spark only
+allows some chains of stateful operators, and watermark propagation
+across them is easy to get wrong silently).
+"""
+
+import glob
+import gzip
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.dedup import near_dedup_stream
+from zeek_duckdb_spark.operators.sessionize import sessionize_batch, sessionize_stream
+from zeek_duckdb_spark.sources.zeek import read_zeek
+from zeek_duckdb_spark.streaming.zeek_stream import read_zeek_stream
+
+REF = "/root/reference/data"
+GAP = 1800
+
+
+def _stage(dst, n_files):
+    os.makedirs(dst, exist_ok=True)
+    files = sorted(glob.glob(f"{REF}/known_hosts_*.log.gz"))[:n_files]
+    for f in files:
+        shutil.copy(f, dst)
+    return files
+
+
+def _replay(src_gz, dst_log):
+    """Re-deliver a rotated hour verbatim as a plain .log (a crashed
+    shipper re-sending an already-landed rotation)."""
+    with gzip.open(src_gz, "rt") as fh:
+        body = fh.read()
+    with open(dst_log, "w") as out:
+        out.write(body)
+
+
+def _text_col(df):
+    # unique per fixture row (kuid is a per-connection uid), identical
+    # for a replayed copy of the same row
+    return df.withColumn(
+        "text",
+        F.concat_ws(" ", "kuid", "host_ip", F.col("host_vlan").cast("string")),
+    )
+
+
+def _poll_memory(spark, table, want, deadline_s=120):
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        if spark.sql(f"SELECT count(*) FROM {table}").first()[0] >= want:
+            return
+        time.sleep(1)
+
+
+def test_stream_compose_dedup_then_sessionize(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    files = _stage(d, 24)
+    # replay three already-delivered hours -> exact duplicate rows the
+    # dedup stage must drop (same kuid/host/ts => same simhash)
+    for i, f in enumerate(files[:3]):
+        _replay(f, f"{d}/known_hosts_replay_{i}.log")
+
+    # batch expectation over the SAME directory: dedup is dropDuplicates
+    # on the text key, sessions keyed by host, gap 30 min
+    batch = _text_col(read_zeek(spark, f"{d}/*.log*", inet=False))
+    distinct = batch.dropDuplicates(["text"])
+    n_raw, n_distinct = batch.count(), distinct.count()
+    assert n_raw > n_distinct  # the replay really planted duplicates
+    ev = distinct.select(
+        F.crc32("host_ip").alias("user_id"), F.col("ts").cast("double").alias("ts")
+    )
+    bsess = sessionize_batch(ev, gap_seconds=GAP)
+    stats = (
+        bsess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("t0"))
+        .collect()
+    )
+    last = {}  # the last session per user stays open in stream state
+    for r in stats:
+        if r.user_id not in last or r.session_id > last[r.user_id]:
+            last[r.user_id] = r.session_id
+    want_closed = [
+        (r.user_id, r.n) for r in stats if r.session_id != last[r.user_id]
+    ]
+    assert want_closed  # fixture spans 24 h, gap 30 min => sessions close
+
+    s = _text_col(read_zeek_stream(spark, d, inet=False))
+    dd = near_dedup_stream(s, ts_col="ts", text_col="text")
+    prepped = dd.select(
+        F.crc32("host_ip").alias("user_id"), F.col("ts").cast("double").alias("ts")
+    )
+    sess = sessionize_stream(prepped, gap_seconds=GAP, user_col="user_id", ts_col="ts")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("e2e_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _poll_memory(spark, "e2e_sessions", len(want_closed))
+    q.stop()
+
+    got = spark.sql(
+        "SELECT user_id, n_events FROM e2e_sessions ORDER BY session_start"
+    ).collect()
+    # every closed session matches the batch-over-distinct-rows session:
+    # if dedup had leaked a replayed row into the pipeline, its session's
+    # n_events would be inflated here
+    assert sorted((r.user_id, r.n_events) for r in got) == sorted(want_closed)
+
+
+def test_stream_dedup_checkpoint_exactly_once(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    files = sorted(glob.glob(f"{REF}/known_hosts_*.log.gz"))
+    _stage(d, 6)
+
+    def run_once():
+        s = _text_col(read_zeek_stream(spark, d, inet=False))
+        dd = near_dedup_stream(s, ts_col="ts", text_col="text")
+        q = (
+            dd.select("ts", "kuid", "host_ip")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == read_zeek(spark, f"{d}/*.log*", inet=False).count()
+
+    # rotate in two NEW hours plus a replay of hour 0 (already emitted
+    # before the restart), then restart from the same checkpoint
+    for f in files[6:8]:
+        shutil.copy(f, d)
+    _replay(files[0], f"{d}/known_hosts_replay.log")
+    run_once()
+
+    final = spark.read.parquet(out)
+    expect = (
+        read_zeek(spark, f"{d}/*.log*", inet=False)
+        .dropDuplicates(["kuid", "host_ip", "ts"])
+        .count()
+    )
+    # exactly-once: phase-1 rows appear once (not re-emitted on restart),
+    # the two new hours appear, the replayed hour adds nothing (dropped
+    # by dedup state / the advanced watermark)
+    assert final.count() == expect
+    assert final.dropDuplicates(["kuid", "host_ip", "ts"]).count() == final.count()
