@@ -656,7 +656,7 @@ def mm_frame_sample(spark, sf):
         id_col="doc_id", media_col="media", fake=True,
     )
     return out.select(
-        F.col("id").alias("doc_id"), "frame_idx", F.hex("frame").alias("frame_hex")
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
     )
 
 

@@ -56,7 +56,7 @@ def test_sample_frames_stride_and_cap(spark):
         ).collect(),
         key=lambda r: r.frame_idx,
     )
-    assert [(r.id, r.frame_idx, r.frame) for r in rows] == [
+    assert [(r.doc_id, r.frame_idx, r.frame) for r in rows] == [
         (7, 0, bytes([0] * 4)),
         (7, 2, bytes([2] * 4)),
         (7, 4, bytes([4] * 4)),
@@ -73,7 +73,7 @@ def test_sample_frames_partial_tail_and_null(spark):
     ).collect()
     by_id = {}
     for r in rows:
-        by_id.setdefault(r.id, []).append((r.frame_idx, r.frame))
+        by_id.setdefault(r.doc_id, []).append((r.frame_idx, r.frame))
     # ceil division keeps the 3-byte tail frame
     assert sorted(by_id[1]) == [(0, b"abcd"), (1, b"efg")]
     assert 2 not in by_id  # null payload: no frames
@@ -189,3 +189,62 @@ def test_cdc_chunks_respects_string_id_column(spark):
     # distinct blobs by the string id
     groups = chunk_dedup_groups(ch).collect()
     assert groups and all(g.n_blobs == 2 for g in groups)
+
+
+# --- injected real-decoder callbacks ----------------------------------
+
+
+def test_decode_media_injected_decoder(media):
+    # a stand-in for a real PIL/librosa extractor: 2-dim feature
+    out = {
+        r.doc_id: r
+        for r in mm.decode_media(
+            media, decoder=lambda b: [float(len(b)), float(b[0]) if b else -1.0]
+        ).collect()
+    }
+    assert out[1].feature == [11.0, float(b"h"[0])]
+    assert out[2].feature == [0.0, -1.0]
+    assert out[4].feature is None  # NULL payload bypasses the callback
+
+
+def test_resize_media_injected_resizer(media):
+    # a real encoder's output is passed through verbatim (no wh sizing)
+    out = {
+        r.id: r
+        for r in mm.resize_media(
+            media, 4, 3, resizer=lambda b, w, h: b[: w + h]
+        ).collect()
+    }
+    assert out[1].resized == b"hello w"
+    assert out[2].resized == b""
+    assert out[4].resized is None
+
+
+def test_sample_frames_injected_sampler(spark):
+    df = spark.createDataFrame(
+        [("a", b"0123456789"), ("b", None)], "doc_id string, media binary"
+    )
+
+    def sampler(b):
+        # keyframe-ish: first and last 2 bytes
+        yield 0, b[:2]
+        yield 99, b[-2:]
+
+    rows = sorted(
+        mm.sample_frames(df, sampler=sampler).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # string ids survive (output id column follows id_col name + dtype)
+    assert [(r.doc_id, r.frame_idx, r.frame) for r in rows] == [
+        ("a", 0, b"01"),
+        ("a", 99, b"89"),
+    ]
+
+
+def test_callback_and_fake_are_exclusive(media):
+    with pytest.raises(ValueError):
+        mm.decode_media(media, fake=True, decoder=lambda b: [0.0])
+    with pytest.raises(ValueError):
+        mm.resize_media(media, 2, 2, fake=True, resizer=lambda b, w, h: b)
+    with pytest.raises(ValueError):
+        mm.sample_frames(media, fake=True, sampler=lambda b: [])

@@ -3,10 +3,25 @@ columns with typed metadata.
 
 The decode step is STUBBED (this container ships no image/audio
 libraries): ``decode_media`` raises NotImplementedError unless a
-deterministic fake decoder is requested.  Everything Spark-side —
-schema, Arrow batch shape, ``mapInPandas`` plumbing, partition sizing —
-is real and tested, so dropping in a PIL/librosa decoder is a one-
-function change.
+deterministic fake decoder is requested OR a user decoder callback is
+injected.  Everything Spark-side — schema, Arrow batch shape,
+``mapInPandas`` plumbing, partition sizing — is real and tested.
+
+Injecting a real decoder WITHOUT editing this module: each decode-ish
+operator takes a plain-Python callback —
+
+- ``decode_media(df, decoder=fn)`` with ``fn(payload: bytes) ->
+  list[float]`` (e.g. a PIL thumbnail histogram, a librosa MFCC mean);
+- ``resize_media(df, w, h, resizer=fn)`` with
+  ``fn(payload: bytes, width: int, height: int) -> bytes``;
+- ``sample_frames(df, sampler=fn)`` with ``fn(payload: bytes) ->
+  iterable[(frame_idx: int, frame: bytes)]``.
+
+The callback is cloudpickled into the ``mapInPandas`` closure like any
+Spark UDF body, so it must be importable/self-contained on executors
+(import PIL *inside* the function for lazy per-worker import).  It is
+called once per payload inside an Arrow batch loop — the per-payload
+decode is inherently Python work; everything around it stays batched.
 
 Scale notes: media bytes ride in the row as BinaryType; the decode map
 is ``mapInPandas`` (Arrow batches, no per-row Python overhead beyond
@@ -18,7 +33,7 @@ from __future__ import annotations
 
 import random
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -76,20 +91,27 @@ _DECODED_SCHEMA = T.StructType(
 
 
 def decode_media(
-    df: DataFrame, id_col: str = "doc_id", media_col: str = "media", fake: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    fake: bool = False,
+    decoder: Callable[[bytes], list] | None = None,
 ) -> DataFrame:
     """Decode/feature-extract media via mapInPandas.
 
-    fake=False requires a real decoder library -> NotImplementedError
+    ``decoder``: user callback ``fn(payload: bytes) -> list[float]``
+    (see module docstring) — the injection point for a real
+    PIL/librosa feature extractor.  fake=True uses the deterministic
+    byte-statistics stub instead.  Neither -> NotImplementedError
     (clearly-marked stub; the container has no PIL/librosa).
-    fake=True emits a deterministic 4-dim feature from the raw bytes so
-    the distributed plumbing (schema, batching, partitioning) is
-    testable end-to-end.
     """
-    if not fake:
+    if fake and decoder is not None:
+        raise ValueError("pass either fake=True or decoder=, not both")
+    if not fake and decoder is None:
         raise NotImplementedError(
             "real media decode requires an image/audio library not present "
-            "in this environment; pass fake=True for the deterministic stub"
+            "in this environment; pass fake=True for the deterministic stub "
+            "or inject decoder=fn(payload)->list[float]"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,7 +119,7 @@ def decode_media(
             media = pdf[media_col]
             n = media.map(lambda b: len(b) if b is not None else 0)
             # deterministic fake "features": byte-statistics of the payload
-            def feat(b):
+            def fake_feat(b):
                 if not b:
                     return [0.0, 0.0, 0.0, 0.0]
                 return [
@@ -106,6 +128,12 @@ def decode_media(
                     float(b[-1]),
                     float(sum(b[:64]) % 997),
                 ]
+
+            if decoder is not None:
+                # NULL payloads never reach the user callback
+                feat = lambda b: None if b is None else list(decoder(bytes(b)))
+            else:
+                feat = fake_feat
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -124,10 +152,16 @@ def resize_media(
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Resize an image payload to width x height via mapInPandas.
 
-    fake=False requires a real image library -> NotImplementedError
+    ``resizer``: user callback ``fn(payload, width, height) -> bytes``
+    (see module docstring) — the injection point for a real PIL resize;
+    its return bytes are passed through verbatim (a real encoder's
+    output is NOT width*height bytes — that invariant applies to the
+    fake path only).  fake=False without a resizer requires a real
+    image library -> NotImplementedError
     (clearly-marked stub; the container has no PIL).  fake=True emits a
     deterministic width*height-byte payload (the source bytes tiled and
     truncated) so the distributed plumbing — binary-in/binary-out Arrow
@@ -138,10 +172,13 @@ def resize_media(
     output rows == input rows; each output cell is exactly
     width*height bytes (empty payload stays empty).
     """
-    if not fake:
+    if fake and resizer is not None:
+        raise ValueError("pass either fake=True or resizer=, not both")
+    if not fake and resizer is None:
         raise NotImplementedError(
             "real image resize requires an image library not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "this environment; pass fake=True for the deterministic stub "
+            "or inject resizer=fn(payload, width, height)->bytes"
         )
     wh = width * height
 
@@ -151,6 +188,8 @@ def resize_media(
                 if b is None:
                     return None
                 b = bytes(b)
+                if resizer is not None:
+                    return resizer(b, width, height)
                 if not b:
                     return b
                 reps = -(-wh // len(b))
@@ -184,6 +223,7 @@ def sample_frames(
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
+    sampler: Callable[[bytes], "Iterator[tuple[int, bytes]]"] | None = None,
 ) -> DataFrame:
     """Sample frames from a video payload via mapInPandas — the
     row-EXPANDING multimodal shape (one input row -> up to
@@ -202,13 +242,40 @@ def sample_frames(
     payload's final partial frame is kept (ceil division), so every
     byte is reachable.
 
+    ``sampler``: user callback ``fn(payload) -> iterable[(frame_idx,
+    frame_bytes)]`` (see module docstring) — the injection point for a
+    real ffmpeg/decord sampler; ``frame_bytes``/``stride``/
+    ``max_frames`` apply to the fake path only (a real sampler owns its
+    own stride policy).
+
     Output: (id, frame_idx int, frame binary).
     """
-    if not fake:
+    if fake and sampler is not None:
+        raise ValueError("pass either fake=True or sampler=, not both")
+    if not fake and sampler is None:
         raise NotImplementedError(
             "real frame sampling requires a video library not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "this environment; pass fake=True for the deterministic stub "
+            "or inject sampler=fn(payload)->iterable[(frame_idx, frame)]"
         )
+
+    def fake_sample(b: bytes):
+        n_frames = -(-len(b) // frame_bytes)
+        for j, f_idx in enumerate(range(0, n_frames, stride)):
+            if j >= max_frames:
+                break
+            yield f_idx, b[f_idx * frame_bytes:(f_idx + 1) * frame_bytes]
+
+    sample = sampler if sampler is not None else fake_sample
+
+    # id name/dtype follow the input column (string ids must survive —
+    # same contract as cdc_chunks)
+    id_field = df.schema[id_col]
+    id_dtype = {
+        T.LongType(): "int64",
+        T.IntegerType(): "int32",
+        T.StringType(): "object",
+    }.get(id_field.dataType, "object")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -218,17 +285,13 @@ def sample_frames(
             for i, b in zip(pdf[id_col], pdf[media_col]):
                 if b is None:
                     continue
-                b = bytes(b)
-                n_frames = -(-len(b) // frame_bytes)
-                for j, f_idx in enumerate(range(0, n_frames, stride)):
-                    if j >= max_frames:
-                        break
+                for f_idx, frame in sample(bytes(b)):
                     ids.append(i)
-                    idxs.append(f_idx)
-                    frames.append(b[f_idx * frame_bytes:(f_idx + 1) * frame_bytes])
+                    idxs.append(int(f_idx))
+                    frames.append(frame)
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype=id_dtype),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame": pd.Series(frames, dtype="object"),
                 }
@@ -236,7 +299,7 @@ def sample_frames(
 
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField(id_col, id_field.dataType),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame", T.BinaryType()),
         ]
