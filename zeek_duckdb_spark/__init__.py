@@ -20,15 +20,21 @@ from zeek_duckdb_spark.header import ZeekHeader, parse_header, zeek_type_to_spar
 from zeek_duckdb_spark.sources.zeek import read_zeek
 from zeek_duckdb_spark.sources.zeek_json import read_zeek_json
 from zeek_duckdb_spark.functions.inet import register_inet_functions
+from zeek_duckdb_spark.functions.intervals import (
+    interval_text,
+    register_interval_functions,
+)
 
 
 def register(spark):
     """Install all session-level extensions (the Spark analogue of the
     reference's extension load, src/zeek_extension.cpp:31-36): the INET
-    function family and the ``zeek`` data source format."""
+    function family, DuckDB-style interval rendering, and the ``zeek``
+    data source format."""
     from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
 
     register_inet_functions(spark)
+    register_interval_functions(spark)
     register_zeek_datasource(spark)
     return spark
 
@@ -40,6 +46,7 @@ __all__ = [
     "read_zeek",
     "read_zeek_json",
     "register",
+    "interval_text",
 ]
 
 __version__ = "0.1.0"
