@@ -5,7 +5,17 @@ the logical plan to an RDD on the driver — ~100 ms of plan translation
 per call and a needless analysis barrier (measured while profiling the
 entry's fold-heavy queries).  Estimating from file metadata instead is
 pure driver-side arithmetic, and mirrors how Spark's FilePartition
-packing actually splits a scan: sum(ceil(size / maxPartitionBytes)).
+packing actually splits a scan (FilePartition.maxSplitBytes):
+
+    maxSplitBytes = min(maxPartitionBytes,
+                        max(openCostInBytes, totalBytes / defaultParallelism))
+    splits        = sum(ceil(size / maxSplitBytes))
+
+The ``totalBytes / defaultParallelism`` term matters: a single 64 MB
+parquet is one ceil(64/128)-style "partition" under a naive
+maxPartitionBytes-only estimate, but Spark actually splits it ~16 ways
+on 32 cores — a naive estimate would trigger a needless repartition
+shuffle right where the guard was supposed to avoid extra work.
 
 File count alone both over-counts (many tiny files Spark coalesces
 into one partition) and under-counts (one large splittable parquet
@@ -39,11 +49,23 @@ def estimated_scan_partitions(df: DataFrame) -> int:
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
         mpb = int(raw.lower().rstrip("b")) or 1
-        total = 0
+        raw_oc = str(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        open_cost = int(raw_oc.lower().rstrip("b"))
+        sizes = []
         for f in files:
             p = re.sub(r"^[a-z0-9.+-]+:(//)?", "", f)
-            total += max(1, -(-os.path.getsize(p) // mpb))
-        return total
+            sizes.append(os.path.getsize(p))
+        total_bytes = sum(sizes) + open_cost * len(sizes)
+        max_split = min(
+            mpb,
+            max(
+                open_cost,
+                total_bytes // max(1, spark.sparkContext.defaultParallelism),
+            ),
+        ) or 1
+        return sum(max(1, -(-s // max_split)) for s in sizes)
     except (OSError, ValueError):
         # non-local filesystem or unparsable conf -> file count fallback
         return len(files)
