@@ -310,11 +310,39 @@ def q17_scalar_subquery(spark, sf):
 
 
 def q18_date_trunc(spark, sf):
-    """Time bucketing: per-day event counts + value sums."""
+    """Time bucketing: per-day event counts + value sums, plus a
+    DuckDB-parity interval rendering differential: the per-day max/min
+    values scaled to day-crossing (and negative) second spans, rendered
+    via functions/intervals.interval_text on the Spark side and via
+    DuckDB's own to_days + to_microseconds VARCHAR cast in the oracle —
+    both from the SAME truncated integer microseconds, so the text
+    forms must agree byte-for-byte (ref golden display
+    test/sql/zeek.test:81-89)."""
+    from zeek_duckdb_spark.functions.intervals import interval_text
+
+    def render(us_col):
+        itv = F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            us_col.cast("decimal(20,0)") / F.lit(1000000),
+        )
+        return interval_text(itv)
+
     e = _events(spark, sf)
-    return e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+    agg = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.max("value") * F.lit(1e9)).cast("long").alias("us_max"),
+        ((F.min("value") - F.lit(300.0)) * F.lit(1e9)).cast("long").alias("us_min"),
+    )
+    # render in a post-agg projection (keeps the agg's generated code
+    # small — the rendering expression is wide and, inlined twice into
+    # the aggregate evaluator, tips janino into interpreted fallback)
+    return agg.select(
+        "day",
+        "n",
+        "sum_value",
+        render(F.col("us_max")).alias("span_text"),
+        render(F.col("us_min")).alias("neg_span_text"),
     )
 
 
@@ -1422,9 +1450,19 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = c.user_id AND c.ts BETWEEN e.t0 AND e.t1
         """,
         "q18_date_trunc": """
-            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, COUNT(*) AS n,
-                   ROUND(SUM(value), 2) AS sum_value
-            FROM events GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+            WITH agg AS (
+                SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, COUNT(*) AS n,
+                       ROUND(SUM(value), 2) AS sum_value,
+                       CAST(trunc(MAX(value) * 1e9) AS BIGINT) AS us_max,
+                       CAST(trunc((MIN(value) - 300.0) * 1e9) AS BIGINT) AS us_min
+                FROM events GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+            )
+            SELECT day, n, sum_value,
+                   CAST((to_days(CAST(CAST(trunc(us_max / 86400000000) AS BIGINT) AS INT))
+                         + to_microseconds(us_max - CAST(trunc(us_max / 86400000000) AS BIGINT) * 86400000000)) AS VARCHAR) AS span_text,
+                   CAST((to_days(CAST(CAST(trunc(us_min / 86400000000) AS BIGINT) AS INT))
+                         + to_microseconds(us_min - CAST(trunc(us_min / 86400000000) AS BIGINT) * 86400000000)) AS VARCHAR) AS neg_span_text
+            FROM agg
         """,
         "q19_json_extract": """
             SELECT event_type,
