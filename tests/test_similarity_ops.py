@@ -231,3 +231,119 @@ def test_multiprobe_lsh_plan_is_one_broadcast_join(spark, emb):
     df = sim.lsh_bucket_ann(emb, q, dim=64, k=5, planes=6, probe_hamming=1)
     assert audit.num_broadcast_joins(df) == 1
     assert audit.num_sortmerge_joins(df) == 0
+
+
+# --- SemDeDup-style semantic dedup ------------------------------------
+
+
+def _planted(spark):
+    """3 tight near-dup groups in well-separated directions + 2 loners.
+    Base directions orthogonal-ish so groups never cross the 0.95 bar."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for axis in range(3):          # groups at ids 0-2, 3-5, 6-8
+        base = np.zeros(8)
+        base[axis] = 1.0
+        for _ in range(3):
+            v = base + rng.normal(0, 0.01, 8)   # cos > 0.999 in-group
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for axis in (3, 4):            # loners at ids 9, 10
+        base = np.zeros(8)
+        base[axis] = 1.0
+        rows.append((vid, [float(x) for x in base]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _expected_pairs(df, threshold):
+    import numpy as np
+
+    rows = sorted((r.vec_id, np.array(r.embedding)) for r in df.collect())
+    out = set()
+    for i, (ia, va) in enumerate(rows):
+        for ib, vb in rows[i + 1:]:
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if round(c, 6) >= threshold:
+                out.add((ia, ib))
+    return out
+
+
+def test_semantic_pairs_single_cell_is_exact(spark):
+    df = _planted(spark)
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_pairs(df, 0.95, n_cells=1).collect()
+    }
+    assert got == _expected_pairs(df, 0.95)
+
+
+def test_semantic_pairs_cells_are_subset(spark):
+    df = _planted(spark)
+    exact = _expected_pairs(df, 0.95)
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_pairs(df, 0.95, n_cells=4).collect()
+    }
+    assert got <= exact
+    assert got  # the geometry-following buckets find in-group pairs
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    df = _planted(spark)
+    kept = sorted(
+        r.vec_id for r in sim.semantic_dedup(df, 0.95, n_cells=1).collect()
+    )
+    # min_id per planted group + both loners
+    assert kept == [0, 3, 6, 9, 10]
+    # idempotent: a second pass removes nothing
+    once = sim.semantic_dedup(df, 0.95, n_cells=1)
+    assert sorted(r.vec_id for r in sim.semantic_dedup(once, 0.95, n_cells=1).collect()) == kept
+
+
+def test_semantic_dedup_low_centroid_sim_policy(spark):
+    import numpy as np
+
+    # one group of three; member 2 is pushed farthest from the group
+    # direction (still above threshold) -> the SemDeDup keep choice
+    base = np.zeros(8); base[0] = 1.0
+    tilt = np.zeros(8); tilt[1] = 0.25
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.1]),
+        (2, [float(x) for x in base + tilt]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroid = the group direction itself (id 0 with n_cells=1 sample)
+    kept = sim.semantic_dedup(
+        df, 0.9, keep="low_centroid_sim", n_cells=1
+    ).collect()
+    assert [r.vec_id for r in kept] == [2]
+
+
+def test_semantic_cell_guard_errors_loudly(spark):
+    df = _planted(spark)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception), match="max_cell_size"):
+        sim.semantic_pairs(df, 0.95, n_cells=1, max_cell_size=2).collect()
+    # drop mode: oversize cell excluded -> no pairs from it, no error
+    got = sim.semantic_pairs(
+        df, 0.95, n_cells=1, max_cell_size=2, on_oversize="drop"
+    ).collect()
+    assert got == []
+
+
+def test_semantic_pairs_plan_no_allpairs(spark, emb):
+    from zeek_duckdb_spark.plans import audit
+
+    p = sim.semantic_pairs(emb, 0.9, n_cells=8)
+    plan = audit.physical_plan(p)
+    # cell-bucketed equi-join, never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert audit.num_shuffles(p) <= 4  # counts agg + cell join sides

@@ -37,7 +37,7 @@ which kernel ran.
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -53,6 +53,8 @@ __all__ = [
     "cosine_pairs",
     "quantize_embeddings",
     "quantized_topk",
+    "semantic_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -601,4 +603,170 @@ def quantized_topk(
         scored.orderBy(F.desc_nulls_last("qcos"), F.asc(id_col))
         .limit(k)
         .filter(F.col("qcos").isNotNull())   # post-limit: see topk_neighbors
+    )
+
+
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    max_cell_size: int | None = 100_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Semantic near-dup candidate pairs, SemDeDup-style (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster the embedding space, then score
+    cosine ONLY within a cluster — the cluster plays the role the LSH
+    bucket plays in :func:`cosine_pairs`, but follows the data's own
+    geometry, so semantically-close pairs land together even when a
+    random hyperplane would split them.
+
+    ``centroids``: (id, vec) frame — pass trained k-means centroids
+    (``kmeans.kmeans_fit_quantized``) for production; default is the
+    deterministic lowest-id sample (the :func:`ivf_topk` policy — same
+    structure, swappable centroids).
+
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b and
+    cosine_sim >= threshold, rounded to 6 like :func:`cosine_pairs`.
+    Cross-cell near-dups are NOT found (by construction — the paper's
+    recall trade); raise ``n_cells`` quality via trained centroids, or
+    run :func:`cosine_pairs` for hyperplane bucketing instead.
+
+    Scale shape: assignment is the zero-shuffle literal-argmax of
+    :func:`ivf_assign`; pair generation is ONE equi-join on the cell
+    key (both sides shuffle-partitioned by cell, candidates bounded by
+    cell sizes, never all-pairs).  A degenerate cell (embedding
+    collapse, constant vectors) would blow up O(m²) — the
+    ``max_cell_size`` guard fails loudly ('error') or excludes the
+    cell ('drop'), mirroring the LSH bucket guard in operators/dedup.
+    """
+    if on_oversize not in ("error", "drop"):
+        raise ValueError("on_oversize must be 'error' or 'drop'")
+    if centroids is None:
+        centroids = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+
+    if max_cell_size is not None:
+        counts = assigned.groupBy("cell").agg(F.count("*").alias("__cell_n"))
+        if on_oversize == "drop":
+            counts = counts.filter(F.col("__cell_n") <= max_cell_size).select("cell")
+        else:
+            # the guard lives in the JOIN KEY so column pruning cannot
+            # eliminate the raise_error (a guarded column that is later
+            # dropped is optimized away silently)
+            counts = counts.select(
+                F.when(F.col("__cell_n") <= max_cell_size, F.col("cell"))
+                .otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "semantic cell exceeds max_cell_size=%s (size=%s): "
+                            "train better centroids / raise n_cells, run exact "
+                            "dedup first, or pass on_oversize='drop'",
+                            F.lit(str(max_cell_size)),
+                            F.col("__cell_n").cast("string"),
+                        )
+                    ).cast("long")
+                )
+                .alias("cell")
+            )
+        # K rows — broadcast probe, no extra corpus shuffle
+        assigned = assigned.join(F.broadcast(counts), "cell")
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    max_cell_size: int | None = 100_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Semantic deduplication: drop all but one member of every
+    connected group of :func:`semantic_pairs` near-dups.  Returns the
+    KEPT rows of ``df`` with all original columns.
+
+    ``keep`` policies:
+    - ``'min_id'`` (default): lowest id per group — deterministic and
+      join-free beyond the component labels.
+    - ``'low_centroid_sim'``: the member LEAST similar to its cluster
+      centroid (the SemDeDup paper's choice — keeping low-similarity
+      examples preserves diversity near the cluster edge), ties broken
+      by id.
+
+    Scale shape: pairs + connected components (see those functions);
+    the keep decision is a per-component min/row_number over the
+    component members — component-sized state, never corpus-sized.
+    The final anti-join removes drop-ids from the corpus; drop lists
+    from a dedup pass are usually ≪ corpus, and Spark broadcasts the
+    side automatically under AQE when it fits.
+    """
+    if keep not in ("min_id", "low_centroid_sim"):
+        raise ValueError("keep must be 'min_id' or 'low_centroid_sim'")
+    from zeek_duckdb_spark.operators.graph import connected_components
+
+    if centroids is None:
+        centroids = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+    pairs = semantic_pairs(
+        df,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        max_cell_size=max_cell_size,
+        on_oversize=on_oversize,
+    )
+    cc = connected_components(pairs)  # (v, component)
+
+    if keep == "min_id":
+        # component label IS the min member id (min-label propagation),
+        # but derive it explicitly so the policy survives a CC swap
+        reps = cc.groupBy("component").agg(F.min("v").alias("__keep"))
+        drops = cc.join(reps, "component").filter(F.col("v") != F.col("__keep"))
+    else:
+        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+        cents = centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        )
+        sims = (
+            assigned.join(F.broadcast(cents), "cell")
+            .select(
+                F.col(id_col).alias("v"),
+                cosine(F.col(vec_col), F.col("c_vec")).alias("__c_sim"),
+            )
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.asc_nulls_last("__c_sim"), F.asc("v")
+        )
+        drops = (
+            cc.join(sims, "v")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+        )
+
+    return df.join(
+        drops.select(F.col("v").alias(id_col)), id_col, "left_anti"
     )
