@@ -669,7 +669,10 @@ def sim_topk_batch(spark, sf):
     ROW_NUMBER window."""
     e = _emb_parallel(spark, sf)
     q = e.filter(F.col("vec_id").isin(0, 1, 2, 3))
-    return sim.topk_neighbors_batch(e, q, k=20, query_id_col="vec_id")
+    # rescore=True: emitted scores come from the sequential expr fold,
+    # bit-identical to the oracle's list_sum (numpy's pairwise/banker's
+    # rounding could otherwise diverge at a .5e-6 boundary)
+    return sim.topk_neighbors_batch(e, q, k=20, query_id_col="vec_id", rescore=True)
 
 
 def mm_frame_sample(spark, sf):
@@ -917,7 +920,18 @@ def _land_parquet(df: DataFrame, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    # keep the git-committed landing byte-stable: only replace when the
+    # freshly-written bytes differ (pyarrow metadata/version churn would
+    # otherwise dirty the tree on every test/bench run)
+    try:
+        with open(tmp, "rb") as a, open(path, "rb") as b:
+            unchanged = a.read() == b.read()
+    except OSError:
+        unchanged = False
+    if unchanged:
+        os.remove(tmp)
+    else:
+        os.replace(tmp, path)
 
 
 def entry(spark: SparkSession) -> DataFrame:

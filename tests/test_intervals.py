@@ -63,11 +63,22 @@ def test_differential_vs_duckdb(spark):
     micros = [0, 1, -1, DAY_US, -DAY_US, DAY_US + 1, 2 * DAY_US, 59_999_999]
     micros += [rng.randrange(-3 * DAY_US, 3 * DAY_US) for _ in range(200)]
     df = spark.createDataFrame([(m,) for m in micros], "us long")
+    # the Column expression and the SQL-language UDF are maintained as
+    # two renderings of the same spec — run BOTH over every case so
+    # they can never silently diverge from each other or from DuckDB
+    register_interval_functions(spark)
     got = df.select(
-        "us", interval_text(_itv_us(F.col("us"))).alias("t")
+        "us",
+        interval_text(_itv_us(F.col("us"))).alias("t"),
+        F.expr(
+            "zeek_interval_text(make_dt_interval(0, 0, 0, "
+            "CAST(us AS DECIMAL(20,0)) / 1000000))"
+        ).alias("t_sql"),
     ).collect()
     for r in got:
-        assert r.t == _duckdb_text(r.us), r.us
+        want = _duckdb_text(r.us)
+        assert r.t == want, r.us
+        assert r.t_sql == want, r.us
 
 
 def test_sql_registration_and_null(spark):

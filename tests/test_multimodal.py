@@ -187,8 +187,15 @@ def test_cdc_chunks_respects_string_id_column(spark):
     assert {r.media_id for r in rows} == {"img-a", "img-b"}
     # identical blobs chunk identically, and the dedup aggregate counts
     # distinct blobs by the string id
-    groups = chunk_dedup_groups(ch).collect()
+    groups = chunk_dedup_groups(ch, id_col="media_id").collect()
     assert groups and all(g.n_blobs == 2 for g in groups)
+    # a projected/reordered frame aggregates the NAMED id column, not
+    # whatever happens to be first
+    reordered = ch.select("chunk_hash", "length", "media_id", "chunk_idx")
+    g2 = chunk_dedup_groups(reordered, id_col="media_id").collect()
+    assert sorted((g.chunk_hash, g.n_blobs) for g in g2) == sorted(
+        (g.chunk_hash, g.n_blobs) for g in groups
+    )
 
 
 # --- injected real-decoder callbacks ----------------------------------

@@ -347,3 +347,22 @@ def test_semantic_pairs_plan_no_allpairs(spark, emb):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert audit.num_shuffles(p) <= 4  # counts agg + cell join sides
+
+
+def test_batch_topk_rescore_matches_expr_fold(spark, emb):
+    q = emb.filter(F.col("vec_id").isin(0, 1))
+    plain = sim.topk_neighbors_batch(emb, q, k=10, query_id_col="vec_id").collect()
+    rescored = sim.topk_neighbors_batch(
+        emb, q, k=10, query_id_col="vec_id", rescore=True
+    ).collect()
+    # same rows, and rescored values equal the per-query expr fold
+    assert [(r.q_id, r.vec_id) for r in plain] == [
+        (r.q_id, r.vec_id) for r in rescored
+    ]
+    for qid in (0, 1):
+        one = sim.topk_neighbors(
+            emb, emb.filter(F.col("vec_id") == qid), k=10,
+            query_id_col="vec_id", kernel="expr",
+        ).collect()
+        got = [(r.vec_id, r.cosine_sim) for r in rescored if r.q_id == qid]
+        assert got == [(r.vec_id, r.cosine_sim) for r in one]

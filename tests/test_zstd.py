@@ -113,17 +113,25 @@ def test_store_frames_cross_check_against_real_zstd(dns_log_text):
 # --- opener + scan-path behavior ---------------------------------------
 
 
-def test_zst_compressed_blocks_fail_at_bind_with_remedy(spark, tmp_path):
-    # entropy-coded zstd without the module: a clear bind-time error
-    # naming the zstandard remedy, from parse_header AND read_zeek
+def test_zst_compressed_blocks_fail_at_bind_with_remedy(spark, tmp_path, monkeypatch):
+    # an entropy-coded frame with GARBAGE content: with a live JVM the
+    # decode fails and the error says the stream is corrupt (installing
+    # zstandard would not fix the file); with no gateway reachable, the
+    # error names the zstandard-module remedy instead
     if HAVE_ZSTD:
         pytest.skip("zstandard installed; module-absent path unreachable")
+    from zeek_duckdb_spark import header as hdr_mod
+
     p = tmp_path / "conn.log.zst"
     p.write_bytes(COMPRESSED_BLOCK_FRAME)
+    with pytest.raises(ZeekHeaderError, match="corrupt or truncated"):
+        parse_header(str(p))
+    with pytest.raises(ZeekHeaderError, match="corrupt or truncated"):
+        read_zeek(spark, str(p))
+    # no JVM gateway (executor worker / no session): remedy named
+    monkeypatch.setattr(hdr_mod, "_jvm_zstd_decompress", lambda raw, path: None)
     with pytest.raises(ZeekHeaderError, match="zstandard"):
         parse_header(str(p))
-    with pytest.raises(ZeekHeaderError, match="zstandard"):
-        read_zeek(spark, str(p))
 
 
 def test_zst_garbage_after_magic_fails_at_bind(tmp_path):

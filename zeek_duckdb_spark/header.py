@@ -153,25 +153,31 @@ def _open_zstd_fallback(path: str) -> io.TextIOBase:
     try:
         data = decompress(raw)
     except ZstdCompressedBlockError as exc:
-        data = _jvm_zstd_decompress(raw)
+        # a structurally-valid frame the pure-Python codec can't decode
+        # (entropy-coded blocks): try the JVM, and only blame the
+        # missing module when no gateway was reachable
+        data = _jvm_zstd_decompress(raw, path)
         if data is None:
             raise ZeekHeaderError(
                 f"'{path}' is zstd-compressed and the zstandard "
                 f"module is unavailable ({exc})"
             ) from exc
     except ZstdRawError as exc:
+        # malformed frame structure — installing zstandard would NOT fix
+        # this file; say what is actually wrong
         raise ZeekHeaderError(
-            f"'{path}' is zstd-compressed and the zstandard "
-            f"module is unavailable ({exc})"
+            f"corrupt or truncated zstd stream in '{path}': {exc}"
         ) from exc
     return io.TextIOWrapper(io.BytesIO(data), encoding="utf-8", newline="")
 
 
-def _jvm_zstd_decompress(raw: bytes) -> bytes | None:
+def _jvm_zstd_decompress(raw: bytes, path: str) -> bytes | None:
     """Driver-side entropy zstd decode through the active SparkSession's
     JVM (zstd-jni ships with Spark).  Returns None when no JVM gateway
     is reachable (no active session, or running inside a Python
-    executor worker)."""
+    executor worker); a genuine DECODE failure from the JVM codec is a
+    corrupt stream and raises ZeekHeaderError saying so rather than
+    being misreported as a missing module."""
     try:
         from pyspark.sql import SparkSession
 
@@ -181,12 +187,46 @@ def _jvm_zstd_decompress(raw: bytes) -> bytes | None:
         jvm = spark._jvm
         bis = jvm.java.io.ByteArrayInputStream(raw)
         zis = jvm.com.github.luben.zstd.ZstdInputStream(bis)
+    except Exception:
+        return None  # gateway/classpath unavailable, not a data error
+    try:
         bos = jvm.java.io.ByteArrayOutputStream()
         zis.transferTo(bos)
         zis.close()
         return bytes(bos.toByteArray())
-    except Exception:
-        return None
+    except Exception as exc:
+        raise ZeekHeaderError(
+            f"corrupt or truncated zstd stream in '{path}': JVM zstd "
+            f"decode failed ({exc.__class__.__name__})"
+        ) from exc
+
+
+def _translate_stream_errors(fh, path: str):
+    """Surface zstd stream-decode failures as ZeekHeaderError.  The
+    ``zstandard`` stream reader decodes lazily, so a garbage-after-magic
+    file errors on the first READ, not at open — without this the error
+    surface depends on whether the module is installed (the module-less
+    fallback decodes eagerly at open and already raises ZeekHeaderError).
+    gzip errors are deliberately left alone: the reference's
+    corrupted-gzip fixtures pin their existing wording."""
+    it = iter(fh)
+    while True:
+        try:
+            line = next(it)
+        except StopIteration:
+            return
+        except Exception as exc:  # noqa: BLE001 — filtered just below
+            try:
+                import zstandard  # type: ignore
+
+                if isinstance(exc, zstandard.ZstdError):
+                    raise ZeekHeaderError(
+                        f"corrupt or truncated zstd stream in '{path}': {exc}"
+                    ) from exc
+            except ImportError:
+                pass
+            raise
+        yield line
 
 
 def parse_header(path: str) -> ZeekHeader:
@@ -202,7 +242,7 @@ def parse_header(path: str) -> ZeekHeader:
     hdr = ZeekHeader(source_file=path)
     saw_fields = saw_types = False
     with open_zeek_text(path) as fh:
-        for raw in fh:
+        for raw in _translate_stream_errors(fh, path):
             line = raw.rstrip("\r\n")
             if not line.startswith("#"):
                 break

@@ -62,6 +62,21 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def _pd_dtype_for(field) -> str:
+    """pandas dtype for a Spark schema field's values inside a
+    mapInPandas batch builder — one rule for every id-carrying operator
+    here (sample_frames, cdc_chunks): exact integral/float dtypes where
+    they exist, object for everything else (string, decimal, ...)."""
+    return {
+        "bigint": "int64",
+        "int": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "double": "float64",
+        "float": "float32",
+    }.get(field.dataType.simpleString(), "object")
+
+
 def attach_media(df: DataFrame, payload_col: str, fmt: str = "utf8") -> DataFrame:
     """Wrap a column's bytes as an opaque media column + typed metadata
     (JVM-side; for real pipelines the payload comes from
@@ -271,11 +286,7 @@ def sample_frames(
     # id name/dtype follow the input column (string ids must survive —
     # same contract as cdc_chunks)
     id_field = df.schema[id_col]
-    id_dtype = {
-        T.LongType(): "int64",
-        T.IntegerType(): "int32",
-        T.StringType(): "object",
-    }.get(id_field.dataType, "object")
+    id_dtype = _pd_dtype_for(id_field)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -375,14 +386,7 @@ def cdc_chunks(
     # (string ids are as legitimate as longs for blobs) — same derive-
     # from-schema rule as similarity.topk_neighbors_batch
     id_field = df.schema[id_col]
-    id_dtype = {
-        "bigint": "int64",
-        "int": "int32",
-        "smallint": "int16",
-        "tinyint": "int8",
-        "double": "float64",
-        "float": "float32",
-    }.get(id_field.dataType.simpleString(), "object")
+    id_dtype = _pd_dtype_for(id_field)
     out_schema = T.StructType(
         [
             T.StructField(id_col, id_field.dataType),
@@ -447,20 +451,20 @@ def cdc_chunks(
     )
 
 
-def chunk_dedup_groups(chunks: DataFrame) -> DataFrame:
+def chunk_dedup_groups(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Cross-blob chunk dedup stats over :func:`cdc_chunks` output: one
     row per duplicated chunk_hash with copy count, distinct-blob count,
     and reclaimable bytes ((copies-1) · length).  One hash-aggregate on
     a short key — map-side partials, no collect_list, 100 TB-safe.
 
-    The blob-id column is whatever :func:`cdc_chunks` emitted first
-    (it keeps the input id column's name), so this works for any
-    id name/type."""
+    ``id_col`` names the blob-id column (:func:`cdc_chunks` keeps the
+    input id column's name) — named, not positional, so a projected or
+    reordered chunks frame cannot silently aggregate the wrong column."""
     return (
         chunks.groupBy("chunk_hash", "length")
         .agg(
             F.count("*").alias("n_copies"),
-            F.count_distinct(chunks.columns[0]).alias("n_blobs"),
+            F.count_distinct(id_col).alias("n_blobs"),
         )
         .filter(F.col("n_copies") > 1)
         .withColumn("bytes_reclaimable", (F.col("n_copies") - 1) * F.col("length"))

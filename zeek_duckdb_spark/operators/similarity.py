@@ -198,10 +198,21 @@ def topk_neighbors_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    rescore: bool = False,
 ) -> DataFrame:
     """Cosine top-k for MANY query vectors at once — the batch-serving
     shape (score a whole eval/request batch against the corpus in one
     pass instead of Q separate scans).
+
+    ``rescore=True``: the merged top-k rows get their ``cosine_sim``
+    recomputed with the sequential expr fold (candidate rows carry
+    their vectors — k·Q·#batches arrays through the merge shuffle, the
+    corpus is still scanned once).  Use where an oracle compares exact
+    values: numpy's pairwise/SIMD summation and banker's rounding are
+    not bit-identical to a sequential fold, and a raw score within an
+    ulp of a .5e-6 boundary could round differently between engines.
+    Candidate SELECTION still uses the numpy scores (identical rows in
+    practice); only the emitted values become fold-exact.
 
     Plan: the Q query vectors are collected once (a request batch, not
     data) and closed over by a mapInPandas kernel; every Arrow batch of
@@ -251,6 +262,7 @@ def topk_neighbors_batch(
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :])
             out_q, out_id, out_sim = [], [], []
+            out_vec: list = []
             for j in range(len(q_ids)):
                 mask = ids != q_ids[j]
                 cand_ids = ids[mask]
@@ -265,25 +277,46 @@ def topk_neighbors_batch(
                 out_q.append(np.full(len(order), q_ids[j]))
                 out_id.append(cand_ids[order])
                 out_sim.append(cand_sims[order])
+                if rescore:
+                    vecs = pdf[vec_col].to_numpy()[mask][valid]
+                    out_vec.extend(list(vecs[order]))
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),
                     id_col: np.concatenate(out_id),
                     "cosine_sim": np.concatenate(out_sim),
+                    **(
+                        {"__vec": pd.Series(out_vec, dtype="object")}
+                        if rescore
+                        else {}
+                    ),
                 }
             )
 
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    extra = f", __vec {vec_type}" if rescore else ""
     cands = df.select(id_col, vec_col).mapInPandas(
         score_batches,
-        schema=f"q_id {q_id_type}, {id_col} {id_type}, cosine_sim double",
+        schema=f"q_id {q_id_type}, {id_col} {id_type}, cosine_sim double{extra}",
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
-    return (
+    top = (
         cands.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
-        .orderBy("q_id", F.desc("cosine_sim"), F.asc(id_col))
     )
+    if rescore:
+        qf = queries.select(
+            F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__q_vec")
+        )
+        top = (
+            top.join(F.broadcast(qf), "q_id")
+            .withColumn(
+                "cosine_sim", F.round(cosine(F.col("__vec"), F.col("__q_vec")), 6)
+            )
+            .drop("__vec", "__q_vec")
+        )
+    return top.orderBy("q_id", F.desc("cosine_sim"), F.asc(id_col))
 
 
 def plane_matrix(planes: int, dim: int, seed: int = 7) -> list[list[str]]:
@@ -643,10 +676,28 @@ def semantic_pairs(
     ``max_cell_size`` guard fails loudly ('error') or excludes the
     cell ('drop'), mirroring the LSH bucket guard in operators/dedup.
     """
-    if on_oversize not in ("error", "drop"):
-        raise ValueError("on_oversize must be 'error' or 'drop'")
     if centroids is None:
         centroids = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+    assigned = _assign_guarded(
+        df, centroids, id_col, vec_col, max_cell_size, on_oversize
+    )
+    return _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+
+
+def _assign_guarded(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_cell_size: int | None,
+    on_oversize: str,
+) -> DataFrame:
+    """Cell assignment + the max_cell_size guard (shared by
+    semantic_pairs and semantic_dedup so the corpus-wide argmax map is
+    computed from ONE definition — dedup reuses it for the
+    low_centroid_sim keep policy instead of assigning twice)."""
+    if on_oversize not in ("error", "drop"):
+        raise ValueError("on_oversize must be 'error' or 'drop'")
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
 
     if max_cell_size is not None:
@@ -674,7 +725,12 @@ def semantic_pairs(
             )
         # K rows — broadcast probe, no extra corpus shuffle
         assigned = assigned.join(F.broadcast(counts), "cell")
+    return assigned
 
+
+def _pairs_from_assigned(
+    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
     )
@@ -730,15 +786,13 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
-    pairs = semantic_pairs(
-        df,
-        threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        centroids=centroids,
-        max_cell_size=max_cell_size,
-        on_oversize=on_oversize,
+    # ONE corpus-wide assignment pass, shared by pair generation and
+    # (for low_centroid_sim) the keep decision — assigning twice would
+    # double the most expensive map and re-collect the centroids
+    assigned = _assign_guarded(
+        df, centroids, id_col, vec_col, max_cell_size, on_oversize
     )
+    pairs = _pairs_from_assigned(assigned, threshold, id_col, vec_col)
     cc = connected_components(pairs)  # (v, component)
 
     if keep == "min_id":
@@ -747,7 +801,6 @@ def semantic_dedup(
         reps = cc.groupBy("component").agg(F.min("v").alias("__keep"))
         drops = cc.join(reps, "component").filter(F.col("v") != F.col("__keep"))
     else:
-        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
         cents = centroids.select(
             F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
         )

@@ -32,6 +32,21 @@ from pyspark.sql import DataFrame
 __all__ = ["estimated_scan_partitions", "ensure_min_parallelism"]
 
 
+# plan nodes after which the file-split arithmetic no longer describes
+# df's ACTUAL partitioning (the user repartitioned, or a wide op set it)
+_NON_NARROW_NODES = (
+    "Repartition",
+    "Coalesce",
+    "Rebalance",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "GlobalLimit",
+)
+
+
 def estimated_scan_partitions(df: DataFrame) -> int:
     """Estimate how many input splits ``df``'s file scan will produce.
 
@@ -39,8 +54,23 @@ def estimated_scan_partitions(df: DataFrame) -> int:
     ``inputFiles()`` is empty; those are parallelized over
     ``defaultParallelism`` already, so that is the honest estimate and
     keeps the min-parallelism guards below a no-op for them.
+
+    The file arithmetic only describes a NARROW plan over the scan
+    (project/filter keep the scan's partitioning).  If the plan
+    contains a repartition/coalesce or a wide operator, df's real
+    partitioning is whatever that op produced — fall back to the exact
+    ``df.rdd.getNumPartitions()`` there (pays the one-off plan->RDD
+    translation, but only on plans where no estimate is possible;
+    without the fallback a coalesce(2) over a big file skips the guard
+    and serializes the downstream folds on 2 cores).
     """
     spark = df.sparkSession
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(node in plan for node in _NON_NARROW_NODES):
+            return df.rdd.getNumPartitions()
+    except Exception:
+        pass  # plan introspection is best-effort; keep the estimate
     files = df.inputFiles()
     if not files:
         return spark.sparkContext.defaultParallelism
