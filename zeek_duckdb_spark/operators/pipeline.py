@@ -33,6 +33,7 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "shard_corpus",
+    "epoch_shuffle",
     "pack_sequences",
     "mix_corpora",
 ]
@@ -286,6 +287,49 @@ def shard_corpus(
         shard_col,
         md5_long(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
         % F.lit(n_shards),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    key_col: str = "doc_id",
+    n_shards: int = 256,
+    seed: int = 0,
+    order_col: str = "epoch_order",
+) -> DataFrame:
+    """Deterministic training-order shuffle for one epoch: every row
+    gets a reproducible pseudo-random rank ``md5(key:epoch:seed)``,
+    rows land in ``md5``-assigned shards and are SORTED WITHIN each
+    shard — one repartition exchange plus per-shard local sorts, never
+    a global sort (a total order across 100 TB is pointless for a data
+    loader that reads shard files independently; per-shard order plus
+    randomized shard assignment is the standard layout).
+
+    Same (epoch, seed) -> the identical order on any cluster size;
+    different epochs decorrelate completely (the epoch is folded into
+    the hash, not added to it).  Write the result with
+    ``partitionBy(shard_col)`` — readers then stream shards in
+    filename order and rows in file order to replay the exact epoch.
+
+    Output: input columns + ``epoch_shard`` + ``order_col`` (the rank,
+    kept so downstream re-sorts/merges can preserve the order after
+    joins)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    rank = md5_long(
+        F.concat_ws(
+            ":", F.col(key_col).cast("string"), F.lit(str(epoch)), F.lit(str(seed))
+        )
+    )
+    out = df.withColumn(order_col, rank).withColumn(
+        "epoch_shard", (F.col(order_col) % F.lit(n_shards)).cast("int")
+    )
+    return (
+        out.repartition(n_shards, "epoch_shard")
+        .sortWithinPartitions("epoch_shard", order_col)
     )
 
 
