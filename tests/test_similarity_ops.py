@@ -366,3 +366,31 @@ def test_batch_topk_rescore_matches_expr_fold(spark, emb):
         ).collect()
         got = [(r.vec_id, r.cosine_sim) for r in rescored if r.q_id == qid]
         assert got == [(r.vec_id, r.cosine_sim) for r in one]
+
+
+def test_semantic_dedup_with_trained_kmeans_centroids(spark):
+    # the production composition: kmeans_fit_quantized centroids feed
+    # semantic_pairs/semantic_dedup in place of the lowest-id sample
+    from zeek_duckdb_spark.operators.kmeans import kmeans_fit_quantized
+
+    df = _planted(spark)
+    model = kmeans_fit_quantized(df, k=4, iters=2)
+    cents = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in model],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in sim.semantic_dedup(df, 0.95, centroids=cents).collect()
+    }
+    # soundness: loners are never dropped, and every drop has a kept
+    # near-dup from its own planted group (cells may split a group —
+    # the documented cross-cell recall trade — so exact min-id-per-group
+    # would over-promise here; that property is pinned at n_cells=1)
+    assert {9, 10} <= kept
+    groups = [{0, 1, 2}, {3, 4, 5}, {6, 7, 8}]
+    dropped = set(range(11)) - kept
+    assert dropped  # the trained cells do collapse duplicates
+    for d in dropped:
+        (g,) = [g for g in groups if d in g]
+        assert g & kept, d
