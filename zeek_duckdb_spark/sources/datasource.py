@@ -29,6 +29,7 @@ import datetime
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -119,6 +120,9 @@ class ZeekDataSource(DataSource):
         self._bound = (headers, names, types, union)
         return self._bound
 
+    def streamReader(self, schema: T.StructType) -> "ZeekStreamReader":
+        return ZeekStreamReader(self, schema)
+
     def schema(self) -> T.StructType:
         headers, names, types, _ = self._bind()
         replace = _opt_bool(self.options, "replace_periods", True)
@@ -159,6 +163,107 @@ class ZeekDataSource(DataSource):
             # falls back to row tuples so Spark's own converters reconcile.
             spark_schema=schema if schema == self.schema() else None,
         )
+
+
+class _AnyPathBound(dict):
+    """Mapping that answers EVERY path with the stream's bound header —
+    ZeekReader.read looks the bind-time header up by path for its
+    scan-time divergence re-check; in a stream, every later file must
+    match the schema the query started with."""
+
+    def __init__(self, bound: ZeekHeader):
+        super().__init__()
+        self._bound = bound
+
+    def get(self, _key, _default=None):
+        return self._bound
+
+
+class ZeekStreamReader(DataSourceStreamReader):
+    """Streaming twin of ZeekReader: ``spark.readStream.format("zeek")``.
+
+    Offsets are the set of files already planned ({"files": {path: 1}}
+    — JSON-primitive, checkpointable); each microbatch plans one
+    InputPartition per NEW file (the rotation unit, same task shape as
+    the batch scan and the reference's per-thread file claiming).
+
+    Unlike the composed CSV stream (streaming/zeek_stream.py), this
+    path KEEPS the batch scan's strict schema guarantee for every file
+    rotated in later: headers are parsed at planning time and a
+    divergent file fails the microbatch with the reference's error
+    wording (or is skipped under ignore_file_errors) — the A22
+    re-validation the file-stream CSV source cannot express
+    (ref src/zeek_scanner.cpp:270-303).
+    """
+
+    def __init__(self, ds: "ZeekDataSource", schema: T.StructType):
+        headers, names, types, union = ds._bind()
+        self._path = ds.options.get("path")
+        self._union = union
+        self._names = names
+        self._ignore = _opt_bool(ds.options, "ignore_file_errors", False)
+        self._bound_hdr = headers[0]
+        self._delegate = ZeekReader(
+            headers,
+            names,
+            types,
+            union,
+            with_filename=_opt_bool(ds.options, "filename", False),
+            ignore_file_errors=self._ignore,
+            out_names=[f.name for f in schema.fields if f.name != "filename"],
+            spark_schema=None,  # row tuples; Spark reconciles types
+        )
+        if not union:
+            # strict re-check for EVERY streamed file, not just the
+            # bind-time ones (union mode maps fields by name per file —
+            # partitions() computes each new file's fmap at planning)
+            self._delegate._bound_by_path = _AnyPathBound(self._bound_hdr)
+        else:
+            self._delegate._bound_by_path = {}
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        import glob as _g
+
+        seen = dict(getattr(self, "_seen", {}))
+        for f in sorted(_g.glob(self._path)):
+            seen[f] = 1
+        self._seen = seen  # monotone even if files rotate away
+        return {"files": seen}
+
+    def partitions(self, start: dict, end: dict):
+        new = [f for f in end.get("files", {}) if f not in start.get("files", {})]
+        parts = []
+        for f in sorted(new):
+            try:
+                hdr = parse_header(f)
+                reason = (
+                    None if self._union else same_schema(self._bound_hdr, hdr)
+                )
+                if reason is not None:
+                    raise ZeekHeaderError(
+                        f"Schema mismatch between "
+                        f"'{self._bound_hdr.source_file}' and '{f}': {reason}"
+                    )
+            except Exception:
+                if self._ignore:
+                    continue
+                raise
+            if self._union:
+                idx = {fld: i for i, fld in enumerate(hdr.fields)}
+                fmap = [idx.get(fld, -1) for fld in self._names]
+            else:
+                fmap = None
+            parts.append(ZeekFilePartition(f, fmap))
+        return parts
+
+    def read(self, partition: ZeekFilePartition):
+        return self._delegate.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def _convert_scalar(v: str, zt: str, hdr: ZeekHeader, arrow: bool = False):
