@@ -97,3 +97,21 @@ def test_stays_jvm_side(spark):
     df = spark.range(10).select(_itv_us(F.col("id") * F.lit(1000000)).alias("itv"))
     plan = audit.physical_plan(df.select(interval_text("itv")))
     assert "Python" not in plan  # no UDF eval — pure codegen expressions
+
+
+def test_property_differential_vs_duckdb(spark):
+    from hypothesis import given, settings, strategies as st
+
+    collected = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-30 * DAY_US, max_value=30 * DAY_US))
+    def gather(us):
+        collected.append(us)
+
+    gather()
+    # one Spark job over all generated cases (per-example jobs would
+    # take minutes); DuckDB rendering checked per row
+    df = spark.createDataFrame([(m,) for m in set(collected)], "us long")
+    for r in df.select("us", interval_text(_itv_us(F.col("us"))).alias("t")).collect():
+        assert r.t == _duckdb_text(r.us), r.us

@@ -52,12 +52,16 @@ def read_zeek_stream(
     schema; default = first (sorted) existing file matching ``pattern``
     in ``directory``.
 
-    SCHEMA-DIVERGENCE CAVEAT (the one place this engine could misparse
-    without an error): a streaming file source cannot re-validate each
-    new file's header the way the batch paths do (A22 — the batch scan
-    errors loudly on a header swap), so a file whose ``#fields`` /
-    ``#types`` later diverge produces NULLs / misparsed columns in the
-    stream rather than failing it.  Run
+    SCHEMA-DIVERGENCE CAVEAT (the one place this path could misparse
+    without an error): a generic streaming file source cannot
+    re-validate each new file's header the way the batch paths do (A22
+    — the batch scan errors loudly on a header swap), so a file whose
+    ``#fields`` / ``#types`` later diverge produces NULLs / misparsed
+    columns in the stream rather than failing it.  Two remedies:
+    ``spark.readStream.format("zeek")`` (sources/datasource.py
+    ZeekStreamReader) validates every rotated file's header at
+    microbatch planning and FAILS on divergence — use it when the
+    strict guarantee matters more than JVM CSV throughput; or run
     ``validate_stream_schemas(directory)`` periodically (e.g. from the
     rotation cron, or a foreachBatch hook listing newly-seen files) —
     it re-parses every header with the batch module and raises with the
