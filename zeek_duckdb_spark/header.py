@@ -133,15 +133,17 @@ def _open_zstd_fallback(path: str) -> io.TextIOBase:
 
     1. the vendored store-mode codec (sources/zstd_raw.py — raw/RLE
        blocks, pure Python);
-    2. for entropy-coded frames ON THE DRIVER, the Spark JVM's bundled
-       zstd-jni via py4j (the same codec the JVM scan uses to read the
-       data rows, so a header parse here means the composed path reads
-       the whole file end-to-end).  Python executor workers have no
-       py4j gateway, so the Python-DataSource scan path still needs
-       ``zstandard`` for entropy-coded inputs — the error says so.
+    2. for entropy-coded frames, pyarrow's bundled zstd codec
+       (``pa.CompressedInputStream``) — importable in Python executor
+       workers too, so BOTH scan paths (composed CSV and the Python
+       DataSource) read genuine compressed logs with zero extra
+       dependencies;
+    3. on the driver only, the Spark JVM's bundled zstd-jni via py4j
+       (the codec the JVM scan itself uses for the data rows).
 
-    Both fallbacks buffer the decoded file in memory (driver-side,
-    header-parse scale); install ``zstandard`` for streaming decode."""
+    All fallbacks buffer the decoded file in memory (one log file at a
+    time, the same unit the reference decodes); install ``zstandard``
+    for incremental streaming decode."""
     from zeek_duckdb_spark.sources.zstd_raw import (
         ZstdCompressedBlockError,
         ZstdRawError,
@@ -154,9 +156,12 @@ def _open_zstd_fallback(path: str) -> io.TextIOBase:
         data = decompress(raw)
     except ZstdCompressedBlockError as exc:
         # a structurally-valid frame the pure-Python codec can't decode
-        # (entropy-coded blocks): try the JVM, and only blame the
-        # missing module when no gateway was reachable
-        data = _jvm_zstd_decompress(raw, path)
+        # (entropy-coded blocks): pyarrow first (works on executors),
+        # then the driver JVM; only blame the missing module when
+        # neither codec was importable/reachable
+        data = _pyarrow_zstd_decompress(raw, path)
+        if data is None:
+            data = _jvm_zstd_decompress(raw, path)
         if data is None:
             raise ZeekHeaderError(
                 f"'{path}' is zstd-compressed and the zstandard "
@@ -169,6 +174,30 @@ def _open_zstd_fallback(path: str) -> io.TextIOBase:
             f"corrupt or truncated zstd stream in '{path}': {exc}"
         ) from exc
     return io.TextIOWrapper(io.BytesIO(data), encoding="utf-8", newline="")
+
+
+def _pyarrow_zstd_decompress(raw: bytes, path: str) -> bytes | None:
+    """Entropy zstd decode through pyarrow's bundled codec.  Returns
+    None when pyarrow lacks zstd support (so the caller can try the
+    JVM); a genuine DECODE failure is a corrupt stream and raises
+    ZeekHeaderError saying so — installing zstandard would not fix it."""
+    try:
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):
+            return None
+        stream = pa.CompressedInputStream(pa.BufferReader(raw), "zstd")
+    except ImportError:
+        return None
+    except Exception:
+        return None  # codec/stream construction unavailable, not a data error
+    try:
+        return bytes(stream.read())
+    except Exception as exc:
+        raise ZeekHeaderError(
+            f"corrupt or truncated zstd stream in '{path}': pyarrow zstd "
+            f"decode failed ({exc})"
+        ) from exc
 
 
 def _jvm_zstd_decompress(raw: bytes, path: str) -> bytes | None:

@@ -14,9 +14,9 @@ engine — JVM-speed parsing, codegen, pushdown.  This DataSource is the
 structural mirror of the reference: one InputPartition per file
 (= the reference's per-thread file claiming, src/zeek_scanner.cpp:245-330),
 schema resolved at "bind" time on the driver, per-file validation
-surfaced at scan time, and Python-side decompression — which also makes
-it the zstd path when the ``zstandard`` module is available (Hadoop
-native zstd isn't in this container).
+surfaced at scan time, and Python-side decompression — including
+entropy-coded zstd on executors via pyarrow's bundled codec (or the
+``zstandard`` module when installed).
 
 Both paths share header.py for schema resolution, so option semantics
 and error strings are identical by construction.
