@@ -94,6 +94,39 @@ def q01_pricing_summary(spark, sf):
     )
 
 
+# CBO broadcast bound for _build_side: 8 MB of compressed parquet ≈
+# Spark's 10 MB autoBroadcastJoinThreshold after decode.  Module-level
+# so plan tests can pin BOTH arms (0 forces the large-scale shape).
+_BROADCAST_BOUND_BYTES = 8 << 20
+
+
+def _build_side(df: DataFrame, bound: DataFrame, limit_bytes: int | None = None):
+    """CBO-style join build-side choice: broadcast ``df`` when the
+    UNFILTERED table(s) bounding it (``bound``) total under
+    ``limit_bytes`` on disk, else shuffle-hash.
+
+    Why both arms exist: Spark's own static estimates mis-pick here in
+    both directions — at small SF its sort-merge default pays a
+    pointless sort on narrow pre-projected keys, and at sf~5 it chose
+    the 7.5M-row orders scan as a broadcast BUILD (2.3 s of hash-
+    relation build).  Deciding from the bounding table's file bytes is
+    how a cost-based optimizer picks the strategy, and it is scale-
+    safe by construction: the build side is always a FILTERED/REDUCED
+    derivative of ``bound``, so small bound bytes genuinely cap the
+    hash relation, while an unbounded ``bound`` can never be force-
+    broadcast (shuffle-hash's per-partition build is capped by shuffle
+    parallelism instead).  8 MB of compressed parquet ≈ Spark's 10 MB
+    autoBroadcastJoinThreshold after decode."""
+    from zeek_duckdb_spark.plans.scanstats import estimated_scan_bytes
+
+    if limit_bytes is None:
+        limit_bytes = _BROADCAST_BOUND_BYTES
+    b = estimated_scan_bytes(bound)
+    if b is not None and b <= limit_bytes:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 def q03_top_orders(spark, sf):
     """TPC-H Q3-style: 3-way join, group, top-10 by revenue.
 
@@ -107,32 +140,30 @@ def q03_top_orders(spark, sf):
     - **selectivity first**: orders joins the filtered BUILDING
       customers before touching lineitem, so the fact-side probe sees
       only qualifying orders;
-    - **shuffle-hash hints** on the reduced sides: both joins carry
-      narrow pre-projected keys, where Spark's default preference for
-      sort-merge pays a pointless sort and its static size estimates
-      otherwise pick the 7.5M-row side as a broadcast BUILD (measured
-      2.3 s of hash-relation build at sf~5).  A shuffle-hash join's
-      per-partition build is bounded by shuffle parallelism, so this
-      holds at any scale — unlike a broadcast of an unbounded
-      subjoin.
+    - **cost-based build side** (:func:`_build_side`): each reduced
+      side broadcasts only when the table bounding it is small on
+      disk, else carries a shuffle-hash hint — broadcast when cheap
+      (sf0.1: zero shuffles for the join tree), bounded-build
+      shuffle-hash when not (never a broadcast of an unbounded
+      subjoin, never sort-merge's pointless sort on narrow keys).
 
-    Measured (bench_scaling, 32 threads): sf0.1 0.57->0.62 s (small
-    fixed cost added), sf~1 1.48->0.77 s, sf~5 4.8->1.7 s; the
-    DuckDB ratio now FALLS with scale (13x -> 8x -> 7x) where the
-    naive order ROSE (13x -> 15x -> 19x)."""
-    c = _t(spark, sf, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    ).select("c_custkey")
+    Measured (bench_scaling, 32 threads): shuffle-hash-always was
+    sf0.1 0.57->0.62 s, sf~1 1.48->0.77 s, sf~5 4.8->1.7 s vs the
+    naive order; the CBO arm restores the sf0.1 broadcast plan while
+    keeping the large-SF wins; the DuckDB ratio FALLS with scale
+    (8x -> 7x) where the naive order ROSE (13x -> 15x -> 19x)."""
+    c_base = _t(spark, sf, "customer")
+    c = c_base.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     lagg = l.groupBy("l_orderkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
     ofc = o.join(
-        c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
+        _build_side(c, c_base), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "o_orderdate")
     return (
-        lagg.join(ofc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        lagg.join(_build_side(ofc, o), F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_orderkey", "o_orderdate", "revenue")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -150,10 +181,11 @@ def q05_nation_revenue(spark, sf):
       n_name — the name joins back onto the 5-row aggregate at the
       end);
     - only the constant-size dims (region=5, nation=25 rows at every
-      SF) carry broadcast hints; a forced broadcast of the unbounded
-      customer/orders subjoins would OOM at 100 TB — they get
-      shuffle-hash hints instead (per-partition build bounded by
-      shuffle parallelism; see q03);
+      SF) carry unconditional broadcast hints; the customer/orders
+      subjoins get the cost-based build side (:func:`_build_side` —
+      broadcast only while the bounding table is small on disk,
+      bounded-build shuffle-hash beyond; a FORCED broadcast of those
+      unbounded sides would OOM at 100 TB);
     - lineitem eagerly pre-aggregates to (orderkey, rev) before its
       join, then the per-order partials re-aggregate by nation."""
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
@@ -169,13 +201,13 @@ def q05_nation_revenue(spark, sf):
         c.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "n_nationkey")
     ocn = o.join(
-        cn.hint("shuffle_hash"), o.o_custkey == F.col("c_custkey")
+        _build_side(cn, c), o.o_custkey == F.col("c_custkey")
     ).select("o_orderkey", "n_nationkey")
     lagg = l.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
     return (
-        lagg.join(ocn.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        lagg.join(_build_side(ocn, o), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_nationkey")
         .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .join(F.broadcast(nr), "n_nationkey")

@@ -29,12 +29,26 @@ def test_q01_scan_pruned_and_filter_pushed(spark):
     assert any("l_shipdate" in f for f in audit.pushed_filters(df))
 
 
-def test_q05_broadcasts_dims_shuffles_narrow_sides_only(spark):
+def test_q05_small_scale_arm_broadcasts_everything(spark):
+    # CBO arm 1: at this SF every bounding table is tiny on disk, so
+    # ALL six joins broadcast — the whole join tree runs shuffle-free
+    # (the only exchanges are the pre-agg partials / final agg)
     df = entry_mod.q05_nation_revenue(spark, SF)
     plan = audit.physical_plan(df)
-    # constant-size dims (region, nation x2) broadcast; the unbounded
-    # customer/orders subjoins run as SHUFFLED hash joins (bounded
-    # per-partition build), never sort-merge and never broadcast
+    assert audit.num_broadcast_joins(df) == 6
+    assert plan.count("ShuffledHashJoin") == 0
+    assert audit.num_sortmerge_joins(df) == 0
+
+
+def test_q05_large_scale_arm_shuffles_narrow_sides_only(spark, monkeypatch):
+    # CBO arm 2 (the 100 TB shape, forced by a 0-byte broadcast bound):
+    # constant-size dims (region, nation x2) still broadcast via their
+    # unconditional hints; the unbounded customer/orders subjoins run
+    # as SHUFFLED hash joins (bounded per-partition build), never
+    # sort-merge and never broadcast
+    monkeypatch.setattr(entry_mod, "_BROADCAST_BOUND_BYTES", 0)
+    df = entry_mod.q05_nation_revenue(spark, SF)
+    plan = audit.physical_plan(df)
     assert audit.num_broadcast_joins(df) == 4
     assert plan.count("ShuffledHashJoin") == 2
     assert audit.num_sortmerge_joins(df) == 0

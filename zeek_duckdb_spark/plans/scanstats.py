@@ -29,7 +29,35 @@ import re
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimated_scan_partitions", "ensure_min_parallelism"]
+__all__ = [
+    "estimated_scan_bytes",
+    "estimated_scan_partitions",
+    "ensure_min_parallelism",
+]
+
+
+def estimated_scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes feeding ``df``'s file scan, or None when no
+    estimate is possible (non-file source, unreadable paths).  Used for
+    CBO-style join build-side choices: a relation whose UNDERLYING
+    table files are tiny is safe to broadcast no matter what filters
+    sit on top (the filtered output can only be smaller), while a
+    relation over unbounded table bytes must never be force-broadcast.
+    Pure driver-side metadata arithmetic — no job, no RDD conversion."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = re.sub(r"^[a-z0-9.+-]+:(//)?", "", f)
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None  # non-local filesystem — no honest estimate
+    return total
 
 
 # plan nodes after which the file-split arithmetic no longer describes
