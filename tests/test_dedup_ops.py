@@ -396,3 +396,104 @@ def test_strip_duplicate_spans_property_randomized(spark):
         assert window not in joined, (
             f"doc {r.doc_id} still contains duplicated window {window!r}"
         )
+
+
+# --- incremental dedup against a persisted index ------------------------
+
+
+def _inc_corpora(spark):
+    """Index corpus (already deduped among itself) + a new batch with a
+    new-vs-index near-dup, a new-vs-new near-dup pair, and uniques."""
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    base_b = " ".join(f"beta{i}" for i in range(30))
+    index = _docs(
+        spark,
+        [
+            (1, base_a),
+            (2, base_b),
+            (3, "an unrelated index document about gardening tools"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (101, base_a + " tail"),           # near-dup of index doc 1
+            (102, base_b + " tailone"),        # near-dup pair inside batch
+            (103, base_b + " tailtwo"),
+            (104, "a fresh unique crawl page"),
+        ],
+    )
+    return index, new
+
+
+def test_incremental_lsh_matches_full_pass_on_new_pairs(spark):
+    """Differential oracle: the incremental pass must equal the FULL
+    pairwise pass over index ∪ new, restricted to pairs touching the
+    new batch — same ids, same jaccard values."""
+    index, new = _inc_corpora(spark)
+    k = dict(num_hashes=32, shingle_k=3)
+    isigs = dd.minhash_signatures(index, **k)
+    nsigs = dd.minhash_signatures(new, **k)
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs_incremental(
+            nsigs, isigs, bands=8, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs(
+            dd.minhash_signatures(index.unionByName(new), **k),
+            bands=8,
+            threshold=0.5,
+        ).collect()
+        if r.id_a > 100 or r.id_b > 100  # pairs touching the new batch
+    }
+    assert inc == full
+    assert (1, 101) in inc and (102, 103) in inc  # both pair kinds found
+
+
+def test_incremental_lsh_never_emits_index_index_pairs(spark):
+    # plant an index-index near-dup the incremental pass must IGNORE
+    base = " ".join(f"gamma{i}" for i in range(30))
+    index = _docs(spark, [(1, base), (2, base + " x")])
+    new = _docs(spark, [(50, "nothing like the index at all here")])
+    k = dict(num_hashes=32, shingle_k=3)
+    out = dd.minhash_lsh_pairs_incremental(
+        dd.minhash_signatures(new, **k),
+        dd.minhash_signatures(index, **k),
+        bands=8,
+        threshold=0.3,
+    ).collect()
+    assert out == []
+
+
+def test_incremental_lsh_new_pairs_toggle(spark):
+    index, new = _inc_corpora(spark)
+    k = dict(num_hashes=32, shingle_k=3)
+    isigs = dd.minhash_signatures(index, **k)
+    nsigs = dd.minhash_signatures(new, **k)
+    only_cross = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs_incremental(
+            nsigs, isigs, bands=8, threshold=0.5, include_new_pairs=False
+        ).collect()
+    }
+    assert (1, 101) in only_cross
+    assert (102, 103) not in only_cross  # new-new excluded on request
+
+
+def test_incremental_lsh_index_side_semi_joins_before_shuffle(spark):
+    """Plan shape: the index relation must pass through a LeftSemi join
+    on (band, bucket) before any aggregation — the wholesale index
+    never rides the groupBy exchange."""
+    index, new = _inc_corpora(spark)
+    k = dict(num_hashes=32, shingle_k=3)
+    df = dd.minhash_lsh_pairs_incremental(
+        dd.minhash_signatures(new, **k),
+        dd.minhash_signatures(index, **k),
+        bands=8,
+        threshold=0.5,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan

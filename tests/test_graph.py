@@ -74,3 +74,55 @@ def test_strip_boilerplate_preserves_order(spark):
     assert {r.doc_id: r.text for r in out} == {
         i: f"alpha{i}\nbeta{i}\ngamma{i}" for i in range(3)
     }
+
+
+# --- resolve_clusters: quality-aware keep policy ------------------------
+
+
+def _scored_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, score double")
+
+
+def test_resolve_clusters_min_id_default(spark):
+    docs = _scored_docs(
+        spark,
+        [(1, "a", 0.1), (2, "b", 0.9), (3, "c", 0.5), (7, "alone", 0.2)],
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    from zeek_duckdb_spark.operators.graph import resolve_clusters
+
+    kept = sorted(r.doc_id for r in resolve_clusters(docs, pairs).collect())
+    assert kept == [1, 7]  # min id of the {1,2,3} cluster + untouched 7
+
+
+def test_resolve_clusters_keeps_best_score(spark):
+    docs = _scored_docs(
+        spark,
+        [
+            (1, "low", 0.1),
+            (2, "best", 0.9),
+            (3, "mid", 0.5),
+            (10, "tie-a", 0.4),
+            (11, "tie-b", 0.4),   # score tie -> min id wins
+            (20, "null-a", None),
+            (21, "null-b", None),  # all-NULL cluster -> min id wins
+            (30, "solo", 0.0),
+        ],
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+    from zeek_duckdb_spark.operators.graph import resolve_clusters
+
+    out = resolve_clusters(docs, pairs, score_col="score")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [2, 10, 20, 30]
+    # schema passes through untouched (no helper columns leak)
+    assert out.columns == ["doc_id", "text", "score"]
+
+
+def test_resolve_clusters_null_loses_to_scored(spark):
+    docs = _scored_docs(spark, [(1, "scored", 0.2), (2, "null", None)])
+    pairs = _pairs(spark, [(1, 2)])
+    from zeek_duckdb_spark.operators.graph import resolve_clusters
+
+    kept = [r.doc_id for r in resolve_clusters(docs, pairs, score_col="score").collect()]
+    assert kept == [1]

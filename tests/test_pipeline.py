@@ -365,3 +365,36 @@ def test_epoch_shuffle_plan_one_exchange_no_global_sort(spark):
     # local sorts only — a global order would show a range-partitioned
     # Sort (Exchange rangepartitioning)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_clean_corpus_near_keep_score_prefers_quality(spark):
+    # the quality-aware keep policy retains the best-scoring cluster
+    # member instead of the lowest id; the score rides in on the INPUT
+    # frame and survives the pipeline's narrow projection
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sailors watch from the harbour wall in the evening light")
+    corpus = spark.createDataFrame(
+        [
+            (1, base, 0.2),
+            (2, base + " tonight", 0.9),                  # best of cluster
+            (3, base.replace("evening", "morning"), 0.5),
+            (4, "a completely different document about spark shuffle "
+                "partitioning strategies and broadcast joins at scale", 0.1),
+        ],
+        "doc_id long, text string, clf_score double",
+    )
+    out = clean_corpus(
+        corpus, min_tokens=5, max_punct_ratio=0.5,
+        near_dedup="minhash", near_params={"threshold": 0.6},
+        near_keep_score="clf_score",
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [2, 4]
+    # an in-pipeline quality feature works as the score too
+    out2 = clean_corpus(
+        corpus, min_tokens=5, max_punct_ratio=0.5,
+        near_dedup="minhash", near_params={"threshold": 0.6},
+        near_keep_score="q_tokens",
+    )
+    kept2 = sorted(r.doc_id for r in out2.collect())
+    assert kept2 == [2, 4]  # doc 2 has one more token than 1/3

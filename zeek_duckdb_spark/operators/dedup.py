@@ -215,6 +215,46 @@ def _guard_bucket_size(
     raise ValueError(f"on_oversize must be 'error' or 'drop', got '{on_oversize}'")
 
 
+def _band_buckets(
+    sig_df: DataFrame, id_col: str, bands: int, num_hashes: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a minhash-signature frame.
+
+    Empty-shingle exclusion happens here (candidate ids come from the
+    banded side, so excluded docs never join verification): prefer the
+    token-level ``__nonempty`` flag from minhash_signatures
+    (pushdown-cheap, see its docstring); fall back to size(shingles)
+    for externally-built signature frames.
+
+    The bucket is an md5-derived 60-bit id so the oracle SQL can
+    restate it (and 8 bytes ride the shuffle, not the concatenated
+    signature string); generated as one SQL string — see the F.expr
+    note in minhash_signatures (construction cost, not semantics)."""
+    rows_per_band = num_hashes // bands
+    if "__nonempty" in sig_df.columns:
+        banded = sig_df.filter(F.col("__nonempty"))
+    else:
+        banded = sig_df.filter(F.size("shingles") > 0)
+
+    def _bucket_sql(b: int) -> str:
+        parts = ", ".join(
+            f"CAST(minhash[{b * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)
+        )
+        return (
+            f"named_struct('band', {b}, 'bucket', "
+            f"CAST(conv(substring(md5(concat_ws(',', {parts})), 1, 15), 16, 10)"
+            f" AS BIGINT))"
+        )
+
+    band_cols = F.expr(
+        "array(" + ", ".join(_bucket_sql(b) for b in range(bands)) + ")"
+    )
+    return banded.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -270,37 +310,7 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    # empty-shingle exclusion (banding side only — candidate ids come
-    # from the banded side, so excluded docs never join verification):
-    # prefer the token-level __nonempty flag from minhash_signatures
-    # (pushdown-cheap, see its docstring); fall back to size(shingles)
-    # for externally-built signature frames
-    if "__nonempty" in sig_df.columns:
-        banded = sig_df.filter(F.col("__nonempty"))
-    else:
-        banded = sig_df.filter(F.size("shingles") > 0)
-    # md5-derived 60-bit bucket id so the oracle SQL can restate it (and
-    # 8 bytes ride the shuffle, not the concatenated signature string);
-    # generated as one SQL string — see the F.expr note in
-    # minhash_signatures (construction cost, not semantics)
-    def _bucket_sql(b: int) -> str:
-        parts = ", ".join(
-            f"CAST(minhash[{b * rows_per_band + r}] AS STRING)"
-            for r in range(rows_per_band)
-        )
-        return (
-            f"named_struct('band', {b}, 'bucket', "
-            f"CAST(conv(substring(md5(concat_ws(',', {parts})), 1, 15), 16, 10)"
-            f" AS BIGINT))"
-        )
-
-    band_cols = F.expr(
-        "array(" + ", ".join(_bucket_sql(b) for b in range(bands)) + ")"
-    )
-    buckets = banded.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
-        id_col, "bb.band", "bb.bucket"
-    )
+    buckets = _band_buckets(sig_df, id_col, bands, num_hashes)
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -344,6 +354,105 @@ def minhash_lsh_pairs(
         joined
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest: a new batch of
+    signatures against a persisted corpus index, without re-pairing
+    the index against itself.
+
+    The daily-crawl shape: the corpus index (minhash_signatures output
+    landed as parquet) holds N docs already deduped among themselves;
+    today's batch holds n ≪ N new docs.  Re-running the full pairwise
+    pass re-verifies O(N) index-index candidates whose verdicts cannot
+    have changed.  This pass emits only pairs touching the new batch:
+    new-new (``include_new_pairs``, on by default) and new-index.
+
+    Scale shape (what makes this cheaper than a full re-pass at 100 TB):
+    - the index never shuffles wholesale — its (id, band, bucket) rows
+      are SEMI-JOINED against the new batch's touched buckets first,
+      so only index entries that could collide with a new doc ride the
+      groupBy exchange (AQE broadcasts the touched-bucket set when the
+      batch is small, its usual case).  Persisting the index bucketed
+      by (band, bucket) via sink.write_bucketed makes even that scan
+      partition-prunable;
+    - each surviving bucket expands pairs with an (is_new) tag and
+      keeps only pairs where at least one side is new — index-index
+      pairs are never materialized, not merely filtered late (the
+      transform lambda skips them during expansion);
+    - verification joins shingles from both frames by candidate id
+      only, exactly like :func:`minhash_lsh_pairs`.
+
+    Contract: ``new_sigs`` and ``index_sigs`` carry disjoint id sets
+    (an id appearing in both describes the same doc twice and would
+    pair with itself; strict ``id_a < id_b`` drops such self-pairs).
+    Both frames must come from :func:`minhash_signatures` with the
+    same (num_hashes, shingle_k, seed) — mixed parameters make
+    signatures incomparable garbage.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold,
+    id_a < id_b, at least one side from ``new_sigs``.
+    """
+    nb = _band_buckets(new_sigs, id_col, bands, num_hashes)
+    ib = _band_buckets(index_sigs, id_col, bands, num_hashes)
+    touched = nb.select("band", "bucket").distinct()
+    ib_touched = ib.join(touched, ["band", "bucket"], "left_semi")
+    tagged = nb.withColumn("is_new", F.lit(True)).unionByName(
+        ib_touched.withColumn("is_new", F.lit(False))
+    )
+    grouped = (
+        tagged.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new")).alias(
+                "ids"
+            )
+        )
+        .filter(F.size("ids") > 1)
+    )
+    grouped = _guard_bucket_size(grouped, "ids", max_bucket_size, on_oversize)
+    # sort by (id, is_new) so expansion is deterministic and id_a < id_b
+    # by construction; materialized in its own projection (see the
+    # re-sort note in minhash_lsh_pairs)
+    grouped = grouped.withColumn("ids", F.array_sort("ids"))
+    # pair predicate INSIDE the expansion lambda: index-index pairs are
+    # skipped during generation, not filtered after
+    keep = (
+        "x.is_new OR y.is_new" if include_new_pairs else "x.is_new != y.is_new"
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        f"filter(transform(slice(ids, i + 2, {1 << 30}), "
+        "y -> named_struct('id_a', x.id, 'id_b', y.id, "
+        f"'keep', ({keep}) AND x.id < y.id)), p -> p.keep)))"
+    )
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = new_sigs.select(F.col(id_col), F.col("shingles")).unionByName(
+        index_sigs.select(F.col(id_col), F.col("shingles"))
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "resolve_clusters"]
 
 
 def connected_components(
@@ -108,3 +108,63 @@ def dedup_clusters(
             F.array_sort(F.collect_list("v")).alias("members"),
         )
     )
+
+
+def resolve_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Apply a near-dup pass to the corpus: keep ONE representative per
+    duplicate cluster, chosen by quality instead of accident.
+
+    ``score_col=None`` keeps the min-id member (the policy
+    :func:`dedup_clusters` documents); with a ``score_col`` (e.g. the
+    textops quality score) each cluster keeps its HIGHEST-scoring
+    member — ties and NULL scores fall back to min id, so the choice
+    is deterministic either way.  Docs in no pair pass through
+    untouched.
+
+    Scale shape: the corpus never rides a window or a wide shuffle —
+    the (vertex, component) labels from :func:`connected_components`
+    are |clustered docs| rows (≪ corpus after exact dedup), winners
+    are picked with one ``max_by`` aggregate over that small frame,
+    and the corpus is filtered by a LEFT ANTI join against the
+    (cluster members - winners) loser set, which AQE broadcasts in
+    the common case.  An all-dup adversarial corpus degrades to one
+    extra |corpus|-key shuffle, never a driver collect.
+    """
+    out_cols = [F.col(c) for c in df.columns]
+    cc = connected_components(pairs, a_col, b_col)
+    members = cc.withColumnRenamed("v", "__mid")
+    if score_col is not None:
+        scored = members.join(
+            df.select(
+                F.col(id_col).alias("__mid"),
+                # NULL scores coalesce to -inf: they lose to every real
+                # score, and an all-NULL cluster falls back to min id
+                F.coalesce(
+                    F.col(score_col).cast("double"), F.lit(float("-inf"))
+                ).alias("__score"),
+            ),
+            "__mid",
+        )
+        # one min_by aggregate: ordering key (-score, id) means best
+        # score wins, score ties break to min id — no window, no
+        # global sort, deterministic
+        winners = scored.groupBy("component").agg(
+            F.expr(
+                "min_by(__mid, named_struct('negs', -__score, 'id', __mid))"
+            ).alias("__keep")
+        )
+    else:
+        winners = members.groupBy("component").agg(F.min("__mid").alias("__keep"))
+    losers = members.join(
+        winners, members.component == winners.component
+    ).filter(F.col("__mid") != F.col("__keep")).select(
+        F.col("__mid").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti").select(*out_cols)

@@ -54,6 +54,7 @@ def clean_corpus(
     dup_span_width: int = 8,
     near_dedup: str | None = None,
     near_params: dict | None = None,
+    near_keep_score: str | None = None,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -95,8 +96,20 @@ def clean_corpus(
       max_bucket_size guards against).  ``near_params`` passes
       operator knobs through (minhash: num_hashes/shingle_k/bands/
       threshold/seed; simhash: bits/blocks/max_hamming).
+    - ``near_keep_score=<column name>`` switches the fuzzy pass's keep
+      policy from 'lowest id wins' to 'highest score wins' (ties and
+      NULLs fall back to min id — graph.resolve_clusters).  Any
+      numeric column visible at that stage works, including the
+      quality features this pipeline computed (``q_tokens``,
+      ``stop_ratio``, ...) or a classifier score carried in ``df``.
     """
-    base = df.select(id_col, text_col)
+    keep_cols = [id_col, text_col]
+    if near_keep_score is not None and near_keep_score in df.columns:
+        # a score carried in the INPUT frame (e.g. a classifier score)
+        # must survive the narrow projection to reach the fuzzy pass;
+        # in-pipeline quality features are visible there regardless
+        keep_cols.append(near_keep_score)
+    base = df.select(*keep_cols)
     if blocked_domains is not None:
         from zeek_duckdb_spark.operators.textops import filter_blocked_domains
 
@@ -138,7 +151,7 @@ def clean_corpus(
     deduped = with_key.join(keepers, [id_col, "fp"], "left_semi").drop("fp")
     if near_dedup is not None:
         deduped = _near_dedup_pass(
-            deduped, id_col, text_col, near_dedup, near_params
+            deduped, id_col, text_col, near_dedup, near_params, near_keep_score
         )
     return deduped.withColumn("lang_guess", lang_id(F.col(text_col)))
 
@@ -149,10 +162,12 @@ def _near_dedup_pass(
     text_col: str,
     strategy: str,
     params: dict | None,
+    keep_score: str | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup stage of :func:`clean_corpus`: LSH candidate pairs
-    -> connected-component clusters -> drop every non-min member.  One
-    anti-join against the (small) loser set; the corpus itself pays
+    -> connected-component clusters -> drop every non-representative
+    member (min id, or best ``keep_score`` via graph.resolve_clusters).
+    One anti-join against the (small) loser set; the corpus itself pays
     only the candidate-generation shuffle the pair operators already
     bound."""
     from zeek_duckdb_spark.operators import dedup as dd
@@ -197,6 +212,10 @@ def _near_dedup_pass(
         raise ValueError(
             f"near_dedup must be 'minhash' or 'simhash', got '{strategy}'"
         )
+    if keep_score is not None:
+        from zeek_duckdb_spark.operators.graph import resolve_clusters
+
+        return resolve_clusters(deduped, pairs, id_col, score_col=keep_score)
     losers = (
         connected_components(pairs)
         .filter(F.col("v") != F.col("component"))
