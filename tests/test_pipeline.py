@@ -398,3 +398,46 @@ def test_clean_corpus_near_keep_score_prefers_quality(spark):
     )
     kept2 = sorted(r.doc_id for r in out2.collect())
     assert kept2 == [2, 4]  # doc 2 has one more token than 1/3
+
+
+def test_corpus_profile_tracks_exact_statistics(spark):
+    # sketches must land within their published error bounds of the
+    # EXACT statistics, computed relationally on the same frame
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from zeek_duckdb_spark.operators.pipeline import corpus_profile
+    from zeek_duckdb_spark.operators.textops import fingerprint
+
+    prof = corpus_profile(d).collect()[0]
+    toks = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                           lambda x: x != F.lit("")))
+    exact = d.select(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(toks).alias("tokens"),
+        F.count_distinct(fingerprint(F.col("text"))).alias("distinct"),
+        F.median(toks).alias("p50"),
+    ).collect()[0]
+    assert prof.n_docs == exact.n
+    assert prof.total_chars == exact.chars
+    assert prof.total_tokens == exact.tokens
+    # HLL++ at rsd=0.05: allow 3 sigma
+    assert abs(prof.approx_distinct_docs - exact.distinct) <= 0.15 * exact.distinct
+    # GK at accuracy 10000 is exact at this size (rank error < 1 row)
+    assert abs(prof.tokens_p50 - exact.p50) <= 1
+    assert prof.tokens_p50 <= prof.tokens_p90 <= prof.tokens_p99
+    dup = max(0.0, 1.0 - prof.approx_distinct_docs / prof.n_docs)
+    assert prof.approx_exact_dup_ratio == pytest.approx(dup, abs=1e-6)
+
+
+def test_corpus_profile_single_aggregate_scan(spark):
+    # the whole profile must be ONE aggregate over one scan: a single
+    # pair of HashAggregate/SortAggregate stages around one exchange,
+    # no sort, no join
+    from zeek_duckdb_spark.operators.pipeline import corpus_profile
+    from zeek_duckdb_spark.plans import audit
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = audit.physical_plan(corpus_profile(d))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Sort [" not in plan
+    assert audit.num_shuffles(corpus_profile(d)) <= 1

@@ -285,3 +285,66 @@ def test_quality_classifier_separates_and_is_pure_map(spark):
     assert "Python" not in audit.physical_plan(out)
     with pytest.raises(ValueError, match="non-empty"):
         quality_classifier_score(F.col("text"), [])
+
+
+# --- BM25 ---------------------------------------------------------------
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    rows = [
+        (1, "spark shuffle join spark spark"),
+        (2, "duckdb join vectorized engine"),
+        (3, "completely unrelated text here"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "join"]
+    from zeek_duckdb_spark.operators.textops import bm25_scores
+
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+
+    # independent reference implementation (same formula, plain python)
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in rows}
+    N = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        s = 0.0
+        for t in set(terms):
+            df_t = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (N - df_t + 0.5) / (df_t + 0.5))
+            tf = toks[doc].count(t)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[doc]) / avgdl))
+        return round(s, 6)
+
+    for i, _ in rows:
+        assert got[i] == pytest.approx(score(i), abs=2e-6), i
+    assert got[3] == 0.0 and got[4] == 0.0   # no hits / empty doc
+    assert got[1] > got[2] > 0.0             # ranking follows relevance
+
+
+def test_bm25_schema_and_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    from zeek_duckdb_spark.operators.textops import bm25_scores
+
+    out = bm25_scores(docs, ["B"])   # terms matched lowercase
+    assert out.columns == ["doc_id", "text", "bm25"]
+    assert out.collect()[0].bm25 > 0
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(docs, [])
+
+
+def test_bm25_stats_side_broadcasts(spark):
+    from zeek_duckdb_spark.operators.textops import bm25_scores
+    from zeek_duckdb_spark.plans import audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bm25_scores(docs, ["the", "and"])
+    plan = audit.physical_plan(df)
+    # 1-row stats attach via broadcast nested loop — the corpus never
+    # shuffles to receive them
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -25,6 +25,7 @@ __all__ = [
     "registered_domain",
     "filter_blocked_domains",
     "quality_classifier_score",
+    "bm25_scores",
 ]
 
 # PII patterns (Java regex — this column is evaluated JVM-side).  Order
@@ -430,3 +431,72 @@ def quality_classifier_score(
     )
     z = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def bm25_scores(
+    df: "DataFrame",
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Okapi BM25 relevance of every document against a fixed term set
+    — the classic keyword retrieval/filter score (e.g. "rank the crawl
+    by how much it talks about these topics" before sampling).
+
+        idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d) = sum_t idf(t) * tf_td*(k1+1) / (tf_td + k1*(1-b+b*dl/avgdl))
+
+    Execution shape (two passes over the corpus, zero wide shuffle):
+
+    1. corpus statistics — N, avgdl, and one df_t per query term — in
+       ONE aggregate scan (per-term containment flags summed in the
+       same agg; the term list is a handful of constants, so this is a
+       single map-reduce with a 1-row result);
+    2. the 1-row stats attach to every doc via the standard
+       ``crossJoin(broadcast(...))`` scalar idiom, and the score is a
+       pure JVM expression over the tokenized text (tf from
+       size(filter(toks, =t)) on a MATERIALIZED token array — HOFs
+       have no CSE, so tokenization must not be re-derived per term).
+
+    Terms are matched lowercase, whole-token.  Docs with no query term
+    score 0.0; an empty corpus side yields no rows (nothing to score).
+    Output: input columns + ``bm25`` (double, rounded to 6).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toked = df.withColumn(
+        "__toks", F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+    ).withColumn("__dl", F.size("__toks").cast("double"))
+    stats_aggs = [
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    ] + [
+        F.sum(
+            F.array_contains("__toks", t).cast("double")
+        ).alias(f"__df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = toked.agg(*stats_aggs)
+    joined = toked.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = F.col(f"__df_{i}")
+        idf = F.log(F.lit(1.0) + (F.col("__n") - df_t + 0.5) / (df_t + 0.5))
+        # NOTE: the lambda must take exactly ONE parameter — F.filter
+        # passes the element INDEX to a second parameter, so a
+        # `lambda x, _t=t:` default would silently receive the index
+        tlit = F.lit(t)
+        tf = F.size(F.filter("__toks", lambda x: x == tlit)).cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl") / F.nullif(F.col("__avgdl"), F.lit(0.0))
+        )
+        score = score + F.coalesce(
+            idf * tf * F.lit(k1 + 1.0) / denom, F.lit(0.0)
+        )
+    return joined.withColumn("bm25", F.round(score, 6)).select(
+        *df.columns, "bm25"
+    )
