@@ -99,6 +99,10 @@ def q01_pricing_summary(spark, sf):
 # so plan tests can pin BOTH arms (0 forces the large-scale shape).
 _BROADCAST_BOUND_BYTES = 8 << 20
 
+# id(bound df) -> (df ref, estimated bytes); the ref pins identity so a
+# recycled id() can never alias a different DataFrame
+_SCAN_BYTES_CACHE: dict = {}
+
 
 def _build_side(df: DataFrame, bound: DataFrame, limit_bytes: int | None = None):
     """CBO-style join build-side choice: broadcast ``df`` when the
@@ -121,7 +125,16 @@ def _build_side(df: DataFrame, bound: DataFrame, limit_bytes: int | None = None)
 
     if limit_bytes is None:
         limit_bytes = _BROADCAST_BOUND_BYTES
-    b = estimated_scan_bytes(bound)
+    # memoized per bound-DataFrame identity: ``bound`` is one of _t's
+    # per-(session, dir, table) cached objects, so identity is stable
+    # and the driver-side inputFiles()+getsize metadata walk (~0.1 s)
+    # is paid once per table, not twice per q03/q05 construction
+    hit = _SCAN_BYTES_CACHE.get(id(bound))
+    if hit is not None and hit[0] is bound:
+        b = hit[1]
+    else:
+        b = estimated_scan_bytes(bound)
+        _SCAN_BYTES_CACHE[id(bound)] = (bound, b)
     if b is not None and b <= limit_bytes:
         return F.broadcast(df)
     return df.hint("shuffle_hash")

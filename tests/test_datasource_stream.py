@@ -125,3 +125,103 @@ def test_ds_stream_ignore_file_errors_skips_divergent(spark, tmp_path):
     # the three clean hours land; the divergent rotation is skipped
     n = spark.sql("SELECT count(*) FROM ds_skip").first()[0]
     assert n == read_zeek(spark, f"{d}/known_hosts_2*.log.gz").count()
+
+UNION = "/root/reference/data/schema_union_overlap"
+
+
+def _write_log(path, fields, types, rows):
+    lines = [
+        "#separator \t",
+        "#set_separator\t,",
+        "#empty_field\t(empty)",
+        "#unset_field\t-",
+        "#path\ttest",
+        "#fields\t" + "\t".join(fields),
+        "#types\t" + "\t".join(types),
+    ]
+    lines += ["\t".join(r) for r in rows]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_ds_stream_union_rotated_subset_maps_by_name(spark, tmp_path):
+    # union stream bound over old+new; a later rotation that carries a
+    # REORDERED SUBSET of the union fields must map by name (per-file
+    # fmap computed at planning), not by position
+    d = tmp_path / "logs"
+    d.mkdir()
+    shutil.copy(f"{UNION}/old.log", d)
+    shutil.copy(f"{UNION}/new.log", d)
+    stream = (
+        spark.readStream.format("zeek")
+        .option("union_by_name", "true")
+        .option("inet", "false")
+        .load(f"{d}/*.log")
+    )
+    _drain(stream, "ds_union1")
+    assert spark.sql("SELECT count(*) FROM ds_union1").first()[0] == 4
+    # rotation: value before id, no ts/extra/newfield
+    _write_log(
+        str(d / "rot.log"), ["value", "id"], ["count", "string"],
+        [["70", "C1"]],
+    )
+    _drain(stream, "ds_union1")
+    row = spark.sql(
+        "SELECT id, value, extra FROM ds_union1 WHERE id = 'C1'"
+    ).first()
+    assert row.value == 70 and row.extra is None
+
+
+def test_ds_stream_union_rejects_rotated_type_conflict(spark, tmp_path):
+    # a rotated file whose SHARED field changed type must fail the
+    # microbatch with the batch path's union wording — not stream
+    # through as silent NULLs (the stale-parse-type misparse)
+    d = tmp_path / "logs"
+    d.mkdir()
+    shutil.copy(f"{UNION}/old.log", d)
+    stream = (
+        spark.readStream.format("zeek")
+        .option("union_by_name", "true")
+        .option("inet", "false")
+        .load(f"{d}/*.log")
+    )
+    _drain(stream, "ds_union2")
+    _write_log(
+        str(d / "rot.log"), ["ts", "id", "value"],
+        ["time", "string", "string"],  # value: count -> string
+        [["1768540999.000000", "X1", "oops"]],
+    )
+    with pytest.raises(Exception, match="union_by_name type conflict"):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ds_union2b")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        raise RuntimeError("microbatch unexpectedly succeeded")
+
+
+def test_ds_stream_union_ignore_file_errors_skips_conflict(spark, tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    shutil.copy(f"{UNION}/old.log", d)
+    stream = (
+        spark.readStream.format("zeek")
+        .option("union_by_name", "true")
+        .option("inet", "false")
+        .option("ignore_file_errors", "true")
+        .load(f"{d}/*.log")
+    )
+    _drain(stream, "ds_union3")
+    # the conflicting file rotates in AFTER the stream bound its schema;
+    # under ignore_file_errors the planning-time union re-check skips it
+    _write_log(
+        str(d / "rot.log"), ["ts", "id", "value"],
+        ["time", "string", "string"],
+        [["1768540999.000000", "X1", "oops"]],
+    )
+    _drain(stream, "ds_union3")
+    got = spark.sql("SELECT id FROM ds_union3").collect()
+    assert sorted(r.id for r in got) == ["A1", "A2"]

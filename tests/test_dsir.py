@@ -101,3 +101,17 @@ def test_logweight_plan_pure_map(spark, docs):
     out = dsir_logweight(docs, llr)
     assert audit.num_shuffles(out) == 0
     assert "Python" not in audit.physical_plan(out)
+
+
+def test_fit_rejects_unsupported_n_max_and_smoothing(spark, docs):
+    # n_max >= 3 must raise, not silently featurize bigram-max;
+    # smoothing <= 0 must raise up front, not log(0) on an empty bucket
+    import pytest as _pytest
+    from zeek_duckdb_spark.operators.dsir import dsir_fit, dsir_logweight
+
+    with _pytest.raises(ValueError, match="n_max"):
+        dsir_fit(docs, docs, n_max=3)
+    with _pytest.raises(ValueError, match="smoothing"):
+        dsir_fit(docs, docs, smoothing=0.0)
+    with _pytest.raises(ValueError, match="n_max"):
+        dsir_logweight(docs, [0.0] * 16, n_max=5)

@@ -441,3 +441,19 @@ def test_corpus_profile_single_aggregate_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Sort [" not in plan
     assert audit.num_shuffles(corpus_profile(d)) <= 1
+
+
+def test_corpus_profile_quantile_column_naming(spark):
+    # 0.57 must label p57 (int(0.57*100)=56 would mislabel) and
+    # sub-percent quantiles must stay distinct columns, not three
+    # duplicate 'tokens_p99's
+    from zeek_duckdb_spark.operators.pipeline import corpus_profile
+
+    d = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(20)], "doc_id long, text string"
+    )
+    prof = corpus_profile(d, quantiles=(0.57, 0.99, 0.995, 0.999))
+    got = [c for c in prof.columns if c.startswith("tokens_p")]
+    assert got == ["tokens_p57", "tokens_p99", "tokens_p99_5", "tokens_p99_9"]
+    row = prof.collect()[0]
+    assert row.tokens_p99 <= row.tokens_p99_5 <= row.tokens_p99_9

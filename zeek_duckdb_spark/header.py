@@ -187,10 +187,10 @@ def _pyarrow_zstd_decompress(raw: bytes, path: str) -> bytes | None:
         if not pa.Codec.is_available("zstd"):
             return None
         stream = pa.CompressedInputStream(pa.BufferReader(raw), "zstd")
-    except ImportError:
-        return None
     except Exception:
-        return None  # codec/stream construction unavailable, not a data error
+        # import, codec, or stream construction unavailable — not a
+        # data error; the caller falls through to the JVM codec
+        return None
     try:
         return bytes(stream.read())
     except Exception as exc:

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.hashutil import md5_long
-from zeek_duckdb_spark.operators.textops import tokens
+from zeek_duckdb_spark.operators.textops import nonempty_tokens
 
 __all__ = ["dsir_fit", "dsir_logweight", "dsir_resample"]
 
@@ -51,7 +51,7 @@ __all__ = ["dsir_fit", "dsir_logweight", "dsir_resample"]
 def _ngrams(col: Column, n_max: int) -> Column:
     """Unigram (+ bigram for n_max=2) array, empty tokens dropped (so
     ''/' ' docs featurize as zero n-grams, not one empty-string gram)."""
-    toks = F.filter(tokens(col), lambda t: t != F.lit(""))
+    toks = nonempty_tokens(col)
     if n_max == 1:
         return toks
     bi = F.when(
@@ -97,6 +97,10 @@ def dsir_fit(
     it yourself; scoring inlines it as a literal)."""
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
+    if n_max not in (1, 2):
+        raise ValueError("n_max must be 1 or 2 (unigram / unigram+bigram)")
+    if not smoothing > 0:
+        raise ValueError("smoothing must be > 0 (0 gives log(0) on any empty bucket)")
     tc = _bucket_counts(target, text_col, buckets, n_max)
     rc = _bucket_counts(raw, text_col, buckets, n_max)
     t_tot = sum(tc) + smoothing * buckets
@@ -116,6 +120,8 @@ def dsir_logweight(
     """Add ``dsir_logw``: the importance log-weight fold over the doc's
     hashed n-grams.  Pure map — the log-ratio table is an array literal
     indexed per gram; zero shuffle (plan-pinned in tests)."""
+    if n_max not in (1, 2):
+        raise ValueError("n_max must be 1 or 2 (unigram / unigram+bigram)")
     buckets = len(llr)
     table = F.array(*[F.lit(float(x)) for x in llr])
     grams = _ngrams(F.col(text_col), n_max)

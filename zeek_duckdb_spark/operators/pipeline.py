@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zeek_duckdb_spark.operators.textops import fingerprint, lang_id, quality_features
+from zeek_duckdb_spark.operators.textops import (
+    fingerprint,
+    lang_id,
+    nonempty_tokens,
+    quality_features,
+)
 
 __all__ = [
     "clean_corpus",
@@ -329,7 +334,7 @@ def epoch_shuffle(
     Same (epoch, seed) -> the identical order on any cluster size;
     different epochs decorrelate completely (the epoch is folded into
     the hash, not added to it).  Write the result with
-    ``partitionBy(shard_col)`` — readers then stream shards in
+    ``partitionBy("epoch_shard")`` — readers then stream shards in
     filename order and rows in file order to replay the exact epoch.
 
     Output: input columns + ``epoch_shard`` + ``order_col`` (the rank,
@@ -523,7 +528,7 @@ def corpus_profile(
     needs exactness downstream (the dedup itself) recomputes exactly.
     """
     t = F.col(text_col)
-    toks = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")))
+    toks = F.size(nonempty_tokens(t))
     toked = df.select(
         F.length(t).alias("__chars"),
         toks.alias("__ntok"),
@@ -538,7 +543,13 @@ def corpus_profile(
     ] + [
         # accuracy 10000 = rank error 1e-4: exact on bench-scale inputs,
         # still constant-size GK state per partition at 100 TB
-        F.percentile_approx("__ntok", q, 10_000).alias(f"tokens_p{int(q * 100)}")
+        # round-then-format so 0.57 -> p57 (int(0.57*100)=56 would
+        # mislabel it) and sub-percent quantiles stay distinct:
+        # 0.995 -> p99_5, 0.999 -> p99_9 (int(q*100) would collapse
+        # 0.99/0.995/0.999 into three identical duplicate 'p99' columns)
+        F.percentile_approx("__ntok", q, 10_000).alias(
+            "tokens_p" + ("%g" % round(q * 100, 4)).replace(".", "_")
+        )
         for q in quantiles
     ]
     prof = toked.agg(*aggs)

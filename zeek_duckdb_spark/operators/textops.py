@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "nonempty_tokens",
     "token_count",
     "quality_features",
     "repetition_features",
@@ -64,6 +65,19 @@ def tokens(col: Column) -> Column:
     """Whitespace tokenization (the BPE-ish regex path lives in
     token_count's ``mode='bpe'``)."""
     return F.split(F.trim(col), r"\s+")
+
+
+def nonempty_tokens(col: Column) -> Column:
+    """:func:`tokens` with empty strings dropped, so ''/'   ' docs
+    yield ZERO tokens (split of an empty string returns ['']).
+
+    The shared expression behind bm25_scores,
+    quality_classifier_score, dsir's n-grams, and corpus_profile.
+    NOTE: quality_features deliberately does NOT use this — its
+    q_tokens = size(tokens(text)) (empty doc -> 1) is oracle-pinned
+    (tx_quality) to the plain split semantics; the divergence is
+    documented there."""
+    return F.filter(tokens(col), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column, mode: str = "ws") -> Column:
@@ -417,9 +431,8 @@ def quality_classifier_score(
     d = len(weights)
     w_lit = F.array(*[F.lit(float(w)) for w in weights])
     # split('') yields [''] (size 1), which would silently score the
-    # weight of md5('') instead of the documented sigmoid(bias) — drop
-    # empty tokens before sizing/aggregating
-    toks = F.filter(tokens(col), lambda t: t != F.lit(""))
+    # weight of md5('') instead of the documented sigmoid(bias)
+    toks = nonempty_tokens(col)
     n = F.size(toks)
     total = F.aggregate(
         F.transform(
@@ -468,7 +481,7 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
     toked = df.withColumn(
-        "__toks", F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+        "__toks", nonempty_tokens(F.lower(F.col(text_col)))
     ).withColumn("__dl", F.size("__toks").cast("double"))
     stats_aggs = [
         F.count("*").cast("double").alias("__n"),

@@ -67,11 +67,16 @@ def _opt_bool(options: dict, key: str, default: bool) -> bool:
 
 
 class ZeekFilePartition(InputPartition):
-    def __init__(self, path: str, field_map: list[int] | None):
+    def __init__(self, path: str, field_map: list[int] | None,
+                 planned_hdr: "ZeekHeader | None" = None):
         self.path = path
         # union mode: output column -> field index in this file (-1 = absent),
         # the reference's per-file inverse mapping (src/zeek_scanner.cpp:580-589)
         self.field_map = field_map
+        # streaming union mode: the header this partition was planned
+        # against, so read() can detect a file rewritten between
+        # microbatch planning and executor read (stale field_map)
+        self.planned_hdr = planned_hdr
 
 
 class ZeekDataSource(DataSource):
@@ -201,6 +206,7 @@ class ZeekStreamReader(DataSourceStreamReader):
         self._path = ds.options.get("path")
         self._union = union
         self._names = names
+        self._types_by_name = dict(zip(names, types))
         self._ignore = _opt_bool(ds.options, "ignore_file_errors", False)
         self._bound_hdr = headers[0]
         self._delegate = ZeekReader(
@@ -219,6 +225,11 @@ class ZeekStreamReader(DataSourceStreamReader):
             # partitions() computes each new file's fmap at planning)
             self._delegate._bound_by_path = _AnyPathBound(self._bound_hdr)
         else:
+            # union mode validates each rotated file at planning time
+            # (separator/marker parity + shared-field type conflicts,
+            # resolve_union_schema wording) and pins the planned header
+            # into the partition, so read() still detects a file
+            # rewritten between planning and executor read.
             self._delegate._bound_by_path = {}
 
     def initialOffset(self) -> dict:
@@ -239,14 +250,41 @@ class ZeekStreamReader(DataSourceStreamReader):
         for f in sorted(new):
             try:
                 hdr = parse_header(f)
-                reason = (
-                    None if self._union else same_schema(self._bound_hdr, hdr)
-                )
-                if reason is not None:
-                    raise ZeekHeaderError(
-                        f"Schema mismatch between "
-                        f"'{self._bound_hdr.source_file}' and '{f}': {reason}"
-                    )
+                if self._union:
+                    # batch-parity union re-validation for every rotated
+                    # file (resolve_union_schema's exact error wording,
+                    # ref src/zeek_scanner.cpp:535-545, 506-589): a shared
+                    # field whose type changed would otherwise stream
+                    # through as silent NULLs via the stale parse type.
+                    # Fields appearing ONLY in later rotations are dropped
+                    # (a stream's schema is fixed at start) — that is a
+                    # projection, not a misparse.
+                    b = self._bound_hdr
+                    if (
+                        hdr.separator != b.separator
+                        or hdr.set_separator != b.set_separator
+                        or hdr.unset_field != b.unset_field
+                        or hdr.empty_field != b.empty_field
+                    ):
+                        raise ZeekHeaderError(
+                            f"union_by_name requires identical separators "
+                            f"and null markers: '{b.source_file}' vs '{f}'"
+                        )
+                    for fld, t in zip(hdr.fields, hdr.types):
+                        bt = self._types_by_name.get(fld)
+                        if bt is not None and bt != t:
+                            raise ZeekHeaderError(
+                                f"union_by_name type conflict: field "
+                                f"'{fld}' has type '{bt}' in "
+                                f"'{b.source_file}' but '{t}' in '{f}'"
+                            )
+                else:
+                    reason = same_schema(self._bound_hdr, hdr)
+                    if reason is not None:
+                        raise ZeekHeaderError(
+                            f"Schema mismatch between "
+                            f"'{self._bound_hdr.source_file}' and '{f}': {reason}"
+                        )
             except Exception:
                 if self._ignore:
                     continue
@@ -254,9 +292,11 @@ class ZeekStreamReader(DataSourceStreamReader):
             if self._union:
                 idx = {fld: i for i, fld in enumerate(hdr.fields)}
                 fmap = [idx.get(fld, -1) for fld in self._names]
+                # carry the planned header so read() re-checks the file
+                # did not rotate between planning and the executor read
+                parts.append(ZeekFilePartition(f, fmap, planned_hdr=hdr))
             else:
-                fmap = None
-            parts.append(ZeekFilePartition(f, fmap))
+                parts.append(ZeekFilePartition(f, None))
         return parts
 
     def read(self, partition: ZeekFilePartition):
@@ -395,7 +435,10 @@ class ZeekReader(DataSourceReader):
         # (src/zeek_scanner.cpp:296-303)
         try:
             hdr = parse_header(partition.path)
-            bound = self._bound_by_path.get(partition.path)
+            bound = (
+                getattr(partition, "planned_hdr", None)
+                or self._bound_by_path.get(partition.path)
+            )
             if bound is not None:
                 reason = same_schema(bound, hdr)
                 if reason is not None:
