@@ -1,0 +1,355 @@
+"""Product quantization (PQ) for embedding tables: the classic
+compressed-domain ANN representation (Jegou, Douze, Schmid 2011,
+"Product Quantization for Nearest Neighbor Search").
+
+Why this exists next to the IVF/LSH operators: at 100 TB an embedding
+column is the dominant storage and scan cost (64-dim float32 = 256 B
+per row).  PQ splits each vector into ``m`` subvectors, clusters each
+subspace into ``k`` centroids, and stores one byte-ish code per
+subspace — 64-dim float32 collapses to ``m`` small ints (8 B at
+m=8/k<=256, a 32x scan reduction), and a query is scored against the
+CODES ONLY via an asymmetric-distance lookup table (ADC), never
+touching the original vectors.
+
+Spark shapes (the part that must survive 100 TB):
+
+- **Training** (:func:`pq_train`) is Lloyd per subspace, all ``m``
+  subspaces folded into ONE aggregate pass per iteration: the corpus
+  explodes to (subspace, subvector) rows — map-side partial
+  aggregation reduces the shuffle to ``m * k`` rows per partition, so
+  the explode multiplies CPU, not shuffle bytes.  Vectors are
+  quantized to a CORPUS-GLOBAL int8 grid first (one max-abs pass), so
+  per-cell sums are exact int64 arithmetic — training is
+  bit-deterministic across partitionings and cluster sizes, the same
+  exactness contract as ``kmeans_fit_quantized`` (kmeans.py), and the
+  returned centroids are mapped back to original units.  Train on a
+  sample at real scale (``train_sample``): PQ codebooks converge from
+  a tiny fraction of the corpus (standard practice).
+- **Encoding** (:func:`pq_encode`) is a zero-shuffle pure map: the
+  codebook rides the plan as one array literal and each code is an
+  ``array_min`` argmin over ``k`` L2 distances (ties break to the
+  lowest code deterministically).  This is the one pass that reads the
+  fat vectors; everything after reads codes.
+- **Search** (:func:`pq_topk`) computes the ``m x k`` distance lookup
+  table DRIVER-side from the raw query (a model-sized object), inlines
+  it as a 2-D array literal, and scores each row with a fold over its
+  code array — zero shuffle, zero joins, then one
+  TakeOrderedAndProject for the top-k.  Optional exact re-rank
+  (``refine_with``) joins the original vectors back for the small
+  candidate set only — the classic ADC-then-refine serving shape.
+
+No reference-engine counterpart (the reference is a log scanner); this
+is part of the training-data-pipeline operator family (VERDICT/ADVICE
+round-5 scope), sibling to similarity.ivf_topk and kmeans_ivf_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["pq_train", "pq_encode", "pq_topk"]
+
+
+def _check_geometry(dim: int, m: int, k: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    if not 2 <= k <= 256:
+        raise ValueError(f"pq: k={k} must be in [2, 256] (one byte per code)")
+    return dim // m
+
+
+def _sub_slices(vec: Column, m: int, dsub: int) -> Column:
+    """array of m subvectors (each array<double>) from one vector."""
+    return F.array(
+        *[F.slice(vec, j * dsub + 1, dsub) for j in range(m)]
+    )
+
+
+_CB_TYPE = T.ArrayType(  # per-subspace: array<struct<cell, c_vec>>
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("c_vec", T.ArrayType(T.DoubleType())),
+            ]
+        )
+    )
+)
+
+
+def _codebook_rows(codebooks: list[list[list[float]]]):
+    return [
+        [
+            {"cell": int(c), "c_vec": [float(x) for x in cent]}
+            for c, cent in enumerate(cb)
+        ]
+        for cb in codebooks
+    ]
+
+
+# argmin-L2 over one subspace's centroid list: min (dist, cell) struct —
+# lexicographic array_min makes the tie-break (lowest cell) explicit and
+# engine-portable.  One generated SQL string per call site (the
+# minhash_signatures construction-cost lesson).
+_ARGMIN_SQL = (
+    "array_min(transform({cents}, c -> named_struct("
+    "'d', aggregate(zip_with({sub}, c.c_vec, (x, y) -> "
+    "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
+    "'cell', c.cell)))['cell']"
+)
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: float | None = None,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Fit ``m`` codebooks of ``k`` centroids each; returns
+    ``codebooks[m][k][dim/m]`` in ORIGINAL vector units (driver-side
+    model, like ``kmeans_fit_quantized``'s centroid list).
+
+    Deterministic by construction: vectors snap to a corpus-global
+    int8 grid (scale = corpus max|x| / 127, one aggregate pass), so
+    every Lloyd mean is exact-int64-sum / count regardless of
+    partitioning; initialization is the first ``k`` rows by id.  A
+    cell that captures no rows keeps its previous centroid.
+
+    ``train_sample`` subsamples rows deterministically
+    (md5(id:seed) bucket) before training — at 100 TB you fit the
+    codebook on ~1e6 rows, not the corpus.
+    """
+    dsub = _check_geometry(dim, m, k)
+    if iters < 0:
+        raise ValueError("pq_train: iters must be >= 0")
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    src = df.select(F.col(id_col), F.col(vec_col))
+    if train_sample is not None:
+        if not 0 < train_sample <= 1:
+            raise ValueError("pq_train: train_sample must be in (0, 1]")
+        frac = int(train_sample * 1_000_000)
+        src = src.filter(
+            md5_long(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+            )
+            % F.lit(1_000_000)
+            < F.lit(frac)
+        )
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    max_abs = src.agg(
+        F.max(
+            F.aggregate(x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v)))
+        ).alias("mx")
+    ).first()["mx"]
+    if max_abs is None or max_abs == 0.0:
+        raise ValueError("pq_train: corpus is empty or all-zero vectors")
+    scale = float(max_abs) / 127.0
+    # corpus-global int8 grid: floor(v/s + 0.5) half-rounds toward +inf
+    # for both signs in every engine (quantize_embeddings' trick)
+    q = F.transform(x, lambda v: F.floor(v / F.lit(scale) + F.lit(0.5)).cast("long"))
+    base = src.select(F.col(id_col), q.alias("__q")).persist()
+    try:
+        init = base.orderBy(F.asc(id_col)).limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"pq_train: corpus has {len(init)} rows < k={k}")
+        # codebooks live in the int grid during Lloyd; mapped back at return
+        cbs = [
+            [[float(r["__q"][j * dsub + t]) for t in range(dsub)] for r in init]
+            for j in range(m)
+        ]
+        # one (sub, subq) explode; the groupBy(sub, cell) shuffle carries
+        # m*k rows per partition after map-side combine, not m*N
+        sub_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"), F.slice("__q", j * dsub + 1, dsub).alias("sq")
+                )
+                for j in range(m)
+            ]
+        )
+        exploded = base.select(F.explode(sub_arr).alias("e")).select(
+            "e.sub", "e.sq"
+        )
+        sum_exprs = [F.expr(f"sum(sq[{t}]) AS s{t}") for t in range(dsub)]
+        for _ in range(iters):
+            # broadcast-attribute codebooks (codegen cache hits across
+            # iterations — the kmeans._assign_cells lesson)
+            spark = df.sparkSession
+            cb_df = spark.createDataFrame(
+                [( _codebook_rows(cbs), )],
+                T.StructType([T.StructField("__cbs", _CB_TYPE)]),
+            )
+            assigned = (
+                exploded.crossJoin(F.broadcast(cb_df))
+                .withColumn(
+                    "cell",
+                    F.expr(
+                        _ARGMIN_SQL.format(
+                            cents="element_at(__cbs, sub + 1)", sub="sq"
+                        )
+                    ),
+                )
+                .drop("__cbs")
+            )
+            stats = assigned.groupBy("sub", "cell").agg(
+                F.count("*").alias("n"), *sum_exprs
+            ).collect()
+            means = {
+                (int(r["sub"]), int(r["cell"])): [
+                    r[f"s{t}"] / r["n"] for t in range(dsub)
+                ]
+                for r in stats
+            }
+            cbs = [
+                [means.get((j, c), cent) for c, cent in enumerate(cb)]
+                for j, cb in enumerate(cbs)
+            ]
+    finally:
+        base.unpersist()
+    # back to original units
+    return [[[v * scale for v in cent] for cent in cb] for cb in cbs]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, pq_codes array<int> [, *keep]): one argmin-L2 code per
+    subspace against the fitted codebooks.  Zero-shuffle pure map —
+    the ONE pass that reads the fat vectors; downstream search reads
+    codes only.  Ties break to the lowest code (deterministic)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "named_struct('cell', %d, 'c_vec', array(%s))"
+            % (c, ", ".join(f"{float(v)!r}D" for v in cent))
+            for c, cent in enumerate(cb)
+        ) + ")"
+        for cb in codebooks
+    ) + ")"
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    sized = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], x.alias("__x")
+    ).filter(F.size("__x") == m * dsub)
+    # materialized subvector array: the argmin lambda references its
+    # subspace slice k times; slicing inside the transform would re-slice
+    # per centroid (interpreted HOFs have no CSE)
+    subbed = sized.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        _sub_slices(F.col("__x"), m, dsub).alias("__subs"),
+    )
+    codes = F.expr(
+        "transform(sequence(0, %d), j -> %s)"
+        % (
+            m - 1,
+            _ARGMIN_SQL.format(
+                cents=f"element_at({cb_lit}, j + 1)",
+                sub="element_at(__subs, j + 1)",
+            ),
+        )
+    )
+    return subbed.select(
+        F.col(id_col), codes.alias("pq_codes"), *[F.col(c) for c in keep]
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    refine_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Top-``k_top`` rows by asymmetric distance: the ``m x k`` lookup
+    table (query subvector vs every centroid) is computed driver-side,
+    inlined as a 2-D array literal, and each row's score is a fold over
+    its code array — zero shuffle, then TakeOrderedAndProject.
+
+    ``metric='l2'`` returns ``adc_dist`` ascending; ``'ip'`` (inner
+    product — cosine on pre-normalized corpora) returns ``adc_score``
+    descending.
+
+    ``refine_with`` (a DataFrame carrying ``vec_col``) switches to the
+    ADC-then-refine serving shape: the compressed scan keeps
+    ``refine_factor * k_top`` candidates, the original vectors join
+    back for THOSE rows only, and the final top-k orders by exact
+    distance — the join touches a model-sized candidate set, never the
+    corpus."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(
+            f"pq_topk: query dim {len(query)} != codebook dim {m * dsub}"
+        )
+    if metric not in ("l2", "ip"):
+        raise ValueError("pq_topk: metric must be 'l2' or 'ip'")
+    qd = [float(v) for v in query]
+    lut = []
+    for j, cb in enumerate(codebooks):
+        sub = qd[j * dsub : (j + 1) * dsub]
+        if metric == "l2":
+            lut.append(
+                [sum((a - b) * (a - b) for a, b in zip(sub, cent)) for cent in cb]
+            )
+        else:
+            lut.append([sum(a * b for a, b in zip(sub, cent)) for cent in cb])
+    lut_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in lut
+    ) + ")"
+    adc = F.expr(
+        "aggregate(pq_codes, named_struct('j', 0, 'acc', CAST(0.0 AS DOUBLE)), "
+        "(a, c) -> named_struct('j', a.j + 1, 'acc', "
+        f"a.acc + element_at(element_at({lut_lit}, a.j + 1), c + 1)), "
+        "a -> a.acc)"
+    )
+    col = "adc_dist" if metric == "l2" else "adc_score"
+    order = (
+        [F.asc(col), F.asc(id_col)] if metric == "l2" else [F.desc(col), F.asc(id_col)]
+    )
+    scored = codes_df.select(
+        F.col(id_col), F.round(adc, 6).alias(col)
+    ).orderBy(*order)
+    if refine_with is None:
+        return scored.limit(k_top)
+    cands = scored.limit(max(k_top, refine_factor * k_top))
+    src = refine_with.select(F.col(id_col), F.col(vec_col))
+    joined = cands.join(src, id_col)
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    q_lit = F.array(*[F.lit(v) for v in qd])
+    if metric == "l2":
+        exact = F.aggregate(
+            F.zip_with(x, q_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ecol, eorder = "exact_dist", [F.asc("exact_dist"), F.asc(id_col)]
+    else:
+        exact = F.aggregate(
+            F.zip_with(x, q_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ecol, eorder = "exact_score", [F.desc("exact_score"), F.asc(id_col)]
+    return (
+        joined.select(F.col(id_col), F.col(col), F.round(exact, 6).alias(ecol))
+        .orderBy(*eorder)
+        .limit(k_top)
+    )
