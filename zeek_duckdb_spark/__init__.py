@@ -19,6 +19,7 @@ Re-expresses the capabilities of the ynadji/zeek-duckdb DuckDB extension
 from zeek_duckdb_spark.header import ZeekHeader, parse_header, zeek_type_to_spark
 from zeek_duckdb_spark.sources.zeek import read_zeek
 from zeek_duckdb_spark.sources.zeek_json import read_zeek_json
+from zeek_duckdb_spark.sources.zeek_writer import write_zeek
 from zeek_duckdb_spark.functions.inet import register_inet_functions
 from zeek_duckdb_spark.functions.intervals import (
     interval_text,
@@ -45,6 +46,7 @@ __all__ = [
     "zeek_type_to_spark",
     "read_zeek",
     "read_zeek_json",
+    "write_zeek",
     "register",
     "interval_text",
 ]

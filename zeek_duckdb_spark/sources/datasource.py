@@ -128,6 +128,21 @@ class ZeekDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> "ZeekStreamReader":
         return ZeekStreamReader(self, schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        # the write half: header + pre-formatted lines per partition
+        # (sources/zeek_writer.py; use write_zeek() for the typed API)
+        from zeek_duckdb_spark.sources.zeek_writer import ZeekLogWriter
+
+        if len(schema.fields) != 1 or not isinstance(
+            schema.fields[0].dataType, T.StringType
+        ):
+            raise ValueError(
+                "zeek writer expects one pre-formatted string column — "
+                "use zeek_duckdb_spark.write_zeek(df, path, ...) for the "
+                "typed API"
+            )
+        return ZeekLogWriter(self.options, overwrite)
+
     def schema(self) -> T.StructType:
         headers, names, types, _ = self._bind()
         replace = _opt_bool(self.options, "replace_periods", True)

@@ -1,0 +1,273 @@
+"""Zeek TSV log WRITER: the round-trip complement of read_zeek.
+
+The reference is read-only (its export path is DuckDB's own COPY); a
+Spark user additionally needs to LAND data in the Zeek wire format —
+to feed downstream Zeek tooling, or to re-emit cleaned/filtered logs.
+This writer produces files that the reference scanner (and our three
+read paths) parse back to the same values:
+
+- the 8 header directives with the reference's defaults
+  (``\\x09`` separator, ``,`` set separator, ``-`` unset, ``(empty)``
+  empty — src/zeek_scanner.cpp:120-152 wire constants);
+- typed wire forms mirroring the READ parse semantics exactly
+  (SURVEY.md §1.4/§1.5): time/interval as epoch/total seconds with 6
+  fractional digits (µs-exact integer arithmetic, not float
+  formatting), bool as ``T``/``F``, NULL as the unset marker, empty
+  string/collection as the empty marker, vector/set joined on the set
+  separator with per-element markers.
+
+Scale shape: all row formatting is JVM expressions (one generated
+``concat_ws`` projection — zero Python in the data path until the
+final byte-copy); the sink itself is a Python DataSource writer that
+streams each partition's already-formatted lines into its own
+``part-NNNNN.log[.gz]`` file with the full header block — one file per
+partition, the rotation-shaped layout the reference's multi-file scan
+expects.  Task retries are safe: output is staged per attempt and
+``os.replace``d over the deterministic final name (atomic on POSIX;
+last successful attempt wins).
+
+Caveat (inherent to the format): Zeek TSV has NO quoting or escaping
+(SURVEY §1.4 tokenizer) — a value containing the separator or a
+newline would corrupt the row.  ``on_unwritable='error'`` (default)
+fails loudly at write time via a validating projection;
+``'strip'`` replaces offending characters with a space.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["write_zeek", "zeek_types_for_schema"]
+
+_UNSET = "-"
+_EMPTY = "(empty)"
+_SET_SEP = ","
+
+
+def zeek_types_for_schema(
+    schema: T.StructType, overrides: dict[str, str] | None = None
+) -> list[str]:
+    """Default Spark->Zeek type labels (the §1.3 mapping inverted),
+    with per-column ``overrides`` for the labels that don't survive
+    the round-trip through Spark's type system (count/port collapse
+    to LongType; addr/subnet/enum read back as strings)."""
+    overrides = overrides or {}
+    out = []
+    for f in schema.fields:
+        if f.name in overrides:
+            out.append(overrides[f.name])
+            continue
+        out.append(_default_ztype(f.dataType, f.name))
+    return out
+
+
+def _default_ztype(dt: T.DataType, name: str) -> str:
+    if isinstance(dt, T.TimestampType):
+        return "time"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "interval"
+    if isinstance(dt, T.IntegerType):
+        # IntegerType only arises from Zeek 'port' on the read side
+        # ('int'/'count' are int64); label it back as port so the
+        # round-trip schema is stable
+        return "port"
+    if isinstance(dt, (T.LongType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return "count"  # count_decimal=True round-trip (DECIMAL(20,0))
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "double"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return f"vector[{_default_ztype(dt.elementType, name)}]"
+    raise ValueError(
+        f"write_zeek: no Zeek wire form for column '{name}' of type {dt.simpleString()}"
+    )
+
+
+def _us_to_decimal_string(us: Column) -> Column:
+    """Integer µs -> 'S.ffffff' seconds string, exact (no float
+    formatting): sign, integer floor-div toward zero on |us|, zero-
+    padded remainder — mirrors the read side's ``int(float(v) * 1e6)``
+    truncation contract µs-for-µs."""
+    sign = F.when(us < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(us)
+    return F.concat(
+        sign,
+        (a / F.lit(1_000_000)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((a % F.lit(1_000_000)).cast("string"), 6, "0"),
+    )
+
+
+def _interval_us(col: Column) -> Column:
+    """Total µs of a day-time interval, exact via component extracts
+    (CAST(interval AS BIGINT) truncates to whole end-unit seconds)."""
+    d = F.extract(F.lit("DAY"), col).cast("long")
+    h = F.extract(F.lit("HOUR"), col).cast("long")
+    m = F.extract(F.lit("MINUTE"), col).cast("long")
+    s = F.extract(F.lit("SECOND"), col)  # decimal(8,6), µs-exact, signed
+    return (
+        (d * 86_400 + h * 3_600 + m * 60) * F.lit(1_000_000).cast("long")
+        + (s * F.lit(1_000_000)).cast("long")
+    )
+
+
+def _scalar_wire(col: Column, dt: T.DataType, ztype: str) -> Column:
+    base = ztype.split("[", 1)[0]
+    if isinstance(dt, T.TimestampType):
+        return _us_to_decimal_string(F.unix_micros(col))
+    if isinstance(dt, T.DayTimeIntervalType):
+        return _us_to_decimal_string(_interval_us(col))
+    if isinstance(dt, T.BooleanType):
+        return F.when(col, F.lit("T")).otherwise(F.lit("F"))
+    if isinstance(dt, T.StringType):
+        return F.when(col == "", F.lit(_EMPTY)).otherwise(col)
+    _ = base  # numeric/decimal: engine string form round-trips via cast
+    return col.cast("string")
+
+
+def _field_wire(col: Column, dt: T.DataType, ztype: str) -> Column:
+    """One field's wire text, NULL -> unset marker (and per-element
+    markers inside collections — the read side's A10 semantics)."""
+    if isinstance(dt, T.ArrayType):
+        ezt = ztype.split("[", 1)[-1].rstrip("]")
+        joined = F.array_join(
+            F.transform(
+                col,
+                lambda e: F.coalesce(
+                    _scalar_wire(e, dt.elementType, ezt), F.lit(_UNSET)
+                ),
+            ),
+            _SET_SEP,
+        )
+        body = F.when(F.size(col) == 0, F.lit(_EMPTY)).otherwise(joined)
+    else:
+        body = _scalar_wire(col, dt, ztype)
+    return F.coalesce(body, F.lit(_UNSET))
+
+
+def write_zeek(
+    df: DataFrame,
+    path: str,
+    path_name: str = "spark",
+    zeek_types: dict[str, str] | None = None,
+    compress: bool = False,
+    mode: str = "overwrite",
+    on_unwritable: str = "error",
+) -> None:
+    """Write ``df`` as Zeek TSV log files under ``path`` (one
+    ``part-NNNNN.log[.gz]`` per partition, each with the full header
+    block).  ``zeek_types`` overrides the ``#types`` label per column
+    (``{'host_ip': 'addr', 'conns_opened': 'count'}``) — labels that
+    Spark's type system can't carry.  ``read_zeek(spark, path + '/*')``
+    returns the same values (round-trip pinned in tests)."""
+    if mode not in ("overwrite", "error"):
+        raise ValueError("write_zeek: mode must be 'overwrite' or 'error'")
+    if on_unwritable not in ("error", "strip"):
+        raise ValueError("write_zeek: on_unwritable must be 'error' or 'strip'")
+    from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
+
+    register_zeek_datasource(df.sparkSession)  # idempotent
+    schema = df.schema
+    ztypes = zeek_types_for_schema(schema, zeek_types)
+    header = "\n".join(
+        [
+            "#separator \\x09",
+            f"#set_separator\t{_SET_SEP}",
+            f"#empty_field\t{_EMPTY}",
+            f"#unset_field\t{_UNSET}",
+            f"#path\t{path_name}",
+            "#fields\t" + "\t".join(f.name for f in schema.fields),
+            "#types\t" + "\t".join(ztypes),
+        ]
+    )
+    cells = []
+    for f, zt in zip(schema.fields, ztypes):
+        cell = _field_wire(F.col(f.name), f.dataType, zt)
+        # the format has no escaping: separator/newline inside a value
+        # corrupts the row — fail loudly (or strip) BEFORE bytes land
+        if on_unwritable == "strip":
+            cell = F.regexp_replace(cell, F.lit("[\\t\\n\\r]"), F.lit(" "))
+        else:
+            cell = F.when(
+                cell.rlike("[\\t\\n\\r]"),
+                F.raise_error(
+                    F.lit(
+                        f"write_zeek: value in column '{f.name}' contains "
+                        "the separator or a newline (Zeek TSV has no "
+                        "escaping); pass on_unwritable='strip' to replace"
+                    )
+                ),
+            ).otherwise(cell)
+        cells.append(cell)
+    lines = df.select(F.concat_ws("\t", *cells).alias("line"))
+    (
+        lines.write.format("zeek")
+        .mode("overwrite" if mode == "overwrite" else "append")
+        .option("zeek_header", header)
+        .option("compress", "true" if compress else "false")
+        .save(path)
+    )
+
+
+# --- the DataSource writer half (registered on ZeekDataSource) ---------
+
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class ZeekLogWriter(DataSourceWriter):
+    """Per-partition sink: header block + pre-formatted lines into
+    ``part-NNNNN.log[.gz]``.  Constructed by ZeekDataSource.writer()."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("write_zeek: no output path")
+        self._header = options.get("zeek_header", "")
+        self._gz = str(options.get("compress", "false")).lower() == "true"
+        os.makedirs(self._path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self._path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self._path, f))
+        elif any(f.startswith("part-") for f in os.listdir(self._path)):
+            raise ValueError(
+                f"write_zeek: '{self._path}' already contains log files "
+                "(mode='error'); use mode='overwrite'"
+            )
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        ext = ".log.gz" if self._gz else ".log"
+        final = os.path.join(self._path, f"part-{pid:05d}{ext}")
+        tmp = final + f".tmp-{attempt}"
+        opener = (lambda p: gzip.open(p, "wt")) if self._gz else (
+            lambda p: open(p, "w")
+        )
+        with opener(tmp) as fh:
+            fh.write(self._header + "\n")
+            for row in iterator:
+                fh.write(row[0])
+                fh.write("\n")
+        os.replace(tmp, final)  # atomic: retried attempts can't interleave
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        pass
