@@ -94,18 +94,30 @@ def _default_ztype(dt: T.DataType, name: str) -> str:
 
 
 def _us_to_decimal_string(us: Column) -> Column:
-    """Integer µs -> 'S.ffffff' seconds string, exact (no float
-    formatting): sign, integer floor-div toward zero on |us|, zero-
-    padded remainder — mirrors the read side's ``int(float(v) * 1e6)``
-    truncation contract µs-for-µs."""
+    """Integer µs -> decimal-seconds string that parses BACK to the
+    same µs under the read side's ``trunc(double(v) * 1e6)`` contract
+    (A9 — the reference's own float-then-truncate parse,
+    src/zeek_scanner.cpp:23-31).
+
+    Plain 6-digit formatting is NOT enough: ~1.2 % of µs values sit
+    where the nearest double to ``n/1e6`` lands just below ``n`` after
+    the multiply, so truncation reads back ``n-1`` (measured over 2M
+    random epochs).  For exactly those rows — predicted HERE with the
+    same IEEE double arithmetic the parsers use — a half-µs guard
+    digit ('5') is appended, centering the parsed value safely inside
+    ``(n, n+1)``; every other row keeps the canonical 6-digit Zeek
+    form.  Result: write->read is µs-exact for ALL values (fuzzed in
+    tests/test_zeek_writer.py)."""
     sign = F.when(us < 0, F.lit("-")).otherwise(F.lit(""))
     a = F.abs(us)
-    return F.concat(
+    s6 = F.concat(
         sign,
         (a / F.lit(1_000_000)).cast("long").cast("string"),
         F.lit("."),
         F.lpad((a % F.lit(1_000_000)).cast("string"), 6, "0"),
     )
+    parsed6 = (s6.cast("double") * F.lit(1_000_000.0)).cast("long")
+    return F.when(parsed6 == us, s6).otherwise(F.concat(s6, F.lit("5")))
 
 
 def _interval_us(col: Column) -> Column:
@@ -128,31 +140,62 @@ def _scalar_wire(col: Column, dt: T.DataType, ztype: str) -> Column:
     if isinstance(dt, T.DayTimeIntervalType):
         return _us_to_decimal_string(_interval_us(col))
     if isinstance(dt, T.BooleanType):
-        return F.when(col, F.lit("T")).otherwise(F.lit("F"))
+        # two guarded arms so NULL stays NULL (otherwise() would fold
+        # NULL into 'F'); the unset marker lands via the outer coalesce
+        return F.when(col, F.lit("T")).when(~col, F.lit("F"))
     if isinstance(dt, T.StringType):
         return F.when(col == "", F.lit(_EMPTY)).otherwise(col)
     _ = base  # numeric/decimal: engine string form round-trips via cast
     return col.cast("string")
 
 
-def _field_wire(col: Column, dt: T.DataType, ztype: str) -> Column:
+def _guard(cell: Column, bad_re: str, colname: str, on_unwritable: str) -> Column:
+    """The format has no escaping: a value containing the row separator
+    (or, inside a collection, the SET separator) would corrupt the row
+    — fail loudly (default) or strip to a space BEFORE bytes land."""
+    if on_unwritable == "strip":
+        return F.regexp_replace(cell, F.lit(bad_re), F.lit(" "))
+    return F.when(
+        cell.rlike(bad_re),
+        F.raise_error(
+            F.lit(
+                f"write_zeek: value in column '{colname}' contains the "
+                "separator, set separator, or a newline (Zeek TSV has no "
+                "escaping); pass on_unwritable='strip' to replace"
+            )
+        ),
+    ).otherwise(cell)
+
+
+def _field_wire(
+    col: Column, dt: T.DataType, ztype: str, colname: str, on_unwritable: str
+) -> Column:
     """One field's wire text, NULL -> unset marker (and per-element
-    markers inside collections — the read side's A10 semantics)."""
+    markers inside collections — the read side's A10 semantics).
+    Separator guards run at ELEMENT level for collections, so a set
+    separator hiding inside an element is caught before the join."""
     if isinstance(dt, T.ArrayType):
         ezt = ztype.split("[", 1)[-1].rstrip("]")
         joined = F.array_join(
             F.transform(
                 col,
-                lambda e: F.coalesce(
-                    _scalar_wire(e, dt.elementType, ezt), F.lit(_UNSET)
+                lambda e: _guard(
+                    F.coalesce(
+                        _scalar_wire(e, dt.elementType, ezt), F.lit(_UNSET)
+                    ),
+                    "[\\t\\n\\r" + _SET_SEP + "]",
+                    colname,
+                    on_unwritable,
                 ),
             ),
             _SET_SEP,
         )
         body = F.when(F.size(col) == 0, F.lit(_EMPTY)).otherwise(joined)
-    else:
-        body = _scalar_wire(col, dt, ztype)
-    return F.coalesce(body, F.lit(_UNSET))
+        return F.coalesce(body, F.lit(_UNSET))
+    body = _scalar_wire(col, dt, ztype)
+    return _guard(
+        F.coalesce(body, F.lit(_UNSET)), "[\\t\\n\\r]", colname, on_unwritable
+    )
 
 
 def write_zeek(
@@ -169,7 +212,15 @@ def write_zeek(
     block).  ``zeek_types`` overrides the ``#types`` label per column
     (``{'host_ip': 'addr', 'conns_opened': 'count'}``) — labels that
     Spark's type system can't carry.  ``read_zeek(spark, path + '/*')``
-    returns the same values (round-trip pinned in tests)."""
+    returns the same values (round-trip pinned + fuzzed in tests).
+
+    Known lossy cases, inherent to the wire format: a STRING value
+    equal to a marker (``''``, ``'-'``, ``'(empty)'``) is
+    indistinguishable from the marker on the wire and reads back NULL
+    (scalars) / NULL element (collections); an EMPTY collection writes
+    the empty marker, which the reference-pinned read semantics return
+    as NULL, not ``[]`` (test/sql/zeek.test:191-206).  Everything else
+    round-trips exactly (randomized fuzz in tests)."""
     if mode not in ("overwrite", "error"):
         raise ValueError("write_zeek: mode must be 'overwrite' or 'error'")
     if on_unwritable not in ("error", "strip"):
@@ -190,25 +241,10 @@ def write_zeek(
             "#types\t" + "\t".join(ztypes),
         ]
     )
-    cells = []
-    for f, zt in zip(schema.fields, ztypes):
-        cell = _field_wire(F.col(f.name), f.dataType, zt)
-        # the format has no escaping: separator/newline inside a value
-        # corrupts the row — fail loudly (or strip) BEFORE bytes land
-        if on_unwritable == "strip":
-            cell = F.regexp_replace(cell, F.lit("[\\t\\n\\r]"), F.lit(" "))
-        else:
-            cell = F.when(
-                cell.rlike("[\\t\\n\\r]"),
-                F.raise_error(
-                    F.lit(
-                        f"write_zeek: value in column '{f.name}' contains "
-                        "the separator or a newline (Zeek TSV has no "
-                        "escaping); pass on_unwritable='strip' to replace"
-                    )
-                ),
-            ).otherwise(cell)
-        cells.append(cell)
+    cells = [
+        _field_wire(F.col(f.name), f.dataType, zt, f.name, on_unwritable)
+        for f, zt in zip(schema.fields, ztypes)
+    ]
     lines = df.select(F.concat_ws("\t", *cells).alias("line"))
     (
         lines.write.format("zeek")
