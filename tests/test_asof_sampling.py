@@ -128,3 +128,76 @@ def test_range_join_bucket_guard(spark):
         range_join_point(
             ivals, pts, "t0", "t1", "ts", bucket_width_s=60, max_buckets=100
         ).collect()
+
+
+# --- time-sliced (skew-bounded) as-of path ------------------------------
+
+def _random_asof_frames(spark, seed, n_left=400, n_right=300, n_keys=7):
+    import random
+
+    rng = random.Random(seed)
+    left = [
+        (i, rng.randrange(n_keys), round(rng.uniform(0, 100), 3))
+        for i in range(n_left)
+    ]
+    # unique (k, ts) right rows: ASOF tie rule is engine-undefined
+    seen, right = set(), []
+    while len(right) < n_right:
+        k, ts = rng.randrange(n_keys), round(rng.uniform(0, 100), 3)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, len(right)))
+    l = spark.createDataFrame(left, "id long, k long, ts double")
+    r = spark.createDataFrame(right, "k long, ts double, val long")
+    return l, r
+
+
+@pytest.mark.parametrize("width", [0.7, 5.0, 1000.0])
+def test_asof_time_sliced_matches_plain_path(spark, width):
+    l, r = _random_asof_frames(spark, seed=11)
+    plain = asof_join(l, r, on="k", ts_col="ts")
+    sliced = asof_join(l, r, on="k", ts_col="ts", time_bucket=width)
+    assert sorted(map(tuple, sliced.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_asof_time_sliced_hot_key_and_empty_slices(spark):
+    # one key holds 90% of rows (the skew case the option exists for),
+    # and right rows cluster early so later slices have no right rows
+    # (carry-in must cross many empty slices)
+    left = [(i, 0 if i % 10 else 1, float(i)) for i in range(500)]
+    right = [(0, float(t), t) for t in range(0, 20)] + [(1, 3.0, 99)]
+    l = spark.createDataFrame(left, "id long, k long, ts double")
+    r = spark.createDataFrame(right, "k long, ts double, val long")
+    plain = asof_join(l, r, on="k", ts_col="ts")
+    sliced = asof_join(l, r, on="k", ts_col="ts", time_bucket=2.5)
+    assert sorted(map(tuple, sliced.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # a left row hundreds of slices past the last right row still matches
+    row = {t[0]: t for t in sliced.collect()}
+    assert row[491][-1] == 19  # k=0, newest right val
+    assert row[490][-1] == 99  # k=1
+
+
+def test_asof_time_sliced_timestamp_type(spark):
+    l = spark.sql(
+        "SELECT id, k, timestamp_micros(CAST(ts * 1e6 AS LONG)) AS ts "
+        "FROM VALUES (1, 0, 10.5), (2, 0, 99.0), (3, 1, 4.0) AS t(id, k, ts)"
+    )
+    r = spark.sql(
+        "SELECT k, timestamp_micros(CAST(ts * 1e6 AS LONG)) AS ts, val "
+        "FROM VALUES (0, 10.0, 7), (0, 50.0, 8), (1, 9.0, 9) AS t(k, ts, val)"
+    )
+    plain = asof_join(l, r, on="k", ts_col="ts")
+    sliced = asof_join(l, r, on="k", ts_col="ts", time_bucket=3.0)
+    assert sorted(map(tuple, sliced.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_asof_time_sliced_validates_width(spark):
+    l, r = _random_asof_frames(spark, seed=2, n_left=5, n_right=5)
+    with pytest.raises(ValueError, match="time_bucket"):
+        asof_join(l, r, on="k", ts_col="ts", time_bucket=0)

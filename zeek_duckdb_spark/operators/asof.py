@@ -42,6 +42,7 @@ def asof_join(
     ts_col: str,
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    time_bucket: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``ts_col`` <= the left row's ``ts_col`` within the same ``on`` key
@@ -51,6 +52,19 @@ def asof_join(
     they are renamed with ``suffix`` if the name collides with a left
     column.  The right side's ``ts_col`` is always carried as
     ``ts_col + suffix``.
+
+    ``time_bucket`` is the SKEW escape hatch: with it set (seconds for
+    timestamp keys, ``ts_col`` units for numerics), the window
+    partitions by (key, time slice) instead of key alone, so a hot key
+    that holds a large fraction of the corpus is bounded by ONE SLICE
+    of one key per partition — the thing AQE cannot do for a window.
+    Cross-slice matches are restored exactly by a carry-in pass over
+    per-slice summaries (one newest-right-row struct per occupied
+    (key, slice) — model-sized relative to the corpus) that
+    prefix-scans slices per key and equi-joins back.  Results are
+    IDENTICAL to the unbucketed path (differential-tested) at the cost
+    of one extra small shuffle; choose a width that keeps a hot key's
+    rows-per-slice executor-sized.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
@@ -79,18 +93,76 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(on)
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__r", ignorenulls=True).over(w)
+        filled = u.select(
+            *[c for c in left.columns],
+            F.col("__side"),
+            *[
+                matched[out_names[c]].alias(out_names[c])
+                for c in [ts_col] + right_cols
+            ],
+        )
+        return filled.filter(F.col("__side") == 1).drop("__side")
+
+    # --- time-sliced skew-bounded path -------------------------------
+    if not time_bucket > 0:
+        raise ValueError("asof_join: time_bucket must be > 0")
+    ts_dt = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[
+        ts_col
+    ]
+    if ts_dt.typeName() == "timestamp":
+        slice_of = (
+            F.unix_micros(F.col("__ts"))
+            / F.lit(int(time_bucket * 1_000_000))
+        )
+    else:
+        slice_of = F.col("__ts").cast("double") / F.lit(float(time_bucket))
+    ub = u.withColumn("__b", F.floor(slice_of).cast("long"))
+
+    # within-slice match: same union-tag window, partition bounded by
+    # one slice of one key
+    w_in = (
+        Window.partitionBy(on, "__b")
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("__r", ignorenulls=True).over(w)
-    filled = u.select(
+    in_slice = ub.withColumn("__m", F.last("__r", ignorenulls=True).over(w_in))
+
+    # carry-in: newest right struct from any EARLIER slice of the key.
+    # Summaries exist only for OCCUPIED (key, slice) cells from either
+    # side, so the prefix window runs over a table that is tiny
+    # relative to the corpus (and the left join keeps right-less slices)
+    cells = ub.select(on, "__b").distinct()
+    right_summ = (
+        ub.filter(F.col("__side") == 0)
+        .groupBy(on, "__b")
+        .agg(F.max_by("__r", F.col("__ts")).alias("__rs"))
+    )
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        cells.join(right_summ, [on, "__b"], "left")
+        .withColumn("__carry", F.last("__rs", ignorenulls=True).over(w_carry))
+        .select(on, "__b", "__carry")
+    )
+
+    joined = in_slice.filter(F.col("__side") == 1).join(
+        carry, [on, "__b"], "left"
+    )
+    matched = F.coalesce(F.col("__m"), F.col("__carry"))
+    return joined.select(
         *[c for c in left.columns],
-        F.col("__side"),
         *[
             matched[out_names[c]].alias(out_names[c])
             for c in [ts_col] + right_cols
         ],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
