@@ -193,3 +193,48 @@ def test_set_separator_inside_element_guarded(spark, tmp_path):
     write_zeek(df, str(tmp_path / "ok"), on_unwritable="strip")
     back = read_zeek(spark, str(tmp_path / "ok") + "/*.log")
     assert back.collect()[0].v == ["a b", "c"]
+
+
+# --- streaming sink -----------------------------------------------------
+
+def test_stream_round_trip_and_exactly_once_restart(spark, tmp_path):
+    import shutil
+
+    from zeek_duckdb_spark import write_zeek_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    hours = sorted(glob.glob(f"{REF}/known_hosts_*.log.gz"))
+    for f in hours[:4]:
+        shutil.copy(f, src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.format("zeek").load(f"{src}/*.log.gz")
+        q = write_zeek_stream(
+            stream, out, ckpt,
+            zeek_types={"host_ip": "addr"},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    batch_in = read_zeek(spark, f"{src}/*.log.gz")
+    back = read_zeek(spark, f"{out}/batch-*.log")
+    assert back.schema == batch_in.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, batch_in.collect())
+    )
+    # rotate two more hours in; restart from the same checkpoint — only
+    # the new files land, nothing is duplicated, staging is drained
+    for f in hours[4:6]:
+        shutil.copy(f, src)
+    run()
+    back2 = read_zeek(spark, f"{out}/batch-*.log")
+    batch_in2 = read_zeek(spark, f"{src}/*.log.gz")
+    assert sorted(map(tuple, back2.collect())) == sorted(
+        map(tuple, batch_in2.collect())
+    )
+    assert glob.glob(f"{out}/.staging/*") == []

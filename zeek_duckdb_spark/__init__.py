@@ -19,7 +19,7 @@ Re-expresses the capabilities of the ynadji/zeek-duckdb DuckDB extension
 from zeek_duckdb_spark.header import ZeekHeader, parse_header, zeek_type_to_spark
 from zeek_duckdb_spark.sources.zeek import read_zeek
 from zeek_duckdb_spark.sources.zeek_json import read_zeek_json
-from zeek_duckdb_spark.sources.zeek_writer import write_zeek
+from zeek_duckdb_spark.sources.zeek_writer import write_zeek, write_zeek_stream
 from zeek_duckdb_spark.functions.inet import register_inet_functions
 from zeek_duckdb_spark.functions.intervals import (
     interval_text,
@@ -47,6 +47,7 @@ __all__ = [
     "read_zeek",
     "read_zeek_json",
     "write_zeek",
+    "write_zeek_stream",
     "register",
     "interval_text",
 ]

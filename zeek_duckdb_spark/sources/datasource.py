@@ -128,20 +128,32 @@ class ZeekDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> "ZeekStreamReader":
         return ZeekStreamReader(self, schema)
 
-    def writer(self, schema: T.StructType, overwrite: bool):
-        # the write half: header + pre-formatted lines per partition
-        # (sources/zeek_writer.py; use write_zeek() for the typed API)
-        from zeek_duckdb_spark.sources.zeek_writer import ZeekLogWriter
-
+    @staticmethod
+    def _check_writer_schema(schema: T.StructType) -> None:
         if len(schema.fields) != 1 or not isinstance(
             schema.fields[0].dataType, T.StringType
         ):
             raise ValueError(
                 "zeek writer expects one pre-formatted string column — "
-                "use zeek_duckdb_spark.write_zeek(df, path, ...) for the "
-                "typed API"
+                "use zeek_duckdb_spark.write_zeek(df, path, ...) (or "
+                "write_zeek_stream) for the typed API"
             )
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        # the write half: header + pre-formatted lines per partition
+        # (sources/zeek_writer.py; use write_zeek() for the typed API)
+        from zeek_duckdb_spark.sources.zeek_writer import ZeekLogWriter
+
+        self._check_writer_schema(schema)
         return ZeekLogWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        # streaming sink: staged per-task files published atomically at
+        # microbatch commit (exactly-once across restarts)
+        from zeek_duckdb_spark.sources.zeek_writer import ZeekStreamLogWriter
+
+        self._check_writer_schema(schema)
+        return ZeekStreamLogWriter(self.options)
 
     def schema(self) -> T.StructType:
         headers, names, types, _ = self._bind()

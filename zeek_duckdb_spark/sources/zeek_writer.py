@@ -42,7 +42,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["write_zeek", "zeek_types_for_schema"]
+__all__ = [
+    "write_zeek",
+    "write_zeek_stream",
+    "format_zeek_lines",
+    "zeek_types_for_schema",
+]
 
 _UNSET = "-"
 _EMPTY = "(empty)"
@@ -228,6 +233,25 @@ def write_zeek(
     from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
 
     register_zeek_datasource(df.sparkSession)  # idempotent
+    lines, header = format_zeek_lines(df, path_name, zeek_types, on_unwritable)
+    (
+        lines.write.format("zeek")
+        .mode("overwrite" if mode == "overwrite" else "append")
+        .option("zeek_header", header)
+        .option("compress", "true" if compress else "false")
+        .save(path)
+    )
+
+
+def format_zeek_lines(
+    df: DataFrame,
+    path_name: str = "spark",
+    zeek_types: dict[str, str] | None = None,
+    on_unwritable: str = "error",
+) -> tuple[DataFrame, str]:
+    """(single-'line'-column frame, header block): the typed-to-wire
+    projection shared by :func:`write_zeek` and
+    :func:`write_zeek_stream` — all formatting is JVM expressions."""
     schema = df.schema
     ztypes = zeek_types_for_schema(schema, zeek_types)
     header = "\n".join(
@@ -245,20 +269,54 @@ def write_zeek(
         _field_wire(F.col(f.name), f.dataType, zt, f.name, on_unwritable)
         for f, zt in zip(schema.fields, ztypes)
     ]
-    lines = df.select(F.concat_ws("\t", *cells).alias("line"))
-    (
-        lines.write.format("zeek")
-        .mode("overwrite" if mode == "overwrite" else "append")
+    return df.select(F.concat_ws("\t", *cells).alias("line")), header
+
+
+def write_zeek_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    path_name: str = "spark",
+    zeek_types: dict[str, str] | None = None,
+    compress: bool = False,
+    on_unwritable: str = "error",
+    trigger_available_now: bool = False,
+):
+    """Streaming twin of :func:`write_zeek`: lands each microbatch as
+    rotated ``batch-BBBBBB-part-PPPPP.log[.gz]`` files — the multi-file
+    layout the reference's glob scan (and read_zeek) consumes directly.
+
+    Exactly-once: tasks stage bytes under ``.staging/`` and the DRIVER
+    publishes them atomically at microbatch commit (rename per file; a
+    replayed batch after restart overwrites the same deterministic
+    names, so duplicates cannot accumulate — pinned by the restart
+    test).  Empty partitions publish nothing.  Returns the started
+    ``StreamingQuery``."""
+    from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
+
+    register_zeek_datasource(df.sparkSession)
+    lines, header = format_zeek_lines(df, path_name, zeek_types, on_unwritable)
+    w = (
+        lines.writeStream.format("zeek")
         .option("zeek_header", header)
         .option("compress", "true" if compress else "false")
-        .save(path)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
     )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 # --- the DataSource writer half (registered on ZeekDataSource) ---------
 
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 class ZeekLogWriter(DataSourceWriter):
@@ -307,3 +365,68 @@ class ZeekLogWriter(DataSourceWriter):
 
     def abort(self, messages):
         pass
+
+
+class ZeekCommitMessage(WriterCommitMessage):
+    """Staged file handoff from a write task to the driver commit."""
+
+    def __init__(self, staged: str | None, partition_id: int, rows: int):
+        self.staged = staged
+        self.partition_id = partition_id
+        self.rows = rows
+
+
+class ZeekStreamLogWriter(DataSourceStreamWriter):
+    """Streaming sink half: tasks stage a file per non-empty partition;
+    commit() publishes them under deterministic
+    ``batch-BBBBBB-part-PPPPP`` names (idempotent across microbatch
+    replays — a restarted batch overwrites, never duplicates); abort()
+    discards the staged bytes."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("write_zeek_stream: no output path")
+        self._header = options.get("zeek_header", "")
+        self._gz = str(options.get("compress", "false")).lower() == "true"
+        os.makedirs(os.path.join(self._path, ".staging"), exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        staged = os.path.join(
+            self._path, ".staging", f"task-{pid}-{attempt}"
+        )
+        opener = (lambda p: gzip.open(p, "wt")) if self._gz else (
+            lambda p: open(p, "w")
+        )
+        rows = 0
+        with opener(staged) as fh:
+            fh.write(self._header + "\n")
+            for row in iterator:
+                fh.write(row[0])
+                fh.write("\n")
+                rows += 1
+        if rows == 0:
+            os.remove(staged)
+            return ZeekCommitMessage(None, pid, 0)
+        return ZeekCommitMessage(staged, pid, rows)
+
+    def commit(self, messages, batchId):
+        ext = ".log.gz" if self._gz else ".log"
+        for m in messages:
+            if m is None or m.staged is None:
+                continue
+            final = os.path.join(
+                self._path,
+                f"batch-{batchId:06d}-part-{m.partition_id:05d}{ext}",
+            )
+            os.replace(m.staged, final)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
