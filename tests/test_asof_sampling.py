@@ -136,14 +136,16 @@ def _random_asof_frames(spark, seed, n_left=400, n_right=300, n_keys=7):
     import random
 
     rng = random.Random(seed)
+    # negative timestamps included: slice assignment must FLOOR (a
+    # truncating cast would glue slices -1 and 0 together)
     left = [
-        (i, rng.randrange(n_keys), round(rng.uniform(0, 100), 3))
+        (i, rng.randrange(n_keys), round(rng.uniform(-50, 100), 3))
         for i in range(n_left)
     ]
     # unique (k, ts) right rows: ASOF tie rule is engine-undefined
     seen, right = set(), []
     while len(right) < n_right:
-        k, ts = rng.randrange(n_keys), round(rng.uniform(0, 100), 3)
+        k, ts = rng.randrange(n_keys), round(rng.uniform(-50, 100), 3)
         if (k, ts) not in seen:
             seen.add((k, ts))
             right.append((k, ts, len(right)))

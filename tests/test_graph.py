@@ -126,3 +126,67 @@ def test_resolve_clusters_null_loses_to_scored(spark):
 
     kept = [r.doc_id for r in resolve_clusters(docs, pairs, score_col="score").collect()]
     assert kept == [1]
+
+
+# --- pagerank -----------------------------------------------------------
+
+def _np_pagerank(edges, iters=10, d=0.85, directed=False):
+    es = set()
+    for a, b in edges:
+        es.add((a, b))
+        if not directed:
+            es.add((b, a))
+    verts = sorted({v for e in es for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = {v: 0 for v in verts}
+    for a, b in es:
+        deg[a] += 1
+    r = [1.0 / n] * n
+    for _ in range(iters):
+        nxt = [(1.0 - d) / n] * n
+        for a, b in es:
+            nxt[idx[b]] += d * r[idx[a]] / deg[a]
+        r = nxt
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from zeek_duckdb_spark.operators.graph import pagerank
+
+    import random
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.v: r.rank for r in pagerank(df, iters=12).collect()}
+    want = _np_pagerank(edges, iters=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_hub_ranks_highest_directed(spark):
+    from zeek_duckdb_spark.operators.graph import pagerank
+
+    # star: every leaf points AT the hub
+    df = spark.createDataFrame(
+        [(i, 99) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    got = {r.v: r.rank for r in pagerank(df, iters=10, directed=True).collect()}
+    assert got[99] == max(got.values())
+    want = _np_pagerank([(i, 99) for i in range(1, 9)], iters=10, directed=True)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_pagerank_validation(spark):
+    from zeek_duckdb_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)

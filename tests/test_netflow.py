@@ -1,0 +1,141 @@
+"""netflow analytics: DuckDB differentials on the events table plus
+handcrafted beaconing/scanning scenarios."""
+
+import duckdb
+import pytest
+
+from zeek_duckdb_spark.operators.netflow import (
+    beacon_scores,
+    port_scan_scores,
+    top_talkers,
+)
+from zeek_duckdb_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_top_talkers_matches_duckdb(spark, events):
+    got = [
+        tuple(r)
+        for r in top_talkers(
+            events, "user_id", "event_type", bytes_col="value", top_n=20
+        ).collect()
+    ]
+    want = duckdb.connect().execute(
+        f"""
+        SELECT user_id AS src, event_type AS dst, count(*) AS conns,
+               sum(value) AS total_bytes
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1, 2 ORDER BY total_bytes DESC, src ASC, dst ASC LIMIT 20
+        """
+    ).fetchall()
+    assert [(a, b, int(c), pytest.approx(float(d), rel=1e-9))
+            for a, b, c, d in want] == got
+
+
+def test_beacon_scores_matches_duckdb(spark, events):
+    got = {
+        (r.src, r.dst): (r.n_events, r.mean_gap, r.stddev_gap, r.beacon_score)
+        for r in beacon_scores(
+            events, "user_id", "event_type", "ts", min_events=4
+        ).collect()
+    }
+    want = duckdb.connect().execute(
+        f"""
+        WITH g AS (
+          SELECT user_id AS src, event_type AS dst,
+                 epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY epoch(ts)
+                 ) AS gap
+          FROM read_parquet('{SF}/events.parquet')
+        )
+        SELECT src, dst, count(*) AS n_events,
+               round(avg(gap), 6) AS mean_gap,
+               round(stddev_samp(gap), 6) AS stddev_gap,
+               round(stddev_samp(gap) / nullif(avg(gap), 0), 6) AS score
+        FROM g GROUP BY src, dst HAVING count(*) >= 4
+        """
+    ).fetchall()
+    assert len(want) == len(got) > 0
+    for src, dst, n, mg, sg, sc in want:
+        gn, gmg, gsg, gsc = got[(src, dst)]
+        assert gn == n
+        assert gmg == pytest.approx(float(mg), abs=2e-6)
+        assert gsg == pytest.approx(float(sg), abs=2e-6)
+        assert gsc == pytest.approx(float(sc), abs=2e-6)
+
+
+def test_beacon_metronome_scores_lowest(spark):
+    rows = []
+    for i in range(20):  # perfect 60s beacon
+        rows.append(("bot", "c2", 60.0 * i))
+    for i in range(20):  # human-jittered traffic
+        rows.append(("user", "site", float(i * 60 + (i * 37) % 50)))
+    d = spark.createDataFrame(rows, "src string, dst string, ts double")
+    out = {r.src: r for r in beacon_scores(d, "src", "dst", "ts").collect()}
+    assert out["bot"].beacon_score == 0.0
+    assert out["user"].beacon_score > 0.1
+    assert out["bot"].mean_gap == 60.0
+
+
+def test_port_scan_detects_fanout(spark):
+    rows = [("scanner", "10.0.0.1", p, float(p)) for p in range(1, 200)]
+    rows += [("normal", "10.0.0.2", 443, float(t)) for t in range(50)]
+    d = spark.createDataFrame(rows, "src string, dst string, dst_port int, ts double")
+    out = port_scan_scores(d, "src", "dst", "dst_port", "ts",
+                           bucket_seconds=3600, min_ports=10).collect()
+    assert len(out) == 1 and out[0].src == "scanner"
+    assert out[0].n_ports == 199 and out[0].n_hosts == 1 and out[0].n_conns == 199
+
+
+def test_port_scan_matches_duckdb_and_buckets(spark, events):
+    got = sorted(
+        tuple(r)
+        for r in port_scan_scores(
+            events, "user_id", "event_type", "event_id", "ts",
+            bucket_seconds=86400, min_ports=1,
+        ).collect()
+    )
+    want = duckdb.connect().execute(
+        f"""
+        SELECT user_id AS src,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+               count(DISTINCT event_id) AS n_ports,
+               count(DISTINCT event_type) AS n_hosts,
+               count(*) AS n_conns
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1, 2 HAVING count(DISTINCT event_id) >= 1
+        """
+    ).fetchall()
+    assert got == sorted((a, int(b), int(c), int(d), int(e))
+                         for a, b, c, d, e in want)
+
+
+def test_validation_and_plan_shape(spark, events):
+    with pytest.raises(ValueError, match="min_events"):
+        beacon_scores(events, "user_id", "event_type", "ts", min_events=1)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        port_scan_scores(events, "user_id", "event_type", "event_id", "ts",
+                         bucket_seconds=0)
+    tt = top_talkers(events, "user_id", "event_type", bytes_col="value")
+    plan = audit.physical_plan(tt)
+    assert "TakeOrderedAndProject" in plan and "Python" not in plan
+    assert audit.num_shuffles(tt) == 1
+
+
+def test_beacon_time_bucket_drops_only_boundary_gaps(spark):
+    # perfect 60s beacon sliced at 600s: per-slice lag loses the one
+    # boundary gap but the score is still exactly 0
+    rows = [("bot", "c2", 60.0 * i) for i in range(40)]
+    d = spark.createDataFrame(rows, "src string, dst string, ts double")
+    plain = beacon_scores(d, "src", "dst", "ts").collect()[0]
+    sliced = beacon_scores(d, "src", "dst", "ts", time_bucket=600.0).collect()[0]
+    assert sliced.beacon_score == plain.beacon_score == 0.0
+    assert sliced.mean_gap == 60.0 and sliced.n_events == plain.n_events
+    with pytest.raises(ValueError, match="time_bucket"):
+        beacon_scores(d, "src", "dst", "ts", time_bucket=0)

@@ -116,9 +116,10 @@ def asof_join(
     ts_dt = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[
         ts_col
     ]
-    if ts_dt.typeName() == "timestamp":
+    if ts_dt.typeName() in ("timestamp", "timestamp_ntz"):
+        # ntz casts through TimestampType safely: session tz pinned UTC
         slice_of = (
-            F.unix_micros(F.col("__ts"))
+            F.unix_micros(F.col("__ts").cast("timestamp"))
             / F.lit(int(time_bucket * 1_000_000))
         )
     else:

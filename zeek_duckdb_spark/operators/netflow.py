@@ -1,0 +1,169 @@
+"""Network-traffic analytics over Zeek-shaped event tables — the
+standing queries a security team runs on conn logs once they are
+scanned (read_zeek) or landed as parquet.  The reference provides the
+SCAN; these are the canonical analyses on top of it, expressed as
+one-aggregate-pass Spark plans.
+
+All three operators are plain relational algebra (oracle-restatable in
+ANSI SQL — differential-tested against DuckDB) and share one scale
+shape: a single groupBy over (entity key) with map-side partial
+aggregation, no self-joins; the one window (beacon gaps) is bounded
+per pair and carries a ``time_bucket`` skew bound for monster pairs.
+
+- :func:`top_talkers` — bytes/connections per (src, dst) pair, top-N
+  by volume: one hash aggregate + TakeOrderedAndProject.
+- :func:`beacon_scores` — command-and-control beaconing heuristic:
+  malware phones home on a timer, so a beaconing pair's inter-arrival
+  gaps have LOW relative variance.  Gaps come from one lag window per
+  pair (partition = the pair's own rows, naturally bounded by that
+  pair's traffic) and reduce to count/mean/stddev per pair; the score
+  is the coefficient of variation (stddev/mean), ascending = more
+  regular = more suspicious.  Pairs below ``min_events`` connections
+  are excluded (too few gaps to judge regularity).
+- :func:`port_scan_scores` — horizontal/vertical scan detection:
+  distinct destination ports (and hosts) per source within a time
+  bucket.  Distinct-counting is exact via the two-level aggregate
+  (src, bucket, port) -> (src, bucket), both map-side combinable —
+  never a count(distinct) over a skewed exploded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["top_talkers", "beacon_scores", "port_scan_scores"]
+
+
+def top_talkers(
+    df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    bytes_col: str | None = None,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-``top_n`` (src, dst) pairs: ``conns`` count and, when
+    ``bytes_col`` is given, ``total_bytes`` (ordering key).  Ordering
+    ties break to (src, dst) ascending — deterministic."""
+    aggs = [F.count("*").alias("conns")]
+    if bytes_col is not None:
+        aggs.append(F.sum(bytes_col).alias("total_bytes"))
+    out = df.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).agg(
+        *aggs
+    )
+    key = "total_bytes" if bytes_col is not None else "conns"
+    return out.orderBy(F.desc(key), F.asc("src"), F.asc("dst")).limit(top_n)
+
+
+def beacon_scores(
+    df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    min_events: int = 4,
+    time_bucket: float | None = None,
+) -> DataFrame:
+    """Per (src, dst): ``n_events``, ``mean_gap``, ``stddev_gap`` (of
+    consecutive inter-arrival gaps, sample stddev), and
+    ``beacon_score`` = stddev/mean (coefficient of variation, rounded
+    6dp; NULL when mean is 0).  Low score = metronomic traffic.
+
+    Timestamps may be numeric (seconds) or TimestampType (gaps in
+    seconds via unix_micros).  One lag window per pair + one aggregate.
+
+    A pair's window partition holds only its own events — which is
+    still unbounded for a monster pair (a proxy talking to a popular
+    site).  ``time_bucket`` (seconds) is the skew bound: the lag then
+    runs per (pair, time slice), dropping exactly ONE gap per slice
+    boundary — statistically negligible for regularity scoring when
+    the slice is much longer than the beacon period (the asof_join
+    time_bucket idea applied to a heuristic where exactness across
+    slices is not needed)."""
+    if min_events < 2:
+        raise ValueError("beacon_scores: min_events must be >= 2 (need gaps)")
+    ts_dt = df.schema[ts_col].dataType.typeName()
+    # timestamp_ntz casts through TimestampType safely: the engine pins
+    # spark.sql.session.timeZone=UTC (session.py), matching the
+    # oracle's treat-naive-as-UTC epoch()
+    t = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
+        if ts_dt in ("timestamp", "timestamp_ntz")
+        else F.col(ts_col).cast("double")
+    )
+    part = [F.col(src_col), F.col(dst_col)]
+    if time_bucket is not None:
+        if not time_bucket > 0:
+            raise ValueError("beacon_scores: time_bucket must be > 0")
+        part.append(F.floor(t / F.lit(float(time_bucket))))
+    w = Window.partitionBy(*part).orderBy(t)
+    gapped = df.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (t - F.lag(t).over(w)).alias("__gap"),
+    )
+    out = (
+        gapped.groupBy("src", "dst")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("__gap"), 6).alias("mean_gap"),
+            F.round(F.stddev_samp("__gap"), 6).alias("stddev_gap"),
+        )
+        .filter(F.col("n_events") >= min_events)
+    )
+    return out.withColumn(
+        "beacon_score",
+        F.round(
+            F.col("stddev_gap") / F.nullif(F.col("mean_gap"), F.lit(0.0)), 6
+        ),
+    )
+
+
+def port_scan_scores(
+    df: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    port_col: str = "dst_port",
+    ts_col: str = "ts",
+    bucket_seconds: float = 3600.0,
+    min_ports: int = 10,
+) -> DataFrame:
+    """Per (src, time bucket): ``n_ports`` (distinct destination
+    ports), ``n_hosts`` (distinct destination hosts), ``n_conns`` —
+    sources probing >= ``min_ports`` ports in a bucket.  Bucket is
+    ``floor(ts / bucket_seconds)`` (epoch-relative, deterministic).
+
+    Exact distincts WITHOUT count(distinct) skew: first aggregate to
+    (src, bucket, port, host) cells — map-side combinable, a scanning
+    source's fan-out IS the cell count — then count cells per (src,
+    bucket).  Both shuffles carry pre-reduced rows."""
+    if not bucket_seconds > 0:
+        raise ValueError("port_scan_scores: bucket_seconds must be > 0")
+    ts_dt = df.schema[ts_col].dataType.typeName()
+    # timestamp_ntz casts through TimestampType safely: the engine pins
+    # spark.sql.session.timeZone=UTC (session.py), matching the
+    # oracle's treat-naive-as-UTC epoch()
+    t = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
+        if ts_dt in ("timestamp", "timestamp_ntz")
+        else F.col(ts_col).cast("double")
+    )
+    bucket = F.floor(t / F.lit(float(bucket_seconds))).cast("long")
+    cells = (
+        df.select(
+            F.col(src_col).alias("src"),
+            bucket.alias("bucket"),
+            F.col(dst_col).alias("dst"),
+            F.col(port_col).alias("port"),
+        )
+        .groupBy("src", "bucket", "dst", "port")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        cells.groupBy("src", "bucket")
+        .agg(
+            F.count_distinct("port").alias("n_ports"),
+            F.count_distinct("dst").alias("n_hosts"),
+            F.sum("__n").alias("n_conns"),
+        )
+        .filter(F.col("n_ports") >= min_ports)
+    )

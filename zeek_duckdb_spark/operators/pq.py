@@ -229,7 +229,12 @@ def pq_encode(
     """(id, pq_codes array<int> [, *keep]): one argmin-L2 code per
     subspace against the fitted codebooks.  Zero-shuffle pure map —
     the ONE pass that reads the fat vectors; downstream search reads
-    codes only.  Ties break to the lowest code (deterministic)."""
+    codes only.  Ties break to the lowest code (deterministic).
+
+    Rows whose vector length differs from the codebook dimension are
+    DROPPED (un-encodable; same degenerate-row policy as
+    similarity.quantize_embeddings' zero-vector filter) — pre-validate
+    upstream if a length mismatch should be an error in your corpus."""
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])

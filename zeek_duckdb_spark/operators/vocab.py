@@ -86,7 +86,10 @@ def vocab_coverage(
     exploded = df.select(F.explode(toks).alias("token"))
     counts = exploded.groupBy("token").agg(F.count("*").alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
-    total = exploded.agg(F.count("*").alias("__total"))
+    # total occurrences = sum over the SAME aggregate (not a second
+    # corpus explode): both branches share the groupBy exchange, which
+    # Spark's ReuseExchange collapses to one physical shuffle
+    total = counts.agg(F.sum("n").alias("__total"))
     w = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

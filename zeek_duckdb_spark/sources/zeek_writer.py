@@ -425,6 +425,15 @@ class ZeekStreamLogWriter(DataSourceStreamWriter):
                 f"batch-{batchId:06d}-part-{m.partition_id:05d}{ext}",
             )
             os.replace(m.staged, final)
+        # a retried task's LOSING attempt leaves its staged file behind
+        # (abort only runs when the whole batch fails); microbatches are
+        # sequential per query, so anything still staged is garbage
+        staging = os.path.join(self._path, ".staging")
+        for f in os.listdir(staging):
+            try:
+                os.remove(os.path.join(staging, f))
+            except OSError:
+                pass
 
     def abort(self, messages, batchId):
         for m in messages:
