@@ -3,6 +3,8 @@ layout, values, and partition pruning."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.sources.sink import ingest_zeek_to_parquet
@@ -79,3 +81,55 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {a_name}")
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+# --- compaction ---------------------------------------------------------
+
+def test_compact_landing_flat_dir(spark, tmp_path):
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    out = str(tmp_path / "land")
+    df = spark.range(0, 20000).selectExpr("id", "id % 7 AS v")
+    df.repartition(64).write.parquet(out)  # 64 tiny files
+    import glob as g
+
+    before = len(g.glob(f"{out}/*.parquet"))
+    assert before >= 32
+    stats = compact_landing(spark, out, target_file_bytes=1 << 30)
+    after = g.glob(f"{out}/*.parquet")
+    assert stats["files_before"] == before and stats["files_after"] == len(after)
+    assert len(after) == 1  # everything fits one 1GB-target file
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert sorted(r.id for r in back.collect()) == list(range(20000))
+
+
+def test_compact_landing_preserves_partitions(spark, tmp_path):
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    out = str(tmp_path / "part")
+    df = spark.range(0, 9000).selectExpr("id", "CAST(id % 3 AS STRING) AS day")
+    df.repartition(40).write.partitionBy("day").parquet(out)
+    stats = compact_landing(
+        spark, out, target_file_bytes=1 << 30, partition_col="day"
+    )
+    import glob as g
+
+    dirs = sorted(g.glob(f"{out}/day=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2"]
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(out)
+    assert back.count() == 9000
+    # pruning still works on the partition column
+    assert back.filter("day = '1'").count() == 3000
+
+
+def test_compact_landing_validates(spark, tmp_path):
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_landing(spark, str(tmp_path))
+    out = str(tmp_path / "x")
+    spark.range(5).write.parquet(out)
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_landing(spark, out, target_file_bytes=0)

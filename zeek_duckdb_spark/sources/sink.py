@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_zeek_parquet", "ingest_zeek_to_parquet", "write_bucketed"]
+__all__ = [
+    "write_zeek_parquet",
+    "ingest_zeek_to_parquet",
+    "write_bucketed",
+    "compact_landing",
+]
 
 
 def write_zeek_parquet(
@@ -94,3 +99,84 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def compact_landing(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction for a parquet landing directory — the
+    standing maintenance job of any streaming/incremental landing zone
+    (each microbatch lands a few small files; a 100 TB table becomes
+    metadata-bound long before it is IO-bound).
+
+    Rewrites ``path`` so each output file targets
+    ``target_file_bytes`` of on-disk parquet: file count =
+    ceil(total_bytes / target), derived from driver-side file metadata
+    (no job).  With ``partition_col`` (a directory-partitioned layout
+    from ``write_zeek_parquet``), each partition directory is
+    preserved — the rewrite repartitions WITHIN partitions via
+    partitionBy, so partition pruning keeps working.
+
+    Swap protocol (local/posix filesystems): write to ``path.tmp``,
+    atomically rename the old dir away, rename tmp in, then delete the
+    old data.  On an object store, use the table format's own
+    compaction (rewrite_data_files) instead — this helper is for the
+    plain-directory landing zone.  NOT for bucketed tables
+    (write_bucketed) — bucket file layout is part of their contract;
+    re-land those with write_bucketed itself.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import math
+    import os
+    import shutil
+
+    if target_file_bytes < 1:
+        raise ValueError("compact_landing: target_file_bytes must be >= 1")
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files.extend(
+            os.path.join(root, n) for n in names
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+    if not files:
+        raise ValueError(f"compact_landing: no parquet files under '{path}'")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partition_col is not None:
+        # repartition on (partition value, salt) so every partition dir
+        # gets ~evenly sized files and no partition collapses into one
+        per_part = max(1, n_out)
+        salted = df.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_part)
+            ),
+        )
+        (
+            salted.repartition(F.col(partition_col), F.col("__salt"))
+            .drop("__salt")
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = sum(
+        1
+        for root, _d, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}
