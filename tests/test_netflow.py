@@ -139,3 +139,22 @@ def test_beacon_time_bucket_drops_only_boundary_gaps(spark):
     assert sliced.mean_gap == 60.0 and sliced.n_events == plain.n_events
     with pytest.raises(ValueError, match="time_bucket"):
         beacon_scores(d, "src", "dst", "ts", time_bucket=0)
+
+
+def test_end_to_end_security_pipeline_round_trip(spark, tmp_path):
+    # the full story: scan reference logs -> standing analytics ->
+    # land findings back in Zeek wire format -> re-scan and agree
+    from zeek_duckdb_spark import read_zeek, write_zeek
+
+    conn = read_zeek(spark, "/root/reference/data/known_hosts_*.log.gz")
+    talkers = top_talkers(conn, "host_ip", "kuid", bytes_col="conns_opened",
+                          top_n=50)
+    beacons = beacon_scores(conn, "host_ip", "kuid", "ts", min_events=2)
+    assert talkers.count() > 0 and beacons.count() >= 0
+    out = str(tmp_path / "talkers")
+    write_zeek(talkers, out, path_name="talkers",
+               zeek_types={"src": "addr", "total_bytes": "count"})
+    back = read_zeek(spark, f"{out}/*.log")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, talkers.collect())
+    )

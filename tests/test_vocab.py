@@ -107,3 +107,32 @@ def test_mode_validation(spark, docs):
         vocab_counts(docs, mode="char")
     with pytest.raises(ValueError, match="top_n"):
         vocab_counts(docs, top_n=0)
+
+
+def test_counts_property_random_docs_vs_python_counter(spark):
+    # randomized differential vs a plain Python counter, both modes
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "Gamma", "x1", "...", "a,b", ""]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12))))
+        for i in range(200)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    for mode in ("ws", "bpe"):
+        want = Counter()
+        for _, text in docs:
+            t = text.lower()
+            if mode == "ws":
+                toks = [w for w in re.split(r"\s+", t.strip()) if w != ""]
+            else:
+                toks = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t)
+            want.update(toks)
+        got = {
+            r.token: r.n
+            for r in vocab_counts(d, top_n=10**6, mode=mode).collect()
+        }
+        assert got == dict(want), mode
