@@ -158,3 +158,74 @@ def test_end_to_end_security_pipeline_round_trip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, talkers.collect())
     )
+
+
+def test_beacon_stream_matches_batch_after_rotations(spark, tmp_path):
+    # feed three rotations through the stateful stream; the LATEST row
+    # per pair must equal the batch operator over all data so far —
+    # Welford state carries gaps across microbatch boundaries
+    import shutil
+    import glob as g
+
+    from zeek_duckdb_spark.operators.netflow import beacon_scores_stream
+    from zeek_duckdb_spark.sources.datasource import register_zeek_datasource
+
+    register_zeek_datasource(spark)
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    hours = sorted(
+        g.glob("/root/reference/data/known_hosts_*.log.gz")
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    from zeek_duckdb_spark import read_zeek
+
+    out = str(tmp_path / "scores")
+
+    def run_stream():
+        stream = spark.readStream.format("zeek").load(f"{src_dir}/*.log.gz")
+        scored = beacon_scores_stream(
+            stream, "host_ip", "kuid", "ts", min_events=2
+        )
+        q = (
+            scored.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    for batch_end in (6, 12):
+        for f in hours[:batch_end]:
+            shutil.copy(f, src_dir)
+        run_stream()
+        rows = spark.read.parquet(out).collect()
+        # newest emission per pair (update semantics) — state carries
+        # across the restart, so round 2 emissions reflect ALL data
+        latest = {
+            k: max((r for r in rows if (r.src, r.dst) == k),
+                   key=lambda r: r.n_events)
+            for k in {(r.src, r.dst) for r in rows}
+        }
+        batch_now = read_zeek(spark, f"{src_dir}/*.log.gz")
+        from zeek_duckdb_spark.operators.netflow import beacon_scores
+
+        want = {
+            (r.src, r.dst): r
+            for r in beacon_scores(
+                batch_now, "host_ip", "kuid", "ts", min_events=2
+            ).collect()
+        }
+        assert set(latest) == set(want)
+        for k, wr in want.items():
+            gr = latest[k]
+            assert gr.n_events == wr.n_events, k
+            assert gr.mean_gap == pytest.approx(wr.mean_gap, abs=2e-6)
+            if wr.stddev_gap is not None:
+                assert gr.stddev_gap == pytest.approx(wr.stddev_gap, abs=2e-6)
+            if wr.beacon_score is not None:
+                assert gr.beacon_score == pytest.approx(wr.beacon_score, abs=2e-6)

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_talkers", "beacon_scores", "port_scan_scores"]
+__all__ = [
+    "top_talkers",
+    "beacon_scores",
+    "beacon_scores_stream",
+    "port_scan_scores",
+]
 
 
 def top_talkers(
@@ -166,4 +171,123 @@ def port_scan_scores(
             F.sum("__n").alias("n_conns"),
         )
         .filter(F.col("n_ports") >= min_ports)
+    )
+
+
+def beacon_scores_stream(
+    events: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    min_events: int = 4,
+):
+    """Streaming twin of :func:`beacon_scores`: per-(src, dst) gap
+    statistics maintained INCREMENTALLY across microbatches with
+    ``applyInPandasWithState`` — the standing C2 watch on a live
+    rotation feed, state per pair = (last_ts, n_events, n_gaps, mean,
+    M2), i.e. Welford's online algorithm, so stddev needs neither the
+    gap history nor a second pass.
+
+    Emits one updated (src, dst, n_events, mean_gap, stddev_gap,
+    beacon_score) row per active pair per microbatch once the pair has
+    ``min_events`` events (update semantics — newest row per pair
+    wins).  Scores equal the batch operator's on the same prefix of
+    data (parity-tested) PROVIDED batches arrive in event-time order
+    per pair — the rotation file stream's natural order; late
+    cross-batch events would compute a negative gap exactly as
+    re-running the batch operator on out-of-order concatenation would.
+
+    State is O(1) per pair forever — no timeout/eviction here because
+    a beacon hunt WANTS long-lived pairs; compose with a TTL policy
+    upstream if pair cardinality is unbounded.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    if min_events < 2:
+        raise ValueError("beacon_scores_stream: min_events must be >= 2")
+
+    ts_dt = events.schema[ts_col].dataType.typeName()
+    t = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
+        if ts_dt in ("timestamp", "timestamp_ntz")
+        else F.col(ts_col).cast("double")
+    )
+    prepared = events.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        t.alias("__t"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("dst", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("mean_gap", T.DoubleType()),
+            T.StructField("stddev_gap", T.DoubleType()),
+            T.StructField("beacon_score", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_gaps", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        src, dst = key
+        ts_vals: list[float] = []
+        for pdf in pdfs:
+            ts_vals.extend(float(v) for v in pdf["__t"])
+        if not ts_vals:
+            return
+        ts_vals.sort()
+        if state.exists:
+            last_ts, n_events, n_gaps, mean, m2 = state.get
+        else:
+            last_ts, n_events, n_gaps, mean, m2 = None, 0, 0, 0.0, 0.0
+        for v in ts_vals:
+            if last_ts is not None:
+                gap = v - last_ts
+                n_gaps += 1
+                delta = gap - mean
+                mean += delta / n_gaps
+                m2 += delta * (gap - mean)
+            last_ts = v
+            n_events += 1
+        state.update((last_ts, n_events, n_gaps, mean, m2))
+        if n_events < min_events:
+            return
+        # mirror the batch operator's rounding composition exactly:
+        # round stats to 6dp, then the ratio, then round again
+        mg = round(mean, 6)
+        sg = round((m2 / (n_gaps - 1)) ** 0.5, 6) if n_gaps >= 2 else None
+        score = round(sg / mg, 6) if (sg is not None and mg != 0) else None
+        yield pd.DataFrame(
+            {
+                "src": [src],
+                "dst": [dst],
+                "n_events": [n_events],
+                "mean_gap": [mg],
+                "stddev_gap": [sg],
+                "beacon_score": [score],
+            }
+        )
+
+    return prepared.groupBy("src", "dst").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
