@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_build", "ivfpq_topk"]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -356,5 +356,128 @@ def pq_topk(
     return (
         joined.select(F.col(id_col), F.col(col), F.round(exact, 6).alias(ecol))
         .orderBy(*eorder)
+        .limit(k_top)
+    )
+
+
+def _cent_lit(cents: list[list[float]]) -> str:
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")" for c in cents
+    ) + ")"
+
+
+def ivfpq_build(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: float | None = None,
+    seed: int = 7,
+):
+    """IVF-PQ index build (the standard two-level ANN layout: coarse
+    inverted cells + product-quantized RESIDUALS): returns
+    ``(cells, codebooks, codes_df)`` where ``cells`` is the coarse
+    centroid list (``n_cells x dim``, original units), ``codebooks``
+    the residual PQ model, and ``codes_df`` = (id, cell, pq_codes) —
+    the table to persist (``partitionBy("cell")`` for pruned serving).
+
+    Construction reuses the deterministic PQ trainer twice: the coarse
+    quantizer IS ``pq_train`` with one subspace spanning the vector
+    (m=1, k=n_cells), and the residual codebooks are ``pq_train`` over
+    ``vec - cell_centroid`` (a zero-shuffle map — the centroid joins
+    the row as one array literal indexed by cell).  Everything
+    downstream of the two training reductions is a pure map.
+    """
+    coarse = pq_train(
+        df, dim, m=1, k=n_cells, iters=iters, id_col=id_col,
+        vec_col=vec_col, train_sample=train_sample, seed=seed,
+    )
+    cells = coarse[0]  # n_cells x dim
+    assigned = pq_encode(df, coarse, id_col=id_col, vec_col=vec_col,
+                         keep=(vec_col,))
+    cents_lit = _cent_lit(cells)
+    res = assigned.select(
+        F.col(id_col),
+        F.element_at("pq_codes", 1).alias("cell"),
+        F.expr(
+            f"zip_with(transform({vec_col}, v -> CAST(v AS DOUBLE)), "
+            f"element_at({cents_lit}, element_at(pq_codes, 1) + 1), "
+            "(x, y) -> x - y)"
+        ).alias("__res"),
+    )
+    codebooks = pq_train(
+        res, dim, m=m, k=k, iters=iters, id_col=id_col, vec_col="__res",
+        train_sample=train_sample, seed=seed + 1,
+    )
+    codes = pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
+                      keep=("cell",))
+    return cells, codebooks, codes.select(id_col, "cell", "pq_codes")
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    query: list[float],
+    cells: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k_top: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k_top`` by IVF-PQ asymmetric L2 distance: the ``nprobe``
+    cells nearest the query are chosen DRIVER-side (n_cells distances
+    — model arithmetic), one residual lookup table is built per probed
+    cell (the query residual differs per cell), and scoring reads ONLY
+    rows in probed cells — with a ``partitionBy("cell")`` layout the
+    probe filter prunes partitions at the source.  Zero shuffle; one
+    TakeOrderedAndProject."""
+    if not 1 <= nprobe <= len(cells):
+        raise ValueError(f"ivfpq_topk: nprobe must be in [1, {len(cells)}]")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(
+            f"ivfpq_topk: query dim {len(query)} != codebook dim {m * dsub}"
+        )
+    qd = [float(v) for v in query]
+    d2 = [
+        (sum((a - b) * (a - b) for a, b in zip(qd, c)), ci)
+        for ci, c in enumerate(cells)
+    ]
+    probed = [ci for _, ci in sorted(d2)[:nprobe]]
+    # one m x k LUT per probed cell, from the PER-CELL query residual
+    luts = []
+    for ci in probed:
+        rq = [a - b for a, b in zip(qd, cells[ci])]
+        lut = []
+        for j, cb in enumerate(codebooks):
+            sub = rq[j * dsub : (j + 1) * dsub]
+            lut.append(
+                [sum((a - b) * (a - b) for a, b in zip(sub, cent)) for cent in cb]
+            )
+        luts.append(lut)
+    lut_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in lut
+        ) + ")"
+        for lut in luts
+    ) + ")"
+    # cell -> 1-based probe index (0 = not probed, filtered out anyway)
+    pidx = "CASE cell " + " ".join(
+        f"WHEN {ci} THEN {i + 1}" for i, ci in enumerate(probed)
+    ) + " ELSE 0 END"
+    adc = F.expr(
+        f"aggregate(pq_codes, named_struct('j', 0, 'acc', CAST(0.0 AS DOUBLE)), "
+        "(a, c) -> named_struct('j', a.j + 1, 'acc', "
+        f"a.acc + element_at(element_at(element_at({lut_lit}, {pidx}), a.j + 1), c + 1)), "
+        "a -> a.acc)"
+    )
+    return (
+        codes_df.filter(F.col("cell").isin(*probed))
+        .select(F.col(id_col), F.col("cell"), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k_top)
     )
