@@ -104,9 +104,11 @@ def test_refine_reranks_by_exact_distance(spark, emb, model):
 
 
 def test_encode_and_topk_zero_shuffle_plans(spark, emb, model):
-    codes = pq_encode(emb, model)
+    # expr kernel: pure JVM map; arrow kernel: still a zero-shuffle map
+    codes = pq_encode(emb, model, kernel="expr")
     assert audit.num_shuffles(codes) == 0
     assert "Python" not in audit.physical_plan(codes)
+    assert audit.num_shuffles(pq_encode(emb, model, kernel="arrow")) == 0
     ids, X = _np_embs(emb)
     top = pq_topk(codes, X[0].tolist(), model, 10)
     plan = audit.physical_plan(top)
@@ -219,3 +221,26 @@ def test_ivfpq_validation(spark, emb, ivfpq):
         ivfpq_topk(codes, [0.0] * DIM, cells, cbs, 5, nprobe=0)
     with pytest.raises(ValueError, match="query dim"):
         ivfpq_topk(codes, [0.0] * 10, cells, cbs, 5, nprobe=1)
+
+
+def test_arrow_encode_kernel_identical_codes(spark, emb, model):
+    a = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, model).collect()}
+    b = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb, model, kernel="arrow").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="kernel"):
+        pq_encode(emb, model, kernel="gpu")
+
+
+def test_ivfpq_build_kernel_identical(spark, emb):
+    from zeek_duckdb_spark.operators.pq import ivfpq_build
+
+    _, _, c1 = ivfpq_build(emb, dim=DIM, n_cells=4, m=M, k=8, iters=1)
+    _, _, c2 = ivfpq_build(
+        emb, dim=DIM, n_cells=4, m=M, k=8, iters=1, kernel="arrow"
+    )
+    a = {(r.vec_id): (r.cell, list(r.pq_codes)) for r in c1.collect()}
+    b = {(r.vec_id): (r.cell, list(r.pq_codes)) for r in c2.collect()}
+    assert a == b

@@ -225,11 +225,24 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: tuple[str, ...] = (),
+    kernel: str = "arrow",
 ) -> DataFrame:
     """(id, pq_codes array<int> [, *keep]): one argmin-L2 code per
     subspace against the fitted codebooks.  Zero-shuffle pure map —
     the ONE pass that reads the fat vectors; downstream search reads
     codes only.  Ties break to the lowest code (deterministic).
+
+    ``kernel='arrow'`` (default) computes each argmin with one numpy
+    ``(batch, dsub) @ (dsub, k)`` matmul per subspace per Arrow batch
+    — measured **92x** over the interpreted fold at 128k rows
+    (42.4 s -> 0.46 s, SCALING.md), since the m*k distance folds are
+    interpreted higher-order functions with no codegen.
+    ``kernel='expr'`` is the engine-portable sequential fold for
+    cross-engine restatement (a DuckDB oracle could reproduce it
+    bit-for-bit); both kernels produce IDENTICAL codes on every tested
+    corpus (np.argmin breaks ties low like the fold's lexicographic
+    min; a code could differ only where two centroids sit within 1 ulp
+    of the same distance).
 
     Rows whose vector length differs from the codebook dimension are
     DROPPED (un-encodable; same degenerate-row policy as
@@ -238,6 +251,10 @@ def pq_encode(
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    if kernel not in ("expr", "arrow"):
+        raise ValueError("pq_encode: kernel must be 'expr' or 'arrow'")
+    if kernel == "arrow":
+        return _pq_encode_arrow(df, codebooks, id_col, vec_col, keep)
     cb_lit = "array(" + ", ".join(
         "array(" + ", ".join(
             "named_struct('cell', %d, 'c_vec', array(%s))"
@@ -270,6 +287,55 @@ def pq_encode(
     return subbed.select(
         F.col(id_col), codes.alias("pq_codes"), *[F.col(c) for c in keep]
     )
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """Arrow kernel for pq_encode: per batch, one ||x-c||^2 argmin via
+    x@c matmul per subspace (BLAS).  Same output schema/values as the
+    expr fold; mapInPandas keeps it a zero-shuffle map."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]  # m x (k, dsub)
+    cb_sq = [np.sum(c * c, axis=1) for c in cb]  # m x (k,)
+    id_field = df.schema[id_col]
+    keep_fields = [df.schema[c] for c in keep]
+
+    def fn(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None and len(v) == dim)
+            sub = pdf[ok.values]
+            if len(sub) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+            codes = np.empty((len(sub), m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is
+                # constant per row so the argmin needs only the rest
+                d = cb_sq[j][None, :] - 2.0 * (Xj @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)  # ties -> lowest code
+            out = {id_col: sub[id_col].values, "pq_codes": list(codes)}
+            for c in keep:
+                out[c] = sub[c].values
+            yield pd.DataFrame(out)
+
+    out_schema = T.StructType(
+        [id_field, T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
+        + keep_fields
+    )
+    sel = [id_col, vec_col] + [c for c in keep if c not in (id_col, vec_col)]
+    return df.select(*[F.col(c) for c in sel]).mapInPandas(fn, schema=out_schema)
 
 
 def pq_topk(
@@ -377,6 +443,7 @@ def ivfpq_build(
     vec_col: str = "embedding",
     train_sample: float | None = None,
     seed: int = 7,
+    kernel: str = "arrow",
 ):
     """IVF-PQ index build (the standard two-level ANN layout: coarse
     inverted cells + product-quantized RESIDUALS): returns
@@ -398,7 +465,7 @@ def ivfpq_build(
     )
     cells = coarse[0]  # n_cells x dim
     assigned = pq_encode(df, coarse, id_col=id_col, vec_col=vec_col,
-                         keep=(vec_col,))
+                         keep=(vec_col,), kernel=kernel)
     cents_lit = _cent_lit(cells)
     res = assigned.select(
         F.col(id_col),
@@ -414,7 +481,7 @@ def ivfpq_build(
         train_sample=train_sample, seed=seed + 1,
     )
     codes = pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
-                      keep=("cell",))
+                      keep=("cell",), kernel=kernel)
     return cells, codebooks, codes.select(id_col, "cell", "pq_codes")
 
 
