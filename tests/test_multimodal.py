@@ -255,3 +255,86 @@ def test_callback_and_fake_are_exclusive(media):
         mm.resize_media(media, 2, 2, fake=True, resizer=lambda b, w, h: b)
     with pytest.raises(ValueError):
         mm.sample_frames(media, fake=True, sampler=lambda b: [])
+
+
+# --- perceptual hashing -------------------------------------------------
+
+def test_phash_matches_reference_impl_and_is_deterministic(spark):
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.multimodal import (
+        _fake_image, phash_media, phash_value,
+    )
+
+    rng = np.random.default_rng(3)
+    payloads = [bytes(rng.integers(0, 256, 500, dtype=np.uint8)) for _ in range(20)]
+    d = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, media binary",
+    )
+    got = {r.doc_id: r.phash for r in phash_media(d, fake=True).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == phash_value(_fake_image(p))
+    again = {r.doc_id: r.phash for r in phash_media(d, fake=True).collect()}
+    assert got == again
+
+
+def test_phash_survives_mild_perturbation_pairs(spark):
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.multimodal import phash_media, phash_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, 1024, dtype=np.uint8)
+    near = base.copy()
+    near[::97] = (near[::97] + 3) % 256  # mild re-encode-style noise
+    other = rng.integers(0, 256, 1024, dtype=np.uint8)
+    d = spark.createDataFrame(
+        [(0, bytearray(base.tobytes())), (1, bytearray(near.tobytes())),
+         (2, bytearray(other.tobytes()))],
+        "doc_id long, media binary",
+    )
+    hashed = phash_media(d, fake=True)
+    pairs = phash_pairs(hashed, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_phash_decoder_injection_and_resize_invariance(spark):
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.multimodal import phash_media, phash_value
+
+    # decoder that treats the payload as an 8-bit 64x64 image; pHash of
+    # the 2x-upscaled image must be CLOSE to the original's (low-
+    # frequency structure preserved) — the property byte-hashing lacks
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32)).astype(np.float64)
+    big = np.kron(img, np.ones((2, 2)))  # 64x64 nearest upscale
+    h1, h2 = phash_value(img), phash_value(big)
+    assert bin(h1 ^ h2).count("1") <= 6
+
+    def dec(b):
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        n = int(len(a) ** 0.5)
+        return a[: n * n].reshape(n, n)
+
+    d = spark.createDataFrame(
+        [(1, bytearray(img.astype(np.uint8).tobytes()))],
+        "doc_id long, media binary",
+    )
+    got = phash_media(d, decoder=dec).collect()[0].phash
+    assert got == phash_value(dec(img.astype(np.uint8).tobytes()))
+
+
+def test_phash_validation(spark):
+    from zeek_duckdb_spark.operators.multimodal import phash_media
+
+    d = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, media binary")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        phash_media(d)
+    with pytest.raises(ValueError, match="bits"):
+        phash_media(d, fake=True, bits=64)
+    with pytest.raises(ValueError, match="not both"):
+        phash_media(d, fake=True, decoder=lambda b: [[1.0]])

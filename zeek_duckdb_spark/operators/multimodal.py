@@ -50,6 +50,9 @@ __all__ = [
     "media_stats",
     "cdc_chunks",
     "chunk_dedup_groups",
+    "phash_media",
+    "phash_pairs",
+    "phash_value",
 ]
 
 # typed metadata struct carried alongside the opaque payload
@@ -468,4 +471,123 @@ def chunk_dedup_groups(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
         .withColumn("bytes_reclaimable", (F.col("n_copies") - 1) * F.col("length"))
+    )
+
+
+def _dct_basis(n: int):
+    """Orthonormal DCT-II basis matrix (numpy; no scipy in the env)."""
+    import numpy as np
+
+    i = np.arange(n)
+    C = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    C[0] *= 1.0 / np.sqrt(n)
+    C[1:] *= np.sqrt(2.0 / n)
+    return C
+
+
+def phash_value(img, bits: int = 60) -> int:
+    """Perceptual hash of one 2-D grayscale array (driver/test-side
+    reference implementation; the operator applies the same code per
+    Arrow batch): nearest-neighbour resize to 32x32, orthonormal 2-D
+    DCT-II, take the lowest-frequency coefficients after DC, threshold
+    at their median.  Robust to resizing/re-encoding (which perturb
+    high frequencies), unlike byte-level hashing."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("phash: decoder must return a non-empty 2-D array")
+    ry = (np.arange(32) * a.shape[0]) // 32
+    rx = (np.arange(32) * a.shape[1]) // 32
+    small = a[np.ix_(ry, rx)]
+    C = _dct_basis(32)
+    coefs = (C @ small @ C.T)[:8, :8].flatten()[1 : bits + 1]
+    med = np.median(coefs)
+    h = 0
+    for b, v in enumerate(coefs):
+        if v > med:
+            h |= 1 << b
+    return h
+
+
+def _fake_image(payload: bytes):
+    """Deterministic 32x32 pseudo-image from raw bytes (test stand-in
+    for a real decoder — tile/truncate to 1024 bytes)."""
+    import numpy as np
+
+    raw = (payload or b"\0") * (1024 // max(1, len(payload or b"\0")) + 1)
+    return np.frombuffer(raw[:1024], dtype=np.uint8).astype(np.float64).reshape(32, 32)
+
+
+def phash_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    fake: bool = False,
+    decoder: Callable[[bytes], object] | None = None,
+    bits: int = 60,
+) -> DataFrame:
+    """(id, phash): perceptual hash per media payload — the IMAGE
+    near-dup key (byte-identical dedup misses re-encoded/resized
+    copies; pHash survives them).  ``decoder`` maps payload bytes to a
+    2-D grayscale array (inject PIL: ``lambda b:
+    np.asarray(Image.open(io.BytesIO(b)).convert('L'))``); fake=True
+    uses the deterministic byte-tile stand-in.  mapInPandas Arrow
+    batches; pure map, zero shuffle.  Pair generation:
+    :func:`phash_pairs` (the SimHash block-permutation machinery — a
+    pHash IS a 60-bit locality-sensitive hash)."""
+    if fake and decoder is not None:
+        raise ValueError("pass either fake=True or decoder=, not both")
+    if not fake and decoder is None:
+        raise NotImplementedError(
+            "real image decode requires PIL (absent in this environment); "
+            "pass fake=True or inject decoder=fn(payload)->2-D array"
+        )
+    if not 1 <= bits <= 60:
+        raise ValueError("phash_media: bits must be in [1, 60]")
+    dec = _fake_image if fake else decoder
+    id_field = df.schema[id_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "phash": [
+                        phash_value(dec(bytes(b)), bits) for b in pdf[media_col]
+                    ],
+                }
+            )
+
+    out = T.StructType([id_field, T.StructField("phash", T.LongType())])
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, schema=out
+    )
+
+
+def phash_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup candidates from
+    :func:`phash_media` output — delegates to the SimHash
+    block-permutation pair generator (dedup.simhash_pairs), which is
+    hash-agnostic: any ``bits``-wide LSH where near-dups differ in
+    <= max_hamming bits gets the same bucketed, never-all-pairs
+    shape."""
+    from zeek_duckdb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        hashed.select(F.col(id_col), F.col("phash").alias("simhash")),
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        bits=bits,
+        max_bucket_size=max_bucket_size,
+        on_oversize=on_oversize,
     )
