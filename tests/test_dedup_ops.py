@@ -497,3 +497,58 @@ def test_incremental_lsh_index_side_semi_joins_before_shuffle(spark):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+
+
+# --- cross-corpus overlap estimation ------------------------------------
+
+def test_corpus_overlap_exact_known_truth(spark):
+    from zeek_duckdb_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # b shares exactly 40 of a's docs plus 60 of its own
+    b = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(60, 100)]
+        + [(i, f"other text {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = corpus_overlap(a, b, sketch_k=None)
+    assert got["method"] == "exact"
+    assert got["distinct_a"] == 100 and got["distinct_b"] == 100
+    assert got["jaccard"] == 0.25  # 40 / 160
+    assert got["containment_a_in_b"] == 0.4
+    assert got["containment_b_in_a"] == 0.4
+
+
+def test_corpus_overlap_sketch_tracks_exact(spark):
+    from zeek_duckdb_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(i, f"shared {i}" if i < 500 else f"only-a {i}") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, f"shared {i}" if i < 500 else f"only-b {i}") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    exact = corpus_overlap(a, b, sketch_k=None)
+    sk = corpus_overlap(a, b, sketch_k=1024)
+    assert sk["method"] == "kmv_1024"
+    # rank error ~1/sqrt(k) ~ 3%; allow 4x slack on tiny corpora
+    assert abs(sk["jaccard"] - exact["jaccard"]) < 0.12
+    assert abs(sk["containment_a_in_b"] - exact["containment_a_in_b"]) < 0.15
+    # corpora smaller than k are counted exactly
+    assert sk["distinct_a"] == exact["distinct_a"] == 1000
+
+
+def test_corpus_overlap_whitespace_normalized_and_validates(spark):
+    from zeek_duckdb_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame([(1, "hello   world")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert corpus_overlap(a, b, sketch_k=None)["jaccard"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sketch_k"):
+        corpus_overlap(a, b, sketch_k=4)

@@ -47,6 +47,7 @@ __all__ = [
     "strip_duplicate_spans",
     "exact_dedup_stream",
     "near_dedup_stream",
+    "corpus_overlap",
 ]
 
 
@@ -830,3 +831,76 @@ def strip_duplicate_spans(
         .otherwise(F.concat_ws(" ", kept))
         .alias(text_col),
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    sketch_k: int | None = 4096,
+) -> dict:
+    """Cross-corpus overlap estimate — the governance question asked
+    before training ("how much of corpus B is already in corpus A?"
+    / "does my train set overlap the eval set?") answered WITHOUT
+    joining the corpora.
+
+    Returns ``{"jaccard", "containment_a_in_b", "containment_b_in_a",
+    "distinct_a", "distinct_b", "method"}`` over exact-content
+    fingerprints (textops.fingerprint — whitespace-normalized md5; use
+    :func:`ngram_decontaminate` afterwards for the document-level
+    PARTIAL-overlap pass on whatever this flags).
+
+    ``sketch_k`` (default 4096) uses the K-minimum-values sketch
+    (Bar-Yossef et al. 2002): each corpus reduces to its ``k``
+    SMALLEST fingerprint hashes — one TakeOrderedAndProject scan per
+    corpus, ``k`` longs to the driver, NO join, no shuffle beyond the
+    top-k — and the driver merges the two sketches (standard KMV
+    estimators: distinct ~= (k-1) / kth_value, Jaccard = overlap
+    fraction in the merged bottom-k; relative error ~ 1/sqrt(k), ~1.6%
+    at 4096).  ``sketch_k=None`` computes exact distinct counts and
+    the exact fingerprint-set intersection (one join — bench-scale or
+    verification use).
+    """
+    fa = a.select(md5_long(fingerprint(F.col(text_col))).alias("h")).distinct()
+    fb = b.select(md5_long(fingerprint(F.col(text_col))).alias("h")).distinct()
+    if sketch_k is None:
+        da = fa.count()
+        db = fb.count()
+        inter = fa.join(fb, "h", "inner").count()
+        union = da + db - inter
+        return {
+            "jaccard": round(inter / union, 6) if union else 0.0,
+            "containment_a_in_b": round(inter / da, 6) if da else 0.0,
+            "containment_b_in_a": round(inter / db, 6) if db else 0.0,
+            "distinct_a": da,
+            "distinct_b": db,
+            "method": "exact",
+        }
+    if sketch_k < 16:
+        raise ValueError("corpus_overlap: sketch_k must be >= 16 (or None)")
+    ka = [r.h for r in fa.orderBy(F.asc("h")).limit(sketch_k).collect()]
+    kb = [r.h for r in fb.orderBy(F.asc("h")).limit(sketch_k).collect()]
+
+    def kmv_distinct(ks):
+        # hashes are uniform in [0, 2^60) (md5_long); (k-1)/normalized
+        # kth minimum.  A corpus smaller than k is counted exactly.
+        if len(ks) < sketch_k:
+            return len(ks)
+        return int((sketch_k - 1) / (ks[-1] / float(1 << 60)))
+
+    da, db = kmv_distinct(ka), kmv_distinct(kb)
+    sa, sb = set(ka), set(kb)
+    merged = sorted(sa | sb)[:sketch_k]
+    in_both = sum(1 for h in merged if h in sa and h in sb)
+    j = in_both / len(merged) if merged else 0.0
+    # inclusion-exclusion through the Jaccard estimate:
+    # J = I/U and U = da + db - I  =>  I = J*(da+db)/(1+J)
+    inter_est = j * (da + db) / (1.0 + j) if j > 0 else 0.0
+    return {
+        "jaccard": round(j, 6),
+        "containment_a_in_b": round(inter_est / da, 6) if da else 0.0,
+        "containment_b_in_a": round(inter_est / db, 6) if db else 0.0,
+        "distinct_a": da,
+        "distinct_b": db,
+        "method": f"kmv_{sketch_k}",
+    }
