@@ -203,3 +203,22 @@ def test_asof_time_sliced_validates_width(spark):
     l, r = _random_asof_frames(spark, seed=2, n_left=5, n_right=5)
     with pytest.raises(ValueError, match="time_bucket"):
         asof_join(l, r, on="k", ts_col="ts", time_bucket=0)
+
+
+def test_asof_time_sliced_null_keys_match_plain_path(spark):
+    # NULL join keys form one group in the window path; the sliced
+    # path's carry join must be null-safe to agree
+    l = spark.createDataFrame(
+        [(1, None, 100.0), (2, None, 3.0), (3, 0, 100.0)],
+        "id long, k long, ts double",
+    )
+    r = spark.createDataFrame(
+        [(None, 5.0, 7), (0, 50.0, 8)], "k long, ts double, val long"
+    )
+    plain = asof_join(l, r, on="k", ts_col="ts")
+    sliced = asof_join(l, r, on="k", ts_col="ts", time_bucket=10.0)
+    assert sorted(map(tuple, sliced.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    row = {t[0]: t for t in sliced.collect()}
+    assert row[1][-1] == 7  # NULL-key left row matched across slices

@@ -338,3 +338,13 @@ def test_phash_validation(spark):
         phash_media(d, fake=True, bits=64)
     with pytest.raises(ValueError, match="not both"):
         phash_media(d, fake=True, decoder=lambda b: [[1.0]])
+
+
+def test_phash_skips_null_payloads(spark):
+    from zeek_duckdb_spark.operators.multimodal import phash_media
+
+    d = spark.createDataFrame(
+        [(1, bytearray(b"abc" * 100)), (2, None)], "doc_id long, media binary"
+    )
+    got = phash_media(d, fake=True).collect()
+    assert [r.doc_id for r in got] == [1]

@@ -244,3 +244,15 @@ def test_ivfpq_build_kernel_identical(spark, emb):
     a = {(r.vec_id): (r.cell, list(r.pq_codes)) for r in c1.collect()}
     b = {(r.vec_id): (r.cell, list(r.pq_codes)) for r in c2.collect()}
     assert a == b
+
+
+def test_train_and_encode_drop_wrong_length_vectors(spark):
+    d = spark.createDataFrame(
+        [(i, [float(i + t) for t in range(DIM)]) for i in range(20)]
+        + [(99, [1.0] * 10)],  # un-trainable short row
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_train(d, dim=DIM, m=M, k=4, iters=1)
+    assert len(cb) == M  # no crash from NULL subspace sums
+    codes = pq_encode(d, cb).collect()
+    assert {r.vec_id for r in codes} == set(range(20))  # 99 dropped

@@ -133,3 +133,20 @@ def test_compact_landing_validates(spark, tmp_path):
     spark.range(5).write.parquet(out)
     with pytest.raises(ValueError, match="target_file_bytes"):
         compact_landing(spark, out, target_file_bytes=0)
+
+
+def test_compact_landing_per_partition_file_target(spark, tmp_path):
+    # the salt modulus is PER partition: with a huge target every
+    # partition dir must compact to exactly ONE file (a global modulus
+    # would fan each partition out over total/target tasks)
+    from zeek_duckdb_spark.sources.sink import compact_landing
+    import glob as g
+
+    out = str(tmp_path / "pp")
+    df = spark.range(0, 30000).selectExpr("id", "CAST(id % 5 AS STRING) AS day")
+    df.repartition(32).write.partitionBy("day").parquet(out)
+    compact_landing(spark, out, target_file_bytes=1 << 30, partition_col="day")
+    for d in sorted(g.glob(f"{out}/day=*")):
+        files = [f for f in g.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+    assert spark.read.parquet(out).count() == 30000

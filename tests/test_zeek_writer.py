@@ -238,3 +238,20 @@ def test_stream_round_trip_and_exactly_once_restart(spark, tmp_path):
         map(tuple, batch_in2.collect())
     )
     assert glob.glob(f"{out}/.staging/*") == []
+
+
+def test_leading_hash_first_column_guarded(spark, tmp_path):
+    # '#' at line start reads back as a comment — the row would vanish
+    df = spark.createDataFrame(
+        [("#fields evil", 1), ("ok", 2)], "msg string, id long"
+    )
+    with pytest.raises(Exception, match="comment"):
+        write_zeek(df, str(tmp_path / "bad"))
+    write_zeek(df, str(tmp_path / "ok"), on_unwritable="strip")
+    back = read_zeek(spark, str(tmp_path / "ok") + "/*.log")
+    assert back.count() == 2  # no silent row loss
+    assert {r.msg for r in back.collect()} == {" fields evil", "ok"}
+    # '#' in a NON-first column is harmless and untouched
+    df2 = spark.createDataFrame([(1, "#tag")], "id long, msg string")
+    write_zeek(df2, str(tmp_path / "mid"))
+    assert read_zeek(spark, str(tmp_path / "mid") + "/*.log").first().msg == "#tag"

@@ -113,17 +113,9 @@ def asof_join(
     # --- time-sliced skew-bounded path -------------------------------
     if not time_bucket > 0:
         raise ValueError("asof_join: time_bucket must be > 0")
-    ts_dt = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[
-        ts_col
-    ]
-    if ts_dt.typeName() in ("timestamp", "timestamp_ntz"):
-        # ntz casts through TimestampType safely: session tz pinned UTC
-        slice_of = (
-            F.unix_micros(F.col("__ts").cast("timestamp"))
-            / F.lit(int(time_bucket * 1_000_000))
-        )
-    else:
-        slice_of = F.col("__ts").cast("double") / F.lit(float(time_bucket))
+    from zeek_duckdb_spark.operators.timeutil import ts_seconds
+
+    slice_of = ts_seconds(u, "__ts") / F.lit(float(time_bucket))
     ub = u.withColumn("__b", F.floor(slice_of).cast("long"))
 
     # within-slice match: same union-tag window, partition bounded by
@@ -150,14 +142,30 @@ def asof_join(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    rsm = right_summ.select(
+        F.col(on).alias("__s_on"), F.col("__b").alias("__s_b"), "__rs"
+    )
     carry = (
-        cells.join(right_summ, [on, "__b"], "left")
+        cells.join(
+            rsm,
+            cells[on].eqNullSafe(rsm["__s_on"])
+            & (cells["__b"] == rsm["__s_b"]),
+            "left",
+        )
         .withColumn("__carry", F.last("__rs", ignorenulls=True).over(w_carry))
         .select(on, "__b", "__carry")
     )
 
-    joined = in_slice.filter(F.col("__side") == 1).join(
-        carry, [on, "__b"], "left"
+    # null-SAFE key equality: the unbucketed window groups NULL keys
+    # into one partition, so the sliced path must carry across them too
+    lhs = in_slice.filter(F.col("__side") == 1)
+    rhs = carry.select(
+        F.col(on).alias("__c_on"), F.col("__b").alias("__c_b"), "__carry"
+    )
+    joined = lhs.join(
+        rhs,
+        lhs[on].eqNullSafe(rhs["__c_on"]) & (lhs["__b"] == rhs["__c_b"]),
+        "left",
     )
     matched = F.coalesce(F.col("__m"), F.col("__carry"))
     return joined.select(

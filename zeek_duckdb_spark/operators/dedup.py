@@ -864,9 +864,17 @@ def corpus_overlap(
     fa = a.select(md5_long(fingerprint(F.col(text_col))).alias("h")).distinct()
     fb = b.select(md5_long(fingerprint(F.col(text_col))).alias("h")).distinct()
     if sketch_k is None:
-        da = fa.count()
-        db = fb.count()
-        inter = fa.join(fb, "h", "inner").count()
+        # each distinct frame feeds two actions (count + join); persist
+        # so the md5+distinct shuffle runs once per corpus, not twice
+        fa = fa.persist()
+        fb = fb.persist()
+        try:
+            da = fa.count()
+            db = fb.count()
+            inter = fa.join(fb, "h", "inner").count()
+        finally:
+            fa.unpersist()
+            fb.unpersist()
         union = da + db - inter
         return {
             "jaccard": round(inter / union, 6) if union else 0.0,

@@ -550,11 +550,16 @@ def phash_media(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL payloads are un-hashable and dropped (the pq arrow
+            # kernel's degenerate-row policy)
+            sub = pdf[pdf[media_col].notna()]
+            if len(sub) == 0:
+                continue
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].values,
+                    id_col: sub[id_col].values,
                     "phash": [
-                        phash_value(dec(bytes(b)), bits) for b in pdf[media_col]
+                        phash_value(dec(bytes(b)), bits) for b in sub[media_col]
                     ],
                 }
             )

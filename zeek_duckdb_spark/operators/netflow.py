@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from zeek_duckdb_spark.operators.timeutil import ts_seconds
+
 __all__ = [
     "top_talkers",
     "beacon_scores",
@@ -86,15 +88,7 @@ def beacon_scores(
     slices is not needed)."""
     if min_events < 2:
         raise ValueError("beacon_scores: min_events must be >= 2 (need gaps)")
-    ts_dt = df.schema[ts_col].dataType.typeName()
-    # timestamp_ntz casts through TimestampType safely: the engine pins
-    # spark.sql.session.timeZone=UTC (session.py), matching the
-    # oracle's treat-naive-as-UTC epoch()
-    t = (
-        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
-        if ts_dt in ("timestamp", "timestamp_ntz")
-        else F.col(ts_col).cast("double")
-    )
+    t = ts_seconds(df, ts_col)
     part = [F.col(src_col), F.col(dst_col)]
     if time_bucket is not None:
         if not time_bucket > 0:
@@ -143,15 +137,7 @@ def port_scan_scores(
     bucket).  Both shuffles carry pre-reduced rows."""
     if not bucket_seconds > 0:
         raise ValueError("port_scan_scores: bucket_seconds must be > 0")
-    ts_dt = df.schema[ts_col].dataType.typeName()
-    # timestamp_ntz casts through TimestampType safely: the engine pins
-    # spark.sql.session.timeZone=UTC (session.py), matching the
-    # oracle's treat-naive-as-UTC epoch()
-    t = (
-        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
-        if ts_dt in ("timestamp", "timestamp_ntz")
-        else F.col(ts_col).cast("double")
-    )
+    t = ts_seconds(df, ts_col)
     bucket = F.floor(t / F.lit(float(bucket_seconds))).cast("long")
     cells = (
         df.select(
@@ -210,12 +196,7 @@ def beacon_scores_stream(
     if min_events < 2:
         raise ValueError("beacon_scores_stream: min_events must be >= 2")
 
-    ts_dt = events.schema[ts_col].dataType.typeName()
-    t = (
-        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
-        if ts_dt in ("timestamp", "timestamp_ntz")
-        else F.col(ts_col).cast("double")
-    )
+    t = ts_seconds(events, ts_col)
     prepared = events.select(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),

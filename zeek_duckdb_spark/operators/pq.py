@@ -144,6 +144,10 @@ def pq_train(
             % F.lit(1_000_000)
             < F.lit(frac)
         )
+    # same degenerate-row policy as pq_encode: rows whose vector length
+    # differs from dim are un-trainable (short slices would fold NULL
+    # sums into the exact-int64 means) and are dropped
+    src = src.filter(F.size(F.col(vec_col)) == dim)
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     max_abs = src.agg(
         F.max(

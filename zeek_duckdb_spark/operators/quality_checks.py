@@ -93,7 +93,9 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
             v = int(row[f"__v{i}"] or 0)
             frac = round(v / n, 6) if n else 0.0
             if r["rule"] == "max_null_frac":
-                passed = frac <= float(r["frac"])
+                # threshold against the UNROUNDED rate: a 6dp-rounded
+                # compare would pass a rate up to 5e-7 over the limit
+                passed = (v / n if n else 0.0) <= float(r["frac"])
             else:
                 passed = v == 0
             recs.append(
@@ -104,6 +106,7 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
             "rule string, col string, violations long, n_rows long, "
             "frac double, passed boolean",
         )
+    n_cached = int(row["__n"]) if scalar else None
     for r in uniq:
         cols = r.get("cols") or [r["col"]]
         dup = (
@@ -116,7 +119,10 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
             .collect()[0]
         )
-        n = df.count()
+        # row count comes from the scalar pass when one ran — never a
+        # second full-table scan per uniqueness rule
+        n = n_cached if n_cached is not None else df.count()
+        n_cached = n
         v = int(dup["excess"])
         rec = spark.createDataFrame(
             [("unique", ",".join(cols), v, n, round(v / n, 6) if n else 0.0,

@@ -151,13 +151,44 @@ def compact_landing(
     old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(tmp, ignore_errors=True)
     if partition_col is not None:
-        # repartition on (partition value, salt) so every partition dir
-        # gets ~evenly sized files and no partition collapses into one
-        per_part = max(1, n_out)
+        # per-PARTITION file target: partition p gets
+        # ceil(p_bytes / target) files, derived from the same driver
+        # walk (a global salt modulus would spread EVERY partition over
+        # n_out tasks — more and smaller files than before compaction).
+        # The modulus rides as a partition-value -> count literal map.
+        part_bytes: dict[str, int] = {}
+        prefix = f"{partition_col}="
+        for f in files:
+            rel = os.path.relpath(f, path)
+            val = next(
+                (
+                    seg[len(prefix):]
+                    for seg in rel.split(os.sep)
+                    if seg.startswith(prefix)
+                ),
+                None,
+            )
+            if val is None:
+                raise ValueError(
+                    f"compact_landing: '{f}' is not under a "
+                    f"'{partition_col}=' directory; wrong partition_col?"
+                )
+            part_bytes[val] = part_bytes.get(val, 0) + os.path.getsize(f)
+        mod_map = F.create_map(
+            *[
+                F.lit(x)
+                for val, b in sorted(part_bytes.items())
+                for x in (val, max(1, math.ceil(b / target_file_bytes)))
+            ]
+        )
         salted = df.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_part)
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.coalesce(
+                    mod_map.getItem(F.col(partition_col).cast("string")),
+                    F.lit(1),
+                ),
             ),
         )
         (

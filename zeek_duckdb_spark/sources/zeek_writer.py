@@ -219,7 +219,9 @@ def write_zeek(
     Spark's type system can't carry.  ``read_zeek(spark, path + '/*')``
     returns the same values (round-trip pinned + fuzzed in tests).
 
-    Known lossy cases, inherent to the wire format: a STRING value
+    Known lossy cases, inherent to the wire format: a first-column
+    value starting with ``#`` would read back as a comment line
+    (guarded like the separators — error by default); a STRING value
     equal to a marker (``''``, ``'-'``, ``'(empty)'``) is
     indistinguishable from the marker on the wire and reads back NULL
     (scalars) / NULL element (collections); an EMPTY collection writes
@@ -265,10 +267,26 @@ def format_zeek_lines(
             "#types\t" + "\t".join(ztypes),
         ]
     )
-    cells = [
-        _field_wire(F.col(f.name), f.dataType, zt, f.name, on_unwritable)
-        for f, zt in zip(schema.fields, ztypes)
-    ]
+    cells = []
+    for i, (f, zt) in enumerate(zip(schema.fields, ztypes)):
+        cell = _field_wire(F.col(f.name), f.dataType, zt, f.name, on_unwritable)
+        if i == 0:
+            # a '#' at LINE start reads back as a comment/directive and
+            # the whole row silently vanishes — guard the first cell
+            if on_unwritable == "strip":
+                cell = F.regexp_replace(cell, F.lit("^#"), F.lit(" "))
+            else:
+                cell = F.when(
+                    cell.startswith("#"),
+                    F.raise_error(
+                        F.lit(
+                            f"write_zeek: value in first column '{f.name}' "
+                            "starts with '#' (reads back as a comment line); "
+                            "pass on_unwritable='strip' to replace"
+                        )
+                    ),
+                ).otherwise(cell)
+        cells.append(cell)
     return df.select(F.concat_ws("\t", *cells).alias("line")), header
 
 
