@@ -186,7 +186,7 @@ def compact_landing(
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in df.columns]),
                 F.coalesce(
-                    mod_map.getItem(F.col(partition_col).cast("string")),
+                    mod_map[F.col(partition_col).cast("string")],
                     F.lit(1),
                 ),
             ),
