@@ -255,3 +255,106 @@ def test_leading_hash_first_column_guarded(spark, tmp_path):
     df2 = spark.createDataFrame([(1, "#tag")], "id long, msg string")
     write_zeek(df2, str(tmp_path / "mid"))
     assert read_zeek(spark, str(tmp_path / "mid") + "/*.log").first().msg == "#tag"
+
+
+def test_schema_randomized_round_trip_fuzz(spark, tmp_path):
+    # 10 random schemas over the full wire-type vocabulary, random
+    # typed rows each, exact round trip (modulo the documented
+    # wire-inexpressible normalizations)
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(7)
+    POOL = [
+        ("time", "timestamp"),
+        ("interval", "interval day to second"),
+        ("bool", "boolean"),
+        ("int", "long"),
+        ("count", "long"),
+        ("port", "int"),
+        ("double", "double"),
+        ("string", "string"),
+        ("vector[string]", "array<string>"),
+        ("vector[int]", "array<long>"),
+        ("vector[double]", "array<double>"),
+    ]
+
+    def rand_val(zt, in_vector=False):
+        if rng.random() < 0.15:
+            return None
+        if zt == "time":
+            import datetime
+
+            us = rng.randrange(0, 4_000_000_000_000_000)
+            return datetime.datetime.fromtimestamp(
+                us / 1e6, datetime.timezone.utc
+            ).replace(tzinfo=None)
+        if zt == "interval":
+            import datetime
+
+            return datetime.timedelta(
+                microseconds=rng.randrange(-(10**12), 10**12)
+            )
+        if zt == "bool":
+            return rng.random() < 0.5
+        if zt == "int":
+            return rng.randrange(-(2**62), 2**62)
+        if zt == "count":
+            return rng.randrange(0, 2**62)
+        if zt == "port":
+            return rng.randrange(0, 65536)
+        if zt == "double":
+            return rng.uniform(-1e9, 1e9)
+        if zt == "string":
+            # scalar strings may carry the set separator; vector
+            # ELEMENTS may not (guarded loudly — tested separately)
+            cs = "abcXYZ 0123.:()" if in_vector else "abcXYZ 0123,.:()"
+            return "".join(rng.choice(cs) for _ in range(rng.randrange(0, 10)))
+        inner = zt[zt.index("[") + 1 : -1]
+        return [rand_val(inner, True) for _ in range(rng.randrange(0, 4))]
+
+    def norm_s(x):
+        return None if x in ("", "-", "(empty)") else x
+
+    for trial in range(10):
+        n_cols = rng.randrange(1, 7)
+        fields = [("id", "int", "long")] + [
+            (f"c{j}", *rng.choice(POOL)) for j in range(n_cols)
+        ]
+        ddl = ", ".join(f"{n} {st}" for n, _zt, st in fields)
+        rows = [
+            tuple(
+                i if n == "id" else rand_val(zt) for n, zt, _st in fields
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ddl)
+        ztypes = {n: zt for n, zt, _st in fields if zt in ("count", "port")}
+        out = str(tmp_path / f"fz{trial}")
+        write_zeek(df, out, zeek_types=ztypes)
+        back = read_zeek(spark, f"{out}/*.log")
+        assert back.schema == df.schema, trial
+
+        def norm(row):
+            r = list(row)
+            for ci, (n, zt, _st) in enumerate(fields):
+                if zt == "string":
+                    r[ci] = norm_s(r[ci])
+                elif zt.startswith("vector"):
+                    if r[ci] is None or r[ci] == []:
+                        r[ci] = None
+                    else:
+                        v = (
+                            [norm_s(e) for e in r[ci]]
+                            if zt == "vector[string]"
+                            else list(r[ci])
+                        )
+                        # a SINGLE element rendering to a marker makes
+                        # the whole cell the marker -> reads back NULL
+                        r[ci] = None if v == [None] else v
+            return tuple(r)
+
+        a = {r[0]: norm(tuple(r)) for r in df.collect()}
+        b = {r[0]: tuple(r) for r in back.collect()}
+        assert a == b, trial

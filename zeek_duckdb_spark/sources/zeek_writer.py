@@ -226,8 +226,11 @@ def write_zeek(
     indistinguishable from the marker on the wire and reads back NULL
     (scalars) / NULL element (collections); an EMPTY collection writes
     the empty marker, which the reference-pinned read semantics return
-    as NULL, not ``[]`` (test/sql/zeek.test:191-206).  Everything else
-    round-trips exactly (randomized fuzz in tests)."""
+    as NULL, not ``[]`` (test/sql/zeek.test:191-206); a SINGLE-element
+    collection whose element renders to a marker (e.g. ``[NULL]`` ->
+    ``-``) is byte-identical to the cell-level marker and also reads
+    back NULL.  Everything else round-trips exactly (fixed- and
+    randomized-schema fuzz in tests)."""
     if mode not in ("overwrite", "error"):
         raise ValueError("write_zeek: mode must be 'overwrite' or 'error'")
     if on_unwritable not in ("error", "strip"):
