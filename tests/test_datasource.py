@@ -134,3 +134,27 @@ def test_header_swap_skipped_under_ignore_file_errors(spark, tmp_path):
     swapped.write_text(HDR_B + "s\t2.5\n")
     rows = df.collect()
     assert [r.id for r in rows] == ["g"]
+
+
+def test_sql_only_usage_create_view_using_zeek(spark):
+    # the reference's SQL-only entry (`FROM read_zeek('glob')`,
+    # README.md:31) maps to Spark's CREATE ... USING <source> — no
+    # Python between the user and the scan
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW kh_sql USING zeek "
+        f"OPTIONS (path '{REF}/known_hosts_*.log.gz', filename 'true')"
+    )
+    out = spark.sql(
+        "SELECT host_ip, sum(conns_opened) AS n FROM kh_sql GROUP BY host_ip"
+    ).collect()
+    assert [(r.host_ip, r.n) for r in out] == [("10.21.7.136", 43)]
+    assert spark.sql(
+        "SELECT count(DISTINCT filename) FROM kh_sql"
+    ).first()[0] == 24
+    # options flow through: union/inet/etc are the same named options
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW un_sql USING zeek OPTIONS ("
+        "path '/root/reference/data/schema_union_overlap/*.log', "
+        "union_by_name 'true', inet 'false')"
+    )
+    assert spark.sql("SELECT count(*) FROM un_sql").first()[0] == 4
