@@ -1,0 +1,81 @@
+"""CLI (cli.main) — in-process with the shared session; one subprocess
+smoke test for the real `python -m` entry."""
+
+import json
+
+import pytest
+
+from zeek_duckdb_spark.cli import main
+
+REF = "/root/reference/data"
+
+
+def test_query_view_tsv(spark, capsys):
+    rc = main(
+        [
+            "query",
+            "--view", f"kh={REF}/known_hosts_*.log.gz",
+            "SELECT host_ip, sum(conns_opened) AS n FROM kh GROUP BY host_ip",
+        ],
+        spark=spark,
+    )
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "host_ip\tn" and out[1] == "10.21.7.136\t43"
+
+
+def test_ingest_compact_export_round_trip(spark, tmp_path, capsys):
+    land = str(tmp_path / "land")
+    rc = main(
+        ["ingest", f"{REF}/known_hosts_*.log.gz", land], spark=spark
+    )
+    assert rc == 0
+    rc = main(["compact", land, "--partition-col", "p_date"], spark=spark)
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] <= stats["files_before"]
+    out = str(tmp_path / "zeek")
+    rc = main(
+        ["export", land, out, "--zeek-type", "host_ip=addr"], spark=spark
+    )
+    assert rc == 0
+    from zeek_duckdb_spark import read_zeek
+
+    back = read_zeek(spark, f"{out}/*.log")
+    assert back.count() == spark.read.parquet(land).count() == 27
+
+
+def test_check_gate_exit_code(spark, tmp_path, capsys):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "x"), (2, None)], "doc_id long, text string"
+    ).write.parquet(d)
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([{"rule": "not_null", "col": "text"}]))
+    assert main(["check", d, str(rules)], spark=spark) == 1
+    rules.write_text(json.dumps([{"rule": "not_null", "col": "doc_id"}]))
+    assert main(["check", d, str(rules)], spark=spark) == 0
+
+
+def test_profile_over_parquet(spark, capsys):
+    rc = main(
+        ["profile", "/root/testdata/sf0.001/documents.parquet"], spark=spark
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0].startswith("n_docs\t") and len(out) == 2
+
+
+def test_python_dash_m_subprocess_smoke():
+    import subprocess
+
+    r = subprocess.run(
+        [
+            "python", "-m", "zeek_duckdb_spark", "query",
+            "--view", f"kh={REF}/known_hosts_20260116_00*.log.gz",
+            "SELECT count(*) AS n FROM kh",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip().split("\n")[-1] == "1"

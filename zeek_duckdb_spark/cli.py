@@ -1,0 +1,150 @@
+"""Command-line entry point: ``python -m zeek_duckdb_spark <cmd>``.
+
+A reference user's workflow is DuckDB SQL over ``read_zeek('glob')``;
+this CLI reproduces that workflow (and the landing-zone lifecycle
+around it) without writing a Python driver:
+
+    python -m zeek_duckdb_spark query \
+        --view conn=logs/conn_*.log.gz \
+        "SELECT id_orig_h, count(*) FROM conn GROUP BY 1 ORDER BY 2 DESC"
+
+    python -m zeek_duckdb_spark ingest  'logs/*.log.gz' landing/conn
+    python -m zeek_duckdb_spark compact landing/conn --partition-col p_date
+    python -m zeek_duckdb_spark profile landing/docs --text-col text
+    python -m zeek_duckdb_spark export  landing/conn out/conn_zeek \
+        --zeek-type id_orig_h=addr --gz
+
+Output is TSV on stdout (machine-pipeable, like the reference's
+DuckDB shell usage); diagnostics go to stderr.  ``main(argv, spark)``
+is importable for in-process use/testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _tsv(df, limit: int | None) -> None:
+    rows = df.limit(limit).collect() if limit else df.collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join("" if v is None else str(v) for v in r))
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m zeek_duckdb_spark",
+        description="Spark-native Zeek log analytics",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run SQL over Zeek-log views")
+    q.add_argument("sql")
+    q.add_argument(
+        "--view",
+        action="append",
+        default=[],
+        metavar="NAME=GLOB",
+        help="register a Zeek-log view (repeatable)",
+    )
+    q.add_argument("--parquet-view", action="append", default=[],
+                   metavar="NAME=DIR", help="register a parquet view")
+    q.add_argument("--limit", type=int, default=None)
+
+    ing = sub.add_parser("ingest", help="land logs as partitioned parquet")
+    ing.add_argument("pattern")
+    ing.add_argument("out")
+    ing.add_argument("--granularity", choices=["day", "hour"], default="day")
+
+    co = sub.add_parser("compact", help="small-file compaction of a landing dir")
+    co.add_argument("path")
+    co.add_argument("--target-bytes", type=int, default=128 << 20)
+    co.add_argument("--partition-col", default=None)
+
+    pr = sub.add_parser("profile", help="one-pass corpus health profile")
+    pr.add_argument("path", help="parquet directory")
+    pr.add_argument("--text-col", default="text")
+
+    ex = sub.add_parser("export", help="write a parquet table as Zeek TSV logs")
+    ex.add_argument("path", help="parquet directory")
+    ex.add_argument("out")
+    ex.add_argument("--path-name", default="spark")
+    ex.add_argument(
+        "--zeek-type", action="append", default=[], metavar="COL=ZTYPE",
+        help="#types label override (repeatable)",
+    )
+    ex.add_argument("--gz", action="store_true")
+
+    ch = sub.add_parser("check", help="data-quality gate from a rules JSON file")
+    ch.add_argument("path", help="parquet directory")
+    ch.add_argument("rules", help="JSON file: list of rule objects")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    owns = spark is None
+    if owns:
+        from zeek_duckdb_spark.session import get_spark
+
+        spark = get_spark("zeek-spark-cli")
+    from zeek_duckdb_spark import read_zeek, register
+
+    register(spark)
+    try:
+        if args.cmd == "query":
+            for spec in args.view:
+                name, glob = spec.split("=", 1)
+                read_zeek(spark, glob, filename=True).createOrReplaceTempView(name)
+            for spec in args.parquet_view:
+                name, d = spec.split("=", 1)
+                spark.read.parquet(d).createOrReplaceTempView(name)
+            _tsv(spark.sql(args.sql), args.limit)
+        elif args.cmd == "ingest":
+            from zeek_duckdb_spark.sources.sink import ingest_zeek_to_parquet
+
+            out = ingest_zeek_to_parquet(
+                spark, args.pattern, args.out, granularity=args.granularity
+            )
+            print(f"ingested {out.count()} rows -> {args.out}", file=sys.stderr)
+        elif args.cmd == "compact":
+            from zeek_duckdb_spark.sources.sink import compact_landing
+
+            stats = compact_landing(
+                spark, args.path, args.target_bytes, args.partition_col
+            )
+            print(json.dumps(stats))
+        elif args.cmd == "profile":
+            from zeek_duckdb_spark.operators.pipeline import corpus_profile
+
+            _tsv(
+                corpus_profile(spark.read.parquet(args.path), args.text_col),
+                None,
+            )
+        elif args.cmd == "export":
+            from zeek_duckdb_spark import write_zeek
+
+            ztypes = dict(s.split("=", 1) for s in args.zeek_type)
+            write_zeek(
+                spark.read.parquet(args.path),
+                args.out,
+                path_name=args.path_name,
+                zeek_types=ztypes or None,
+                compress=args.gz,
+            )
+            print(f"exported -> {args.out}", file=sys.stderr)
+        elif args.cmd == "check":
+            from zeek_duckdb_spark.operators.quality_checks import check_rules
+
+            with open(args.rules) as fh:
+                rules = json.load(fh)
+            result = check_rules(spark.read.parquet(args.path), rules)
+            _tsv(result, None)
+            if any(not r.passed for r in result.collect()):
+                return 1
+        return 0
+    finally:
+        if owns:
+            spark.stop()

@@ -91,6 +91,10 @@ def _default_ztype(dt: T.DataType, name: str) -> str:
         return "bool"
     if isinstance(dt, T.StringType):
         return "string"
+    if isinstance(dt, T.DateType):
+        # Zeek has no date type; land as ISO-8601 text (reads back as
+        # a string column — lossy on type, exact on value)
+        return "string"
     if isinstance(dt, T.ArrayType):
         return f"vector[{_default_ztype(dt.elementType, name)}]"
     raise ValueError(
@@ -150,6 +154,8 @@ def _scalar_wire(col: Column, dt: T.DataType, ztype: str) -> Column:
         return F.when(col, F.lit("T")).when(~col, F.lit("F"))
     if isinstance(dt, T.StringType):
         return F.when(col == "", F.lit(_EMPTY)).otherwise(col)
+    if isinstance(dt, T.DateType):
+        return col.cast("string")  # ISO-8601
     _ = base  # numeric/decimal: engine string form round-trips via cast
     return col.cast("string")
 
