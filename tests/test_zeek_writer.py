@@ -358,3 +358,48 @@ def test_schema_randomized_round_trip_fuzz(spark, tmp_path):
         a = {r[0]: norm(tuple(r)) for r in df.collect()}
         b = {r[0]: tuple(r) for r in back.collect()}
         assert a == b, trial
+
+
+def test_stream_to_stream_composition(spark, tmp_path):
+    # rotated logs stream IN -> transformed -> stream OUT as rotated
+    # zeek logs -> streamed back IN: the sink's batch-*.log layout IS
+    # the rotation shape the streaming reader consumes
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark import write_zeek_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    hours = sorted(glob.glob(f"{REF}/known_hosts_*.log.gz"))[:6]
+    for f in hours:
+        shutil.copy(f, src)
+    mid = str(tmp_path / "mid")
+    q = write_zeek_stream(
+        spark.readStream.format("zeek").load(f"{src}/*.log.gz")
+        .select("ts", "kuid", "host_ip", "conns_opened"),
+        mid, str(tmp_path / "ck1"),
+        zeek_types={"host_ip": "addr", "conns_opened": "count"},
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    stream2 = spark.readStream.format("zeek").load(f"{mid}/batch-*.log")
+    q2 = (
+        stream2.groupBy("host_ip")
+        .agg(F.sum("conns_opened").alias("n"))
+        .writeStream.format("memory")
+        .queryName("s2s")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    rows = spark.sql("SELECT * FROM s2s").collect()
+    want = (
+        read_zeek(spark, f"{src}/*.log.gz")
+        .groupBy("host_ip").agg(F.sum("conns_opened").alias("n")).collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
