@@ -240,3 +240,31 @@ def test_bucketed_landing_q03_zero_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("b_li_q03", "b_ord_q03"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_plan_report_summary(spark):
+    from zeek_duckdb_spark.plans import audit
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_quantity") < 10)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(5)
+    )
+    r = audit.plan_report(q)
+    assert r["shuffles"] == 1 and r["scans"] == 1
+    assert r["take_ordered"] and not r["python_exec"]
+    assert any("l_quantity" in f for f in r["pushed_filters"])
+    assert all(
+        set(rs.split(",")) <= {"l_returnflag:string", "l_quantity:double"}
+        for rs in [r["read_schemas"][0].replace("l_returnflag:string,", "l_returnflag:string,")]
+    ) or "l_quantity" in r["read_schemas"][0]
+    assert r["aqe"] is True
+    # a pandas path IS flagged
+    from zeek_duckdb_spark.operators.pq import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = [[[0.0] * 8] * 4] * 8
+    assert audit.plan_report(pq_encode(emb, cb, kernel="arrow"))["python_exec"]

@@ -16,6 +16,7 @@ __all__ = [
     "num_shuffles",
     "num_broadcast_joins",
     "num_sortmerge_joins",
+    "plan_report",
 ]
 
 
@@ -53,3 +54,30 @@ def num_broadcast_joins(df: DataFrame) -> int:
 
 def num_sortmerge_joins(df: DataFrame) -> int:
     return physical_plan(df).count("SortMergeJoin")
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan health summary — the numbers to eyeball after
+    writing any operator ("is this the plan I'd want at 100x the
+    data?"): shuffle count, scan count + pruned schemas + pushed
+    filters, join strategies, and whether Python execution
+    (UDF/pandas/mapInPandas) sits in the plan.  All derived from ONE
+    plan render."""
+    p = physical_plan(df)
+    return {
+        "shuffles": p.count("Exchange hashpartitioning")
+        + p.count("Exchange rangepartitioning"),
+        "scans": len(re.findall(r"Scan \w+", p)),
+        "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)>", p),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", p),
+        "broadcast_joins": p.count("BroadcastHashJoin"),
+        "shuffle_hash_joins": p.count("ShuffledHashJoin"),
+        "sortmerge_joins": p.count("SortMergeJoin"),
+        # NB: under AQE the pre-execution plan carries no codegen
+        # markers (stages finalize at runtime), so span counting would
+        # always read 0 — report the AQE wrapper instead
+        "aqe": "AdaptiveSparkPlan" in p,
+        "python_exec": bool(re.search(r"(BatchEvalPython|ArrowEvalPython|"
+                                      r"MapInPandas|FlatMapGroupsInPandas)", p)),
+        "take_ordered": "TakeOrderedAndProject" in p,
+    }
