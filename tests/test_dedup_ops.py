@@ -552,3 +552,13 @@ def test_corpus_overlap_whitespace_normalized_and_validates(spark):
 
     with _pytest.raises(ValueError, match="sketch_k"):
         corpus_overlap(a, b, sketch_k=4)
+
+
+def test_corpus_overlap_sketch_upper_bound(spark):
+    from zeek_duckdb_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1e6"):
+        corpus_overlap(a, a, sketch_k=10_000_000)

@@ -136,3 +136,8 @@ def test_counts_property_random_docs_vs_python_counter(spark):
             for r in vocab_counts(d, top_n=10**6, mode=mode).collect()
         }
         assert got == dict(want), mode
+
+
+def test_coverage_guards_driver_sized_window(spark, docs):
+    with pytest.raises(ValueError, match="ONE partition"):
+        vocab_coverage(docs, top_n=2_000_000)

@@ -884,8 +884,11 @@ def corpus_overlap(
             "distinct_b": db,
             "method": "exact",
         }
-    if sketch_k < 16:
-        raise ValueError("corpus_overlap: sketch_k must be >= 16 (or None)")
+    if not 16 <= sketch_k <= 1_000_000:
+        raise ValueError(
+            "corpus_overlap: sketch_k must be in [16, 1e6] (or None) — "
+            "the sketch collects k longs to the driver"
+        )
     ka = [r.h for r in fa.orderBy(F.asc("h")).limit(sketch_k).collect()]
     kb = [r.h for r in fb.orderBy(F.asc("h")).limit(sketch_k).collect()]
 

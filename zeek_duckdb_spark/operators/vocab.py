@@ -82,6 +82,13 @@ def vocab_coverage(
     corpus-wide total is one scalar aggregate attached as a broadcast
     cross join.  Read off the vocab size where the curve crosses your
     target (e.g. 0.995)."""
+    if top_n > 1_000_000:
+        raise ValueError(
+            "vocab_coverage: top_n > 1e6 — the running-sum window "
+            "materializes the top-N table in ONE partition; for a "
+            "full-vocabulary curve, bucket vocab_counts output by rank "
+            "range instead"
+        )
     toks = _token_array(text_col, mode, lowercase)
     exploded = df.select(F.explode(toks).alias("token"))
     counts = exploded.groupBy("token").agg(F.count("*").alias("n"))
