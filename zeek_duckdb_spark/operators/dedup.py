@@ -248,12 +248,11 @@ def _band_buckets(
             f" AS BIGINT))"
         )
 
-    band_cols = F.expr(
-        "array(" + ", ".join(_bucket_sql(b) for b in range(bands)) + ")"
-    )
-    return banded.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
-        id_col, "bb.band", "bb.bucket"
-    )
+    arr = "array(" + ", ".join(_bucket_sql(b) for b in range(bands)) + ")"
+    # inline() explodes the struct array straight into columns - one
+    # DataFrame op instead of explode-select + field-access-select
+    # (py4j construction cost; same rows, same values)
+    return banded.selectExpr(id_col, "inline(" + arr + ")")
 
 
 def minhash_lsh_pairs(
@@ -323,15 +322,14 @@ def minhash_lsh_pairs(
     # re-sort per outer element (interpreted HOFs have no CSE) —
     # O(m² log m) per bucket instead of O(m log m)
     grouped = grouped.withColumn("ids", F.array_sort("ids"))
-    pair_arr = F.expr(
+    pair_sql = (
         "flatten(transform(ids, (x, i) -> "
         f"transform(slice(ids, i + 2, {1 << 30}), "
         "y -> named_struct('id_a', x, 'id_b', y))))"
     )
-    cand = (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # inline() again: one op for explode + struct flatten
+    cand = grouped.selectExpr("inline(" + pair_sql + ")").dropDuplicates(
+        ["id_a", "id_b"]
     )
     if verify_with is not None:
         # stored text passes through the join unevaluated; shingles are
