@@ -457,3 +457,66 @@ def test_corpus_profile_quantile_column_naming(spark):
     assert got == ["tokens_p57", "tokens_p99", "tokens_p99_5", "tokens_p99_9"]
     row = prof.collect()[0]
     assert row.tokens_p99 <= row.tokens_p99_5 <= row.tokens_p99_9
+
+
+# --- document chunking --------------------------------------------------
+
+def test_chunk_documents_matches_python_reference(spark):
+    import random
+
+    from zeek_duckdb_spark.operators.pipeline import chunk_documents
+
+    rng = random.Random(4)
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(d, max_tokens=10, overlap=3).collect()
+    )
+    want = []
+    for i, text in docs:
+        toks = text.split()
+        s = 0
+        cid = 0
+        while s < len(toks):
+            w = toks[s : s + 10]
+            want.append((i, cid, " ".join(w), len(w)))
+            s += 7
+            cid += 1
+    assert got == sorted(want)
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from zeek_duckdb_spark.operators.pipeline import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    out = chunk_documents(d, max_tokens=3, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    assert by_doc[1] == [(0, "a b c"), (1, "c d e"), (2, "e")]
+    assert 2 not in by_doc  # empty doc -> no chunks
+    assert by_doc[3] == [(0, "x")]
+    # consecutive chunks share exactly `overlap` tokens
+    assert by_doc[1][0][1].split()[-1] == by_doc[1][1][1].split()[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, max_tokens=3, overlap=3)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(d, max_tokens=0)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    from zeek_duckdb_spark.operators.pipeline import chunk_documents
+    from zeek_duckdb_spark.plans import audit
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = chunk_documents(d)
+    assert audit.num_shuffles(out) == 0
+    assert "Python" not in audit.physical_plan(out)

@@ -42,6 +42,7 @@ __all__ = [
     "pack_sequences",
     "mix_corpora",
     "corpus_profile",
+    "chunk_documents",
 ]
 
 
@@ -566,4 +567,49 @@ def corpus_profile(
                 6,
             ),
         ),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding prep
+    step (RAG corpora, context-window-bounded embedding models):
+    each document becomes overlapping windows of at most
+    ``max_tokens`` whitespace tokens, stepping ``max_tokens -
+    overlap`` tokens per chunk.
+
+    Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based in
+    document order; documents with zero tokens produce zero chunks.
+    Deterministic and ANSI-restatable (windows are pure arithmetic
+    over the token array — no randomness, no state).
+
+    Shape: one materialized tokenize projection + an in-row window
+    expansion + one explode — a pure map; the output row count is
+    ceil(n/stride) per doc, and no shuffle happens here (write the
+    result partitioned/bucketed by whatever the next stage joins on).
+    """
+    if max_tokens < 1:
+        raise ValueError("chunk_documents: max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            "chunk_documents: overlap must be in [0, max_tokens)"
+        )
+    stride = max_tokens - overlap
+    toked = df.select(
+        F.col(id_col), nonempty_tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    # starts: 1, 1+stride, ... while start <= n (1-based slice indexing)
+    chunks = F.expr(
+        f"transform(sequence(1, size(__toks), {stride}), s -> named_struct("
+        "'chunk_id', CAST((s - 1) / %d AS INT), "
+        f"'chunk_text', concat_ws(' ', slice(__toks, s, {max_tokens})), "
+        f"'n_tokens', least({max_tokens}, size(__toks) - s + 1)))" % stride
+    )
+    return toked.select(F.col(id_col), chunks.alias("__c")).selectExpr(
+        id_col, "inline(__c)"
     )
