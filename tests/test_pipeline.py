@@ -520,3 +520,43 @@ def test_chunk_documents_zero_shuffle_plan(spark):
     out = chunk_documents(d)
     assert audit.num_shuffles(out) == 0
     assert "Python" not in audit.physical_plan(out)
+
+
+def test_rag_prep_composition_end_to_end(spark):
+    # the full retrieval-prep story composed: clean -> chunk -> embed
+    # (deterministic hash stub) -> PQ index -> compressed-domain top-k
+    # retrieves the chunk that shares the query's vocabulary
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.operators.pipeline import chunk_documents, clean_corpus
+    from zeek_duckdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    docs = [(1, "alpha beta " * 30), (2, "gamma delta " * 30),
+            (3, "epsilon zeta " * 30), (4, "x")]  # 4 fails min_tokens
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    cleaned = clean_corpus(d, min_tokens=5, max_punct_ratio=1.0)
+    chunks = chunk_documents(cleaned, max_tokens=16, overlap=4)
+    chunks = chunks.withColumn(
+        "cid", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    # deterministic bag-of-hashed-tokens embedding (dim 16): the md5
+    # bucket fold every oracle-checked op uses — no ML libs needed
+    dim = 16
+    emb_expr = F.expr(
+        "transform(sequence(0, %d), i -> CAST(aggregate("
+        "split(chunk_text, ' '), 0L, (a, t) -> a + IF("
+        "pmod(CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT), %d) = i,"
+        " 1L, 0L)) AS DOUBLE))" % (dim - 1, dim)
+    )
+    embedded = chunks.select("cid", "chunk_text", emb_expr.alias("embedding"))
+    cb = pq_train(embedded, dim=dim, m=4, k=4, iters=2, id_col="cid")
+    codes = pq_encode(embedded, cb, id_col="cid")
+    # query = the same embedding of a gamma/delta probe text
+    probe = spark.createDataFrame(
+        [(0, "gamma delta gamma delta gamma delta gamma delta "
+             "gamma delta gamma delta gamma delta gamma delta")],
+        "cid long, chunk_text string",
+    ).select(emb_expr.alias("e")).first().e
+    top = pq_topk(codes, list(probe), cb, 3, id_col="cid").collect()
+    # every retrieved chunk belongs to the gamma/delta document
+    assert all(2000 <= r.cid < 3000 for r in top), [r.cid for r in top]
