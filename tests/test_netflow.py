@@ -229,3 +229,100 @@ def test_beacon_stream_matches_batch_after_rotations(spark, tmp_path):
                 assert gr.stddev_gap == pytest.approx(wr.stddev_gap, abs=2e-6)
             if wr.beacon_score is not None:
                 assert gr.beacon_score == pytest.approx(wr.beacon_score, abs=2e-6)
+
+
+# --- DNS tunneling ------------------------------------------------------
+
+def test_char_entropy_known_values(spark):
+    from zeek_duckdb_spark.operators.netflow import char_entropy
+
+    d = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abcd",), ("",)], "s string"
+    )
+    got = {r.s: r.e for r in d.select("s", char_entropy("s").alias("e")).collect()}
+    assert got["aaaa"] == pytest.approx(0.0)
+    assert got["abab"] == pytest.approx(1.0)
+    assert got["abcd"] == pytest.approx(2.0)
+    assert got[""] == 0.0
+
+
+def test_dns_tunneling_ranks_encoded_subdomains(spark):
+    import random
+
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
+
+    rng = random.Random(2)
+    rows = []
+    # tunneling bot: long random-hex subdomains under one domain
+    for _ in range(30):
+        sub = "".join(rng.choice("0123456789abcdef") for _ in range(40))
+        rows.append(("bot", f"{sub}.evil.example.com"))
+    # normal client: few short, repeated names
+    for _ in range(30):
+        rows.append(("user", rng.choice(["www.example.com", "mail.example.com"])))
+    d = spark.createDataFrame(rows, "src string, qname string")
+    out = {r.src: r for r in dns_tunneling_scores(d, min_queries=5).collect()}
+    assert out["bot"].tunnel_score > 10 * out["user"].tunnel_score
+    assert out["bot"].n_subdomains == 30 and out["user"].n_subdomains == 2
+    assert out["bot"].domain == "example.com"
+    with pytest.raises(ValueError, match="min_queries"):
+        dns_tunneling_scores(d, min_queries=0)
+
+
+def test_dns_tunneling_matches_duckdb(spark):
+    import duckdb
+
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
+
+    rows = [
+        ("a", "x9k2.example.com"), ("a", "zz.example.com"),
+        ("a", "deadbeef01.example.com"), ("a", "example.com"),
+        ("a", "q.other.net"), ("b", "abc.example.com"),
+        ("a", "mail.example.com"),
+    ]
+    d = spark.createDataFrame(rows, "src string, qname string")
+    got = sorted(
+        tuple(r) for r in dns_tunneling_scores(d, min_queries=1).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE q AS SELECT * FROM (VALUES " + ", ".join(
+        f"('{s}', '{n}')" for s, n in rows
+    ) + ") t(src, qname)")
+    want = con.execute(
+        """
+        WITH base AS (
+          SELECT src,
+            CASE WHEN len(string_split(lower(qname), '.')) >= 2
+                 THEN array_to_string(string_split(lower(qname), '.')[-2:], '.')
+                 ELSE lower(qname) END AS domain,
+            lower(qname) AS q
+          FROM q
+        ), subs AS (
+          SELECT src, domain,
+            CASE WHEN len(q) > len(domain) + 1
+                 THEN q[1 : len(q) - len(domain) - 1] ELSE '' END AS sub
+          FROM base
+        ), ent AS (
+          SELECT src, domain, sub, len(sub) AS l,
+            coalesce((
+              SELECT sum((cnt::DOUBLE / tot) * log2(tot::DOUBLE / cnt))
+              FROM (
+                SELECT count(*) AS cnt, sum(count(*)) OVER () AS tot
+                FROM unnest(string_split(sub, '')) AS u(ch)
+                WHERE sub != '' GROUP BY ch
+              )
+            ), 0.0) AS e
+          FROM subs
+        )
+        SELECT src, domain, count(*) AS n_queries,
+               count(DISTINCT sub) AS n_subdomains,
+               round(avg(l), 6) AS avg_sub_len,
+               round(avg(e), 6) AS avg_entropy,
+               round(round(avg(e), 6) * round(avg(l), 6), 6) AS tunnel_score
+        FROM ent GROUP BY src, domain
+        """
+    ).fetchall()
+    assert got == sorted(
+        (a, b, int(c), int(d_), float(e), float(f), float(g))
+        for a, b, c, d_, e, f, g in want
+    )

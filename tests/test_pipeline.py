@@ -560,3 +560,35 @@ def test_rag_prep_composition_end_to_end(spark):
     top = pq_topk(codes, list(probe), cb, 3, id_col="cid").collect()
     # every retrieved chunk belongs to the gamma/delta document
     assert all(2000 <= r.cid < 3000 for r in top), [r.cid for r in top]
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    import duckdb
+
+    from zeek_duckdb_spark.operators.pipeline import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(d, max_tokens=12, overlap=4).collect()
+    )
+    want = duckdb.connect().execute(
+        f"""
+        WITH toked AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t != '') AS toks
+          FROM read_parquet('{sf}/documents.parquet')
+        ), starts AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS s
+          FROM toked WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 8 AS INT) AS chunk_id,
+               array_to_string(toks[s : s + 11], ' ') AS chunk_text,
+               least(12, len(toks) - s + 1) AS n_tokens
+        FROM starts ORDER BY doc_id, chunk_id
+        """
+    ).fetchall()
+    assert got == sorted((a, int(b), c, int(d_)) for a, b, c, d_ in want)

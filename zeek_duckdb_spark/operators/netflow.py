@@ -39,6 +39,8 @@ __all__ = [
     "beacon_scores",
     "beacon_scores_stream",
     "port_scan_scores",
+    "dns_tunneling_scores",
+    "char_entropy",
 ]
 
 
@@ -271,4 +273,80 @@ def beacon_scores_stream(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def char_entropy(col_name: str) -> "F.Column":
+    """Shannon entropy (bits/char) of a string COLUMN (by name — the
+    expression references it many times, so it must be a materialized
+    column, the interpreted-HOF-no-CSE lesson): per distinct character
+    c, p_c·log2(1/p_c) summed — O(distinct·len) per row, bounded by
+    DNS label limits in practice.  Empty/NULL -> 0.0.  ANSI-restatable
+    (the DuckDB differential restates it with unnest+group)."""
+    return F.expr(
+        "coalesce(aggregate(array_distinct(split({c}, '')), "
+        "CAST(0.0 AS DOUBLE), (acc, ch) -> acc + "
+        "(CAST(size(filter(split({c}, ''), x -> x = ch)) AS DOUBLE)"
+        " / size(split({c}, ''))) * "
+        "(log2(size(split({c}, ''))) - "
+        "log2(size(filter(split({c}, ''), x -> x = ch))))), "
+        "CAST(0.0 AS DOUBLE))".replace("{c}", col_name)
+    )
+
+
+def dns_tunneling_scores(
+    df: DataFrame,
+    src_col: str = "src",
+    qname_col: str = "qname",
+    min_queries: int = 5,
+) -> DataFrame:
+    """DNS-tunneling heuristic per (source, registered domain):
+    exfiltration over DNS encodes data in SUBDOMAIN labels, so a
+    tunneling pair shows long, high-entropy, rarely-repeated
+    subdomains under one domain.
+
+    Output: (src, domain, n_queries, n_subdomains, avg_sub_len,
+    avg_entropy, tunnel_score = avg_entropy * avg_sub_len — bits per
+    query, descending = suspicious).  Pairs with < ``min_queries``
+    queries are excluded.
+
+    Shape: one map projection (registered-domain split + subdomain
+    entropy, all JVM expressions) + one hash aggregate with exact
+    count_distinct over pre-reduced rows — the port_scan_scores
+    shuffle budget.  The naive registered-domain rule is
+    textops.registered_domain's documented PSL-less fallback."""
+    from zeek_duckdb_spark.operators.textops import registered_domain
+
+    if min_queries < 1:
+        raise ValueError("dns_tunneling_scores: min_queries must be >= 1")
+    q = F.lower(F.col(qname_col))
+    dom = registered_domain(q)
+    sub = F.when(
+        F.length(q) > F.length(dom) + 1,
+        q.substr(F.lit(1), F.length(q) - F.length(dom) - 1),
+    ).otherwise(F.lit(""))
+    base = df.select(
+        F.col(src_col).alias("src"),
+        dom.alias("domain"),
+        sub.alias("__sub"),
+    ).select(
+        "src",
+        "domain",
+        F.length("__sub").alias("__len"),
+        char_entropy("__sub").alias("__ent"),
+        F.col("__sub"),
+    )
+    out = (
+        base.groupBy("src", "domain")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count_distinct("__sub").alias("n_subdomains"),
+            F.round(F.avg("__len"), 6).alias("avg_sub_len"),
+            F.round(F.avg("__ent"), 6).alias("avg_entropy"),
+        )
+        .filter(F.col("n_queries") >= min_queries)
+    )
+    return out.withColumn(
+        "tunnel_score",
+        F.round(F.col("avg_entropy") * F.col("avg_sub_len"), 6),
     )
