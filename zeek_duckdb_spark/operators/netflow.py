@@ -276,21 +276,42 @@ def beacon_scores_stream(
     )
 
 
+def _entropy_fold_sql(cs_col: str, n_col: str) -> str:
+    """Entropy fold over a MATERIALIZED sorted-char-array column and
+    its materialized size — every reference inside the interpreted
+    lambda is a cheap column read (the no-CSE lesson): one run-length
+    pass accumulating p·log2(1/p) per run."""
+    return (
+        "coalesce(aggregate({cs}, "
+        "named_struct('p', CAST(NULL AS STRING), 'r', 0L, "
+        "'acc', CAST(0.0 AS DOUBLE)), "
+        "(a, ch) -> if(a.p IS NOT NULL AND ch = a.p, "
+        "named_struct('p', ch, 'r', a.r + 1L, 'acc', a.acc), "
+        "named_struct('p', ch, 'r', 1L, 'acc', a.acc + if(a.r > 0, "
+        "(CAST(a.r AS DOUBLE) / {n}) * (log2({n}) - log2(a.r)), "
+        "CAST(0.0 AS DOUBLE)))), "
+        "a -> a.acc + if(a.r > 0, "
+        "(CAST(a.r AS DOUBLE) / {n}) * (log2({n}) - log2(a.r)), "
+        "CAST(0.0 AS DOUBLE))), CAST(0.0 AS DOUBLE))"
+    ).replace("{cs}", cs_col).replace("{n}", n_col)
+
+
 def char_entropy(col_name: str) -> "F.Column":
-    """Shannon entropy (bits/char) of a string COLUMN (by name — the
-    expression references it many times, so it must be a materialized
-    column, the interpreted-HOF-no-CSE lesson): per distinct character
-    c, p_c·log2(1/p_c) summed — O(distinct·len) per row, bounded by
-    DNS label limits in practice.  Empty/NULL -> 0.0.  ANSI-restatable
-    (the DuckDB differential restates it with unnest+group)."""
+    """Shannon entropy (bits/char) of a string COLUMN (by name):
+    sort the characters, then ONE run-length fold accumulates
+    p·log2(1/p) per run — the repetition_features sorted-neighbour
+    trick.  Convenience form; in a hot path materialize
+    ``array_sort(split(col, ''))`` and its ``size`` into their own
+    columns and use the internal fold (dns_tunneling_scores does —
+    measured ~4x: every lambda-internal reference to an expression
+    re-evaluates under interpreted HOFs).  Empty/NULL -> 0.0.
+    ANSI-restatable (the DuckDB differential restates it with
+    unnest+group)."""
     return F.expr(
-        "coalesce(aggregate(array_distinct(split({c}, '')), "
-        "CAST(0.0 AS DOUBLE), (acc, ch) -> acc + "
-        "(CAST(size(filter(split({c}, ''), x -> x = ch)) AS DOUBLE)"
-        " / size(split({c}, ''))) * "
-        "(log2(size(split({c}, ''))) - "
-        "log2(size(filter(split({c}, ''), x -> x = ch))))), "
-        "CAST(0.0 AS DOUBLE))".replace("{c}", col_name)
+        _entropy_fold_sql(
+            f"array_sort(split({col_name}, ''))",
+            f"size(split({col_name}, ''))",
+        )
     )
 
 
@@ -325,16 +346,29 @@ def dns_tunneling_scores(
         F.length(q) > F.length(dom) + 1,
         q.substr(F.lit(1), F.length(q) - F.length(dom) - 1),
     ).otherwise(F.lit(""))
-    base = df.select(
-        F.col(src_col).alias("src"),
-        dom.alias("domain"),
-        sub.alias("__sub"),
-    ).select(
-        "src",
-        "domain",
-        F.length("__sub").alias("__len"),
-        char_entropy("__sub").alias("__ent"),
-        F.col("__sub"),
+    base = (
+        df.select(
+            F.col(src_col).alias("src"),
+            dom.alias("domain"),
+            sub.alias("__sub"),
+        )
+        # materialize the sorted char array + size so every reference
+        # inside the interpreted entropy fold is a column read
+        .select(
+            "src", "domain", "__sub",
+            F.expr("array_sort(split(__sub, ''))").alias("__cs"),
+        )
+        .select(
+            "src", "domain", "__sub", "__cs",
+            F.size("__cs").alias("__n"),
+        )
+        .select(
+            "src",
+            "domain",
+            F.length("__sub").alias("__len"),
+            F.expr(_entropy_fold_sql("__cs", "__n")).alias("__ent"),
+            F.col("__sub"),
+        )
     )
     out = (
         base.groupBy("src", "domain")
