@@ -79,3 +79,17 @@ def test_python_dash_m_subprocess_smoke():
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert r.stdout.strip().split("\n")[-1] == "1"
+
+
+def test_limit_zero_and_bad_spec(spark, capsys):
+    rc = main(
+        ["query", "--parquet-view",
+         "e=/root/testdata/sf0.001/events.parquet",
+         "SELECT * FROM e", "--limit", "0"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert len(out) == 1  # header only, no unbounded collect
+    with pytest.raises(SystemExit, match="NAME=GLOB"):
+        main(["query", "--view", "noequals", "SELECT 1"], spark=spark)

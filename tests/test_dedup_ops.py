@@ -562,3 +562,19 @@ def test_corpus_overlap_sketch_upper_bound(spark):
 
     with _pytest.raises(ValueError, match="1e6"):
         corpus_overlap(a, a, sketch_k=10_000_000)
+
+
+def test_minhash_pairs_accepts_hyphenated_id_column(spark):
+    from zeek_duckdb_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),
+         (2, "the quick brown fox jumps over it"),
+         (3, "completely different text entirely here")],
+        ["my-id", "text"],
+    )
+    sigs = minhash_signatures(d, "my-id", "text")
+    pairs = minhash_lsh_pairs(sigs, "my-id").collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]

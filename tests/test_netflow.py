@@ -326,3 +326,15 @@ def test_dns_tunneling_matches_duckdb(spark):
         (a, b, int(c), int(d_), float(e), float(f), float(g))
         for a, b, c, d_, e, f, g in want
     )
+
+
+def test_dns_tunneling_trailing_dot_fqdn(spark):
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
+
+    d = spark.createDataFrame(
+        [("a", "www.example.com."), ("a", "mail.example.com"),
+         ("a", "x.other.net.")],
+        "src string, qname string",
+    )
+    out = {r.domain for r in dns_tunneling_scores(d, min_queries=1).collect()}
+    assert out == {"example.com", "other.net"}  # no bogus 'com.' pool

@@ -268,3 +268,16 @@ def test_plan_report_summary(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cb = [[[0.0] * 8] * 4] * 8
     assert audit.plan_report(pq_encode(emb, cb, kernel="arrow"))["python_exec"]
+
+
+def test_plan_report_counts_all_nonbroadcast_exchanges(spark):
+    from zeek_duckdb_spark.plans import audit
+
+    d = spark.range(100)
+    assert audit.plan_report(d.repartition(4))["shuffles"] == 1  # round-robin
+    assert audit.plan_report(d.agg(F.sum("id")))["shuffles"] == 1  # single-part
+    # broadcast exchanges are NOT shuffles
+    small = spark.range(5).withColumnRenamed("id", "k")
+    j = d.join(F.broadcast(small), d.id == small.k)
+    r = audit.plan_report(j)
+    assert r["broadcast_joins"] == 1 and r["shuffles"] == 0

@@ -26,8 +26,16 @@ import json
 import sys
 
 
+def _split_spec(spec: str, flag: str, form: str) -> tuple[str, str]:
+    if "=" not in spec:
+        raise SystemExit(f"error: {flag} expects {form}, got '{spec}'")
+    a, b = spec.split("=", 1)
+    return a, b
+
+
 def _tsv(df, limit: int | None) -> None:
-    rows = df.limit(limit).collect() if limit else df.collect()
+    # `is not None`: --limit 0 must print zero rows, not collect all
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
     print("\t".join(df.columns))
     for r in rows:
         print("\t".join("" if v is None else str(v) for v in r))
@@ -49,6 +57,8 @@ def _build_parser() -> argparse.ArgumentParser:
         metavar="NAME=GLOB",
         help="register a Zeek-log view (repeatable)",
     )
+    q.add_argument("--filename", action="store_true",
+                   help="add the filename virtual column to log views")
     q.add_argument("--parquet-view", action="append", default=[],
                    metavar="NAME=DIR", help="register a parquet view")
     q.add_argument("--limit", type=int, default=None)
@@ -96,10 +106,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     try:
         if args.cmd == "query":
             for spec in args.view:
-                name, glob = spec.split("=", 1)
-                read_zeek(spark, glob, filename=True).createOrReplaceTempView(name)
+                name, glob = _split_spec(spec, "--view", "NAME=GLOB")
+                read_zeek(
+                    spark, glob, filename=args.filename
+                ).createOrReplaceTempView(name)
             for spec in args.parquet_view:
-                name, d = spec.split("=", 1)
+                name, d = _split_spec(spec, "--parquet-view", "NAME=DIR")
                 spark.read.parquet(d).createOrReplaceTempView(name)
             _tsv(spark.sql(args.sql), args.limit)
         elif args.cmd == "ingest":
@@ -126,7 +138,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "export":
             from zeek_duckdb_spark import write_zeek
 
-            ztypes = dict(s.split("=", 1) for s in args.zeek_type)
+            ztypes = dict(
+                _split_spec(x, "--zeek-type", "COL=ZTYPE")
+                for x in args.zeek_type
+            )
             write_zeek(
                 spark.read.parquet(args.path),
                 args.out,
@@ -141,8 +156,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             with open(args.rules) as fh:
                 rules = json.load(fh)
             result = check_rules(spark.read.parquet(args.path), rules)
-            _tsv(result, None)
-            if any(not r.passed for r in result.collect()):
+            rows = result.collect()  # one scan: print AND gate from it
+            print("\t".join(result.columns))
+            for r in rows:
+                print("\t".join("" if v is None else str(v) for v in r))
+            if any(not r.passed for r in rows):
                 return 1
         return 0
     finally:

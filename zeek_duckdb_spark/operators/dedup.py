@@ -252,7 +252,7 @@ def _band_buckets(
     # inline() explodes the struct array straight into columns - one
     # DataFrame op instead of explode-select + field-access-select
     # (py4j construction cost; same rows, same values)
-    return banded.selectExpr(id_col, "inline(" + arr + ")")
+    return banded.selectExpr(f"`{id_col}`", "inline(" + arr + ")")
 
 
 def minhash_lsh_pairs(

@@ -340,7 +340,10 @@ def dns_tunneling_scores(
 
     if min_queries < 1:
         raise ValueError("dns_tunneling_scores: min_queries must be >= 1")
-    q = F.lower(F.col(qname_col))
+    # absolute DNS names end in '.'; stripping it keeps the last REAL
+    # label as the TLD (otherwise 'www.example.com.' -> domain 'com.'
+    # and every trailing-dot query pools under one fake pair)
+    q = F.regexp_replace(F.lower(F.col(qname_col)), r"\.$", "")
     dom = registered_domain(q)
     sub = F.when(
         F.length(q) > F.length(dom) + 1,

@@ -606,10 +606,10 @@ def chunk_documents(
     # starts: 1, 1+stride, ... while start <= n (1-based slice indexing)
     chunks = F.expr(
         f"transform(sequence(1, size(__toks), {stride}), s -> named_struct("
-        "'chunk_id', CAST((s - 1) / %d AS INT), "
+        f"'chunk_id', CAST((s - 1) / {stride} AS INT), "
         f"'chunk_text', concat_ws(' ', slice(__toks, s, {max_tokens})), "
-        f"'n_tokens', least({max_tokens}, size(__toks) - s + 1)))" % stride
+        f"'n_tokens', least({max_tokens}, size(__toks) - s + 1)))"
     )
     return toked.select(F.col(id_col), chunks.alias("__c")).selectExpr(
-        id_col, "inline(__c)"
+        f"`{id_col}`", "inline(__c)"
     )

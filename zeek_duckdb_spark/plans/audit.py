@@ -32,20 +32,39 @@ def physical_plan(df: DataFrame) -> str:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
+def _pushed_filters(p: str) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+
+
+def _read_schemas(p: str) -> list[str]:
+    # greedy-to-line-end so NESTED structs keep their inner '>'s
+    return re.findall(r"ReadSchema: struct<(.*)>", p)
+
+
+def _num_shuffles(p: str) -> int:
+    # every non-broadcast Exchange: hash, range, single-partition,
+    # round-robin — they all move data
+    return len(re.findall(r"(?<!Broadcast)Exchange ", p))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists from every file scan in the plan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+    return _pushed_filters(physical_plan(df))
 
 
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema structs from every file scan (column pruning proof)."""
-    return re.findall(r"ReadSchema: struct<([^>]*)>", physical_plan(df))
+    return _read_schemas(physical_plan(df))
 
 
 def num_shuffles(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Hash/range shuffle exchanges only — the data-redistribution
+    shuffles plan tests pin; single-partition/round-robin exchanges
+    are counted by plan_report's broader 'shuffles' metric."""
+    p = physical_plan(df)
+    return p.count("Exchange hashpartitioning") + p.count(
+        "Exchange rangepartitioning"
+    )
 
 
 def num_broadcast_joins(df: DataFrame) -> int:
@@ -65,11 +84,10 @@ def plan_report(df: DataFrame) -> dict:
     plan render."""
     p = physical_plan(df)
     return {
-        "shuffles": p.count("Exchange hashpartitioning")
-        + p.count("Exchange rangepartitioning"),
+        "shuffles": _num_shuffles(p),
         "scans": len(re.findall(r"Scan \w+", p)),
-        "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)>", p),
-        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", p),
+        "read_schemas": _read_schemas(p),
+        "pushed_filters": _pushed_filters(p),
         "broadcast_joins": p.count("BroadcastHashJoin"),
         "shuffle_hash_joins": p.count("ShuffledHashJoin"),
         "sortmerge_joins": p.count("SortMergeJoin"),
