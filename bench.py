@@ -55,8 +55,23 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def calibrate() -> float:
+        # CODE-INDEPENDENT machine-speed probe: a fixed pure-codegen
+        # arithmetic job whose wall time tracks the VM's current CPU
+        # state, not this repo's plans.  The bench VM drifts ~1.5x
+        # within a day (SCALING.md machine-drift note); dividing the
+        # headline total by (calibration_sec / its historical idle
+        # value, recorded in SCALING.md) normalizes cross-round comparisons.
+        t0 = time.perf_counter()
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+            "sum(pmod(id * 2654435761L, 1000000007L)) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
     for name in HEADLINE:  # untimed warm-up pass
         run(name)
+    calibrate()  # warm the calibration codegen too
+    calib = [calibrate() for _ in range(3)]
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _ in range(iters):  # interleave iterations so drift hits all queries
         for name in HEADLINE:
@@ -74,6 +89,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "iters": iters,
+                "calibration_sec": round(statistics.median(calib), 4),
                 "sf": sf,
             }
         )
