@@ -68,10 +68,23 @@ def main() -> None:
         ).collect()
         return time.perf_counter() - t0
 
+    def calibrate_scan() -> float:
+        # second probe for the IO/scheduling axis: a generic parquet
+        # scan + hash aggregate over the benchmark's own lineitem dir
+        # (plain spark.read, no repo code) — slow VM states hit
+        # scan-shaped work harder than pure-CPU codegen
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).count().collect()
+        return time.perf_counter() - t0
+
     for name in HEADLINE:  # untimed warm-up pass
         run(name)
     calibrate()  # warm the calibration codegen too
     calib = [calibrate() for _ in range(3)]
+    calibrate_scan()
+    calib_scan = [calibrate_scan() for _ in range(3)]
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _ in range(iters):  # interleave iterations so drift hits all queries
         for name in HEADLINE:
@@ -90,6 +103,7 @@ def main() -> None:
                 "spread": spread,
                 "iters": iters,
                 "calibration_sec": round(statistics.median(calib), 4),
+                "calibration_scan_sec": round(statistics.median(calib_scan), 4),
                 "sf": sf,
             }
         )
