@@ -338,3 +338,79 @@ def test_dns_tunneling_trailing_dot_fqdn(spark):
     )
     out = {r.domain for r in dns_tunneling_scores(d, min_queries=1).collect()}
     assert out == {"example.com", "other.net"}  # no bogus 'com.' pool
+
+
+# --- Arrow entropy kernel ------------------------------------------------
+
+def test_entropy_batch_np_known_values():
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.netflow import _entropy_batch_np
+
+    got = _entropy_batch_np(["aaaa", "abab", "abcd", "", None, "aab"])
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(2.0)
+    assert got[3] == 0.0 and got[4] == 0.0
+    # p = (2/3, 1/3): H = 2/3*log2(3/2) + 1/3*log2(3)
+    assert got[5] == pytest.approx(2 / 3 * np.log2(1.5) + 1 / 3 * np.log2(3))
+
+
+def test_char_entropy_kernels_agree(spark):
+    """expr fold and Arrow kernel accumulate in the same sorted-char
+    order -> identical doubles on BMP text (incl. unicode + repeats)."""
+    from zeek_duckdb_spark.operators.netflow import char_entropy
+
+    vals = [
+        "aaaa", "abab", "abcd", "", "x", "banana", "deadbeef0123456789",
+        "zzzzzzzzzzzzzzzzzzzzzzzzyx", "ü-mixed-ünïcode", "a.b-c_d",
+        "0123456789" * 5, "the quick brown fox jumps over the lazy dog",
+    ]
+    d = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = d.select(
+        "s",
+        char_entropy("s", kernel="expr").alias("e_expr"),
+        char_entropy("s", kernel="arrow").alias("e_arrow"),
+    ).collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r.e_arrow == pytest.approx(r.e_expr, abs=1e-12), r.s
+    with pytest.raises(ValueError, match="kernel"):
+        char_entropy("s", kernel="bogus")
+
+
+def test_dns_tunneling_kernels_agree(spark):
+    import random
+
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        sub = "".join(rng.choice("abcdefgh0123") for _ in range(rng.randint(0, 30)))
+        dom = rng.choice(["evil.example.com", "ok.net", "plain.org"])
+        rows.append((f"h{i % 9}", f"{sub}.{dom}" if sub else dom))
+    d = spark.createDataFrame(rows, "src string, qname string")
+    a = sorted(tuple(r) for r in dns_tunneling_scores(d, min_queries=1, kernel="arrow").collect())
+    e = sorted(tuple(r) for r in dns_tunneling_scores(d, min_queries=1, kernel="expr").collect())
+    assert a == e
+    with pytest.raises(ValueError, match="kernel"):
+        dns_tunneling_scores(d, kernel="nope")
+
+
+def test_dns_tunneling_psl_grouping(spark):
+    """Multi-label TLDs group under the true registrable domain with
+    psl=True; the naive rule pools them under 'co.uk'."""
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
+
+    rows = [
+        ("h1", "a.example.co.uk"), ("h1", "b.example.co.uk"),
+        ("h1", "x.other.co.uk"), ("h1", "y.other.co.uk"),
+        ("h1", "www.plain.com"),
+    ]
+    d = spark.createDataFrame(rows, "src string, qname string")
+    naive = {r.domain for r in dns_tunneling_scores(d, min_queries=1).collect()}
+    psl = {r.domain: r.n_queries
+           for r in dns_tunneling_scores(d, min_queries=1, psl=True).collect()}
+    assert naive == {"co.uk", "plain.com"}
+    assert psl == {"example.co.uk": 2, "other.co.uk": 2, "plain.com": 1}

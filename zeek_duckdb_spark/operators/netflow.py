@@ -29,6 +29,11 @@ per pair and carries a ``time_bucket`` skew bound for monster pairs.
 
 from __future__ import annotations
 
+# module-global so pandas_udf can resolve stringized `pd.Series` type
+# hints (future-annotations keeps them strings; pyspark resolves them
+# against the defining module's globals)
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -276,6 +281,61 @@ def beacon_scores_stream(
     )
 
 
+def _entropy_batch_np(vals) -> "object":
+    """Vectorized Shannon entropy (bits/char) for a batch of strings —
+    the Arrow kernel behind ``char_entropy(kernel='arrow')``.
+
+    One pass over the WHOLE batch, no per-row Python: all codepoints
+    concatenate into one uint32 array, a single lexsort groups them by
+    (row, codepoint), run-length boundaries give per-(row, char) counts,
+    and ``np.add.at`` accumulates each row's p·log2(1/p) terms
+    SEQUENTIALLY in sorted-char order — the exact accumulation order of
+    the interpreted expr fold (which folds over ``array_sort(split(s,
+    ''))``), so the two kernels agree to the last bit on BMP text.
+    Non-BMP codepoints are counted once here but split into surrogate
+    pairs by the JVM fold — DNS names and the operators using this are
+    ASCII-domain, documented divergence.  None/'' -> 0.0."""
+    import numpy as np
+
+    n_rows = len(vals)
+    ent = np.zeros(n_rows, dtype=np.float64)
+    if n_rows == 0:
+        return ent
+    strs = ["" if v is None else v for v in vals]
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n_rows)
+    total = int(lens.sum())
+    if total == 0:
+        return ent
+    cp = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    order = np.lexsort((cp, rows))
+    r = rows[order]
+    c = cp[order]
+    change = np.empty(total, dtype=bool)
+    change[0] = True
+    change[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, total)).astype(np.float64)
+    run_rows = r[starts]
+    n = lens[run_rows].astype(np.float64)
+    terms = (counts / n) * (np.log2(n) - np.log2(counts))
+    # np.add.at applies updates in index order -> per-row sequential
+    # accumulation over sorted chars, mirroring the fold exactly
+    np.add.at(ent, run_rows, terms)
+    return ent
+
+
+def _entropy_arrow_col(col: "F.Column") -> "F.Column":
+    """``char_entropy`` as an Arrow-batched pandas UDF column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ent(s: pd.Series) -> pd.Series:
+        return pd.Series(_entropy_batch_np(s.tolist()), index=s.index)
+
+    return _ent(col)
+
+
 def _entropy_fold_sql(cs_col: str, n_col: str) -> str:
     """Entropy fold over a MATERIALIZED sorted-char-array column and
     its materialized size — every reference inside the interpreted
@@ -296,17 +356,28 @@ def _entropy_fold_sql(cs_col: str, n_col: str) -> str:
     ).replace("{cs}", cs_col).replace("{n}", n_col)
 
 
-def char_entropy(col_name: str) -> "F.Column":
-    """Shannon entropy (bits/char) of a string COLUMN (by name):
-    sort the characters, then ONE run-length fold accumulates
-    p·log2(1/p) per run — the repetition_features sorted-neighbour
-    trick.  Convenience form; in a hot path materialize
-    ``array_sort(split(col, ''))`` and its ``size`` into their own
-    columns and use the internal fold (dns_tunneling_scores does —
-    measured ~4x: every lambda-internal reference to an expression
-    re-evaluates under interpreted HOFs).  Empty/NULL -> 0.0.
-    ANSI-restatable (the DuckDB differential restates it with
-    unnest+group)."""
+def char_entropy(col_name: str, kernel: str = "arrow") -> "F.Column":
+    """Shannon entropy (bits/char) of a string COLUMN (by name).
+    Empty/NULL -> 0.0.
+
+    ``kernel='arrow'`` (default) is the scale path: one numpy
+    codepoint-histogram pass per Arrow batch (:func:`_entropy_batch_np`
+    — the pq_encode Arrow-kernel pattern), measured ~20x the expr fold
+    at 100k+ rows (SCALING.md).
+
+    ``kernel='expr'`` is the engine-portable pure-SQL form: sort the
+    characters, then ONE run-length fold accumulates p·log2(1/p) per
+    run — the repetition_features sorted-neighbour trick.  In an expr
+    hot path materialize ``array_sort(split(col, ''))`` and its
+    ``size`` into their own columns and use the internal fold
+    (dns_tunneling_scores does — measured ~4x: every lambda-internal
+    reference re-evaluates under interpreted HOFs).  ANSI-restatable
+    (the DuckDB differential restates it with unnest+group); both
+    kernels accumulate in sorted-char order and agree on BMP text."""
+    if kernel == "arrow":
+        return _entropy_arrow_col(F.col(col_name))
+    if kernel != "expr":
+        raise ValueError("char_entropy: kernel must be 'expr' or 'arrow'")
     return F.expr(
         _entropy_fold_sql(
             f"array_sort(split({col_name}, ''))",
@@ -320,6 +391,8 @@ def dns_tunneling_scores(
     src_col: str = "src",
     qname_col: str = "qname",
     min_queries: int = 5,
+    kernel: str = "arrow",
+    psl: "object" = None,
 ) -> DataFrame:
     """DNS-tunneling heuristic per (source, registered domain):
     exfiltration over DNS encodes data in SUBDOMAIN labels, so a
@@ -332,47 +405,79 @@ def dns_tunneling_scores(
     queries are excluded.
 
     Shape: one map projection (registered-domain split + subdomain
-    entropy, all JVM expressions) + one hash aggregate with exact
-    count_distinct over pre-reduced rows — the port_scan_scores
-    shuffle budget.  The naive registered-domain rule is
-    textops.registered_domain's documented PSL-less fallback."""
-    from zeek_duckdb_spark.operators.textops import registered_domain
+    entropy) + one hash aggregate with exact count_distinct over
+    pre-reduced rows — the port_scan_scores shuffle budget.
+
+    ``kernel='arrow'`` (default) computes the subdomain entropy with
+    the numpy batch kernel (still a zero-shuffle map, ~20x the
+    interpreted fold — SCALING.md); ``kernel='expr'`` keeps the whole
+    projection in pure JVM SQL expressions (oracle-restatable — the
+    driver correctness row uses it).
+
+    ``psl=`` (a suffix-rule iterable, a local PSL file path, or True
+    for the vendored snapshot — see textops.registered_domain_psl)
+    switches domain grouping from the naive last-two-labels rule to
+    Public-Suffix-List matching, so ``a.example.co.uk`` and
+    ``b.other.co.uk`` stop pooling under one bogus 'co.uk' pair."""
+    from zeek_duckdb_spark.operators.textops import (
+        registered_domain,
+        registered_domain_psl_col,
+    )
 
     if min_queries < 1:
         raise ValueError("dns_tunneling_scores: min_queries must be >= 1")
+    if kernel not in ("expr", "arrow"):
+        raise ValueError("dns_tunneling_scores: kernel must be 'expr' or 'arrow'")
     # absolute DNS names end in '.'; stripping it keeps the last REAL
     # label as the TLD (otherwise 'www.example.com.' -> domain 'com.'
     # and every trailing-dot query pools under one fake pair)
     q = F.regexp_replace(F.lower(F.col(qname_col)), r"\.$", "")
-    dom = registered_domain(q)
+    if psl is not None:
+        dom = registered_domain_psl_col(q, psl)
+    else:
+        dom = registered_domain(q)
+    pair = df.select(
+        F.col(src_col).alias("src"),
+        dom.alias("domain"),
+        q.alias("__q"),
+    )
     sub = F.when(
-        F.length(q) > F.length(dom) + 1,
-        q.substr(F.lit(1), F.length(q) - F.length(dom) - 1),
+        F.length("__q") > F.length("domain") + 1,
+        F.col("__q").substr(
+            F.lit(1), F.length("__q") - F.length("domain") - 1
+        ),
     ).otherwise(F.lit(""))
-    base = (
-        df.select(
-            F.col(src_col).alias("src"),
-            dom.alias("domain"),
-            sub.alias("__sub"),
-        )
-        # materialize the sorted char array + size so every reference
-        # inside the interpreted entropy fold is a column read
-        .select(
-            "src", "domain", "__sub",
-            F.expr("array_sort(split(__sub, ''))").alias("__cs"),
-        )
-        .select(
-            "src", "domain", "__sub", "__cs",
-            F.size("__cs").alias("__n"),
-        )
-        .select(
+    subbed = pair.select("src", "domain", sub.alias("__sub"))
+    if kernel == "arrow":
+        base = subbed.select(
             "src",
             "domain",
             F.length("__sub").alias("__len"),
-            F.expr(_entropy_fold_sql("__cs", "__n")).alias("__ent"),
+            _entropy_arrow_col(F.col("__sub")).alias("__ent"),
             F.col("__sub"),
         )
-    )
+    else:
+        base = (
+            subbed
+            # materialize the sorted char array + size so every
+            # reference inside the interpreted entropy fold is a
+            # column read
+            .select(
+                "src", "domain", "__sub",
+                F.expr("array_sort(split(__sub, ''))").alias("__cs"),
+            )
+            .select(
+                "src", "domain", "__sub", "__cs",
+                F.size("__cs").alias("__n"),
+            )
+            .select(
+                "src",
+                "domain",
+                F.length("__sub").alias("__len"),
+                F.expr(_entropy_fold_sql("__cs", "__n")).alias("__ent"),
+                F.col("__sub"),
+            )
+        )
     out = (
         base.groupBy("src", "domain")
         .agg(

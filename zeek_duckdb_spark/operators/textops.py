@@ -8,6 +8,11 @@ function is a narrow map over one table — no shuffle, no driver state.
 
 from __future__ import annotations
 
+# module-global so pandas_udf can resolve stringized `pd.Series` type
+# hints (future-annotations keeps them strings; pyspark resolves them
+# against the defining module's globals)
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +29,7 @@ __all__ = [
     "extract_urls",
     "url_host",
     "registered_domain",
+    "registered_domain_psl_col",
     "filter_blocked_domains",
     "quality_classifier_score",
     "bm25_scores",
@@ -358,12 +364,15 @@ def url_host(col: Column) -> Column:
 
 
 def registered_domain(host: Column) -> Column:
-    """Last two labels of a host (example.co for sub.example.co).
+    """Last two labels of a host (example.co for sub.example.co) — the
+    pure-JVM, oracle-restatable NAIVE rule.
 
-    NOTE: a real pipeline consults the Public Suffix List so
-    ``sub.example.co.uk`` maps to ``example.co.uk``; the PSL is a data
-    file this environment does not ship, so this is the documented
-    naive fallback (same contract, swap in a PSL join for production).
+    This is exactly the PSL default rule ``*`` applied everywhere, so
+    it is correct for every single-label TLD (.com, .org, .net, …) but
+    pools all of .co.uk/.com.au/… into one bogus group.  Pipelines
+    that group or filter by domain on real traffic should use
+    :func:`registered_domain_psl_col` (Public-Suffix-List matching);
+    this stays as the no-data fallback and the oracle-SQL twin.
     """
     parts = F.split(host, r"\.")
     n = F.size(parts)
@@ -371,6 +380,104 @@ def registered_domain(host: Column) -> Column:
         n >= 2,
         F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
     ).otherwise(host)
+
+
+def _compile_psl(rules) -> tuple[frozenset, frozenset, frozenset, int]:
+    """Parse PSL rule lines -> (exact suffixes, wildcard parents,
+    exception suffixes, max rule label count).  Upstream syntax: one
+    rule per line, ``//`` comments, blank lines ignored, ``*.`` =
+    any-label wildcard, ``!`` = exception."""
+    exact, wild, exc = set(), set(), set()
+    max_k = 1
+    for raw in rules:
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0]  # upstream allows trailing comments
+        if line.startswith("!"):
+            body = line[1:]
+            exc.add(body)
+            max_k = max(max_k, body.count(".") + 1)
+        elif line.startswith("*."):
+            body = line[2:]
+            wild.add(body)
+            max_k = max(max_k, body.count(".") + 2)
+        else:
+            exact.add(line)
+            max_k = max(max_k, line.count(".") + 1)
+    return frozenset(exact), frozenset(wild), frozenset(exc), max_k
+
+
+def _load_psl(psl) -> tuple[frozenset, frozenset, frozenset, int]:
+    """Accept the vendored snapshot (``True``), a local file path to
+    the upstream ``public_suffix_list.dat``, or any iterable of rule
+    strings."""
+    if psl is True:
+        from zeek_duckdb_spark.operators.psl_snapshot import PSL_SNAPSHOT
+
+        return _compile_psl(PSL_SNAPSHOT)
+    if isinstance(psl, str):
+        with open(psl, encoding="utf-8") as fh:
+            return _compile_psl(fh)
+    return _compile_psl(psl)
+
+
+def _registered_domain_py(host, exact, wild, exc, max_k) -> str | None:
+    """Standard PSL algorithm for ONE lower-cased host: the prevailing
+    rule is the matching exception if any, else the longest match,
+    else the default rule ``*``; the public suffix is the prevailing
+    rule's labels (exception: minus its leftmost); the registered
+    domain is the public suffix plus one label.  A host that IS a
+    public suffix is returned unchanged (mirrors the naive rule's
+    n<2 behavior: no registrable part -> identity)."""
+    if host is None:
+        return None
+    h = host.rstrip(".")
+    labels = h.split(".")
+    n = len(labels)
+    ps = 1  # default rule '*'
+    for k in range(1, min(n, max_k) + 1):
+        suffix = ".".join(labels[n - k:])
+        if suffix in exc:
+            # exception rule: public suffix = rule minus its leftmost
+            # label, so the rule's own k labels ARE the registrable part
+            return suffix
+        if suffix in exact and k > ps:
+            ps = k
+        if k >= 2 and ".".join(labels[n - k + 1:]) in wild and k > ps:
+            ps = k
+    if n <= ps:
+        return h
+    return ".".join(labels[n - ps - 1:])
+
+
+def registered_domain_psl_col(host: Column, psl=True) -> Column:
+    """Public-Suffix-List registered domain of a (lower-cased) host
+    column: ``sub.example.co.uk`` -> ``example.co.uk``,
+    ``www.ck`` -> ``www.ck`` (exception rule), unknown TLDs fall back
+    to the default rule (== the naive last-two-labels).
+
+    ``psl``: ``True`` = the vendored partial snapshot
+    (operators/psl_snapshot.py), a path to the upstream
+    ``public_suffix_list.dat``, or an iterable of rule strings.
+
+    Scale shape: the compiled rule set (a few frozensets, <1 MB for
+    the FULL upstream list) ships once per executor inside the
+    pandas_udf closure; matching is O(matched labels) dict probes per
+    row over Arrow batches — a zero-shuffle map, the broadcast-join
+    topology without the join.  The naive :func:`registered_domain`
+    stays the pure-JVM fallback for oracle-restatable paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    exact, wild, exc, max_k = _load_psl(psl)
+
+    @pandas_udf("string")
+    def _rd(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda h: _registered_domain_py(h, exact, wild, exc, max_k)
+        )
+
+    return _rd(host)
 
 
 def filter_blocked_domains(
