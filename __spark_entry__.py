@@ -850,6 +850,48 @@ def sim_kmeans_ivf(spark, sf):
     )
 
 
+def nf_dns_tunneling(spark, sf):
+    """DNS-tunneling heuristic (operators/netflow.dns_tunneling_scores,
+    kernel='expr' so the oracle restates the materialized sorted-char
+    entropy fold; the Arrow kernel's bit-parity with it is pinned by
+    tests/test_netflow.py::test_char_entropy_kernels_agree).  The
+    testdata ships no DNS log, so qnames derive deterministically from
+    events via md5 hex — identical arithmetic in both engines: every
+    4th event emits a long 20-hex-char 'tunnel-like' subdomain, the
+    rest short 4-char labels, under per-user domains."""
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
+
+    e = _t(spark, sf, "events")
+    q = e.select(
+        F.expr("concat('src', CAST(user_id % 7 AS STRING))").alias("src"),
+        F.expr(
+            "concat(substring(md5(concat('q:', CAST(event_id AS STRING))), 1, "
+            "CASE WHEN event_id % 4 = 0 THEN 20 ELSE 4 END), "
+            "'.dom', CAST(user_id % 20 AS STRING), '.com')"
+        ).alias("qname"),
+    )
+    return dns_tunneling_scores(q, min_queries=5, kernel="expr")
+
+
+def pq_ann_topk(spark, sf):
+    """Product-quantization ANN end-to-end (operators/pq.py): train
+    m=4 x k=8 codebooks (1 Lloyd iteration over the corpus-global int8
+    grid — exact int64 sums make the distributed means reproducible),
+    encode with the engine-portable expr kernel (the Arrow matmul
+    kernel's code parity is pinned by tests/test_pq.py), then ADC
+    top-10 for vec 0 via the driver-side m x k LUT literal.  The
+    oracle restates the full train -> encode -> LUT -> fold chain in
+    SQL (see _pq_topk_oracle)."""
+    from zeek_duckdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    e = _emb_parallel(spark, sf)
+    corpus = e.filter(F.col("vec_id") != 0)
+    cbs = pq_train(corpus, dim=64, m=4, k=8, iters=1)
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    codes = pq_encode(corpus, cbs, kernel="expr")
+    return pq_topk(codes, [float(v) for v in qvec], cbs, k_top=10)
+
+
 def ev_range_join(spark, sf):
     """Bucketized range join (operators/rangejoin.py): clicks landing
     inside each same-user 10-minute post-error window.  Spark would
@@ -991,7 +1033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sort+limit ⊂ q03; join+group+topk dup of q03; DISTINCT ⊂ q15;
     # IN-filter ⊂ q16; LIKE ⊂ q28; COUNT DISTINCT ⊂ q26 — see
     # COVERAGE.md §2.B), and the oracle-less zeek_scan (non-parquet
-    # input, rows-only check) sits last.
+    # input, rows-only check) sits last.  Round 7 rotated the two
+    # lowest-information entries (q20_cross_join — a 25-row constant
+    # join; mm_frame_sample — plumbing duplicated by mm_decode_fake)
+    # out to extra_queries()/extra_oracle_sql(), where the local
+    # harness still oracle-checks them, freeing slots for the newest
+    # operator families (nf_dns_tunneling, pq_ann_topk).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -1007,7 +1054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_scalar_subquery": q17_scalar_subquery,
         "q18_date_trunc": q18_date_trunc,
         "q19_json_extract": q19_json_extract,
-        "q20_cross_join": q20_cross_join,
         "q21_union_tagged": q21_union_tagged,
         "q22_array_norms": q22_array_norms,
         "q23_rollup": q23_rollup,
@@ -1033,7 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_stats": mm_media_stats,
         "mm_decode_fake": mm_decode_fake,
         "sim_topk_batch": sim_topk_batch,
-        "mm_frame_sample": mm_frame_sample,
+        "nf_dns_tunneling": nf_dns_tunneling,
+        "pq_ann_topk": pq_ann_topk,
         "pipe_clean_corpus": pipe_clean_corpus,
         "pipe_sample": pipe_sample,
         "ev_asof_attrib": ev_asof_attrib,
@@ -1320,6 +1367,164 @@ def _kmeans_ivf_oracle(
     """
 
 
+def _dns_tunneling_oracle() -> str:
+    """nf_dns_tunneling: restates the qname synthesis (md5-hex — the
+    same arithmetic Spark runs), the naive last-two-labels registered
+    domain, the subdomain slice, and the per-row entropy with the SAME
+    accumulation order as Spark's sorted-char run-length fold: per-row
+    char counts aggregate into a ``list(... ORDER BY ch)`` and
+    ``list_sum`` folds the p*log2(1/p) terms sequentially in
+    sorted-char order (the proven list_sum <-> aggregate recipe), so
+    both sides produce identical doubles before the 6dp rounds."""
+    return """
+        WITH q AS (
+          SELECT concat('src', CAST(user_id % 7 AS VARCHAR)) AS src,
+                 concat(substring(md5(concat('q:', CAST(event_id AS VARCHAR))), 1,
+                        CASE WHEN event_id % 4 = 0 THEN 20 ELSE 4 END),
+                        '.dom', CAST(user_id % 20 AS VARCHAR), '.com') AS qname
+          FROM events),
+        base AS (
+          SELECT src, lower(regexp_replace(qname, '\\.$', '')) AS qn FROM q),
+        dom AS (
+          SELECT src, qn,
+                 CASE WHEN len(string_split(qn, '.')) >= 2
+                      THEN array_to_string(string_split(qn, '.')[-2:], '.')
+                      ELSE qn END AS domain
+          FROM base),
+        subs AS (
+          SELECT ROW_NUMBER() OVER () AS rid, src, domain,
+                 CASE WHEN len(qn) > len(domain) + 1
+                      THEN qn[1 : len(qn) - len(domain) - 1] ELSE '' END AS sub
+          FROM dom),
+        cnts AS (
+          SELECT rid, ch, COUNT(*) AS c
+          FROM (SELECT rid, unnest(string_split(sub, '')) AS ch
+                FROM subs WHERE sub <> '')
+          GROUP BY rid, ch),
+        ent0 AS (
+          SELECT rid,
+                 list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY ch),
+                   cc -> (cc / tot) * (log2(tot) - log2(cc)))) AS e
+          FROM (SELECT rid, ch, c,
+                       CAST(SUM(c) OVER (PARTITION BY rid) AS DOUBLE) AS tot
+                FROM cnts)
+          GROUP BY rid, tot),
+        ent AS (
+          SELECT s.src, s.domain, s.sub, len(s.sub) AS l,
+                 COALESCE(e.e, 0.0) AS e
+          FROM subs s LEFT JOIN ent0 e USING (rid))
+        SELECT src, domain, COUNT(*) AS n_queries,
+               COUNT(DISTINCT sub) AS n_subdomains,
+               ROUND(AVG(l), 6) AS avg_sub_len,
+               ROUND(AVG(e), 6) AS avg_entropy,
+               ROUND(ROUND(AVG(e), 6) * ROUND(AVG(l), 6), 6) AS tunnel_score
+        FROM ent GROUP BY src, domain
+        HAVING COUNT(*) >= 5
+    """
+
+
+def _pq_topk_oracle(
+    dim: int = 64, m: int = 4, k: int = 8, dsub: int = 16, k_top: int = 10
+) -> str:
+    """pq_ann_topk: the full PQ chain restated in SQL.  Reproducibility
+    chain (pq.py docstrings): the corpus-global int8 grid makes every
+    quantized value an exact BIGINT; init = per-subspace slices of the
+    first k rows by id; the single Lloyd iteration assigns by the
+    sequential-fold L2 distance (ties -> lowest cell, Spark's
+    lexicographic array_min == ORDER BY d ASC, cell ASC) and re-means
+    with exact int64 sums / count; codebooks map back to original
+    units by one multiply; encode = the same argmin over the DOUBLE
+    vectors; the ADC LUT is the query-subvector distance to every
+    centroid, and each row's score folds lut[j][code_j] sequentially
+    (list_sum over a sub-ordered list == Spark's aggregate fold)."""
+    js = f"(SELECT unnest(range(0, {m})) AS sub)"
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+          FROM embeddings WHERE vec_id <> 0 AND len(embedding) = {dim}),
+        smax AS (
+          SELECT max(list_max(list_transform(x, v -> abs(v)))) / 127.0 AS s
+          FROM e),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(x, v -> CAST(floor(v / s + 0.5) AS BIGINT)) AS qv
+          FROM e CROSS JOIN smax),
+        init AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, qv
+          FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id ASC LIMIT {k})),
+        c0 AS (
+          SELECT j.sub, i.cell,
+                 CAST(i.qv[j.sub * {dsub} + 1 : j.sub * {dsub} + {dsub}]
+                      AS DOUBLE[]) AS cv
+          FROM init i CROSS JOIN {js} j),
+        subs AS (
+          SELECT q.vec_id, j.sub,
+                 CAST(q.qv[j.sub * {dsub} + 1 : j.sub * {dsub} + {dsub}]
+                      AS DOUBLE[]) AS sq,
+                 q.qv[j.sub * {dsub} + 1 : j.sub * {dsub} + {dsub}] AS sqi
+          FROM qz q CROSS JOIN {js} j),
+        a1 AS (
+          SELECT vec_id, sub, sqi, cell FROM (
+            SELECT s.vec_id, s.sub, s.sqi, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY {dist.format(a='s.sq', b='c.cv')} ASC,
+                              c.cell ASC) AS rn
+            FROM subs s JOIN c0 c ON c.sub = s.sub) t
+          WHERE rn = 1),
+        m1 AS (
+          SELECT sub, cell, list(mn ORDER BY i) AS cv FROM (
+            SELECT a.sub, a.cell, p.i,
+                   CAST(SUM(a.sqi[p.i]) AS DOUBLE) / COUNT(*) AS mn
+            FROM a1 a CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS i) p
+            GROUP BY a.sub, a.cell, p.i) t
+          GROUP BY sub, cell),
+        c1 AS (
+          SELECT c0.sub, c0.cell, COALESCE(m1.cv, c0.cv) AS cv
+          FROM c0 LEFT JOIN m1 ON m1.sub = c0.sub AND m1.cell = c0.cell),
+        cb AS (
+          SELECT sub, cell, list_transform(cv, v -> v * s) AS cv
+          FROM c1 CROSS JOIN smax),
+        enc AS (
+          SELECT vec_id, sub, cell FROM (
+            SELECT s2.vec_id, s2.sub, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s2.vec_id, s2.sub
+                     ORDER BY {dist.format(a='s2.xs', b='c.cv')} ASC,
+                              c.cell ASC) AS rn
+            FROM (SELECT e.vec_id, j.sub,
+                         e.x[j.sub * {dsub} + 1 : j.sub * {dsub} + {dsub}] AS xs
+                  FROM e CROSS JOIN {js} j) s2
+            JOIN cb c ON c.sub = s2.sub) t
+          WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, list(cell ORDER BY sub) AS cl FROM enc GROUP BY vec_id),
+        qrow AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qx
+          FROM embeddings WHERE vec_id = 0),
+        lutv AS (
+          SELECT c.sub, c.cell,
+                 {dist.format(
+                     a=f'q.qx[c.sub * {dsub} + 1 : c.sub * {dsub} + {dsub}]',
+                     b='c.cv')} AS d
+          FROM cb c CROSS JOIN qrow q),
+        lutl AS (
+          SELECT list(dl ORDER BY sub) AS ll
+          FROM (SELECT sub, list(d ORDER BY cell) AS dl
+                FROM lutv GROUP BY sub)),
+        scored AS (
+          SELECT vec_id,
+                 ROUND(list_sum(list_transform(range(1, {m + 1}),
+                   j -> ll[j][cl[j] + 1])), 6) AS adc_dist
+          FROM codes CROSS JOIN lutl)
+        SELECT vec_id, adc_dist FROM scored
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {k_top}
+    """
+
+
 def _decode_fake_oracle() -> str:
     """mm_decode_fake (decode + resize folded): n_bytes and feature[4]
     = sum(first 64 bytes) mod 997 of the utf-8 payload, byte values
@@ -1528,10 +1733,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
-        """,
-        "q20_cross_join": """
-            SELECT r_name, COUNT(*) AS n_pairs FROM region CROSS JOIN nation
-            GROUP BY r_name
         """,
         "q21_union_tagged": """
             SELECT tag, COUNT(*) AS n FROM (
@@ -1896,21 +2097,8 @@ def oracle_sql() -> dict[str, str]:
               FROM scored WHERE NOT isnan(cosine_sim))
             SELECT q_id, vec_id, cosine_sim FROM ranked WHERE rn <= 20
         """,
-        "mm_frame_sample": """
-            WITH b AS (
-              SELECT doc_id, hex(encode(text)) AS hx,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS n
-              FROM documents WHERE doc_id < 100),
-            f AS (
-              SELECT doc_id, hx,
-                     unnest(range(0, least(CAST(ceil(n / 64.0) AS BIGINT), 8), 2))
-                       AS frame_idx
-              FROM b)
-            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-                   substring(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128)
-                     AS frame_hex
-            FROM f
-        """,
+        "nf_dns_tunneling": _dns_tunneling_oracle(),
+        "pq_ann_topk": _pq_topk_oracle(),
         # zeek_scan: the Spark side re-lands read_zeek's typed output
         # as parquet (fixtures/zeek_scan_landing.parquet) and
         # aggregates the landing; the oracle aggregates THE SAME file,
@@ -1930,5 +2118,40 @@ def oracle_sql() -> dict[str, str]:
                      AS n_annotations
             FROM read_parquet('{_ZEEK_LANDING}')
             GROUP BY log_name
+        """,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entries rotated out of the driver's 50-slot ``queries()`` budget
+    (round 7) but still oracle-checked by the local harness
+    (tests/test_entry_oracle.py) so their coverage never regresses."""
+    return {
+        "q20_cross_join": q20_cross_join,
+        "mm_frame_sample": mm_frame_sample,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for :func:`extra_queries`."""
+    return {
+        "q20_cross_join": """
+            SELECT r_name, COUNT(*) AS n_pairs FROM region CROSS JOIN nation
+            GROUP BY r_name
+        """,
+        "mm_frame_sample": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents WHERE doc_id < 100),
+            f AS (
+              SELECT doc_id, hx,
+                     unnest(range(0, least(CAST(ceil(n / 64.0) AS BIGINT), 8), 2))
+                       AS frame_idx
+              FROM b)
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   substring(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128)
+                     AS frame_hex
+            FROM f
         """,
     }

@@ -52,8 +52,20 @@ def ora():
     return con
 
 
-QUERIES = entry_mod.queries()
-ORACLES = entry_mod.oracle_sql()
+QUERIES = dict(entry_mod.queries())
+ORACLES = dict(entry_mod.oracle_sql())
+# rotated-out driver slots keep full local oracle coverage
+QUERIES.update(entry_mod.extra_queries())
+ORACLES.update(entry_mod.extra_oracle_sql())
+
+
+def test_driver_dict_budget():
+    """The driver checks only the first 50 queries() entries; every
+    entry must have an oracle (zeek_scan's reads its re-landed
+    parquet, so since round 6 even it is hash-grade)."""
+    q = entry_mod.queries()
+    assert len(q) == 50
+    assert [k for k in q if k not in entry_mod.oracle_sql()] == []
 
 
 def test_entry_smoke(spark):
