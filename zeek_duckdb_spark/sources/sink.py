@@ -101,6 +101,32 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _exchange_paths(a: str, b: str) -> bool:
+    """Atomically swap two paths with Linux ``renameat2(...,
+    RENAME_EXCHANGE)`` so a landing-dir swap has no reader-visible
+    gap.  Returns False wherever the syscall or glibc wrapper is
+    unavailable (non-Linux, old kernels, EINVAL from filesystems that
+    don't support exchange) — callers fall back to a rename pair."""
+    import ctypes
+    import os
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    ret = fn(
+        ctypes.c_int(AT_FDCWD),
+        os.fsencode(a),
+        ctypes.c_int(AT_FDCWD),
+        os.fsencode(b),
+        ctypes.c_uint(RENAME_EXCHANGE),
+    )
+    return ret == 0
+
+
 def compact_landing(
     spark: SparkSession,
     path: str,
@@ -121,10 +147,16 @@ def compact_landing(
     partitionBy, so partition pruning keeps working.
 
     Swap protocol (local/posix filesystems): write to ``path.tmp``,
-    atomically rename the old dir away, rename tmp in, then delete the
-    old data.  On an object store, use the table format's own
-    compaction (rewrite_data_files) instead — this helper is for the
-    plain-directory landing zone.  NOT for bucketed tables
+    then atomically EXCHANGE tmp and path via Linux
+    ``renameat2(RENAME_EXCHANGE)`` — a concurrent reader sees either
+    the old data or the new, never a missing directory.  Where the
+    syscall is unavailable (non-Linux, pre-3.15 kernels, some network
+    filesystems return EINVAL) it falls back to the rename pair
+    (old away, tmp in), which has a reader-visible instant where
+    ``path`` does not exist — a reader landing in that window errors
+    rather than reading stale data.  On an object store, use the table
+    format's own compaction (rewrite_data_files) instead — this helper
+    is for the plain-directory landing zone.  NOT for bucketed tables
     (write_bucketed) — bucket file layout is part of their contract;
     re-land those with write_bucketed itself.
 
@@ -201,9 +233,13 @@ def compact_landing(
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if _exchange_paths(tmp, path):
+        shutil.rmtree(tmp)  # tmp now holds the pre-compaction data
+    else:
+        # fallback rename pair: reader-visible gap, see docstring
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
     after = sum(
         1
         for root, _d, names in os.walk(path)
