@@ -28,6 +28,15 @@ import time
 import __spark_entry__ as entry_mod
 from zeek_duckdb_spark.session import get_spark
 
+# Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
+# machine-drift note: the observed idle end of the cpu 0.28-0.48 s /
+# scan 0.22-0.45 s ranges).  value_normalized = value / geomean(probe /
+# idle) — an estimate of what THIS run's total would read on the idle
+# machine, so cross-round deltas stop needing manual A/B re-benches.
+# These constants change only if the probe definitions change.
+CALIBRATION_IDLE_SEC = 0.28
+CALIBRATION_SCAN_IDLE_SEC = 0.25
+
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_orders",
@@ -93,17 +102,28 @@ def main() -> None:
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
+    calib_med = statistics.median(calib)
+    calib_scan_med = statistics.median(calib_scan)
+    # geometric mean of the two probes' drift ratios: the headline mix
+    # is both scan-shaped and compute-shaped, and geomean keeps the
+    # normalization symmetric (a 2x-slow and a 2x-fast VM state cancel)
+    drift = (
+        (calib_med / CALIBRATION_IDLE_SEC)
+        * (calib_scan_med / CALIBRATION_SCAN_IDLE_SEC)
+    ) ** 0.5
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_normalized": round(total / drift, 4),
+                "machine_drift_ratio": round(drift, 4),
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
                 "iters": iters,
-                "calibration_sec": round(statistics.median(calib), 4),
-                "calibration_scan_sec": round(statistics.median(calib_scan), 4),
+                "calibration_sec": round(calib_med, 4),
+                "calibration_scan_sec": round(calib_scan_med, 4),
                 "sf": sf,
             }
         )

@@ -33,4 +33,16 @@ def test_bench_emits_one_json_line_with_required_fields():
         lo, hi = d["spread"][q]
         assert lo <= t <= hi
     assert d["calibration_sec"] > 0 and d["calibration_scan_sec"] > 0
+    # normalized headline: raw total divided by the geomean of the two
+    # probes' drift ratios vs their recorded idle values
+    import bench
+
+    drift = (
+        (d["calibration_sec"] / bench.CALIBRATION_IDLE_SEC)
+        * (d["calibration_scan_sec"] / bench.CALIBRATION_SCAN_IDLE_SEC)
+    ) ** 0.5
+    assert d["machine_drift_ratio"] > 0
+    assert abs(d["machine_drift_ratio"] - drift) < 0.01
+    assert d["value_normalized"] > 0
+    assert abs(d["value_normalized"] - d["value"] / drift) < 0.05
     assert d["sf"] == 0.001
