@@ -44,7 +44,13 @@ from pyspark.sql import types as T
 
 from zeek_duckdb_spark.operators.similarity import quantize_embeddings
 
-__all__ = ["kmeans_fit_quantized", "kmeans_ivf_topk", "ivf_write", "ivf_probe_topk"]
+__all__ = [
+    "kmeans_fit_quantized",
+    "kmeans_ivf_topk",
+    "ivf_write",
+    "ivf_append",
+    "ivf_probe_topk",
+]
 
 
 def _argmax_cell(vec_name: str, cents: list[tuple[int, list[float]]]) -> Column:
@@ -155,6 +161,7 @@ def kmeans_fit_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_parallelism: int | None = None,
+    init_centroids: list[tuple[int, list[float]]] | None = None,
     _base: DataFrame | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Fit ``k`` centroids with ``iters`` Lloyd iterations over the
@@ -162,6 +169,15 @@ def kmeans_fit_quantized(
     ``cell`` in 0..k-1 (init order) — small driver-side state (K·dim
     doubles), the legitimate "model" side of the computation; the
     corpus itself never leaves the executors.
+
+    ``init_centroids`` WARM-STARTS Lloyd from a previously fitted
+    model (e.g. yesterday's :func:`ivf_write` return) instead of the
+    k-lowest-id cold init — the daily-crawl maintenance shape: refresh
+    the model with one or two iterations over corpus+delta rather than
+    refitting from scratch.  ``k`` is taken from the list; cells keep
+    their identity, so a persisted partition layout stays comparable
+    across refreshes.  Warm-starting with ``iters=0`` returns the
+    model unchanged (useful for assignment-only flows).
 
     Exactness contract: centroids are bit-identical across engines and
     partitionings because every component is
@@ -182,14 +198,19 @@ def kmeans_fit_quantized(
     owns_cache = _base is None
     if owns_cache:
         base = base.persist()
-    init_rows = base.orderBy(F.asc(id_col)).limit(k).collect()
-    if len(init_rows) < k:
-        raise ValueError(
-            f"kmeans_fit_quantized: corpus has {len(init_rows)} usable rows < k={k}"
-        )
-    cents = [
-        (i, [float(v) for v in r["qvec"]]) for i, r in enumerate(init_rows)
-    ]
+    if init_centroids is not None:
+        cents = [(int(c), [float(x) for x in v]) for c, v in init_centroids]
+        if not cents:
+            raise ValueError("kmeans_fit_quantized: init_centroids is empty")
+    else:
+        init_rows = base.orderBy(F.asc(id_col)).limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(
+                f"kmeans_fit_quantized: corpus has {len(init_rows)} usable rows < k={k}"
+            )
+        cents = [
+            (i, [float(v) for v in r["qvec"]]) for i, r in enumerate(init_rows)
+        ]
     dim = len(cents[0][1])
     # one generated-SQL agg list (see the F.expr note in
     # minhash_signatures: N Column-API trees cost py4j round-trips)
@@ -337,6 +358,52 @@ def ivf_write(
         .parquet(path)
     )
     return cents
+
+
+def ivf_append(
+    df_new: DataFrame,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW batch into a materialized IVF index
+    (:func:`ivf_write` layout) against FIXED centroids — the
+    daily-crawl serving story: yesterday's index stands, today's
+    crawl assigns + appends, nothing is rebuilt and no existing file
+    is touched.
+
+    Correctness hinges on assignment being a pure per-row function of
+    (vector, centroids): quantization scale is PER-VECTOR
+    (``similarity.quantize_embeddings``), so a new row's cell doesn't
+    depend on corpus statistics, and append == full rebuild at the
+    same centroids (pinned by tests/test_kmeans_incremental.py).
+    Partition pruning in :func:`ivf_probe_topk` keeps working — new
+    files land under the same ``cell=<c>/`` directories.
+
+    Scale shape: one zero-shuffle argmax map over the batch + one
+    repartition("cell") of the BATCH only (so each touched cell gains
+    one file set, not one file per task); the standing index never
+    moves.  Periodically :func:`sources.sink.compact_landing` is the
+    wrong tool here (bucket-like layout contract) — re-land a cell
+    with ivf_write on a filtered corpus if it fragments.
+
+    Drift note: appends reuse yesterday's model, so centroids slowly
+    stale as the distribution moves; refresh with
+    ``kmeans_fit_quantized(corpus, init_centroids=cents, iters=1)``
+    and re-land when probe recall degrades.
+    """
+    dq = quantize_embeddings(df_new, id_col, vec_col, keep=(vec_col,))
+    base = dq.filter(_nonzero("qvec")).select(
+        F.col(id_col), F.col(vec_col), F.col("qvec")
+    )
+    assigned = base.withColumn("cell", _argmax_cell("qvec", cents))
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def ivf_probe_topk(
