@@ -592,3 +592,45 @@ def test_chunk_documents_matches_duckdb(spark):
         """
     ).fetchall()
     assert got == sorted((a, int(b), c, int(d_)) for a, b, c, d_ in want)
+
+
+def test_clean_media_corpus_e2e(spark):
+    """Media-side cleaning composition: size gate -> exact byte dedup
+    (min id wins) -> pHash near-dedup with the keep-best policy — a
+    planted re-encode-style near-dup cluster collapses to its highest
+    scoring member; byte-identical copies die regardless of score."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.pipeline import clean_media_corpus
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, 1024, dtype=np.uint8)
+    near = base.copy()
+    # re-encode-style noise at a measured hamming distance of 2 (noise
+    # any milder hashes IDENTICALLY — pHash is that robust), so the
+    # max_hamming=6 and max_hamming=0 passes below differ
+    near[::23] = (near[::23] + 11) % 256
+    other = rng.integers(0, 256, 1024, dtype=np.uint8)
+    rows = [
+        (0, bytearray(base.tobytes()), 1.0),
+        (1, bytearray(near.tobytes()), 5.0),   # best of the {0,1} cluster
+        (2, bytearray(other.tobytes()), 1.0),
+        (3, bytearray(base.tobytes()), 9.0),   # exact copy of 0 -> exact pass
+        (4, bytearray(b""), 1.0),              # size gate
+        (5, None, 1.0),                        # size gate
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, media binary, score double")
+
+    kept_best = clean_media_corpus(
+        d, fake=True, max_hamming=6, keep_score="score"
+    )
+    assert kept_best.columns == ["doc_id", "media", "score"]
+    assert {r.doc_id for r in kept_best.collect()} == {1, 2}
+
+    kept_min = clean_media_corpus(d, fake=True, max_hamming=6)
+    assert {r.doc_id for r in kept_min.collect()} == {0, 2}
+
+    # hamming-2 pair is out of reach at max_hamming=0 -> only the
+    # gates + exact dedup fire
+    kept_strict = clean_media_corpus(d, fake=True, max_hamming=0)
+    assert {r.doc_id for r in kept_strict.collect()} == {0, 1, 2}

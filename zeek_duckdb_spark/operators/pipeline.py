@@ -34,6 +34,7 @@ from zeek_duckdb_spark.operators.textops import (
 
 __all__ = [
     "clean_corpus",
+    "clean_media_corpus",
     "salted_group_count",
     "deterministic_sample",
     "stratified_sample",
@@ -229,6 +230,81 @@ def _near_dedup_pass(
         .select(F.col("v").alias(id_col))
     )
     return deduped.join(losers, id_col, "left_anti")
+
+
+def clean_media_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    decoder=None,
+    fake: bool = False,
+    min_bytes: int = 1,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
+    keep_score: str | None = None,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """The media-side sibling of :func:`clean_corpus`: clean an image
+    (or other binary-media) table by size gate -> exact byte dedup ->
+    perceptual near-dedup, returning the surviving rows with all input
+    columns intact.
+
+    Stages, in crawl-pipeline order:
+
+    1. **Size gate** — NULL payloads and payloads under ``min_bytes``
+       are dropped (un-decodable / tracking-pixel-class junk); a pure
+       pushable filter.
+    2. **Exact dedup** — byte-identical copies collapse to the
+       lowest-id member via one md5-of-bytes hash aggregate + semi
+       join (the ``clean_corpus`` fingerprint pass on binary).
+       Running this FIRST keeps the pHash buckets free of identical
+       mega-clusters — the same bucket-skew argument as the text
+       pipeline's exact-before-fuzzy order.
+    3. **Perceptual near-dedup** — :func:`multimodal.phash_media`
+       (decode -> 32x32 -> DCT pHash; inject a real ``decoder=`` or
+       ``fake=True`` for the deterministic byte-tile stand-in) feeds
+       :func:`multimodal.phash_pairs` (SimHash block-permutation
+       buckets — never all-pairs), clusters resolve via
+       :func:`graph.resolve_clusters`: each near-dup cluster keeps its
+       best-``keep_score`` member (ties/NULLs -> min id), or the min
+       id when no score is given — re-encoded/resized copies die, the
+       best original survives.
+
+    Scale shape: one pushable filter + one hash-agg/semi-join shuffle
+    (exact) + the bucketed pair shuffle (near) + one anti-join against
+    the loser set — exactly the text pipeline's budget with the decode
+    map (Arrow-batched, zero shuffle) in place of the quality-feature
+    map.  ``max_bucket_size``/``on_oversize`` bound pHash bucket skew.
+    """
+    out_cols = [F.col(c) for c in df.columns]
+    from zeek_duckdb_spark.operators.graph import resolve_clusters
+    from zeek_duckdb_spark.operators.multimodal import phash_media, phash_pairs
+
+    base = df.filter(
+        F.col(media_col).isNotNull() & (F.length(media_col) >= min_bytes)
+    )
+    with_fp = base.withColumn("__fp", F.md5(F.col(media_col)))
+    keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    deduped = with_fp.join(keepers, [id_col, "__fp"], "left_semi").drop("__fp")
+
+    hashed = phash_media(
+        deduped, id_col=id_col, media_col=media_col,
+        decoder=decoder, fake=fake, bits=bits,
+    )
+    pairs = phash_pairs(
+        hashed,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        bits=bits,
+        max_bucket_size=max_bucket_size,
+        on_oversize=on_oversize,
+    ).select("id_a", "id_b")
+    return resolve_clusters(
+        deduped, pairs, id_col, score_col=keep_score
+    ).select(*out_cols)
 
 
 def salted_group_count(
