@@ -75,14 +75,17 @@ _COPY_SQL = {
 
 
 def materialize(dst_root: str, copies: int, tables: list[str]) -> None:
-    if os.path.isdir(dst_root) and os.listdir(dst_root):
-        return
+    # idempotent PER TABLE (not per tier), so a tier can grow new
+    # tables later (the sketch bench adds documents/embeddings to the
+    # join-only sf5 tier) without re-replicating what exists
     import duckdb
 
     con = duckdb.connect()
     os.makedirs(dst_root, exist_ok=True)
     for t in tables:
         d = os.path.join(dst_root, f"{t}.parquet")
+        if os.path.isdir(d) and os.listdir(d):
+            continue
         os.makedirs(d, exist_ok=True)
         src = os.path.join(SF01, f"{t}.parquet")
         # dimension tables stay 1x (they're constant-size at every SF,
@@ -164,6 +167,61 @@ def bench_duckdb(
         for n in names:
             samples[n].append(run(n))
     return {n: statistics.median(s) for n, s in samples.items()}
+
+
+TABLES_SKETCH = ["documents", "embeddings"]
+HEADLINE_SKETCH = ["dd_minhash_lsh", "dd_dup_spans", "pq_ann_topk"]
+
+
+def bench_sketch(iters: int) -> dict:
+    """Scaling rows for the sketch/ANN family at 1x/10x/50x (Spark
+    side): dd_minhash_lsh (banded LSH), dd_dup_spans (windowed
+    fingerprints — the per-token explode IS the computation), and
+    pq_ann_topk (the full PQ train+encode+ADC chain).  The replicate
+    protocol keeps per-doc near-dup density and per-key populations
+    constant (copy markers / id offsets), so time should grow
+    near-linearly with rows — a super-linear row here means a bucket
+    or pair explosion, the sketch-family scale killer.  Prints rows;
+    pasted into SCALING.md as a static section."""
+    import __spark_entry__ as em
+    from zeek_duckdb_spark.session import get_spark
+
+    materialize(SF5, COPIES5, TABLES_SKETCH)
+    spark = get_spark("bench-sketch")
+    queries = em.queries()
+    out: dict = {}
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1), ("sf5", SF5)]:
+        for name in HEADLINE_SKETCH:
+            run(name, sf_dir)  # warm-up
+            samples = [run(name, sf_dir) for _ in range(iters)]
+            out.setdefault(name, {})[label] = {
+                "median_s": round(statistics.median(samples), 3),
+                "spread": [round(min(samples), 3), round(max(samples), 3)],
+            }
+    spark.stop()
+    rows = {"sf0.1": 1, "sf1": 10, "sf5": 50}
+    print("| query | tier (rows) | median | spread | vs 1x |")
+    print("|---|---|---|---|---|")
+    for name, tiers in out.items():
+        base = tiers["sf0.1"]["median_s"]
+        for label, r in tiers.items():
+            print(
+                "| %s | %s (%dx) | %.3f | %.3f-%.3f | %.1fx |"
+                % (
+                    name, label, rows[label], r["median_s"],
+                    r["spread"][0], r["spread"][1],
+                    r["median_s"] / base if base else float("nan"),
+                )
+            )
+    return out
 
 
 def _bucketed_queries(spark, sf_dir: str, li_t: str, ord_t: str):
@@ -255,8 +313,14 @@ def main() -> None:
                     help="skip the 50x join-gap replicate")
     ap.add_argument("--no-bucketed", action="store_true",
                     help="skip the bucketed-landing experiment")
+    ap.add_argument("--sketch", action="store_true",
+                    help="run ONLY the sketch-family scaling rows "
+                         "(prints a markdown table, leaves SCALING.md alone)")
     args = ap.parse_args()
     materialize_sf1()
+    if args.sketch:
+        bench_sketch(args.iters)
+        return
 
     results: dict[str, dict[str, dict[str, float]]] = {}
     for label, sf_dir, glob_tables in [("sf0.1", SF01, False), ("sf1", SF1, True)]:
@@ -432,8 +496,21 @@ def main() -> None:
         "6.7x less fixed overhead, bit-identical results (oracle-pinned).",
         "",
     ]
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+    # preserve the hand-recorded sections (one-off A/Bs, drift notes)
+    # below the MANUAL-SECTIONS marker across regenerations
+    scaling_path = os.path.join(REPO, "SCALING.md")
+    marker = "<!-- MANUAL-SECTIONS:"
+    manual_tail = ""
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            old = f.read()
+        at = old.find(marker)
+        if at != -1:
+            manual_tail = old[at:]
+    with open(scaling_path, "w") as f:
         f.write("\n".join(lines))
+        if manual_tail:
+            f.write("\n" + manual_tail)
     summary = {
         k: {e: round(sum(v.values()), 3) for e, v in d.items()}
         for k, d in results.items()

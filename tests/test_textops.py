@@ -348,3 +348,102 @@ def test_bm25_stats_side_broadcasts(spark):
     # shuffles to receive them
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- Public-Suffix-List registered domains --------------------------------
+
+def test_registered_domain_psl_multi_label(spark):
+    """sub.example.co.uk -> example.co.uk (the PSL fix the naive
+    last-two-labels rule can't make), single-label TLDs unchanged,
+    hosts that ARE a public suffix pass through."""
+    from zeek_duckdb_spark.operators.textops import (
+        registered_domain,
+        registered_domain_psl_col,
+    )
+
+    rows = [
+        ("sub.example.co.uk",), ("deep.sub.example.co.uk",),
+        ("example.co.uk",), ("co.uk",),
+        ("www.example.com",), ("example.com",), ("localhost",),
+        (None,),
+    ]
+    d = spark.createDataFrame(rows, "host string")
+    got = {
+        r.host: r.rd
+        for r in d.select(
+            "host", registered_domain_psl_col(F.col("host")).alias("rd")
+        ).collect()
+    }
+    assert got["sub.example.co.uk"] == "example.co.uk"
+    assert got["deep.sub.example.co.uk"] == "example.co.uk"
+    assert got["example.co.uk"] == "example.co.uk"
+    assert got["co.uk"] == "co.uk"          # a public suffix -> identity
+    assert got["www.example.com"] == "example.com"
+    assert got["localhost"] == "localhost"
+    assert got[None] is None
+    # naive rule really does differ on the multi-label case
+    naive = {
+        r.host: r.rd
+        for r in d.select(
+            "host", registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    assert naive["sub.example.co.uk"] == "co.uk"
+
+
+def test_registered_domain_psl_wildcard_and_exception(spark):
+    """Upstream rule semantics: '*.kawasaki.jp' makes every label under
+    kawasaki.jp a public suffix EXCEPT the '!city.kawasaki.jp'
+    exception, whose rule labels are themselves the registrable part."""
+    from zeek_duckdb_spark.operators.textops import registered_domain_psl_col
+
+    rows = [
+        ("foo.bar.kawasaki.jp",),   # wildcard: suffix = bar.kawasaki.jp
+        ("a.foo.bar.kawasaki.jp",),
+        ("city.kawasaki.jp",),      # exception: registrable as-is
+        ("www.city.kawasaki.jp",),
+        ("shop.co.jp",),            # plain multi-label
+    ]
+    d = spark.createDataFrame(rows, "host string")
+    got = {
+        r.host: r.rd
+        for r in d.select(
+            "host", registered_domain_psl_col(F.col("host")).alias("rd")
+        ).collect()
+    }
+    assert got["foo.bar.kawasaki.jp"] == "foo.bar.kawasaki.jp"
+    assert got["a.foo.bar.kawasaki.jp"] == "foo.bar.kawasaki.jp"
+    assert got["city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert got["www.city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert got["shop.co.jp"] == "shop.co.jp"
+
+
+def test_psl_upstream_file_and_iterable_parsing(tmp_path):
+    """_load_psl accepts the upstream public_suffix_list.dat syntax
+    (comments, blank lines, trailing text) and rule iterables; the
+    compiled sets drive _registered_domain_py identically."""
+    from zeek_duckdb_spark.operators.textops import (
+        _load_psl,
+        _registered_domain_py,
+    )
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "uk  // inline trailing comment text\n"
+    )
+    for psl in (str(dat), ["co.uk", "*.ck", "!www.ck", "uk"]):
+        exact, wild, exc, max_k = _load_psl(psl)
+        assert "co.uk" in exact and "ck" in wild and "www.ck" in exc
+        # deepest rule here is 2 labels ('co.uk'; '*.ck' probes its
+        # parent at k=2), so the label-walk bound is exactly 2
+        assert max_k == 2
+        rd = lambda h: _registered_domain_py(h, exact, wild, exc, max_k)  # noqa: E731
+        assert rd("sub.example.co.uk") == "example.co.uk"
+        assert rd("a.b.ck") == "a.b.ck"       # wildcard suffix b.ck
+        assert rd("x.www.ck") == "www.ck"     # exception
+        assert rd("host.uk.") == "host.uk"    # trailing dot stripped
