@@ -1,0 +1,179 @@
+"""N-gram LM perplexity scoring: hand-computed parity, DuckDB
+differential on the sf table, discrimination (in-domain text scores
+lower than OOV garbage), validation."""
+
+import math
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.lm import ngram_lm_fit, perplexity_scores
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_lm(train_texts, n=2, alpha=0.1):
+    """Independent reference implementation of the model semantics."""
+    grams: dict = {}
+    vocab = set()
+    for t in train_texts:
+        toks = t.strip().lower().split()
+        vocab.update(toks)
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            grams[g] = grams.get(g, 0) + 1
+    ctxs: dict = {}
+    for g, c in grams.items():
+        ctx = " ".join(g.split(" ")[: n - 1])
+        ctxs[ctx] = ctxs.get(ctx, 0) + c
+    return grams, ctxs, len(vocab)
+
+
+def _py_score(text, grams, ctxs, v, n=2, alpha=0.1):
+    toks = text.strip().lower().split()
+    lps = []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        ctx = " ".join(toks[i : i + n - 1])
+        lps.append(
+            math.log((grams.get(g, 0) + alpha) / (ctxs.get(ctx, 0) + alpha * v))
+        )
+    if not lps:
+        return None
+    avg = sum(lps) / len(lps)
+    return len(lps), avg, math.exp(-avg)
+
+
+def test_lm_matches_python_reference(spark):
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+    ]
+    score_rows = [
+        (0, "the cat sat"),          # all-seen bigrams
+        (1, "the zebra sat on"),     # OOV token
+        (2, "cat"),                  # < n tokens -> absent
+        (3, "dog sat on the mat"),
+    ]
+    d_train = spark.createDataFrame([(t,) for t in train], "text string")
+    d_score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    lm = ngram_lm_fit(d_train, n=2, alpha=0.1)
+    grams, ctxs, v = _py_lm(train)
+    assert lm.vocab_size == v
+    assert {(r.gram, r.c) for r in lm.grams.collect()} == set(grams.items())
+    assert {(r.ctx, r.c) for r in lm.contexts.collect()} == set(ctxs.items())
+
+    got = {r.doc_id: r for r in perplexity_scores(d_score, lm).collect()}
+    assert 2 not in got  # un-scorable, absent
+    for i, t in score_rows:
+        want = _py_score(t, grams, ctxs, v)
+        if want is None:
+            continue
+        n_tok, avg, ppl = want
+        assert got[i].lm_tokens == n_tok
+        assert got[i].avg_logp == pytest.approx(round(avg, 6), abs=1e-6)
+        assert got[i].perplexity == pytest.approx(round(ppl, 4), abs=1e-4)
+
+
+def test_lm_matches_duckdb_differential(spark):
+    """Full restatement on the sf0.001 documents table: fit on
+    doc_id < 200, score doc_id >= 200, compare every row at the
+    output rounding."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") < 200)
+    score = docs.filter(F.col("doc_id") >= 200).filter(F.col("doc_id") < 260)
+    lm = ngram_lm_fit(train, n=2, alpha=0.5)
+    got = {
+        r.doc_id: (r.lm_tokens, r.avg_logp, r.perplexity)
+        for r in perplexity_scores(score, lm).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.execute(
+        f"""
+        WITH tr AS (
+          SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents WHERE doc_id < 200),
+        trg AS (
+          SELECT concat_ws(' ', tk[i], tk[i+1]) AS gram
+          FROM tr, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)),
+        g AS (SELECT gram, COUNT(*) AS c FROM trg GROUP BY gram),
+        cx AS (
+          SELECT string_split(gram, ' ')[1] AS ctx, SUM(c) AS c
+          FROM g GROUP BY 1),
+        v AS (
+          SELECT COUNT(DISTINCT u.t) AS v
+          FROM tr, unnest(tk) AS u(t)),
+        sc AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents WHERE doc_id >= 200 AND doc_id < 260),
+        scg AS (
+          SELECT doc_id, concat_ws(' ', tk[i], tk[i+1]) AS gram,
+                 tk[i] AS ctx
+          FROM sc, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)),
+        lp AS (
+          SELECT doc_id,
+                 ln((COALESCE(g.c, 0) + 0.5) /
+                    (COALESCE(cx.c, 0) + 0.5 * v.v)) AS logp
+          FROM scg LEFT JOIN g USING (gram)
+                   LEFT JOIN cx USING (ctx)
+                   CROSS JOIN v)
+        SELECT doc_id, COUNT(*) AS lm_tokens,
+               ROUND(AVG(logp), 6) AS avg_logp,
+               ROUND(exp(-AVG(logp)), 4) AS perplexity
+        FROM lp GROUP BY doc_id
+        """
+    ).fetchall()
+    want_d = {r[0]: (r[1], r[2], r[3]) for r in want}
+    assert set(got) == set(want_d)
+    for k in got:
+        assert got[k][0] == want_d[k][0], k
+        assert got[k][1] == pytest.approx(want_d[k][1], abs=2e-6), k
+        assert got[k][2] == pytest.approx(want_d[k][2], rel=1e-5), k
+
+
+def test_lm_discriminates_in_domain_text(spark):
+    """The quality-gate property: text made of training-corpus
+    collocations scores far lower perplexity than (a) OOV token soup,
+    which floors at ~V (the uniform-model score), and (b) in-vocab
+    tokens in never-seen orders.  (The sf documents table is itself
+    near-uniform token soup over a 31-word vocabulary, so this test
+    fits on structured sentences instead.)"""
+    train = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox likes the lazy dog",
+        "a lazy dog sleeps while the quick brown fox jumps",
+    ] * 3
+    lm = ngram_lm_fit(
+        spark.createDataFrame([(t,) for t in train], "text string"), n=2
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),  # in-domain
+        (1, "zzqx wvvk pqzj xxo9 qqv7 zk3m wopq 9qxz"),      # OOV soup
+        (2, "dog the fox quick brown lazy the jumps over"),   # shuffled
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ppl = {r.doc_id: r.perplexity for r in perplexity_scores(d, lm).collect()}
+    assert ppl[0] < ppl[1] / 3 and ppl[0] < ppl[2] / 3
+    # OOV soup floors near the uniform-model score ~V
+    assert ppl[1] == pytest.approx(lm.vocab_size, rel=0.35)
+
+
+def test_lm_validation(spark):
+    d = spark.createDataFrame([("hello world",)], "text string")
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        ngram_lm_fit(d, n=1)
+    with pytest.raises(ValueError, match="alpha"):
+        ngram_lm_fit(d, alpha=0.0)
+    empty = spark.createDataFrame([("",), ("   ",)], "text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        ngram_lm_fit(empty)

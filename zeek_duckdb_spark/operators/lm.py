@@ -1,0 +1,150 @@
+"""N-gram language-model perplexity scoring — the CCNet-class quality
+filter of a training-data pipeline (Wenzek et al. 2020 filter CommonCrawl
+by KenLM perplexity; Gopher/FineWeb pipelines keep LM-perplexity gates).
+A 5-gram KenLM is not restatable cross-engine, so this operator is the
+Spark-first, oracle-restatable core of that stage: an add-alpha-smoothed
+n-gram LM fit on one corpus, scoring any other corpus.
+
+Model semantics (all counts over whitespace tokens of
+``trim(lower(text))``):
+
+    p(w | ctx) = (c(ctx·w) + alpha) / (c_prefix(ctx) + alpha · V)
+
+where ``c(ctx·w)`` is the n-gram count, ``c_prefix(ctx)`` is the
+PREFIX count (sum of counts of n-grams starting with ctx — the proper
+conditional normalizer; a bare (n-1)-gram count would leak mass at
+document tails), and ``V`` is the distinct-token vocabulary size of the
+training corpus.  Per-document score = mean ln p over its n-grams;
+``perplexity = exp(-mean ln p)`` (natural-log perplexity — a uniform
+model over V tokens scores ~V).  Documents with fewer than ``n`` tokens
+have no n-grams and are absent from the output (un-scorable; left-join
+them back if the pipeline needs a NULL row).
+
+Scale shape: fitting is one explode + one map-side-combinable hash
+aggregate over the training corpus plus one distinct-count job for V
+(the model stays DISTRIBUTED — n-gram tables at web scale are
+millions of rows and never collect to the driver); scoring is one
+explode + two equi-joins against the model (AQE broadcasts a small
+model, shuffle-hash otherwise — either way keyed, bounded, never
+all-pairs) + one per-doc aggregate.  No windows, no driver-side
+state beyond the two scalars (V, alpha).
+
+Reference scope note: the reference engine (a DuckDB Zeek-scan
+extension, /root/reference/src) has no LM surface; this belongs to the
+training-data-pipeline suite (SURVEY.md "beyond the reference" track).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.textops import nonempty_tokens
+
+__all__ = ["NgramLM", "ngram_lm_fit", "perplexity_scores"]
+
+
+class NgramLM(NamedTuple):
+    """A fitted n-gram LM: two distributed count tables + two scalars.
+    ``grams``: (gram, c) n-gram counts; ``contexts``: (ctx, c) PREFIX
+    counts (see module docstring); ``vocab_size``: distinct training
+    tokens; ``alpha``: add-alpha smoothing mass."""
+
+    n: int
+    alpha: float
+    vocab_size: int
+    grams: DataFrame
+    contexts: DataFrame
+
+
+def _gram_col(tok_col: str, n: int):
+    """In-order, non-distinct n-grams over a materialized token-array
+    column (''-joined with single spaces; [] when the doc is shorter
+    than n).  Generated as one SQL string — the _shingles_from_tokens
+    lesson (py4j tree cost; slicing a STORED array inside the lambda is
+    cheap)."""
+    return F.expr(
+        f"if(size({tok_col}) >= {n}, "
+        f"transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tok_col}, i + 1, {n}))), "
+        f"array())"
+    )
+
+
+def _gram_rows(df: DataFrame, id_cols: list[str], text_col: str, n: int) -> DataFrame:
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(*id_cols, toks.alias("__toks"))
+        .select(*id_cols, F.explode(_gram_col("__toks", n)).alias("gram"))
+    )
+
+
+def ngram_lm_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    alpha: float = 0.1,
+) -> NgramLM:
+    """Fit the add-alpha n-gram LM on ``df``'s ``text_col``.  Runs ONE
+    job eagerly (the distinct-token count for V); the count tables are
+    lazy DataFrames — persist them if many corpora will be scored
+    against one model."""
+    if n < 2:
+        raise ValueError("ngram_lm_fit: n must be >= 2 (unigram rates are "
+                         "operators/vocab.py's job)")
+    if alpha <= 0:
+        raise ValueError("ngram_lm_fit: alpha must be > 0")
+    grams = _gram_rows(df, [], text_col, n).groupBy("gram").agg(
+        F.count("*").alias("c")
+    )
+    # prefix counts: aggregate the (already reduced) n-gram table by
+    # its leading n-1 tokens — model-sized input, not corpus-sized
+    contexts = grams.select(
+        F.substring_index("gram", " ", n - 1).alias("ctx"), F.col("c")
+    ).groupBy("ctx").agg(F.sum("c").alias("c"))
+    toks = nonempty_tokens(F.lower(F.col(text_col)))
+    vocab_size = (
+        df.select(F.explode(toks).alias("tok")).agg(
+            F.count_distinct("tok").alias("v")
+        ).first()["v"]
+    )
+    if not vocab_size:
+        raise ValueError("ngram_lm_fit: training corpus has no tokens")
+    return NgramLM(n, float(alpha), int(vocab_size), grams, contexts)
+
+
+def perplexity_scores(
+    df: DataFrame,
+    lm: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, lm_tokens, avg_logp, perplexity) per document with >= n
+    tokens: ``avg_logp`` = mean ln p(w|ctx) over the doc's n-grams
+    (6 dp), ``perplexity`` = exp(-avg) rounded to 4 dp — LOWER is more
+    natural relative to the training corpus; the standard gate keeps
+    docs under a perplexity ceiling (or inside a band, Gopher-style,
+    to also drop degenerate low-perplexity repetition)."""
+    g = _gram_rows(df, [id_col], text_col, lm.n)
+    scored = (
+        g.join(lm.grams.withColumnRenamed("c", "__cg"), "gram", "left")
+        .withColumn("ctx", F.substring_index("gram", " ", lm.n - 1))
+        .join(lm.contexts.withColumnRenamed("c", "__cc"), "ctx", "left")
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("__cg"), F.lit(0)) + F.lit(lm.alpha))
+                / (
+                    F.coalesce(F.col("__cc"), F.lit(0))
+                    + F.lit(lm.alpha) * F.lit(float(lm.vocab_size))
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("lm_tokens"),
+        F.round(F.avg("__logp"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.avg("__logp")), 4).alias("perplexity"),
+    )
