@@ -634,3 +634,47 @@ def test_clean_media_corpus_e2e(spark):
     # gates + exact dedup fire
     kept_strict = clean_media_corpus(d, fake=True, max_hamming=0)
     assert {r.doc_id for r in kept_strict.collect()} == {0, 1, 2}
+
+
+def test_clean_corpus_perplexity_gate(spark):
+    """lm= + max/min_perplexity gates documents between the surface-
+    quality filter and dedup: high-perplexity OOV soup dies, in-domain
+    docs survive, the Gopher-style band also drops degenerate
+    repetition, and validation is loud."""
+    import pytest as _pytest
+
+    from zeek_duckdb_spark.operators.lm import ngram_lm_fit
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    # 'buy now' spam repetition is IN the training crawl (as it is in
+    # any real one), so the degenerate doc below is a high-probability
+    # loop of seen bigrams — the low-perplexity failure mode the
+    # Gopher-style band exists to drop
+    train = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox likes the lazy dog",
+        "a lazy dog sleeps while the quick brown fox jumps",
+        "buy now buy now buy now buy now",
+    ] * 3
+    lm = ngram_lm_fit(
+        spark.createDataFrame([(t,) for t in train], "text string"), n=2
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "zzqx wvvk pqzj xxo9 qqv7 zk3m wopq 9qxz vvkk zzzz"),
+        (2, "buy now buy now buy now buy now buy now"),  # degenerate loop
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = clean_corpus(d, min_tokens=5, lm=lm, max_perplexity=10.0)
+    assert {r.doc_id for r in kept.collect()} == {0, 2}
+
+    banded = clean_corpus(
+        d, min_tokens=5, lm=lm, max_perplexity=10.0, min_perplexity=1.3
+    )
+    assert {r.doc_id for r in banded.collect()} == {0}
+
+    with _pytest.raises(ValueError, match="need lm="):
+        clean_corpus(d, max_perplexity=10.0)
+    with _pytest.raises(ValueError, match="max_perplexity"):
+        clean_corpus(d, lm=lm)

@@ -63,6 +63,9 @@ def clean_corpus(
     near_dedup: str | None = None,
     near_params: dict | None = None,
     near_keep_score: str | None = None,
+    lm=None,
+    max_perplexity: float | None = None,
+    min_perplexity: float | None = None,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -110,6 +113,16 @@ def clean_corpus(
       numeric column visible at that stage works, including the
       quality features this pipeline computed (``q_tokens``,
       ``stop_ratio``, ...) or a classifier score carried in ``df``.
+    - ``lm=<operators.lm.NgramLM>`` + ``max_perplexity=`` (and
+      optionally ``min_perplexity=`` for the Gopher-style band that
+      also drops degenerate low-perplexity repetition) gates documents
+      by LM perplexity AFTER the cheap surface-quality filter and
+      BEFORE dedup — the CCNet stage order: the model joins are the
+      most expensive per-doc work here, so they run on the
+      already-thinned corpus, and dedup shouldn't keep a duplicate
+      whose twin the gate rejects.  Docs too short to score (< n
+      tokens) are dropped by the gate (un-scorable ≈ unusable for
+      training; lower ``min_tokens`` interacts — see tests).
     """
     keep_cols = [id_col, text_col]
     if near_keep_score is not None and near_keep_score in df.columns:
@@ -153,6 +166,27 @@ def clean_corpus(
         (F.col("q_tokens") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
+    if (max_perplexity is not None or min_perplexity is not None) and lm is None:
+        raise ValueError("clean_corpus: perplexity bounds need lm=")
+    if lm is not None:
+        if max_perplexity is None and min_perplexity is None:
+            raise ValueError(
+                "clean_corpus: lm= needs max_perplexity= (and/or min_perplexity=)"
+            )
+        from zeek_duckdb_spark.operators.lm import perplexity_scores
+
+        ppl = perplexity_scores(kept, lm, id_col=id_col, text_col=text_col)
+        cond = F.lit(True)
+        if max_perplexity is not None:
+            cond = cond & (F.col("perplexity") <= max_perplexity)
+        if min_perplexity is not None:
+            cond = cond & (F.col("perplexity") >= min_perplexity)
+        # semi join: the gate attaches no columns, so downstream stages
+        # keep their projection; un-scorable docs (< n tokens) have no
+        # score row and are dropped
+        kept = kept.join(
+            ppl.filter(cond).select(id_col), id_col, "left_semi"
+        )
     key = dedup_key if dedup_key is not None else fingerprint(F.col(text_col))
     with_key = kept.withColumn("fp", key)
     keepers = with_key.groupBy("fp").agg(F.min(id_col).alias(id_col))
