@@ -306,6 +306,26 @@ def bench_bucketed(sf_label: str, sf_dir: str, iters: int) -> dict:
     return out
 
 
+MANUAL_MARKER = "<!-- MANUAL-SECTIONS:"
+
+
+def write_scaling_md(lines: list[str], path: str) -> None:
+    """Write the regenerated tables, PRESERVING everything at/after the
+    MANUAL-SECTIONS marker (hand-recorded one-off A/Bs and drift notes
+    survive regeneration instead of being truncated)."""
+    manual_tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        at = old.find(MANUAL_MARKER)
+        if at != -1:
+            manual_tail = old[at:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+        if manual_tail:
+            f.write("\n" + manual_tail)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
@@ -496,21 +516,7 @@ def main() -> None:
         "6.7x less fixed overhead, bit-identical results (oracle-pinned).",
         "",
     ]
-    # preserve the hand-recorded sections (one-off A/Bs, drift notes)
-    # below the MANUAL-SECTIONS marker across regenerations
-    scaling_path = os.path.join(REPO, "SCALING.md")
-    marker = "<!-- MANUAL-SECTIONS:"
-    manual_tail = ""
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            old = f.read()
-        at = old.find(marker)
-        if at != -1:
-            manual_tail = old[at:]
-    with open(scaling_path, "w") as f:
-        f.write("\n".join(lines))
-        if manual_tail:
-            f.write("\n" + manual_tail)
+    write_scaling_md(lines, os.path.join(REPO, "SCALING.md"))
     summary = {
         k: {e: round(sum(v.values()), 3) for e, v in d.items()}
         for k, d in results.items()

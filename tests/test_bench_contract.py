@@ -46,3 +46,31 @@ def test_bench_emits_one_json_line_with_required_fields():
     assert d["value_normalized"] > 0
     assert abs(d["value_normalized"] - d["value"] / drift) < 0.05
     assert d["sf"] == 0.001
+
+
+def test_scaling_md_regeneration_preserves_manual_sections(tmp_path):
+    """bench_scaling regenerates SCALING.md's tables but must never
+    truncate the hand-recorded sections below the MANUAL-SECTIONS
+    marker (they hold one-off A/Bs the script can't reproduce)."""
+    import bench_scaling as bs
+
+    p = tmp_path / "SCALING.md"
+    p.write_text(
+        "# old tables\nstale row\n"
+        f"{bs.MANUAL_MARKER} ... -->\n\n## Hand-recorded A/B\nkept row\n"
+    )
+    bs.write_scaling_md(["# new tables", "fresh row"], str(p))
+    out = p.read_text()
+    assert "fresh row" in out and "stale row" not in out
+    assert "## Hand-recorded A/B" in out and "kept row" in out
+    # idempotent: a second regeneration keeps exactly one manual tail
+    bs.write_scaling_md(["# newer"], str(p))
+    assert p.read_text().count(bs.MANUAL_MARKER) == 1
+    # no marker -> plain overwrite, no crash
+    q = tmp_path / "fresh.md"
+    bs.write_scaling_md(["# only tables"], str(q))
+    assert q.read_text() == "# only tables"
+    # and the real SCALING.md actually carries the marker
+    import os
+    with open(os.path.join(os.path.dirname(bs.__file__), "SCALING.md")) as f:
+        assert bs.MANUAL_MARKER in f.read()
