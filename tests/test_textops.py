@@ -447,3 +447,79 @@ def test_psl_upstream_file_and_iterable_parsing(tmp_path):
         assert rd("a.b.ck") == "a.b.ck"       # wildcard suffix b.ck
         assert rd("x.www.ck") == "www.ck"     # exception
         assert rd("host.uk.") == "host.uk"    # trailing dot stripped
+
+
+# --- normalize_text (ftfy-lite crawl cleaning) ----------------------------
+
+def test_normalize_text_golden_cases(spark):
+    from zeek_duckdb_spark.operators.textops import normalize_text
+
+    decomposed = "café"          # e + combining acute
+    rows = [
+        (0, decomposed),
+        (1, "a​b‌c﻿d"),  # zero-width junk
+        (2, "line1\r\nline2\rline3"),   # CRLF + lone CR
+        (3, "ctrl\x00\x01\x1b[31mred"), # NULs + ANSI escape intro
+        (4, "tab\tand\nnewline kept"),
+        (5, None),
+        (6, "plain ascii stays"),
+    ]
+    d = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.n
+        for r in d.select("id", normalize_text(F.col("t")).alias("n")).collect()
+    }
+    assert got[0] == "café"                 # NFC composed
+    assert got[1] == "abcd"
+    assert got[2] == "line1\nline2line3"         # CRLF->LF, lone CR dies
+    assert got[3] == "ctrl[31mred"               # controls incl. ESC die
+    assert got[4] == "tab\tand\nnewline kept"
+    assert got[5] is None
+    assert got[6] == "plain ascii stays"
+
+
+def test_normalize_text_nfkc_and_collapse(spark):
+    from zeek_duckdb_spark.operators.textops import normalize_text
+
+    rows = [(0, "ﬁle  ＮＯ１   done "), (1, "ｶﾀｶﾅ")]
+    d = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.n
+        for r in d.select(
+            "id",
+            normalize_text(F.col("t"), form="NFKC", collapse_ws=True).alias("n"),
+        ).collect()
+    }
+    import unicodedata
+
+    assert got[0] == "file NO1 done"             # ligature + fullwidth fold
+    assert got[1] == unicodedata.normalize("NFKC", "ｶﾀｶﾅ")
+    with pytest.raises(ValueError, match="form"):
+        normalize_text(F.col("t"), form="NFX")
+
+
+def test_normalize_text_nfc_matches_duckdb(spark):
+    """The NFC path against DuckDB's nfc_normalize on mixed
+    composed/decomposed/ASCII text (controls pre-stripped on both
+    sides is the operator's contract, so strip_controls=False here
+    isolates the normalization step)."""
+    import duckdb
+
+    from zeek_duckdb_spark.operators.textops import normalize_text
+
+    vals = [
+        "café", "café", "Ångström", "plain",
+        "mixed é and é twice é", "ümlaut ü",
+        "한국어 조합: 각",  # jamo -> syllable under NFC
+    ]
+    d = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, t string")
+    got = {
+        r.id: r.n
+        for r in d.select(
+            "id", normalize_text(F.col("t"), strip_controls=False).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        want = con.execute("SELECT nfc_normalize(?)", [v]).fetchone()[0]
+        assert got[i] == want, i

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "normalize_text",
     "tokens",
     "nonempty_tokens",
     "token_count",
@@ -65,6 +66,72 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 PUNCT_CLASS = "[.,!?;:]"
 STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+
+# stripped by normalize_text: C0 controls except \t\n (ascii-art and
+# terminal-escape junk in crawls; \r is here because CRLF has already
+# folded to LF when this class runs — only LONE \r remains), DEL, and
+# the zero-width/format characters (U+200B..U+200D, U+FEFF) that break
+# tokenization and dedup fingerprints invisibly.  Kept EXPLICIT (no
+# \p{Cc} classes) so a DuckDB/RE2 oracle restates the identical set.
+_CTRL_CLASS = (
+    "[\\x00-\\x08\\x0B-\\x1F\\x7F\\u200B-\\u200D\\uFEFF]"
+)
+
+
+def normalize_text(
+    col: Column,
+    form: str | None = "NFC",
+    strip_controls: bool = True,
+    collapse_ws: bool = False,
+) -> Column:
+    """Crawl-grade text normalization (the ftfy-lite stage that runs
+    before tokenization/dedup so visually-identical strings hash
+    identically): CRLF -> LF, control/zero-width stripping, Unicode
+    normalization, optional whitespace collapsing.
+
+    ``form``: ``'NFC'`` (default — canonical composition; a decomposed
+    ``e + U+0301`` and a composed ``é`` become one codepoint, so
+    fingerprints and n-grams agree), ``'NFKC'`` (also folds
+    compatibility forms — ligatures, fullwidth digits; lossy, the
+    usual choice before TRAINING tokenization), ``'NFD'``/``'NFKD'``,
+    or ``None`` to skip.  Normalization runs as an Arrow-batched
+    pandas UDF with a per-row ``str.isascii()`` fast path (ASCII is
+    normalization-invariant in all four forms, and crawl text is
+    mostly ASCII — the common row never touches ``unicodedata``);
+    everything else is pure-JVM regexp.  The NFC path is
+    oracle-restatable (DuckDB ``nfc_normalize`` — differential test).
+
+    Scale shape: one narrow map, zero shuffle, no driver state —
+    compose as ``df.withColumn('text', normalize_text(F.col('text')))``
+    ahead of ``clean_corpus``."""
+    if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(
+            "normalize_text: form must be NFC/NFKC/NFD/NFKD or None"
+        )
+    out = col
+    if strip_controls:
+        out = F.regexp_replace(out, "\\r\\n", "\n")
+        out = F.regexp_replace(out, _CTRL_CLASS, "")
+    if form is not None:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        f = form
+
+        @pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: v
+                if v is None or v.isascii()
+                else unicodedata.normalize(f, v)
+            )
+
+        out = _norm(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, "[ \\t]+", " "))
+    return out
 
 
 def tokens(col: Column) -> Column:
