@@ -177,3 +177,18 @@ def test_lm_validation(spark):
     empty = spark.createDataFrame([("",), ("   ",)], "text string")
     with pytest.raises(ValueError, match="no tokens"):
         ngram_lm_fit(empty)
+
+
+def test_lm_scoring_plan_shape(spark):
+    """Pin the scale shape: scoring is pure JVM (no Python in the
+    plan), the model sides broadcast at this size, and the only wide
+    work is the model aggregates + the final per-doc aggregate."""
+    from zeek_duckdb_spark.plans import audit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lm = ngram_lm_fit(docs, n=2)
+    df = perplexity_scores(docs, lm)
+    plan = audit.physical_plan(df)
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
