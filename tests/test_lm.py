@@ -192,3 +192,96 @@ def test_lm_scoring_plan_shape(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_col_parity_with_scores(spark):
+    """The closure-based column and the distributed-join operator must
+    emit identical numbers row-for-row (including NULL for < n-token
+    docs), on both the sf corpus and unicode-ish text."""
+    from zeek_duckdb_spark.operators.lm import perplexity_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lm = ngram_lm_fit(docs.filter(F.col("doc_id") < 300), n=2)
+    extra = spark.createDataFrame(
+        [(900001, "tiny"), (900002, None), (900003, "Ünïcode text  with   gaps")],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") >= 300).select("doc_id", "text").unionByName(extra)
+
+    want = {
+        r.doc_id: (r.lm_tokens, r.avg_logp, r.perplexity)
+        for r in perplexity_scores(target, lm).collect()
+    }
+    got_rows = target.select(
+        "doc_id", perplexity_col(lm, F.col("text")).alias("p")
+    ).collect()
+    got = {
+        r.doc_id: (r.p.lm_tokens, r.p.avg_logp, r.p.perplexity)
+        for r in got_rows
+        if r.p is not None and r.p.lm_tokens is not None
+    }
+    assert got == want          # scorable rows agree exactly
+    nulls = {r.doc_id for r in got_rows if r.p is None or r.p.lm_tokens is None}
+    assert nulls == {900001, 900002}  # < n tokens / NULL text
+
+    with pytest.raises(ValueError, match="max_model_rows"):
+        perplexity_col(lm, F.col("text"), max_model_rows=3)
+
+
+def test_perplexity_gate_in_a_stream(spark, tmp_path):
+    """The streaming crawl-gate story: a file stream of documents is
+    scored with perplexity_col (stateless map — no state store needed)
+    and filtered in-flight; the surviving set equals the batch gate."""
+    import json
+    import os
+
+    from zeek_duckdb_spark.operators.lm import perplexity_col
+
+    train = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox likes the lazy dog",
+    ] * 2
+    lm = ngram_lm_fit(
+        spark.createDataFrame([(t,) for t in train], "text string"), n=2
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "zzqx wvvk pqzj xxo9 qqv7 zk3m wopq 9qxz"},
+        {"doc_id": 2, "text": "the lazy dog likes the quick brown fox"},
+    ]
+    with open(src / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+        .withColumn("p", perplexity_col(lm, F.col("text")))
+        .filter(F.col("p.perplexity") <= 5.0)
+        .select("doc_id", "p.perplexity")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ppl_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT * FROM ppl_gate").collect()}
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    want = {
+        r.doc_id
+        for r in perplexity_scores(batch, lm)
+        .filter(F.col("perplexity") <= 5.0)
+        .collect()
+    }
+    assert got == want and 1 not in got and got  # OOV doc gated out

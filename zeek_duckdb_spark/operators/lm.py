@@ -38,12 +38,17 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+# module-global so pandas_udf can resolve stringized `pd.Series` type
+# hints (future-annotations keeps them strings; pyspark resolves them
+# against the defining module's globals — the textops lesson)
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.textops import nonempty_tokens
 
-__all__ = ["NgramLM", "ngram_lm_fit", "perplexity_scores"]
+__all__ = ["NgramLM", "ngram_lm_fit", "perplexity_scores", "perplexity_col"]
 
 
 class NgramLM(NamedTuple):
@@ -148,3 +153,81 @@ def perplexity_scores(
         F.round(F.avg("__logp"), 6).alias("avg_logp"),
         F.round(F.exp(-F.avg("__logp")), 4).alias("perplexity"),
     )
+
+
+def perplexity_col(
+    lm: NgramLM,
+    col,
+    max_model_rows: int = 2_000_000,
+):
+    """Zero-shuffle scoring COLUMN: ``struct<lm_tokens, avg_logp,
+    perplexity>`` per row (NULL when the text has < n tokens) — same
+    numbers as :func:`perplexity_scores` (parity-pinned), different
+    topology: the count tables collect ONCE into plain dicts that ship
+    per executor inside a pandas-UDF closure (the
+    ``registered_domain_psl_col`` pattern), so scoring is a pure
+    Arrow-batched map with no joins and no aggregate.
+
+    This is the STREAMING/serving path: ``perplexity_scores``'s
+    explode + groupBy(doc) shape doesn't fit a stream (per-doc
+    aggregation over exploded rows needs state the problem doesn't —
+    every gram of a doc lives in its one row), while a map column
+    drops straight into ``readStream -> withColumn -> filter``.
+
+    Scale bound: the closure holds the WHOLE model, so this path is
+    for models up to ~``max_model_rows`` grams (a few hundred MB of
+    dict — fine for the n=2..3 gate models this stage uses; raise the
+    cap deliberately if you know your executors).  For web-scale
+    5-gram tables keep the distributed-join path.  The collect runs
+    eagerly, once, at column-construction time."""
+    n_grams = lm.grams.limit(max_model_rows + 1).collect()
+    if len(n_grams) > max_model_rows:
+        raise ValueError(
+            f"perplexity_col: model exceeds max_model_rows={max_model_rows}; "
+            "use perplexity_scores (distributed joins) for models this size"
+        )
+    gd = {r["gram"]: r["c"] for r in n_grams}
+    cd = {r["ctx"]: r["c"] for r in lm.contexts.collect()}
+    n, alpha, v = lm.n, lm.alpha, float(lm.vocab_size)
+    import re
+    from math import exp, log
+
+    from pyspark.sql.functions import pandas_udf
+
+    # Java-regex parity: \s under re.ASCII is the same 6-char class as
+    # Spark's split(col, '\\s+'); empties filtered like nonempty_tokens
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def _score_one(text):
+        if text is None:
+            return None
+        toks = [t for t in ws.split(text.lower()) if t]
+        if len(toks) < n:
+            return None
+        acc = 0.0
+        cnt = len(toks) - n + 1
+        for i in range(cnt):
+            g = " ".join(toks[i : i + n])
+            ctx = " ".join(toks[i : i + n - 1])
+            acc += log((gd.get(g, 0) + alpha) / (cd.get(ctx, 0) + alpha * v))
+        avg = acc / cnt
+        return {
+            "lm_tokens": cnt,
+            "avg_logp": round(avg, 6),
+            "perplexity": round(exp(-avg), 4),
+        }
+
+    @pandas_udf(
+        "struct<lm_tokens: long, avg_logp: double, perplexity: double>"
+    )
+    def _ppl(s: pd.Series) -> pd.DataFrame:
+        rows = [_score_one(v) for v in s]
+        return pd.DataFrame(
+            {
+                "lm_tokens": [r["lm_tokens"] if r else None for r in rows],
+                "avg_logp": [r["avg_logp"] if r else None for r in rows],
+                "perplexity": [r["perplexity"] if r else None for r in rows],
+            }
+        )
+
+    return _ppl(col)
