@@ -414,3 +414,109 @@ def test_dns_tunneling_psl_grouping(spark):
            for r in dns_tunneling_scores(d, min_queries=1, psl=True).collect()}
     assert naive == {"co.uk", "plain.com"}
     assert psl == {"example.co.uk": 2, "other.co.uk": 2, "plain.com": 1}
+
+
+# --- streaming DNS tunneling --------------------------------------------
+
+def test_dns_tunneling_stream_matches_batch(spark, tmp_path):
+    """Latest emission per pair across two microbatches == the batch
+    operator on the concatenated data (below the KMV threshold the
+    distinct count is exact and the rounding composition is mirrored)."""
+    import json
+
+    from zeek_duckdb_spark.operators.netflow import (
+        dns_tunneling_scores,
+        dns_tunneling_scores_stream,
+    )
+
+    b0 = [
+        ("bot", f"{'deadbeef%02d' % i}.evil.com") for i in range(6)
+    ] + [("user", "www.ok.org"), ("user", "mail.ok.org")]
+    b1 = [
+        ("bot", f"{'feedface%02d' % i}.evil.com") for i in range(6)
+    ] + [("user", "www.ok.org"), ("user", "app.ok.org"), ("user", "cdn.ok.org")]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for s, q in b0:
+            f.write(json.dumps({"src": s, "qname": q}) + "\n")
+
+    stream = spark.readStream.schema("src string, qname string").json(str(src))
+    out = dns_tunneling_scores_stream(stream, min_queries=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dns_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b1.json", "w") as f:
+            for s, qq in b1:
+                f.write(json.dumps({"src": s, "qname": qq}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM dns_stream").collect()
+    latest = {}
+    for r in emitted:  # memory sink appends updates in order; last wins
+        latest[(r.src, r.domain)] = r
+
+    batch_df = spark.createDataFrame(b0 + b1, "src string, qname string")
+    want = {
+        (r.src, r.domain): r
+        for r in dns_tunneling_scores(batch_df, min_queries=3).collect()
+    }
+    assert set(latest) == set(want)
+    for k, w in want.items():
+        g = latest[k]
+        assert g.n_queries == w.n_queries, k
+        assert g.n_subdomains == w.n_subdomains, k
+        assert g.avg_sub_len == pytest.approx(w.avg_sub_len, abs=1e-6), k
+        assert g.avg_entropy == pytest.approx(w.avg_entropy, abs=1e-6), k
+        assert g.tunnel_score == pytest.approx(w.tunnel_score, abs=1e-5), k
+    # and the tunneling pair is ranked on top
+    assert latest[("bot", "evil.com")].tunnel_score > \
+        latest[("user", "ok.org")].tunnel_score * 5
+
+
+def test_dns_tunneling_stream_kmv_bounds_state(spark, tmp_path):
+    """Above kmv_k distinct subdomains the sketch estimates within
+    ~1/sqrt(k) while exact fields stay exact — bounded state on
+    exactly the traffic the detector hunts."""
+    import json
+
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores_stream
+
+    n = 1200
+    rows = [("bot", f"x{i:06d}.evil.com") for i in range(n)]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for s, q in rows:
+            f.write(json.dumps({"src": s, "qname": q}) + "\n")
+    stream = spark.readStream.schema("src string, qname string").json(str(src))
+    out = dns_tunneling_scores_stream(stream, min_queries=3, kmv_k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dns_kmv")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    r = spark.sql("SELECT * FROM dns_kmv").collect()[-1]
+    assert r.n_queries == n                     # exact
+    assert abs(r.n_subdomains - n) / n < 0.4    # sketch estimate (k=64)
+    assert r.avg_sub_len == pytest.approx(7.0)  # 'x000000' = 7 chars exact
+
+    import pytest as _pytest
+    from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores_stream as s2
+    with _pytest.raises(ValueError, match="kmv_k"):
+        s2(stream, kmv_k=1)

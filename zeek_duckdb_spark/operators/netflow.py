@@ -45,6 +45,7 @@ __all__ = [
     "beacon_scores_stream",
     "port_scan_scores",
     "dns_tunneling_scores",
+    "dns_tunneling_scores_stream",
     "char_entropy",
 ]
 
@@ -386,6 +387,36 @@ def char_entropy(col_name: str, kernel: str = "arrow") -> "F.Column":
     )
 
 
+def _dns_prepare(df: DataFrame, src_col: str, qname_col: str, psl) -> DataFrame:
+    """Shared (src, domain, __sub) projection of the DNS-tunneling
+    family — ONE definition so the batch and streaming operators can't
+    drift.  Absolute DNS names end in '.'; stripping it keeps the last
+    REAL label as the TLD (otherwise 'www.example.com.' -> domain
+    'com.' and every trailing-dot query pools under one fake pair)."""
+    from zeek_duckdb_spark.operators.textops import (
+        registered_domain,
+        registered_domain_psl_col,
+    )
+
+    q = F.regexp_replace(F.lower(F.col(qname_col)), r"\.$", "")
+    if psl is not None:
+        dom = registered_domain_psl_col(q, psl)
+    else:
+        dom = registered_domain(q)
+    pair = df.select(
+        F.col(src_col).alias("src"),
+        dom.alias("domain"),
+        q.alias("__q"),
+    )
+    sub = F.when(
+        F.length("__q") > F.length("domain") + 1,
+        F.col("__q").substr(
+            F.lit(1), F.length("__q") - F.length("domain") - 1
+        ),
+    ).otherwise(F.lit(""))
+    return pair.select("src", "domain", sub.alias("__sub"))
+
+
 def dns_tunneling_scores(
     df: DataFrame,
     src_col: str = "src",
@@ -419,35 +450,11 @@ def dns_tunneling_scores(
     switches domain grouping from the naive last-two-labels rule to
     Public-Suffix-List matching, so ``a.example.co.uk`` and
     ``b.other.co.uk`` stop pooling under one bogus 'co.uk' pair."""
-    from zeek_duckdb_spark.operators.textops import (
-        registered_domain,
-        registered_domain_psl_col,
-    )
-
     if min_queries < 1:
         raise ValueError("dns_tunneling_scores: min_queries must be >= 1")
     if kernel not in ("expr", "arrow"):
         raise ValueError("dns_tunneling_scores: kernel must be 'expr' or 'arrow'")
-    # absolute DNS names end in '.'; stripping it keeps the last REAL
-    # label as the TLD (otherwise 'www.example.com.' -> domain 'com.'
-    # and every trailing-dot query pools under one fake pair)
-    q = F.regexp_replace(F.lower(F.col(qname_col)), r"\.$", "")
-    if psl is not None:
-        dom = registered_domain_psl_col(q, psl)
-    else:
-        dom = registered_domain(q)
-    pair = df.select(
-        F.col(src_col).alias("src"),
-        dom.alias("domain"),
-        q.alias("__q"),
-    )
-    sub = F.when(
-        F.length("__q") > F.length("domain") + 1,
-        F.col("__q").substr(
-            F.lit(1), F.length("__q") - F.length("domain") - 1
-        ),
-    ).otherwise(F.lit(""))
-    subbed = pair.select("src", "domain", sub.alias("__sub"))
+    subbed = _dns_prepare(df, src_col, qname_col, psl)
     if kernel == "arrow":
         base = subbed.select(
             "src",
@@ -491,4 +498,123 @@ def dns_tunneling_scores(
     return out.withColumn(
         "tunnel_score",
         F.round(F.col("avg_entropy") * F.col("avg_sub_len"), 6),
+    )
+
+
+def dns_tunneling_scores_stream(
+    df: DataFrame,
+    src_col: str = "src",
+    qname_col: str = "qname",
+    min_queries: int = 5,
+    kmv_k: int = 256,
+    psl: "object" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`dns_tunneling_scores`: the standing
+    tunneling watch on a live DNS feed, per-(src, registered domain)
+    statistics maintained incrementally with ``applyInPandasWithState``
+    (update semantics — newest row per pair wins; same projection as
+    the batch operator via the shared ``_dns_prepare``).
+
+    State per pair is BOUNDED: (n_queries, sum_len, sum_entropy) are
+    three scalars, and the distinct-subdomain count — which an exact
+    operator would grow without bound on exactly the traffic this
+    detector hunts — is a K-minimum-values sketch of at most ``kmv_k``
+    60-bit hashes (the ``dedup.corpus_overlap`` estimator: EXACT while
+    a pair has < kmv_k distinct subdomains, ~1/sqrt(k) relative error
+    above — 6% at 256, on a column whose signal is "absurdly many").
+    Subdomain entropy uses the numpy batch kernel
+    (:func:`_entropy_batch_np`) — the rows are already in Python here.
+
+    Emits (src, domain, n_queries, n_subdomains, avg_sub_len,
+    avg_entropy, tunnel_score) with the batch operator's exact
+    rounding composition, so below the sketch threshold the latest
+    emission per pair equals the batch result on the same prefix
+    (parity-tested); above it only n_subdomains is approximate."""
+    from typing import Iterator
+
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if min_queries < 1:
+        raise ValueError("dns_tunneling_scores_stream: min_queries must be >= 1")
+    if not 16 <= kmv_k <= 65536:
+        raise ValueError("dns_tunneling_scores_stream: kmv_k must be in [16, 65536]")
+
+    prepared = _dns_prepare(df, src_col, qname_col, psl)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("domain", T.StringType()),
+            T.StructField("n_queries", T.LongType()),
+            T.StructField("n_subdomains", T.LongType()),
+            T.StructField("avg_sub_len", T.DoubleType()),
+            T.StructField("avg_entropy", T.DoubleType()),
+            T.StructField("tunnel_score", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_queries", T.LongType()),
+            T.StructField("sum_len", T.LongType()),
+            T.StructField("sum_ent", T.DoubleType()),
+            T.StructField("kmv", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _h60(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        src, domain = key
+        subs: list = []
+        for pdf in pdfs:
+            subs.extend("" if v is None else str(v) for v in pdf["__sub"])
+        if not subs:
+            return
+        if state.exists:
+            n_q, s_len, s_ent, kmv = state.get
+            kmv = list(kmv)
+        else:
+            n_q, s_len, s_ent, kmv = 0, 0, 0.0, []
+        ents = _entropy_batch_np(subs)
+        n_q += len(subs)
+        s_len += sum(len(s) for s in subs)
+        s_ent += float(ents.sum())
+        seen = set(kmv)
+        seen.update(_h60(s) for s in subs)
+        kmv = sorted(seen)[:kmv_k]
+        state.update((n_q, s_len, s_ent, kmv))
+        if n_q < min_queries:
+            return
+        if len(kmv) < kmv_k:
+            n_sub = len(kmv)
+        else:
+            n_sub = int((kmv_k - 1) / (kmv[-1] / float(1 << 60)))
+        # mirror the batch rounding composition exactly
+        avg_len = round(s_len / n_q, 6)
+        avg_ent = round(s_ent / n_q, 6)
+        yield pd.DataFrame(
+            {
+                "src": [src],
+                "domain": [domain],
+                "n_queries": [n_q],
+                "n_subdomains": [n_sub],
+                "avg_sub_len": [avg_len],
+                "avg_entropy": [avg_ent],
+                "tunnel_score": [round(avg_ent * avg_len, 6)],
+            }
+        )
+
+    return prepared.groupBy("src", "domain").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
