@@ -578,3 +578,101 @@ def test_minhash_pairs_accepts_hyphenated_id_column(spark):
     sigs = minhash_signatures(d, "my-id", "text")
     pairs = minhash_lsh_pairs(sigs, "my-id").collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+# --- incremental SimHash pairs ------------------------------------------
+
+def test_simhash_pairs_incremental_differential(spark):
+    """incremental(new, index) == full(new ∪ index) restricted to
+    pairs touching the new batch; index-index pairs never emitted;
+    include_new_pairs=False keeps only new-index pairs; the index
+    rides a LeftSemi before its exchange (plan proof)."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+        simhash_pairs_incremental,
+    )
+    from zeek_duckdb_spark.plans import audit
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+    def doc(seed, mut=0):
+        r = np.random.default_rng(seed)
+        toks = [words[r.integers(len(words))] for _ in range(30)]
+        for _ in range(mut):
+            toks[r.integers(len(toks))] = words[r.integers(len(words))]
+        return " ".join(toks)
+
+    # index: 20 docs; new: 8 docs, several near-dups of index docs
+    index_rows = [(i, doc(i)) for i in range(20)]
+    new_rows = (
+        [(100 + i, doc(i, mut=1)) for i in range(4)]       # near-dup of index
+        + [(200, doc(0, mut=1)), (201, doc(0, mut=2))]      # near-dups of 0 AND each other
+        + [(300 + i, doc(1000 + i)) for i in range(2)]      # fresh
+    )
+    d_index = spark.createDataFrame(index_rows, "doc_id long, text string")
+    d_new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    s_index = simhash(d_index)
+    s_new = simhash(d_new)
+
+    inc = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_incremental(s_new, s_index, max_hamming=10).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(
+            simhash(d_index.unionByName(d_new)), max_hamming=10
+        ).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    want = {(a, b, h) for a, b, h in full if a in new_ids or b in new_ids}
+    assert inc == want and inc  # non-trivial
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+
+    only_cross = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_incremental(
+            s_new, s_index, max_hamming=10, include_new_pairs=False
+        ).collect()
+    }
+    assert only_cross == {
+        (a, b) for a, b, _ in want if (a in new_ids) != (b in new_ids)
+    }
+
+    plan = audit.physical_plan(simhash_pairs_incremental(s_new, s_index))
+    assert "LeftSemi" in plan
+
+
+def test_phash_pairs_incremental_media_ingest(spark):
+    """Daily media ingest: a new batch with one re-encoded copy of an
+    indexed image pairs against the index; untouched index images
+    never pair."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.multimodal import (
+        phash_media,
+        phash_pairs_incremental,
+    )
+
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, 1024, dtype=np.uint8) for _ in range(4)]
+    near = imgs[0].copy()
+    near[::23] = (near[::23] + 11) % 256
+    index = spark.createDataFrame(
+        [(i, bytearray(im.tobytes())) for i, im in enumerate(imgs)],
+        "doc_id long, media binary",
+    )
+    new = spark.createDataFrame(
+        [(100, bytearray(near.tobytes())),
+         (101, bytearray(rng.integers(0, 256, 1024, dtype=np.uint8).tobytes()))],
+        "doc_id long, media binary",
+    )
+    pairs = phash_pairs_incremental(
+        phash_media(new, fake=True), phash_media(index, fake=True), max_hamming=6
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, 100)}

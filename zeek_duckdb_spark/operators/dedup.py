@@ -526,20 +526,7 @@ def simhash_pairs(
     shuffle so Hamming distance is computed in the expansion, no
     re-join needed.  ``max_bucket_size``/``on_oversize`` bound the
     degenerate-bucket blowup exactly as in minhash_lsh_pairs."""
-    width = bits // blocks
-    mask = (1 << width) - 1
-    chunk_cols = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("chunk"),
-            )
-            for i in range(blocks)
-        ]
-    )
-    e = sim_df.select(id_col, "simhash", F.explode(chunk_cols).alias("c")).select(
-        id_col, "simhash", "c.blk", "c.chunk"
-    )
+    e = _simhash_chunks(sim_df, id_col, blocks, bits)
     grouped = (
         e.groupBy("blk", "chunk")
         .agg(
@@ -558,6 +545,102 @@ def simhash_pairs(
         f"transform(slice(members, i + 2, {1 << 30}), "
         "y -> named_struct('id_a', x.id, 'id_b', y.id, "
         "'hamming', bit_count(x.sh ^ y.sh)))))"
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _simhash_chunks(
+    sim_df: DataFrame, id_col: str, blocks: int, bits: int
+) -> DataFrame:
+    """(id, simhash, blk, chunk) block-permutation rows — shared by the
+    full and incremental SimHash pair generators."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    chunk_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    return sim_df.select(
+        id_col, "simhash", F.explode(chunk_cols).alias("c")
+    ).select(id_col, "simhash", "c.blk", "c.chunk")
+
+
+def simhash_pairs_incremental(
+    new_sims: DataFrame,
+    index_sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs for an INCREMENTAL ingest — the
+    :func:`minhash_lsh_pairs_incremental` shape applied to the
+    block-permutation family: a new batch of (id, simhash) rows pairs
+    against a persisted corpus index without re-pairing the index
+    against itself.  Because :func:`multimodal.phash_pairs` delegates
+    here, this is also the daily-crawl path for IMAGE near-dedup
+    (see ``multimodal.phash_pairs_incremental``).
+
+    Scale shape: the index's chunk rows are semi-joined against the
+    new batch's touched (blk, chunk) buckets before any groupBy — the
+    standing index never shuffles wholesale (AQE broadcasts the
+    touched-bucket set when the batch is small, its usual case;
+    persist the index bucketed by (blk, chunk) to make the scan
+    partition-prunable); index-index pairs are skipped during the
+    per-bucket expansion, never materialized; Hamming distance rides
+    the expansion like the full pass, no re-join.
+
+    Contract: disjoint id sets, same (bits) on both frames.  Output:
+    (id_a, id_b, hamming) with hamming <= max_hamming, id_a < id_b,
+    at least one side new (``include_new_pairs=False`` restricts to
+    new-index pairs only — e.g. when the new batch was already
+    deduped among itself)."""
+    nb = _simhash_chunks(new_sims, id_col, blocks, bits)
+    ib = _simhash_chunks(index_sims, id_col, blocks, bits)
+    touched = nb.select("blk", "chunk").distinct()
+    ib_touched = ib.join(touched, ["blk", "chunk"], "left_semi")
+    tagged = nb.withColumn("is_new", F.lit(True)).unionByName(
+        ib_touched.withColumn("is_new", F.lit(False))
+    )
+    grouped = (
+        tagged.groupBy("blk", "chunk")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("simhash").alias("sh"),
+                    "is_new",
+                )
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    grouped = _guard_bucket_size(grouped, "members", max_bucket_size, on_oversize)
+    grouped = grouped.withColumn("members", F.array_sort("members"))
+    keep = (
+        "x.is_new OR y.is_new" if include_new_pairs else "x.is_new != y.is_new"
+    )
+    pair_arr = F.expr(
+        "flatten(transform(members, (x, i) -> "
+        f"filter(transform(slice(members, i + 2, {1 << 30}), "
+        "y -> named_struct('id_a', x.id, 'id_b', y.id, "
+        "'hamming', bit_count(x.sh ^ y.sh), "
+        f"'keep', ({keep}) AND x.id < y.id)), p -> p.keep)))"
     )
     return (
         grouped.select(F.explode(pair_arr).alias("p"))

@@ -52,6 +52,7 @@ __all__ = [
     "chunk_dedup_groups",
     "phash_media",
     "phash_pairs",
+    "phash_pairs_incremental",
     "phash_value",
 ]
 
@@ -595,4 +596,41 @@ def phash_pairs(
         bits=bits,
         max_bucket_size=max_bucket_size,
         on_oversize=on_oversize,
+    )
+
+
+def phash_pairs_incremental(
+    new_hashed: DataFrame,
+    index_hashed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 60,
+    max_bucket_size: int | None = 100_000,
+    on_oversize: str = "error",
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Image near-dup candidates for an INCREMENTAL ingest: today's
+    batch of :func:`phash_media` rows against a persisted corpus
+    index, without re-pairing the index against itself — the
+    daily-crawl media-dedup shape (pair with
+    ``graph.resolve_clusters`` to drop the losers, as
+    ``pipeline.clean_media_corpus`` does for the full pass).
+    Delegates to ``dedup.simhash_pairs_incremental`` (touched-bucket
+    semi-join; the standing index never shuffles wholesale)."""
+    from zeek_duckdb_spark.operators.dedup import simhash_pairs_incremental
+
+    ren = lambda d: d.select(  # noqa: E731
+        F.col(id_col), F.col("phash").alias("simhash")
+    )
+    return simhash_pairs_incremental(
+        ren(new_hashed),
+        ren(index_hashed),
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        bits=bits,
+        max_bucket_size=max_bucket_size,
+        on_oversize=on_oversize,
+        include_new_pairs=include_new_pairs,
     )
