@@ -256,3 +256,60 @@ def test_train_and_encode_drop_wrong_length_vectors(spark):
     assert len(cb) == M  # no crash from NULL subspace sums
     codes = pq_encode(d, cb).collect()
     assert {r.vec_id for r in codes} == set(range(20))  # 99 dropped
+
+
+# --- incremental IVF-PQ --------------------------------------------------
+
+def test_ivfpq_encode_matches_build_assignment(spark, emb):
+    """ivfpq_encode at the models a build produced == the build's own
+    codes table (assignment is a pure per-row function of the models)."""
+    from zeek_duckdb_spark.operators.pq import ivfpq_build, ivfpq_encode
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cells, cbs, codes = ivfpq_build(corpus, dim=64, n_cells=4, m=4, k=8, iters=1)
+    want = {(r.vec_id, r.cell, tuple(r.pq_codes)) for r in codes.collect()}
+    got = {
+        (r.vec_id, r.cell, tuple(r.pq_codes))
+        for r in ivfpq_encode(corpus, cells, cbs).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_append_equals_rebuild_and_probe_prunes(spark, emb, tmp_path):
+    """Append of a new batch at fixed models == full encode of the
+    union; the partition-pruned probe over the appended layout returns
+    the same top-k as scoring the union codes directly."""
+    from zeek_duckdb_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    old = emb.filter(F.col("vec_id").between(1, 300))
+    new = emb.filter(F.col("vec_id") > 300)
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivfpq")
+
+    cells, cbs, codes = ivfpq_build(old, dim=64, n_cells=4, m=4, k=8, iters=1)
+    codes.repartition("cell").write.partitionBy("cell").parquet(path)
+    ivfpq_append(new, path, cells, cbs)
+
+    back = spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "pq_codes"
+    )
+    want = {
+        (r.vec_id, r.cell, tuple(r.pq_codes))
+        for r in ivfpq_encode(old.unionByName(new), cells, cbs).collect()
+    }
+    assert {(r.vec_id, r.cell, tuple(r.pq_codes)) for r in back.collect()} == want
+
+    got_topk = [tuple(r) for r in ivfpq_topk(back, q, cells, cbs, k_top=5, nprobe=4).collect()]
+    union_codes = ivfpq_encode(old.unionByName(new), cells, cbs)
+    want_topk = [tuple(r) for r in ivfpq_topk(union_codes, q, cells, cbs, k_top=5, nprobe=4).collect()]
+    assert got_topk == want_topk
+    # pruning still holds on the appended layout
+    pruned = ivfpq_topk(spark.read.parquet(path), q, cells, cbs, k_top=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan

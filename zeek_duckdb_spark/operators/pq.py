@@ -49,7 +49,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_build", "ivfpq_topk"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "ivfpq_build",
+    "ivfpq_encode",
+    "ivfpq_append",
+    "ivfpq_topk",
+]
 
 
 def _check_geometry(dim: int, m: int, k: int) -> int:
@@ -468,10 +476,27 @@ def ivfpq_build(
         vec_col=vec_col, train_sample=train_sample, seed=seed,
     )
     cells = coarse[0]  # n_cells x dim
+    res = _ivfpq_residuals(df, cells, id_col, vec_col, kernel)
+    codebooks = pq_train(
+        res, dim, m=m, k=k, iters=iters, id_col=id_col, vec_col="__res",
+        train_sample=train_sample, seed=seed + 1,
+    )
+    codes = pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
+                      keep=("cell",), kernel=kernel)
+    return cells, codebooks, codes.select(id_col, "cell", "pq_codes")
+
+
+def _ivfpq_residuals(
+    df: DataFrame, cells: list[list[float]], id_col: str, vec_col: str,
+    kernel: str,
+) -> DataFrame:
+    """(id, cell, __res): coarse-cell assignment + residual vector —
+    the shared zero-shuffle map under ivfpq_build/encode/append."""
+    coarse = [cells]  # the m=1 coarse quantizer codebook
     assigned = pq_encode(df, coarse, id_col=id_col, vec_col=vec_col,
                          keep=(vec_col,), kernel=kernel)
     cents_lit = _cent_lit(cells)
-    res = assigned.select(
+    return assigned.select(
         F.col(id_col),
         F.element_at("pq_codes", 1).alias("cell"),
         F.expr(
@@ -480,13 +505,52 @@ def ivfpq_build(
             "(x, y) -> x - y)"
         ).alias("__res"),
     )
-    codebooks = pq_train(
-        res, dim, m=m, k=k, iters=iters, id_col=id_col, vec_col="__res",
-        train_sample=train_sample, seed=seed + 1,
-    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    cells: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """(id, cell, pq_codes) for a batch at FIXED models — the
+    assignment half of :func:`ivfpq_build` without the two training
+    reductions.  Pure zero-shuffle maps end-to-end; assignment is a
+    per-row function of (vector, models), so encoding a new batch
+    equals what a full rebuild at the same models would assign
+    (pinned by tests/test_pq.py)."""
+    res = _ivfpq_residuals(df, cells, id_col, vec_col, kernel)
     codes = pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
                       keep=("cell",), kernel=kernel)
-    return cells, codebooks, codes.select(id_col, "cell", "pq_codes")
+    return codes.select(id_col, "cell", "pq_codes")
+
+
+def ivfpq_append(
+    df_new: DataFrame,
+    path: str,
+    cells: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "arrow",
+) -> None:
+    """Append a NEW batch into a persisted IVF-PQ layout
+    (``codes_df.write.partitionBy("cell")`` from :func:`ivfpq_build`)
+    at fixed models — the compressed-index sibling of
+    ``kmeans.ivf_append``: yesterday's index stands, today's crawl
+    encodes + appends, existing files untouched, the
+    partition-pruned ``ivfpq_topk`` probe keeps working.  Refresh the
+    models with a re-train + re-land when the residual distribution
+    drifts."""
+    (
+        ivfpq_encode(df_new, cells, codebooks, id_col, vec_col, kernel)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def ivfpq_topk(
