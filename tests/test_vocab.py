@@ -141,3 +141,124 @@ def test_counts_property_random_docs_vs_python_counter(spark):
 def test_coverage_guards_driver_sized_window(spark, docs):
     with pytest.raises(ValueError, match="ONE partition"):
         vocab_coverage(docs, top_n=2_000_000)
+
+
+# --- BPE training ------------------------------------------------------
+
+def _ref_bpe(word_freqs, num_merges):
+    """Independent O(n^2)-per-merge reference (straight from the
+    Sennrich pseudocode): recount every pair each round, merge the
+    (count desc, pair asc) argmax."""
+    words = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        live = {p: c for p, c in pairs.items() if c >= 2}
+        if not live:
+            break
+        best = min(live.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        out = {}
+        for syms, f in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + f
+        words = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from zeek_duckdb_spark.operators.vocab import bpe_train
+
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    text = " ".join(corpus)
+    d = spark.createDataFrame([(text,)], "text string")
+    model = bpe_train(d, num_merges=10, min_count=1)
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    want = _ref_bpe(freqs, 10)
+    assert model.merges == want
+    # the classic outcome: 'est</w>' is learned as a unit
+    assert ("est", "</w>") in model.merges or ("es", "t") in model.merges
+    # deterministic across partitionings (exact integer counts)
+    d2 = spark.createDataFrame(
+        [(w,) for w in corpus], "text string"
+    ).repartition(7)
+    assert bpe_train(d2, num_merges=10, min_count=1).merges == want
+
+
+def test_bpe_tokenize_roundtrip_and_open_vocab(spark):
+    from zeek_duckdb_spark.operators.vocab import bpe_tokenize_col, bpe_train
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    d = spark.createDataFrame([(" ".join(corpus),)], "text string")
+    model = bpe_train(d, num_merges=20, min_count=1)
+
+    target = spark.createDataFrame(
+        [(0, "low lower newest"), (1, "zzz"), (2, None), (3, "lowest")],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F2
+    got = {
+        r.doc_id: r.toks
+        for r in target.select(
+            "doc_id", bpe_tokenize_col(model, F2.col("text")).alias("toks")
+        ).collect()
+    }
+    # fully-merged training words reassemble to themselves + </w>
+    assert "".join(got[0]) == "low</w>lower</w>newest</w>"
+    # trained words segment into few units
+    assert len(got[0]) <= 6
+    # unseen word: falls back to chars (+ any applicable merges), never fails
+    assert got[1] and "".join(got[1]) == "zzz</w>"
+    assert got[2] is None
+    # 'lowest' = unseen but composed of seen units: starts with 'low'
+    assert got[3][0].startswith("low")
+    # encoding matches the reference greedy apply word-for-word
+    from zeek_duckdb_spark.operators.vocab import _bpe_encode_word
+    ranks = {p: i for i, p in enumerate(model.merges)}
+    assert got[0] == (
+        _bpe_encode_word("low", ranks)
+        + _bpe_encode_word("lower", ranks)
+        + _bpe_encode_word("newest", ranks)
+    )
+
+
+def test_bpe_train_on_sf_documents_and_coverage(spark):
+    """End-to-end on the sf table: merges reduce the token count of
+    the corpus it was trained on (the whole point), and validation is
+    loud."""
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F2
+    from zeek_duckdb_spark.operators.vocab import bpe_tokenize_col, bpe_train
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = bpe_train(d, num_merges=60, min_count=2)
+    assert len(model.merges) > 0
+
+    n_tok = d.select(
+        F2.sum(F2.size(bpe_tokenize_col(model, F2.col("text")))).alias("n")
+    ).first()["n"]
+    from zeek_duckdb_spark.operators.vocab import BPEModel
+    no_merges = BPEModel([], model.vocab)
+    n_char = d.select(
+        F2.sum(F2.size(bpe_tokenize_col(no_merges, F2.col("text")))).alias("n")
+    ).first()["n"]
+    assert n_tok < n_char * 0.7  # merges compress substantially
+
+    with _pytest.raises(ValueError, match="num_merges"):
+        bpe_train(d, num_merges=0)
+    with _pytest.raises(ValueError, match="no words"):
+        bpe_train(
+            spark.createDataFrame([("",)], "text string"), min_count=2
+        )
