@@ -676,3 +676,45 @@ def test_phash_pairs_incremental_media_ingest(spark):
     ).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(0, 100)}
+
+
+def test_exact_dedup_incremental_differential(spark):
+    """Survivors of the incremental pass == full-union exact dedup
+    restricted to new ids; batch-internal dups keep min id; index
+    collisions die; fresh docs carry their fp for index append."""
+    from zeek_duckdb_spark.operators.dedup import exact_dedup_incremental
+    from zeek_duckdb_spark.operators.textops import fingerprint
+
+    index_docs = spark.createDataFrame(
+        [(i, f"indexed document number {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (100, "indexed document number 3"),   # dup of index -> dies
+            (101, "a genuinely fresh document"),
+            (102, "a genuinely fresh document"),  # batch dup -> 101 wins
+            (103, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    index_fps = index_docs.select(
+        fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+
+    out = exact_dedup_incremental(new_docs, index_fps)
+    assert set(out.columns) == {"fp", "doc_id", "text"}
+    got = {r.doc_id for r in out.collect()}
+    assert got == {101, 103}
+
+    # differential vs the full pass on the union, restricted to new ids
+    union = index_docs.unionByName(new_docs)
+    fp = fingerprint(F.col("text"))
+    w = union.withColumn("fp", fp)
+    keep = w.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    full = {
+        r.doc_id
+        for r in w.join(keep, ["doc_id", "fp"], "left_semi").collect()
+        if r.doc_id >= 100
+    }
+    assert got == full

@@ -46,8 +46,10 @@ __all__ = [
     "duplicate_spans",
     "strip_duplicate_spans",
     "exact_dedup_stream",
+    "exact_dedup_incremental",
     "near_dedup_stream",
     "corpus_overlap",
+    "simhash_pairs_incremental",
 ]
 
 
@@ -551,6 +553,41 @@ def simhash_pairs(
         .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    index_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against a persisted fingerprint
+    index — the first stage of the daily-crawl ingest (before
+    :func:`minhash_lsh_pairs_incremental` /
+    :func:`simhash_pairs_incremental` handle the fuzzy tail).
+
+    ``index_fps`` carries one ``fp`` column: the standing corpus's
+    distinct content fingerprints (e.g.
+    ``df.select(fingerprint(F.col('text')).alias('fp')).distinct()``
+    landed as parquet — 8-byte-ish rows, the cheap thing to keep).
+    Returns the surviving new rows with all input columns plus their
+    ``fp`` (append these fps to the index to close the loop).
+
+    Two keyed steps, no corpus re-scan: within-batch dedup (one
+    fingerprint hash-aggregate + semi join, min id wins — the
+    clean_corpus pass on the batch alone) then one LEFT ANTI join
+    against the index on ``fp`` — the standing corpus contributes
+    nothing but its fingerprint column.  Land the index bucketed on
+    ``fp`` (sink.write_bucketed) to make the anti join exchange-free
+    on the index side."""
+    k = key if key is not None else fingerprint(F.col(text_col))
+    with_fp = new_df.withColumn("fp", k)
+    keepers = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    batch_deduped = with_fp.join(keepers, [id_col, "fp"], "left_semi")
+    return batch_deduped.join(
+        index_fps.select("fp"), "fp", "left_anti"
     )
 
 
