@@ -718,3 +718,87 @@ def test_exact_dedup_incremental_differential(spark):
         if r.doc_id >= 100
     }
     assert got == full
+
+
+def test_incremental_ingest_two_day_composition(spark, tmp_path):
+    """The daily-crawl loop end-to-end: day 0 lands a deduped corpus
+    plus its fingerprint and signature indexes; day 1's batch flows
+    exact_dedup_incremental -> minhash_lsh_pairs_incremental ->
+    min-id drop, touching the indexes only through keyed joins.
+    Exact dup of day 0 dies at stage 1; near dup of day 0 and the
+    batch-internal near-dup loser die at stage 2; fresh docs survive
+    and their index rows append for day 2."""
+    from zeek_duckdb_spark.operators.dedup import (
+        exact_dedup_incremental,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+    from zeek_duckdb_spark.operators.textops import fingerprint
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders across the wide green field toward the river")
+    day0 = spark.createDataFrame(
+        [(i, f"{base} chapter {i} " + "filler token " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    # day-0 landing: corpus assumed already self-deduped
+    fps_path = str(tmp_path / "fps")
+    sigs_path = str(tmp_path / "sigs")
+    day0.select(fingerprint(F.col("text")).alias("fp")).distinct().write.parquet(fps_path)
+    minhash_signatures(day0, "doc_id", "text").write.parquet(sigs_path)
+
+    day0_row3 = f"{base} chapter 3 " + "filler token " * 3
+    day1 = spark.createDataFrame(
+        [
+            (100, day0_row3),                                  # exact dup of 3
+            (101, day0_row3.replace("river", "ocean")),        # near dup of 3
+            (102, "completely novel content " + "alpha beta gamma " * 6),
+            # near dup of 102: one word changed at the tail keeps the
+            # distinct-shingle jaccard high (repetition collapses under
+            # array_distinct, so an every-repeat change would not)
+            (103, "completely novel content " + "alpha beta gamma " * 5 + "alpha beta delta"),
+            (104, "another genuinely new document with its own words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # stage 1: exact vs index + within batch
+    s1 = exact_dedup_incremental(day1, spark.read.parquet(fps_path))
+    assert {r.doc_id for r in s1.collect()} == {101, 102, 103, 104}
+
+    # stage 2: fuzzy vs index + within batch
+    new_sigs = minhash_signatures(s1.drop("fp"), "doc_id", "text")
+    pairs = minhash_lsh_pairs_incremental(
+        new_sigs, spark.read.parquet(sigs_path), threshold=0.5
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (3, 101) in got_pairs and (102, 103) in got_pairs
+    losers = {b for _, b in got_pairs}  # min-id-wins: larger id loses
+    survivors = {r.doc_id for r in s1.collect()} - losers
+    assert survivors == {102, 104}
+
+    # close the loop: append survivors' index rows; day-2 sees them
+    surv_df = s1.filter(F.col("doc_id").isin(*survivors))
+    surv_df.select("fp").write.mode("append").parquet(fps_path)
+    new_sigs.join(surv_df.select("doc_id"), "doc_id", "left_semi").write.mode(
+        "append"
+    ).parquet(sigs_path)
+    day2 = spark.createDataFrame(
+        [(200, "completely novel content " + "alpha beta gamma " * 6)],
+        "doc_id long, text string",
+    )
+    s2 = exact_dedup_incremental(day2, spark.read.parquet(fps_path))
+    assert s2.count() == 0  # day-1 survivor now guards the index
+
+    # sanity: the incremental pair set matches the full pass restricted
+    # to day-1-touching pairs
+    all_docs = day0.unionByName(s1.drop("fp"))
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            minhash_signatures(all_docs, "doc_id", "text"), threshold=0.5
+        ).collect()
+        if r.id_a >= 100 or r.id_b >= 100
+    }
+    assert got_pairs == full
