@@ -678,3 +678,21 @@ def test_clean_corpus_perplexity_gate(spark):
         clean_corpus(d, max_perplexity=10.0)
     with _pytest.raises(ValueError, match="max_perplexity"):
         clean_corpus(d, lm=lm)
+
+
+def test_clean_corpus_normalize_stage(spark):
+    """normalize_form= runs first: a decomposed-unicode copy of a
+    composed doc becomes byte-identical and dies in the EXACT pass
+    (without the stage both survive — visually identical, different
+    bytes)."""
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    composed = "café menu items with plenty of ordinary tokens listed"
+    decomposed = "café menu items with plenty of ordinary tokens listed"
+    d = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    plain = {r.doc_id for r in clean_corpus(d, min_tokens=3).collect()}
+    assert plain == {1, 2}  # different bytes -> both survive
+    norm = {r.doc_id for r in clean_corpus(d, min_tokens=3, normalize_form="NFC").collect()}
+    assert norm == {1}      # canonicalized -> exact dup, min id wins

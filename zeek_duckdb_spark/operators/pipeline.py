@@ -66,6 +66,7 @@ def clean_corpus(
     lm=None,
     max_perplexity: float | None = None,
     min_perplexity: float | None = None,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -113,6 +114,11 @@ def clean_corpus(
       numeric column visible at that stage works, including the
       quality features this pipeline computed (``q_tokens``,
       ``stop_ratio``, ...) or a classifier score carried in ``df``.
+    - ``normalize_form='NFC'|'NFKC'|...`` runs
+      :func:`textops.normalize_text` FIRST (before even the blocklist
+      stage), so every downstream fingerprint, feature, and n-gram
+      sees canonical text — visually-identical crawl variants dedup
+      together instead of slipping past the exact pass.
     - ``lm=<operators.lm.NgramLM>`` + ``max_perplexity=`` (and
       optionally ``min_perplexity=`` for the Gopher-style band that
       also drops degenerate low-perplexity repetition) gates documents
@@ -131,6 +137,12 @@ def clean_corpus(
         # in-pipeline quality features are visible there regardless
         keep_cols.append(near_keep_score)
     base = df.select(*keep_cols)
+    if normalize_form is not None:
+        from zeek_duckdb_spark.operators.textops import normalize_text
+
+        base = base.withColumn(
+            text_col, normalize_text(F.col(text_col), form=normalize_form)
+        )
     if blocked_domains is not None:
         from zeek_duckdb_spark.operators.textops import filter_blocked_domains
 
