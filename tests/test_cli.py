@@ -93,3 +93,36 @@ def test_limit_zero_and_bad_spec(spark, capsys):
     assert len(out) == 1  # header only, no unbounded collect
     with pytest.raises(SystemExit, match="NAME=GLOB"):
         main(["query", "--view", "noequals", "SELECT 1"], spark=spark)
+
+
+def test_cli_clean_subcommand(spark, tmp_path):
+    """The corpus-cleaning pipeline from the shell: parquet in ->
+    cleaned parquet out + one JSON stats line; quality filter and
+    exact dedup both fire."""
+    import json as _json
+
+    from zeek_duckdb_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [
+            (1, "a genuinely useful document with plenty of real tokens"),
+            (2, "a genuinely useful document with plenty of real tokens"),  # dup
+            (3, "short"),                                                   # gated
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["clean", src, out, "--min-tokens", "3"], spark=spark)
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["rows_in"] == 3 and stats["rows_out"] == 1
+    back = spark.read.parquet(out)
+    assert {r.doc_id for r in back.collect()} == {1}
+    assert "lang_guess" in back.columns

@@ -94,6 +94,21 @@ def _build_parser() -> argparse.ArgumentParser:
     ch = sub.add_parser("check", help="data-quality gate from a rules JSON file")
     ch.add_argument("path", help="parquet directory")
     ch.add_argument("rules", help="JSON file: list of rule objects")
+
+    cl = sub.add_parser(
+        "clean", help="corpus cleaning pipeline (quality + dedup) to parquet"
+    )
+    cl.add_argument("path", help="input parquet directory (documents)")
+    cl.add_argument("out", help="output parquet directory")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--min-tokens", type=int, default=5)
+    cl.add_argument("--max-punct-ratio", type=float, default=0.2)
+    cl.add_argument("--redact-pii", action="store_true")
+    cl.add_argument("--normalize", default=None, metavar="FORM",
+                    help="NFC/NFKC/NFD/NFKD text normalization first")
+    cl.add_argument("--near-dedup", choices=["minhash", "simhash"], default=None)
+    cl.add_argument("--strip-dup-spans", action="store_true")
     return p
 
 
@@ -166,6 +181,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print("\t".join("" if v is None else str(v) for v in r))
             if any(not r.passed for r in rows):
                 return 1
+        elif args.cmd == "clean":
+            from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+            src = spark.read.parquet(args.path)
+            n_in = src.count()
+            cleaned = clean_corpus(
+                src,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                min_tokens=args.min_tokens,
+                max_punct_ratio=args.max_punct_ratio,
+                redact_pii=args.redact_pii,
+                normalize_form=args.normalize,
+                near_dedup=args.near_dedup,
+                strip_dup_spans=args.strip_dup_spans,
+            )
+            cleaned.write.mode("overwrite").parquet(args.out)
+            n_out = spark.read.parquet(args.out).count()
+            print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                              "out": args.out}))
         return 0
     finally:
         if owns:
