@@ -696,3 +696,60 @@ def test_clean_corpus_normalize_stage(spark):
     assert plain == {1, 2}  # different bytes -> both survive
     norm = {r.doc_id for r in clean_corpus(d, min_tokens=3, normalize_form="NFC").collect()}
     assert norm == {1}      # canonicalized -> exact dup, min id wins
+
+
+def test_balance_clusters_downsamples_fat_topics(spark):
+    """Three planted embedding clusters (600/300/60 rows): balancing to
+    100 rows/cell leaves the small cluster intact, cuts the fat ones to
+    ~100 (binomial noise), keeps degenerate zero vectors, is
+    deterministic, and validates its knobs."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.kmeans import kmeans_fit_quantized
+    from zeek_duckdb_spark.operators.pipeline import balance_clusters
+
+    rng = np.random.default_rng(3)
+    centers = [np.zeros(16), np.zeros(16), np.zeros(16)]
+    centers[0][0] = 10.0
+    centers[1][5] = 10.0
+    centers[2][11] = 10.0
+    rows = []
+    vid = 0
+    for ci, n in [(0, 600), (1, 300), (2, 60)]:
+        for _ in range(n):
+            v = centers[ci] + rng.normal(0, 0.3, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, [0.0] * 16))  # degenerate
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_fit_quantized(d, k=3, iters=2)
+    out = balance_clusters(d, cents, target_rows_per_cell=100, seed=1)
+    got = out.collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    assert set(out.columns) == {"vec_id", "embedding", "cell"}
+    assert vid in {i for ids in by_cell.values() for i in ids}  # zero kept
+    assert -1 in by_cell and by_cell[-1] == [vid]
+    sizes = sorted(len(v) for c, v in by_cell.items() if c >= 0)
+    assert sizes[0] == 60                      # small topic untouched
+    for s_ in sizes[1:]:
+        assert 55 <= s_ <= 145                 # ~100 +- binomial noise
+    # deterministic
+    again = {r.vec_id for r in balance_clusters(d, cents, target_rows_per_cell=100, seed=1).collect()}
+    assert again == {r.vec_id for r in got}
+    # share knob: cap at 40% of total
+    capped = balance_clusters(d, cents, max_cell_share=0.4, seed=1)
+    n_total = len(rows)
+    cc = {}
+    for r in capped.collect():
+        cc[r.cell] = cc.get(r.cell, 0) + 1
+    for c, n in cc.items():
+        if c >= 0:
+            assert n <= 0.4 * n_total * 1.25
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        balance_clusters(d, cents)
+    with _pytest.raises(ValueError, match="max_cell_share"):
+        balance_clusters(d, cents, max_cell_share=1.5)

@@ -38,6 +38,7 @@ __all__ = [
     "salted_group_count",
     "deterministic_sample",
     "stratified_sample",
+    "balance_clusters",
     "shard_corpus",
     "epoch_shuffle",
     "pack_sequences",
@@ -413,6 +414,73 @@ def stratified_sample(
     for s, f in fractions.items():
         thresh = F.when(F.col(strata_col) == s, F.lit(int(f * 1_000_000))).otherwise(thresh)
     return df.filter(_sample_bucket(F.col(key_col), seed) < thresh)
+
+
+def balance_clusters(
+    df: DataFrame,
+    cents: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_share: float | None = None,
+    target_rows_per_cell: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Topic rebalancing by embedding cluster — the semantic-diversity
+    knob of a training mix: over-represented clusters (boilerplate
+    topics, SEO farms) are DOWN-sampled to a budget while small topics
+    keep everything, the cluster-based curation idea behind
+    SemDeDup-style pruning applied at sampling rather than dedup
+    granularity.
+
+    ``cents`` is a fitted ``kmeans.kmeans_fit_quantized`` model (the
+    [(cell, centroid)] list — warm-startable, persistable).  Exactly
+    one budget knob: ``max_cell_share`` caps every cluster at that
+    fraction of the TOTAL corpus; ``target_rows_per_cell`` caps at an
+    absolute row budget.  fraction_c = min(1, budget / n_c), applied
+    with the deterministic md5-bucket sampler, so the subset is
+    re-derivable on any cluster.
+
+    Scale shape: one zero-shuffle assignment map (broadcast centroid
+    attribute — the Lloyd-loop plan), ONE K-row count aggregate to the
+    driver (model-sized), then a pure map-side stratified filter.  No
+    joins, no windows.  Degenerate all-zero vectors get cell -1 and
+    are always kept (they are nobody's over-represented topic).
+    Output: input columns + ``cell``.
+    """
+    if (max_cell_share is None) == (target_rows_per_cell is None):
+        raise ValueError(
+            "balance_clusters: pass exactly one of max_cell_share / "
+            "target_rows_per_cell"
+        )
+    if max_cell_share is not None and not 0.0 < max_cell_share <= 1.0:
+        raise ValueError("balance_clusters: max_cell_share must be in (0, 1]")
+    if target_rows_per_cell is not None and target_rows_per_cell < 1:
+        raise ValueError("balance_clusters: target_rows_per_cell must be >= 1")
+    from zeek_duckdb_spark.operators.kmeans import _assign_cells, _nonzero
+    from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+    extra = tuple(c for c in df.columns if c not in (id_col, vec_col))
+    dq = quantize_embeddings(df, id_col, vec_col, keep=(vec_col,) + extra)
+    assigned = _assign_cells(dq, cents).withColumn(
+        "cell",
+        F.when(_nonzero("qvec"), F.col("cell")).otherwise(F.lit(-1)),
+    ).drop("qvec", "scale")
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if max_cell_share is not None:
+        budget = max_cell_share * total
+    else:
+        budget = float(target_rows_per_cell)
+    fractions = {
+        c: min(1.0, budget / n) for c, n in counts.items() if c >= 0 and n > 0
+    }
+    fractions[-1] = 1.0  # degenerate rows always kept
+    return stratified_sample(
+        assigned, id_col, "cell", fractions, default=1.0, seed=seed
+    )
 
 
 def shard_corpus(
