@@ -214,13 +214,16 @@ def write_zeek(
     path: str,
     path_name: str = "spark",
     zeek_types: dict[str, str] | None = None,
-    compress: bool = False,
+    compress: "bool | str" = False,
     mode: str = "overwrite",
     on_unwritable: str = "error",
 ) -> None:
     """Write ``df`` as Zeek TSV log files under ``path`` (one
-    ``part-NNNNN.log[.gz]`` per partition, each with the full header
-    block).  ``zeek_types`` overrides the ``#types`` label per column
+    ``part-NNNNN.log[.gz|.zst]`` per partition, each with the full
+    header block).  ``compress``: False (plain), True/'gz' (gzip), or
+    'zst' (zstd via pyarrow's bundled codec — Zeek's own third
+    compression format; the scan path auto-detects all three).
+    ``zeek_types`` overrides the ``#types`` label per column
     (``{'host_ip': 'addr', 'conns_opened': 'count'}``) — labels that
     Spark's type system can't carry.  ``read_zeek(spark, path + '/*')``
     returns the same values (round-trip pinned + fuzzed in tests).
@@ -249,7 +252,7 @@ def write_zeek(
         lines.write.format("zeek")
         .mode("overwrite" if mode == "overwrite" else "append")
         .option("zeek_header", header)
-        .option("compress", "true" if compress else "false")
+        .option("compress", str(compress).lower())
         .save(path)
     )
 
@@ -305,7 +308,7 @@ def write_zeek_stream(
     checkpoint: str,
     path_name: str = "spark",
     zeek_types: dict[str, str] | None = None,
-    compress: bool = False,
+    compress: "bool | str" = False,
     on_unwritable: str = "error",
     trigger_available_now: bool = False,
 ):
@@ -326,7 +329,7 @@ def write_zeek_stream(
     w = (
         lines.writeStream.format("zeek")
         .option("zeek_header", header)
-        .option("compress", "true" if compress else "false")
+        .option("compress", str(compress).lower())
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
@@ -346,16 +349,54 @@ from pyspark.sql.datasource import (
 )
 
 
+class _ZstdTextFile:
+    """Text sink through pyarrow's bundled zstd codec (the same codec
+    the scan path's entropy fallback decodes with — no ``zstandard``
+    module needed on executors)."""
+
+    def __init__(self, path: str):
+        import pyarrow as pa
+
+        self._f = pa.output_stream(path, compression="zstd")
+
+    def write(self, s: str) -> None:
+        self._f.write(s.encode("utf-8"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+
+
+def _codec(option_val) -> tuple[str, "object"]:
+    """(extension, text-opener) for a ``compress`` option value:
+    False/'false' -> plain, True/'true'/'gz' -> gzip,
+    'zst'/'zstd' -> zstd via pyarrow (read back by the scan path's
+    auto-detect — all three extensions glob together)."""
+    v = str(option_val).lower()
+    if v in ("false", "none", ""):
+        return ".log", lambda p: open(p, "w")
+    if v in ("true", "gz", "gzip"):
+        return ".log.gz", lambda p: gzip.open(p, "wt")
+    if v in ("zst", "zstd"):
+        return ".log.zst", _ZstdTextFile
+    raise ValueError(
+        f"write_zeek: compress must be bool, 'gz', or 'zst' — got '{option_val}'"
+    )
+
+
 class ZeekLogWriter(DataSourceWriter):
     """Per-partition sink: header block + pre-formatted lines into
-    ``part-NNNNN.log[.gz]``.  Constructed by ZeekDataSource.writer()."""
+    ``part-NNNNN.log[.gz|.zst]``.  Constructed by
+    ZeekDataSource.writer()."""
 
     def __init__(self, options: dict, overwrite: bool):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("write_zeek: no output path")
         self._header = options.get("zeek_header", "")
-        self._gz = str(options.get("compress", "false")).lower() == "true"
+        self._ext, self._open = _codec(options.get("compress", "false"))
         os.makedirs(self._path, exist_ok=True)
         if overwrite:
             for f in os.listdir(self._path):
@@ -373,13 +414,9 @@ class ZeekLogWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
-        ext = ".log.gz" if self._gz else ".log"
-        final = os.path.join(self._path, f"part-{pid:05d}{ext}")
+        final = os.path.join(self._path, f"part-{pid:05d}{self._ext}")
         tmp = final + f".tmp-{attempt}"
-        opener = (lambda p: gzip.open(p, "wt")) if self._gz else (
-            lambda p: open(p, "w")
-        )
-        with opener(tmp) as fh:
+        with self._open(tmp) as fh:
             fh.write(self._header + "\n")
             for row in iterator:
                 fh.write(row[0])
@@ -415,7 +452,7 @@ class ZeekStreamLogWriter(DataSourceStreamWriter):
         if not self._path:
             raise ValueError("write_zeek_stream: no output path")
         self._header = options.get("zeek_header", "")
-        self._gz = str(options.get("compress", "false")).lower() == "true"
+        self._ext, self._open = _codec(options.get("compress", "false"))
         os.makedirs(os.path.join(self._path, ".staging"), exist_ok=True)
 
     def write(self, iterator):
@@ -427,11 +464,8 @@ class ZeekStreamLogWriter(DataSourceStreamWriter):
         staged = os.path.join(
             self._path, ".staging", f"task-{pid}-{attempt}"
         )
-        opener = (lambda p: gzip.open(p, "wt")) if self._gz else (
-            lambda p: open(p, "w")
-        )
         rows = 0
-        with opener(staged) as fh:
+        with self._open(staged) as fh:
             fh.write(self._header + "\n")
             for row in iterator:
                 fh.write(row[0])
@@ -443,13 +477,12 @@ class ZeekStreamLogWriter(DataSourceStreamWriter):
         return ZeekCommitMessage(staged, pid, rows)
 
     def commit(self, messages, batchId):
-        ext = ".log.gz" if self._gz else ".log"
         for m in messages:
             if m is None or m.staged is None:
                 continue
             final = os.path.join(
                 self._path,
-                f"batch-{batchId:06d}-part-{m.partition_id:05d}{ext}",
+                f"batch-{batchId:06d}-part-{m.partition_id:05d}{self._ext}",
             )
             os.replace(m.staged, final)
         # a retried task's LOSING attempt leaves its staged file behind
