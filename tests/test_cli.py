@@ -126,3 +126,21 @@ def test_cli_clean_subcommand(spark, tmp_path):
     back = spark.read.parquet(out)
     assert {r.doc_id for r in back.collect()} == {1}
     assert "lang_guess" in back.columns
+
+
+def test_cli_export_zst(spark, tmp_path):
+    import os
+
+    from zeek_duckdb_spark.cli import main
+
+    src = str(tmp_path / "t")
+    out = str(tmp_path / "logs")
+    spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string").write.parquet(src)
+    rc = main(["export", src, out, "--compress", "zst"], spark=spark)
+    assert rc == 0
+    files = [f for f in os.listdir(out) if f.endswith(".log.zst")]
+    assert files
+    from zeek_duckdb_spark import read_zeek
+
+    back = read_zeek(spark, out + "/*.log.zst")
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}

@@ -89,7 +89,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "--zeek-type", action="append", default=[], metavar="COL=ZTYPE",
         help="#types label override (repeatable)",
     )
-    ex.add_argument("--gz", action="store_true")
+    ex.add_argument("--gz", action="store_true",
+                    help="shorthand for --compress gz")
+    ex.add_argument("--compress", choices=["gz", "zst"], default=None)
 
     ch = sub.add_parser("check", help="data-quality gate from a rules JSON file")
     ch.add_argument("path", help="parquet directory")
@@ -166,7 +168,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.out,
                 path_name=args.path_name,
                 zeek_types=ztypes or None,
-                compress=args.gz,
+                compress=args.compress or args.gz,
             )
             print(f"exported -> {args.out}", file=sys.stderr)
         elif args.cmd == "check":
