@@ -169,3 +169,57 @@ def test_stream_dedup_checkpoint_exactly_once(spark, tmp_path):
     # by dedup state / the advanced watermark)
     assert final.count() == expect
     assert final.dropDuplicates(["kuid", "host_ip", "ts"]).count() == final.count()
+
+
+def test_streaming_incremental_dedup_ingest(spark, tmp_path):
+    """The standing-crawl ingest loop in Structured Streaming: each
+    microbatch runs exact_dedup_incremental against the persisted
+    fingerprint index inside foreachBatch, appends survivors to the
+    landing AND their fps to the index — so a duplicate arriving in a
+    LATER microbatch is dropped by state that lives entirely in
+    parquet (restart-safe by construction, no state store)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from zeek_duckdb_spark.operators.dedup import exact_dedup_incremental
+    from zeek_duckdb_spark.operators.textops import fingerprint
+
+    src = tmp_path / "in"
+    src.mkdir()
+    fps_path = str(tmp_path / "fps")
+    landing = str(tmp_path / "landing")
+    # seed an empty-but-readable index
+    spark.createDataFrame([("__seed__",)], "fp string").write.parquet(fps_path)
+
+    def ingest(batch_df, batch_id):
+        surv = exact_dedup_incremental(
+            batch_df, batch_df.sparkSession.read.parquet(fps_path)
+        )
+        surv.drop("fp").write.mode("append").parquet(landing)
+        surv.select("fp").write.mode("append").parquet(fps_path)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        with open(src / "b0.json", "w") as f:
+            f.write(json.dumps({"doc_id": 1, "text": "first unique doc"}) + "\n")
+            f.write(json.dumps({"doc_id": 2, "text": "second unique doc"}) + "\n")
+            f.write(json.dumps({"doc_id": 3, "text": "first unique doc"}) + "\n")
+        q.processAllAvailable()
+        with open(src / "b1.json", "w") as f:
+            f.write(json.dumps({"doc_id": 4, "text": "second unique doc"}) + "\n")
+            f.write(json.dumps({"doc_id": 5, "text": "a third distinct doc"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = {r.doc_id for r in spark.read.parquet(landing).collect()}
+    # batch dup (3) and cross-batch dup (4) both die; 1, 2, 5 land once
+    assert landed == {1, 2, 5}
+    n_fps = spark.read.parquet(fps_path).filter(F.col("fp") != "__seed__").count()
+    assert n_fps == 3
