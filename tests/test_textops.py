@@ -523,3 +523,56 @@ def test_normalize_text_nfc_matches_duckdb(spark):
     for i, v in enumerate(vals):
         want = con.execute("SELECT nfc_normalize(?)", [v]).fetchone()[0]
         assert got[i] == want, i
+
+
+# --- URL canonicalization ---------------------------------------------
+
+def test_canonicalize_url_golden_cases(spark):
+    from zeek_duckdb_spark.operators.textops import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/Path?b=2&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://Example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/p?utm_source=x&a=1&fbclid=z&gclid=q",
+         "https://example.com/p?a=1"),
+        ("https://example.com/p?utm_source=only", "https://example.com/p"),
+        ("https://example.com/p?z=1&y=2&z=0",
+         "https://example.com/p?y=2&z=0&z=1"),
+        ("  https://example.com/x  ", "https://example.com/x"),
+        ("not a url at all", "not a url at all"),
+        (None, None),
+    ]
+    d = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, u string"
+    )
+    got = {
+        r.id: r.c
+        for r in d.select("id", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonicalize_url_dedup_key_property(spark):
+    """Presentation variants of one resource collapse to one key;
+    distinct resources stay distinct."""
+    from zeek_duckdb_spark.operators.textops import canonicalize_url
+
+    variants = [
+        "https://News.Site.com/story?id=7&utm_campaign=mail",
+        "https://news.site.com:443/story?id=7",
+        "https://news.site.com/story?utm_source=tw&id=7#comments",
+    ]
+    others = [
+        "https://news.site.com/story?id=8",
+        "http://news.site.com/story?id=7",   # scheme differs -> distinct
+    ]
+    d = spark.createDataFrame(
+        [(u,) for u in variants + others], "u string"
+    )
+    keys = [r.c for r in d.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert len(set(keys[:3])) == 1
+    assert len(set(keys)) == 3

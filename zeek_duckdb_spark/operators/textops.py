@@ -29,6 +29,7 @@ __all__ = [
     "pii_redact",
     "extract_urls",
     "url_host",
+    "canonicalize_url",
     "registered_domain",
     "registered_domain_psl_col",
     "filter_blocked_domains",
@@ -428,6 +429,61 @@ def extract_urls(col: Column) -> Column:
 def url_host(col: Column) -> Column:
     """Lower-cased host of a single URL ('' if not a URL)."""
     return F.lower(F.regexp_extract(col, _HOST_PATTERN, 1))
+
+
+# query parameters that identify a CLICK, not a resource — the usual
+# tracking set a crawler strips before URL-level dedup
+_TRACKING_PARAMS_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
+)
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of one http(s) URL — the URL-level dedup key a
+    crawl frontier uses before any text is fetched (the cheapest dedup
+    of all): lower-cased scheme+host, default :80/:443 ports dropped,
+    fragment dropped, tracking query parameters (``utm_*``, ``gclid``,
+    ``fbclid``, ...) removed and the REST SORTED (param order is
+    presentation, not identity), empty path -> ``/``.
+
+    Pure JVM expressions (regexp + split/filter/sort HOFs over the
+    handful of query params — interpreted-HOF cost is irrelevant at
+    ~5 elements), zero shuffle.  A value that doesn't parse as an
+    http(s) URL passes through trimmed-unchanged (caller decides);
+    NULL -> NULL."""
+    u = F.trim(col)
+    # (?i): scheme and host are case-insensitive per RFC 3986; path,
+    # query, and fragment keep their case
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    host = F.lower(F.regexp_extract(u, r"(?i)^https?://([A-Za-z0-9.-]+)", 1))
+    port = F.regexp_extract(u, r"(?i)^https?://[A-Za-z0-9.-]+:(\d+)", 1)
+    # path = everything after authority up to ? or #
+    path = F.regexp_extract(
+        u, r"(?i)^https?://[A-Za-z0-9.-]+(?::\d+)?([^?#]*)", 1
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    norm_path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(_TRACKING_PARAMS_RE),
+        )
+    )
+    norm_query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(
+        scheme, F.lit("://"), host, keep_port, norm_path, norm_query
+    )
+    return F.when(host == "", u).otherwise(canon)
 
 
 def registered_domain(host: Column) -> Column:
