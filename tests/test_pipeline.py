@@ -753,3 +753,50 @@ def test_balance_clusters_downsamples_fat_topics(spark):
         balance_clusters(d, cents)
     with _pytest.raises(ValueError, match="max_cell_share"):
         balance_clusters(d, cents, max_cell_share=1.5)
+
+
+def test_temperature_weights_rule(spark):
+    """T=1 keeps natural proportions (all weights 1 at the default
+    budget); large T flattens toward uniform; weights compose with
+    mix_corpora to hit the budget in expectation."""
+    import math
+
+    from zeek_duckdb_spark.operators.pipeline import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    sizes = {"wiki": 1_000, "web": 99_000}
+    w1 = temperature_weights(sizes, temperature=1.0)
+    assert w1 == {"wiki": 1.0, "web": 1.0}
+
+    w5 = temperature_weights(sizes, temperature=5.0)
+    # p ∝ n^(1/5): wiki gets a far larger share than its natural 1%
+    p_wiki = sizes["wiki"] ** 0.2 / (sizes["wiki"] ** 0.2 + sizes["web"] ** 0.2)
+    assert w5["wiki"] == pytest.approx(100_000 * p_wiki / 1_000)
+    assert w5["wiki"] > 25          # small source repeated many times
+    assert w5["web"] < 1.0          # big source subsampled
+    # budget conservation: sum of weight_s * n_s == budget
+    assert sum(w5[s] * n for s, n in sizes.items()) == pytest.approx(100_000)
+
+    huge_t = temperature_weights(sizes, temperature=1e9)
+    assert huge_t["wiki"] * sizes["wiki"] == pytest.approx(
+        huge_t["web"] * sizes["web"], rel=1e-3
+    )  # uniform split of the budget
+
+    # composition: mixed row counts land near the temperature targets
+    wiki = spark.range(100).select(F.col("id").alias("doc_id"))
+    web = spark.range(100, 1000).select(F.col("id").alias("doc_id"))
+    w = temperature_weights({"wiki": 100, "web": 900}, temperature=3.0)
+    mixed = mix_corpora({"wiki": (wiki, w["wiki"]), "web": (web, w["web"])})
+    got = {r.source: r.n for r in
+           mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    want_wiki = w["wiki"] * 100
+    want_web = w["web"] * 900
+    assert abs(got["wiki"] - want_wiki) < 3 * math.sqrt(want_wiki) + 2
+    assert abs(got["web"] - want_web) < 3 * math.sqrt(want_web) + 2
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights(sizes, temperature=0)
+    with pytest.raises(ValueError, match="size for"):
+        temperature_weights({"x": 0}, temperature=2)

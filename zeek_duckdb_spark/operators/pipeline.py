@@ -43,6 +43,7 @@ __all__ = [
     "epoch_shuffle",
     "pack_sequences",
     "mix_corpora",
+    "temperature_weights",
     "corpus_profile",
     "chunk_documents",
 ]
@@ -613,6 +614,40 @@ def pack_sequences(
         .withColumn("seq_offset", F.col("__start") % F.lit(int(seq_len)))
         .drop("__start")
     )
+
+
+def temperature_weights(
+    sizes: dict[str, int],
+    temperature: float,
+    budget_rows: int | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled source weights — the multilingual/multi-source
+    rebalancing rule (T5 / mT5, Raffel et al. 2020 §3.4.3): sampling
+    probability p_s ∝ n_s^(1/T), so ``temperature=1`` keeps the
+    natural proportions, larger T flattens toward uniform (small
+    sources up-weighted), T -> infinity is uniform.
+
+    Returns per-source WEIGHTS in :func:`mix_corpora`'s unit (epochs of
+    that source): weight_s = target_s / n_s where target_s = budget *
+    p_s; with ``budget_rows=None`` the budget is the total corpus size
+    (pure re-mix, no net growth).  Weights above 1 mean the source
+    repeats (exactly what mix_corpora's epoch mechanics implement);
+    driver-side arithmetic over the source-count dict — call
+    ``df.count()`` per source or read landing metadata to build it."""
+    if not sizes:
+        raise ValueError("temperature_weights: sizes is empty")
+    if temperature <= 0:
+        raise ValueError("temperature_weights: temperature must be > 0")
+    for s, n in sizes.items():
+        if n <= 0:
+            raise ValueError(f"temperature_weights: size for '{s}' must be > 0")
+    total = sum(sizes.values())
+    budget = total if budget_rows is None else budget_rows
+    if budget <= 0:
+        raise ValueError("temperature_weights: budget_rows must be > 0")
+    powed = {s: n ** (1.0 / temperature) for s, n in sizes.items()}
+    z = sum(powed.values())
+    return {s: (budget * p / z) / sizes[s] for s, p in powed.items()}
 
 
 def mix_corpora(
