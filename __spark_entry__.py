@@ -4,12 +4,14 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 plus
 the LLM-pipeline operators); each callable takes (spark, sf_dir).
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.  The sketch
-operators (minhash/LSH, simhash, hyperplane ANN, IVF) use an
+operators (minhash/LSH, simhash, hyperplane ANN, IVF, PQ) use an
 md5-derived hash family and decimal-string plane constants precisely so
 the oracle can restate their exact signatures in SQL — see the
-``_*_oracle`` builders below.  Only ``zeek_scan`` has no oracle entry
-(it reads non-parquet Zeek log input DuckDB's pre-registered views
-can't see), so the driver records a rows-only check for it.
+``_*_oracle`` builders below.  Every entry has an oracle: since round 6
+even ``zeek_scan`` is hash-grade (its typed scan output re-lands as
+parquet and the oracle reads the same file).  ``extra_queries()`` /
+``extra_oracle_sql()`` hold entries rotated out of the driver's 50-slot
+budget, still checked by the local harness.
 
 Determinism rules used throughout so value-hashes match the oracle:
 - every computed column aliased identically on both sides;
