@@ -281,3 +281,31 @@ def test_plan_report_counts_all_nonbroadcast_exchanges(spark):
     j = d.join(F.broadcast(small), d.id == small.k)
     r = audit.plan_report(j)
     assert r["broadcast_joins"] == 1 and r["shuffles"] == 0
+
+
+def test_balance_clusters_plan_no_joins_no_python(spark):
+    """Topic rebalancing is a broadcast-attribute assignment + one
+    K-row aggregate + a map-side filter: the corpus never rides a
+    non-broadcast join, a window, or Python."""
+    from zeek_duckdb_spark.operators.kmeans import kmeans_fit_quantized
+    from zeek_duckdb_spark.operators.pipeline import balance_clusters
+    from zeek_duckdb_spark.plans import audit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit_quantized(emb, k=4, iters=1)
+    out = balance_clusters(emb, cents, target_rows_per_cell=50)
+    plan = audit.physical_plan(out)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_canonicalize_url_plan_pure_jvm_map(spark):
+    from pyspark.sql import functions as F
+    from zeek_duckdb_spark.operators.textops import canonicalize_url
+    from zeek_duckdb_spark.plans import audit
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = d.select(canonicalize_url(F.col("text")).alias("u"))
+    assert audit.num_shuffles(out) == 0
+    assert "Python" not in audit.physical_plan(out)
