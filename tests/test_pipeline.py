@@ -800,3 +800,28 @@ def test_temperature_weights_rule(spark):
         temperature_weights(sizes, temperature=0)
     with pytest.raises(ValueError, match="size for"):
         temperature_weights({"x": 0}, temperature=2)
+
+
+def test_cap_per_group_exact_deterministic(spark):
+    from zeek_duckdb_spark.operators.pipeline import cap_per_group
+
+    rows = [(i, f"dom{i % 3}") for i in range(100)] + [(1000, "rare")]
+    d = spark.createDataFrame(rows, "doc_id long, domain string")
+    capped = cap_per_group(d, "domain", k=10)
+    got = capped.collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, set()).add(r.doc_id)
+    assert all(len(v) == 10 for k_, v in by_dom.items() if k_ != "rare")
+    assert by_dom["rare"] == {1000}          # under-cap group intact
+    # deterministic across partitionings
+    again = {(r.doc_id, r.domain) for r in
+             cap_per_group(d.repartition(7), "domain", k=10).collect()}
+    assert again == {(r.doc_id, r.domain) for r in got}
+    # a different seed keeps a different (same-sized) subset
+    other = {(r.doc_id, r.domain) for r in
+             cap_per_group(d, "domain", k=10, seed=5).collect()}
+    assert len(other) == len(again) and other != again
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        cap_per_group(d, "domain", k=0)

@@ -44,6 +44,7 @@ __all__ = [
     "pack_sequences",
     "mix_corpora",
     "temperature_weights",
+    "cap_per_group",
     "corpus_profile",
     "chunk_documents",
 ]
@@ -613,6 +614,43 @@ def pack_sequences(
         .withColumn("seq_id", F.expr(f"__start DIV {int(seq_len)}"))
         .withColumn("seq_offset", F.col("__start") % F.lit(int(seq_len)))
         .drop("__start")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep AT MOST ``k`` rows per group, chosen deterministically —
+    the crawl staple "max N pages per domain" (Bernoulli sampling
+    can't express an exact cap; a cap can't be a pure filter).  Rows
+    are ranked inside each group by the md5 sample bucket (+ key
+    tie-break), so the kept subset is stable across runs, partitions,
+    and cluster sizes, and UNBIASED within the group (hash order is
+    arrival-order- and value-independent).
+
+    Scale shape: one row_number window partitioned by the group — the
+    shuffle any exact per-group cap must pay.  The window partition
+    holds ONE group's rows; a monster group (the reason you're capping)
+    makes that partition large.  For adversarial skew, pre-thin the
+    monster groups with ``deterministic_sample`` at a fraction safely
+    above k/n_group and re-cap — the window then sees the thinned
+    groups only.
+    """
+    if k < 1:
+        raise ValueError("cap_per_group: k must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _sample_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 
