@@ -106,11 +106,18 @@ def main() -> None:
     calib_scan_med = statistics.median(calib_scan)
     # geometric mean of the two probes' drift ratios: the headline mix
     # is both scan-shaped and compute-shaped, and geomean keeps the
-    # normalization symmetric (a 2x-slow and a 2x-fast VM state cancel)
-    drift = (
-        (calib_med / CALIBRATION_IDLE_SEC)
-        * (calib_scan_med / CALIBRATION_SCAN_IDLE_SEC)
-    ) ** 0.5
+    # normalization symmetric (a 2x-slow and a 2x-fast VM state cancel).
+    # The SCAN probe reads sf_dir's own lineitem, so its idle constant
+    # is only valid at the tier it was recorded on (sf0.1) — at any
+    # other tier its "drift" would mostly measure data size, so the
+    # normalization falls back to the data-independent CPU probe alone.
+    if abs(sf - 0.1) < 1e-9:
+        drift = (
+            (calib_med / CALIBRATION_IDLE_SEC)
+            * (calib_scan_med / CALIBRATION_SCAN_IDLE_SEC)
+        ) ** 0.5
+    else:
+        drift = calib_med / CALIBRATION_IDLE_SEC
     print(
         json.dumps(
             {

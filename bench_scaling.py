@@ -75,17 +75,16 @@ _COPY_SQL = {
 
 
 def materialize(dst_root: str, copies: int, tables: list[str]) -> None:
-    # idempotent PER TABLE (not per tier), so a tier can grow new
-    # tables later (the sketch bench adds documents/embeddings to the
-    # join-only sf5 tier) without re-replicating what exists
+    # idempotent PER FILE: a tier can grow new tables later (the
+    # sketch bench adds documents/embeddings to the join-only sf5
+    # tier), and a run interrupted mid-COPY resumes at the missing
+    # part files instead of silently benchmarking a partial replicate
     import duckdb
 
     con = duckdb.connect()
     os.makedirs(dst_root, exist_ok=True)
     for t in tables:
         d = os.path.join(dst_root, f"{t}.parquet")
-        if os.path.isdir(d) and os.listdir(d):
-            continue
         os.makedirs(d, exist_ok=True)
         src = os.path.join(SF01, f"{t}.parquet")
         # dimension tables stay 1x (they're constant-size at every SF,
@@ -93,6 +92,8 @@ def materialize(dst_root: str, copies: int, tables: list[str]) -> None:
         n = 1 if t in ("region", "nation") else copies
         for i in range(n):
             dst = os.path.join(d, f"part-{i}.parquet")
+            if os.path.exists(dst):
+                continue
             tmpl = _COPY_SQL.get(t)
             if i == 0 or tmpl is None:
                 # copy 0 keeps original keys so constant-filter queries
@@ -100,9 +101,14 @@ def materialize(dst_root: str, copies: int, tables: list[str]) -> None:
                 # same logical rows at every scale, as natural data would
                 shutil.copyfile(src, dst)
             else:
+                # leading dot: Spark's file index and the *.parquet
+                # globs both ignore hidden files, so a crash mid-COPY
+                # can't leave a half-written file that readers pick up
+                tmp = os.path.join(d, f".part-{i}.tmp")
                 sql = tmpl.format(i=i, off=i * 10_000_000)
                 sql = sql.replace(" FROM t", " FROM '%s'" % src)
-                con.execute("COPY (%s) TO '%s' (FORMAT PARQUET)" % (sql, dst))
+                con.execute("COPY (%s) TO '%s' (FORMAT PARQUET)" % (sql, tmp))
+                os.replace(tmp, dst)  # interrupted COPY leaves no dst
 
 
 def materialize_sf1() -> None:

@@ -33,14 +33,13 @@ def test_bench_emits_one_json_line_with_required_fields():
         lo, hi = d["spread"][q]
         assert lo <= t <= hi
     assert d["calibration_sec"] > 0 and d["calibration_scan_sec"] > 0
-    # normalized headline: raw total divided by the geomean of the two
-    # probes' drift ratios vs their recorded idle values
+    # normalized headline: at the sf0.1 tier the drift is the geomean
+    # of both probes vs their recorded idle values; at any other tier
+    # (this test runs sf0.001) the scan probe measures data size, not
+    # machine state, so bench.py falls back to the CPU probe alone
     import bench
 
-    drift = (
-        (d["calibration_sec"] / bench.CALIBRATION_IDLE_SEC)
-        * (d["calibration_scan_sec"] / bench.CALIBRATION_SCAN_IDLE_SEC)
-    ) ** 0.5
+    drift = d["calibration_sec"] / bench.CALIBRATION_IDLE_SEC
     assert d["machine_drift_ratio"] > 0
     assert abs(d["machine_drift_ratio"] - drift) < 0.01
     assert d["value_normalized"] > 0

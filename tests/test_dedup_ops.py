@@ -802,3 +802,24 @@ def test_incremental_ingest_two_day_composition(spark, tmp_path):
         if r.id_a >= 100 or r.id_b >= 100
     }
     assert got_pairs == full
+
+
+def test_exact_dedup_incremental_null_text_passthrough(spark):
+    """Review regression: un-fingerprintable rows (NULL text) pass
+    through as survivors with fp NULL instead of vanishing in the
+    equi-joins."""
+    from zeek_duckdb_spark.operators.dedup import exact_dedup_incremental
+    from zeek_duckdb_spark.operators.textops import fingerprint
+
+    index_fps = spark.createDataFrame(
+        [("somefp",)], "fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, "real doc one"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    out = exact_dedup_incremental(new, index_fps)
+    got = {r.doc_id: r.fp for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None

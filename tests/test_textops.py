@@ -576,3 +576,27 @@ def test_canonicalize_url_dedup_key_property(spark):
     keys = [r.c for r in d.select(canonicalize_url(F.col("u")).alias("c")).collect()]
     assert len(set(keys[:3])) == 1
     assert len(set(keys)) == 3
+
+
+def test_canonicalize_url_userinfo_and_fragment_query(spark):
+    """Review regressions: userinfo is never mistaken for the host (and
+    a numeric password never for a default port); a '?' inside the
+    fragment is fragment content, not a query."""
+    from zeek_duckdb_spark.operators.textops import canonicalize_url
+
+    cases = [
+        ("https://bob@Example.com/", "https://bob@example.com/"),
+        ("http://admin:80@example.com/", "http://admin:80@example.com/"),
+        ("http://example.com/page#sec?page=2", "http://example.com/page"),
+        ("https://u:p@Example.com:443/x?b=2&a=1#f",
+         "https://u:p@example.com/x?a=1&b=2"),
+    ]
+    d = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, u string"
+    )
+    got = {
+        r.id: r.c
+        for r in d.select("id", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

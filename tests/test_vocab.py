@@ -262,3 +262,31 @@ def test_bpe_train_on_sf_documents_and_coverage(spark):
         bpe_train(
             spark.createDataFrame([("",)], "text string"), min_count=2
         )
+
+
+def test_bpe_tokenize_nbsp_train_apply_parity(spark):
+    """Review regression: mode='bpe' applies with re.ASCII so NBSP-class
+    characters tokenize exactly as the Java-regex trainer sees them
+    (a [^A-Za-z0-9\\s] token, not whitespace)."""
+    import pyspark.sql.functions as F2
+
+    from zeek_duckdb_spark.operators.vocab import (
+        _token_array,
+        bpe_tokenize_col,
+        bpe_train,
+    )
+
+    text = "a b plain words here"
+    d = spark.createDataFrame([(text,)], "text string")
+    model = bpe_train(d, num_merges=5, min_count=1)
+    spark_toks = d.select(
+        _token_array("text", "bpe", lowercase=True).alias("t")
+    ).first()["t"]
+    assert " " in spark_toks  # the trainer sees NBSP as a token
+    applied = d.select(
+        bpe_tokenize_col(model, F2.col("text")).alias("t")
+    ).first()["t"]
+    # every trainer-side word appears in the applied stream (joined
+    # form), NBSP included
+    joined = "".join(applied)
+    assert " </w>" in joined

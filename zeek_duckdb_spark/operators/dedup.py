@@ -581,14 +581,23 @@ def exact_dedup_incremental(
     against the index on ``fp`` — the standing corpus contributes
     nothing but its fingerprint column.  Land the index bucketed on
     ``fp`` (sink.write_bucketed) to make the anti join exchange-free
-    on the index side."""
+    on the index side.
+
+    Rows whose fingerprint is NULL (NULL text) are un-fingerprintable:
+    they cannot be deduped, so they PASS THROUGH as survivors (with
+    fp = NULL) rather than silently vanishing in the equi-joins —
+    drop or gate them upstream if NULL text is junk in your corpus."""
     k = key if key is not None else fingerprint(F.col(text_col))
     with_fp = new_df.withColumn("fp", k)
-    keepers = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    batch_deduped = with_fp.join(keepers, [id_col, "fp"], "left_semi")
-    return batch_deduped.join(
-        index_fps.select("fp"), "fp", "left_anti"
+    fingerprinted = with_fp.filter(F.col("fp").isNotNull())
+    keepers = fingerprinted.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    batch_deduped = fingerprinted.join(keepers, [id_col, "fp"], "left_semi")
+    survivors = batch_deduped.join(
+        index_fps.select("fp").filter(F.col("fp").isNotNull()),
+        "fp",
+        "left_anti",
     )
+    return survivors.unionByName(with_fp.filter(F.col("fp").isNull()))
 
 
 def _simhash_chunks(

@@ -444,7 +444,8 @@ def canonicalize_url(col: Column) -> Column:
     of all): lower-cased scheme+host, default :80/:443 ports dropped,
     fragment dropped, tracking query parameters (``utm_*``, ``gclid``,
     ``fbclid``, ...) removed and the REST SORTED (param order is
-    presentation, not identity), empty path -> ``/``.
+    presentation, not identity), empty path -> ``/``; userinfo
+    (``bob@``) is preserved verbatim and never mistaken for the host.
 
     Pure JVM expressions (regexp + split/filter/sort HOFs over the
     handful of query params — interpreted-HOF cost is irrelevant at
@@ -453,15 +454,22 @@ def canonicalize_url(col: Column) -> Column:
     NULL -> NULL."""
     u = F.trim(col)
     # (?i): scheme and host are case-insensitive per RFC 3986; path,
-    # query, and fragment keep their case
+    # query, fragment, and userinfo keep their case.  The optional
+    # userinfo ('bob@', 'admin:pw@') is matched BEFORE the host so a
+    # username is never mistaken for the host (and a numeric password
+    # never for a default port); it is preserved verbatim.
+    _auth = r"(?i)^https?://((?:[^/@?#]*@)?)"
     scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
-    host = F.lower(F.regexp_extract(u, r"(?i)^https?://([A-Za-z0-9.-]+)", 1))
-    port = F.regexp_extract(u, r"(?i)^https?://[A-Za-z0-9.-]+:(\d+)", 1)
+    userinfo = F.regexp_extract(u, _auth, 1)
+    host = F.lower(F.regexp_extract(u, _auth + r"([A-Za-z0-9.-]+)", 2))
+    port = F.regexp_extract(u, _auth + r"[A-Za-z0-9.-]+:(\d+)", 2)
     # path = everything after authority up to ? or #
     path = F.regexp_extract(
-        u, r"(?i)^https?://[A-Za-z0-9.-]+(?::\d+)?([^?#]*)", 1
+        u, _auth + r"[A-Za-z0-9.-]+(?::\d+)?([^?#]*)", 2
     )
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query = after '?' but only BEFORE any '#' (a '?' inside the
+    # fragment is fragment content, which canonicalization drops)
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     keep_port = F.when(
         (port == "")
         | ((scheme == "http") & (port == "80"))
@@ -481,7 +489,7 @@ def canonicalize_url(col: Column) -> Column:
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
     canon = F.concat(
-        scheme, F.lit("://"), host, keep_port, norm_path, norm_query
+        scheme, F.lit("://"), userinfo, host, keep_port, norm_path, norm_query
     )
     return F.when(host == "", u).otherwise(canon)
 

@@ -214,6 +214,13 @@ def bpe_train(
             pair_count[p] = pair_count.get(p, 0) + f
             if sign > 0:
                 pair_words.setdefault(p, set()).add(wi)
+            else:
+                # keep the index EXACT: a rebuilt word that no longer
+                # contains p must not be rescanned when p is merged
+                # later (stale entries cost O(len(word)) each)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
 
     merges: list = []
     for _ in range(num_merges):
@@ -308,7 +315,10 @@ def bpe_tokenize_col(
 
     ranks = {p: i for i, p in enumerate(model.merges)}
     if mode == "bpe":
-        pre = re.compile(_BPE_RE)
+        # re.ASCII: Java regex \s is the 6-char ASCII class, so without
+        # it Python's unicode \s would swallow NBSP-class characters
+        # the Spark-side trainer tokenizes — train/apply parity breaks
+        pre = re.compile(_BPE_RE, re.ASCII)
         split = lambda t: pre.findall(t)  # noqa: E731
     elif mode == "ws":
         ws = re.compile(r"\s+", re.ASCII)
