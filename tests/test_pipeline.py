@@ -825,3 +825,58 @@ def test_cap_per_group_exact_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         cap_per_group(d, "domain", k=0)
+
+
+def test_incremental_clean_ingest_two_days(spark, tmp_path):
+    """The packaged daily-crawl loop: bootstrap day 0, ingest day 1
+    against the persisted indexes, index-always-wins transitivity
+    (a new->new->index chain dies entirely), dry-run writes nothing,
+    and day 2 is guarded by day 1's survivors."""
+    from zeek_duckdb_spark.operators.pipeline import incremental_clean_ingest
+
+    fps = str(tmp_path / "fps")
+    sigs = str(tmp_path / "sigs")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders across the wide green field toward the river")
+    # day 0: genuinely distinct documents (shared-template docs would
+    # near-dup EACH OTHER and the bootstrap would rightly thin them)
+    day0 = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(5)]
+        + [(5, f"{base} chapter five")],
+        "doc_id long, text string",
+    )
+    out0 = incremental_clean_ingest(day0, fps, sigs)
+    assert {r.doc_id for r in out0.collect()} == set(range(6))  # bootstrap
+
+    near5 = f"{base} chapter five".replace("river", "ocean")
+    chain = near5.replace("wide", "vast")   # reaches doc 5 through 101
+    day1 = spark.createDataFrame(
+        [
+            (100, f"{base} chapter five"),  # exact dup of indexed 5
+            (101, near5),                   # near dup of indexed 5
+            (102, chain),                   # chained to the index via 101
+            (103, "completely novel content " + "alpha beta gamma " * 6),
+            (104, "completely novel content " + "alpha beta gamma " * 5 + "alpha beta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    # dry run leaves indexes untouched
+    before = spark.read.parquet(fps).count()
+    dry = incremental_clean_ingest(day1, fps, sigs, threshold=0.5, update_index=False)
+    dry_ids = {r.doc_id for r in dry.collect()}
+    assert spark.read.parquet(fps).count() == before
+
+    out1 = incremental_clean_ingest(day1, fps, sigs, threshold=0.5)
+    got = {r.doc_id for r in out1.collect()}
+    assert got == dry_ids
+    assert 100 not in got          # exact pass
+    assert 101 not in got          # index near-dup
+    assert 102 not in got          # transitive chain to the index
+    assert 103 in got and 104 not in got  # pure-new cluster: min id wins
+
+    day2 = spark.createDataFrame(
+        [(200, "completely novel content " + "alpha beta gamma " * 6)],
+        "doc_id long, text string",
+    )
+    out2 = incremental_clean_ingest(day2, fps, sigs, threshold=0.5)
+    assert out2.count() == 0       # day-1 survivor guards the index

@@ -35,6 +35,7 @@ from zeek_duckdb_spark.operators.textops import (
 __all__ = [
     "clean_corpus",
     "clean_media_corpus",
+    "incremental_clean_ingest",
     "salted_group_count",
     "deterministic_sample",
     "stratified_sample",
@@ -354,6 +355,122 @@ def clean_media_corpus(
     return resolve_clusters(
         deduped, pairs, id_col, score_col=keep_score
     ).select(*out_cols)
+
+
+def incremental_clean_ingest(
+    new_df: DataFrame,
+    fps_path: str,
+    sigs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    seed: int = 1,
+    update_index: bool = True,
+) -> DataFrame:
+    """The packaged daily-crawl ingest loop: exact + fuzzy dedup of a
+    NEW batch against PERSISTED indexes, with the index updated for
+    tomorrow — the orchestration the incremental operators
+    (``dedup.exact_dedup_incremental`` /
+    ``minhash_lsh_pairs_incremental``) exist for.
+
+    ``fps_path`` / ``sigs_path`` are parquet locations holding the
+    standing corpus's content fingerprints and minhash signatures;
+    FIRST call bootstraps them (missing paths == empty index), later
+    calls read them through keyed joins only (the standing corpus
+    never re-scans or re-pairs itself).  Returns the surviving new
+    rows (eagerly computed — the result is also what got appended);
+    with ``update_index=False`` nothing is written (dry-run).
+
+    Keep policy — INDEX ALWAYS WINS: a new doc in any near-dup
+    component that touches an indexed doc is dropped (the index is
+    immutable history; "highest score" can't evict what's already
+    served), and pure-new components keep their min id, exactly the
+    full pass's rule.  Transitivity runs over the emitted pair set
+    (connected components), so a chain new->new->index dies entirely.
+
+    Signature parameters must match across calls — they ARE the index
+    format (mixed parameters make signatures incomparable; the same
+    contract as minhash_lsh_pairs_incremental)."""
+    import os
+
+    from zeek_duckdb_spark.operators.dedup import (
+        exact_dedup_incremental,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+    from zeek_duckdb_spark.operators.graph import connected_components
+
+    spark = new_df.sparkSession
+
+    def _maybe(path: str, schema: str) -> DataFrame:
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], schema)
+
+    index_fps = _maybe(fps_path, "fp string")
+    s1 = exact_dedup_incremental(new_df, index_fps, id_col, text_col)
+
+    new_sigs = minhash_signatures(
+        s1.drop("fp"), id_col, text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
+    )
+    # the persisted-signature schema is minhash_signatures' output
+    # (incl. the __nonempty pushdown flag _band_buckets prefers)
+    index_sigs = _maybe(
+        sigs_path,
+        f"{id_col} long, shingles array<string>, __nonempty boolean, "
+        "minhash array<bigint>",
+    )
+    pairs = minhash_lsh_pairs_incremental(
+        new_sigs, index_sigs,
+        id_col=id_col, bands=bands, threshold=threshold,
+        num_hashes=num_hashes,
+    ).select("id_a", "id_b")
+
+    new_ids = s1.select(F.col(id_col).alias("__nid"))
+    cc = connected_components(pairs)
+    labeled = cc.join(
+        new_ids, cc.v == new_ids["__nid"], "left"
+    ).select(
+        "v", "component", F.col("__nid").isNotNull().alias("is_new")
+    )
+    comp_stats = labeled.groupBy("component").agg(
+        F.max(~F.col("is_new")).alias("has_index"),
+        F.min(F.when(F.col("is_new"), F.col("v"))).alias("min_new"),
+    )
+    losers = (
+        labeled.filter(F.col("is_new"))
+        .join(comp_stats, "component")
+        .filter(F.col("has_index") | (F.col("v") != F.col("min_new")))
+        .select(F.col("v").alias(id_col))
+    )
+    survivors = s1.join(losers, id_col, "left_anti")
+
+    if update_index:
+        # SNAPSHOT before appending: the survivor plan READS the index
+        # paths it is about to append to, and Spark invalidates
+        # path-based caches on write — a plain persist() would be
+        # dropped and the re-evaluation would anti-join 103's fp
+        # against an index that now contains it.  localCheckpoint
+        # breaks the lineage physically (RDD blocks, no file
+        # dependency), so the returned frame and both appends see the
+        # same pre-append verdicts.
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.select("fp").filter(F.col("fp").isNotNull()).write.mode(
+            "append"
+        ).parquet(fps_path)
+        # signatures re-derive from the SNAPSHOT (deterministic, same
+        # params -> identical rows) — joining new_sigs here would
+        # re-read the just-appended fps through its lineage and drop
+        # every survivor as its own duplicate
+        minhash_signatures(
+            survivors.drop("fp"), id_col, text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
+        ).write.mode("append").parquet(sigs_path)
+    return survivors.drop("fp")
 
 
 def salted_group_count(
