@@ -51,6 +51,24 @@ HEADLINE = [
 ]
 
 
+def drift_ratio(calib_med: float, calib_scan_med: float, sf: float) -> float:
+    """Machine-drift estimate from the calibration probes: the
+    geometric mean of the two probes' ratios vs their recorded idle
+    medians — the headline mix is both scan-shaped and compute-shaped,
+    and geomean keeps the normalization symmetric (a 2x-slow and a
+    2x-fast VM state cancel).  The SCAN probe reads sf_dir's own
+    lineitem, so its idle constant is only valid at the tier it was
+    recorded on (sf0.1) — at any other tier its "drift" would mostly
+    measure data size, so the estimate falls back to the
+    data-independent CPU probe alone."""
+    if abs(sf - 0.1) < 1e-9:
+        return (
+            (calib_med / CALIBRATION_IDLE_SEC)
+            * (calib_scan_med / CALIBRATION_SCAN_IDLE_SEC)
+        ) ** 0.5
+    return calib_med / CALIBRATION_IDLE_SEC
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -104,20 +122,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     calib_med = statistics.median(calib)
     calib_scan_med = statistics.median(calib_scan)
-    # geometric mean of the two probes' drift ratios: the headline mix
-    # is both scan-shaped and compute-shaped, and geomean keeps the
-    # normalization symmetric (a 2x-slow and a 2x-fast VM state cancel).
-    # The SCAN probe reads sf_dir's own lineitem, so its idle constant
-    # is only valid at the tier it was recorded on (sf0.1) — at any
-    # other tier its "drift" would mostly measure data size, so the
-    # normalization falls back to the data-independent CPU probe alone.
-    if abs(sf - 0.1) < 1e-9:
-        drift = (
-            (calib_med / CALIBRATION_IDLE_SEC)
-            * (calib_scan_med / CALIBRATION_SCAN_IDLE_SEC)
-        ) ** 0.5
-    else:
-        drift = calib_med / CALIBRATION_IDLE_SEC
+    drift = drift_ratio(calib_med, calib_scan_med, sf)
     print(
         json.dumps(
             {

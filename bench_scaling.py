@@ -98,8 +98,12 @@ def materialize(dst_root: str, copies: int, tables: list[str]) -> None:
             if i == 0 or tmpl is None:
                 # copy 0 keeps original keys so constant-filter queries
                 # (vec_id = 0, doc_id < 300, o_custkey < 100) select the
-                # same logical rows at every scale, as natural data would
-                shutil.copyfile(src, dst)
+                # same logical rows at every scale, as natural data would.
+                # hidden tmp + rename: a kill mid-copy must not leave a
+                # truncated file the per-file skip would treat as done
+                tmp = os.path.join(d, f".part-{i}.tmp")
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
             else:
                 # leading dot: Spark's file index and the *.parquet
                 # globs both ignore hidden files, so a crash mid-COPY

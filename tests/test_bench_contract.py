@@ -39,7 +39,9 @@ def test_bench_emits_one_json_line_with_required_fields():
     # machine state, so bench.py falls back to the CPU probe alone
     import bench
 
-    drift = d["calibration_sec"] / bench.CALIBRATION_IDLE_SEC
+    drift = bench.drift_ratio(
+        d["calibration_sec"], d["calibration_scan_sec"], d["sf"]
+    )
     assert d["machine_drift_ratio"] > 0
     assert abs(d["machine_drift_ratio"] - drift) < 0.01
     assert d["value_normalized"] > 0
@@ -73,3 +75,20 @@ def test_scaling_md_regeneration_preserves_manual_sections(tmp_path):
     import os
     with open(os.path.join(os.path.dirname(bs.__file__), "SCALING.md")) as f:
         assert bs.MANUAL_MARKER in f.read()
+
+
+def test_drift_ratio_both_branches():
+    """Unit-pin BOTH normalization branches: the sf0.1 geomean of the
+    two probe ratios, and the CPU-only fallback everywhere else."""
+    import bench
+
+    geo = bench.drift_ratio(0.56, 0.50, 0.1)
+    assert geo == ((0.56 / bench.CALIBRATION_IDLE_SEC)
+                   * (0.50 / bench.CALIBRATION_SCAN_IDLE_SEC)) ** 0.5
+    assert geo == ((2.0) * (2.0)) ** 0.5  # 2x both probes -> 2x drift
+    cpu_only = bench.drift_ratio(0.56, 99.0, 0.001)
+    assert cpu_only == 0.56 / bench.CALIBRATION_IDLE_SEC == 2.0
+    # idle machine at the recorded constants -> ratio exactly 1
+    assert bench.drift_ratio(
+        bench.CALIBRATION_IDLE_SEC, bench.CALIBRATION_SCAN_IDLE_SEC, 0.1
+    ) == 1.0

@@ -880,3 +880,34 @@ def test_incremental_clean_ingest_two_days(spark, tmp_path):
     )
     out2 = incremental_clean_ingest(day2, fps, sigs, threshold=0.5)
     assert out2.count() == 0       # day-1 survivor guards the index
+
+
+def test_incremental_clean_ingest_dry_run_is_stable_and_ids_checked(spark, tmp_path):
+    """Review regressions: a dry-run's verdicts are snapshotted (a
+    later real ingest can't change the frame already held), and id
+    collisions with the signature index raise loudly."""
+    from zeek_duckdb_spark.operators.pipeline import incremental_clean_ingest
+
+    fps, sigs = str(tmp_path / "fps"), str(tmp_path / "sigs")
+    day0 = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(3)],
+        "doc_id long, text string",
+    )
+    incremental_clean_ingest(day0, fps, sigs)
+
+    day1 = spark.createDataFrame(
+        [(10, "a novel doc " + "alpha beta gamma " * 5)],
+        "doc_id long, text string",
+    )
+    dry = incremental_clean_ingest(day1, fps, sigs, update_index=False)
+    incremental_clean_ingest(day1, fps, sigs)          # real ingest
+    # the held dry frame still shows the pre-ingest verdict
+    assert {r.doc_id for r in dry.collect()} == {10}
+
+    # rerunning the same ids now collides with the signature index
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="globally unique"):
+        incremental_clean_ingest(day1, fps, sigs)
+    # ...unless explicitly acknowledged as a rerun
+    rerun = incremental_clean_ingest(day1, fps, sigs, check_ids=False)
+    assert rerun.count() == 0  # fp already indexed -> exact pass drops

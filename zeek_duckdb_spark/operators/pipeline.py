@@ -369,6 +369,7 @@ def incremental_clean_ingest(
     bands: int = 8,
     seed: int = 1,
     update_index: bool = True,
+    check_ids: bool = True,
 ) -> DataFrame:
     """The packaged daily-crawl ingest loop: exact + fuzzy dedup of a
     NEW batch against PERSISTED indexes, with the index updated for
@@ -377,11 +378,13 @@ def incremental_clean_ingest(
     ``minhash_lsh_pairs_incremental``) exist for.
 
     ``fps_path`` / ``sigs_path`` are parquet locations holding the
-    standing corpus's content fingerprints and minhash signatures;
-    FIRST call bootstraps them (missing paths == empty index), later
-    calls read them through keyed joins only (the standing corpus
-    never re-scans or re-pairs itself).  Returns the surviving new
-    rows (eagerly computed — the result is also what got appended);
+    standing corpus's content fingerprints and minhash signatures
+    (any Spark-readable filesystem — existence is probed by READING,
+    not a driver-local stat); FIRST call bootstraps them (missing
+    paths == empty index), later calls read them through keyed joins
+    only (the standing corpus never re-scans or re-pairs itself).
+    Returns the surviving new rows, SNAPSHOTTED eagerly in both modes
+    (so later index writes can't change the verdicts you hold);
     with ``update_index=False`` nothing is written (dry-run).
 
     Keep policy — INDEX ALWAYS WINS: a new doc in any near-dup
@@ -391,11 +394,26 @@ def incremental_clean_ingest(
     full pass's rule.  Transitivity runs over the emitted pair set
     (connected components), so a chain new->new->index dies entirely.
 
+    Ids must be GLOBALLY unique across days — they are how the policy
+    tells index from batch; ``check_ids=True`` (default) verifies the
+    batch against the signature index with one semi-join count and
+    raises on collision (daily crawls that restart ids would otherwise
+    silently corrupt verdicts in both directions).
+
+    Failure/retry contract: the two appends are not atomic.  Sigs are
+    appended FIRST — a crash between the writes, or before the caller
+    lands the survivors, is repaired by RERUNNING the same batch:
+    already-appended signature rows self-pair with the rerun batch
+    (identical ids) and strict ``id_a < id_b`` drops self-pairs, so
+    verdicts are unchanged and the index converges at-least-once
+    (duplicate fp/sig rows are semantically idempotent — fps anti-join
+    identically, duplicate pairs dedup).  Appending fps first would
+    instead make a rerun drop the whole batch at the exact pass with
+    its signatures never written.
+
     Signature parameters must match across calls — they ARE the index
     format (mixed parameters make signatures incomparable; the same
     contract as minhash_lsh_pairs_incremental)."""
-    import os
-
     from zeek_duckdb_spark.operators.dedup import (
         exact_dedup_incremental,
         minhash_lsh_pairs_incremental,
@@ -406,12 +424,22 @@ def incremental_clean_ingest(
     spark = new_df.sparkSession
 
     def _maybe(path: str, schema: str) -> DataFrame:
-        if os.path.exists(path):
-            return spark.read.parquet(path)
-        return spark.createDataFrame([], schema)
+        # probe by reading: works on any Hadoop-visible filesystem
+        # (s3a://, hdfs://, ...), unlike a driver-local os.path stat
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force resolution now, inside the try
+            return df
+        except AnalysisException:
+            return spark.createDataFrame([], schema)
 
     index_fps = _maybe(fps_path, "fp string")
     s1 = exact_dedup_incremental(new_df, index_fps, id_col, text_col)
+    # the fingerprint+anti-join prefix feeds signatures, labeling, and
+    # the final anti-join — persist it so one batch scan serves all
+    s1 = s1.persist()
 
     new_sigs = minhash_signatures(
         s1.drop("fp"), id_col, text_col,
@@ -424,6 +452,21 @@ def incremental_clean_ingest(
         f"{id_col} long, shingles array<string>, __nonempty boolean, "
         "minhash array<bigint>",
     )
+    if check_ids:
+        n_collide = (
+            index_sigs.select(id_col)
+            .join(new_df.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if n_collide:
+            raise ValueError(
+                f"incremental_clean_ingest: {n_collide} batch id(s) "
+                "already exist in the signature index — ids must be "
+                "globally unique across days (colliding ids corrupt the "
+                "index-always-wins policy in both directions); re-key "
+                "the batch or pass check_ids=False if these ARE reruns "
+                "of the same documents"
+            )
     pairs = minhash_lsh_pairs_incremental(
         new_sigs, index_sigs,
         id_col=id_col, bands=bands, threshold=threshold,
@@ -449,27 +492,29 @@ def incremental_clean_ingest(
     )
     survivors = s1.join(losers, id_col, "left_anti")
 
+    # SNAPSHOT in BOTH modes: the survivor plan READS the index paths
+    # a later (or this) call appends to, and Spark invalidates
+    # path-based caches on write — without breaking the lineage
+    # physically (RDD blocks, no file dependency) a dry-run's verdicts
+    # would silently change after the real ingest runs, and the
+    # update path would anti-join survivors against an index that
+    # already contains them.
+    survivors = survivors.localCheckpoint(eager=True)
+    s1.unpersist()
     if update_index:
-        # SNAPSHOT before appending: the survivor plan READS the index
-        # paths it is about to append to, and Spark invalidates
-        # path-based caches on write — a plain persist() would be
-        # dropped and the re-evaluation would anti-join 103's fp
-        # against an index that now contains it.  localCheckpoint
-        # breaks the lineage physically (RDD blocks, no file
-        # dependency), so the returned frame and both appends see the
-        # same pre-append verdicts.
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.select("fp").filter(F.col("fp").isNotNull()).write.mode(
-            "append"
-        ).parquet(fps_path)
-        # signatures re-derive from the SNAPSHOT (deterministic, same
-        # params -> identical rows) — joining new_sigs here would
-        # re-read the just-appended fps through its lineage and drop
-        # every survivor as its own duplicate
+        # sigs FIRST — see the failure/retry contract in the docstring
+        # (fps-first would make a crash-rerun drop the batch at the
+        # exact pass with its signatures never written).  Signatures
+        # re-derive from the snapshot (deterministic, same params ->
+        # identical rows); joining new_sigs here would re-read the
+        # index through its lineage.
         minhash_signatures(
             survivors.drop("fp"), id_col, text_col,
             num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
         ).write.mode("append").parquet(sigs_path)
+        survivors.select("fp").filter(F.col("fp").isNotNull()).write.mode(
+            "append"
+        ).parquet(fps_path)
     return survivors.drop("fp")
 
 
