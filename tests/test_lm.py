@@ -285,3 +285,36 @@ def test_perplexity_gate_in_a_stream(spark, tmp_path):
         .collect()
     }
     assert got == want and 1 not in got and got  # OOV doc gated out
+
+
+def test_lm_trigram_matches_python_reference(spark):
+    """n=3: prefix-count normalization and scoring generalize beyond
+    bigrams (the reference helpers take n)."""
+    train = [
+        "the cat sat on the mat",
+        "the cat sat on the log",
+        "a dog sat on the mat",
+    ]
+    d_train = spark.createDataFrame([(t,) for t in train], "text string")
+    lm = ngram_lm_fit(d_train, n=3, alpha=0.2)
+    grams, ctxs, v = _py_lm(train, n=3, alpha=0.2)
+    assert lm.vocab_size == v
+    assert {(r.gram, r.c) for r in lm.grams.collect()} == set(grams.items())
+    assert {(r.ctx, r.c) for r in lm.contexts.collect()} == set(ctxs.items())
+
+    rows = [(0, "the cat sat on the mat"), (1, "cat sat")]  # 1: < n tokens
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in perplexity_scores(d, lm).collect()}
+    assert 1 not in got
+    n_tok, avg, ppl = _py_score(rows[0][1], grams, ctxs, v, n=3, alpha=0.2)
+    assert got[0].lm_tokens == n_tok
+    assert got[0].avg_logp == pytest.approx(round(avg, 6), abs=1e-6)
+    assert got[0].perplexity == pytest.approx(round(ppl, 4), abs=1e-4)
+    # the closure column agrees at n=3 too
+    from zeek_duckdb_spark.operators.lm import perplexity_col
+
+    c = d.select("doc_id", perplexity_col(lm, F.col("text")).alias("p")).collect()
+    by_id = {r.doc_id: r.p for r in c}
+    assert by_id[0].lm_tokens == n_tok
+    assert by_id[0].perplexity == got[0].perplexity
+    assert by_id[1] is None or by_id[1].lm_tokens is None
