@@ -1394,7 +1394,11 @@ def _dns_tunneling_oracle() -> str:
                       ELSE qn END AS domain
           FROM base),
         subs AS (
-          SELECT ROW_NUMBER() OVER () AS rid, src, domain,
+          -- deterministic rid: an unordered ROW_NUMBER() OVER () could
+          -- enumerate differently across the two references to this
+          -- CTE; ties under (src, qn) carry IDENTICAL subs, so any
+          -- tie-side pairing yields the same entropy values
+          SELECT ROW_NUMBER() OVER (ORDER BY src, qn) AS rid, src, domain,
                  CASE WHEN len(qn) > len(domain) + 1
                       THEN qn[1 : len(qn) - len(domain) - 1] ELSE '' END AS sub
           FROM dom),

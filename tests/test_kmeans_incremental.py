@@ -116,3 +116,19 @@ def test_probe_pruning_still_holds_after_append(spark, emb, tmp_path):
     ).parquet(rebuilt)
     want = [tuple(r) for r in ivf_probe_topk(spark, rebuilt, cents, q, k=10, nprobe=4).collect()]
     assert after == want
+
+
+def test_warm_start_validates_model(spark, emb):
+    cents = kmeans_fit_quantized(emb, k=3, iters=1)
+    bad_dim = [(0, [1.0] * 16), (1, [0.5] * 16), (2, [0.0] * 16)]
+    with pytest.raises(ValueError, match="corpus dim"):
+        kmeans_fit_quantized(emb, k=3, iters=1, init_centroids=bad_dim)
+    with pytest.raises(ValueError, match="mixed dims"):
+        kmeans_fit_quantized(
+            emb, k=2, iters=1, init_centroids=[(0, [1.0] * 64), (1, [1.0] * 8)]
+        )
+    with pytest.raises(ValueError, match="duplicate cell"):
+        kmeans_fit_quantized(
+            emb, k=2, iters=1,
+            init_centroids=[(0, cents[0][1]), (0, cents[1][1])],
+        )

@@ -318,3 +318,21 @@ def test_lm_trigram_matches_python_reference(spark):
     assert by_id[0].lm_tokens == n_tok
     assert by_id[0].perplexity == got[0].perplexity
     assert by_id[1] is None or by_id[1].lm_tokens is None
+
+
+def test_perplexity_col_null_struct_contract(spark):
+    """Review regression (verified by execution): un-scorable rows get
+    a genuinely NULL struct, so struct-level `p IS NULL` predicates
+    work as the docstring promises."""
+    from zeek_duckdb_spark.operators.lm import perplexity_col
+
+    lm = ngram_lm_fit(
+        spark.createDataFrame([("a b c d e",)], "text string"), n=2
+    )
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "solo"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = d.select("doc_id", perplexity_col(lm, F.col("text")).alias("p"))
+    assert {r.doc_id for r in out.filter(F.col("p").isNull()).collect()} == {1, 2, 3}
+    assert {r.doc_id for r in out.filter(F.col("p").isNotNull()).collect()} == {0}

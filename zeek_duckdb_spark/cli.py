@@ -33,6 +33,21 @@ def _split_spec(spec: str, flag: str, form: str) -> tuple[str, str]:
     return a, b
 
 
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet footer metadata — a driver-side file
+    walk, zero data IO (the row count lives in every footer)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                total += pq.ParquetFile(os.path.join(root, n)).metadata.num_rows
+    return total
+
+
 def _tsv(df, limit: int | None) -> None:
     # `is not None`: --limit 0 must print zero rows, not collect all.
     # The no-limit path streams partition-at-a-time via
@@ -187,7 +202,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from zeek_duckdb_spark.operators.pipeline import clean_corpus
 
             src = spark.read.parquet(args.path)
-            n_in = src.count()
+            # rows_in from parquet FOOTERS (driver-side metadata walk),
+            # not a corpus scan — the stat line must not double input IO
+            n_in = _parquet_row_count(args.path)
             cleaned = clean_corpus(
                 src,
                 id_col=args.id_col,

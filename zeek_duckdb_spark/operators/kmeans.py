@@ -202,6 +202,25 @@ def kmeans_fit_quantized(
         cents = [(int(c), [float(x) for x in v]) for c, v in init_centroids]
         if not cents:
             raise ValueError("kmeans_fit_quantized: init_centroids is empty")
+        dims = {len(v) for _, v in cents}
+        if len(dims) != 1:
+            raise ValueError(
+                f"kmeans_fit_quantized: init_centroids have mixed dims {sorted(dims)}"
+            )
+        if len({c for c, _ in cents}) != len(cents):
+            raise ValueError(
+                "kmeans_fit_quantized: init_centroids carry duplicate cell ids"
+            )
+        if iters > 0:
+            # one lightweight row probe: warm-starting yesterday's
+            # model against a re-embedded corpus of a different dim
+            # would otherwise aggregate truncated geometry silently
+            probe = base.select(F.size("qvec").alias("__d")).first()
+            if probe is not None and probe["__d"] != dims.pop():
+                raise ValueError(
+                    f"kmeans_fit_quantized: init_centroids dim "
+                    f"{len(cents[0][1])} != corpus dim {probe['__d']}"
+                )
     else:
         init_rows = base.orderBy(F.asc(id_col)).limit(k).collect()
         if len(init_rows) < k:

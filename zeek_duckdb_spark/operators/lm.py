@@ -230,4 +230,12 @@ def perplexity_col(
             }
         )
 
-    return _ppl(col)
+    # a struct-returning pandas UDF yields a NON-null struct with null
+    # FIELDS for unscorable rows; wrap with a JVM token-count guard so
+    # the docstring's contract ('NULL when < n tokens') holds for
+    # struct-level predicates (`p IS NULL`) too
+    scorable = (
+        F.size(F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")))
+        >= F.lit(n)
+    )
+    return F.when(col.isNotNull() & scorable, _ppl(col))

@@ -432,8 +432,15 @@ def incremental_clean_ingest(
             df = spark.read.parquet(path)
             df.schema  # force resolution now, inside the try
             return df
-        except AnalysisException:
-            return spark.createDataFrame([], schema)
+        except AnalysisException as e:
+            # ONLY path-not-found maps to the empty-index bootstrap —
+            # any other read failure (credentials, corrupt footer)
+            # must raise, or a transient error would silently admit
+            # the whole batch undeduped and append duplicates
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return spark.createDataFrame([], schema)
+            raise
 
     index_fps = _maybe(fps_path, "fp string")
     s1 = exact_dedup_incremental(new_df, index_fps, id_col, text_col)
@@ -446,10 +453,13 @@ def incremental_clean_ingest(
         num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
     )
     # the persisted-signature schema is minhash_signatures' output
-    # (incl. the __nonempty pushdown flag _band_buckets prefers)
+    # (incl. the __nonempty pushdown flag _band_buckets prefers); the
+    # id type follows the BATCH's schema so string-keyed corpora don't
+    # bootstrap a mismatched empty frame
+    id_type = new_df.schema[id_col].dataType.simpleString()
     index_sigs = _maybe(
         sigs_path,
-        f"{id_col} long, shingles array<string>, __nonempty boolean, "
+        f"{id_col} {id_type}, shingles array<string>, __nonempty boolean, "
         "minhash array<bigint>",
     )
     if check_ids:
