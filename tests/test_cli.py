@@ -144,3 +144,48 @@ def test_cli_export_zst(spark, tmp_path):
 
     back = read_zeek(spark, out + "/*.log.zst")
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_cli_clean_incremental_two_days(spark, tmp_path):
+    """The daily-crawl loop from the shell: day 1 bootstraps the
+    indexes and lands survivors; day 2's duplicate is dropped against
+    them; dry-run reports without writing."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from zeek_duckdb_spark.cli import main
+
+    day1_src = str(tmp_path / "day1")
+    day2_src = str(tmp_path / "day2")
+    out = str(tmp_path / "landing")
+    fps, sigs = str(tmp_path / "fps"), str(tmp_path / "sigs")
+    spark.createDataFrame(
+        [(1, "first unique document body here"),
+         (2, "second unique document body here indeed")],
+        "doc_id long, text string",
+    ).write.parquet(day1_src)
+    spark.createDataFrame(
+        [(10, "first unique document body here"),   # dup of day 1
+         (11, "a genuinely new day two document")],
+        "doc_id long, text string",
+    ).write.parquet(day2_src)
+
+    def run(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(argv, spark=spark)
+        assert rc == 0
+        return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    s1 = run(["clean-incremental", day1_src, out, "--fps", fps, "--sigs", sigs])
+    assert s1 == {"rows_in": 2, "rows_out": 2, "dry_run": False, "out": out}
+
+    dry = run(["clean-incremental", day2_src, out, "--fps", fps,
+               "--sigs", sigs, "--dry-run"])
+    assert dry["rows_out"] == 1 and dry["dry_run"] is True
+
+    s2 = run(["clean-incremental", day2_src, out, "--fps", fps, "--sigs", sigs])
+    assert s2["rows_out"] == 1
+    landed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert landed == {1, 2, 11}

@@ -126,6 +126,22 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="NFC/NFKC/NFD/NFKD text normalization first")
     cl.add_argument("--near-dedup", choices=["minhash", "simhash"], default=None)
     cl.add_argument("--strip-dup-spans", action="store_true")
+
+    ci = sub.add_parser(
+        "clean-incremental",
+        help="daily-crawl ingest: dedup a batch against persisted indexes",
+    )
+    ci.add_argument("path", help="input parquet directory (today's batch)")
+    ci.add_argument("out", help="output parquet directory (survivors land here)")
+    ci.add_argument("--fps", required=True, help="fingerprint index parquet path")
+    ci.add_argument("--sigs", required=True, help="signature index parquet path")
+    ci.add_argument("--id-col", default="doc_id")
+    ci.add_argument("--text-col", default="text")
+    ci.add_argument("--threshold", type=float, default=0.7)
+    ci.add_argument("--dry-run", action="store_true",
+                    help="compute verdicts without touching the indexes")
+    ci.add_argument("--allow-id-reruns", action="store_true",
+                    help="skip the globally-unique-id check (deliberate reruns)")
     return p
 
 
@@ -220,6 +236,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             n_out = spark.read.parquet(args.out).count()
             print(json.dumps({"rows_in": n_in, "rows_out": n_out,
                               "out": args.out}))
+        elif args.cmd == "clean-incremental":
+            from zeek_duckdb_spark.operators.pipeline import (
+                incremental_clean_ingest,
+            )
+
+            batch = spark.read.parquet(args.path)
+            n_in = _parquet_row_count(args.path)
+            survivors = incremental_clean_ingest(
+                batch,
+                args.fps,
+                args.sigs,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                threshold=args.threshold,
+                update_index=not args.dry_run,
+                check_ids=not args.allow_id_reruns,
+            )
+            if not args.dry_run:
+                survivors.write.mode("append").parquet(args.out)
+            n_out = survivors.count()
+            print(json.dumps({
+                "rows_in": n_in, "rows_out": n_out,
+                "dry_run": args.dry_run, "out": args.out,
+            }))
         return 0
     finally:
         if owns:
