@@ -894,6 +894,25 @@ def pq_ann_topk(spark, sf):
     return pq_topk(codes, [float(v) for v in qvec], cbs, k_top=10)
 
 
+def sk_heavy_hitters(spark, sf):
+    """Misra–Gries exact heavy hitters (operators/sketches.py): top-20
+    part keys by lineitem count WITHOUT shuffling the distinct-key set
+    — a capacity-bounded per-partition summary nominates candidates
+    (<= partitions x capacity rows), then one broadcast-semi-join
+    re-scan takes exact counts.  The oracle is the plain GROUP BY
+    top-k the two-pass composition is guaranteed to equal whenever the
+    k-th count clears N/(capacity+1); part keys are near-uniform (no
+    heavy hitter to clear any threshold), so this row sizes capacity
+    above the distinct-key count at harness scales (sf<=0.01 has
+    <=2000 part keys) — the summary is then lossless per partition and
+    equality is unconditional.  The skewed tight-capacity regime is
+    pinned by tests/test_sketches.py."""
+    from zeek_duckdb_spark.operators.sketches import heavy_hitters
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return heavy_hitters(li, "l_partkey", k=20, capacity=4096)
+
+
 def ev_range_join(spark, sf):
     """Bucketized range join (operators/rangejoin.py): clicks landing
     inside each same-user 10-minute post-error window.  Spark would
@@ -2135,6 +2154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
+        "sk_heavy_hitters": sk_heavy_hitters,
     }
 
 
@@ -2159,5 +2179,9 @@ def extra_oracle_sql() -> dict[str, str]:
                    substring(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128)
                      AS frame_hex
             FROM f
+        """,
+        "sk_heavy_hitters": """
+            SELECT l_partkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_partkey ORDER BY n DESC, l_partkey ASC LIMIT 20
         """,
     }

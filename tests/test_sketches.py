@@ -1,0 +1,111 @@
+"""heavy_hitters (Misra–Gries two-pass exact + one-pass bounds):
+DuckDB differential on skewed data, the superset guarantee at tight
+capacity, one-pass bound containment, NULL policy, and the
+broadcast-semi-join plan shape of the exact second pass."""
+
+import collections
+import random
+
+import duckdb
+import pytest
+
+from zeek_duckdb_spark.operators.sketches import heavy_hitters
+
+SF = "/root/testdata/sf0.001"
+
+
+def _zipf_rows(n=20_000, n_keys=2_000, seed=7):
+    """Skewed (zipf-ish) key stream with a deterministic shuffle —
+    heavy keys are spread across partitions, the adversarial layout
+    for a per-partition sketch."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # rank ~ zipf: key j picked with weight 1/(j+1)
+        r = rng.random()
+        j = int(n_keys ** r) - 1
+        rows.append((f"k{j:05d}",))
+    rng.shuffle(rows)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    return spark.createDataFrame(_zipf_rows(), "url string").repartition(8)
+
+
+def test_exact_matches_duckdb(spark, skewed):
+    got = [(r.url, r.n) for r in heavy_hitters(skewed, "url", k=20).collect()]
+    con = duckdb.connect()
+    con.register("t", skewed.toPandas())
+    want = con.execute(
+        "SELECT url, count(*) AS n FROM t GROUP BY url "
+        "ORDER BY n DESC, url ASC LIMIT 20"
+    ).fetchall()
+    assert got == [(u, int(n)) for u, n in want]
+
+
+def test_exact_on_parquet_docs(spark):
+    # real table: most frequent languages over documents — tiny key
+    # space, so any capacity holds the guarantee; exact equality
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = [(r.lang, r.n) for r in heavy_hitters(docs, "lang", k=5).collect()]
+    want = duckdb.connect().execute(
+        f"SELECT lang, count(*) AS n FROM "
+        f"read_parquet('{SF}/documents.parquet') WHERE lang IS NOT NULL "
+        f"GROUP BY lang ORDER BY n DESC, lang ASC LIMIT 5"
+    ).fetchall()
+    assert got == [(u, int(n)) for u, n in want]
+
+
+def test_guarantee_at_tight_capacity(spark):
+    # one key holds 30% of a 10k-row stream; capacity 16 (threshold
+    # N/17 ~ 588 << 3000) must surface it with its exact count even
+    # though thousands of distinct tail keys churn the summary
+    rng = random.Random(11)
+    rows = [("hot",)] * 3_000 + [(f"t{rng.randrange(5_000):04d}",) for _ in range(7_000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "url string").repartition(8)
+    truth = collections.Counter(r[0] for r in rows)
+    got = heavy_hitters(df, "url", k=1, capacity=16).collect()
+    assert (got[0].url, got[0].n) == ("hot", truth["hot"])
+
+
+def test_one_pass_bounds_contain_truth(spark, skewed):
+    truth = collections.Counter(r[0] for r in _zipf_rows())
+    out = heavy_hitters(skewed, "url", k=30, exact=False).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.n_lo <= truth[r.url] <= r.n_hi
+    # the true top key must rank first: its undercount is bounded by
+    # the decrement budget, far below its lead here
+    top_true = max(truth.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert out[0].url == top_true
+
+
+def test_nulls_dropped_and_errors(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",), (None,)], "url string"
+    )
+    got = [(r.url, r.n) for r in heavy_hitters(df, "url", k=10).collect()]
+    assert got == [("a", 2), ("b", 1)]
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        heavy_hitters(df, "url", k=0)
+    with pytest.raises(ValueError, match="capacity must be >= k"):
+        heavy_hitters(df, "url", k=10, capacity=5)
+
+
+def test_exact_pass2_is_broadcast_semi(spark, skewed):
+    plan = heavy_hitters(skewed, "url", k=10)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the full-cardinality groupBy never appears pre-filter: the only
+    # aggregate keys on url AFTER the semi join (candidate-restricted)
+    assert "SortMergeJoin" not in plan
+
+
+def test_integer_key_type(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (1,), (1,), (3,), (2,)], "k long"
+    )
+    got = [(r.k, r.n) for r in heavy_hitters(df, "k", k=2).collect()]
+    assert got == [(1, 3), (2, 2)]

@@ -1,0 +1,161 @@
+"""Frequency sketches: exact heavy hitters over unbounded key
+cardinality (Misra–Gries two-pass), plus the one-pass approximate form.
+
+The 100 TB shape this solves: "top URLs / domains / tokens by count"
+over a corpus whose DISTINCT key count is itself huge (billions of
+URLs).  A plain ``groupBy(key).count()`` shuffles one row per distinct
+key — at that cardinality the shuffle IS the job.  Misra–Gries
+(Misra & Gries 1982; the summary-merge form of Agarwal et al. 2013,
+"Mergeable Summaries") bounds the state instead:
+
+- **Pass 1** runs a capacity-bounded Misra–Gries summary inside each
+  partition (``mapInPandas``, dict of at most ``capacity`` keys, Arrow
+  batches in).  Output is at most ``partitions x capacity`` candidate
+  rows — independent of both corpus size and distinct-key count.
+- **Candidate set**: the union of the per-partition summaries.  By the
+  MG guarantee any key with partition-local frequency
+  > n_p/(capacity+1) survives its partition, and a key with GLOBAL
+  frequency > N/(capacity+1) must exceed the local threshold in at
+  least one partition (pigeonhole), so the union is a SUPERSET of
+  every key with global count > N/(capacity+1).
+- **Pass 2** (``exact=True``, default) re-scans once with the tiny
+  candidate set broadcast as a left-semi join and takes EXACT counts —
+  a hash aggregate over only candidate rows, map-side combined, then
+  TakeOrdered(k).  Result: exact top-k whenever the k-th item's count
+  exceeds N/(capacity+1) (size ``capacity`` at a few multiples of k —
+  cheap, it's driver/broadcast-sized state).
+- **One-pass mode** (``exact=False``) skips the re-scan and returns
+  merged summary bounds per candidate: ``n_lo`` (sum of per-partition
+  MG counters — never overcounts) and ``n_hi`` (``n_lo`` plus the
+  summed per-partition decrement budget ``floor(n_p/(capacity+1))``).
+  True count is always within [n_lo, n_hi].  Use when a second scan is
+  too expensive and ranked-with-error is acceptable.
+
+NULL keys are dropped (documented; count them upstream via
+``coalesce`` if needed).  Determinism: ties break on key ascending.
+The exact mode is plain relational algebra end-to-end and is restated
+1:1 in DuckDB by tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+# module-global so pandas_udf/mapInPandas can resolve stringized type
+# hints (future-annotations keeps them strings; pyspark resolves them
+# against the defining module's globals)
+import pandas as pd  # noqa: F401
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters"]
+
+# sentinel key for the one-row-per-partition rows-scanned record in the
+# pass-1 output (real keys are emitted as-is; NULL keys are dropped, so
+# NULL is free to carry the partition row count)
+_ROWS_SENTINEL = None
+
+
+def _mg_partition_factory(key_col: str, capacity: int):
+    """Build the mapInPandas function: one Misra–Gries summary per
+    partition, state bounded at ``capacity`` keys regardless of input
+    size.  Emits (key, mg_count) rows plus one (NULL, n_p) sentinel
+    carrying the partition's scanned-row count for the n_hi bound."""
+
+    def mg_part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc = None  # pandas Series: key index -> surviving counter
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf[key_col].dropna()
+            n_rows += len(vals)
+            # fully vectorized fold: exact within-batch counts, index-
+            # aligned add into the summary — cost tracks DISTINCT batch
+            # keys, never rows, and never drops to per-key Python
+            vc = vals.value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                # generalized MG decrement: subtract the smallest
+                # constant that brings the summary back under capacity
+                # (the (capacity+1)-th largest counter), drop <= 0.
+                # Each unit of decrement applies to >= capacity+1 keys
+                # at once, so the total subtracted from any one key is
+                # <= n_p/(capacity+1) — the classic bound.  Memory
+                # peaks at capacity + one Arrow batch's distinct keys.
+                sub = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc[acc > sub] - sub
+        keys = [] if acc is None else list(acc.index)
+        counts = [] if acc is None else [int(v) for v in acc.values]
+        yield pd.DataFrame(
+            {key_col: keys + [_ROWS_SENTINEL], "__mg_n": counts + [n_rows]}
+        )
+
+    return mg_part
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 100,
+    capacity: int | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Top-``k`` most frequent values of ``key_col`` without shuffling
+    the full distinct-key set (module docstring has the contract).
+
+    ``exact=True`` -> (key, n) with EXACT counts, count desc / key asc,
+    guaranteed complete when the k-th count > N/(capacity+1).
+    ``exact=False`` -> (key, n_lo, n_hi) summary bounds, one pass,
+    ranked by n_lo desc / key asc.
+
+    ``capacity`` defaults to ``8*k`` (plus headroom 64): the summary is
+    driver-broadcast-sized state, so oversizing it is cheap insurance
+    on flat distributions."""
+    if k < 1:
+        raise ValueError("heavy_hitters: k must be >= 1")
+    if capacity is None:
+        capacity = max(8 * k, 64)
+    if capacity < k:
+        raise ValueError("heavy_hitters: capacity must be >= k")
+    field = df.schema[key_col]
+    sketch = df.select(key_col).mapInPandas(
+        _mg_partition_factory(key_col, capacity),
+        schema=f"`{key_col}` {field.dataType.simpleString()}, __mg_n long",
+    )
+    if exact:
+        candidates = sketch.filter(F.col(key_col).isNotNull()).select(key_col)
+        return (
+            df.filter(F.col(key_col).isNotNull())
+            .join(F.broadcast(candidates.distinct()), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc(key_col))
+            .limit(k)
+        )
+    # one-pass: merge the per-partition summaries (sum of counters is a
+    # lower bound; the sentinel rows supply sum(floor(n_p/(cap+1))),
+    # the total decrement budget, for the upper bound).  The sketch is
+    # partitions x capacity rows — this aggregate is metadata-sized.
+    budget = (
+        sketch.filter(F.col(key_col).isNull())
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("__mg_n") / (capacity + 1))), F.lit(0)
+            ).alias("__budget")
+        )
+    )
+    merged = (
+        sketch.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("__mg_n").alias("n_lo"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(budget))
+        .select(
+            key_col,
+            "n_lo",
+            (F.col("n_lo") + F.col("__budget")).alias("n_hi"),
+        )
+        .orderBy(F.desc("n_lo"), F.asc(key_col))
+        .limit(k)
+    )
