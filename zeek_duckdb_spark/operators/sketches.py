@@ -73,7 +73,13 @@ def _mg_partition_factory(key_col: str, capacity: int):
             # aligned add into the summary — cost tracks DISTINCT batch
             # keys, never rows, and never drops to per-key Python
             vc = vals.value_counts()
-            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            # align-add drifts to float64 (NaN fill before the 0);
+            # exact below 2^53 but pin int64 so counters never carry
+            # float representation at all
+            acc = (
+                vc if acc is None
+                else acc.add(vc, fill_value=0).astype("int64")
+            )
             if len(acc) > capacity:
                 # generalized MG decrement: subtract the smallest
                 # constant that brings the summary back under capacity
