@@ -2148,9 +2148,11 @@ def oracle_sql() -> dict[str, str]:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Entries rotated out of the driver's 50-slot ``queries()`` budget
-    (round 7) but still oracle-checked by the local harness
-    (tests/test_entry_oracle.py) so their coverage never regresses."""
+    """Entries outside the driver's 50-slot ``queries()`` budget —
+    rotated out in round 7 (q20, mm_frame_sample) or added after the
+    budget filled (sk_heavy_hitters) — still oracle-checked by the
+    local harness (tests/test_entry_oracle.py) so their coverage never
+    regresses."""
     return {
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
