@@ -189,3 +189,20 @@ def test_cli_clean_incremental_two_days(spark, tmp_path):
     assert s2["rows_out"] == 1
     landed = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert landed == {1, 2, 11}
+
+
+def test_top_heavy_hitters(spark, tmp_path, capsys):
+    d = str(tmp_path / "hits")
+    spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)], "url string"
+    ).write.parquet(d)
+    rc = main(["top", d, "url", "-k", "3"], spark=spark)
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "url\tn"
+    assert out[1:] == ["a\t5", "b\t3", "c\t3"]  # ties: key ascending
+    rc = main(["top", d, "url", "-k", "1", "--approx"], spark=spark)
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "url\tn_lo\tn_hi"
+    assert out[1].startswith("a\t")

@@ -11,6 +11,7 @@ around it) without writing a Python driver:
     python -m zeek_duckdb_spark ingest  'logs/*.log.gz' landing/conn
     python -m zeek_duckdb_spark compact landing/conn --partition-col p_date
     python -m zeek_duckdb_spark profile landing/docs --text-col text
+    python -m zeek_duckdb_spark top     landing/conn id_orig_h -k 50
     python -m zeek_duckdb_spark export  landing/conn out/conn_zeek \
         --zeek-type id_orig_h=addr --gz
 
@@ -142,6 +143,19 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="compute verdicts without touching the indexes")
     ci.add_argument("--allow-id-reruns", action="store_true",
                     help="skip the globally-unique-id check (deliberate reruns)")
+
+    tp = sub.add_parser(
+        "top",
+        help="most frequent values of a column (Misra-Gries heavy hitters)",
+    )
+    tp.add_argument("path", help="parquet directory")
+    tp.add_argument("column")
+    tp.add_argument("-k", type=int, default=20)
+    tp.add_argument("--capacity", type=int, default=None,
+                    help="per-partition summary size (default 8k)")
+    tp.add_argument("--approx", action="store_true",
+                    help="one-pass [n_lo, n_hi] bounds instead of the "
+                         "exact two-pass counts")
     return p
 
 
@@ -260,6 +274,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "rows_in": n_in, "rows_out": n_out,
                 "dry_run": args.dry_run, "out": args.out,
             }))
+        elif args.cmd == "top":
+            from zeek_duckdb_spark.operators.sketches import heavy_hitters
+
+            _tsv(
+                heavy_hitters(
+                    spark.read.parquet(args.path),
+                    args.column,
+                    k=args.k,
+                    capacity=args.capacity,
+                    exact=not args.approx,
+                ),
+                None,  # result is k rows — already bounded
+            )
         return 0
     finally:
         if owns:
