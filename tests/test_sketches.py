@@ -109,3 +109,38 @@ def test_integer_key_type(spark):
     )
     got = [(r.k, r.n) for r in heavy_hitters(df, "k", k=2).collect()]
     assert got == [(1, 3), (2, 2)]
+
+
+# ---- property-based: random streams, random capacities -------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_key_st = st.sampled_from([f"k{i}" for i in range(40)])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(_key_st, min_size=1, max_size=300),
+    capacity=st.integers(min_value=3, max_value=50),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_property_bounds_and_exactness(spark, vals, capacity, parts):
+    """For ANY stream / capacity / partitioning: exact counts are
+    truly exact for every emitted key, one-pass bounds contain the
+    truth, and any key with count > N/(capacity+1) appears in exact
+    mode (the MG guarantee)."""
+    truth = collections.Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "url string").repartition(parts)
+    k = min(capacity, 10)
+    got = heavy_hitters(df, "url", k=k, capacity=capacity).collect()
+    for r in got:
+        assert r.n == truth[r.url]  # exact counts, always
+    thresh = len(vals) / (capacity + 1)
+    guaranteed = {u for u, c in truth.items() if c > thresh}
+    top_guaranteed = sorted(
+        guaranteed, key=lambda u: (-truth[u], u)
+    )[:k]
+    assert set(top_guaranteed) <= {r.url for r in got}
+    approx = heavy_hitters(df, "url", k=k, capacity=capacity, exact=False).collect()
+    for r in approx:
+        assert r.n_lo <= truth[r.url] <= r.n_hi
