@@ -8,6 +8,7 @@ import random
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from zeek_duckdb_spark.operators.sketches import heavy_hitters
 
@@ -95,12 +96,48 @@ def test_nulls_dropped_and_errors(spark):
         heavy_hitters(df, "url", k=10, capacity=5)
 
 
-def test_exact_pass2_is_broadcast_semi(spark, skewed):
+def test_exact_pass2_plan_shape(spark, skewed):
+    # JVM path: no join at all — an In/InSet filter restricts the scan,
+    # then a candidate-sized hash aggregate; and no Python anywhere
     plan = heavy_hitters(skewed, "url", k=10)._jdf.queryExecution().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    # the full-cardinality groupBy never appears pre-filter: the only
-    # aggregate keys on url AFTER the semi join (candidate-restricted)
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert ("dynamicpruning" in plan or " IN " in plan or "INSET" in plan.upper())
+    assert "MapInPandas" not in plan and "SortMergeJoin" not in plan
+    # fallback path (capacity past freqItems' support floor): candidate
+    # restriction is a broadcast left-semi join, never sort-merge
+    plan2 = (
+        heavy_hitters(skewed, "url", k=10, capacity=20_000)
+        ._jdf.queryExecution().toString()
+    )
+    assert "BroadcastHashJoin" in plan2 and "LeftSemi" in plan2
+    assert "SortMergeJoin" not in plan2
+
+
+def test_exact_pass1_stays_in_jvm(spark, skewed):
+    # the exact mode's candidate pass is df.stat.freqItems — pure JVM;
+    # the plan must carry NO Python evaluation node anywhere
+    plan = heavy_hitters(skewed, "url", k=10)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_exact_large_capacity_fallback(spark, skewed):
+    # capacity+1 > 10_000 puts support under Spark's 1e-4 freqItems
+    # floor -> Python MG pass 1; results must still equal plain groupBy
+    got = [
+        (r.url, r.n)
+        for r in heavy_hitters(skewed, "url", k=15, capacity=20_000).collect()
+    ]
+    want = [
+        (r.url, r.n)
+        for r in skewed.filter("url IS NOT NULL")
+        .groupBy("url")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy(F.desc("n"), F.asc("url"))
+        .limit(15)
+        .collect()
+    ]
+    assert got == want
 
 
 def test_integer_key_type(spark):

@@ -8,20 +8,42 @@ key — at that cardinality the shuffle IS the job.  Misra–Gries
 (Misra & Gries 1982; the summary-merge form of Agarwal et al. 2013,
 "Mergeable Summaries") bounds the state instead:
 
-- **Pass 1** runs a capacity-bounded Misra–Gries summary inside each
-  partition (``mapInPandas``, dict of at most ``capacity`` keys, Arrow
-  batches in).  Output is at most ``partitions x capacity`` candidate
-  rows — independent of both corpus size and distinct-key count.
+- **Pass 1** generates a bounded candidate set.  For ``exact=True``
+  (the default) it runs ENTIRELY in the JVM via
+  ``df.stat.freqItems([key], 1/(capacity+1))`` — Spark's built-in
+  single-pass frequent-items aggregate (Karp/Shenker/Papadimitriou
+  2003, the same counter-decrement family as Misra–Gries), whose
+  guarantee is exactly what pass 2 needs: the result is a SUPERSET of
+  every key with frequency > N * support = N/(capacity+1), with at
+  most ``capacity+1`` candidates.  The corpus never crosses the
+  JVM→Arrow→Python boundary on the full scan — at 100 TB that
+  boundary's ~10-20x constant would otherwise BE the job.  (Spark
+  caps ``support`` at >= 1e-4, so for ``capacity+1 > 10_000`` this
+  path falls back to the Python summary below; at such capacities a
+  plain ``groupBy`` is usually competitive anyway.)  ``freqItems``
+  executes eagerly (a JVM ``treeAggregate`` materialized as a
+  LocalRelation), so the exact mode launches pass 1 at call time.
+- For ``exact=False`` — and the large-capacity exact fallback — pass 1
+  is a capacity-bounded Misra–Gries summary inside each partition
+  (``mapInPandas``, pandas ``value_counts`` fold, at most
+  ``capacity`` keys of state).  Output is at most
+  ``partitions x capacity`` candidate rows — independent of both
+  corpus size and distinct-key count.  Python MG is kept for the
+  one-pass mode because ``freqItems`` does not expose the per-key
+  counter values needed for the [n_lo, n_hi] bounds.
 - **Candidate set**: the union of the per-partition summaries.  By the
   MG guarantee any key with partition-local frequency
   > n_p/(capacity+1) survives its partition, and a key with GLOBAL
   frequency > N/(capacity+1) must exceed the local threshold in at
   least one partition (pigeonhole), so the union is a SUPERSET of
   every key with global count > N/(capacity+1).
-- **Pass 2** (``exact=True``, default) re-scans once with the tiny
-  candidate set broadcast as a left-semi join and takes EXACT counts —
-  a hash aggregate over only candidate rows, map-side combined, then
-  TakeOrdered(k).  Result: exact top-k whenever the k-th item's count
+- **Pass 2** (``exact=True``, default) re-scans once restricted to the
+  tiny candidate set and takes EXACT counts — a hash aggregate over
+  only candidate rows (at most ``capacity+1`` keys, so map-side
+  combine leaves a candidate-sized shuffle), then TakeOrdered(k).  On
+  the JVM path the restriction is an InSet filter (candidates are
+  already driver-local); on the fallback path it's a broadcast
+  left-semi join.  Result: exact top-k whenever the k-th item's count
   exceeds N/(capacity+1) (size ``capacity`` at a few multiples of k —
   cheap, it's driver/broadcast-sized state).
 - **One-pass mode** (``exact=False``) skips the re-scan and returns
@@ -124,16 +146,48 @@ def heavy_hitters(
     if capacity < k:
         raise ValueError("heavy_hitters: capacity must be >= k")
     field = df.schema[key_col]
-    sketch = df.select(key_col).mapInPandas(
-        _mg_partition_factory(key_col, capacity),
-        schema=f"`{key_col}` {field.dataType.simpleString()}, __mg_n long",
-    )
     if exact:
-        candidates = sketch.filter(F.col(key_col).isNotNull()).select(key_col)
+        support = 1.0 / (capacity + 1)
+        if support >= 1e-4:
+            # JVM pass 1: single-pass frequent-items aggregate, never
+            # leaves the JVM.  Superset of keys with freq > N*support;
+            # nulls filtered first so the threshold is over non-null N
+            # (matching the Python path's contract).  The result is
+            # already driver-local (freqItems materializes a
+            # LocalRelation), so pass 2 restricts via an InSet filter —
+            # cheaper than a broadcast semi-join (no build side, no
+            # join node; the partial aggregate then holds at most
+            # capacity+1 keys, so the shuffle is candidate-sized).
+            freq = (
+                df.select(key_col)
+                .filter(F.col(key_col).isNotNull())
+                .stat.freqItems([key_col], support)
+            )
+            cand_vals = [
+                v for v in (freq.collect()[0][0] or []) if v is not None
+            ]
+            if not cand_vals:
+                restricted = df.filter(F.lit(False))
+            else:
+                restricted = df.filter(F.col(key_col).isin(cand_vals))
+        else:
+            # support below Spark's 1e-4 floor: Python MG summary,
+            # candidates stay distributed -> broadcast semi-join
+            sketch = df.select(key_col).mapInPandas(
+                _mg_partition_factory(key_col, capacity),
+                schema=(
+                    f"`{key_col}` {field.dataType.simpleString()},"
+                    " __mg_n long"
+                ),
+            )
+            candidates = (
+                sketch.filter(F.col(key_col).isNotNull()).select(key_col)
+            )
+            restricted = df.filter(F.col(key_col).isNotNull()).join(
+                F.broadcast(candidates.distinct()), key_col, "left_semi"
+            )
         return (
-            df.filter(F.col(key_col).isNotNull())
-            .join(F.broadcast(candidates.distinct()), key_col, "left_semi")
-            .groupBy(key_col)
+            restricted.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc(key_col))
             .limit(k)
@@ -142,6 +196,10 @@ def heavy_hitters(
     # lower bound; the sentinel rows supply sum(floor(n_p/(cap+1))),
     # the total decrement budget, for the upper bound).  The sketch is
     # partitions x capacity rows — this aggregate is metadata-sized.
+    sketch = df.select(key_col).mapInPandas(
+        _mg_partition_factory(key_col, capacity),
+        schema=f"`{key_col}` {field.dataType.simpleString()}, __mg_n long",
+    )
     budget = (
         sketch.filter(F.col(key_col).isNull())
         .agg(
