@@ -179,7 +179,8 @@ def test_cli_clean_incremental_two_days(spark, tmp_path):
         return _json.loads(buf.getvalue().strip().splitlines()[-1])
 
     s1 = run(["clean-incremental", day1_src, out, "--fps", fps, "--sigs", sigs])
-    assert s1 == {"rows_in": 2, "rows_out": 2, "dry_run": False, "out": out}
+    assert s1 == {"rows_in": 2, "rows_out": 2, "dry_run": False,
+                  "out": f"{out}/batch=day1"}
 
     dry = run(["clean-incremental", day2_src, out, "--fps", fps,
                "--sigs", sigs, "--dry-run"])
@@ -189,6 +190,12 @@ def test_cli_clean_incremental_two_days(spark, tmp_path):
     assert s2["rows_out"] == 1
     landed = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert landed == {1, 2, 11}
+    # crash repair: rerunning the SAME batch overwrites its own
+    # batch=day2 landing — no second copy of the survivors appears
+    run(["clean-incremental", day2_src, out, "--fps", fps, "--sigs", sigs,
+         "--allow-id-reruns"])
+    again = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(again) == [1, 2, 11]
 
 
 def test_top_heavy_hitters(spark, tmp_path, capsys):

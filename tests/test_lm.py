@@ -227,6 +227,22 @@ def test_perplexity_col_parity_with_scores(spark):
     with pytest.raises(ValueError, match="max_model_rows"):
         perplexity_col(lm, F.col("text"), max_model_rows=3)
 
+    # the context table is guarded INDEPENDENTLY of grams (a fitted
+    # model always has |contexts| <= |grams|, but a hand-built or
+    # refactored one may not): small grams + oversized contexts must
+    # still refuse the driver collect
+    from zeek_duckdb_spark.operators.lm import NgramLM
+
+    lopsided = NgramLM(
+        n=2, alpha=1.0, vocab_size=4,
+        grams=spark.createDataFrame([("a b", 1)], "gram string, c long"),
+        contexts=spark.createDataFrame(
+            [(f"c{i}", 1) for i in range(10)], "ctx string, c long"
+        ),
+    )
+    with pytest.raises(ValueError, match="context table exceeds"):
+        perplexity_col(lopsided, F.col("text"), max_model_rows=5)
+
 
 def test_perplexity_gate_in_a_stream(spark, tmp_path):
     """The streaming crawl-gate story: a file stream of documents is

@@ -698,6 +698,23 @@ def test_clean_corpus_normalize_stage(spark):
     assert norm == {1}      # canonicalized -> exact dup, min id wins
 
 
+def test_balance_clusters_mega_cell_fraction_clamped():
+    """A cell where budget/n falls under the sampler's 1e-6 bucket
+    resolution must clamp to 1e-6 (keeping ~n*1e-6 rows), not truncate
+    to fraction 0 and silently drop the whole cell — the web-scale
+    regime (200M-row boilerplate cluster, budget 100) the operator's
+    docstring targets."""
+    from zeek_duckdb_spark.operators.pipeline import _cell_fractions
+
+    f = _cell_fractions({0: 200_000_000, 1: 50, -1: 7}, budget=100.0)
+    assert f[0] == 1e-6          # clamped, not 5e-7 -> int 0
+    assert f[1] == 1.0           # small cell keeps everything
+    assert -1 not in f           # degenerate cell handled by caller
+    # and the clamp round-trips through the sampler's integer
+    # threshold: int(1e-6 * 1_000_000) == 1 keeps bucket 0
+    assert int(f[0] * 1_000_000) == 1
+
+
 def test_balance_clusters_downsamples_fat_topics(spark):
     """Three planted embedding clusters (600/300/60 rows): balancing to
     100 rows/cell leaves the small cluster intact, cuts the fat ones to

@@ -602,6 +602,32 @@ def test_canonicalize_url_userinfo_and_fragment_query(spark):
         assert got[i] == want, (u, got[i], want)
 
 
+def test_canonicalize_url_unparseable_host_passes_through_whole(spark):
+    """Review regression: an authority with chars outside the host
+    class (underscore hosts, bracketed IPv6) must NOT partial-parse —
+    'http://MY_HOST.com/x' used to canonicalize as 'my' + '_HOST.com/x'
+    with mixed case-mangling, splitting case variants of the same URL
+    into different dedup keys.  The whole value now passes through
+    trimmed-unchanged, so variants stay byte-identical to themselves."""
+    from zeek_duckdb_spark.operators.textops import canonicalize_url
+
+    cases = [
+        ("http://MY_HOST.com/x", "http://MY_HOST.com/x"),
+        ("  http://my_host.com/x ", "http://my_host.com/x"),
+        ("http://[2001:db8::1]/p", "http://[2001:db8::1]/p"),
+        ("http://ok-host.com/X", "http://ok-host.com/X"),  # still parses
+    ]
+    d = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, u string"
+    )
+    got = {
+        r.id: r.c
+        for r in d.select("id", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
 def test_canonicalize_url_numeric_password_not_a_port(spark):
     """Review regression (verified by execution): the port regex must
     not backtrack into userinfo and mint a numeric password into a

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import re
 import sys
 
 
@@ -37,8 +39,6 @@ def _split_spec(spec: str, flag: str, form: str) -> tuple[str, str]:
 def _parquet_row_count(path: str) -> int:
     """Row count from parquet footer metadata — a driver-side file
     walk, zero data IO (the row count lives in every footer)."""
-    import os
-
     import pyarrow.parquet as pq
 
     total = 0
@@ -257,6 +257,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             batch = spark.read.parquet(args.path)
             n_in = _parquet_row_count(args.path)
+            # each batch lands in its own batch=<id> partition dir via
+            # the operator's land_path (overwrite-before-index-append
+            # + skip-on-empty), so a crash-repair rerun of the same
+            # batch with --allow-id-reruns replaces its own landing
+            # instead of appending a second full copy of the
+            # survivors, and a rerun after full success leaves the
+            # completed landing intact.  <id> is the input dir's
+            # basename — the natural daily key (.../crawl/2026-08-14
+            # -> batch=2026-08-14); readers of the root get it back as
+            # a `batch` partition column.
+            batch_id = re.sub(
+                r"[^A-Za-z0-9._-]", "_",
+                os.path.basename(os.path.normpath(args.path)),
+            )
+            land = os.path.join(args.out, f"batch={batch_id}")
             survivors = incremental_clean_ingest(
                 batch,
                 args.fps,
@@ -266,13 +281,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 threshold=args.threshold,
                 update_index=not args.dry_run,
                 check_ids=not args.allow_id_reruns,
+                land_path=land,
             )
-            if not args.dry_run:
-                survivors.write.mode("append").parquet(args.out)
             n_out = survivors.count()
             print(json.dumps({
                 "rows_in": n_in, "rows_out": n_out,
-                "dry_run": args.dry_run, "out": args.out,
+                "dry_run": args.dry_run, "out": land,
             }))
         elif args.cmd == "top":
             from zeek_duckdb_spark.operators.sketches import heavy_hitters

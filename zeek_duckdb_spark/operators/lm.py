@@ -187,7 +187,18 @@ def perplexity_col(
             "use perplexity_scores (distributed joins) for models this size"
         )
     gd = {r["gram"]: r["c"] for r in n_grams}
-    cd = {r["ctx"]: r["c"] for r in lm.contexts.collect()}
+    # contexts are prefixes of grams, so |contexts| <= |grams| holds
+    # for any model THIS module fits — but guard it independently so a
+    # refactor (or a hand-built NGramLM) can't turn this collect into
+    # an unbounded driver pull
+    n_ctx = lm.contexts.limit(max_model_rows + 1).collect()
+    if len(n_ctx) > max_model_rows:
+        raise ValueError(
+            f"perplexity_col: context table exceeds "
+            f"max_model_rows={max_model_rows}; use perplexity_scores "
+            "(distributed joins) for models this size"
+        )
+    cd = {r["ctx"]: r["c"] for r in n_ctx}
     n, alpha, v = lm.n, lm.alpha, float(lm.vocab_size)
     import re
     from math import exp, log

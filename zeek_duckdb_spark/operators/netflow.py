@@ -528,11 +528,20 @@ def dns_tunneling_scores_stream(
     Emits (src, domain, n_queries, n_subdomains, avg_sub_len,
     avg_entropy, tunnel_score) with the batch operator's exact
     rounding composition, so below the sketch threshold the latest
-    emission per pair equals the batch result on the same prefix
-    (parity-tested); above it only n_subdomains is approximate."""
+    emission per pair matches the batch result on the same prefix
+    (parity-tested); above it only n_subdomains is approximate.
+    Parity caveat: the entropy sum accumulates in ARRIVAL order here
+    while the batch ``F.avg`` folds in its own partition order, so
+    ``avg_entropy``/``tunnel_score`` agree within 1 ulp of the
+    pre-rounding double — a sum landing exactly on a 6dp rounding
+    boundary can flip the last printed digit.  ``math.fsum`` is used
+    for the cross-batch fold to keep the accumulated error to that
+    single representation ulp rather than letting it grow with batch
+    count."""
     from typing import Iterator
 
     import hashlib
+    import math
 
     import pandas as pd
     from pyspark.sql import types as T
@@ -585,7 +594,9 @@ def dns_tunneling_scores_stream(
         ents = _entropy_batch_np(subs)
         n_q += len(subs)
         s_len += sum(len(s) for s in subs)
-        s_ent += float(ents.sum())
+        # exact within this fold step (fsum is error-free for the
+        # batch's entropies + the carried sum); see docstring caveat
+        s_ent = math.fsum([s_ent, *ents.tolist()])
         seen = set(kmv)
         seen.update(_h60(s) for s in subs)
         kmv = sorted(seen)[:kmv_k]

@@ -370,6 +370,7 @@ def incremental_clean_ingest(
     seed: int = 1,
     update_index: bool = True,
     check_ids: bool = True,
+    land_path: str | None = None,
 ) -> DataFrame:
     """The packaged daily-crawl ingest loop: exact + fuzzy dedup of a
     NEW batch against PERSISTED indexes, with the index updated for
@@ -400,16 +401,33 @@ def incremental_clean_ingest(
     raises on collision (daily crawls that restart ids would otherwise
     silently corrupt verdicts in both directions).
 
-    Failure/retry contract: the two appends are not atomic.  Sigs are
-    appended FIRST — a crash between the writes, or before the caller
-    lands the survivors, is repaired by RERUNNING the same batch:
-    already-appended signature rows self-pair with the rerun batch
-    (identical ids) and strict ``id_a < id_b`` drops self-pairs, so
-    verdicts are unchanged and the index converges at-least-once
+    ``land_path`` (optional, honored only with ``update_index=True``)
+    writes the surviving rows to ``land_path`` with OVERWRITE *before*
+    the index appends, skipping the write when there are zero
+    survivors.  Prefer it over landing the returned DataFrame
+    yourself: the ordering + skip-on-empty make EVERY crash window
+    rerun-repairable (see below).
+
+    Failure/retry contract: the writes are not atomic, but RERUNNING
+    the same batch (``check_ids=False``) converges every crash window
+    when ``land_path`` is used: (1) crash mid-landing — indexes are
+    untouched, the rerun recomputes identical survivors and the
+    overwrite repairs the partial landing; (2) crash before the sigs
+    append — same clean replay; (3) crash between the sigs and fps
+    appends — already-appended signature rows self-pair with the rerun
+    batch (identical ids) and strict ``id_a < id_b`` drops self-pairs,
+    so verdicts are unchanged and the appends converge at-least-once
     (duplicate fp/sig rows are semantically idempotent — fps anti-join
-    identically, duplicate pairs dedup).  Appending fps first would
-    instead make a rerun drop the whole batch at the exact pass with
-    its signatures never written.
+    identically, duplicate pairs dedup); (4) rerun after FULL success —
+    the fps index now holds the batch, the replay computes zero
+    survivors, and skip-on-empty leaves the completed landing intact
+    while the index appends append nothing.  Sigs are appended before
+    fps deliberately: fps-first would make the window-(3) rerun drop
+    the whole batch at the exact pass with its signatures never
+    written.  Callers landing the RETURNED DataFrame themselves only
+    get windows (2)-(4) — a crash after the fps append but before
+    their own landing writes is not replayable (the rerun computes
+    zero survivors), which is why ``land_path`` exists.
 
     Signature parameters must match across calls — they ARE the index
     format (mixed parameters make signatures incomparable; the same
@@ -511,6 +529,12 @@ def incremental_clean_ingest(
     # already contains them.
     survivors = survivors.localCheckpoint(eager=True)
     s1.unpersist()
+    if update_index and land_path is not None:
+        # land BEFORE the index appends, skipping empty survivor sets
+        # — the ordering + skip that make every crash window
+        # rerun-repairable (failure/retry contract above)
+        if survivors.limit(1).count():
+            survivors.drop("fp").write.mode("overwrite").parquet(land_path)
     if update_index:
         # sigs FIRST — see the failure/retry contract in the docstring
         # (fps-first would make a crash-rerun drop the batch at the
@@ -590,6 +614,19 @@ def stratified_sample(
     return df.filter(_sample_bucket(F.col(key_col), seed) < thresh)
 
 
+def _cell_fractions(counts: dict, budget: float) -> dict:
+    """Per-cell keep fractions for balance_clusters: min(1, budget/n),
+    clamped at the sampler's 1e-6 bucket resolution — a mega-cell
+    where budget/n < 1e-6 (200M rows, budget 100) must keep ~n*1e-6
+    rows, not silently truncate to fraction 0 and vanish; callers
+    needing the cap exact at that extreme should use cap_per_group."""
+    return {
+        c: min(1.0, max(budget / n, 1e-6))
+        for c, n in counts.items()
+        if c >= 0 and n > 0
+    }
+
+
 def balance_clusters(
     df: DataFrame,
     cents: list,
@@ -648,9 +685,7 @@ def balance_clusters(
         budget = max_cell_share * total
     else:
         budget = float(target_rows_per_cell)
-    fractions = {
-        c: min(1.0, budget / n) for c, n in counts.items() if c >= 0 and n > 0
-    }
+    fractions = _cell_fractions(counts, budget)
     fractions[-1] = 1.0  # degenerate rows always kept
     return stratified_sample(
         assigned, id_col, "cell", fractions, default=1.0, seed=seed
