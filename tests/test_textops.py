@@ -418,6 +418,45 @@ def test_registered_domain_psl_wildcard_and_exception(spark):
     assert got["shop.co.jp"] == "shop.co.jp"
 
 
+def test_psl_snapshot_consistent_with_upstream_syntax(tmp_path):
+    """Freshness guard for the vendored snapshot: every rule must
+    round-trip through the upstream public_suffix_list.dat grammar
+    unchanged (the refresh recipe in psl_snapshot.py copies upstream
+    lines verbatim, so any rule that parses differently from a .dat
+    file than from the tuple is a hand-editing mistake), and the
+    rule set must be internally coherent the way upstream's is."""
+    from zeek_duckdb_spark.operators.psl_snapshot import PSL_SNAPSHOT
+    from zeek_duckdb_spark.operators.textops import _load_psl
+
+    # render the snapshot as an upstream-format file, comments and all
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n\n"
+        + "\n".join(PSL_SNAPSHOT)
+        + "\n// ===END ICANN DOMAINS===\n"
+    )
+    assert _load_psl(str(dat)) == _load_psl(True)
+
+    # per-rule syntactic invariants of the upstream grammar
+    seen = set()
+    for rule in PSL_SNAPSHOT:
+        assert rule == rule.strip().lower(), rule   # verbatim-copy form
+        assert " " not in rule and "\t" not in rule, rule
+        body = rule.lstrip("!").removeprefix("*.")
+        assert body and not body.startswith((".", "*", "!")), rule
+        assert not body.endswith(".") and ".." not in body, rule
+        assert rule not in seen, f"duplicate rule {rule}"
+        seen.add(rule)
+
+    # every exception must override a wildcard rule that exists, and
+    # every wildcard must not be shadowed by an identical exact rule
+    exact, wild, exc, _ = _load_psl(True)
+    for e in exc:
+        parent = e.split(".", 1)[1]
+        assert parent in wild, f"orphan exception !{e}"
+    assert not (wild & exact)
+
+
 def test_psl_upstream_file_and_iterable_parsing(tmp_path):
     """_load_psl accepts the upstream public_suffix_list.dat syntax
     (comments, blank lines, trailing text) and rule iterables; the

@@ -17,6 +17,15 @@ public_suffix_list.dat'`` (the upstream file parses directly) to any
 PSL-accepting operator for full coverage.  Rule syntax is the
 upstream's: one rule per line, ``//`` comments, ``*.`` wildcard
 labels, ``!`` exception prefix.
+
+Refresh recipe: download https://publicsuffix.org/list/public_suffix_list.dat,
+keep every multi-label / wildcard / exception rule you care about
+verbatim (the syntax here IS the upstream syntax — a rule line copies
+unchanged into this tuple), and rerun
+``pytest tests/test_textops.py -k psl_snapshot`` — the guard test
+re-parses the snapshot through the upstream-file grammar and rejects
+any rule that would not round-trip (stray whitespace, uppercase,
+orphan exceptions, leading dots).
 """
 
 PSL_SNAPSHOT: tuple[str, ...] = (
