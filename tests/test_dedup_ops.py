@@ -453,6 +453,90 @@ def test_incremental_lsh_matches_full_pass_on_new_pairs(spark):
     assert (1, 101) in inc and (102, 103) in inc  # both pair kinds found
 
 
+def test_band_index_probe_matches_flat_probe(spark, tmp_path):
+    """A write_band_index landing, loaded pruned to the batch's
+    touched partitions, must yield EXACTLY the flat-index probe's
+    pairs — the banded landing is a layout change, never a semantics
+    change."""
+    index, new = _inc_corpora(spark)
+    k = dict(num_hashes=32, shingle_k=3)
+    isigs = dd.minhash_signatures(index, **k)
+    nsigs = dd.minhash_signatures(new, **k)
+    path = str(tmp_path / "bandidx")
+    dd.write_band_index(isigs, path, bands=8, num_hashes=32, pfx_mod=16)
+    nb = dd._band_buckets(nsigs, "doc_id", 8, 32)
+    touched = dd.touched_band_partitions(nb, pfx_mod=16)
+    banded = dd.load_band_index(spark, path, touched)
+    assert set(banded.columns) == {"doc_id", "band", "bucket"}
+    args = dict(bands=8, threshold=0.5)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs_incremental(
+            nsigs, isigs, index_banded=banded, **args
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs_incremental(nsigs, isigs, **args).collect()
+    }
+    assert got == want and (1, 101) in got
+
+
+def test_band_index_probe_prunes_partitions(spark, tmp_path):
+    """The pruning proof: a probe restricted to one touched
+    (band, pfx) pair must read ONLY that directory's files — the
+    literal predicate resolves against the partition index at plan
+    time, so untouched directories never enter the scan."""
+    # many distinct docs -> buckets spread over the 8 x 8 partitions
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"tok{i}w{j}" for j in range(12))) for i in range(40)],
+    )
+    sigs = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    path = str(tmp_path / "bandidx")
+    dd.write_band_index(sigs, path, bands=8, num_hashes=32, pfx_mod=8)
+    def scan_metrics(df):
+        # run the scan, then read the FileSourceScan's driver metrics
+        # (inputFiles() ignores filters — the metrics are the proof)
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        m = leaf.metrics()
+        return {
+            k: m.apply(k).value() for k in ("numFiles", "numPartitions")
+        }
+
+    full = scan_metrics(dd.load_band_index(spark, path))
+    probe = dd.load_band_index(spark, path, [(0, 3)])
+    pruned = scan_metrics(probe)
+    assert pruned["numPartitions"] == 1 < full["numPartitions"]
+    assert 0 < pruned["numFiles"] < full["numFiles"]
+    # the physical plan carries the directory-key predicate, and every
+    # row the probe returns is from the requested partition
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert all(r.band == 0 for r in probe.collect())
+    # empty touched set -> no scan at all, zero rows
+    assert dd.load_band_index(spark, path, []).count() == 0
+
+
+def test_band_index_append_growth(spark, tmp_path):
+    """mode='append' is the daily shape: day 2's banded rows join the
+    standing landing without rewriting day 1's directories."""
+    k = dict(num_hashes=32, shingle_k=3)
+    d1 = dd.minhash_signatures(
+        _docs(spark, [(1, "alpha beta gamma delta epsilon")]), **k
+    )
+    d2 = dd.minhash_signatures(
+        _docs(spark, [(2, "zeta eta theta iota kappa")]), **k
+    )
+    path = str(tmp_path / "bandidx")
+    dd.write_band_index(d1, path, bands=8, num_hashes=32)
+    dd.write_band_index(d2, path, bands=8, num_hashes=32)
+    got = dd.load_band_index(spark, path)
+    assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == {1, 2}
+    assert got.count() == 16  # 8 bands x 2 docs
+
+
 def test_incremental_lsh_never_emits_index_index_pairs(spark):
     # plant an index-index near-dup the incremental pass must IGNORE
     base = " ".join(f"gamma{i}" for i in range(30))

@@ -50,6 +50,9 @@ __all__ = [
     "near_dedup_stream",
     "corpus_overlap",
     "simhash_pairs_incremental",
+    "write_band_index",
+    "load_band_index",
+    "touched_band_partitions",
 ]
 
 
@@ -358,6 +361,106 @@ def minhash_lsh_pairs(
     )
 
 
+def write_band_index(
+    sig_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    num_hashes: int = 32,
+    pfx_mod: int = 64,
+    mode: str = "append",
+) -> None:
+    """Land a MATERIALIZED banded index — (id, band, bucket) rows,
+    partitioned by (band, pfx = bucket % pfx_mod) — the daily-probe
+    layout for :func:`minhash_lsh_pairs_incremental`.
+
+    Why it exists: probing a flat signature index re-scans the WIDE
+    signature rows (minhash + shingles arrays) and recomputes the md5
+    band buckets for the entire standing corpus on every batch.  The
+    banded landing pays that once at append time; the daily probe then
+    scans three narrow columns, and the partition layout prunes it:
+
+    - ``band``/``pfx`` are directory keys, so a probe filtered to the
+      batch's touched (band, pfx) set (:func:`touched_band_partitions`
+      + :func:`load_band_index`) reads ONLY those directories —
+      buckets are uniform hashes, so a SMALL probe (streaming lookups,
+      "which docs collide with THESE") touches few of the
+      bands x pfx_mod partitions; a large daily batch saturates them
+      and degrades gracefully to the narrow full scan, which is the
+      right plan at that size anyway;
+    - ``mode='append'`` is the growth shape: each day's surviving
+      signatures append their banded rows into the same directories —
+      no rewrite of the standing index, the serving layout the
+      incremental family (ivf_append, phash_pairs_incremental) uses.
+
+    Parameters must match the probing call — (bands, num_hashes) ARE
+    the index format, exactly like the signature parameters.
+    ``pfx_mod`` bounds the directory count at bands x pfx_mod
+    (default 8 x 64 = 512 — small enough for cheap listings, large
+    enough that a single-bucket probe reads ~1/512th of the index)."""
+    if pfx_mod < 1:
+        raise ValueError("write_band_index: pfx_mod must be >= 1")
+    bb = _band_buckets(sig_df, id_col, bands, num_hashes)
+    (
+        bb.withColumn("pfx", F.pmod(F.col("bucket"), F.lit(pfx_mod)))
+        # co-locate each (band, pfx) into one task before partitionBy:
+        # without it every task writes into every directory
+        # (tasks x bands x pfx_mod tiny files — the write was measured
+        # 8x slower); with it each directory gets exactly one file per
+        # append.  The shuffle is of narrow 3-column rows, paid once
+        # at ingest.
+        .repartition(F.col("band"), F.col("pfx"))
+        .write.mode(mode)
+        .partitionBy("band", "pfx")
+        .parquet(path)
+    )
+
+
+def touched_band_partitions(
+    banded_new: DataFrame, pfx_mod: int = 64
+) -> list[tuple[int, int]]:
+    """The (band, pfx) partitions a new batch's banded rows touch —
+    driver-sized by construction (<= bands x pfx_mod entries), the
+    literal pruning predicate :func:`load_band_index` needs."""
+    return sorted(
+        (int(r["band"]), int(r["pfx"]))
+        for r in banded_new.select(
+            "band", F.pmod(F.col("bucket"), F.lit(pfx_mod)).alias("pfx")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+def load_band_index(
+    spark, path: str, touched: list[tuple[int, int]] | None = None
+) -> DataFrame:
+    """Read a :func:`write_band_index` landing, PARTITION-PRUNED to
+    ``touched`` (band, pfx) pairs when given — the predicate is a
+    literal OR over directory-key equalities, so Catalyst resolves it
+    against the file index at planning time and untouched directories
+    are never listed into the scan (pinned by
+    tests/test_dedup_ops.py::test_band_index_probe_prunes_partitions).
+    ``touched=None`` reads everything (the full-probe fallback)."""
+    df = spark.read.parquet(path)
+    if touched is not None:
+        if not touched:
+            return df.filter(F.lit(False)).drop("pfx")
+        # group by band so the predicate is <= bands OR-terms of flat
+        # isin lists (a per-pair OR chain nests one level per pair —
+        # a saturated probe's ~bands x pfx_mod terms overflow the
+        # analyzer's recursion, and InSet evaluates faster anyway)
+        by_band: dict[int, list[int]] = {}
+        for band, pfx in touched:
+            by_band.setdefault(int(band), []).append(int(pfx))
+        pred = None
+        for band, pfxs in sorted(by_band.items()):
+            term = (F.col("band") == band) & F.col("pfx").isin(sorted(set(pfxs)))
+            pred = term if pred is None else (pred | term)
+        df = df.filter(pred)
+    return df.drop("pfx")
+
+
 def minhash_lsh_pairs_incremental(
     new_sigs: DataFrame,
     index_sigs: DataFrame,
@@ -368,6 +471,7 @@ def minhash_lsh_pairs_incremental(
     max_bucket_size: int | None = 100_000,
     on_oversize: str = "error",
     include_new_pairs: bool = True,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest: a new batch of
     signatures against a persisted corpus index, without re-pairing
@@ -385,9 +489,13 @@ def minhash_lsh_pairs_incremental(
       are SEMI-JOINED against the new batch's touched buckets first,
       so only index entries that could collide with a new doc ride the
       groupBy exchange (AQE broadcasts the touched-bucket set when the
-      batch is small, its usual case).  Persisting the index bucketed
-      by (band, bucket) via sink.write_bucketed makes even that scan
-      partition-prunable;
+      batch is small, its usual case).  Pass ``index_banded`` (a
+      :func:`write_band_index` landing, loaded partition-pruned via
+      :func:`load_band_index`) to skip re-deriving the index's band
+      buckets entirely — the wide minhash/shingle arrays then never
+      scan for candidate generation, only the three narrow banded
+      columns do (``index_sigs`` is still required: verification
+      joins its shingles by candidate id);
     - each surviving bucket expands pairs with an (is_new) tag and
       keeps only pairs where at least one side is new — index-index
       pairs are never materialized, not merely filtered late (the
@@ -406,7 +514,11 @@ def minhash_lsh_pairs_incremental(
     id_a < id_b, at least one side from ``new_sigs``.
     """
     nb = _band_buckets(new_sigs, id_col, bands, num_hashes)
-    ib = _band_buckets(index_sigs, id_col, bands, num_hashes)
+    ib = (
+        index_banded
+        if index_banded is not None
+        else _band_buckets(index_sigs, id_col, bands, num_hashes)
+    )
     touched = nb.select("band", "bucket").distinct()
     ib_touched = ib.join(touched, ["band", "bucket"], "left_semi")
     tagged = nb.withColumn("is_new", F.lit(True)).unionByName(
