@@ -223,3 +223,82 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path):
     assert landed == {1, 2, 5}
     n_fps = spark.read.parquet(fps_path).filter(F.col("fp") != "__seed__").count()
     assert n_fps == 3
+
+
+def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
+    """incremental_clean_ingest_stream: the FULL daily-crawl loop
+    (exact + fuzzy dedup vs the persisted indexes, per-batch landing,
+    index appends) as a foreachBatch streaming job — two rotated-in
+    batches processed across a query RESTART must land exactly the
+    batch loop's survivors, with no duplicate index rows, and a
+    re-delivered day-1 file after the second restart must add
+    nothing."""
+    import glob as _glob
+
+    from zeek_duckdb_spark.operators.pipeline import (
+        incremental_clean_ingest,
+        incremental_clean_ingest_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    fps, sigs = str(tmp_path / "fps"), str(tmp_path / "sigs")
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+
+    day1 = spark.createDataFrame(
+        [(1, "first unique document body right here"),
+         (2, "second unique document body over there"),
+         (3, "first unique document body right here")],   # in-batch dup
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, "first unique document body right here"),   # dup of day 1
+         (11, "a genuinely new day two document body")],
+        "doc_id long, text string",
+    )
+
+    def land_file(df, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    def run_stream():
+        s = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = incremental_clean_ingest_stream(
+            s, fps, sigs, land, ckpt, threshold=0.5
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    land_file(day1, "day1")
+    run_stream()                      # batch 0 = day 1, then the query exits
+    land_file(day2, "day2")
+    run_stream()                      # restart from checkpoint; batch 1 = day 2
+
+    # survivors per batch == the batch loop on the same days
+    bfps, bsigs = str(tmp_path / "bfps"), str(tmp_path / "bsigs")
+    want1 = {r.doc_id for r in incremental_clean_ingest(
+        day1, bfps, bsigs, threshold=0.5).collect()}
+    want2 = {r.doc_id for r in incremental_clean_ingest(
+        day2, bfps, bsigs, threshold=0.5).collect()}
+    got1 = {r.doc_id for r in spark.read.parquet(f"{land}/batch=0").collect()}
+    got2 = {r.doc_id for r in spark.read.parquet(f"{land}/batch=1").collect()}
+    assert (got1, got2) == (want1, want2) == ({1, 2}, {11})
+
+    # no duplicate index rows: one sig row and one distinct fp per
+    # unique surviving doc
+    sig_ids = [r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()]
+    assert sorted(sig_ids) == [1, 2, 11]
+    fp_rows = [r.fp for r in spark.read.parquet(fps).collect()]
+    assert len(fp_rows) == len(set(fp_rows)) == 3  # one fp per survivor
+
+    # a re-delivered day-1 file (same rows, new filename) after another
+    # restart self-deduplicates against the index: no new landing dir,
+    # no index growth
+    n_sigs_before = spark.read.parquet(sigs).count()
+    land_file(day1, "day1_redelivered")
+    run_stream()
+    assert not _glob.glob(f"{land}/batch=2")
+    assert spark.read.parquet(sigs).count() == n_sigs_before
+    assert {r.doc_id for r in spark.read.parquet(land).collect()} == {1, 2, 11}

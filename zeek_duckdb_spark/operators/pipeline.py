@@ -36,6 +36,7 @@ __all__ = [
     "clean_corpus",
     "clean_media_corpus",
     "incremental_clean_ingest",
+    "incremental_clean_ingest_stream",
     "salted_group_count",
     "deterministic_sample",
     "stratified_sample",
@@ -550,6 +551,86 @@ def incremental_clean_ingest(
             "append"
         ).parquet(fps_path)
     return survivors.drop("fp")
+
+
+def incremental_clean_ingest_stream(
+    stream_df: DataFrame,
+    fps_path: str,
+    sigs_path: str,
+    land_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    seed: int = 1,
+    available_now: bool = True,
+):
+    """The daily-crawl ingest loop as a STREAMING job: each
+    micro-batch of ``stream_df`` (``read_zeek_stream``, a file-source
+    parquet stream — any streaming DataFrame of (id, text, ...) rows)
+    runs :func:`incremental_clean_ingest` against the persisted
+    indexes via ``foreachBatch``, landing survivors under
+    ``land_path/batch=<batch_id>`` and appending the fp/sig indexes
+    for the batches that follow.  Returns the started
+    ``StreamingQuery``.
+
+    Exactly-once landing across restarts WITHOUT idempotent-sink
+    magic: ``foreachBatch`` is at-least-once (a crash between the
+    batch function and the checkpoint commit replays the SAME batch id
+    with the SAME rows on restart), and the ingest operator's
+    failure/retry contract is exactly shaped for that replay — the
+    landing is an overwrite of the batch's OWN ``batch=<id>``
+    directory (idempotent), skip-on-empty protects a fully-committed
+    landing from the replay's self-deduplicated empty survivor set,
+    and duplicate index appends are semantically idempotent (see
+    ``incremental_clean_ingest``'s docstring, windows 1-4).  That is
+    why ``check_ids`` is hard-off here: a replayed batch ALWAYS
+    collides with its own already-appended signatures, so the
+    collision check would turn every crash-recovery into a hard
+    failure.  The cost is the same contract the batch loop's
+    ``--allow-id-reruns`` accepts: ids must be globally unique across
+    the stream's lifetime, or colliding days silently corrupt
+    verdicts in both directions.
+
+    ``available_now=True`` (default) drains everything visible and
+    stops — the cron-driven daily shape (run, land, exit; tomorrow's
+    run resumes from the checkpoint and sees only new files).
+    ``False`` runs continuously with the default trigger.
+
+    Sequencing note: micro-batches execute serially within the query,
+    so batch N+1's verdicts always see batch N's index appends — the
+    property the daily loop gets from running days in order."""
+    import os as _os
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_clean_ingest(
+            batch_df,
+            fps_path,
+            sigs_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            bands=bands,
+            seed=seed,
+            update_index=True,
+            check_ids=False,
+            land_path=_os.path.join(land_path, f"batch={batch_id}"),
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def salted_group_count(
