@@ -715,7 +715,9 @@ def sim_topk_batch(spark, sf):
     The oracle restates the same per-query brute force with a
     ROW_NUMBER window."""
     e = _emb_parallel(spark, sf)
-    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3))
+    # the 4-row query batch collects from the plain scan (no reason to
+    # pay _emb_parallel's repartition exchange for a request batch)
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id").isin(0, 1, 2, 3))
     # rescore=True: emitted scores come from the sequential expr fold,
     # bit-identical to the oracle's list_sum (numpy's pairwise/banker's
     # rounding could otherwise diverge at a .5e-6 boundary)
@@ -854,16 +856,18 @@ def sim_kmeans_ivf(spark, sf):
 
 def nf_dns_tunneling(spark, sf):
     """DNS-tunneling heuristic (operators/netflow.dns_tunneling_scores,
-    kernel='expr' so the oracle restates the materialized sorted-char
-    entropy fold; the Arrow kernel's bit-parity with it is pinned by
+    kernel='arrow' — the scale path; its bit-parity with the expr fold
+    the oracle restates is pinned by
     tests/test_netflow.py::test_char_entropy_kernels_agree).  The
     testdata ships no DNS log, so qnames derive deterministically from
     events via md5 hex — identical arithmetic in both engines: every
     4th event emits a long 20-hex-char 'tunnel-like' subdomain, the
-    rest short 4-char labels, under per-user domains."""
+    rest short 4-char labels, under per-user domains.  events is one
+    file at test SFs — widen so the per-qname entropy batches spread
+    across the cluster instead of serializing on one core."""
     from zeek_duckdb_spark.operators.netflow import dns_tunneling_scores
 
-    e = _t(spark, sf, "events")
+    e = _tbl_parallel(spark, sf, "events")
     q = e.select(
         F.expr("concat('src', CAST(user_id % 7 AS STRING))").alias("src"),
         F.expr(
@@ -872,25 +876,33 @@ def nf_dns_tunneling(spark, sf):
             "'.dom', CAST(user_id % 20 AS STRING), '.com')"
         ).alias("qname"),
     )
-    return dns_tunneling_scores(q, min_queries=5, kernel="expr")
+    return dns_tunneling_scores(q, min_queries=5, kernel="arrow")
 
 
 def pq_ann_topk(spark, sf):
     """Product-quantization ANN end-to-end (operators/pq.py): train
     m=4 x k=8 codebooks (1 Lloyd iteration over the corpus-global int8
-    grid — exact int64 sums make the distributed means reproducible),
-    encode with the engine-portable expr kernel (the Arrow matmul
-    kernel's code parity is pinned by tests/test_pq.py), then ADC
-    top-10 for vec 0 via the driver-side m x k LUT literal.  The
-    oracle restates the full train -> encode -> LUT -> fold chain in
-    SQL (see _pq_topk_oracle)."""
+    grid — exact int64 sums make the distributed means reproducible;
+    the Arrow partial-sum kernel, whose codebooks are pinned identical
+    to the expr fold by tests/test_pq.py), encode with the Arrow
+    matmul kernel (code parity likewise pinned), then ADC top-10 for
+    vec 0 via the driver-side m x k LUT literal.  The oracle restates
+    the full train -> encode -> LUT -> fold chain in SQL with the expr
+    kernels' arithmetic (see _pq_topk_oracle)."""
     from zeek_duckdb_spark.operators.pq import pq_encode, pq_topk, pq_train
 
     e = _emb_parallel(spark, sf)
     corpus = e.filter(F.col("vec_id") != 0)
-    cbs = pq_train(corpus, dim=64, m=4, k=8, iters=1)
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    codes = pq_encode(corpus, cbs, kernel="expr")
+    cbs = pq_train(corpus, dim=64, m=4, k=8, iters=1, kernel="arrow")
+    # query-vector lookup reads the plain scan — one row out, no reason
+    # to pay _emb_parallel's repartition exchange in this job
+    qvec = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    codes = pq_encode(corpus, cbs, kernel="arrow")
     return pq_topk(codes, [float(v) for v in qvec], cbs, k_top=10)
 
 

@@ -51,6 +51,8 @@ HEADLINE = [
     "q01_pricing_summary", "q03_top_orders", "q05_nation_revenue",
     "q09_group_big", "q12_window_running", "dd_exact_groups",
     "dd_minhash_lsh", "sim_topk", "tx_quality", "q29_sessionize",
+    # r7 headline members, added to the scaling table in r8
+    "nf_dns_tunneling", "pq_ann_topk", "sim_topk_batch",
 ]
 
 

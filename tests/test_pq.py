@@ -223,6 +223,20 @@ def test_ivfpq_validation(spark, emb, ivfpq):
         ivfpq_topk(codes, [0.0] * 10, cells, cbs, 5, nprobe=1)
 
 
+def test_arrow_train_kernel_identical_codebooks(spark, emb, model):
+    # the Arrow partial-sum Lloyd pass accumulates distances in the
+    # expr fold's sequential order — codebooks must be IDENTICAL (not
+    # close) to the explode+groupBy expr path, under any partitioning
+    expr_cbs = pq_train(emb, dim=DIM, m=M, k=K, iters=2, kernel="expr")
+    assert model == expr_cbs
+    assert (
+        pq_train(emb.repartition(7), dim=DIM, m=M, k=K, iters=2, kernel="arrow")
+        == expr_cbs
+    )
+    with pytest.raises(ValueError, match="kernel"):
+        pq_train(emb, dim=DIM, m=M, k=K, kernel="gpu")
+
+
 def test_arrow_encode_kernel_identical_codes(spark, emb, model):
     a = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, model).collect()}
     b = {

@@ -120,6 +120,7 @@ def pq_train(
     vec_col: str = "embedding",
     train_sample: float | None = None,
     seed: int = 7,
+    kernel: str = "arrow",
 ) -> list[list[list[float]]]:
     """Fit ``m`` codebooks of ``k`` centroids each; returns
     ``codebooks[m][k][dim/m]`` in ORIGINAL vector units (driver-side
@@ -134,10 +135,25 @@ def pq_train(
     ``train_sample`` subsamples rows deterministically
     (md5(id:seed) bucket) before training — at 100 TB you fit the
     codebook on ~1e6 rows, not the corpus.
-    """
+
+    ``kernel='arrow'`` (default) runs each Lloyd pass as ONE
+    mapInPandas job emitting per-partition (sub, cell, n, int64-sum)
+    partials — no explode, no crossJoin, no groupBy shuffle; the
+    driver merges <= partitions * m * k partial rows (exact integer
+    adds) and takes the same sum/count means.  Cell assignment
+    accumulates the L2 fold SEQUENTIALLY over dsub (a Python loop of
+    vectorized (rows, k) adds, not numpy's pairwise ``sum``), so every
+    distance is bit-identical to the expr fold and ``np.argmin``'s
+    first-minimum matches the fold's lexicographic low-cell tie-break
+    — the two kernels return IDENTICAL codebooks
+    (tests/test_pq.py pins it).  ``kernel='expr'`` keeps the
+    engine-portable explode + broadcast-argmin + groupBy form that a
+    SQL oracle can restate."""
     dsub = _check_geometry(dim, m, k)
     if iters < 0:
         raise ValueError("pq_train: iters must be >= 0")
+    if kernel not in ("expr", "arrow"):
+        raise ValueError("pq_train: kernel must be 'expr' or 'arrow'")
     from zeek_duckdb_spark.operators.hashutil import md5_long
 
     src = df.select(F.col(id_col), F.col(vec_col))
@@ -178,57 +194,142 @@ def pq_train(
             [[float(r["__q"][j * dsub + t]) for t in range(dsub)] for r in init]
             for j in range(m)
         ]
-        # one (sub, subq) explode; the groupBy(sub, cell) shuffle carries
-        # m*k rows per partition after map-side combine, not m*N
-        sub_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("sub"), F.slice("__q", j * dsub + 1, dsub).alias("sq")
-                )
-                for j in range(m)
-            ]
-        )
-        exploded = base.select(F.explode(sub_arr).alias("e")).select(
-            "e.sub", "e.sq"
-        )
-        sum_exprs = [F.expr(f"sum(sq[{t}]) AS s{t}") for t in range(dsub)]
-        for _ in range(iters):
-            # broadcast-attribute codebooks (codegen cache hits across
-            # iterations — the kmeans._assign_cells lesson)
-            spark = df.sparkSession
-            cb_df = spark.createDataFrame(
-                [( _codebook_rows(cbs), )],
-                T.StructType([T.StructField("__cbs", _CB_TYPE)]),
-            )
-            assigned = (
-                exploded.crossJoin(F.broadcast(cb_df))
-                .withColumn(
-                    "cell",
-                    F.expr(
-                        _ARGMIN_SQL.format(
-                            cents="element_at(__cbs, sub + 1)", sub="sq"
+        if kernel == "arrow":
+            for _ in range(iters):
+                merged = _lloyd_partials_arrow(base, cbs, m, k, dsub)
+                cbs = [
+                    [
+                        (
+                            [s / merged[(j, c)][0] for s in merged[(j, c)][1]]
+                            if (j, c) in merged
+                            else cent
                         )
-                    ),
-                )
-                .drop("__cbs")
-            )
-            stats = assigned.groupBy("sub", "cell").agg(
-                F.count("*").alias("n"), *sum_exprs
-            ).collect()
-            means = {
-                (int(r["sub"]), int(r["cell"])): [
-                    r[f"s{t}"] / r["n"] for t in range(dsub)
+                        for c, cent in enumerate(cb)
+                    ]
+                    for j, cb in enumerate(cbs)
                 ]
-                for r in stats
-            }
-            cbs = [
-                [means.get((j, c), cent) for c, cent in enumerate(cb)]
-                for j, cb in enumerate(cbs)
-            ]
+        else:
+            # one (sub, subq) explode; the groupBy(sub, cell) shuffle
+            # carries m*k rows per partition after map-side combine,
+            # not m*N
+            sub_arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice("__q", j * dsub + 1, dsub).alias("sq"),
+                    )
+                    for j in range(m)
+                ]
+            )
+            exploded = base.select(F.explode(sub_arr).alias("e")).select(
+                "e.sub", "e.sq"
+            )
+            sum_exprs = [F.expr(f"sum(sq[{t}]) AS s{t}") for t in range(dsub)]
+            for _ in range(iters):
+                # broadcast-attribute codebooks (codegen cache hits across
+                # iterations — the kmeans._assign_cells lesson)
+                spark = df.sparkSession
+                cb_df = spark.createDataFrame(
+                    [( _codebook_rows(cbs), )],
+                    T.StructType([T.StructField("__cbs", _CB_TYPE)]),
+                )
+                assigned = (
+                    exploded.crossJoin(F.broadcast(cb_df))
+                    .withColumn(
+                        "cell",
+                        F.expr(
+                            _ARGMIN_SQL.format(
+                                cents="element_at(__cbs, sub + 1)", sub="sq"
+                            )
+                        ),
+                    )
+                    .drop("__cbs")
+                )
+                stats = assigned.groupBy("sub", "cell").agg(
+                    F.count("*").alias("n"), *sum_exprs
+                ).collect()
+                means = {
+                    (int(r["sub"]), int(r["cell"])): [
+                        r[f"s{t}"] / r["n"] for t in range(dsub)
+                    ]
+                    for r in stats
+                }
+                cbs = [
+                    [means.get((j, c), cent) for c, cent in enumerate(cb)]
+                    for j, cb in enumerate(cbs)
+                ]
     finally:
         base.unpersist()
     # back to original units
     return [[[v * scale for v in cent] for cent in cb] for cb in cbs]
+
+
+def _lloyd_partials_arrow(
+    base: DataFrame,
+    cbs: list[list[list[float]]],
+    m: int,
+    k: int,
+    dsub: int,
+) -> dict[tuple[int, int], tuple[int, list[int]]]:
+    """One Lloyd pass over the int-grid corpus as per-partition
+    partials: {(sub, cell): (n, int64 per-dim sums)} merged driver-side
+    with exact integer adds.  Distance accumulation is a sequential
+    Python loop over dsub of vectorized (rows, k) adds so every fold
+    is bit-identical to _ARGMIN_SQL's sequential ``acc + v``; argmin's
+    first-minimum is the fold's lowest-cell tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(cb, dtype=np.float64) for cb in cbs]  # m x (k, dsub)
+
+    def fn(batches):
+        n_acc = np.zeros((m, k), dtype=np.int64)
+        s_acc = np.zeros((m, k, dsub), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
+            )
+            for j in range(m):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                Xf = Xj.astype(np.float64)
+                acc = np.zeros((len(X), k), dtype=np.float64)
+                for t in range(dsub):
+                    d = Xf[:, t : t + 1] - cents[j][None, :, t]
+                    acc += d * d
+                cells = np.argmin(acc, axis=1)
+                for c in np.unique(cells):
+                    sel = Xj[cells == c]
+                    n_acc[j, c] += len(sel)
+                    s_acc[j, c] += sel.sum(axis=0)
+        subs, cls = np.nonzero(n_acc)
+        yield pd.DataFrame(
+            {
+                "sub": subs.astype(np.int32),
+                "cell": cls.astype(np.int32),
+                "n": n_acc[subs, cls],
+                "s": [s_acc[j, c].tolist() for j, c in zip(subs, cls)],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+        ]
+    )
+    merged: dict[tuple[int, int], tuple[int, list[int]]] = {}
+    for r in base.select("__q").mapInPandas(fn, schema=schema).collect():
+        key = (int(r["sub"]), int(r["cell"]))
+        n0, s0 = merged.get(key, (0, [0] * dsub))
+        merged[key] = (
+            n0 + int(r["n"]),
+            [a + int(b) for a, b in zip(s0, r["s"])],
+        )
+    return merged
 
 
 def pq_encode(
@@ -474,12 +575,13 @@ def ivfpq_build(
     coarse = pq_train(
         df, dim, m=1, k=n_cells, iters=iters, id_col=id_col,
         vec_col=vec_col, train_sample=train_sample, seed=seed,
+        kernel=kernel,
     )
     cells = coarse[0]  # n_cells x dim
     res = _ivfpq_residuals(df, cells, id_col, vec_col, kernel)
     codebooks = pq_train(
         res, dim, m=m, k=k, iters=iters, id_col=id_col, vec_col="__res",
-        train_sample=train_sample, seed=seed + 1,
+        train_sample=train_sample, seed=seed + 1, kernel=kernel,
     )
     codes = pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
                       keep=("cell",), kernel=kernel)
