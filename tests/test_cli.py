@@ -213,3 +213,17 @@ def test_top_heavy_hitters(spark, tmp_path, capsys):
     assert rc == 0
     assert out[0] == "url\tn_lo\tn_hi"
     assert out[1].startswith("a\t")
+
+
+def test_quantile_subcommand(spark, tmp_path, capsys):
+    d = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "x double"
+    ).write.parquet(d)
+    rc = main(["quantile", d, "x", "-q", "0.5", "-q", "0.99"], spark=spark)
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "q\tvalue"
+    # quantile_disc over 1..100: rank ceil(0.5*100)=50 -> 50.0;
+    # ceil(0.99*100)=99 -> 99.0
+    assert out[1:] == ["0.5\t50.0", "0.99\t99.0"]

@@ -1,0 +1,192 @@
+"""Exact no-sort quantiles: DuckDB quantile_disc parity, forced deep
+refinement, duplicate-heavy and degenerate-interval paths, and the
+no-global-sort plan property."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.quantiles import exact_quantiles, exact_quantiles_df
+
+SF = "/root/testdata/sf0.001"
+QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def _duck(col, qs=QS):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW li AS SELECT * FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    )
+    lst = ", ".join(str(q) for q in qs)
+    return [
+        float(v)
+        for (v,) in con.sql(
+            f"SELECT unnest(quantile_disc(CAST({col} AS DOUBLE), [{lst}])) "
+            "FROM li"
+        ).fetchall()
+    ]
+
+
+def test_matches_duckdb_quantile_disc_continuousish(spark, li):
+    assert exact_quantiles(li, "l_extendedprice", QS) == _duck("l_extendedprice")
+
+
+def test_matches_duckdb_on_duplicate_heavy_ints(spark, li):
+    # l_linenumber has ~7 distinct values -> every bucket pass lands in
+    # fat duplicate runs
+    assert exact_quantiles(li, "l_linenumber", QS) == _duck("l_linenumber")
+    assert exact_quantiles(li, "l_quantity", QS) == _duck("l_quantity")
+
+
+def test_forced_deep_refinement_same_answers(spark, li):
+    # leaf_limit=1 + buckets=2 forces the binary-descent worst case —
+    # answers must not move (exactness is pass-count independent)
+    want = _duck("l_extendedprice", [0.5, 0.9])
+    got = exact_quantiles(
+        li, "l_extendedprice", [0.5, 0.9], buckets=2, leaf_limit=1,
+        max_passes=64,
+    )
+    assert got == want
+
+
+def test_negative_and_constant_columns(spark):
+    sp = [(float(v),) for v in [-5, -1, -1, -1, 0, 2, 2, 9]]
+    df = spark.createDataFrame(sp, "x double")
+    vals = exact_quantiles(df, "x", [0.0, 0.5, 1.0], leaf_limit=1)
+    assert vals == [-5.0, -1.0, 9.0]
+    const = spark.createDataFrame([(3.5,)] * 10, "x double")
+    assert exact_quantiles(const, "x", [0.0, 0.37, 1.0]) == [3.5, 3.5, 3.5]
+
+
+def test_nulls_ignored_and_validation(spark, li):
+    withnull = li.select(
+        F.when(F.col("l_linenumber") > 1, F.col("l_extendedprice")).alias("x")
+    )
+    n = withnull.filter(F.col("x").isNotNull()).count()
+    got = exact_quantiles(withnull, "x", [0.5])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = float(
+        con.sql(
+            "SELECT quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5) "
+            "FROM li WHERE l_linenumber > 1"
+        ).fetchone()[0]
+    )
+    assert n > 0 and got == [want]
+    with pytest.raises(ValueError, match="qs is empty"):
+        exact_quantiles(li, "l_quantity", [])
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles(li, "l_quantity", [1.5])
+    with pytest.raises(ValueError, match="buckets"):
+        exact_quantiles(li, "l_quantity", [0.5], buckets=1)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        exact_quantiles(
+            li.select(F.lit(None).cast("double").alias("x")), "x", [0.5]
+        )
+    with pytest.raises(ValueError, match="NaN"):
+        exact_quantiles(
+            spark.createDataFrame(
+                [(1.0,), (float("nan"),)], "x double"
+            ),
+            "x",
+            [0.5],
+        )
+
+
+def test_df_form_and_shape(spark, li):
+    out = exact_quantiles_df(li, "l_quantity", [0.25, 0.75])
+    rows = out.collect()
+    assert [r.q for r in rows] == [0.25, 0.75]
+    assert [r.value for r in rows] == _duck("l_quantity", [0.25, 0.75])
+
+
+def test_no_global_sort_in_any_pass(spark, li):
+    # the whole point: the histogram pass is agg-only — no
+    # RangePartitioning (orderBy) anywhere in its plan
+    src = li.select(F.col("l_extendedprice").cast("double").alias("__x"))
+    aggs = [
+        F.sum(F.when((F.col("__x") >= 10.0) & (F.col("__x") < 20.0), 1)
+              .otherwise(0)).alias("b0")
+    ]
+    plan = src.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "Sort" not in plan
+
+
+def _py_weighted_disc(pairs, qs):
+    # reference: quantile_disc over the weight-expanded multiset
+    pairs = sorted((v, w) for v, w in pairs if w > 0)
+    n = sum(w for _, w in pairs)
+    out = []
+    for q in qs:
+        import math
+
+        r = max(1, math.ceil(q * n))
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= r:
+                out.append(float(v))
+                break
+    return out
+
+
+def test_weighted_matches_multiset_expansion(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randint(-50, 50) / 4.0, rng.randint(0, 9)) for _ in range(400)]
+    df = spark.createDataFrame(pairs, "x double, w int")
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = exact_quantiles(df, "x", qs, weight_col="w", leaf_limit=8)
+    assert got == _py_weighted_disc(pairs, qs)
+    # and DuckDB agrees on the expanded multiset
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE, w INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    lst = ", ".join(str(q) for q in qs)
+    want = [
+        float(v)
+        for (v,) in con.sql(
+            "SELECT unnest(quantile_disc(x, [" + lst + "])) FROM "
+            "(SELECT x FROM t JOIN range(10) r ON r.range < t.w)"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_weighted_reduces_to_unweighted_and_validates(spark, li):
+    ones = li.withColumn("one", F.lit(1))
+    assert exact_quantiles(
+        ones, "l_quantity", [0.25, 0.75], weight_col="one"
+    ) == exact_quantiles(li, "l_quantity", [0.25, 0.75])
+    with pytest.raises(ValueError, match="integral"):
+        exact_quantiles(
+            li.withColumn("fw", F.lit(0.5)), "l_quantity", [0.5],
+            weight_col="fw",
+        )
+    with pytest.raises(ValueError, match="negative"):
+        exact_quantiles(
+            li.withColumn("nw", F.lit(-1)), "l_quantity", [0.5],
+            weight_col="nw",
+        )
+
+
+def test_weighted_huge_weight_degenerate_path(spark):
+    # one row carries 10^9 weight — the weight-mass leaf trigger never
+    # fires, the degenerate distinct fallback must resolve it
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1_000_000_000), (3.0, 1)], "x double, w int"
+    )
+    assert exact_quantiles(
+        df, "x", [0.5], weight_col="w", leaf_limit=10
+    ) == [2.0]

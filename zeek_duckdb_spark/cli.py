@@ -156,6 +156,16 @@ def _build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--approx", action="store_true",
                     help="one-pass [n_lo, n_hi] bounds instead of the "
                          "exact two-pass counts")
+
+    qt = sub.add_parser(
+        "quantile",
+        help="exact discrete quantiles of a column (no global sort)",
+    )
+    qt.add_argument("path", help="parquet directory")
+    qt.add_argument("column")
+    qt.add_argument("-q", action="append", type=float, default=None,
+                    metavar="Q", help="quantile in [0,1]; repeatable "
+                    "(default: 0.01 0.25 0.5 0.75 0.99)")
     return p
 
 
@@ -300,6 +310,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     exact=not args.approx,
                 ),
                 None,  # result is k rows — already bounded
+            )
+        elif args.cmd == "quantile":
+            from zeek_duckdb_spark.operators.quantiles import exact_quantiles_df
+
+            qs = args.q if args.q else [0.01, 0.25, 0.5, 0.75, 0.99]
+            _tsv(
+                exact_quantiles_df(
+                    spark.read.parquet(args.path), args.column, qs
+                ),
+                None,  # |qs| rows
             )
         return 0
     finally:

@@ -1,0 +1,271 @@
+"""Exact distributed quantiles WITHOUT a global sort.
+
+Why this exists next to the sketch percentiles
+(``pipeline.corpus_profile``'s Greenwald-Khanna quantiles): training-
+data pipelines routinely turn a quantile into a FILTER — "drop the
+worst 10% by quality score", "cap documents above the p99 token
+count" — and an approximate cutoff silently moves the gate by up to
+the sketch's rank error (at 100 TB, GK at eps=1e-3 can misplace the
+cutoff by ~1e8 rows).  When the cutoff must be exact, the classic
+alternatives are a full sort (the one operation you never do to 100 TB
+— ``orderBy`` is a range-partitioned global shuffle of the corpus) or
+DuckDB-style ``quantile_disc`` (single-node).  This operator computes
+EXACT discrete quantiles with a handful of aggregate-only passes:
+
+1. one pass for (count, min, max, NaN guard);
+2. iterative refinement: split each target's active value interval
+   into ``buckets`` sub-ranges and take ONE conditional-count
+   aggregate over all targets jointly (map-side combined; a
+   B·|qs|-counter row to the driver — the corpus never shuffles);
+   descend into the bucket holding the target rank;
+3. once a target's interval holds <= ``leaf_limit`` rows, collect just
+   those rows (one filtered collect shared by all leaf-ready targets)
+   and index the answer exactly driver-side.
+
+Bucket membership is HALF-OPEN on shared edge constants
+(``x >= e_b AND x < e_b+1``, top interval unbounded above) and the
+next pass's interval reuses the *same* predicates, so the rank
+bookkeeping is exact no matter how edge arithmetic rounds — the
+b-th bucket IS the next interval, bit for bit.  Intervals narrowed
+below double resolution (edges collapse) fall back to a
+distinct-value collect of the few remaining representable values.
+
+Passes are O(log_buckets(range)) worst case but ``leaf_limit`` ends
+the loop after 2-3 on real data.  Every pass is a full-scan aggregate
+with zero shuffle width — the same plan class as ``df.agg(...)`` — so
+the shape survives 100 TB: the corpus never moves, only O(B·|qs|)
+counters per pass.
+
+Semantics match DuckDB's ``quantile_disc`` (and ANSI
+``PERCENTILE_DISC``): the returned value is an ELEMENT of the column —
+the one whose 1-based rank among sorted non-null values is
+``max(1, ceil(q * N))``.  NULLs are ignored; NaN is rejected up front
+(engines disagree on NaN ordering).
+
+No reference-engine counterpart (the reference is a log scanner);
+training-data-pipeline operator family (SURVEY.md "beyond the
+reference" track).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["exact_quantiles", "exact_quantiles_df"]
+
+
+def _rank_for(q: float, n: int) -> int:
+    """1-based target rank of quantile ``q`` over ``n`` rows —
+    DuckDB/ANSI ``quantile_disc`` semantics."""
+    return max(1, math.ceil(q * n))
+
+
+def _member(lo: float, hi: float, top: bool) -> Column:
+    """Interval membership: ``x >= lo AND (x < hi | top)`` — the exact
+    predicate bucket counts were taken with."""
+    m = F.col("__x") >= F.lit(lo)
+    if not top:
+        m = m & (F.col("__x") < F.lit(hi))
+    return m
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    buckets: int = 64,
+    leaf_limit: int = 65536,
+    max_passes: int = 24,
+    weight_col: str | None = None,
+) -> list[float]:
+    """Exact discrete quantiles of ``df[col]`` for every q in ``qs``
+    (each in [0, 1]), returned in input order.  Driver-side result —
+    quantiles are model-sized state, like centroids.
+
+    ``weight_col`` (an INTEGRAL, non-negative column — e.g. a token
+    count) switches to weighted quantiles with multiset semantics:
+    the result is ``quantile_disc`` over the corpus where each row
+    repeats ``weight`` times — "the doc length below which q of all
+    TOKENS sit".  Integer weights keep every cumulative sum an exact
+    int64, so the weighted path inherits the unweighted path's
+    exactness (weight 1 everywhere IS the unweighted path);
+    zero-weight rows can never be returned.
+
+    ``buckets`` trades passes for aggregate width (B·|qs| conditional
+    counts per pass); ``leaf_limit`` bounds the single exact collect
+    (rows, not bytes — 65536 doubles is ~0.5 MB).  In weighted mode
+    the leaf trigger compares WEIGHT mass (the quantity the passes
+    count), so a few huge-weight rows may skip the leaf and resolve
+    through the degenerate-interval distinct fallback instead — more
+    passes, same exact answer.  Raises on an empty (all-NULL) column
+    and on NaN values (no portable ordering).
+    """
+    if not qs:
+        raise ValueError("exact_quantiles: qs is empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"exact_quantiles: q={q} outside [0, 1]")
+    if buckets < 2:
+        raise ValueError("exact_quantiles: buckets must be >= 2")
+    if leaf_limit < 1:
+        raise ValueError("exact_quantiles: leaf_limit must be >= 1")
+
+    x = F.col(col).cast("double")
+    if weight_col is None:
+        src = df.select(x.alias("__x"), F.lit(1).cast("long").alias("__w"))
+    else:
+        wt = df.schema[weight_col].dataType.simpleString()
+        if wt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"exact_quantiles: weight_col must be integral, got {wt}"
+            )
+        src = df.select(
+            x.alias("__x"), F.col(weight_col).cast("long").alias("__w")
+        )
+    src = src.filter(F.col("__x").isNotNull())
+    head = src.agg(
+        F.sum(F.when(F.col("__w") > 0, F.col("__w")).otherwise(0)).alias("n"),
+        F.min(F.when(F.col("__w") > 0, F.col("__x"))).alias("mn"),
+        F.max(F.when(F.col("__w") > 0, F.col("__x"))).alias("mx"),
+        F.sum(F.when(F.isnan("__x"), 1).otherwise(0)).alias("nans"),
+        F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
+    ).first()
+    if int(head["nans"] or 0) > 0:
+        raise ValueError(
+            f"exact_quantiles: column {col!r} contains NaN — filter first"
+        )
+    if int(head["negw"] or 0) > 0:
+        raise ValueError("exact_quantiles: negative weights")
+    n = int(head["n"] or 0)
+    if n == 0:
+        if weight_col is None:
+            raise ValueError(
+                f"exact_quantiles: column {col!r} has no non-NULL rows"
+            )
+        raise ValueError(
+            f"exact_quantiles: column {col!r} has no rows with positive "
+            "weight"
+        )
+    src = src.filter(F.col("__w") > 0)
+    mn, mx = float(head["mn"]), float(head["mx"])
+
+    # per-target state: (lo, hi, top, rows_below_lo, rows_in_interval)
+    targets = {i: _rank_for(q, n) for i, q in enumerate(qs)}
+    state = {i: (mn, mx, True, 0, n) for i in targets}
+    answers: dict[int, float] = {}
+    if mn == mx:
+        return [mn for _ in qs]
+
+    passes = 0
+    while len(answers) < len(qs):
+        live = [i for i in targets if i not in answers]
+
+        # leaf step: one shared collect for every small-enough target
+        leafy = [i for i in live if state[i][4] <= leaf_limit]
+        if leafy:
+            cond = None
+            for i in leafy:
+                lo, hi, top, _, _ = state[i]
+                c = _member(lo, hi, top)
+                cond = c if cond is None else (cond | c)
+            vals = sorted(
+                (float(r["__x"]), int(r["__w"]))
+                for r in src.filter(cond).collect()
+            )
+            for i in leafy:
+                lo, hi, top, below, _ = state[i]
+                cum = below
+                for v, w in vals:
+                    if v >= lo and (top or v < hi):
+                        cum += w
+                        if cum >= targets[i]:
+                            answers[i] = v
+                            break
+            continue
+
+        if passes >= max_passes:
+            raise RuntimeError(
+                "exact_quantiles: did not converge "
+                f"(pass budget {max_passes}; raise leaf_limit)"
+            )
+        passes += 1
+
+        # degenerate intervals (edges no longer split in doubles):
+        # the handful of representable values left resolve via a
+        # distinct-value count, whatever their duplication
+        plans: dict[int, list[float]] = {}
+        aggs = []
+        for i in live:
+            lo, hi, top, _, _ = state[i]
+            w = (hi - lo) / buckets
+            edges = [lo + b * w for b in range(buckets)] + [hi]
+            if w <= 0.0 or len(set(edges)) < 3:
+                gv = sorted(
+                    (float(r["__x"]), int(r["cnt"]))
+                    for r in src.filter(_member(lo, hi, top))
+                    .groupBy("__x")
+                    .agg(F.sum("__w").alias("cnt"))
+                    .collect()
+                )
+                lo_, hi_, top_, below, _ = state[i]
+                cum = below
+                for v, cnt in gv:
+                    if cum + cnt >= targets[i]:
+                        answers[i] = v
+                        break
+                    cum += cnt
+                continue
+            plans[i] = edges
+            for b in range(buckets):
+                m = F.col("__x") >= F.lit(edges[b])
+                if not (top and b == buckets - 1):
+                    m = m & (F.col("__x") < F.lit(edges[b + 1]))
+                aggs.append(
+                    F.sum(F.when(m, F.col("__w")).otherwise(0)).alias(
+                        f"t{i}_b{b}"
+                    )
+                )
+        if not aggs:
+            continue
+        row = src.agg(*aggs).first()
+        for i, edges in plans.items():
+            lo, hi, top, below, _ = state[i]
+            r = targets[i]
+            cum = below
+            for b in range(buckets):
+                cnt = int(row[f"t{i}_b{b}"])
+                if cum + cnt >= r:
+                    state[i] = (
+                        edges[b],
+                        edges[b + 1],
+                        top and b == buckets - 1,
+                        cum,
+                        cnt,
+                    )
+                    break
+                cum += cnt
+    return [answers[i] for i in range(len(qs))]
+
+
+def exact_quantiles_df(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    buckets: int = 64,
+    leaf_limit: int = 65536,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(q, value) DataFrame form of :func:`exact_quantiles` — the
+    harness/oracle shape (restated by DuckDB's
+    ``unnest(quantile_disc(col, [...]))``)."""
+    vals = exact_quantiles(
+        df, col, qs, buckets=buckets, leaf_limit=leaf_limit,
+        weight_col=weight_col,
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, value double"
+    )
