@@ -24,6 +24,49 @@ def test_fit_is_deterministic_across_partitionings(spark, emb):
     assert a == b
 
 
+def test_arrow_fit_kernel_identical_centroids(spark, emb):
+    # the Arrow Lloyd pass accumulates the cosine folds in the expr
+    # kernel's sequential order — centroids must be IDENTICAL (not
+    # close), under any partitioning
+    a = kmeans_fit_quantized(emb, k=4, iters=2, kernel="arrow")
+    x = kmeans_fit_quantized(emb, k=4, iters=2, kernel="expr")
+    assert a == x
+    assert kmeans_fit_quantized(
+        emb.repartition(13), k=4, iters=2, kernel="arrow"
+    ) == x
+    with pytest.raises(ValueError, match="kernel"):
+        kmeans_fit_quantized(emb, k=4, kernel="gpu")
+
+
+def test_arrow_assign_kernel_identical_cells(spark, emb):
+    from zeek_duckdb_spark.operators.kmeans import _assign_cells
+    from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+    cents = kmeans_fit_quantized(emb, k=4, iters=1)
+    base = quantize_embeddings(emb).filter(
+        F.exists(F.col("qvec"), lambda v: v != F.lit(0))
+    ).select("vec_id", "qvec")
+    a = {r.vec_id: r.cell for r in _assign_cells(base, cents, kernel="arrow").collect()}
+    x = {r.vec_id: r.cell for r in _assign_cells(base, cents, kernel="expr").collect()}
+    assert a == x
+    # zero-norm centroid: NULL cosine loses to every real one in both
+    # kernels; on an all-zero centroid LIST ties break to the higher cell
+    zc = [(0, [0.0] * len(cents[0][1])), (1, list(cents[0][1]))]
+    az = {r.vec_id: r.cell for r in _assign_cells(base, zc, kernel="arrow").collect()}
+    xz = {r.vec_id: r.cell for r in _assign_cells(base, zc, kernel="expr").collect()}
+    assert az == xz
+
+
+def test_kmeans_ivf_topk_arrow_kernel_identical_rows(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    a = kmeans_ivf_topk(corpus, q, k=5, n_centroids=4, nprobe=2, iters=2,
+                        kernel="arrow").collect()
+    x = kmeans_ivf_topk(corpus, q, k=5, n_centroids=4, nprobe=2, iters=2,
+                        kernel="expr").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in x]
+
+
 def test_fit_zero_iters_returns_init(spark, emb):
     cents = kmeans_fit_quantized(emb, k=3, iters=0)
     assert [c for c, _ in cents] == [0, 1, 2]
@@ -132,3 +175,65 @@ def test_zero_norm_centroid_excluded_from_probe_ranking(spark, emb, tmp_path):
     got = [(r.vec_id, r.cosine_sim)
            for r in ivf_probe_topk(spark, path, with_zero, q, k=5, nprobe=1).collect()]
     assert got == want and len(got) > 0
+
+
+def _adversarial_corpus(spark):
+    # 3 tight clusters in 8-d; the 12 LOWEST ids all sit in cluster A,
+    # so the trainer's cold init (k lowest ids) stacks every centroid
+    # on one cluster — the failure mode kmeans|| seeding exists to fix
+    axes = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 0, 0],
+    ]
+    rows = []
+    vid = 0
+    for rep in range(12):
+        rows.append((vid, [x + 0.01 * (rep % 5) for x in axes[0]]))
+        vid += 1
+    for c in (1, 2):
+        for rep in range(12):
+            rows.append((vid, [x + 0.01 * (rep % 5) for x in axes[c]]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _spherical_cost(df, cents):
+    from zeek_duckdb_spark.operators.kmeans import _seq_cosine
+    from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+    rows = quantize_embeddings(df).select("qvec").collect()
+    tot = 0.0
+    for r in rows:
+        x = [float(v) for v in r["qvec"]]
+        tot += 1.0 - max(_seq_cosine(x, v) for _, v in cents)
+    return tot
+
+
+def test_kmeans_parallel_init_deterministic_and_better(spark):
+    from zeek_duckdb_spark.operators.kmeans import kmeans_parallel_init
+
+    corpus = _adversarial_corpus(spark)
+    seeds = kmeans_parallel_init(corpus, k=3, rounds=3)
+    again = kmeans_parallel_init(corpus.repartition(7), k=3, rounds=3)
+    assert seeds == again  # md5 coins -> partitioning-independent
+    cold = kmeans_fit_quantized(corpus, k=3, iters=3)
+    warm = kmeans_fit_quantized(
+        corpus, iters=3, init_centroids=seeds
+    )
+    # seeded init must find all three clusters; cold init cannot (its
+    # three seeds are co-located), so the fitted cost gap is large
+    assert _spherical_cost(corpus, warm) < 0.5 * _spherical_cost(corpus, cold)
+
+
+def test_kmeans_parallel_init_validation(spark):
+    from zeek_duckdb_spark.operators.kmeans import kmeans_parallel_init
+
+    corpus = _adversarial_corpus(spark)
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_parallel_init(corpus, k=0)
+    with pytest.raises(ValueError, match="oversample"):
+        kmeans_parallel_init(corpus, k=2, oversample=0)
+    with pytest.raises(ValueError, match="candidates"):
+        # 36-row corpus cannot yield 30 candidates in one stingy round
+        kmeans_parallel_init(corpus, k=30, rounds=1, oversample=1)

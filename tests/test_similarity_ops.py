@@ -47,6 +47,20 @@ def test_ivf_recall_vs_exact(spark, emb):
     assert approx == exact
 
 
+def test_ivf_assign_arrow_kernel_identical_cells(spark, emb):
+    # numpy assignment follows the expr fold's sequential accumulation
+    # — cells must be IDENTICAL, including the zero-norm-centroid
+    # (NULL-cosine) and higher-cell tie-break edges
+    cents = emb.orderBy(F.asc("vec_id")).limit(8)
+    a = {r.vec_id: r.cell
+         for r in sim.ivf_assign(emb, cents, kernel="arrow").collect()}
+    x = {r.vec_id: r.cell
+         for r in sim.ivf_assign(emb, cents, kernel="expr").collect()}
+    assert a == x
+    with pytest.raises(ValueError, match="kernel"):
+        sim.ivf_assign(emb, cents, kernel="gpu")
+
+
 def test_ivf_partial_probe_is_subset_ranked(spark, emb):
     q = emb.filter(F.col("vec_id") == 0)
     corpus = emb.filter(F.col("vec_id") != 0)

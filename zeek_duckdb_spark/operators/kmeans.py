@@ -42,10 +42,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+from zeek_duckdb_spark.operators.similarity import (
+    _cosine_argmax_np,
+    _np_cent_geometry,
+    quantize_embeddings,
+)
 
 __all__ = [
     "kmeans_fit_quantized",
+    "kmeans_parallel_init",
     "kmeans_ivf_topk",
     "ivf_write",
     "ivf_append",
@@ -108,18 +113,28 @@ _CENTS_TYPE = T.ArrayType(
 
 
 def _assign_cells(base: DataFrame, cents: list[tuple[int, list[float]]],
-                  vec_name: str = "qvec") -> DataFrame:
+                  vec_name: str = "qvec",
+                  kernel: str = "expr") -> DataFrame:
     """``base`` + a ``cell`` column (argmax cosine vs ``cents``).
 
-    The centroids ride as a BROADCAST 1-row DataFrame, not an inline
-    literal: literals are embedded as constants in the generated Java,
-    so per-iteration centroid changes forced a full whole-stage-codegen
-    recompile of the (large) stage every Lloyd step (~3-5 s per job at
-    K=8, dim=64 — dominating small-corpus fits).  As a joined attribute
-    the generated code is IDENTICAL across iterations and the codegen
-    cache hits; the 1-row broadcast join is map-side, so the zero-
-    corpus-shuffle shape is unchanged.  Values are bit-identical either
-    way (same doubles, same fold)."""
+    ``kernel='expr'``: the centroids ride as a BROADCAST 1-row
+    DataFrame, not an inline literal: literals are embedded as
+    constants in the generated Java, so per-iteration centroid changes
+    forced a full whole-stage-codegen recompile of the (large) stage
+    every Lloyd step (~3-5 s per job at K=8, dim=64 — dominating
+    small-corpus fits).  As a joined attribute the generated code is
+    IDENTICAL across iterations and the codegen cache hits; the 1-row
+    broadcast join is map-side, so the zero-corpus-shuffle shape is
+    unchanged.  Values are bit-identical either way (same doubles,
+    same fold).
+
+    ``kernel='arrow'``: numpy batch assignment via mapInPandas — the
+    interpreted cosine-fold HOFs (no codegen for higher-order
+    functions) move to vectorized per-dim adds in the expr fold's
+    sequential order, so cells are IDENTICAL (tests/test_kmeans.py
+    pins it); still a zero-shuffle map."""
+    if kernel == "arrow":
+        return _assign_cells_arrow(base, cents, vec_name)
     spark = base.sparkSession
     cents_df = spark.createDataFrame(
         [([{"cell": int(c), "c_vec": [float(x) for x in v]} for c, v in cents],)],
@@ -130,6 +145,34 @@ def _assign_cells(base: DataFrame, cents: list[tuple[int, list[float]]],
         .withColumn("cell", F.expr(_argmax_cell_sql(vec_name, "__cents")))
         .drop("__cents")
     )
+
+
+def _assign_cells_arrow(base: DataFrame, cents: list[tuple[int, list[float]]],
+                        vec_name: str) -> DataFrame:
+    """Arrow kernel for :func:`_assign_cells`: every base column
+    passes through, plus the assigned ``cell`` (bigint, like the expr
+    form's CAST(cell AS BIGINT) literals)."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, C, cn = _np_cent_geometry(cents)
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("cell", T.LongType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xf = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_name]]
+            )
+            pos = _cosine_argmax_np(Xf, C, cn)
+            out = pdf.copy()
+            out["cell"] = cell_ids[pos]
+            yield out
+
+    return base.mapInPandas(fn, schema=out_schema)
 
 
 def _nonzero(qvec_col: str) -> Column:
@@ -154,6 +197,55 @@ def _quantized_base(
     return dq.filter(_nonzero("qvec")).select(F.col(id_col), F.col("qvec"))
 
 
+def _kmeans_lloyd_partials_arrow(
+    base: DataFrame, cents: list[tuple[int, list[float]]]
+) -> dict[int, tuple[int, list[int]]]:
+    """One Lloyd pass as per-partition partials {cell: (n, int64 sums)}
+    merged driver-side with exact integer adds — no crossJoin, no
+    groupBy shuffle, no interpreted HOF fold (the pq._lloyd_partials_
+    arrow shape applied to the cosine-assignment trainer)."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, C, cn = _np_cent_geometry(cents)
+    k, dim = C.shape
+
+    def fn(batches):
+        n_acc = np.zeros(k, dtype=np.int64)
+        s_acc = np.zeros((k, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            pos = _cosine_argmax_np(X.astype(np.float64), C, cn)
+            for j in np.unique(pos):
+                sel = X[pos == j]
+                n_acc[j] += len(sel)
+                s_acc[j] += sel.sum(axis=0)
+        live = np.nonzero(n_acc)[0]
+        yield pd.DataFrame(
+            {
+                "cell": cell_ids[live],
+                "n": n_acc[live],
+                "s": [s_acc[j].tolist() for j in live],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+        ]
+    )
+    merged: dict[int, tuple[int, list[int]]] = {}
+    for r in base.select("qvec").mapInPandas(fn, schema=schema).collect():
+        c = int(r["cell"])
+        n0, s0 = merged.get(c, (0, [0] * dim))
+        merged[c] = (n0 + int(r["n"]), [a + int(b) for a, b in zip(s0, r["s"])])
+    return merged
+
+
 def kmeans_fit_quantized(
     df: DataFrame,
     k: int = 8,
@@ -163,12 +255,22 @@ def kmeans_fit_quantized(
     min_parallelism: int | None = None,
     init_centroids: list[tuple[int, list[float]]] | None = None,
     _base: DataFrame | None = None,
+    kernel: str = "arrow",
 ) -> list[tuple[int, list[float]]]:
     """Fit ``k`` centroids with ``iters`` Lloyd iterations over the
     int8-quantized corpus.  Returns ``[(cell, centroid)]`` with
     ``cell`` in 0..k-1 (init order) — small driver-side state (K·dim
     doubles), the legitimate "model" side of the computation; the
     corpus itself never leaves the executors.
+
+    ``kernel='arrow'`` (default) runs each Lloyd pass as ONE
+    mapInPandas job of per-partition (cell, n, int64-sum) partials
+    merged driver-side — no crossJoin, no groupBy shuffle, and no
+    interpreted cosine-fold HOFs on the corpus.  Assignment arithmetic
+    follows the expr fold's sequential order exactly, so the fitted
+    centroids are IDENTICAL to ``kernel='expr'`` (the broadcast-
+    attribute argmax + groupBy form a SQL oracle restates; pinned by
+    tests/test_kmeans.py).
 
     ``init_centroids`` WARM-STARTS Lloyd from a previously fitted
     model (e.g. yesterday's :func:`ivf_write` return) instead of the
@@ -188,6 +290,8 @@ def kmeans_fit_quantized(
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans_fit_quantized: need k >= 1, iters >= 0")
+    if kernel not in ("expr", "arrow"):
+        raise ValueError("kmeans_fit_quantized: kernel must be 'expr' or 'arrow'")
     base = _base if _base is not None else _quantized_base(
         df, id_col, vec_col, min_parallelism
     )
@@ -236,14 +340,20 @@ def kmeans_fit_quantized(
     sum_exprs = [F.expr(f"sum(qvec[{i}]) AS s{i}") for i in range(dim)]
     try:
         for _ in range(iters):
-            assigned = _assign_cells(base, cents)
-            stats = assigned.groupBy("cell").agg(
-                F.count("*").alias("n"), *sum_exprs
-            ).collect()
-            means = {
-                int(r["cell"]): [r[f"s{i}"] / r["n"] for i in range(dim)]
-                for r in stats
-            }
+            if kernel == "arrow":
+                merged = _kmeans_lloyd_partials_arrow(base, cents)
+                means = {
+                    c: [s / n for s in ss] for c, (n, ss) in merged.items()
+                }
+            else:
+                assigned = _assign_cells(base, cents)
+                stats = assigned.groupBy("cell").agg(
+                    F.count("*").alias("n"), *sum_exprs
+                ).collect()
+                means = {
+                    int(r["cell"]): [r[f"s{i}"] / r["n"] for i in range(dim)]
+                    for r in stats
+                }
             cents = [(c, means.get(c, v)) for c, v in cents]
     finally:
         if owns_cache:
@@ -262,6 +372,7 @@ def kmeans_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     min_parallelism: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF ANN with TRAINED centroids: fit Lloyd centroids, assign the
     corpus (zero-shuffle argmax), probe the query's ``nprobe`` best
@@ -281,9 +392,9 @@ def kmeans_ivf_topk(
     """
     base = _quantized_base(df, id_col, vec_col, min_parallelism)
     cents = kmeans_fit_quantized(
-        df, n_centroids, iters, id_col, vec_col, _base=base
+        df, n_centroids, iters, id_col, vec_col, _base=base, kernel=kernel
     )
-    assigned = _assign_cells(base, cents)
+    assigned = _assign_cells(base, cents, kernel=kernel)
 
     q_rows = (
         quantize_embeddings(query, query_id_col, vec_col)
@@ -504,3 +615,188 @@ def _seq_cosine(a: list[float], b: list[float]) -> float:
         nb += y * y
     d = (na ** 0.5) * (nb ** 0.5)
     return num / d if d != 0.0 else float("-inf")
+
+
+def _cosine_cost_np(Xf, C, cn):
+    """Per-row spherical k-means cost vs the candidate set:
+    d(x) = 1 - max cosine(x, C), clamped at 0 (a float max a hair over
+    1.0 must not produce a negative sampling probability).  Zero-norm
+    products score -inf like the assignment kernel, so their cost
+    clamps to the maximum 2.0."""
+    import numpy as np
+
+    k, dim = C.shape
+    dot = np.zeros((len(Xf), k), dtype=np.float64)
+    xn = np.zeros(len(Xf), dtype=np.float64)
+    for t in range(dim):
+        xt = Xf[:, t]
+        dot += xt[:, None] * C[:, t][None, :]
+        xn += xt * xt
+    denom = np.sqrt(xn)[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(denom == 0.0, -np.inf, dot / denom)
+    best = sim.max(axis=1)
+    return np.clip(np.minimum(2.0, 1.0 - best), 0.0, 2.0)
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    min_parallelism: int | None = None,
+    lloyd_iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic kmeans|| seeding (Bahmani, Moseley, Vattani,
+    Kumar, Vassilvitskii 2012, "Scalable K-Means++") for the spherical
+    trainer: returns ``[(cell, centroid)]`` in the quantized-vector
+    space, ready for ``kmeans_fit_quantized(init_centroids=...)``.
+
+    Why: the trainer's cold init (k lowest ids) is arbitrary — if the
+    low ids cluster together, Lloyd starts with stacked centroids and
+    converges to a lopsided model.  k-means++ fixes quality but is
+    inherently sequential (k corpus passes); kmeans|| oversamples
+    ~``oversample`` candidates per round for O(rounds) passes, then
+    clusters the CANDIDATES (model-sized) down to k driver-side.
+
+    Determinism (no RNG anywhere): the per-row coin is
+    ``md5(id:round:seed)`` scaled to [0, 1) — a pure row function, so
+    the candidate set is identical under any partitioning; the
+    driver-side reduction is greedy farthest-point (max weighted cost)
+    + weighted Lloyd, both order-deterministic.
+
+    Scale shape: each round is TWO corpus passes (cost-sum aggregate,
+    then the sampling filter — both zero-shuffle numpy maps over the
+    persisted quantized base); the candidate set (~rounds *
+    oversample rows) and everything after it is driver-side model
+    work.  At 100 TB run it on ``train_sample``-style subsets like any
+    seeding pass.
+
+    Cost uses the spherical distance d(x) = 1 - max cos(x, C) (the
+    trainer assigns by cosine; the classic paper states L2 — the
+    oversampling argument carries over as a heuristic, which is all a
+    seeding needs).
+    """
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    if k < 1 or rounds < 1:
+        raise ValueError("kmeans_parallel_init: need k >= 1, rounds >= 1")
+    l = oversample if oversample is not None else 2 * k
+    if l < 1:
+        raise ValueError("kmeans_parallel_init: oversample must be >= 1")
+    base = _quantized_base(df, id_col, vec_col, min_parallelism).persist()
+    try:
+        first = base.orderBy(F.asc(id_col)).limit(1).collect()
+        if not first:
+            raise ValueError("kmeans_parallel_init: corpus is empty")
+        cands: dict[int, list[float]] = {
+            int(first[0][id_col]): [float(v) for v in first[0]["qvec"]]
+        }
+        # the uniform coin rides as a JVM column; the numpy kernel only
+        # computes the cost threshold
+        u = (
+            md5_long(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit("kmpp"),
+                    F.lit(str(seed)),
+                ),
+                chars=13,
+            )
+            / F.lit(float(1 << 52))
+        ).alias("__u")
+        coin = base.select(F.col(id_col), F.col("qvec"), u)
+        for rnd in range(rounds):
+            cell_ids, C, cn = _np_cent_geometry(sorted(cands.items()))
+
+            def cost_fn(batches, C=C, cn=cn):
+                import pandas as pd
+
+                phi = 0.0
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Xf = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+                    )
+                    phi += float(_cosine_cost_np(Xf, C, cn).sum())
+                yield pd.DataFrame({"phi": [phi]})
+
+            parts = base.select("qvec").mapInPandas(
+                cost_fn, schema="phi double"
+            ).collect()
+            phi = sum(r["phi"] for r in parts)
+            if phi <= 0.0:
+                break  # every row sits on a candidate already
+
+            def sample_fn(batches, C=C, cn=cn, thr=l / phi):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Xf = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+                    )
+                    cost = _cosine_cost_np(Xf, C, cn)
+                    hit = pdf["__u"].to_numpy() < cost * thr
+                    if hit.any():
+                        yield pdf[hit][[c for c in pdf.columns]]
+
+            picked = coin.mapInPandas(sample_fn, schema=coin.schema).collect()
+            for r in picked:
+                cands.setdefault(int(r[id_col]), [float(v) for v in r["qvec"]])
+        if len(cands) < k:
+            raise ValueError(
+                f"kmeans_parallel_init: only {len(cands)} candidates for k={k} "
+                "— raise rounds/oversample or shrink k"
+            )
+        # weight candidates by captured row count (one partials pass),
+        # then reduce driver-side
+        counts = _kmeans_lloyd_partials_arrow(
+            base, sorted(cands.items())
+        )
+        weights = {c: n for c, (n, _) in counts.items()}
+    finally:
+        base.unpersist()
+    ids = sorted(cands)
+    C = np.asarray([cands[c] for c in ids], dtype=np.float64)
+    w = np.asarray([float(weights.get(c, 0)) for c in ids], dtype=np.float64)
+    # greedy farthest-point picks (weighted): heaviest candidate first,
+    # then argmax w * d^2 (ties -> lowest candidate id = list order)
+    norms = np.sqrt((C * C).sum(axis=1))
+    picked_idx = [int(np.argmax(w))]
+    for _ in range(k - 1):
+        P = C[picked_idx]
+        pn = norms[picked_idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (C @ P.T) / np.where(
+                (norms[:, None] * pn[None, :]) == 0.0,
+                np.inf,
+                norms[:, None] * pn[None, :],
+            )
+        d = np.clip(1.0 - sim.max(axis=1), 0.0, 2.0)
+        score = w * d * d
+        score[picked_idx] = -1.0
+        picked_idx.append(int(np.argmax(score)))
+    cents = C[picked_idx].copy()
+    # weighted spherical Lloyd over the candidate set (model-sized)
+    for _ in range(lloyd_iters):
+        cnorm = np.sqrt((cents * cents).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (C @ cents.T) / np.where(
+                (norms[:, None] * cnorm[None, :]) == 0.0,
+                np.inf,
+                norms[:, None] * cnorm[None, :],
+            )
+        assign = sim.argmax(axis=1)
+        for j in range(k):
+            sel = assign == j
+            tw = w[sel].sum()
+            if tw > 0:
+                cents[j] = (C[sel] * w[sel, None]).sum(axis=0) / tw
+    return [(i, [float(x) for x in cents[i]]) for i in range(k)]

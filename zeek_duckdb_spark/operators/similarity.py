@@ -413,11 +413,55 @@ def lsh_bucket_ann(
     )
 
 
+def _np_cent_geometry(cents: list[tuple[int, list[float]]]):
+    """(cell_ids asc, centroid matrix, sequential-fold norms) for the
+    numpy cosine-argmax kernels (shared with operators.kmeans).
+    Centroid norms accumulate SEQUENTIALLY per dim, matching the SQL
+    fold's ``acc + v`` order bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    order = sorted(cents, key=lambda t: int(t[0]))
+    cell_ids = np.asarray([int(c) for c, _ in order], dtype=np.int64)
+    C = np.asarray([[float(x) for x in v] for _, v in order], dtype=np.float64)
+    norms = []
+    for row in C:
+        acc = 0.0
+        for x in row:
+            acc += x * x
+        norms.append(math.sqrt(acc))
+    return cell_ids, C, np.asarray(norms, dtype=np.float64)
+
+
+def _cosine_argmax_np(Xf, C, cn):
+    """Positions (into the cell-ascending centroid order) of the
+    argmax-cosine cell per row, with the expr fold's exact arithmetic:
+    dot and ||x||^2 accumulate sequentially over dims; zero-norm
+    products map to -inf (the fold's NULL sim, which loses to every
+    real cosine); ties break to the HIGHER cell (max-struct
+    semantics) via the reversed argmax."""
+    import numpy as np
+
+    k, dim = C.shape
+    dot = np.zeros((len(Xf), k), dtype=np.float64)
+    xn = np.zeros(len(Xf), dtype=np.float64)
+    for t in range(dim):
+        xt = Xf[:, t]
+        dot += xt[:, None] * C[:, t][None, :]
+        xn += xt * xt
+    denom = np.sqrt(xn)[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(denom == 0.0, -np.inf, dot / denom)
+    return (k - 1) - np.argmax(sim[:, ::-1], axis=1)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine.  Returns
     (id, vec, cell).
@@ -442,12 +486,51 @@ def ivf_assign(
     Centroid choice here is deterministic sampling (lowest ids) rather
     than trained k-means — the IVF *structure* (cell assignment +
     probe-limited search) is what matters for the scale path; swap in
-    k-means centroids without touching the plan."""
+    k-means centroids without touching the plan.
+
+    ``kernel='arrow'`` (default) assigns with the numpy batch kernel
+    (mapInPandas, still a zero-shuffle map): the K interpreted cosine
+    folds per row become K vectorized per-dim adds in the SAME
+    sequential accumulation order, so cells are IDENTICAL to the expr
+    form (tests/test_similarity_ops.py pins it).  ``kernel='expr'``
+    keeps the pure-SQL array_max form an oracle restates."""
+    if kernel not in ("expr", "arrow"):
+        raise ValueError("ivf_assign: kernel must be 'expr' or 'arrow'")
     rows = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
     ).collect()
     if not rows:
         raise ValueError("ivf_assign: centroids is empty")
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        cell_ids, C, cn = _np_cent_geometry(
+            [(int(r["cell"]), list(r["c_vec"])) for r in rows]
+        )
+        out_schema = T.StructType(
+            [df.schema[id_col], df.schema[vec_col],
+             T.StructField("cell", T.LongType())]
+        )
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Xf = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                pos = _cosine_argmax_np(Xf, C, cn)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        vec_col: pdf[vec_col].values,
+                        "cell": cell_ids[pos],
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
     cent_lit = F.array(
         *[
             F.struct(
