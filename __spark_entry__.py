@@ -714,10 +714,12 @@ def sim_topk_batch(spark, sf):
     M@Q^T scoring with per-batch candidate cut + window top-k merge).
     The oracle restates the same per-query brute force with a
     ROW_NUMBER window."""
-    e = _emb_parallel(spark, sf)
-    # the 4-row query batch collects from the plain scan (no reason to
-    # pay _emb_parallel's repartition exchange for a request batch)
-    q = _t(spark, sf, "embeddings").filter(F.col("vec_id").isin(0, 1, 2, 3))
+    # plain scan on BOTH sides: the numpy M@Q^T kernel is ~ns per row,
+    # so _emb_parallel's repartition exchange costs more than the
+    # parallelism buys at single-file test SFs; at real scale the scan
+    # has natural splits and this handle is identical
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3))
     # rescore=True: emitted scores come from the sequential expr fold,
     # bit-identical to the oracle's list_sum (numpy's pairwise/banker's
     # rounding could otherwise diverge at a .5e-6 boundary)
@@ -891,17 +893,14 @@ def pq_ann_topk(spark, sf):
     kernels' arithmetic (see _pq_topk_oracle)."""
     from zeek_duckdb_spark.operators.pq import pq_encode, pq_topk, pq_train
 
-    e = _emb_parallel(spark, sf)
+    # plain scan: the Arrow train/encode kernels are matmul-cheap per
+    # row, so the repartition exchange _emb_parallel adds costs more
+    # than it buys at single-file test SFs; at real scale the scan has
+    # natural splits and this handle is identical
+    e = _t(spark, sf, "embeddings")
     corpus = e.filter(F.col("vec_id") != 0)
     cbs = pq_train(corpus, dim=64, m=4, k=8, iters=1, kernel="arrow")
-    # query-vector lookup reads the plain scan — one row out, no reason
-    # to pay _emb_parallel's repartition exchange in this job
-    qvec = (
-        _t(spark, sf, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()["embedding"]
-    )
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     codes = pq_encode(corpus, cbs, kernel="arrow")
     return pq_topk(codes, [float(v) for v in qvec], cbs, k_top=10)
 
@@ -2167,6 +2166,20 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def qt_exact_quantiles(spark, sf):
+    """Exact no-sort quantiles (operators/quantiles.exact_quantiles):
+    discrete p1/p25/p50/p75/p99 of l_extendedprice via iterative
+    histogram refinement — aggregate-only passes, no global sort, no
+    corpus shuffle.  The oracle is DuckDB's native quantile_disc
+    (ANSI PERCENTILE_DISC semantics)."""
+    from zeek_duckdb_spark.operators.quantiles import exact_quantiles_df
+
+    li = _t(spark, sf, "lineitem")
+    return exact_quantiles_df(
+        li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2178,6 +2191,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
         "mm_decode_fake": mm_decode_fake,
+        "qt_exact_quantiles": qt_exact_quantiles,
     }
 
 
@@ -2204,4 +2218,11 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
+        "qt_exact_quantiles": """
+            SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
+                                        [0.01, 0.25, 0.5, 0.75, 0.99]))
+                     AS value
+            FROM lineitem
+        """,
     }
