@@ -1091,7 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_scalar_subquery": q17_scalar_subquery,
         "q18_date_trunc": q18_date_trunc,
         "q19_json_extract": q19_json_extract,
-        "q21_union_tagged": q21_union_tagged,
+        "qt_exact_quantiles": qt_exact_quantiles,
         "q22_array_norms": q22_array_norms,
         "q23_rollup": q23_rollup,
         "q25_exists_correlated": q25_exists_correlated,
@@ -1775,12 +1775,12 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
-        "q21_union_tagged": """
-            SELECT tag, COUNT(*) AS n FROM (
-              SELECT 'high' AS tag, event_id FROM events WHERE value > 400
-              UNION ALL
-              SELECT 'error' AS tag, event_id FROM events WHERE event_type = 'error') t
-            GROUP BY tag
+        "qt_exact_quantiles": """
+            SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
+                                        [0.01, 0.25, 0.5, 0.75, 0.99]))
+                     AS value
+            FROM lineitem
         """,
         "q22_array_norms": """
             SELECT vec_id, len(embedding) AS dim,
@@ -2184,14 +2184,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
     budget filled, or swapped out in round 8 (mm_decode_fake, whose
-    slot driver-gates sk_heavy_hitters now) — still oracle-checked by
-    the local harness (tests/test_entry_oracle.py) so their coverage
+    slot driver-gates sk_heavy_hitters now, and q21_union_tagged,
+    whose UNION coverage q15_set_ops half-duplicates — its slot
+    driver-gates qt_exact_quantiles) — still oracle-checked by the
+    local harness (tests/test_entry_oracle.py) so their coverage
     never regresses."""
     return {
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
         "mm_decode_fake": mm_decode_fake,
-        "qt_exact_quantiles": qt_exact_quantiles,
+        "q21_union_tagged": q21_union_tagged,
     }
 
 
@@ -2218,11 +2220,11 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
-        "qt_exact_quantiles": """
-            SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
-                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
-                                        [0.01, 0.25, 0.5, 0.75, 0.99]))
-                     AS value
-            FROM lineitem
+        "q21_union_tagged": """
+            SELECT tag, COUNT(*) AS n FROM (
+              SELECT 'high' AS tag, event_id FROM events WHERE value > 400
+              UNION ALL
+              SELECT 'error' AS tag, event_id FROM events WHERE event_type = 'error') t
+            GROUP BY tag
         """,
     }
