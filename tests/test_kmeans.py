@@ -38,6 +38,21 @@ def test_arrow_fit_kernel_identical_centroids(spark, emb):
         kmeans_fit_quantized(emb, k=4, kernel="gpu")
 
 
+def test_arrow_fit_kernel_survives_empty_partitions(spark):
+    # 6 rows over 32 partitions: most partitions are EMPTY and the
+    # Lloyd partial kernel must yield nothing for them (empty pandas
+    # columns are float64 ndarrays Arrow can't cast to list<int64>)
+    rows = [
+        (i, [float((i * 5 + d) % 7) for d in range(8)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32)
+    assert kmeans_fit_quantized(
+        df, k=2, iters=2, kernel="arrow"
+    ) == kmeans_fit_quantized(df, k=2, iters=2, kernel="expr")
+
+
 def test_arrow_assign_kernel_identical_cells(spark, emb):
     from zeek_duckdb_spark.operators.kmeans import _assign_cells
     from zeek_duckdb_spark.operators.similarity import quantize_embeddings

@@ -237,6 +237,22 @@ def test_arrow_train_kernel_identical_codebooks(spark, emb, model):
         pq_train(emb, dim=DIM, m=M, k=K, kernel="gpu")
 
 
+def test_arrow_train_kernel_survives_empty_partitions(spark):
+    # a tiny corpus spread over many partitions leaves most partitions
+    # EMPTY — the partial-sum kernel must yield nothing there (an
+    # empty pandas column is a float64 ndarray Arrow can't cast to
+    # list<int64>; regression for the rag-composition failure)
+    rows = [
+        (i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32)
+    got = pq_train(df, dim=8, m=2, k=2, iters=2, kernel="arrow")
+    want = pq_train(df, dim=8, m=2, k=2, iters=2, kernel="expr")
+    assert got == want
+
+
 def test_arrow_encode_kernel_identical_codes(spark, emb, model):
     a = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, model).collect()}
     b = {

@@ -223,6 +223,10 @@ def _kmeans_lloyd_partials_arrow(
                 n_acc[j] += len(sel)
                 s_acc[j] += sel.sum(axis=0)
         live = np.nonzero(n_acc)[0]
+        if len(live) == 0:
+            # empty partition: yield NOTHING (an empty pandas column
+            # is a float64 ndarray Arrow can't cast to list<int64>)
+            return
         yield pd.DataFrame(
             {
                 "cell": cell_ids[live],

@@ -304,6 +304,11 @@ def _lloyd_partials_arrow(
                     n_acc[j, c] += len(sel)
                     s_acc[j, c] += sel.sum(axis=0)
         subs, cls = np.nonzero(n_acc)
+        if len(subs) == 0:
+            # an all-empty partition must yield NOTHING: an empty
+            # pandas column defaults to a float64 ndarray, which Arrow
+            # cannot convert to list<int64>
+            return
         yield pd.DataFrame(
             {
                 "sub": subs.astype(np.int32),
