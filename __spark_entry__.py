@@ -2180,6 +2180,20 @@ def qt_exact_quantiles(spark, sf):
     )
 
 
+def qt_grouped_quantiles(spark, sf):
+    """Per-group exact quantiles (quantiles.exact_quantiles_grouped):
+    p25/p50/p75 of l_extendedprice per l_returnflag via JOINT
+    histogram refinement — all groups share each aggregate pass, the
+    corpus never shuffles.  The oracle is DuckDB's GROUP BY
+    quantile_disc."""
+    from zeek_duckdb_spark.operators.quantiles import exact_quantiles_grouped
+
+    li = _t(spark, sf, "lineitem")
+    return exact_quantiles_grouped(
+        li, "l_extendedprice", [0.25, 0.5, 0.75], "l_returnflag"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2194,6 +2208,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "mm_decode_fake": mm_decode_fake,
         "q21_union_tagged": q21_union_tagged,
+        "qt_grouped_quantiles": qt_grouped_quantiles,
     }
 
 
@@ -2226,5 +2241,12 @@ def extra_oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'error' AS tag, event_id FROM events WHERE event_type = 'error') t
             GROUP BY tag
+        """,
+        "qt_grouped_quantiles": """
+            SELECT l_returnflag,
+                   CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
+                                        [0.25, 0.5, 0.75])) AS value
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

@@ -227,3 +227,14 @@ def test_quantile_subcommand(spark, tmp_path, capsys):
     # quantile_disc over 1..100: rank ceil(0.5*100)=50 -> 50.0;
     # ceil(0.99*100)=99 -> 99.0
     assert out[1:] == ["0.5\t50.0", "0.99\t99.0"]
+
+
+def test_quantile_subcommand_grouped(spark, tmp_path, capsys):
+    d = str(tmp_path / "gvals")
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 100.0)]
+    spark.createDataFrame(rows, "g string, x double").write.parquet(d)
+    rc = main(["quantile", d, "x", "-q", "0.5", "--by", "g"], spark=spark)
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "g\tq\tvalue"
+    assert sorted(out[1:]) == ["a\t0.5\t5.0", "b\t0.5\t100.0"]

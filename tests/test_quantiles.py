@@ -7,7 +7,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from zeek_duckdb_spark.operators.quantiles import exact_quantiles, exact_quantiles_df
+from zeek_duckdb_spark.operators.quantiles import (
+    exact_quantiles,
+    exact_quantiles_df,
+    exact_quantiles_grouped,
+)
 
 SF = "/root/testdata/sf0.001"
 QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
@@ -179,6 +183,138 @@ def test_weighted_reduces_to_unweighted_and_validates(spark, li):
             li.withColumn("nw", F.lit(-1)), "l_quantity", [0.5],
             weight_col="nw",
         )
+
+
+def _duck_grouped(group, col, qs, where="1=1"):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW li AS SELECT * FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    )
+    lst = ", ".join(str(q) for q in qs)
+    return sorted(
+        (g, float(q), float(v))
+        for g, q, v in con.sql(
+            f"SELECT {group}, CAST(unnest([{lst}]) AS DOUBLE),"
+            f" unnest(quantile_disc(CAST({col} AS DOUBLE), [{lst}]))"
+            f" FROM li WHERE {where} GROUP BY {group}"
+        ).fetchall()
+    )
+
+
+def test_grouped_matches_duckdb_group_by(spark, li):
+    qs = [0.01, 0.5, 0.99]
+    got = sorted(
+        (r[0], r.q, r.value)
+        for r in exact_quantiles_grouped(
+            li, "l_extendedprice", qs, "l_returnflag"
+        ).collect()
+    )
+    assert got == _duck_grouped("l_returnflag", "l_extendedprice", qs)
+    # int group key + duplicate-heavy value column
+    got2 = sorted(
+        (r[0], r.q, r.value)
+        for r in exact_quantiles_grouped(
+            li, "l_quantity", [0.0, 0.5, 1.0], "l_linenumber"
+        ).collect()
+    )
+    assert got2 == _duck_grouped("l_linenumber", "l_quantity", [0.0, 0.5, 1.0])
+
+
+def test_grouped_forced_deep_and_null_group(spark, li):
+    # NULL group key is a real group (DuckDB GROUP BY semantics);
+    # tiny leaf + buckets=2 forces the slow joint-descent path
+    src = li.select(
+        F.when(F.col("l_linenumber") > 2, F.col("l_returnflag")).alias("g"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    got = sorted(
+        ((r[0] if r[0] is not None else "<null>"), r.q, r.value)
+        for r in exact_quantiles_grouped(
+            src, "x", [0.5], "g", buckets=2, leaf_limit=1, max_passes=64
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = sorted(
+        ((g if g is not None else "<null>"), 0.5, float(v))
+        for g, v in con.sql(
+            "SELECT CASE WHEN l_linenumber > 2 THEN l_returnflag END AS g,"
+            " quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5)"
+            " FROM li GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_grouped_weighted_and_all_null_group_dropped(spark):
+    rows = [
+        ("a", 1.0, 3), ("a", 2.0, 1), ("a", 10.0, 1),
+        ("b", 5.0, 2), ("b", 7.0, 0),
+        ("c", None, 4),          # all-NULL column -> group dropped
+        ("d", 4.0, 0),           # all zero-weight -> dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, w int")
+    got = sorted(
+        (r.g, r.q, r.value)
+        for r in exact_quantiles_grouped(
+            df, "x", [0.5, 1.0], "g", weight_col="w", leaf_limit=1
+        ).collect()
+    )
+    # a: multiset [1,1,1,2,10] -> p50 rank 3 = 1.0, p100 = 10.0
+    # b: [5,5] -> 5.0, 5.0
+    assert got == [
+        ("a", 0.5, 1.0), ("a", 1.0, 10.0),
+        ("b", 0.5, 5.0), ("b", 1.0, 5.0),
+    ]
+
+
+def test_grouped_validation_and_guards(spark, li):
+    with pytest.raises(ValueError, match="qs is empty"):
+        exact_quantiles_grouped(li, "l_quantity", [], "l_returnflag")
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_quantiles_grouped(
+            li, "l_extendedprice", [0.5], "l_orderkey", max_groups=10
+        )
+    with pytest.raises(ValueError, match="NaN"):
+        exact_quantiles_grouped(
+            spark.createDataFrame(
+                [("a", 1.0), ("a", float("nan"))], "g string, x double"
+            ),
+            "x", [0.5], "g",
+        )
+    with pytest.raises(ValueError, match="integral"):
+        exact_quantiles_grouped(
+            li.withColumn("fw", F.lit(0.5)), "l_quantity", [0.5],
+            "l_returnflag", weight_col="fw",
+        )
+
+
+def test_grouped_no_corpus_shuffle_per_pass(spark, li):
+    # the refinement pass's only exchange is the (group, target,
+    # bucket) counter aggregate — the corpus side must reach the join
+    # without an exchange (broadcast), and no RangePartitioning
+    # anywhere
+    src = li.select(
+        F.col("l_returnflag").alias("__g"),
+        F.col("l_extendedprice").cast("double").alias("__x"),
+        F.lit(1).cast("long").alias("__w"),
+    )
+    ivals = F.broadcast(spark.createDataFrame(
+        [("A", 0, 0, 1.0, 2.0, True)],
+        "__eg string, __egi int, __eti int, __lo double, __hi double, "
+        "__top boolean",
+    ))
+    plan = (
+        src.join(ivals, on=F.col("__g").eqNullSafe(F.col("__eg")))
+        .groupBy("__egi", "__eti")
+        .agg(F.sum("__w").alias("cnt"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_weighted_huge_weight_degenerate_path(spark):

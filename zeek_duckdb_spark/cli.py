@@ -166,6 +166,9 @@ def _build_parser() -> argparse.ArgumentParser:
     qt.add_argument("-q", action="append", type=float, default=None,
                     metavar="Q", help="quantile in [0,1]; repeatable "
                     "(default: 0.01 0.25 0.5 0.75 0.99)")
+    qt.add_argument("--by", default=None, metavar="COL",
+                    help="per-group quantiles (bounded-cardinality "
+                         "group column)")
     return p
 
 
@@ -312,15 +315,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 None,  # result is k rows — already bounded
             )
         elif args.cmd == "quantile":
-            from zeek_duckdb_spark.operators.quantiles import exact_quantiles_df
+            from zeek_duckdb_spark.operators.quantiles import (
+                exact_quantiles_df,
+                exact_quantiles_grouped,
+            )
 
             qs = args.q if args.q else [0.01, 0.25, 0.5, 0.75, 0.99]
-            _tsv(
-                exact_quantiles_df(
-                    spark.read.parquet(args.path), args.column, qs
-                ),
-                None,  # |qs| rows
-            )
+            src = spark.read.parquet(args.path)
+            if args.by:
+                out = exact_quantiles_grouped(src, args.column, qs, args.by)
+            else:
+                out = exact_quantiles_df(src, args.column, qs)
+            _tsv(out, None)  # |groups| * |qs| rows — model-sized
         return 0
     finally:
         if owns:

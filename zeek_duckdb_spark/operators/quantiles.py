@@ -54,7 +54,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "exact_quantiles_df"]
+__all__ = [
+    "exact_quantiles",
+    "exact_quantiles_df",
+    "exact_quantiles_grouped",
+]
 
 
 def _rank_for(q: float, n: int) -> int:
@@ -269,3 +273,306 @@ def exact_quantiles_df(
     return spark.createDataFrame(
         [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, value double"
     )
+
+
+def exact_quantiles_grouped(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    group_col: str,
+    buckets: int = 64,
+    leaf_limit: int = 8192,
+    max_passes: int = 24,
+    weight_col: str | None = None,
+    max_groups: int = 100_000,
+    leaf_rows_per_collect: int = 1 << 22,
+) -> DataFrame:
+    """Per-group exact discrete quantiles — DuckDB's
+    ``SELECT g, quantile_disc(x, [...]) ... GROUP BY g`` without a
+    global sort OR a per-group sort: ALL groups refine JOINTLY, so the
+    pass count is that of the slowest group, not the group count.
+    Returns a DataFrame ``(group_col, q, value)`` ordered by group
+    then q; groups whose column is all-NULL (or all zero-weight) are
+    dropped, matching ``unnest(quantile_disc(...))`` emitting nothing
+    for a NULL list.
+
+    This is the "per-language p99 cap" / "per-domain quality cutoff"
+    shape: ``group_col`` must be BOUNDED cardinality (languages,
+    domains after bucketing — guarded by ``max_groups``), because the
+    per-group interval state lives on the driver like any model.
+
+    Scale shape: each refinement pass is one broadcast join of the
+    (live-interval)-sized edges table onto the corpus scan followed by
+    a (group, target, bucket)-wide partial aggregate — the corpus
+    never shuffles; only ``live_intervals * buckets`` counter rows
+    move.  Bucket membership reuses the EXACT half-open edge
+    predicates of :func:`exact_quantiles` (the bucket index is
+    ``count(edges <= x) - 1`` over the same edge constants), so rank
+    bookkeeping stays float-exact.  Leaf collects are chunked so no
+    single driver fetch exceeds ~``leaf_rows_per_collect`` weight
+    mass.  ``weight_col`` gives per-group WEIGHTED quantiles with the
+    multiset semantics of :func:`exact_quantiles`.
+    """
+    if not qs:
+        raise ValueError("exact_quantiles_grouped: qs is empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(
+                f"exact_quantiles_grouped: q={q} outside [0, 1]"
+            )
+    if buckets < 2:
+        raise ValueError("exact_quantiles_grouped: buckets must be >= 2")
+    if leaf_limit < 1:
+        raise ValueError("exact_quantiles_grouped: leaf_limit must be >= 1")
+
+    spark = df.sparkSession
+    gfield = df.schema[group_col]
+    x = F.col(col).cast("double")
+    if weight_col is None:
+        w: Column = F.lit(1).cast("long")
+    else:
+        wt = df.schema[weight_col].dataType.simpleString()
+        if wt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                "exact_quantiles_grouped: weight_col must be integral, "
+                f"got {wt}"
+            )
+        w = F.col(weight_col).cast("long")
+    src = (
+        df.select(
+            F.col(group_col).alias("__g"), x.alias("__x"), w.alias("__w")
+        )
+        .filter(F.col("__x").isNotNull())
+    )
+
+    # one global validation + cardinality-guard pass
+    guard = src.agg(
+        F.approx_count_distinct("__g").alias("gc"),
+        F.sum(F.when(F.isnan("__x"), 1).otherwise(0)).alias("nans"),
+        F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
+    ).first()
+    if int(guard["nans"] or 0) > 0:
+        raise ValueError(
+            f"exact_quantiles_grouped: column {col!r} contains NaN — "
+            "filter first"
+        )
+    if int(guard["negw"] or 0) > 0:
+        raise ValueError("exact_quantiles_grouped: negative weights")
+    if int(guard["gc"] or 0) > max_groups * 1.1:
+        raise ValueError(
+            f"exact_quantiles_grouped: ~{int(guard['gc'])} groups exceeds "
+            f"max_groups={max_groups} — bucket the group key first (the "
+            "per-group interval state is driver-side model state)"
+        )
+    src = src.filter(F.col("__w") > 0)
+
+    heads = (
+        src.groupBy("__g")
+        .agg(
+            F.sum("__w").alias("n"),
+            F.min("__x").alias("mn"),
+            F.max("__x").alias("mx"),
+        )
+        .orderBy("__g")
+        .collect()
+    )
+    if len(heads) > max_groups:
+        raise ValueError(
+            f"exact_quantiles_grouped: {len(heads)} groups exceeds "
+            f"max_groups={max_groups}"
+        )
+    gvals = [r["__g"] for r in heads]  # deterministic group order
+
+    # per-(group-index, target-index) state:
+    # (lo, hi, top, mass_below_lo, mass_in_interval)
+    targets: dict[tuple[int, int], int] = {}
+    state: dict[tuple[int, int], tuple[float, float, bool, int, int]] = {}
+    answers: dict[tuple[int, int], float] = {}
+    for gi, r in enumerate(heads):
+        n = int(r["n"])
+        mn, mx = float(r["mn"]), float(r["mx"])
+        for ti, q in enumerate(qs):
+            key = (gi, ti)
+            targets[key] = _rank_for(q, n)
+            if mn == mx:
+                answers[key] = mn
+            else:
+                state[key] = (mn, mx, True, 0, n)
+
+    # the edges/interval table rides as a broadcast join keyed by the
+    # group value (null-safe: a NULL group key is a real group)
+    def _interval_rows(keys):
+        return [
+            (gvals[gi], gi, ti, state[(gi, ti)][0], state[(gi, ti)][1],
+             state[(gi, ti)][2])
+            for gi, ti in keys
+        ]
+
+    ischema = (
+        f"__eg {gfield.dataType.simpleString()}, __egi int, __eti int, "
+        "__lo double, __hi double, __top boolean"
+    )
+    member = (F.col("__x") >= F.col("__lo")) & (
+        F.col("__top") | (F.col("__x") < F.col("__hi"))
+    )
+
+    passes = 0
+    while len(answers) < len(targets):
+        live = [k for k in targets if k not in answers]
+
+        # ---- leaf step: chunked shared collects ------------------
+        leafy = [k for k in live if state[k][4] <= leaf_limit]
+        if leafy:
+            chunks: list[list[tuple[int, int]]] = [[]]
+            mass = 0
+            for k in sorted(leafy):
+                if chunks[-1] and mass + state[k][4] > leaf_rows_per_collect:
+                    chunks.append([])
+                    mass = 0
+                chunks[-1].append(k)
+                mass += state[k][4]
+            for chunk in chunks:
+                ivals = F.broadcast(
+                    spark.createDataFrame(_interval_rows(chunk), ischema)
+                )
+                got = (
+                    src.join(
+                        ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
+                        how="inner",
+                    )
+                    .filter(member)
+                    .select("__egi", "__eti", "__x", "__w")
+                    .collect()
+                )
+                by_key: dict[tuple[int, int], list[tuple[float, int]]] = {
+                    k: [] for k in chunk
+                }
+                for r in got:
+                    by_key[(int(r["__egi"]), int(r["__eti"]))].append(
+                        (float(r["__x"]), int(r["__w"]))
+                    )
+                for k in chunk:
+                    _, _, _, below, _ = state[k]
+                    cum = below
+                    for v, wt_ in sorted(by_key[k]):
+                        cum += wt_
+                        if cum >= targets[k]:
+                            answers[k] = v
+                            break
+            continue
+
+        if passes >= max_passes:
+            raise RuntimeError(
+                "exact_quantiles_grouped: did not converge "
+                f"(pass budget {max_passes}; raise leaf_limit)"
+            )
+        passes += 1
+
+        # ---- degenerate intervals: batched distinct-value counts --
+        degen = []
+        plans: dict[tuple[int, int], list[float]] = {}
+        for k in live:
+            lo, hi, top, _, _ = state[k]
+            wd = (hi - lo) / buckets
+            edges = [lo + b * wd for b in range(buckets)] + [hi]
+            if wd <= 0.0 or len(set(edges)) < 3:
+                degen.append(k)
+            else:
+                plans[k] = edges
+        if degen:
+            ivals = F.broadcast(
+                spark.createDataFrame(_interval_rows(degen), ischema)
+            )
+            gv = (
+                src.join(
+                    ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
+                    how="inner",
+                )
+                .filter(member)
+                .groupBy("__egi", "__eti", "__x")
+                .agg(F.sum("__w").alias("cnt"))
+                .collect()
+            )
+            by_key = {k: [] for k in degen}
+            for r in gv:
+                by_key[(int(r["__egi"]), int(r["__eti"]))].append(
+                    (float(r["__x"]), int(r["cnt"]))
+                )
+            for k in degen:
+                _, _, _, below, _ = state[k]
+                cum = below
+                for v, cnt in sorted(by_key[k]):
+                    if cum + cnt >= targets[k]:
+                        answers[k] = v
+                        break
+                    cum += cnt
+
+        # ---- joint refinement pass -------------------------------
+        if not plans:
+            continue
+        erows = [
+            (gvals[gi], gi, ti, state[(gi, ti)][0], state[(gi, ti)][1],
+             state[(gi, ti)][2], plans[(gi, ti)][:buckets])
+            for gi, ti in plans
+        ]
+        eschema = ischema + ", __edges array<double>"
+        ivals = F.broadcast(spark.createDataFrame(erows, eschema))
+        # bucket index = count(edge constants <= x) - 1 over the SAME
+        # edge values the next interval's predicates will use — the
+        # b-th bucket IS the next interval, bit for bit
+        bucket_ix = (
+            F.aggregate(
+                F.col("__edges"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("__x") >= e, F.lit(1)).otherwise(F.lit(0)),
+            )
+            - F.lit(1)
+        ).alias("__b")
+        counts = (
+            src.join(
+                ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
+                how="inner",
+            )
+            .filter(member)
+            .select("__egi", "__eti", bucket_ix, "__w")
+            .groupBy("__egi", "__eti", "__b")
+            .agg(F.sum("__w").alias("cnt"))
+            .collect()
+        )
+        hist: dict[tuple[int, int], dict[int, int]] = {k: {} for k in plans}
+        for r in counts:
+            hist[(int(r["__egi"]), int(r["__eti"]))][int(r["__b"])] = int(
+                r["cnt"]
+            )
+        for k, edges in plans.items():
+            lo, hi, top, below, _ = state[k]
+            cum = below
+            for b in range(buckets):
+                cnt = hist[k].get(b, 0)
+                if cum + cnt >= targets[k]:
+                    state[k] = (
+                        edges[b],
+                        edges[b + 1],
+                        top and b == buckets - 1,
+                        cum,
+                        cnt,
+                    )
+                    break
+                cum += cnt
+
+    out = [
+        (gvals[gi], float(qs[ti]), float(answers[(gi, ti)]))
+        for gi in range(len(gvals))
+        for ti in range(len(qs))
+    ]
+    import pyspark.sql.types as T
+
+    oschema = T.StructType(
+        [
+            T.StructField(group_col, gfield.dataType),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, oschema)
