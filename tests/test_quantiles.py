@@ -292,6 +292,83 @@ def test_grouped_validation_and_guards(spark, li):
         )
 
 
+def test_grouped_shuffle_strategy_parity_and_auto(spark, li):
+    # many-modest-groups regime: the shuffle (groupBy-applyInPandas)
+    # plan must agree exactly with the refine plan AND DuckDB
+    li20 = li.withColumn("gk", F.pmod(F.col("l_orderkey"), F.lit(20)))
+    qs = [0.1, 0.5, 0.9]
+    ref = sorted(
+        (r.gk, r.q, r.value)
+        for r in exact_quantiles_grouped(
+            li20, "l_extendedprice", qs, "gk", strategy="refine"
+        ).collect()
+    )
+    shf = sorted(
+        (r.gk, r.q, r.value)
+        for r in exact_quantiles_grouped(
+            li20, "l_extendedprice", qs, "gk", strategy="shuffle"
+        ).collect()
+    )
+    assert shf == ref
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    lst = ", ".join(str(q) for q in qs)
+    want = sorted(
+        (g, float(q), float(v))
+        for g, q, v in con.sql(
+            f"SELECT l_orderkey % 20, CAST(unnest([{lst}]) AS DOUBLE),"
+            f" unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE), [{lst}]))"
+            " FROM li GROUP BY 1"
+        ).fetchall()
+    )
+    assert shf == want
+    # auto dispatch: > 16 groups -> the Arrow groupBy-apply plan;
+    # few groups -> refine (driver-computed local result)
+    auto_plan = (
+        exact_quantiles_grouped(li20, "l_extendedprice", qs, "gk")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in auto_plan
+    few_plan = (
+        exact_quantiles_grouped(li, "l_extendedprice", qs, "l_returnflag")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" not in few_plan
+    with pytest.raises(ValueError, match="strategy"):
+        exact_quantiles_grouped(
+            li, "l_extendedprice", qs, "l_returnflag", strategy="sorted"
+        )
+
+
+def test_grouped_shuffle_weighted_parity(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{rng.randint(0, 29)}", rng.randint(-40, 40) / 8.0,
+         rng.randint(0, 5))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, w int")
+    qs = [0.0, 0.5, 1.0]
+    a = sorted(
+        (r.g, r.q, r.value)
+        for r in exact_quantiles_grouped(
+            df, "x", qs, "g", weight_col="w", strategy="shuffle"
+        ).collect()
+    )
+    b = sorted(
+        (r.g, r.q, r.value)
+        for r in exact_quantiles_grouped(
+            df, "x", qs, "g", weight_col="w", strategy="refine",
+            leaf_limit=4,
+        ).collect()
+    )
+    assert a == b
+
+
 def test_grouped_no_corpus_shuffle_per_pass(spark, li):
     # the refinement pass's only exchange is the (group, target,
     # bucket) counter aggregate — the corpus side must reach the join
@@ -315,6 +392,28 @@ def test_grouped_no_corpus_shuffle_per_pass(spark, li):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_duplicate_mass_at_zero_exceeding_leaf_limit(spark):
+    # five copies of 0.0 with leaf_limit=1: bisection toward 0.0 can
+    # shrink the interval for hundreds of passes (float resolution
+    # near 0 is unbounded) without shedding a row — the stall counter
+    # must route to the distinct-value fallback instead of burning
+    # the pass budget (regression)
+    df = spark.createDataFrame(
+        [(0.0,)] * 5 + [(1.0,), (2.0,)], "x double"
+    )
+    assert exact_quantiles(df, "x", [0.5], leaf_limit=1) == [0.0]
+    gdf = spark.createDataFrame(
+        [("a", 0.0)] * 5 + [("a", 1.0), ("b", 3.0)], "g string, x double"
+    )
+    got = sorted(
+        (r.g, r.q, r.value)
+        for r in exact_quantiles_grouped(
+            gdf, "x", [0.5], "g", leaf_limit=1, strategy="refine"
+        ).collect()
+    )
+    assert got == [("a", 0.5, 0.0), ("b", 0.5, 3.0)]
 
 
 def test_weighted_huge_weight_degenerate_path(spark):

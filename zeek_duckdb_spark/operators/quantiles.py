@@ -160,6 +160,12 @@ def exact_quantiles(
     targets = {i: _rank_for(q, n) for i, q in enumerate(qs)}
     state = {i: (mn, mx, True, 0, n) for i in targets}
     answers: dict[int, float] = {}
+    # consecutive passes with unchanged (below, mass): the interval
+    # shrank 64x without shedding a row — the mass is concentrated on
+    # (near-)duplicates and bisection can run for hundreds of passes
+    # before float edges collapse (unboundedly many near 0.0), so two
+    # stalls route the target to the distinct-value fallback
+    stalls = {i: 0 for i in targets}
     if mn == mx:
         return [mn for _ in qs]
 
@@ -197,16 +203,18 @@ def exact_quantiles(
             )
         passes += 1
 
-        # degenerate intervals (edges no longer split in doubles):
-        # the handful of representable values left resolve via a
-        # distinct-value count, whatever their duplication
-        plans: dict[int, list[float]] = {}
+        # degenerate intervals (edges no longer split in doubles, or
+        # the stall counter fired): the handful of representable
+        # values left resolve via a distinct-value count, whatever
+        # their duplication
+        plans: dict[tuple[float, float, bool], list[float]] = {}
+        targets_of: dict[tuple[float, float, bool], list[int]] = {}
         aggs = []
         for i in live:
             lo, hi, top, _, _ = state[i]
             w = (hi - lo) / buckets
             edges = [lo + b * w for b in range(buckets)] + [hi]
-            if w <= 0.0 or len(set(edges)) < 3:
+            if w <= 0.0 or len(set(edges)) < 3 or stalls[i] >= 2:
                 gv = sorted(
                     (float(r["__x"]), int(r["cnt"]))
                     for r in src.filter(_member(lo, hi, top))
@@ -222,35 +230,49 @@ def exact_quantiles(
                         break
                     cum += cnt
                 continue
-            plans[i] = edges
+            # targets sharing an interval (always true on pass 1)
+            # share ONE histogram — don't recount per target
+            ik = (lo, hi, top)
+            if ik in plans:
+                targets_of[ik].append(i)
+                continue
+            plans[ik] = edges
+            targets_of[ik] = [i]
+            j = len(plans) - 1
             for b in range(buckets):
                 m = F.col("__x") >= F.lit(edges[b])
                 if not (top and b == buckets - 1):
                     m = m & (F.col("__x") < F.lit(edges[b + 1]))
                 aggs.append(
                     F.sum(F.when(m, F.col("__w")).otherwise(0)).alias(
-                        f"t{i}_b{b}"
+                        f"t{j}_b{b}"
                     )
                 )
         if not aggs:
             continue
         row = src.agg(*aggs).first()
-        for i, edges in plans.items():
-            lo, hi, top, below, _ = state[i]
-            r = targets[i]
-            cum = below
-            for b in range(buckets):
-                cnt = int(row[f"t{i}_b{b}"])
-                if cum + cnt >= r:
-                    state[i] = (
-                        edges[b],
-                        edges[b + 1],
-                        top and b == buckets - 1,
-                        cum,
-                        cnt,
-                    )
-                    break
-                cum += cnt
+        for j, (ik, edges) in enumerate(plans.items()):
+            for i in targets_of[ik]:
+                lo, hi, top, below, mass = state[i]
+                r = targets[i]
+                cum = below
+                for b in range(buckets):
+                    cnt = int(row[f"t{j}_b{b}"])
+                    if cum + cnt >= r:
+                        stalls[i] = (
+                            stalls[i] + 1
+                            if (cum, cnt) == (below, mass)
+                            else 0
+                        )
+                        state[i] = (
+                            edges[b],
+                            edges[b + 1],
+                            top and b == buckets - 1,
+                            cum,
+                            cnt,
+                        )
+                        break
+                    cum += cnt
     return [answers[i] for i in range(len(qs))]
 
 
@@ -286,6 +308,8 @@ def exact_quantiles_grouped(
     weight_col: str | None = None,
     max_groups: int = 100_000,
     leaf_rows_per_collect: int = 1 << 22,
+    strategy: str = "auto",
+    shuffle_group_cap: int = 50_000_000,
 ) -> DataFrame:
     """Per-group exact discrete quantiles — DuckDB's
     ``SELECT g, quantile_disc(x, [...]) ... GROUP BY g`` without a
@@ -301,17 +325,38 @@ def exact_quantiles_grouped(
     domains after bucketing — guarded by ``max_groups``), because the
     per-group interval state lives on the driver like any model.
 
-    Scale shape: each refinement pass is one broadcast join of the
-    (live-interval)-sized edges table onto the corpus scan followed by
-    a (group, target, bucket)-wide partial aggregate — the corpus
-    never shuffles; only ``live_intervals * buckets`` counter rows
-    move.  Bucket membership reuses the EXACT half-open edge
-    predicates of :func:`exact_quantiles` (the bucket index is
-    ``count(edges <= x) - 1`` over the same edge constants), so rank
-    bookkeeping stays float-exact.  Leaf collects are chunked so no
-    single driver fetch exceeds ~``leaf_rows_per_collect`` weight
-    mass.  ``weight_col`` gives per-group WEIGHTED quantiles with the
-    multiset semantics of :func:`exact_quantiles`.
+    TWO physical strategies, because "grouped quantiles" is two
+    different problems at scale:
+
+    - ``strategy='refine'`` — FEW groups, each arbitrarily huge (the
+      per-language cut at 100 TB, where one group cannot fit
+      anywhere): joint histogram refinement.  Each pass is one
+      broadcast join of the (live-interval)-sized edges table onto
+      the corpus scan followed by a (group, target, bucket)-wide
+      partial aggregate — the corpus never shuffles; only
+      ``live_intervals * buckets`` counter rows move.  Bucket
+      membership reuses the EXACT half-open edge predicates of
+      :func:`exact_quantiles` (the bucket index is
+      ``count(edges <= x) - 1`` over the same edge constants), so
+      rank bookkeeping stays float-exact.  Leaf collects are
+      deduplicated per distinct interval and chunked so no single
+      driver fetch exceeds ~``leaf_rows_per_collect`` weight mass.
+    - ``strategy='shuffle'`` — MANY groups, each modest (per-domain
+      cuts over 10^4-10^5 domains): ONE hash shuffle on the group
+      key, then per-group exact ranks in an Arrow ``applyInPandas``
+      kernel — nothing ever reaches the driver.  This is the plan
+      the refine path must not be used for: with thousands of
+      small groups its leaf step degenerates into collecting the
+      whole corpus driver-side.  Requires each single group's rows
+      to fit in an executor (the shuffle-partition invariant every
+      groupBy-apply operator has).
+    - ``strategy='auto'`` (default) picks from the per-group stats
+      it computes anyway: 'shuffle' when there are > 16 groups and
+      the largest group's weight mass is <= ``shuffle_group_cap``,
+      else 'refine'.
+
+    ``weight_col`` gives per-group WEIGHTED quantiles with the
+    multiset semantics of :func:`exact_quantiles` on both paths.
     """
     if not qs:
         raise ValueError("exact_quantiles_grouped: qs is empty")
@@ -324,6 +369,11 @@ def exact_quantiles_grouped(
         raise ValueError("exact_quantiles_grouped: buckets must be >= 2")
     if leaf_limit < 1:
         raise ValueError("exact_quantiles_grouped: leaf_limit must be >= 1")
+    if strategy not in ("auto", "refine", "shuffle"):
+        raise ValueError(
+            "exact_quantiles_grouped: strategy must be 'auto', 'refine' "
+            "or 'shuffle'"
+        )
 
     spark = df.sparkSession
     gfield = df.schema[group_col]
@@ -383,17 +433,41 @@ def exact_quantiles_grouped(
         )
     gvals = [r["__g"] for r in heads]  # deterministic group order
 
+    import pyspark.sql.types as T
+
+    oschema = T.StructType(
+        [
+            T.StructField(group_col, gfield.dataType),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    if strategy == "auto":
+        max_mass = max((int(r["n"]) for r in heads), default=0)
+        strategy = (
+            "shuffle"
+            if len(heads) > 16 and max_mass <= shuffle_group_cap
+            else "refine"
+        )
+    if strategy == "shuffle":
+        return _grouped_shuffle(src, qs, group_col, oschema)
+
     # per-(group-index, target-index) state:
     # (lo, hi, top, mass_below_lo, mass_in_interval)
     targets: dict[tuple[int, int], int] = {}
     state: dict[tuple[int, int], tuple[float, float, bool, int, int]] = {}
     answers: dict[tuple[int, int], float] = {}
+    # stall counter, same role as in exact_quantiles: duplicate-heavy
+    # mass bisection can't shed goes to the distinct fallback
+    stalls: dict[tuple[int, int], int] = {}
     for gi, r in enumerate(heads):
         n = int(r["n"])
         mn, mx = float(r["mn"]), float(r["mx"])
         for ti, q in enumerate(qs):
             key = (gi, ti)
             targets[key] = _rank_for(q, n)
+            stalls[key] = 0
             if mn == mx:
                 answers[key] = mn
             else:
@@ -420,45 +494,59 @@ def exact_quantiles_grouped(
     while len(answers) < len(targets):
         live = [k for k in targets if k not in answers]
 
-        # ---- leaf step: chunked shared collects ------------------
+        # ---- leaf step: deduped, chunked shared collects ----------
+        # a group's targets often share an interval (always true on
+        # the first pass of a small group) — collect each DISTINCT
+        # (group, interval) once and resolve all its targets from it
         leafy = [k for k in live if state[k][4] <= leaf_limit]
         if leafy:
-            chunks: list[list[tuple[int, int]]] = [[]]
-            mass = 0
+            by_ival: dict[tuple[int, float, float, bool],
+                          list[tuple[int, int]]] = {}
             for k in sorted(leafy):
-                if chunks[-1] and mass + state[k][4] > leaf_rows_per_collect:
+                lo, hi, top, _, _ = state[k]
+                by_ival.setdefault((k[0], lo, hi, top), []).append(k)
+            ivs = list(by_ival)
+            chunks: list[list[tuple[int, float, float, bool]]] = [[]]
+            mass = 0
+            for iv in ivs:
+                m_ = state[by_ival[iv][0]][4]
+                if chunks[-1] and mass + m_ > leaf_rows_per_collect:
                     chunks.append([])
                     mass = 0
-                chunks[-1].append(k)
-                mass += state[k][4]
+                chunks[-1].append(iv)
+                mass += m_
             for chunk in chunks:
-                ivals = F.broadcast(
-                    spark.createDataFrame(_interval_rows(chunk), ischema)
-                )
+                rows_ = [
+                    (gvals[gi], gi, ii, lo, hi, top)
+                    for ii, (gi, lo, hi, top) in enumerate(chunk)
+                ]
+                ivals = F.broadcast(spark.createDataFrame(rows_, ischema))
                 got = (
                     src.join(
                         ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
                         how="inner",
                     )
                     .filter(member)
-                    .select("__egi", "__eti", "__x", "__w")
+                    .select("__eti", "__x", "__w")
                     .collect()
                 )
-                by_key: dict[tuple[int, int], list[tuple[float, int]]] = {
-                    k: [] for k in chunk
+                by_iv: dict[int, list[tuple[float, int]]] = {
+                    ii: [] for ii in range(len(chunk))
                 }
                 for r in got:
-                    by_key[(int(r["__egi"]), int(r["__eti"]))].append(
+                    by_iv[int(r["__eti"])].append(
                         (float(r["__x"]), int(r["__w"]))
                     )
-                for k in chunk:
-                    _, _, _, below, _ = state[k]
-                    cum = below
-                    for v, wt_ in sorted(by_key[k]):
-                        cum += wt_
-                        if cum >= targets[k]:
-                            answers[k] = v
-                            break
+                for ii, iv in enumerate(chunk):
+                    vals_sorted = sorted(by_iv[ii])
+                    for k in by_ival[iv]:
+                        _, _, _, below, _ = state[k]
+                        cum = below
+                        for v, wt_ in vals_sorted:
+                            cum += wt_
+                            if cum >= targets[k]:
+                                answers[k] = v
+                                break
             continue
 
         if passes >= max_passes:
@@ -475,7 +563,7 @@ def exact_quantiles_grouped(
             lo, hi, top, _, _ = state[k]
             wd = (hi - lo) / buckets
             edges = [lo + b * wd for b in range(buckets)] + [hi]
-            if wd <= 0.0 or len(set(edges)) < 3:
+            if wd <= 0.0 or len(set(edges)) < 3 or stalls[k] >= 2:
                 degen.append(k)
             else:
                 plans[k] = edges
@@ -510,10 +598,22 @@ def exact_quantiles_grouped(
         # ---- joint refinement pass -------------------------------
         if not plans:
             continue
+        # targets sharing a (group, interval) — always true on each
+        # group's pass 1 — share ONE histogram row in the edges table
+        ip: dict[tuple[int, float, float, bool], list[float]] = {}
+        itargets: dict[tuple[int, float, float, bool],
+                       list[tuple[int, int]]] = {}
+        for k, edges in plans.items():
+            gi = k[0]
+            lo, hi, top, _, _ = state[k]
+            ik = (gi, lo, hi, top)
+            if ik not in ip:
+                ip[ik] = edges
+            itargets.setdefault(ik, []).append(k)
+        iks = list(ip)
         erows = [
-            (gvals[gi], gi, ti, state[(gi, ti)][0], state[(gi, ti)][1],
-             state[(gi, ti)][2], plans[(gi, ti)][:buckets])
-            for gi, ti in plans
+            (gvals[gi], gi, ii, lo, hi, top, ip[(gi, lo, hi, top)][:buckets])
+            for ii, (gi, lo, hi, top) in enumerate(iks)
         ]
         eschema = ischema + ", __edges array<double>"
         ivals = F.broadcast(spark.createDataFrame(erows, eschema))
@@ -540,39 +640,69 @@ def exact_quantiles_grouped(
             .agg(F.sum("__w").alias("cnt"))
             .collect()
         )
-        hist: dict[tuple[int, int], dict[int, int]] = {k: {} for k in plans}
+        hist: dict[int, dict[int, int]] = {ii: {} for ii in range(len(iks))}
         for r in counts:
-            hist[(int(r["__egi"]), int(r["__eti"]))][int(r["__b"])] = int(
-                r["cnt"]
-            )
-        for k, edges in plans.items():
-            lo, hi, top, below, _ = state[k]
-            cum = below
-            for b in range(buckets):
-                cnt = hist[k].get(b, 0)
-                if cum + cnt >= targets[k]:
-                    state[k] = (
-                        edges[b],
-                        edges[b + 1],
-                        top and b == buckets - 1,
-                        cum,
-                        cnt,
-                    )
-                    break
-                cum += cnt
+            hist[int(r["__eti"])][int(r["__b"])] = int(r["cnt"])
+        for ii, ik in enumerate(iks):
+            edges = ip[ik]
+            for k in itargets[ik]:
+                lo, hi, top, below, mass = state[k]
+                cum = below
+                for b in range(buckets):
+                    cnt = hist[ii].get(b, 0)
+                    if cum + cnt >= targets[k]:
+                        stalls[k] = (
+                            stalls[k] + 1
+                            if (cum, cnt) == (below, mass)
+                            else 0
+                        )
+                        state[k] = (
+                            edges[b],
+                            edges[b + 1],
+                            top and b == buckets - 1,
+                            cum,
+                            cnt,
+                        )
+                        break
+                    cum += cnt
 
     out = [
         (gvals[gi], float(qs[ti]), float(answers[(gi, ti)]))
         for gi in range(len(gvals))
         for ti in range(len(qs))
     ]
-    import pyspark.sql.types as T
-
-    oschema = T.StructType(
-        [
-            T.StructField(group_col, gfield.dataType),
-            T.StructField("q", T.DoubleType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
     return spark.createDataFrame(out, oschema)
+
+
+def _grouped_shuffle(src: DataFrame, qs: list[float], group_col: str,
+                     oschema) -> DataFrame:
+    """The many-modest-groups plan: hash-shuffle on the group key,
+    exact per-group ranks in one Arrow kernel.  ``src`` is the
+    prepared (__g, __x, __w) frame (non-NULL x, positive w)."""
+    qarr = [float(q) for q in qs]
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("__x")
+        cw = pdf["__w"].to_numpy(dtype="int64").cumsum()
+        n = int(cw[-1])
+        xs = pdf["__x"].to_numpy()
+        vals = [
+            float(xs[int(np.searchsorted(cw, _rank_for(q, n), side="left"))])
+            for q in qarr
+        ]
+        return pd.DataFrame(
+            {
+                group_col: [pdf["__g"].iloc[0]] * len(qarr),
+                "q": qarr,
+                "value": vals,
+            }
+        )
+
+    return (
+        src.groupBy("__g")
+        .applyInPandas(fn, schema=oschema)
+        .orderBy(group_col, "q")  # |groups| * |qs| rows — model-sized
+    )
