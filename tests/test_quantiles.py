@@ -11,6 +11,7 @@ from zeek_duckdb_spark.operators.quantiles import (
     exact_quantiles,
     exact_quantiles_df,
     exact_quantiles_grouped,
+    filter_by_quantile,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -392,6 +393,33 @@ def test_grouped_no_corpus_shuffle_per_pass(spark, li):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_filter_by_quantile_gate(spark, li):
+    # cap above p90: survivors == DuckDB's <= quantile_disc(0.9) set,
+    # and the boundary element itself is kept
+    p90 = _duck("l_extendedprice", [0.9])[0]
+    kept = filter_by_quantile(li, "l_extendedprice", 0.9, keep="below")
+    mx = kept.agg(F.max(F.col("l_extendedprice").cast("double"))).first()[0]
+    assert float(mx) == p90
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = con.sql(
+        "SELECT COUNT(*) FROM li WHERE CAST(l_extendedprice AS DOUBLE) <= "
+        "(SELECT quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.9) FROM li)"
+    ).fetchone()[0]
+    assert kept.count() == want
+    # keep='above' drops the worst decile
+    floor = filter_by_quantile(li, "l_extendedprice", 0.1, keep="above")
+    mn = floor.agg(F.min(F.col("l_extendedprice").cast("double"))).first()[0]
+    assert float(mn) == _duck("l_extendedprice", [0.1])[0]
+    with pytest.raises(ValueError, match="keep"):
+        filter_by_quantile(li, "l_extendedprice", 0.5, keep="between")
+    # the gate is a plain comparison on the source scan: pushdown-able
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
 
 
 def test_duplicate_mass_at_zero_exceeding_leaf_limit(spark):

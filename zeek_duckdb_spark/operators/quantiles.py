@@ -58,6 +58,7 @@ __all__ = [
     "exact_quantiles",
     "exact_quantiles_df",
     "exact_quantiles_grouped",
+    "filter_by_quantile",
 ]
 
 
@@ -672,6 +673,41 @@ def exact_quantiles_grouped(
         for ti in range(len(qs))
     ]
     return spark.createDataFrame(out, oschema)
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    keep: str = "below",
+    buckets: int = 64,
+    leaf_limit: int = 65536,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The composition quantiles exist for in a training pipeline:
+    gate ``df`` at an EXACT quantile cutoff — "drop the worst 10% by
+    quality score" (``keep='above'``, q=0.1), "cap documents above
+    the p99 token count" (``keep='below'``, q=0.99).  The cutoff
+    VALUE is computed by :func:`exact_quantiles` (aggregate-only
+    passes, never a sort); the returned frame is ``df`` filtered by a
+    plain comparison, so the gate itself is a pushdown-eligible
+    predicate on the original scan.  ``keep='below'`` keeps
+    ``col <= cutoff``; ``keep='above'`` keeps ``col >= cutoff``; NULL
+    ``col`` rows are dropped either way (they have no rank).  The
+    boundary value itself is always kept — quantile_disc returns an
+    element, and both sides of a tie have the same score."""
+    if keep not in ("below", "above"):
+        raise ValueError("filter_by_quantile: keep must be 'below'/'above'")
+    cutoff = exact_quantiles(
+        df, col, [q], buckets=buckets, leaf_limit=leaf_limit,
+        weight_col=weight_col,
+    )[0]
+    cmp = (
+        F.col(col).cast("double") <= F.lit(cutoff)
+        if keep == "below"
+        else F.col(col).cast("double") >= F.lit(cutoff)
+    )
+    return df.filter(F.col(col).isNotNull() & cmp)
 
 
 def _grouped_shuffle(src: DataFrame, qs: list[float], group_col: str,
