@@ -2194,6 +2194,17 @@ def qt_grouped_quantiles(spark, sf):
     )
 
 
+def emb_comoments(spark, sf):
+    """Exact integer co-moments of the quantized embedding corpus
+    (operators/pca.comoment_sums_df): one zero-shuffle partial-sum
+    pass, int64 adds — deterministic under any partitioning, hence a
+    full-value oracle (the float covariance path would differ in
+    accumulation order).  The PCA fit consumes exactly these sums."""
+    from zeek_duckdb_spark.operators.pca import comoment_sums_df
+
+    return comoment_sums_df(_t(spark, sf, "embeddings"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2209,6 +2220,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_fake": mm_decode_fake,
         "q21_union_tagged": q21_union_tagged,
         "qt_grouped_quantiles": qt_grouped_quantiles,
+        "emb_comoments": emb_comoments,
     }
 
 
@@ -2248,5 +2260,23 @@ def extra_oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
                                         [0.25, 0.5, 0.75])) AS value
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # the proven sim_quant_topk quantize restatement, then exact
+        # int64 sums of q_i * q_j over the upper triangle
+        "emb_comoments": """
+            WITH e AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+            qz AS (
+              SELECT list_transform(x, v -> CAST(floor(v / s + 0.5) AS INT))
+                       AS qvec
+              FROM (SELECT x,
+                           greatest(list_max(list_transform(x, v -> abs(v))),
+                                    1e-12) / 127.0 AS s
+                    FROM e))
+            SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+                   SUM(CAST(qvec[i.range + 1] AS BIGINT) * qvec[j.range + 1])
+                     AS s_ij
+            FROM qz, range(64) i, range(64) j
+            WHERE i.range <= j.range GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,230 @@
+"""PCA for the embedding-similarity pipeline, at corpus scale.
+
+Covariance is accumulated as EXACT integer co-moments on the SAME
+int8-quantized direction grid every ANN operator here scores on
+(``similarity.quantize_embeddings``): each partition yields
+(n, per-dim int64 sums, upper-triangular int64 sums of q_i * q_j)
+partials merged driver-side with integer adds — bit-deterministic
+under ANY partitioning (the pq/kmeans partial-sum shape) and
+restatable in a DuckDB oracle, unlike float co-moments whose
+accumulation order varies with the partitioning.  One zero-shuffle
+corpus pass; the dim x dim eigendecomposition is driver-side
+model-sized work (numpy ``eigh``); projection is an Arrow matmul
+kernel, again a zero-shuffle map.
+
+Why the quantized grid is the right space here: the ANN family
+(cosine top-k, IVF, PQ) is direction-only — per-vector scale cancels
+in every cosine — so principal directions of the quantized grid are
+the principal directions of the geometry those operators actually
+search.  int8 quantization noise is ~0.4% per coordinate and only
+perturbs eigenvectors by O(noise / eigengap).
+
+Scale shape at 100 TB: the co-moment pass streams Arrow batches
+through numpy (one rank-k update per batch, int64 accumulators
+dim*(dim+3)/2 wide); nothing but one partial row per partition moves.
+``pca_project`` appends the score column in place — no shuffle, no
+driver round-trip.
+
+No reference-engine counterpart (the reference is a log scanner);
+training-data-pipeline operator family (SURVEY.md "beyond the
+reference" track).  Method: classic covariance PCA (Pearson 1901 /
+Hotelling 1933); deterministic sign convention as in scikit-learn's
+``svd_flip``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zeek_duckdb_spark.operators.similarity import quantize_embeddings
+
+__all__ = [
+    "comoment_sums",
+    "comoment_sums_df",
+    "pca_fit",
+    "pca_project",
+]
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return quantize_embeddings(df, id_col, vec_col).select("qvec")
+
+
+def comoment_sums(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, list[int], list[list[int]]]:
+    """Exact integer co-moments of the quantized corpus:
+    ``(n, s, M)`` with ``s[i] = sum q_i`` and ``M[i][j] = sum
+    q_i * q_j`` (full symmetric dim x dim, int64-exact).  ONE
+    zero-shuffle pass; partials merge driver-side with integer adds,
+    so the result is identical under any partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        n = 0
+        s = None
+        m = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            if s is None:
+                d = X.shape[1]
+                s = np.zeros(d, dtype=np.int64)
+                m = np.zeros((d, d), dtype=np.int64)
+            n += len(X)
+            s += X.sum(axis=0)
+            m += X.T @ X
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+            T.StructField("m", T.ArrayType(T.LongType())),
+        ]
+    )
+    n_tot = 0
+    s_tot: list[int] | None = None
+    m_tot: list[int] | None = None
+    for r in _quantized(df, id_col, vec_col).mapInPandas(
+        fn, schema=schema
+    ).collect():
+        n_tot += int(r["n"])
+        if s_tot is None:
+            s_tot = [int(v) for v in r["s"]]
+            m_tot = [int(v) for v in r["m"]]
+        else:
+            s_tot = [a + int(b) for a, b in zip(s_tot, r["s"])]
+            m_tot = [a + int(b) for a, b in zip(m_tot, r["m"])]
+    if n_tot == 0:
+        raise ValueError("comoment_sums: corpus is empty")
+    dim = len(s_tot)
+    M = [m_tot[i * dim : (i + 1) * dim] for i in range(dim)]
+    return n_tot, s_tot, M
+
+
+def comoment_sums_df(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle DataFrame form ``(i, j, s_ij)`` with ``i <= j``
+    — the oracle shape (DuckDB restates the quantize fold and sums
+    ``qvec[i+1] * qvec[j+1]`` exactly; integers, no float order
+    sensitivity)."""
+    n, s, M = comoment_sums(df, id_col, vec_col)
+    spark = df.sparkSession
+    dim = len(s)
+    rows = [
+        (i, j, int(M[i][j])) for i in range(dim) for j in range(i, dim)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, s_ij bigint")
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a k-component PCA of the quantized corpus.  Returns a
+    model dict — driver-side, model-sized, like centroids:
+
+    - ``mean``: dim floats (quantized-grid mean)
+    - ``components``: k x dim (rows orthonormal, eigenvalue-descending)
+    - ``eigvals``: k variances along the components
+    - ``explained_variance_ratio``: k floats, fractions of TOTAL
+      variance (all dim eigenvalues, not just the kept k)
+    - ``n``: corpus rows
+
+    The corpus contributes ONE exact-integer co-moment pass; the
+    eigendecomposition is a dim x dim driver-side ``eigh``.  Sign
+    convention: each component is flipped so its largest-|entry|
+    coordinate is positive (scikit-learn's svd_flip) — deterministic
+    regardless of LAPACK's arbitrary eigenvector signs."""
+    import numpy as np
+
+    n, s, M = comoment_sums(df, id_col, vec_col)
+    dim = len(s)
+    if not 1 <= k <= dim:
+        raise ValueError(f"pca_fit: k={k} outside [1, {dim}]")
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 rows")
+    mean = np.asarray(s, dtype=np.float64) / n
+    M_np = np.asarray(M, dtype=np.float64)
+    # covariance (population, 1/n): E[xx^T] - mean mean^T
+    cov = M_np / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = np.clip(evals[order], 0.0, None)
+    comps = evecs[:, order].T  # rows = components
+    # deterministic signs: largest-|entry| coordinate positive
+    for r in range(dim):
+        jmax = int(np.argmax(np.abs(comps[r])))
+        if comps[r][jmax] < 0:
+            comps[r] = -comps[r]
+    total = float(evals.sum()) or 1.0
+    return {
+        "mean": [float(v) for v in mean],
+        "components": [[float(v) for v in comps[r]] for r in range(k)],
+        "eigvals": [float(v) for v in evals[:k]],
+        "explained_variance_ratio": [float(v / total) for v in evals[:k]],
+        "n": n,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project each embedding onto the model's components:
+    ``(id, out_col array<double> length k)``.  Quantizes with the
+    SAME fold the fit used, centers on the model mean, and applies
+    one numpy matmul per Arrow batch — a zero-shuffle map.
+    ``whiten=True`` divides each score by sqrt(eigval) (unit variance
+    per component; zero-variance components stay zero)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(model["components"], dtype=np.float64)  # k x dim
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    if whiten:
+        scale = np.sqrt(np.asarray(model["eigvals"], dtype=np.float64))
+        scale = np.where(scale == 0.0, 1.0, scale)
+    else:
+        scale = np.ones(C.shape[0], dtype=np.float64)
+    q = quantize_embeddings(df, id_col, vec_col).select(id_col, "qvec")
+    out_schema = T.StructType(
+        [q.schema[id_col], T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+            )
+            S = (X - mean[None, :]) @ C.T / scale[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    out_col: [row.tolist() for row in S],
+                }
+            )
+
+    return q.mapInPandas(fn, schema=out_schema)
