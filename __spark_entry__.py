@@ -2205,6 +2205,35 @@ def emb_comoments(spark, sf):
     return comoment_sums_df(_t(spark, sf, "embeddings"))
 
 
+def emb_rand_proj(spark, sf):
+    """Johnson-Lindenstrauss random projection
+    (operators/pca.random_projection): 64 -> 8 dims with the
+    deterministic md5-sign Rademacher matrix — pure JVM sequential
+    folds over literal sign arrays, zero shuffle.  The oracle inlines
+    the SAME sign literals (rp_signs) into list_sum/list_transform
+    folds, the proven sequential-parity recipe."""
+    from zeek_duckdb_spark.operators.pca import random_projection
+
+    return random_projection(_t(spark, sf, "embeddings"), out_dim=8)
+
+
+def _rand_proj_oracle() -> str:
+    from zeek_duckdb_spark.operators.pca import rp_signs
+
+    signs = rp_signs(64, 8, seed=7)
+    inv = 1.0 / (8 ** 0.5)
+    cols = ", ".join(
+        "ROUND(list_sum(list_transform(list_zip(x, ["
+        + ", ".join(str(s) for s in signs[t])
+        + f"]), p -> p[1] * p[2])) * {inv!r}, 6)"
+        for t in range(8)
+    )
+    return (
+        "SELECT vec_id, [" + cols + "] AS rp FROM "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2221,6 +2250,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_union_tagged": q21_union_tagged,
         "qt_grouped_quantiles": qt_grouped_quantiles,
         "emb_comoments": emb_comoments,
+        "emb_rand_proj": emb_rand_proj,
     }
 
 
@@ -2279,4 +2309,5 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM qz, range(64) i, range(64) j
             WHERE i.range <= j.range GROUP BY 1, 2
         """,
+        "emb_rand_proj": _rand_proj_oracle(),
     }

@@ -12,6 +12,8 @@ from zeek_duckdb_spark.operators.pca import (
     comoment_sums_df,
     pca_fit,
     pca_project,
+    random_projection,
+    rp_signs,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -126,6 +128,68 @@ def test_project_plan_is_zero_shuffle(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def _rp_sql(in_dim, out_dim, seed=7):
+    signs = rp_signs(in_dim, out_dim, seed)
+    inv = 1.0 / (out_dim ** 0.5)
+    cols = ", ".join(
+        "ROUND(list_sum(list_transform(list_zip(x, ["
+        + ", ".join(str(s) for s in signs[t])
+        + f"]), p -> p[1] * p[2])) * {inv!r}, 6)"
+        for t in range(out_dim)
+    )
+    return f"SELECT vec_id, [{cols}] AS rp FROM e"
+
+
+def test_random_projection_matches_duckdb(spark, emb):
+    got = {
+        r.vec_id: list(r.rp)
+        for r in random_projection(emb, out_dim=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW e AS SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+        f"FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = {
+        int(vid): [float(v) for v in rp]
+        for vid, rp in con.sql(_rp_sql(64, 8)).fetchall()
+    }
+    assert got == want
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+
+    df = _planted(spark, n=80, dim=16)
+    X = {
+        r.vec_id: np.asarray(r.embedding) for r in df.collect()
+    }
+    P = {
+        r.vec_id: np.asarray(r.rp)
+        for r in random_projection(df, out_dim=12).collect()
+    }
+    ids = sorted(X)
+    d_in, d_out = [], []
+    for a in ids[:20]:
+        for b in ids[:20]:
+            if a < b:
+                d_in.append(float(((X[a] - X[b]) ** 2).sum()))
+                d_out.append(float(((P[a] - P[b]) ** 2).sum()))
+    r = np.corrcoef(d_in, d_out)[0, 1]
+    assert r > 0.8, r  # JL: squared distances track the originals
+
+
+def test_random_projection_plan_jvm_only(spark, emb):
+    plan = (
+        random_projection(emb, out_dim=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM row function
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, out_dim=0)
 
 
 def test_validation(spark, emb):

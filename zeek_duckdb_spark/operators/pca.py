@@ -45,6 +45,8 @@ __all__ = [
     "comoment_sums_df",
     "pca_fit",
     "pca_project",
+    "rp_signs",
+    "random_projection",
 ]
 
 
@@ -181,6 +183,74 @@ def pca_fit(
         "explained_variance_ratio": [float(v / total) for v in evals[:k]],
         "n": n,
     }
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """The deterministic +-1 sign matrix (out_dim x in_dim) of
+    :func:`random_projection`: sign(t, d) from the parity of
+    ``md5('{seed}:rp:{t}:{d}')`` — a pure literal both engines inline,
+    like the LSH hyperplanes.  (Achlioptas 2003: a Rademacher matrix
+    satisfies the JL lemma; no Gaussian sampling needed.)"""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:rp:{t}:{d}".encode()).hexdigest(), 16)
+            % 2
+            == 0
+            else -1.0
+            for d in range(in_dim)
+        ]
+        for t in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction on the RAW
+    embedding (no quantization — JL's guarantee is about the input
+    geometry): ``out[t] = (1/sqrt(out_dim)) * sum_d x[d] * sign(t, d)``
+    with the deterministic Rademacher matrix of :func:`rp_signs`.
+    Pairwise distances are preserved within (1 +- eps) w.h.p. for
+    out_dim = O(log n / eps^2) — the cheap pre-step before brute-force
+    or LSH cosine when dim is large.
+
+    Plan shape: a pure JVM row function (sequential ``aggregate`` fold
+    per output coordinate over a literal sign array) — zero shuffle,
+    no Python on the corpus, and the EXACT fold a DuckDB
+    ``list_sum(list_transform(list_zip(...)))`` oracle restates
+    (rounded to 6dp on both sides).  The sign matrix is model-sized
+    driver state, inlined as literals (codegen-static: seeds don't
+    change per row).
+
+    Output: ``(id, out_col array<double> length out_dim)``.
+    """
+    if out_dim < 1:
+        raise ValueError("random_projection: out_dim must be >= 1")
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("random_projection: corpus is empty")
+    in_dim = len(first[vec_col])
+    signs = rp_signs(in_dim, out_dim, seed)
+    inv = 1.0 / (out_dim ** 0.5)
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    outs = []
+    for t in range(out_dim):
+        lit_signs = F.array(*[F.lit(s) for s in signs[t]])
+        dot = F.aggregate(
+            F.zip_with(x, lit_signs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append(F.round(dot * F.lit(inv), 6))
+    return df.select(F.col(id_col), F.array(*outs).alias(out_col))
 
 
 def pca_project(
