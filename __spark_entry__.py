@@ -2234,6 +2234,40 @@ def _rand_proj_oracle() -> str:
     )
 
 
+def doc_bloom_words(spark, sf):
+    """Bloom filter words over document texts
+    (operators/bloom.bloom_words_df): k=5 md5 positions exploded to
+    (word, bit) and reduced with a bit_or aggregate — map-side
+    combined, order-independent integer arithmetic, so the words
+    table is a full-value oracle row for row."""
+    from zeek_duckdb_spark.operators.bloom import bloom_words_df
+
+    return bloom_words_df(
+        _t(spark, sf, "documents"), "text", num_bits=1 << 14, num_hashes=5
+    )
+
+
+def _bloom_words_oracle() -> str:
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    m = 1 << 14
+    hashes = " UNION ALL ".join(
+        "SELECT "
+        + md5_long_sql(f"concat_ws(':', '7', '{i}', text)")
+        + f" % {m} AS pos FROM documents WHERE text IS NOT NULL"
+        for i in range(5)
+    )
+    return f"""
+        WITH p AS ({hashes})
+        SELECT CAST(pos // 64 AS INT) AS word_idx,
+               bit_or(CASE WHEN pos % 64 = 63
+                           THEN -9223372036854775808
+                           ELSE (1::BIGINT << CAST(pos % 64 AS INT)) END)
+                 AS word
+        FROM p GROUP BY 1
+    """
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2251,6 +2285,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qt_grouped_quantiles": qt_grouped_quantiles,
         "emb_comoments": emb_comoments,
         "emb_rand_proj": emb_rand_proj,
+        "doc_bloom_words": doc_bloom_words,
     }
 
 
@@ -2310,4 +2345,5 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE i.range <= j.range GROUP BY 1, 2
         """,
         "emb_rand_proj": _rand_proj_oracle(),
+        "doc_bloom_words": _bloom_words_oracle(),
     }
