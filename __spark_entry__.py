@@ -2268,6 +2268,35 @@ def _bloom_words_oracle() -> str:
     """
 
 
+def ev_cm_counts(spark, sf):
+    """Count-min sketch counters over event user_ids
+    (operators/sketches.cm_counts_df): depth x width integer sums of
+    md5 positions — map-side combined, order-independent, so a
+    full-value oracle."""
+    from zeek_duckdb_spark.operators.sketches import cm_counts_df
+
+    return cm_counts_df(
+        _t(spark, sf, "events"), "user_id", width=1 << 12, depth=3
+    )
+
+
+def _cm_counts_oracle() -> str:
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    w = 1 << 12
+    hashes = " UNION ALL ".join(
+        f"SELECT {i} AS row, "
+        + md5_long_sql(f"concat_ws(':', '7', 'cm{i}', CAST(user_id AS VARCHAR))")
+        + f" % {w} AS pos FROM events WHERE user_id IS NOT NULL"
+        for i in range(3)
+    )
+    return (
+        f"WITH h AS ({hashes}) "
+        "SELECT CAST(row AS INT) AS row, pos, COUNT(*) AS cnt "
+        "FROM h GROUP BY 1, 2"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2286,6 +2315,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_comoments": emb_comoments,
         "emb_rand_proj": emb_rand_proj,
         "doc_bloom_words": doc_bloom_words,
+        "ev_cm_counts": ev_cm_counts,
     }
 
 
@@ -2346,4 +2376,5 @@ def extra_oracle_sql() -> dict[str, str]:
         """,
         "emb_rand_proj": _rand_proj_oracle(),
         "doc_bloom_words": _bloom_words_oracle(),
+        "ev_cm_counts": _cm_counts_oracle(),
     }

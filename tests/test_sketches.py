@@ -181,3 +181,109 @@ def test_property_bounds_and_exactness(spark, vals, capacity, parts):
     approx = heavy_hitters(df, "url", k=k, capacity=capacity, exact=False).collect()
     for r in approx:
         assert r.n_lo <= truth[r.url] <= r.n_hi
+
+
+# ---------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------
+
+
+def _cm_skewed(spark):
+    rows = []
+    for i, reps in [(1, 400), (2, 120), (3, 40)]:
+        rows += [(f"hot{i}",)] * reps
+    rows += [(f"cold{i}",) for i in range(200)]
+    return spark.createDataFrame(rows, "url string")
+
+
+def test_cm_never_undershoots_and_exact_when_wide(spark):
+    from zeek_duckdb_spark.operators.sketches import cm_build, cm_estimate
+
+    df = _cm_skewed(spark)
+    true = {r.url: r.n for r in df.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    model = cm_build(df, "url", width=1 << 14, depth=4)
+    assert model["n"] == sum(true.values())
+    keys = df.select("url").distinct()
+    est = {r.url: r.est for r in cm_estimate(keys, "url", model).collect()}
+    # 203 keys in 16384 columns x 4 independent rows: the min over
+    # rows is collision-free here, so estimates are EXACT
+    assert est == true
+
+
+def test_cm_overestimate_bounded_when_narrow(spark):
+    from zeek_duckdb_spark.operators.sketches import cm_build, cm_estimate
+
+    df = _cm_skewed(spark)
+    true = {r.url: r.n for r in df.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    model = cm_build(df, "url", width=16, depth=4)
+    est = {r.url: r.est for r in cm_estimate(df.select("url").distinct(), "url", model).collect()}
+    n = model["n"]
+    import math
+    eps = math.e / 16
+    over = [est[k] - true[k] for k in true]
+    assert all(o >= 0 for o in over)                 # never undershoots
+    assert sum(o <= eps * n for o in over) >= len(over) * 0.9
+
+
+def test_cm_counts_match_duckdb_exactly(spark):
+    import duckdb
+
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+    from zeek_duckdb_spark.operators.sketches import cm_counts_df
+
+    df = _cm_skewed(spark)
+    w, d = 1 << 10, 3
+    got = {
+        (r.row, r.pos): r.cnt for r in cm_counts_df(df, "url", w, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(r.url,) for r in df.collect()])
+    hashes = " UNION ALL ".join(
+        f"SELECT {i} AS row, "
+        + md5_long_sql(f"concat_ws(':', '7', 'cm{i}', url)")
+        + f" % {w} AS pos FROM t WHERE url IS NOT NULL"
+        for i in range(d)
+    )
+    want = {
+        (int(r), int(p)): int(c)
+        for r, p, c in con.sql(
+            f"WITH h AS ({hashes}) SELECT row, pos, COUNT(*) FROM h GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cm_deterministic_weighted_null_and_validation(spark):
+    from zeek_duckdb_spark.operators.sketches import cm_build, cm_estimate
+
+    df = _cm_skewed(spark)
+    a = cm_build(df, "url", width=512, depth=3)
+    assert cm_build(df.repartition(13), "url", width=512, depth=3) == a
+    # weighted: one row with weight 7 == seven rows of weight 1
+    wdf = spark.createDataFrame([("k", 7)], "url string, w int")
+    sdf = spark.createDataFrame([("k",)] * 7, "url string")
+    mw = cm_build(wdf, "url", width=256, depth=2, weight_col="w")
+    ms = cm_build(sdf, "url", width=256, depth=2)
+    assert mw == ms
+    nulls = spark.createDataFrame([("k",), (None,)], "url string")
+    est = cm_estimate(nulls, "url", mw).collect()
+    by = {r.url: r.est for r in est}
+    assert by["k"] == 7 and by[None] is None
+    with pytest.raises(ValueError, match="width"):
+        cm_build(df, "url", width=1)
+    with pytest.raises(ValueError, match="depth"):
+        cm_build(df, "url", depth=0)
+
+
+def test_cm_estimate_plan_zero_shuffle(spark):
+    from zeek_duckdb_spark.operators.sketches import cm_build, cm_estimate
+
+    df = _cm_skewed(spark)
+    model = cm_build(df, "url", width=256, depth=2)
+    plan = (
+        cm_estimate(df.select("url").distinct(), "url", model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan

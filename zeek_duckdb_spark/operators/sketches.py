@@ -71,7 +71,7 @@ import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "cm_build", "cm_counts_df", "cm_estimate"]
 
 # sentinel key for the one-row-per-partition rows-scanned record in the
 # pass-1 output (real keys are emitted as-is; NULL keys are dropped, so
@@ -222,4 +222,144 @@ def heavy_hitters(
         )
         .orderBy(F.desc("n_lo"), F.asc(key_col))
         .limit(k)
+    )
+
+
+# ----------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimates over unbounded key cardinality.  Complements heavy_hitters
+# (top-k) and bloom (membership): "how often does THIS key appear?"
+# without a distinct-key-wide shuffle.
+# ----------------------------------------------------------------------
+
+
+def _cm_positions(col, width: int, depth: int, seed: int):
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    return [
+        md5_long(
+            F.concat_ws(":", F.lit(str(seed)), F.lit(f"cm{i}"),
+                        col.cast("string"))
+        )
+        % F.lit(width)
+        for i in range(depth)
+    ]
+
+
+def _cm_validate(width: int, depth: int) -> None:
+    if width < 2:
+        raise ValueError("count_min: width must be >= 2")
+    if depth < 1:
+        raise ValueError("count_min: depth must be >= 1")
+
+
+def cm_counts_df(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1 << 14,
+    depth: int = 4,
+    seed: int = 7,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sparse ``(row, pos, cnt)`` DataFrame of the NONZERO sketch
+    counters — the oracle shape (integer sums over md5 positions:
+    order-independent, so the match is full-value).  The aggregate is
+    map-side combined; the shuffle carries at most ``depth * width``
+    counter rows per partition regardless of corpus size."""
+    _cm_validate(width, depth)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    src = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k"), w.alias("__w")
+    )
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row"), p.alias("pos"))
+                for i, p in enumerate(
+                    _cm_positions(F.col("__k"), width, depth, seed)
+                )
+            ]
+        )
+    ).alias("e")
+    return (
+        src.select(pos, "__w")
+        .select(
+            F.col("e.row").cast("int").alias("row"),
+            F.col("e.pos").cast("long").alias("pos"),
+            F.col("__w"),
+        )
+        .groupBy("row", "pos")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1 << 14,
+    depth: int = 4,
+    seed: int = 7,
+    weight_col: str | None = None,
+) -> dict:
+    """Build the sketch.  Returns ``{width, depth, seed, n, counts}``
+    with ``counts`` a depth x width dense int list-of-lists —
+    broadcast-sized driver state (4 x 16384 longs = 512 KB), identical
+    under any partitioning.  Estimates overshoot by at most
+    ``e/width * n`` with probability ``1 - e^-depth`` (Cormode &
+    Muthukrishnan 2005) and NEVER undershoot."""
+    rows = cm_counts_df(df, key_col, width, depth, seed, weight_col)
+    counts = [[0] * width for _ in range(depth)]
+    n = 0
+    for r in rows.collect():
+        c = int(r["cnt"])
+        counts[int(r["row"])][int(r["pos"])] = c
+    n = sum(counts[0]) if depth >= 1 else 0
+    return {
+        "width": width,
+        "depth": depth,
+        "seed": seed,
+        "n": n,
+        "counts": counts,
+    }
+
+
+def cm_estimate(
+    df: DataFrame,
+    key_col: str,
+    model: dict,
+    out_col: str = "est",
+) -> DataFrame:
+    """``df`` + an ``out_col`` long column: the count-min estimate
+    min over rows of counter[row][h_row(key)].  The counters ride as a
+    broadcast 1-row join (out of codegen — per-model recompiles would
+    otherwise dominate small jobs); the probe is depth element_at
+    lookups + ``least`` — a zero-shuffle map.  NULL keys estimate
+    NULL."""
+    spark = df.sparkSession
+    flat = [int(v) for row in model["counts"] for v in row]
+    cdf = spark.createDataFrame([(flat,)], "__cm_counts array<long>")
+    width = model["width"]
+    probes = [
+        F.element_at(
+            F.col("__cm_counts"),
+            (F.lit(i * width) + p).cast("int") + 1,
+        )
+        for i, p in enumerate(
+            _cm_positions(
+                F.col(key_col), width, model["depth"], model["seed"]
+            )
+        )
+    ]
+    est = probes[0] if len(probes) == 1 else F.least(*probes)
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            out_col,
+            F.when(F.col(key_col).isNotNull(), est).otherwise(F.lit(None)),
+        )
+        .drop("__cm_counts")
     )
