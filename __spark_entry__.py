@@ -2297,6 +2297,34 @@ def _cm_counts_oracle() -> str:
     )
 
 
+def pipe_weighted_sample(spark, sf):
+    """Exact-k weighted sample without replacement
+    (pipeline.weighted_sample_k, Efraimidis-Spirakis): top-50 docs by
+    u^(1/n_chars) with the deterministic md5 uniform — a pure row
+    score + TakeOrderedAndProject, never a corpus sort.  The oracle
+    restates the identical score and tiebreak."""
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample_k(d, "doc_id", "n_chars", k=50, seed=0).select(
+        "doc_id", "n_chars"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    u = (
+        "(("
+        + md5_long_sql("concat_ws(':', CAST(doc_id AS VARCHAR), 'ws0')", 13)
+        + " + 1) / 4503599627370496.0)"
+    )
+    return (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
+        f"ORDER BY pow({u}, 1.0 / n_chars) DESC, doc_id ASC LIMIT 50"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2316,6 +2344,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_rand_proj": emb_rand_proj,
         "doc_bloom_words": doc_bloom_words,
         "ev_cm_counts": ev_cm_counts,
+        "pipe_weighted_sample": pipe_weighted_sample,
     }
 
 
@@ -2377,4 +2406,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "emb_rand_proj": _rand_proj_oracle(),
         "doc_bloom_words": _bloom_words_oracle(),
         "ev_cm_counts": _cm_counts_oracle(),
+        "pipe_weighted_sample": _weighted_sample_oracle(),
     }

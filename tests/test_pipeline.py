@@ -928,3 +928,84 @@ def test_incremental_clean_ingest_dry_run_is_stable_and_ids_checked(spark, tmp_p
     # ...unless explicitly acknowledged as a rerun
     rerun = incremental_clean_ingest(day1, fps, sigs, check_ids=False)
     assert rerun.count() == 0  # fp already indexed -> exact pass drops
+
+
+# ---------------------------------------------------------------------
+# weighted_sample_k (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------
+
+
+def _ws_corpus(spark):
+    rows = [(f"doc{i}", 1) for i in range(200)] + [("heavy", 500)]
+    return spark.createDataFrame(rows, "key string, w int")
+
+
+def test_weighted_sample_k_matches_duckdb(spark):
+    import duckdb
+
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
+
+    df = _ws_corpus(spark)
+    got = [
+        (r.key, r.w)
+        for r in weighted_sample_k(df, "key", "w", k=20, seed=3).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (key VARCHAR, w INT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r.key, r.w) for r in df.collect()]
+    )
+    u = (
+        "(("
+        + md5_long_sql("concat_ws(':', key, 'ws3')", 13)
+        + " + 1) / 4503599627370496.0)"
+    )
+    want = con.sql(
+        f"SELECT key, w FROM t WHERE w > 0 "
+        f"ORDER BY pow({u}, 1.0 / w) DESC, key ASC LIMIT 20"
+    ).fetchall()
+    # both sides ordered by the same deterministic score
+    assert got == [(k, int(w)) for k, w in want]
+
+
+def test_weighted_sample_k_favors_heavy_and_is_deterministic(spark):
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
+
+    df = _ws_corpus(spark)
+    hits = 0
+    for seed in range(20):
+        keys = {
+            r.key for r in weighted_sample_k(df, "key", "w", 10, seed).collect()
+        }
+        hits += "heavy" in keys
+    # heavy carries 500/700 of the total weight: inclusion in a
+    # 10-of-201 sample is near-certain (P_miss < 1e-8 per seed)
+    assert hits == 20
+    a = [r.key for r in weighted_sample_k(df, "key", "w", 15, 1).collect()]
+    b = [
+        r.key
+        for r in weighted_sample_k(df.repartition(13), "key", "w", 15, 1).collect()
+    ]
+    assert a == b
+
+
+def test_weighted_sample_k_guards_and_plan(spark):
+    import pytest as _pytest
+
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 0), ("c", -2), ("d", None)],
+        "key string, w int",
+    )
+    kept = {r.key for r in weighted_sample_k(df, "key", "w", 10).collect()}
+    assert kept == {"a"}  # zero/negative/NULL weights never win
+    with _pytest.raises(ValueError, match="k must"):
+        weighted_sample_k(df, "key", "w", 0)
+    plan = (
+        weighted_sample_k(_ws_corpus(spark), "key", "w", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # global top-k, never a corpus sort: per-partition heaps + k-row merge
+    assert "TakeOrderedAndProject" in plan

@@ -47,6 +47,7 @@ __all__ = [
     "mix_corpora",
     "temperature_weights",
     "cap_per_group",
+    "weighted_sample_k",
     "corpus_profile",
     "chunk_documents",
 ]
@@ -1163,4 +1164,55 @@ def chunk_documents(
     )
     return toked.select(F.col(id_col), chunks.alias("__c")).selectExpr(
         f"`{id_col}`", "inline(__c)"
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-size weighted sample WITHOUT replacement in one pass
+    (Efraimidis & Spirakis 2006, A-ES): each row draws a deterministic
+    uniform u from md5(key:seed) and scores u^(1/w); the top-k scores
+    ARE a weighted sample without replacement.  The mixture-sampling
+    shape ("pick exactly 1M docs, quality-score-proportional") that
+    ``deterministic_sample`` (Bernoulli, approximate size) and
+    ``cap_per_group`` (exact caps, uniform) don't cover.
+
+    Plan shape: a pure JVM row score + global top-k
+    (TakeOrderedAndProject — a per-partition heap then a k-row merge,
+    NEVER a corpus sort; k is model-sized).  Deterministic: same keys
+    + seed -> same sample on any cluster, and the md5-uniform is the
+    repo's portable recipe, so a DuckDB oracle restates the whole
+    sample ORDER BY pow(u, 1/w) DESC LIMIT k.
+
+    Rows with NULL or non-positive weight never win (score -inf
+    analog: excluded up front).  Ties in score (measure-zero for
+    distinct keys) break by key for determinism.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_k: k must be >= 1")
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+
+    u = (
+        md5_long(
+            F.concat_ws(
+                ":", F.col(key_col).cast("string"), F.lit(f"ws{seed}")
+            ),
+            chars=13,
+        )
+        + F.lit(1)
+    ) / F.lit(float(1 << 52))  # u in (0, 1]: pow(0, 1/w) would tie all
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("__ws_score", score)
+        .orderBy(F.desc("__ws_score"), F.asc(key_col))
+        .limit(k)
+        .drop("__ws_score")
     )
