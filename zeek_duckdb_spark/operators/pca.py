@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from zeek_duckdb_spark.operators.similarity import quantize_embeddings
 
 __all__ = [
     "comoment_sums",
@@ -50,8 +49,18 @@ __all__ = [
 ]
 
 
-def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return quantize_embeddings(df, id_col, vec_col).select("qvec")
+def _np_quantize(X):
+    """numpy form of ``similarity.quantize_embeddings``'s fold,
+    bit-identical on the same doubles: scale = max(|x|, 1e-12)/127
+    (max is order-insensitive), q = floor(x/scale + 0.5) — both
+    elementwise IEEE ops with no accumulation order.  Keeping the
+    quantize INSIDE the Arrow kernel matters: the interpreted JVM
+    HOF fold costs ~10 us/row and dominated the co-moment/projection
+    passes (measured 5.2 s -> ~1 s at 512k rows)."""
+    import numpy as np
+
+    scale = np.maximum(np.abs(X).max(axis=1), 1e-12) / 127.0
+    return np.floor(X / scale[:, None] + 0.5).astype(np.int64)
 
 
 def comoment_sums(
@@ -74,7 +83,10 @@ def comoment_sums(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            Xf = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            X = _np_quantize(Xf)
             if s is None:
                 d = X.shape[1]
                 s = np.zeros(d, dtype=np.int64)
@@ -98,9 +110,7 @@ def comoment_sums(
     n_tot = 0
     s_tot: list[int] | None = None
     m_tot: list[int] | None = None
-    for r in _quantized(df, id_col, vec_col).mapInPandas(
-        fn, schema=schema
-    ).collect():
+    for r in df.select(vec_col).mapInPandas(fn, schema=schema).collect():
         n_tot += int(r["n"])
         if s_tot is None:
             s_tot = [int(v) for v in r["s"]]
@@ -277,7 +287,7 @@ def pca_project(
         scale = np.where(scale == 0.0, 1.0, scale)
     else:
         scale = np.ones(C.shape[0], dtype=np.float64)
-    q = quantize_embeddings(df, id_col, vec_col).select(id_col, "qvec")
+    q = df.select(id_col, vec_col)
     out_schema = T.StructType(
         [q.schema[id_col], T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
@@ -286,9 +296,10 @@ def pca_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+            Xf = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            X = _np_quantize(Xf).astype(np.float64)
             S = (X - mean[None, :]) @ C.T / scale[None, :]
             yield pd.DataFrame(
                 {
