@@ -141,3 +141,32 @@ def test_probe_df_matches_dict_probe(spark, keys, model, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Python" not in plan
+
+
+def test_merge_equals_combined_build(spark):
+    from zeek_duckdb_spark.operators.bloom import bloom_merge, bloom_merge_words
+
+    a_keys = spark.range(0, 250).select(
+        F.concat(F.lit("url-"), F.col("id").cast("string")).alias("k")
+    )
+    b_keys = spark.range(250, 500).select(
+        F.concat(F.lit("url-"), F.col("id").cast("string")).alias("k")
+    )
+    both = a_keys.unionByName(b_keys)
+    ma = bloom_build(a_keys, "k", num_bits=M, num_hashes=K)
+    mb = bloom_build(b_keys, "k", num_bits=M, num_hashes=K)
+    assert bloom_merge(ma, mb) == bloom_build(both, "k", num_bits=M, num_hashes=K)
+    # distributed form: OR-merged words == words of the combined build
+    wa = bloom_words_df(a_keys, "k", num_bits=M, num_hashes=K)
+    wb = bloom_words_df(b_keys, "k", num_bits=M, num_hashes=K)
+    merged = {
+        (r.word_idx, r.word)
+        for r in bloom_merge_words(wa, wb).collect()
+    }
+    want = {
+        (r.word_idx, r.word)
+        for r in bloom_words_df(both, "k", num_bits=M, num_hashes=K).collect()
+    }
+    assert merged == want
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_merge(ma, bloom_build(b_keys, "k", num_bits=M * 2, num_hashes=K))

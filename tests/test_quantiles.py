@@ -453,3 +453,44 @@ def test_weighted_huge_weight_degenerate_path(spark):
     assert exact_quantiles(
         df, "x", [0.5], weight_col="w", leaf_limit=10
     ) == [2.0]
+
+
+# ---- property-based: random multisets, stressed descent ------------
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_val_st = st.one_of(
+    st.integers(min_value=-50, max_value=50).map(lambda v: v / 8.0),
+    st.sampled_from([0.0, -0.0, 1e-12, -1e-12, 37.5]),
+)
+
+
+def _py_disc(vals, qs):
+    vals = sorted(vals)
+    return [vals[max(1, _math.ceil(q * len(vals))) - 1] for q in qs]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(_val_st, min_size=1, max_size=120),
+    qs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+    leaf=st.integers(min_value=1, max_value=8),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_property_exact_quantiles_any_multiset(spark, vals, qs, leaf, parts):
+    """For ANY multiset (duplicate-heavy, +-0.0, denormal-adjacent),
+    ANY targets, tiny leaf limits, and any partitioning: the answers
+    equal the sorted-multiset PERCENTILE_DISC reference (the stall
+    guard must always converge)."""
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = exact_quantiles(
+        df.repartition(parts), "x", qs, buckets=4, leaf_limit=leaf,
+        max_passes=64,
+    )
+    assert got == _py_disc(vals, qs)

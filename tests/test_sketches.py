@@ -287,3 +287,17 @@ def test_cm_estimate_plan_zero_shuffle(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan
+
+
+def test_cm_merge_equals_combined_build(spark):
+    from zeek_duckdb_spark.operators.sketches import cm_build, cm_merge
+
+    rows = [(r.url,) for r in _cm_skewed(spark).collect()]
+    a = spark.createDataFrame(rows[:300], "url string")
+    b = spark.createDataFrame(rows[300:], "url string")
+    df = spark.createDataFrame(rows, "url string")
+    ma = cm_build(a, "url", width=512, depth=3)
+    mb = cm_build(b, "url", width=512, depth=3)
+    assert cm_merge(ma, mb) == cm_build(df, "url", width=512, depth=3)
+    with pytest.raises(ValueError, match="width"):
+        cm_merge(ma, cm_build(b, "url", width=256, depth=3))

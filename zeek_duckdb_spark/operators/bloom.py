@@ -45,6 +45,8 @@ __all__ = [
     "bloom_contains",
     "bloom_probe_df",
     "bloom_gate",
+    "bloom_merge",
+    "bloom_merge_words",
 ]
 
 _MIN64 = -(1 << 63)
@@ -258,3 +260,30 @@ def bloom_gate(
     out = bloom_contains(df, col, model, out_col="__maybe")
     cond = F.col("__maybe") if keep == "maybe" else ~F.col("__maybe")
     return out.filter(cond).drop("__maybe")
+
+
+def bloom_merge(a: dict, b: dict) -> dict:
+    """OR-merge two filters built with identical (num_bits,
+    num_hashes, seed) — Bloom filters are mergeable summaries, so the
+    daily-crawl loop can build TODAY's filter from today's keys only
+    and fold it into the standing one (no rebuild over history)."""
+    for f in ("num_bits", "num_hashes", "seed"):
+        if a[f] != b[f]:
+            raise ValueError(f"bloom_merge: {f} differs ({a[f]} vs {b[f]})")
+    return {
+        **a,
+        "words": [x | y for x, y in zip(a["words"], b["words"])],
+    }
+
+
+def bloom_merge_words(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The distributed form of :func:`bloom_merge`: OR-merge two
+    sparse words tables (same build params — the caller's contract,
+    like any index landing).  One bit_or aggregate over the union;
+    output is the same landing shape, so the standing filter updates
+    with `merged.write.mode('overwrite')` on a words/ path."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

@@ -71,7 +71,7 @@ import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "cm_build", "cm_counts_df", "cm_estimate"]
+__all__ = ["heavy_hitters", "cm_build", "cm_counts_df", "cm_estimate", "cm_merge"]
 
 # sentinel key for the one-row-per-partition rows-scanned record in the
 # pass-1 output (real keys are emitted as-is; NULL keys are dropped, so
@@ -363,3 +363,22 @@ def cm_estimate(
         )
         .drop("__cm_counts")
     )
+
+
+def cm_merge(a: dict, b: dict) -> dict:
+    """Counter-wise add of two count-min sketches built with
+    identical (width, depth, seed) — CM is a linear sketch, so
+    per-batch sketches fold into the standing one without touching
+    history (and deletions are the same merge with negative
+    weights)."""
+    for f in ("width", "depth", "seed"):
+        if a[f] != b[f]:
+            raise ValueError(f"cm_merge: {f} differs ({a[f]} vs {b[f]})")
+    return {
+        **a,
+        "n": a["n"] + b["n"],
+        "counts": [
+            [x + y for x, y in zip(ra, rb)]
+            for ra, rb in zip(a["counts"], b["counts"])
+        ],
+    }
