@@ -301,3 +301,46 @@ def test_cm_merge_equals_combined_build(spark):
     assert cm_merge(ma, mb) == cm_build(df, "url", width=512, depth=3)
     with pytest.raises(ValueError, match="width"):
         cm_merge(ma, cm_build(b, "url", width=256, depth=3))
+
+
+def test_hll_build_merge_estimate(spark, tmp_path):
+    from zeek_duckdb_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 4211).alias("k")
+    )
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    est = {
+        r.g: r.distinct_est
+        for r in hll_estimate(hll_build(df, "k", ("g",))).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= max(3, 0.05 * n), (g, est[g], n)
+    # merge of per-half sketches == sketch of the union (deterministic
+    # bucket state), and it survives a parquet round-trip
+    a = df.filter(F.col("id") < 10_000)
+    b = df.filter(F.col("id") >= 10_000)
+    pa = str(tmp_path / "hll_a")
+    hll_build(a, "k", ("g",)).write.parquet(pa)
+    landed = spark.read.parquet(pa)
+    merged = {
+        r.g: r.distinct_est
+        for r in hll_estimate(
+            hll_merge(landed, hll_build(b, "k", ("g",)), ("g",))
+        ).collect()
+    }
+    full = {
+        r.g: r.distinct_est
+        for r in hll_estimate(hll_build(df, "k", ("g",))).collect()
+    }
+    assert merged == full
+    # global (ungrouped) form
+    tot = hll_estimate(hll_build(df, "k")).first()["distinct_est"]
+    assert abs(tot - 4211) <= max(3, 0.05 * 4211)

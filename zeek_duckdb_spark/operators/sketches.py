@@ -71,7 +71,16 @@ import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "cm_build", "cm_counts_df", "cm_estimate", "cm_merge"]
+__all__ = [
+    "heavy_hitters",
+    "cm_build",
+    "cm_counts_df",
+    "cm_estimate",
+    "cm_merge",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+]
 
 # sentinel key for the one-row-per-partition rows-scanned record in the
 # pass-1 output (real keys are emitted as-is; NULL keys are dropped, so
@@ -382,3 +391,48 @@ def cm_merge(a: dict, b: dict) -> dict:
             for ra, rb in zip(a["counts"], b["counts"])
         ],
     }
+
+
+# ----------------------------------------------------------------------
+# HLL distinct-count sketches (Spark's JVM-native Apache DataSketches
+# HllSketch aggregates): persistable, MERGEABLE distinct counts.
+# approx_count_distinct gives a number; these give an artifact — land
+# per-day / per-source sketches once, then answer "distinct keys over
+# any union of slices" by merging kilobyte sketches instead of
+# re-scanning corpora.
+# ----------------------------------------------------------------------
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketches: ``(*group_cols, hll binary)``.  One
+    map-side-combined aggregate (the sketch IS the partial state, a
+    few KB per group at lgk=12, ~1.6% relative error); land the
+    result next to the data it summarizes."""
+    agg = F.hll_sketch_agg(key_col, F.lit(lgk)).alias("hll")
+    return (
+        df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+    )
+
+
+def hll_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Union two sketch tables and merge per group — distinct counts
+    over combined slices without touching the source data."""
+    u = a.unionByName(b)
+    agg = F.hll_union_agg("hll").alias("hll")
+    return u.groupBy(*group_cols).agg(agg) if group_cols else u.agg(agg)
+
+
+def hll_estimate(df: DataFrame, out_col: str = "distinct_est") -> DataFrame:
+    """Replace the binary ``hll`` column with its estimate."""
+    return df.withColumn(
+        out_col, F.hll_sketch_estimate("hll").cast("long")
+    ).drop("hll")
