@@ -238,3 +238,16 @@ def test_quantile_subcommand_grouped(spark, tmp_path, capsys):
     assert rc == 0
     assert out[0] == "g\tq\tvalue"
     assert sorted(out[1:]) == ["a\t0.5\t5.0", "b\t0.5\t100.0"]
+
+
+def test_distinct_subcommand(spark, tmp_path, capsys):
+    d = str(tmp_path / "dvals")
+    spark.createDataFrame(
+        [("a", i % 7) for i in range(50)] + [("b", i % 3) for i in range(30)],
+        "g string, k int",
+    ).write.parquet(d)
+    rc = main(["distinct", d, "k", "--by", "g"], spark=spark)
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "g\tdistinct_est"
+    assert sorted(out[1:]) == ["a\t7", "b\t3"]  # exact at tiny cardinality

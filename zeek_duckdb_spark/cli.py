@@ -169,6 +169,15 @@ def _build_parser() -> argparse.ArgumentParser:
     qt.add_argument("--by", default=None, metavar="COL",
                     help="per-group quantiles (bounded-cardinality "
                          "group column)")
+
+    dq = sub.add_parser(
+        "distinct",
+        help="approximate distinct count of a column (mergeable HLL)",
+    )
+    dq.add_argument("path", help="parquet directory")
+    dq.add_argument("column")
+    dq.add_argument("--by", default=None, metavar="COL",
+                    help="per-group distinct counts")
     return p
 
 
@@ -327,6 +336,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 out = exact_quantiles_df(src, args.column, qs)
             _tsv(out, None)  # |groups| * |qs| rows — model-sized
+        elif args.cmd == "distinct":
+            from zeek_duckdb_spark.operators.sketches import (
+                hll_build,
+                hll_estimate,
+            )
+
+            src = spark.read.parquet(args.path)
+            groups = (args.by,) if args.by else ()
+            _tsv(
+                hll_estimate(hll_build(src, args.column, groups)),
+                None,  # |groups| rows
+            )
         return 0
     finally:
         if owns:
