@@ -2321,7 +2321,8 @@ def _weighted_sample_oracle() -> str:
     )
     return (
         "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
-        f"ORDER BY pow({u}, 1.0 / n_chars) DESC, doc_id ASC LIMIT 50"
+        f"ORDER BY ROUND(pow({u}, 1.0 / n_chars), 9) DESC, doc_id ASC "
+        "LIMIT 50"
     )
 
 

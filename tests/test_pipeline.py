@@ -963,7 +963,7 @@ def test_weighted_sample_k_matches_duckdb(spark):
     )
     want = con.sql(
         f"SELECT key, w FROM t WHERE w > 0 "
-        f"ORDER BY pow({u}, 1.0 / w) DESC, key ASC LIMIT 20"
+        f"ORDER BY ROUND(pow({u}, 1.0 / w), 9) DESC, key ASC LIMIT 20"
     ).fetchall()
     # both sides ordered by the same deterministic score
     assert got == [(k, int(w)) for k, w in want]

@@ -422,6 +422,33 @@ def test_filter_by_quantile_gate(spark, li):
     assert "PushedFilters" in plan
 
 
+def test_infinities_rejected_and_extreme_range_converges(spark):
+    # inf values poison bucket edges -> reject like NaN (regression:
+    # previously burned the pass budget, or collected the whole
+    # distinct set)
+    with pytest.raises(ValueError, match="NaN/inf"):
+        exact_quantiles(
+            spark.createDataFrame(
+                [(1.0,), (float("inf"),)], "x double"
+            ),
+            "x", [0.5],
+        )
+    with pytest.raises(ValueError, match="NaN/inf"):
+        exact_quantiles_grouped(
+            spark.createDataFrame(
+                [("a", float("-inf"))], "g string, x double"
+            ),
+            "x", [0.5], "g",
+        )
+    # finite endpoints whose RANGE overflows a double (hi - lo = inf):
+    # the convex-combination edges must keep every pass finite
+    big = 1.7e308
+    df = spark.createDataFrame(
+        [(-big,), (0.0,), (big,)], "x double"
+    )
+    assert exact_quantiles(df, "x", [0.0, 0.5, 1.0]) == [-big, 0.0, big]
+
+
 def test_duplicate_mass_at_zero_exceeding_leaf_limit(spark):
     # five copies of 0.0 with leaf_limit=1: bisection toward 0.0 can
     # shrink the interval for hundreds of passes (float resolution

@@ -625,21 +625,13 @@ def _cosine_cost_np(Xf, C, cn):
     """Per-row spherical k-means cost vs the candidate set:
     d(x) = 1 - max cosine(x, C), clamped at 0 (a float max a hair over
     1.0 must not produce a negative sampling probability).  Zero-norm
-    products score -inf like the assignment kernel, so their cost
-    clamps to the maximum 2.0."""
+    products score -inf in the shared sim core, so their cost clamps
+    to the maximum 2.0."""
     import numpy as np
 
-    k, dim = C.shape
-    dot = np.zeros((len(Xf), k), dtype=np.float64)
-    xn = np.zeros(len(Xf), dtype=np.float64)
-    for t in range(dim):
-        xt = Xf[:, t]
-        dot += xt[:, None] * C[:, t][None, :]
-        xn += xt * xt
-    denom = np.sqrt(xn)[:, None] * cn[None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sim = np.where(denom == 0.0, -np.inf, dot / denom)
-    best = sim.max(axis=1)
+    from zeek_duckdb_spark.operators.similarity import _cosine_sim_np
+
+    best = _cosine_sim_np(Xf, C, cn).max(axis=1)
     return np.clip(np.minimum(2.0, 1.0 - best), 0.0, 2.0)
 
 
@@ -667,10 +659,14 @@ def kmeans_parallel_init(
     clusters the CANDIDATES (model-sized) down to k driver-side.
 
     Determinism (no RNG anywhere): the per-row coin is
-    ``md5(id:round:seed)`` scaled to [0, 1) — a pure row function, so
-    the candidate set is identical under any partitioning; the
-    driver-side reduction is greedy farthest-point (max weighted cost)
-    + weighted Lloyd, both order-deterministic.
+    ``md5(id:round:seed)`` scaled to [0, 1) — a pure row function —
+    and the sampling threshold's cost sum phi is fsum-merged and
+    ROUNDED to 12 significant digits, so per-partition float partial
+    order (the one partitioning-dependent quantity in the round)
+    cannot move the threshold; a candidate flip would need a coin
+    within ~1e-12 relative of its cost boundary.  The driver-side
+    reduction is greedy farthest-point (max weighted cost) + weighted
+    Lloyd, both order-deterministic.
 
     Scale shape: each round is TWO corpus passes (cost-sum aggregate,
     then the sampling filter — both zero-shuffle numpy maps over the
@@ -733,7 +729,12 @@ def kmeans_parallel_init(
             parts = base.select("qvec").mapInPandas(
                 cost_fn, schema="phi double"
             ).collect()
-            phi = sum(r["phi"] for r in parts)
+            import math as _math
+
+            # fsum + 12-sig-digit rounding: the partials arrive in
+            # partition order, and a raw float sum could move the
+            # threshold by an ulp between partitionings
+            phi = float(f"{_math.fsum(r['phi'] for r in parts):.12g}")
             if phi <= 0.0:
                 break  # every row sits on a candidate already
 

@@ -1190,8 +1190,12 @@ def weighted_sample_k(
     sample ORDER BY pow(u, 1/w) DESC LIMIT k.
 
     Rows with NULL or non-positive weight never win (score -inf
-    analog: excluded up front).  Ties in score (measure-zero for
-    distinct keys) break by key for determinism.
+    analog: excluded up front).  The score is ROUNDED to 9 decimals
+    before ranking — java.lang.Math.pow and a C libm pow are each
+    allowed an ulp of slack, so an unrounded score could order
+    boundary rows differently across engines and break the oracle
+    restatement (the repo-wide rounded-fold recipe); ties after
+    rounding break by key for determinism on both sides.
     """
     if k < 1:
         raise ValueError("weighted_sample_k: k must be >= 1")
@@ -1206,7 +1210,9 @@ def weighted_sample_k(
         )
         + F.lit(1)
     ) / F.lit(float(1 << 52))  # u in (0, 1]: pow(0, 1/w) would tie all
-    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    score = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
     return (
         df.filter(
             F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)

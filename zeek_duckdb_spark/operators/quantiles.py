@@ -77,6 +77,23 @@ def _member(lo: float, hi: float, top: bool) -> Column:
     return m
 
 
+def _edges(lo: float, hi: float, buckets: int) -> list[float]:
+    """Bucket edges as CONVEX COMBINATIONS lo*(1-t) + hi*t — never
+    ``lo + b*(hi-lo)/buckets``, whose ``hi - lo`` overflows to inf for
+    finite endpoints near +-DBL_MAX (the edges then go NaN and no
+    histogram count can ever advance).  Each combination term is
+    bounded by max(|lo|, |hi|) and opposite signs cancel, so edges
+    stay finite for ANY finite interval.  Exactness never depends on
+    WHERE the edges fall — the half-open shared-edge predicates do
+    the bookkeeping — only on them being sorted, which the caller
+    checks (floats keep convex combinations monotone up to ties; a
+    tie or inversion routes to the degenerate fallback)."""
+    return [
+        lo * (1.0 - b / buckets) + hi * (b / buckets)
+        for b in range(buckets)
+    ] + [hi]
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
@@ -135,12 +152,18 @@ def exact_quantiles(
         F.sum(F.when(F.col("__w") > 0, F.col("__w")).otherwise(0)).alias("n"),
         F.min(F.when(F.col("__w") > 0, F.col("__x"))).alias("mn"),
         F.max(F.when(F.col("__w") > 0, F.col("__x"))).alias("mx"),
-        F.sum(F.when(F.isnan("__x"), 1).otherwise(0)).alias("nans"),
+        F.sum(
+            F.when(
+                F.isnan("__x") | (F.abs(F.col("__x")) == float("inf")), 1
+            ).otherwise(0)
+        ).alias("nans"),
         F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
     ).first()
     if int(head["nans"] or 0) > 0:
         raise ValueError(
-            f"exact_quantiles: column {col!r} contains NaN — filter first"
+            f"exact_quantiles: column {col!r} contains NaN/inf — filter "
+            "first (non-finite values have no portable ordering, and "
+            "infinite interval endpoints poison the bucket edges)"
         )
     if int(head["negw"] or 0) > 0:
         raise ValueError("exact_quantiles: negative weights")
@@ -207,29 +230,21 @@ def exact_quantiles(
         # degenerate intervals (edges no longer split in doubles, or
         # the stall counter fired): the handful of representable
         # values left resolve via a distinct-value count, whatever
-        # their duplication
+        # their duplication — ONE batched pass for all of them, not
+        # one corpus scan per target
         plans: dict[tuple[float, float, bool], list[float]] = {}
         targets_of: dict[tuple[float, float, bool], list[int]] = {}
+        degen: list[int] = []
         aggs = []
         for i in live:
             lo, hi, top, _, _ = state[i]
-            w = (hi - lo) / buckets
-            edges = [lo + b * w for b in range(buckets)] + [hi]
-            if w <= 0.0 or len(set(edges)) < 3 or stalls[i] >= 2:
-                gv = sorted(
-                    (float(r["__x"]), int(r["cnt"]))
-                    for r in src.filter(_member(lo, hi, top))
-                    .groupBy("__x")
-                    .agg(F.sum("__w").alias("cnt"))
-                    .collect()
-                )
-                lo_, hi_, top_, below, _ = state[i]
-                cum = below
-                for v, cnt in gv:
-                    if cum + cnt >= targets[i]:
-                        answers[i] = v
-                        break
-                    cum += cnt
+            edges = _edges(lo, hi, buckets)
+            if (
+                len(set(edges)) < 3
+                or edges != sorted(edges)
+                or stalls[i] >= 2
+            ):
+                degen.append(i)
                 continue
             # targets sharing an interval (always true on pass 1)
             # share ONE histogram — don't recount per target
@@ -249,6 +264,28 @@ def exact_quantiles(
                         f"t{j}_b{b}"
                     )
                 )
+        if degen:
+            cond = None
+            for i in degen:
+                lo, hi, top, _, _ = state[i]
+                c = _member(lo, hi, top)
+                cond = c if cond is None else (cond | c)
+            gv = sorted(
+                (float(r["__x"]), int(r["cnt"]))
+                for r in src.filter(cond)
+                .groupBy("__x")
+                .agg(F.sum("__w").alias("cnt"))
+                .collect()
+            )
+            for i in degen:
+                lo, hi, top, below, _ = state[i]
+                cum = below
+                for v, cnt in gv:
+                    if v >= lo and (top or v < hi):
+                        if cum + cnt >= targets[i]:
+                            answers[i] = v
+                            break
+                        cum += cnt
         if not aggs:
             continue
         row = src.agg(*aggs).first()
@@ -399,12 +436,16 @@ def exact_quantiles_grouped(
     # one global validation + cardinality-guard pass
     guard = src.agg(
         F.approx_count_distinct("__g").alias("gc"),
-        F.sum(F.when(F.isnan("__x"), 1).otherwise(0)).alias("nans"),
+        F.sum(
+            F.when(
+                F.isnan("__x") | (F.abs(F.col("__x")) == float("inf")), 1
+            ).otherwise(0)
+        ).alias("nans"),
         F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
     ).first()
     if int(guard["nans"] or 0) > 0:
         raise ValueError(
-            f"exact_quantiles_grouped: column {col!r} contains NaN — "
+            f"exact_quantiles_grouped: column {col!r} contains NaN/inf — "
             "filter first"
         )
     if int(guard["negw"] or 0) > 0:
@@ -416,6 +457,21 @@ def exact_quantiles_grouped(
             "per-group interval state is driver-side model state)"
         )
     src = src.filter(F.col("__w") > 0)
+
+    import pyspark.sql.types as T
+
+    oschema = T.StructType(
+        [
+            T.StructField(group_col, gfield.dataType),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    if strategy == "shuffle":
+        # explicit shuffle: skip the per-group heads aggregate — its
+        # outputs (min/max/mass) only feed the refine path, and the
+        # cardinality guard above already ran
+        return _grouped_shuffle(src, qs, group_col, oschema)
 
     heads = (
         src.groupBy("__g")
@@ -433,16 +489,6 @@ def exact_quantiles_grouped(
             f"max_groups={max_groups}"
         )
     gvals = [r["__g"] for r in heads]  # deterministic group order
-
-    import pyspark.sql.types as T
-
-    oschema = T.StructType(
-        [
-            T.StructField(group_col, gfield.dataType),
-            T.StructField("q", T.DoubleType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
 
     if strategy == "auto":
         max_mass = max((int(r["n"]) for r in heads), default=0)
@@ -562,9 +608,12 @@ def exact_quantiles_grouped(
         plans: dict[tuple[int, int], list[float]] = {}
         for k in live:
             lo, hi, top, _, _ = state[k]
-            wd = (hi - lo) / buckets
-            edges = [lo + b * wd for b in range(buckets)] + [hi]
-            if wd <= 0.0 or len(set(edges)) < 3 or stalls[k] >= 2:
+            edges = _edges(lo, hi, buckets)
+            if (
+                len(set(edges)) < 3
+                or edges != sorted(edges)
+                or stalls[k] >= 2
+            ):
                 degen.append(k)
             else:
                 plans[k] = edges

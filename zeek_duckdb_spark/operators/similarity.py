@@ -434,13 +434,14 @@ def _np_cent_geometry(cents: list[tuple[int, list[float]]]):
     return cell_ids, C, np.asarray(norms, dtype=np.float64)
 
 
-def _cosine_argmax_np(Xf, C, cn):
-    """Positions (into the cell-ascending centroid order) of the
-    argmax-cosine cell per row, with the expr fold's exact arithmetic:
-    dot and ||x||^2 accumulate sequentially over dims; zero-norm
-    products map to -inf (the fold's NULL sim, which loses to every
-    real cosine); ties break to the HIGHER cell (max-struct
-    semantics) via the reversed argmax."""
+def _cosine_sim_np(Xf, C, cn):
+    """(rows, k) cosine matrix vs the centroid set with the expr
+    fold's EXACT arithmetic — the single shared core of every numpy
+    cosine kernel (assignment, Lloyd partials, kmeans|| cost): dot
+    and ||x||^2 accumulate sequentially over dims so every fold is
+    bit-identical to the SQL form; zero-norm products map to -inf
+    (the fold's NULL sim, which loses to every real cosine).  Change
+    the order/zero-norm convention HERE and nowhere else."""
     import numpy as np
 
     k, dim = C.shape
@@ -452,7 +453,17 @@ def _cosine_argmax_np(Xf, C, cn):
         xn += xt * xt
     denom = np.sqrt(xn)[:, None] * cn[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
-        sim = np.where(denom == 0.0, -np.inf, dot / denom)
+        return np.where(denom == 0.0, -np.inf, dot / denom)
+
+
+def _cosine_argmax_np(Xf, C, cn):
+    """Positions (into the cell-ascending centroid order) of the
+    argmax-cosine cell per row; ties break to the HIGHER cell
+    (max-struct semantics) via the reversed argmax."""
+    import numpy as np
+
+    k = C.shape[0]
+    sim = _cosine_sim_np(Xf, C, cn)
     return (k - 1) - np.argmax(sim[:, ::-1], axis=1)
 
 

@@ -432,7 +432,9 @@ def hll_merge(
 
 
 def hll_estimate(df: DataFrame, out_col: str = "distinct_est") -> DataFrame:
-    """Replace the binary ``hll`` column with its estimate."""
+    """Replace the binary ``hll`` column with its estimate (rounded,
+    not truncated — a bare long cast would bias every estimate down
+    by ~0.5)."""
     return df.withColumn(
-        out_col, F.hll_sketch_estimate("hll").cast("long")
+        out_col, F.round(F.hll_sketch_estimate("hll")).cast("long")
     ).drop("hll")
