@@ -2300,9 +2300,11 @@ def _cm_counts_oracle() -> str:
 def pipe_weighted_sample(spark, sf):
     """Exact-k weighted sample without replacement
     (pipeline.weighted_sample_k, Efraimidis-Spirakis): top-50 docs by
-    u^(1/n_chars) with the deterministic md5 uniform — a pure row
-    score + TakeOrderedAndProject, never a corpus sort.  The oracle
-    restates the identical score and tiebreak."""
+    the log-form score ln(u)/n_chars (== ranking u^(1/n_chars), but
+    collapse-free for heavy weights) with the deterministic md5
+    uniform — a pure row score + TakeOrderedAndProject, never a
+    corpus sort.  The oracle restates the identical score and
+    tiebreak."""
     from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
 
     d = _t(spark, sf, "documents")
@@ -2321,7 +2323,7 @@ def _weighted_sample_oracle() -> str:
     )
     return (
         "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
-        f"ORDER BY ROUND(pow({u}, 1.0 / n_chars), 9) DESC, doc_id ASC "
+        f"ORDER BY ROUND(ln({u}), 9) / n_chars DESC, doc_id ASC "
         "LIMIT 50"
     )
 

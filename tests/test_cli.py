@@ -2,6 +2,7 @@
 smoke test for the real `python -m` entry."""
 
 import json
+import re
 
 import pytest
 
@@ -179,8 +180,11 @@ def test_cli_clean_incremental_two_days(spark, tmp_path):
         return _json.loads(buf.getvalue().strip().splitlines()[-1])
 
     s1 = run(["clean-incremental", day1_src, out, "--fps", fps, "--sigs", sigs])
-    assert s1 == {"rows_in": 2, "rows_out": 2, "dry_run": False,
-                  "out": f"{out}/batch=day1"}
+    assert (s1["rows_in"], s1["rows_out"], s1["dry_run"]) == (2, 2, False)
+    # landing id = basename + 8-hex path hash: readable daily key,
+    # collision-proof across roots sharing a basename
+    assert re.fullmatch(rf"{re.escape(out)}/batch=day1-[0-9a-f]{{8}}",
+                        s1["out"])
 
     dry = run(["clean-incremental", day2_src, out, "--fps", fps,
                "--sigs", sigs, "--dry-run"])
@@ -196,6 +200,19 @@ def test_cli_clean_incremental_two_days(spark, tmp_path):
          "--allow-id-reruns"])
     again = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert sorted(again) == [1, 2, 11]
+    # distinct input roots sharing a BASENAME must land in distinct
+    # batch dirs — crawl-b/day2 must not overwrite crawl-a's day2
+    other = tmp_path / "crawl-b" / "day2"
+    other.parent.mkdir()
+    spark.createDataFrame(
+        [(20, "an unrelated crawl-b day two document")],
+        "doc_id long, text string",
+    ).write.parquet(str(other))
+    s3 = run(["clean-incremental", str(other), out,
+              "--fps", fps, "--sigs", sigs])
+    assert s3["rows_out"] == 1 and s3["out"] != s2["out"]
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 11, 20]  # nothing replaced
 
 
 def test_top_heavy_hitters(spark, tmp_path, capsys):

@@ -963,7 +963,7 @@ def test_weighted_sample_k_matches_duckdb(spark):
     )
     want = con.sql(
         f"SELECT key, w FROM t WHERE w > 0 "
-        f"ORDER BY ROUND(pow({u}, 1.0 / w), 9) DESC, key ASC LIMIT 20"
+        f"ORDER BY ROUND(ln({u}), 9) / w DESC, key ASC LIMIT 20"
     ).fetchall()
     # both sides ordered by the same deterministic score
     assert got == [(k, int(w)) for k, w in want]
@@ -988,6 +988,32 @@ def test_weighted_sample_k_favors_heavy_and_is_deterministic(spark):
         for r in weighted_sample_k(df.repartition(13), "key", "w", 15, 1).collect()
     ]
     assert a == b
+
+
+def test_weighted_sample_k_heavy_weight_regime(spark):
+    """The log-form score must not collapse to ties for token-count
+    scale weights (w ~ 1e9) or underflow for fractional weights —
+    exactly the regimes the naive rounded u^(1/w) form lost (the pow
+    form rounds every heavy row to 1.000000000 and the key tie-break
+    then deterministically favors low keys)."""
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
+
+    # 100 heavy rows, all weights within 2x of 2e9: the pow form would
+    # tie them all at 1.0 and pick the lexicographically smallest keys.
+    rows = [(f"k{i:03d}", 2_000_000_000 + i * 10_000_000) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, w long")
+    picked = [
+        r.key for r in weighted_sample_k(df, "key", "w", 10, seed=7).collect()
+    ]
+    assert picked != sorted(picked)  # not the degenerate low-key prefix
+    # fractional weights: u^(1/w) underflows to 0 for w ~ 1e-9 and ties;
+    # the log form keeps finite distinct scores.
+    tiny = spark.createDataFrame(
+        [(f"t{i:02d}", (i + 1) * 1e-9) for i in range(50)],
+        "key string, w double",
+    )
+    got = [r.key for r in weighted_sample_k(tiny, "key", "w", 8, 1).collect()]
+    assert len(set(got)) == 8 and got != sorted(got)
 
 
 def test_weighted_sample_k_guards_and_plan(spark):

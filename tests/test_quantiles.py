@@ -291,6 +291,14 @@ def test_grouped_validation_and_guards(spark, li):
             li.withColumn("fw", F.lit(0.5)), "l_quantity", [0.5],
             "l_returnflag", weight_col="fw",
         )
+    # forcing strategy='shuffle' must still verify the one-executor
+    # invariant: a monster group raises loudly (naming the cap knob)
+    # instead of OOMing an executor mid-shuffle
+    with pytest.raises(ValueError, match="shuffle_group_cap"):
+        exact_quantiles_grouped(
+            li, "l_extendedprice", [0.5], "l_returnflag",
+            strategy="shuffle", shuffle_group_cap=100,
+        )
 
 
 def test_grouped_shuffle_strategy_parity_and_auto(spark, li):

@@ -301,6 +301,11 @@ def test_cm_merge_equals_combined_build(spark):
     assert cm_merge(ma, mb) == cm_build(df, "url", width=512, depth=3)
     with pytest.raises(ValueError, match="width"):
         cm_merge(ma, cm_build(b, "url", width=256, depth=3))
+    # deletions are unsupported: negative counters void the min
+    # estimator's no-undershoot guarantee, so the merge rejects them
+    neg = {**mb, "counts": [[-c for c in row] for row in mb["counts"]]}
+    with pytest.raises(ValueError, match="negative counters"):
+        cm_merge(ma, neg)
 
 
 def test_hll_build_merge_estimate(spark, tmp_path):
@@ -344,3 +349,15 @@ def test_hll_build_merge_estimate(spark, tmp_path):
     # global (ungrouped) form
     tot = hll_estimate(hll_build(df, "k")).first()["distinct_est"]
     assert abs(tot - 4211) <= max(3, 0.05 * 4211)
+    # a bare-string group_cols (the natural mistake mirroring key_col
+    # params) normalizes to a 1-tuple instead of splatting characters
+    # into groupBy('g')... one char at a time
+    s = {
+        r.g: r.distinct_est
+        for r in hll_estimate(hll_build(df, "k", "g")).collect()
+    }
+    assert s == est
+    m = hll_estimate(
+        hll_merge(hll_build(a, "k", "g"), hll_build(b, "k", "g"), "g")
+    ).count()
+    assert m == 3

@@ -23,6 +23,7 @@ is importable for in-process use/testing.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import re
@@ -287,11 +288,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # survivors, and a rerun after full success leaves the
             # completed landing intact.  <id> is the input dir's
             # basename — the natural daily key (.../crawl/2026-08-14
-            # -> batch=2026-08-14); readers of the root get it back as
-            # a `batch` partition column.
-            batch_id = re.sub(
-                r"[^A-Za-z0-9._-]", "_",
-                os.path.basename(os.path.normpath(args.path)),
+            # -> batch=2026-08-14) — SUFFIXED with a short hash of the
+            # full normalized path, so two distinct inputs sharing a
+            # basename (crawl-a/2026-08-14 vs crawl-b/2026-08-14) land
+            # in distinct batch=<id> dirs instead of the later one's
+            # overwrite-before-append silently replacing the earlier
+            # landing; the same path always re-derives the same id, so
+            # crash-repair reruns still hit their own dir.  Readers of
+            # the root get it back as a `batch` partition column.
+            norm = os.path.normpath(os.path.abspath(args.path))
+            path_tag = hashlib.md5(norm.encode()).hexdigest()[:8]
+            batch_id = (
+                re.sub(
+                    r"[^A-Za-z0-9._-]", "_", os.path.basename(norm)
+                )
+                + "-"
+                + path_tag
             )
             land = os.path.join(args.out, f"batch={batch_id}")
             survivors = incremental_clean_ingest(

@@ -1176,9 +1176,10 @@ def weighted_sample_k(
 ) -> DataFrame:
     """Exact-size weighted sample WITHOUT replacement in one pass
     (Efraimidis & Spirakis 2006, A-ES): each row draws a deterministic
-    uniform u from md5(key:seed) and scores u^(1/w); the top-k scores
-    ARE a weighted sample without replacement.  The mixture-sampling
-    shape ("pick exactly 1M docs, quality-score-proportional") that
+    uniform u from md5(key:seed) and ranks by the monotone-equivalent
+    LOG form ln(u)/w (== ranking u^(1/w)); the top-k ARE a weighted
+    sample without replacement.  The mixture-sampling shape ("pick
+    exactly 1M docs, quality-score-proportional") that
     ``deterministic_sample`` (Bernoulli, approximate size) and
     ``cap_per_group`` (exact caps, uniform) don't cover.
 
@@ -1187,15 +1188,21 @@ def weighted_sample_k(
     NEVER a corpus sort; k is model-sized).  Deterministic: same keys
     + seed -> same sample on any cluster, and the md5-uniform is the
     repo's portable recipe, so a DuckDB oracle restates the whole
-    sample ORDER BY pow(u, 1/w) DESC LIMIT k.
+    sample ORDER BY round(ln(u), 9) / w DESC LIMIT k.
 
     Rows with NULL or non-positive weight never win (score -inf
-    analog: excluded up front).  The score is ROUNDED to 9 decimals
-    before ranking — java.lang.Math.pow and a C libm pow are each
-    allowed an ulp of slack, so an unrounded score could order
-    boundary rows differently across engines and break the oracle
-    restatement (the repo-wide rounded-fold recipe); ties after
-    rounding break by key for determinism on both sides.
+    analog: excluded up front).  Why the log form, and why the
+    rounding sits on ln(u) rather than on the final score: the naive
+    u^(1/w) collapses for heavy weights (w >~ 1e9, e.g. token counts)
+    — scores crowd 1.0 and any fixed-decimal rounding ties them all,
+    degrading to the deterministic key tie-break — and underflows to
+    0 for tiny fractional weights.  ln(u) is bounded in [-37, 0]
+    (u >= 2^-52), so rounding IT to 9 decimals keeps ~1e-10 relative
+    precision while absorbing the one-ulp slack java.lang.Math.log vs
+    libm log are each allowed; the subsequent IEEE division by w is
+    bit-exact and identical on both engines, so gaps scale with 1/w
+    but never vanish (doubles hold them down to w ~ 1e290).  Ties
+    after rounding break by key for determinism on both sides.
     """
     if k < 1:
         raise ValueError("weighted_sample_k: k must be >= 1")
@@ -1210,9 +1217,7 @@ def weighted_sample_k(
         )
         + F.lit(1)
     ) / F.lit(float(1 << 52))  # u in (0, 1]: pow(0, 1/w) would tie all
-    score = F.round(
-        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
-    )
+    score = F.round(F.log(u), 9) / F.col(weight_col).cast("double")
     return (
         df.filter(
             F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)

@@ -154,7 +154,9 @@ def exact_quantiles(
         F.max(F.when(F.col("__w") > 0, F.col("__x"))).alias("mx"),
         F.sum(
             F.when(
-                F.isnan("__x") | (F.abs(F.col("__x")) == float("inf")), 1
+                (F.col("__w") > 0)
+                & (F.isnan("__x") | (F.abs(F.col("__x")) == float("inf"))),
+                1,
             ).otherwise(0)
         ).alias("nans"),
         F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
@@ -387,7 +389,10 @@ def exact_quantiles_grouped(
       small groups its leaf step degenerates into collecting the
       whole corpus driver-side.  Requires each single group's rows
       to fit in an executor (the shuffle-partition invariant every
-      groupBy-apply operator has).
+      groupBy-apply operator has) — verified even when forced: an
+      explicit ``strategy='shuffle'`` call still runs the max-mass
+      guard and raises (naming ``shuffle_group_cap``) instead of
+      OOMing an executor on a monster group.
     - ``strategy='auto'`` (default) picks from the per-group stats
       it computes anyway: 'shuffle' when there are > 16 groups and
       the largest group's weight mass is <= ``shuffle_group_cap``,
@@ -438,7 +443,9 @@ def exact_quantiles_grouped(
         F.approx_count_distinct("__g").alias("gc"),
         F.sum(
             F.when(
-                F.isnan("__x") | (F.abs(F.col("__x")) == float("inf")), 1
+                (F.col("__w") > 0)
+                & (F.isnan("__x") | (F.abs(F.col("__x")) == float("inf"))),
+                1,
             ).otherwise(0)
         ).alias("nans"),
         F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
@@ -468,9 +475,27 @@ def exact_quantiles_grouped(
         ]
     )
     if strategy == "shuffle":
-        # explicit shuffle: skip the per-group heads aggregate — its
-        # outputs (min/max/mass) only feed the refine path, and the
-        # cardinality guard above already ran
+        # explicit shuffle: skip the per-group min/max heads (they only
+        # feed the refine path) but STILL verify the shuffle-partition
+        # invariant — each group's rows must fit one executor, and a
+        # forced call on one monster group should raise loudly, not
+        # OOM an executor mid-shuffle.  One map-side-combined agg;
+        # counters only, never rows.
+        biggest = (
+            src.groupBy("__g")
+            .agg(F.sum("__w").alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .first()
+        )
+        if int(biggest["mx"] or 0) > shuffle_group_cap:
+            raise ValueError(
+                "exact_quantiles_grouped: largest group's weight mass "
+                f"({int(biggest['mx'])}) exceeds shuffle_group_cap="
+                f"{shuffle_group_cap}; strategy='shuffle' requires every "
+                "group to fit one executor — use strategy='refine' (or "
+                "'auto') for monster groups, or raise shuffle_group_cap "
+                "if the executors really have the memory"
+            )
         return _grouped_shuffle(src, qs, group_col, oschema)
 
     heads = (

@@ -378,11 +378,22 @@ def cm_merge(a: dict, b: dict) -> dict:
     """Counter-wise add of two count-min sketches built with
     identical (width, depth, seed) — CM is a linear sketch, so
     per-batch sketches fold into the standing one without touching
-    history (and deletions are the same merge with negative
-    weights)."""
+    history.  Non-negative updates only: ``cm_estimate``'s min
+    estimator (and its NEVER-undershoot guarantee) is only valid
+    while every merged update is >= 0 — supporting deletions would
+    require the median estimator (Cormode-Muthukrishnan's CM-median
+    variant) and forfeits the one-sided bound, so negative-weight
+    merges are rejected."""
     for f in ("width", "depth", "seed"):
         if a[f] != b[f]:
             raise ValueError(f"cm_merge: {f} differs ({a[f]} vs {b[f]})")
+    for side, s in (("a", a), ("b", b)):
+        if any(c < 0 for row in s["counts"] for c in row):
+            raise ValueError(
+                f"cm_merge: sketch {side} has negative counters; "
+                "deletions are unsupported (the min estimator's "
+                "no-undershoot guarantee requires non-negative updates)"
+            )
     return {
         **a,
         "n": a["n"] + b["n"],
@@ -391,6 +402,16 @@ def cm_merge(a: dict, b: dict) -> dict:
             for ra, rb in zip(a["counts"], b["counts"])
         ],
     }
+
+
+def _norm_group_cols(group_cols, fn: str) -> tuple[str, ...]:
+    """A bare string splatted into groupBy would group by its
+    CHARACTERS (groupBy('c','o','l')) and fail with a confusing
+    unresolved-column error — normalize it to a 1-tuple instead,
+    mirroring how key_col params read elsewhere."""
+    if isinstance(group_cols, str):
+        return (group_cols,)
+    return tuple(group_cols)
 
 
 # ----------------------------------------------------------------------
@@ -413,6 +434,7 @@ def hll_build(
     map-side-combined aggregate (the sketch IS the partial state, a
     few KB per group at lgk=12, ~1.6% relative error); land the
     result next to the data it summarizes."""
+    group_cols = _norm_group_cols(group_cols, "hll_build")
     agg = F.hll_sketch_agg(key_col, F.lit(lgk)).alias("hll")
     return (
         df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
@@ -426,6 +448,7 @@ def hll_merge(
 ) -> DataFrame:
     """Union two sketch tables and merge per group — distinct counts
     over combined slices without touching the source data."""
+    group_cols = _norm_group_cols(group_cols, "hll_merge")
     u = a.unionByName(b)
     agg = F.hll_union_agg("hll").alias("hll")
     return u.groupBy(*group_cols).agg(agg) if group_cols else u.agg(agg)
