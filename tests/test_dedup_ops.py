@@ -731,6 +731,174 @@ def test_simhash_pairs_incremental_differential(spark):
     assert "LeftSemi" in plan
 
 
+def _sim_corpora(spark):
+    """(index, new) doc frames with planted near-dups — shared by the
+    chunk-index tests (same generator as the incremental differential)."""
+    import numpy as np
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+    def doc(seed, mut=0):
+        r = np.random.default_rng(seed)
+        toks = [words[r.integers(len(words))] for _ in range(30)]
+        for _ in range(mut):
+            toks[r.integers(len(toks))] = words[r.integers(len(words))]
+        return " ".join(toks)
+
+    index_rows = [(i, doc(i)) for i in range(20)]
+    new_rows = (
+        [(100 + i, doc(i, mut=1)) for i in range(4)]
+        + [(200, doc(0, mut=1)), (201, doc(0, mut=2))]
+        + [(300 + i, doc(1000 + i)) for i in range(2)]
+    )
+    return (
+        spark.createDataFrame(index_rows, "doc_id long, text string"),
+        spark.createDataFrame(new_rows, "doc_id long, text string"),
+    )
+
+
+def test_chunk_index_probe_matches_flat_probe(spark, tmp_path):
+    """A write_chunk_index landing, loaded pruned to the batch's
+    touched (blk, pfx) partitions, must yield EXACTLY the flat-index
+    probe's pairs — and it fully replaces index_sims (the chunk rows
+    carry the simhash, so the flat index never scans)."""
+    from zeek_duckdb_spark.operators.dedup import (
+        _simhash_chunks,
+        load_chunk_index,
+        simhash,
+        simhash_pairs_incremental,
+        touched_chunk_partitions,
+        write_chunk_index,
+    )
+
+    d_index, d_new = _sim_corpora(spark)
+    s_index, s_new = simhash(d_index), simhash(d_new)
+    path = str(tmp_path / "chunkidx")
+    write_chunk_index(s_index, path, blocks=4, bits=60, pfx_mod=16)
+    nb = _simhash_chunks(s_new, "doc_id", 4, 60)
+    touched = touched_chunk_partitions(nb, pfx_mod=16)
+    chunked = load_chunk_index(spark, path, touched)
+    assert set(chunked.columns) == {"doc_id", "simhash", "blk", "chunk"}
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_incremental(
+            s_new, None, max_hamming=10, index_chunked=chunked
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_incremental(
+            s_new, s_index, max_hamming=10
+        ).collect()
+    }
+    assert got == want and got
+    with pytest.raises(ValueError, match="index_sims or index_chunked"):
+        simhash_pairs_incremental(s_new, None)
+
+
+def test_chunk_index_probe_prunes_partitions(spark, tmp_path):
+    """The pruning proof for the simhash family: a probe restricted to
+    one touched (blk, pfx) pair reads ONLY that directory's files."""
+    from zeek_duckdb_spark.operators.dedup import (
+        load_chunk_index,
+        simhash,
+        write_chunk_index,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"tok{i}w{j}" for j in range(12))) for i in range(40)],
+    )
+    sigs = simhash(docs)
+    path = str(tmp_path / "chunkidx")
+    write_chunk_index(sigs, path, blocks=4, bits=60, pfx_mod=8)
+
+    def scan_metrics(df):
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        m = leaf.metrics()
+        return {k: m.apply(k).value() for k in ("numFiles", "numPartitions")}
+
+    full = scan_metrics(load_chunk_index(spark, path))
+    probe = load_chunk_index(spark, path, [(0, 3)])
+    pruned = scan_metrics(probe)
+    assert pruned["numPartitions"] == 1 < full["numPartitions"]
+    assert 0 < pruned["numFiles"] < full["numFiles"]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert all(r.blk == 0 for r in probe.collect())
+    assert load_chunk_index(spark, path, []).count() == 0
+
+
+def test_chunk_index_append_growth(spark, tmp_path):
+    """mode='append' is the daily shape, same as the band index."""
+    from zeek_duckdb_spark.operators.dedup import (
+        load_chunk_index,
+        simhash,
+        write_chunk_index,
+    )
+
+    d1 = simhash(_docs(spark, [(1, "alpha beta gamma delta epsilon")]))
+    d2 = simhash(_docs(spark, [(2, "zeta eta theta iota kappa")]))
+    path = str(tmp_path / "chunkidx")
+    write_chunk_index(d1, path, blocks=4, bits=60)
+    write_chunk_index(d2, path, blocks=4, bits=60)
+    got = load_chunk_index(spark, path)
+    assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == {1, 2}
+    assert got.count() == 8  # 4 blocks x 2 docs
+
+
+def test_phash_index_landing_roundtrip(spark, tmp_path):
+    """write_phash_index/load_phash_index close the loop for media:
+    probing the landed chunk index reproduces the flat phash probe."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.dedup import (
+        _simhash_chunks,
+        touched_chunk_partitions,
+    )
+    from zeek_duckdb_spark.operators.multimodal import (
+        load_phash_index,
+        phash_media,
+        phash_pairs_incremental,
+        write_phash_index,
+    )
+
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, 1024, dtype=np.uint8) for _ in range(4)]
+    near = imgs[0].copy()
+    near[::23] = (near[::23] + 11) % 256
+    index = spark.createDataFrame(
+        [(i, bytearray(im.tobytes())) for i, im in enumerate(imgs)],
+        "doc_id long, media binary",
+    )
+    new = spark.createDataFrame(
+        [(100, bytearray(near.tobytes()))], "doc_id long, media binary"
+    )
+    h_index, h_new = phash_media(index, fake=True), phash_media(new, fake=True)
+    path = str(tmp_path / "phashidx")
+    write_phash_index(h_index, path, pfx_mod=16)
+    nb = _simhash_chunks(
+        h_new.select("doc_id", F.col("phash").alias("simhash")), "doc_id", 4, 60
+    )
+    chunked = load_phash_index(
+        spark, path, touched_chunk_partitions(nb, pfx_mod=16)
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_pairs_incremental(
+            h_new, None, max_hamming=6, index_chunked=chunked
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in phash_pairs_incremental(
+            h_new, h_index, max_hamming=6
+        ).collect()
+    }
+    assert got == want == {(0, 100)}
+
+
 def test_phash_pairs_incremental_media_ingest(spark):
     """Daily media ingest: a new batch with one re-encoded copy of an
     indexed image pairs against the index; untouched index images

@@ -990,6 +990,85 @@ def test_weighted_sample_k_favors_heavy_and_is_deterministic(spark):
     assert a == b
 
 
+def test_weighted_sample_k_grouped_matches_duckdb(spark):
+    """Per-group exact-k: the same A-ES score restated as a DuckDB
+    QUALIFY row_number window — full-value oracle over a 3-source
+    corpus, including a group smaller than its k."""
+    import duckdb
+
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k_grouped
+
+    rows = (
+        [("web", f"w{i:03d}", (i % 7) + 1) for i in range(60)]
+        + [("wiki", f"k{i:03d}", (i % 5) + 1) for i in range(40)]
+        + [("code", f"c{i}", 10) for i in range(3)]  # fewer than k=5
+    )
+    df = spark.createDataFrame(rows, "src string, key string, w int")
+    got = {
+        (r.src, r.key)
+        for r in weighted_sample_k_grouped(
+            df, "src", "key", "w", k=5, seed=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, key VARCHAR, w INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    u = (
+        "(("
+        + md5_long_sql("concat_ws(':', key, 'ws2')", 13)
+        + " + 1) / 4503599627370496.0)"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            f"SELECT src, key FROM t WHERE w > 0 QUALIFY row_number() "
+            f"OVER (PARTITION BY src ORDER BY ROUND(ln({u}), 9) / w DESC, "
+            f"key ASC) <= 5"
+        ).fetchall()
+    }
+    assert got == want
+    assert sum(1 for s, _ in got if s == "code") == 3  # short group: all
+
+
+def test_weighted_sample_k_grouped_dict_budgets_and_guards(spark):
+    """Dict budgets deliver EXACTLY k_s per source (the
+    temperature_weights composition) and groups absent from the dict
+    drop; guards reject bad budgets."""
+    import pytest as _pytest
+
+    from zeek_duckdb_spark.operators.pipeline import (
+        temperature_weights,
+        weighted_sample_k_grouped,
+    )
+
+    rows = [
+        ("web", f"w{i:03d}", 1 + (i % 9)) for i in range(90)
+    ] + [("wiki", f"k{i:03d}", 1 + (i % 9)) for i in range(30)]
+    df = spark.createDataFrame(rows, "src string, key string, w int")
+    # temperature-flattened budgets over the source sizes -> exact k_s
+    # (temperature_weights returns epochs = target_s / n_s; per-group
+    # row budgets are target_s = weight_s * n_s)
+    sizes = {"web": 90, "wiki": 30}
+    tw = temperature_weights(sizes, temperature=2.0, budget_rows=40)
+    ks = {s: max(1, round(w * sizes[s])) for s, w in tw.items()}
+    out = weighted_sample_k_grouped(df, "src", "key", "w", k=ks, seed=1)
+    by_src = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == ks
+    # a group missing from the dict is dropped
+    only_web = weighted_sample_k_grouped(df, "src", "key", "w", k={"web": 4})
+    assert {r.src for r in only_web.collect()} == {"web"}
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        weighted_sample_k_grouped(df, "src", "key", "w", k=0)
+    with _pytest.raises(ValueError, match="every k must be >= 1"):
+        weighted_sample_k_grouped(df, "src", "key", "w", k={"web": 0})
+    with _pytest.raises(ValueError, match="k dict is empty"):
+        weighted_sample_k_grouped(df, "src", "key", "w", k={})
+
+
 def test_weighted_sample_k_heavy_weight_regime(spark):
     """The log-form score must not collapse to ties for token-count
     scale weights (w ~ 1e9) or underflow for fractional weights —

@@ -53,6 +53,9 @@ __all__ = [
     "write_band_index",
     "load_band_index",
     "touched_band_partitions",
+    "write_chunk_index",
+    "load_chunk_index",
+    "touched_chunk_partitions",
 ]
 
 
@@ -442,20 +445,33 @@ def load_band_index(
     are never listed into the scan (pinned by
     tests/test_dedup_ops.py::test_band_index_probe_prunes_partitions).
     ``touched=None`` reads everything (the full-probe fallback)."""
+    return _load_pruned(spark, path, "band", touched)
+
+
+def _load_pruned(
+    spark, path: str, major_key: str, touched: list[tuple[int, int]] | None
+) -> DataFrame:
+    """Shared partition-pruned read for the banded (band, pfx) and
+    chunked (blk, pfx) index landings: a literal OR-of-isin predicate
+    over the two directory keys, resolved against the file index at
+    planning time."""
     df = spark.read.parquet(path)
     if touched is not None:
         if not touched:
             return df.filter(F.lit(False)).drop("pfx")
-        # group by band so the predicate is <= bands OR-terms of flat
-        # isin lists (a per-pair OR chain nests one level per pair —
-        # a saturated probe's ~bands x pfx_mod terms overflow the
-        # analyzer's recursion, and InSet evaluates faster anyway)
-        by_band: dict[int, list[int]] = {}
-        for band, pfx in touched:
-            by_band.setdefault(int(band), []).append(int(pfx))
+        # group by the major key so the predicate is <= |majors|
+        # OR-terms of flat isin lists (a per-pair OR chain nests one
+        # level per pair — a saturated probe's ~majors x pfx_mod terms
+        # overflow the analyzer's recursion, and InSet evaluates
+        # faster anyway)
+        by_major: dict[int, list[int]] = {}
+        for major, pfx in touched:
+            by_major.setdefault(int(major), []).append(int(pfx))
         pred = None
-        for band, pfxs in sorted(by_band.items()):
-            term = (F.col("band") == band) & F.col("pfx").isin(sorted(set(pfxs)))
+        for major, pfxs in sorted(by_major.items()):
+            term = (F.col(major_key) == major) & F.col("pfx").isin(
+                sorted(set(pfxs))
+            )
             pred = term if pred is None else (pred | term)
         df = df.filter(pred)
     return df.drop("pfx")
@@ -735,9 +751,81 @@ def _simhash_chunks(
     ).select(id_col, "simhash", "c.blk", "c.chunk")
 
 
+def write_chunk_index(
+    sim_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    blocks: int = 4,
+    bits: int = 60,
+    pfx_mod: int = 64,
+    mode: str = "append",
+) -> None:
+    """Land a MATERIALIZED block-permutation index for the SimHash
+    family — (id, simhash, blk, chunk) rows partitioned by
+    (blk, pfx = chunk % pfx_mod) — the daily-probe layout for
+    :func:`simhash_pairs_incremental` (and, via the phash delegation,
+    ``multimodal.phash_pairs_incremental``).
+
+    The :func:`write_band_index` rationale applied to this family:
+    a flat (id, simhash) index makes every daily probe re-derive all
+    blocks x N chunk rows AND scan the whole index for the
+    touched-bucket semi-join; the chunked landing pays the derivation
+    once at append time, and the (blk, pfx) directory keys let a
+    small probe read only its touched directories
+    (:func:`touched_chunk_partitions` + :func:`load_chunk_index`).
+    Unlike the minhash banding, the rows carry the 8-byte ``simhash``
+    — Hamming distance rides the pair expansion, so the incremental
+    pass never needs the flat index at all.
+
+    ``(blocks, bits)`` ARE the index format and must match the
+    probing call; ``pfx_mod`` bounds the directory count at
+    blocks x pfx_mod (default 4 x 64 = 256).  ``mode='append'`` is
+    the daily growth shape — each day's surviving hashes append into
+    the same directories, no rewrite of the standing index."""
+    if pfx_mod < 1:
+        raise ValueError("write_chunk_index: pfx_mod must be >= 1")
+    ch = _simhash_chunks(sim_df, id_col, blocks, bits)
+    (
+        ch.withColumn("pfx", F.pmod(F.col("chunk"), F.lit(pfx_mod)))
+        # co-locate each (blk, pfx) into one task before partitionBy —
+        # same 8x file-spray trap as write_band_index
+        .repartition(F.col("blk"), F.col("pfx"))
+        .write.mode(mode)
+        .partitionBy("blk", "pfx")
+        .parquet(path)
+    )
+
+
+def touched_chunk_partitions(
+    chunks_new: DataFrame, pfx_mod: int = 64
+) -> list[tuple[int, int]]:
+    """The (blk, pfx) partitions a new batch's chunk rows touch —
+    driver-sized (<= blocks x pfx_mod), the pruning predicate
+    :func:`load_chunk_index` needs.  ``chunks_new`` is
+    ``_simhash_chunks(new_sims, ...)`` output."""
+    return sorted(
+        (int(r["blk"]), int(r["pfx"]))
+        for r in chunks_new.select(
+            "blk", F.pmod(F.col("chunk"), F.lit(pfx_mod)).alias("pfx")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+def load_chunk_index(
+    spark, path: str, touched: list[tuple[int, int]] | None = None
+) -> DataFrame:
+    """Read a :func:`write_chunk_index` landing, PARTITION-PRUNED to
+    ``touched`` (blk, pfx) pairs when given (same literal
+    directory-key predicate as :func:`load_band_index`;
+    ``touched=None`` reads everything)."""
+    return _load_pruned(spark, path, "blk", touched)
+
+
 def simhash_pairs_incremental(
     new_sims: DataFrame,
-    index_sims: DataFrame,
+    index_sims: DataFrame | None,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
@@ -745,6 +833,7 @@ def simhash_pairs_incremental(
     max_bucket_size: int | None = 100_000,
     on_oversize: str = "error",
     include_new_pairs: bool = True,
+    index_chunked: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs for an INCREMENTAL ingest — the
     :func:`minhash_lsh_pairs_incremental` shape applied to the
@@ -767,9 +856,25 @@ def simhash_pairs_incremental(
     (id_a, id_b, hamming) with hamming <= max_hamming, id_a < id_b,
     at least one side new (``include_new_pairs=False`` restricts to
     new-index pairs only — e.g. when the new batch was already
-    deduped among itself)."""
+    deduped among itself).
+
+    ``index_chunked`` (a :func:`write_chunk_index` landing, loaded
+    partition-pruned via :func:`load_chunk_index`) replaces
+    ``index_sims`` entirely: the chunk rows already carry the simhash,
+    so the flat index never scans and ``index_sims`` may be None —
+    the derivation is paid once at append time, the probe reads only
+    the touched (blk, pfx) directories."""
+    if index_chunked is None and index_sims is None:
+        raise ValueError(
+            "simhash_pairs_incremental: provide index_sims or "
+            "index_chunked"
+        )
     nb = _simhash_chunks(new_sims, id_col, blocks, bits)
-    ib = _simhash_chunks(index_sims, id_col, blocks, bits)
+    ib = (
+        index_chunked
+        if index_chunked is not None
+        else _simhash_chunks(index_sims, id_col, blocks, bits)
+    )
     touched = nb.select("blk", "chunk").distinct()
     ib_touched = ib.join(touched, ["blk", "chunk"], "left_semi")
     tagged = nb.withColumn("is_new", F.lit(True)).unionByName(

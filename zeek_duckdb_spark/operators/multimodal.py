@@ -54,6 +54,8 @@ __all__ = [
     "phash_pairs",
     "phash_pairs_incremental",
     "phash_value",
+    "write_phash_index",
+    "load_phash_index",
 ]
 
 # typed metadata struct carried alongside the opaque payload
@@ -599,9 +601,47 @@ def phash_pairs(
     )
 
 
+def write_phash_index(
+    hashed: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    blocks: int = 4,
+    bits: int = 60,
+    pfx_mod: int = 64,
+    mode: str = "append",
+) -> None:
+    """Land a block-permutation chunk index for :func:`phash_media`
+    rows — ``dedup.write_chunk_index`` with the phash->simhash rename,
+    so the daily image-dedup probe reads only its touched (blk, pfx)
+    directories instead of re-deriving and re-scanning the whole flat
+    index (:func:`load_phash_index` + ``index_chunked=``)."""
+    from zeek_duckdb_spark.operators.dedup import write_chunk_index
+
+    write_chunk_index(
+        hashed.select(F.col(id_col), F.col("phash").alias("simhash")),
+        path,
+        id_col=id_col,
+        blocks=blocks,
+        bits=bits,
+        pfx_mod=pfx_mod,
+        mode=mode,
+    )
+
+
+def load_phash_index(
+    spark, path: str, touched: list[tuple[int, int]] | None = None
+) -> DataFrame:
+    """Partition-pruned read of a :func:`write_phash_index` landing
+    (``dedup.load_chunk_index`` — rows are (id, simhash, blk, chunk),
+    already in the delegated pass's column names)."""
+    from zeek_duckdb_spark.operators.dedup import load_chunk_index
+
+    return load_chunk_index(spark, path, touched)
+
+
 def phash_pairs_incremental(
     new_hashed: DataFrame,
-    index_hashed: DataFrame,
+    index_hashed: DataFrame | None,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
@@ -609,6 +649,7 @@ def phash_pairs_incremental(
     max_bucket_size: int | None = 100_000,
     on_oversize: str = "error",
     include_new_pairs: bool = True,
+    index_chunked: DataFrame | None = None,
 ) -> DataFrame:
     """Image near-dup candidates for an INCREMENTAL ingest: today's
     batch of :func:`phash_media` rows against a persisted corpus
@@ -625,7 +666,7 @@ def phash_pairs_incremental(
     )
     return simhash_pairs_incremental(
         ren(new_hashed),
-        ren(index_hashed),
+        ren(index_hashed) if index_hashed is not None else None,
         id_col=id_col,
         max_hamming=max_hamming,
         blocks=blocks,
@@ -633,4 +674,5 @@ def phash_pairs_incremental(
         max_bucket_size=max_bucket_size,
         on_oversize=on_oversize,
         include_new_pairs=include_new_pairs,
+        index_chunked=index_chunked,
     )

@@ -48,6 +48,7 @@ __all__ = [
     "temperature_weights",
     "cap_per_group",
     "weighted_sample_k",
+    "weighted_sample_k_grouped",
     "corpus_profile",
     "chunk_documents",
 ]
@@ -1206,6 +1207,20 @@ def weighted_sample_k(
     """
     if k < 1:
         raise ValueError("weighted_sample_k: k must be >= 1")
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("__ws_score", _aes_score(key_col, weight_col, seed))
+        .orderBy(F.desc("__ws_score"), F.asc(key_col))
+        .limit(k)
+        .drop("__ws_score")
+    )
+
+
+def _aes_score(key_col: str, weight_col: str, seed: int) -> Column:
+    """The shared A-ES ranking score round(ln(u), 9) / w — see
+    :func:`weighted_sample_k` for why the rounding sits on ln(u)."""
     from zeek_duckdb_spark.operators.hashutil import md5_long
 
     u = (
@@ -1216,14 +1231,63 @@ def weighted_sample_k(
             chars=13,
         )
         + F.lit(1)
-    ) / F.lit(float(1 << 52))  # u in (0, 1]: pow(0, 1/w) would tie all
-    score = F.round(F.log(u), 9) / F.col(weight_col).cast("double")
+    ) / F.lit(float(1 << 52))  # u in (0, 1]: ln(0) would be -inf for all
+    return F.round(F.log(u), 9) / F.col(weight_col).cast("double")
+
+
+def weighted_sample_k_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int | dict,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-``k`` weighted sample without replacement PER GROUP —
+    the mixing-pipeline shape "exactly k_s docs per source,
+    weight-proportional within the source" (compose the per-source
+    budgets from :func:`temperature_weights`; :func:`weighted_sample_k`
+    is the global form, :func:`cap_per_group` the uniform exact-cap
+    form).  Same A-ES score (ranking round(ln(u), 9)/w == ranking
+    u^(1/w)); the per-group top-k is a row_number window partitioned
+    by the group — the one shuffle any exact per-group selection must
+    pay, keyed on the group like :func:`cap_per_group` (pre-thin
+    monster groups the same way if the group sizes are adversarial).
+
+    ``k`` is an int (same budget for every group) or a dict
+    ``{group_value: k}`` (groups are model-sized, so the map rides the
+    plan as a literal; groups absent from the dict are DROPPED —
+    that's what a mixing budget means).  Groups with fewer than k
+    positive-weight rows return all of them.  Deterministic and
+    oracle-portable exactly like the global form: the DuckDB
+    restatement is QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    the same score) <= k."""
+    if isinstance(k, dict):
+        if not k:
+            raise ValueError("weighted_sample_k_grouped: k dict is empty")
+        if any(v < 1 for v in k.values()):
+            raise ValueError(
+                "weighted_sample_k_grouped: every k must be >= 1"
+            )
+        pairs: list[Column] = []
+        for g, kv in k.items():
+            pairs += [F.lit(g), F.lit(int(kv))]
+        cap = F.create_map(*pairs)[F.col(group_col)]
+    else:
+        if k < 1:
+            raise ValueError("weighted_sample_k_grouped: k must be >= 1")
+        cap = F.lit(int(k))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__ws_score"), F.asc(key_col)
+    )
     return (
         df.filter(
             F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
         )
-        .withColumn("__ws_score", score)
-        .orderBy(F.desc("__ws_score"), F.asc(key_col))
-        .limit(k)
-        .drop("__ws_score")
+        .withColumn("__ws_score", _aes_score(key_col, weight_col, seed))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__ws_score", "__rn")
     )

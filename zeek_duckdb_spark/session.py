@@ -29,7 +29,22 @@ def get_spark(app_name: str = "zeek-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size when coalescing instead
+        # of preserving parallelism: at local scale this cuts post-
+        # shuffle stages to the few tasks the data justifies (measured
+        # -1..-5% on the sf0.1 headline set, the bigger wins on the
+        # multi-stage queries), and on a busy cluster honoring the
+        # target size is Spark's own documented recommendation
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # model per-split scheduling overhead honestly: 4 MB under-
+        # prices task launch for tiny inputs (sf0.1 single-file tables
+        # split into several sub-second tasks); at 100 TB every file
+        # dwarfs maxPartitionBytes so this only affects the tiny tail
+        .config("spark.sql.files.openCostInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
