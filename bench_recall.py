@@ -197,6 +197,27 @@ def main() -> None:
                 ).collect()
             ],
         )
+    # exact re-rank of the probed cells against the ORIGINAL vectors
+    # (refine_factor=None): compressed pruning + exact fine structure —
+    # the mode that resolves the needle regime ADC cannot.  The vectors
+    # carry their landed cell column (the partitionBy('cell') serving
+    # layout) so no re-assignment scan runs per query.
+    assigned = pqm.pq_encode(corpus, [cells], keep=("embedding",)).select(
+        "vec_id",
+        F.element_at("pq_codes", 1).alias("cell"),
+        "embedding",
+    ).localCheckpoint(eager=True)
+    for nprobe in (1, 2, 4):
+        report(
+            f"ivfpq+refine(exact) nprobe={nprobe}",
+            lambda qv, nprobe=nprobe: [
+                r.vec_id
+                for r in pqm.ivfpq_topk(
+                    codes, list(qv), cells, cbs, k_top=10, nprobe=nprobe,
+                    refine_with=assigned,
+                ).collect()
+            ],
+        )
     spark.stop()
 
 

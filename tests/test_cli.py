@@ -268,3 +268,40 @@ def test_distinct_subcommand(spark, tmp_path, capsys):
     assert rc == 0
     assert out[0] == "g\tdistinct_est"
     assert sorted(out[1:]) == ["a\t7", "b\t3"]  # exact at tiny cardinality
+
+
+def test_distinct_slice_catalog_land_and_merge(spark, tmp_path, capsys):
+    """The slice-catalog loop: land one sketch table per day with
+    --land, answer the union with ONE --merge over the glob — the
+    merged estimates must equal exact countDistinct over the union
+    (tiny cardinalities are exact in HLL)."""
+    day1 = str(tmp_path / "day1")
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [("a", i % 7) for i in range(50)] + [("b", i % 3) for i in range(30)],
+        "g string, k int",
+    ).write.parquet(day1)
+    # day 2 overlaps day 1 (k 0..6 for a) and adds new keys
+    spark.createDataFrame(
+        [("a", i % 11) for i in range(40)] + [("b", 100 + i % 2) for i in range(10)],
+        "g string, k int",
+    ).write.parquet(day2)
+    land = tmp_path / "sketches"
+    land.mkdir()
+    for day, src in (("d1", day1), ("d2", day2)):
+        rc = main(["distinct", src, "k", "--by", "g",
+                   "--land", str(land / day)], spark=spark)
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip())["landed"]
+    rc = main(["distinct", str(land / "*"), "--by", "g", "--merge"],
+              spark=spark)
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0
+    assert out[0] == "g\tdistinct_est"
+    # exact union cardinalities: a: {0..10} = 11, b: {0,1,2,100,101} = 5
+    assert sorted(out[1:]) == ["a\t11", "b\t5"]
+    # guards: no match, and column required without --merge
+    with pytest.raises(SystemExit, match="no sketch dirs"):
+        main(["distinct", str(tmp_path / "nope*"), "--merge"], spark=spark)
+    with pytest.raises(SystemExit, match="column is required"):
+        main(["distinct", day1], spark=spark)

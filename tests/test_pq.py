@@ -213,6 +213,90 @@ def test_ivfpq_recall_on_planted_clusters_and_plan_is_narrow(spark):
     assert "TakeOrderedAndProject" in audit.physical_plan(top)
 
 
+def test_ivfpq_refine_exact_resolves_needle_regime(spark):
+    """The r8 recall curves' honest negative: within a DENSE cluster
+    the residual noise sits below the code resolution, ADC collapses,
+    and no shortlist multiple fixes it.  refine_with + the default
+    refine_factor=None re-ranks ALL probed-cell rows against the
+    original vectors — recall must be exact-top-10 here — and the
+    plan stays shuffle-free."""
+    from zeek_duckdb_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(3)
+    centres = rng.normal(0, 10, (8, DIM))
+    # dense clusters: noise 0.02 << cluster separation, below
+    # (m=M, k=16) residual-code resolution
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.02, (200, DIM)) for c in centres]
+    )
+    d = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    cells, cbs, codes = ivfpq_build(d, dim=DIM, n_cells=8, m=M, k=16, iters=3)
+    q = pts[400] + rng.normal(0, 0.005, DIM)  # near a cluster-2 point
+    truth = np.argsort(((pts - q) ** 2).sum(axis=1))[:10].tolist()
+
+    refined = ivfpq_topk(
+        codes, q.tolist(), cells, cbs, 10, nprobe=2, refine_with=d
+    )
+    got = [r.vec_id for r in refined.collect()]
+    assert got == truth  # exact re-rank == brute force inside the cells
+    assert audit.num_shuffles(refined) == 0
+    assert "TakeOrderedAndProject" in audit.physical_plan(refined)
+    # the raw ADC ordering really is degenerate here (the reason the
+    # mode exists): it misses most of the true top-10
+    raw = {
+        r.vec_id
+        for r in ivfpq_topk(codes, q.tolist(), cells, cbs, 10, nprobe=2).collect()
+    }
+    assert len(raw & set(truth)) < 5
+    # shortlist mode: exact order on the ADC candidates, broadcast join
+    short = ivfpq_topk(
+        codes, q.tolist(), cells, cbs, 10, nprobe=2,
+        refine_with=d, refine_factor=4,
+    )
+    rows = short.collect()
+    assert len(rows) == 10 and {"vec_id", "adc_dist", "exact_dist"} == set(
+        short.columns
+    )
+    assert audit.num_shuffles(short) == 0
+    with pytest.raises(ValueError, match="refine_factor"):
+        ivfpq_topk(codes, q.tolist(), cells, cbs, 10, nprobe=2,
+                   refine_with=d, refine_factor=0)
+
+
+def test_ivfpq_refine_uses_landed_cell_column(spark):
+    """A vectors table that already carries the cell column (the
+    partitionBy('cell') serving layout) is filtered directly — no
+    re-assignment scan; results identical to the derive-on-the-fly
+    path."""
+    from zeek_duckdb_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(4)
+    pts = rng.normal(0, 1, (300, DIM))
+    d = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    cells, cbs, codes = ivfpq_build(d, dim=DIM, n_cells=4, m=M, k=16, iters=2)
+    assigned = pq_encode(d, [cells], keep=("embedding",)).select(
+        "vec_id",
+        F.element_at("pq_codes", 1).alias("cell"),
+        "embedding",
+    )
+    q = pts[7].tolist()
+    a = [r.vec_id for r in ivfpq_topk(
+        codes, q, cells, cbs, 10, nprobe=2, refine_with=d).collect()]
+    b = [r.vec_id for r in ivfpq_topk(
+        codes, q, cells, cbs, 10, nprobe=2, refine_with=assigned).collect()]
+    assert a == b
+
+
 def test_ivfpq_validation(spark, emb, ivfpq):
     from zeek_duckdb_spark.operators.pq import ivfpq_topk
 

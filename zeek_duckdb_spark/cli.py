@@ -175,10 +175,22 @@ def _build_parser() -> argparse.ArgumentParser:
         "distinct",
         help="approximate distinct count of a column (mergeable HLL)",
     )
-    dq.add_argument("path", help="parquet directory")
-    dq.add_argument("column")
+    dq.add_argument("path", help="parquet directory (a GLOB of landed "
+                                  "sketch dirs with --merge)")
+    dq.add_argument("column", nargs="?", default=None,
+                    help="column to sketch (omitted with --merge: the "
+                         "landed sketches already fix it)")
     dq.add_argument("--by", default=None, metavar="COL",
                     help="per-group distinct counts")
+    dq.add_argument("--land", default=None, metavar="DIR",
+                    help="write the (mergeable) sketch table to DIR "
+                         "instead of printing estimates — the per-day/"
+                         "per-source slice-catalog landing")
+    dq.add_argument("--merge", action="store_true",
+                    help="treat PATH as a glob of landed sketch dirs; "
+                         "merge the kilobyte sketches and print the "
+                         "union's distinct counts without re-scanning "
+                         "any source data")
     return p
 
 
@@ -352,14 +364,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from zeek_duckdb_spark.operators.sketches import (
                 hll_build,
                 hll_estimate,
+                hll_merge_df,
             )
 
-            src = spark.read.parquet(args.path)
             groups = (args.by,) if args.by else ()
-            _tsv(
-                hll_estimate(hll_build(src, args.column, groups)),
-                None,  # |groups| rows
-            )
+            if args.merge:
+                # union-of-slices: expand the glob driver-side, read
+                # every landed sketch table in ONE multi-path scan,
+                # merge per group — KB sketch rows move, the source
+                # corpora never re-scan
+                import glob as _glob
+
+                paths = sorted(
+                    p for p in _glob.glob(args.path) if os.path.isdir(p)
+                )
+                if not paths:
+                    raise SystemExit(
+                        f"distinct --merge: no sketch dirs match {args.path!r}"
+                    )
+                sk = spark.read.parquet(*paths)
+                _tsv(hll_estimate(hll_merge_df(sk, groups)), None)
+            else:
+                if args.column is None:
+                    raise SystemExit(
+                        "distinct: column is required without --merge"
+                    )
+                src = spark.read.parquet(args.path)
+                sk = hll_build(src, args.column, groups)
+                if args.land:
+                    sk.write.mode("overwrite").parquet(args.land)
+                    print(json.dumps({"landed": args.land,
+                                      "groups": list(groups)}))
+                else:
+                    _tsv(hll_estimate(sk), None)  # |groups| rows
         return 0
     finally:
         if owns:

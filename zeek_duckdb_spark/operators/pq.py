@@ -668,6 +668,9 @@ def ivfpq_topk(
     k_top: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    refine_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    refine_factor: int | None = None,
 ) -> DataFrame:
     """Top-``k_top`` by IVF-PQ asymmetric L2 distance: the ``nprobe``
     cells nearest the query are chosen DRIVER-side (n_cells distances
@@ -675,7 +678,30 @@ def ivfpq_topk(
     cell (the query residual differs per cell), and scoring reads ONLY
     rows in probed cells — with a ``partitionBy("cell")`` layout the
     probe filter prunes partitions at the source.  Zero shuffle; one
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    ``refine_with`` (the ORIGINAL vectors) adds an exact re-rank for
+    the regime the r8 recall curves expose honestly: inside a dense
+    cluster the residuals sit below an (m, k) code's resolution, ADC
+    collapses (needle recall 0.01-0.07), and no shortlist multiple
+    can resurrect candidates ADC never orders correctly.  Two modes:
+
+    - ``refine_factor=None`` (default): exact re-rank of ALL
+      probed-cell rows — compressed cells do the PRUNING (the ivf /
+      kmeans_ivf trick that scores 0.94+ there), original vectors do
+      the fine ranking.  Join-free: ``refine_with`` is filtered by the
+      probed cells and scored directly — land the vectors
+      ``partitionBy("cell")`` next to the codes (the serving layout)
+      and the probe prunes partitions on BOTH tables; if it has no
+      ``cell`` column the coarse assignment is recomputed as a
+      zero-shuffle map (full vector scan, no pruning — fine locally,
+      land the cell column at scale).
+    - ``refine_factor=N``: the cheap shortlist shape where ADC's
+      ordering is trustworthy (well-separated neighbors) — the
+      compressed scan keeps ``N * k_top`` candidates (model-sized),
+      they BROADCAST-join back to ``refine_with``, and the final
+      order is exact.  Still zero shuffle.
+    """
     if not 1 <= nprobe <= len(cells):
         raise ValueError(f"ivfpq_topk: nprobe must be in [1, {len(cells)}]")
     m = len(codebooks)
@@ -717,9 +743,54 @@ def ivfpq_topk(
         f"a.acc + element_at(element_at(element_at({lut_lit}, {pidx}), a.j + 1), c + 1)), "
         "a -> a.acc)"
     )
+    scored = codes_df.filter(F.col("cell").isin(*probed)).select(
+        F.col(id_col), F.col("cell"), F.round(adc, 6).alias("adc_dist")
+    )
+    if refine_with is None:
+        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k_top)
+
+    q_lit = F.array(*[F.lit(v) for v in qd])
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(x, q_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    ).alias("exact_dist")
+
+    if refine_factor is not None:
+        if refine_factor < 1:
+            raise ValueError("ivfpq_topk: refine_factor must be >= 1")
+        # model-sized ADC shortlist -> broadcast join back to vectors
+        cands = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(
+            max(k_top, refine_factor * k_top)
+        )
+        joined = refine_with.select(F.col(id_col), F.col(vec_col)).join(
+            F.broadcast(cands.select(id_col, "adc_dist")), id_col
+        )
+        return (
+            joined.select(F.col(id_col), F.col("adc_dist"), exact)
+            .orderBy(F.asc("exact_dist"), F.asc(id_col))
+            .limit(k_top)
+        )
+
+    # exact re-rank of ALL probed-cell rows (join-free): filter the
+    # vectors by probed cell, deriving the coarse assignment as a
+    # zero-shuffle map when the serving layout didn't land it
+    rv = refine_with
+    if "cell" not in rv.columns:
+        assigned = pq_encode(rv, [cells], id_col=id_col, vec_col=vec_col,
+                             keep=(vec_col,))
+        rv = assigned.select(
+            F.col(id_col),
+            F.element_at("pq_codes", 1).alias("cell"),
+            F.col(vec_col),
+        )
     return (
-        codes_df.filter(F.col("cell").isin(*probed))
-        .select(F.col(id_col), F.col("cell"), F.round(adc, 6).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        rv.filter(F.col("cell").isin(*probed))
+        .select(F.col(id_col), F.col("cell"), exact)
+        .orderBy(F.asc("exact_dist"), F.asc(id_col))
         .limit(k_top)
     )

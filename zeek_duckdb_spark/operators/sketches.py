@@ -79,6 +79,7 @@ __all__ = [
     "cm_merge",
     "hll_build",
     "hll_merge",
+    "hll_merge_df",
     "hll_estimate",
 ]
 
@@ -448,10 +449,24 @@ def hll_merge(
 ) -> DataFrame:
     """Union two sketch tables and merge per group — distinct counts
     over combined slices without touching the source data."""
-    group_cols = _norm_group_cols(group_cols, "hll_merge")
-    u = a.unionByName(b)
+    return hll_merge_df(a.unionByName(b), group_cols)
+
+
+def hll_merge_df(
+    sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge an already-unioned table of sketch rows per group — the
+    N-slice form behind :func:`hll_merge` and the CLI's
+    ``distinct --merge`` (read every landed slice with one
+    ``spark.read.parquet(*paths)``, merge once; kilobyte sketch rows
+    move, never the source corpora)."""
+    group_cols = _norm_group_cols(group_cols, "hll_merge_df")
     agg = F.hll_union_agg("hll").alias("hll")
-    return u.groupBy(*group_cols).agg(agg) if group_cols else u.agg(agg)
+    return (
+        sketches.groupBy(*group_cols).agg(agg)
+        if group_cols
+        else sketches.agg(agg)
+    )
 
 
 def hll_estimate(df: DataFrame, out_col: str = "distinct_est") -> DataFrame:
