@@ -1075,7 +1075,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated mm_decode_fake out (its mapInPandas stub-decoder
     # plumbing is half-covered by mm_media_stats and fully by the
     # local harness) to driver-gate sk_heavy_hitters, so the sketch
-    # family's 3-green check is no longer local-only.
+    # family's 3-green check is no longer local-only.  Round 9 rotated
+    # tx_fingerprint (COUNT DISTINCT of a hash — shape-covered by q26
+    # and the exact-dedup rows) and mm_media_stats (per-source byte
+    # stats — half-covered by its sibling multimodal rows) out, to
+    # driver-gate the round-8 grouped-quantiles and count-min families
+    # (qt_grouped_quantiles, ev_cm_counts).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -1112,8 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_boilerplate": tx_boilerplate,
         "tx_langid": tx_langid,
         "tx_token_counts": tx_token_counts,
-        "tx_fingerprint": tx_fingerprint,
-        "mm_media_stats": mm_media_stats,
+        "qt_grouped_quantiles": qt_grouped_quantiles,
+        "ev_cm_counts": ev_cm_counts,
         "sk_heavy_hitters": sk_heavy_hitters,
         "sim_topk_batch": sim_topk_batch,
         "nf_dns_tunneling": nf_dns_tunneling,
@@ -2017,10 +2022,12 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS n_bpe
             FROM documents WHERE doc_id < 300
         """,
-        "tx_fingerprint": """
-            SELECT source, COUNT(*) AS n_docs,
-                   COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct_fp
-            FROM documents GROUP BY source
+        "qt_grouped_quantiles": """
+            SELECT l_returnflag,
+                   CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
+                                        [0.25, 0.5, 0.75])) AS value
+            FROM lineitem GROUP BY l_returnflag
         """,
         "pipe_clean_corpus": """
             WITH feats AS (
@@ -2060,13 +2067,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lang) t
             GROUP BY lang_guess
         """,
-        "mm_media_stats": """
-            SELECT source, COUNT(*) AS n_media,
-                   CAST(SUM(OCTET_LENGTH(encode(text))) AS BIGINT) AS total_bytes,
-                   ROUND(AVG(OCTET_LENGTH(encode(text))), 4) AS avg_bytes,
-                   COUNT(DISTINCT encode(text)) AS distinct_payloads
-            FROM documents GROUP BY source
-        """,
+        "ev_cm_counts": _cm_counts_oracle(),
         "dd_minhash_lsh": _minhash_lsh_oracle(),
         "dd_simhash_pairs": _simhash_pairs_oracle(),
         "sim_ann_lsh": _ann_lsh_oracle(),
@@ -2328,26 +2329,57 @@ def _weighted_sample_oracle() -> str:
     )
 
 
+def pipe_weighted_sample_grouped(spark, sf):
+    """Exactly-k-per-group weighted sample
+    (pipeline.weighted_sample_k_grouped): top-20 docs per source by
+    the same A-ES log score — the mixing-pipeline "k_s docs per
+    source, weight-proportional" shape; one row_number window on the
+    group key, restated by the oracle as a QUALIFY window."""
+    from zeek_duckdb_spark.operators.pipeline import weighted_sample_k_grouped
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample_k_grouped(
+        d, "source", "doc_id", "n_chars", k=20, seed=0
+    ).select("source", "doc_id", "n_chars")
+
+
+def _weighted_sample_grouped_oracle() -> str:
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    u = (
+        "(("
+        + md5_long_sql("concat_ws(':', CAST(doc_id AS VARCHAR), 'ws0')", 13)
+        + " + 1) / 4503599627370496.0)"
+    )
+    return (
+        "SELECT source, doc_id, n_chars FROM documents WHERE n_chars > 0 "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        f"ORDER BY ROUND(ln({u}), 9) / n_chars DESC, doc_id ASC) <= 20"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
     budget filled, or swapped out in round 8 (mm_decode_fake, whose
     slot driver-gates sk_heavy_hitters now, and q21_union_tagged,
     whose UNION coverage q15_set_ops half-duplicates — its slot
-    driver-gates qt_exact_quantiles) — still oracle-checked by the
-    local harness (tests/test_entry_oracle.py) so their coverage
-    never regresses."""
+    driver-gates qt_exact_quantiles) or round 9 (tx_fingerprint,
+    mm_media_stats — their slots driver-gate qt_grouped_quantiles and
+    ev_cm_counts) — still oracle-checked by the local harness
+    (tests/test_entry_oracle.py) so their coverage never regresses."""
     return {
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
         "mm_decode_fake": mm_decode_fake,
         "q21_union_tagged": q21_union_tagged,
-        "qt_grouped_quantiles": qt_grouped_quantiles,
+        "tx_fingerprint": tx_fingerprint,
+        "mm_media_stats": mm_media_stats,
         "emb_comoments": emb_comoments,
         "emb_rand_proj": emb_rand_proj,
         "doc_bloom_words": doc_bloom_words,
-        "ev_cm_counts": ev_cm_counts,
         "pipe_weighted_sample": pipe_weighted_sample,
+        "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
     }
 
 
@@ -2381,12 +2413,17 @@ def extra_oracle_sql() -> dict[str, str]:
               SELECT 'error' AS tag, event_id FROM events WHERE event_type = 'error') t
             GROUP BY tag
         """,
-        "qt_grouped_quantiles": """
-            SELECT l_returnflag,
-                   CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q,
-                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
-                                        [0.25, 0.5, 0.75])) AS value
-            FROM lineitem GROUP BY l_returnflag
+        "tx_fingerprint": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct_fp
+            FROM documents GROUP BY source
+        """,
+        "mm_media_stats": """
+            SELECT source, COUNT(*) AS n_media,
+                   CAST(SUM(OCTET_LENGTH(encode(text))) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(OCTET_LENGTH(encode(text))), 4) AS avg_bytes,
+                   COUNT(DISTINCT encode(text)) AS distinct_payloads
+            FROM documents GROUP BY source
         """,
         # the proven sim_quant_topk quantize restatement, then exact
         # int64 sums of q_i * q_j over the upper triangle
@@ -2408,6 +2445,6 @@ def extra_oracle_sql() -> dict[str, str]:
         """,
         "emb_rand_proj": _rand_proj_oracle(),
         "doc_bloom_words": _bloom_words_oracle(),
-        "ev_cm_counts": _cm_counts_oracle(),
         "pipe_weighted_sample": _weighted_sample_oracle(),
+        "pipe_weighted_sample_grouped": _weighted_sample_grouped_oracle(),
     }
