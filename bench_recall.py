@@ -207,14 +207,18 @@ def main() -> None:
         F.element_at("pq_codes", 1).alias("cell"),
         "embedding",
     ).localCheckpoint(eager=True)
+    # refine_metric='cosine' because the ground truth (and the whole
+    # similarity family) ranks by cosine — an L2 re-rank returns the
+    # right CANDIDATES in a different order and silently caps recall
+    # at ~0.76 here
     for nprobe in (1, 2, 4):
         report(
-            f"ivfpq+refine(exact) nprobe={nprobe}",
+            f"ivfpq+refine(exact cosine) nprobe={nprobe}",
             lambda qv, nprobe=nprobe: [
                 r.vec_id
                 for r in pqm.ivfpq_topk(
                     codes, list(qv), cells, cbs, k_top=10, nprobe=nprobe,
-                    refine_with=assigned,
+                    refine_with=assigned, refine_metric="cosine",
                 ).collect()
             ],
         )

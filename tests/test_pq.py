@@ -266,6 +266,41 @@ def test_ivfpq_refine_exact_resolves_needle_regime(spark):
                    refine_with=d, refine_factor=0)
 
 
+def test_ivfpq_refine_cosine_metric(spark):
+    """refine_metric='cosine' must rank the probed candidates exactly
+    as brute-force cosine does (retrieval evals rank by cosine; an L2
+    re-rank returns the right candidates in a different order and
+    silently caps recall — the r9 needle finding)."""
+    from zeek_duckdb_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(9)
+    # one dense cluster + background so L2 and cosine orders differ
+    centre = rng.normal(0, 5, DIM)
+    pts = np.concatenate([
+        centre + rng.normal(0, 0.3, (150, DIM)),
+        rng.normal(0, 5, (150, DIM)),
+    ])
+    d = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    cells, cbs, codes = ivfpq_build(d, dim=DIM, n_cells=4, m=M, k=16, iters=2)
+    q = (centre + rng.normal(0, 0.2, DIM))
+    qn = q / np.linalg.norm(q)
+    cos = (pts / np.linalg.norm(pts, axis=1, keepdims=True)) @ qn
+    # numpy truth with the id tie-break on rounded scores
+    order = sorted(range(len(pts)), key=lambda i: (-round(cos[i], 6), i))
+    got = ivfpq_topk(
+        codes, q.tolist(), cells, cbs, 10, nprobe=4,
+        refine_with=d, refine_metric="cosine",
+    )
+    assert [r.vec_id for r in got.collect()] == order[:10]
+    assert "exact_score" in got.columns
+    with pytest.raises(ValueError, match="refine_metric"):
+        ivfpq_topk(codes, q.tolist(), cells, cbs, 10,
+                   refine_with=d, refine_metric="dot")
+
+
 def test_ivfpq_refine_uses_landed_cell_column(spark):
     """A vectors table that already carries the cell column (the
     partitionBy('cell') serving layout) is filtered directly — no

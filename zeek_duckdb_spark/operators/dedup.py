@@ -777,6 +777,18 @@ def write_chunk_index(
     — Hamming distance rides the pair expansion, so the incremental
     pass never needs the flat index at all.
 
+    HONEST SIZING NOTE (measured, SCALING.md r9): unlike the minhash
+    banding — which wins at the 2M-doc tier because the flat probe
+    re-scans WIDE signature arrays — the flat simhash index is
+    already minimal (id + one int64, ~30 MB at 2M docs), so at
+    single-node tiers a full cached scan beats any pruned read of
+    this 4x-row landing (flat 4.1 s vs chunked 5.2 s at 2M docs /
+    1k batch; finer pfx_mod makes it worse — directory overhead).
+    The landing's value begins where the index's BYTES dwarf
+    per-directory costs: at 10^10-10^11 docs the flat probe's full
+    per-batch scan is ~0.1-1.6 TB while the touched-partition read
+    stays batch-proportional.  Below that tier, probe the flat index.
+
     ``(blocks, bits)`` ARE the index format and must match the
     probing call; ``pfx_mod`` bounds the directory count at
     blocks x pfx_mod (default 4 x 64 = 256).  ``mode='append'`` is

@@ -385,8 +385,15 @@ def kmeans_ivf_topk(
 
     Probe selection runs driver-side over the K centroids (K doubles of
     state, not data) with the same left-to-right float fold the SQL
-    oracle uses — bit-identical.  At scale, write the assigned corpus
-    partitioned by cell so a probe reads only its cells' files.
+    oracle uses — bit-identical.
+
+    ONE-SHOT API: every call re-runs the Lloyd fit AND the corpus
+    assignment, so its s/query is train+build+probe — the recall
+    tables' ~8 s/query at 100k vectors is that, not serving cost.
+    For repeated queries land the assignment once with
+    :func:`ivf_write` and probe with :func:`ivf_probe_topk`
+    (partition-pruned scan; see SCALING.md's serving table for the
+    measured gap).
 
     One quantized-base lineage is shared by the fit iterations and the
     final assignment; with the parallelism guard its recompute per

@@ -577,8 +577,14 @@ def ivf_topk(
     """IVF-style ANN: deterministic sampled centroids, corpus assigned
     to cells, query probes its ``nprobe`` nearest cells, exact re-rank
     inside the probed cells.  Recall grows with nprobe (nprobe ==
-    n_centroids -> exact).  At scale, write the assigned corpus
-    partitioned by cell so a probe reads only its cells' files."""
+    n_centroids -> exact).
+
+    ONE-SHOT API: every call re-derives the whole index (assignment
+    included), so its s/query is build+probe — fine for a single
+    ad-hoc lookup, wrong for serving.  For repeated queries land the
+    index once (``kmeans.ivf_write`` — partitionBy('cell')) and probe
+    with ``kmeans.ivf_probe_topk``; SCALING.md's serving table shows
+    the landed probe is ~50x cheaper per query at 1M vectors."""
     centroids = df.orderBy(F.asc(id_col)).limit(n_centroids)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
 
