@@ -29,16 +29,15 @@ def get_spark(app_name: str = "zeek-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the advisory partition size when coalescing instead
-        # of preserving parallelism: at local scale this cuts post-
-        # shuffle stages to the few tasks the data justifies (measured
-        # -1..-5% on the sf0.1 headline set, the bigger wins on the
-        # multi-stage queries), and on a busy cluster honoring the
-        # target size is Spark's own documented recommendation
-        .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
-        )
+        # parallelismFirst stays at its DEFAULT (true).  Round-9 A/B:
+        # setting it false shaved 1-5% off the tiny sf0.1 headline set
+        # (fewer post-shuffle tasks) but CPU-bound narrow-row
+        # aggregations coalesce to ~2 tasks of 64MB at larger tiers —
+        # q03 at sf~5 regressed 1.9 s -> 5.1 s (same JVM, interleaved).
+        # 64 MB of 16-byte rows is 4M rows of hash-probe work per
+        # task; byte-sized advisories are the wrong unit for CPU-bound
+        # stages, which is exactly why Spark defaults to preserving
+        # parallelism.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # model per-split scheduling overhead honestly: 4 MB under-
         # prices task launch for tiny inputs (sf0.1 single-file tables
