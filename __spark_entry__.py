@@ -2358,6 +2358,40 @@ def _weighted_sample_grouped_oracle() -> str:
     )
 
 
+_CLS_W = [((j * 37) % 19 - 9) / 10.0 for j in range(64)]
+_CLS_B = 0.25
+
+
+def cls_quality_scores(spark, sf):
+    """Learned quality-classifier scoring (operators/classifier.py,
+    logreg_score): sigmoid(w . x + b) over the embeddings with fixed
+    deterministic weights — a pure per-row sequential fold (zero
+    shuffle), the serving half of the FineWeb/DCLM-style quality gate
+    (the fit half is deterministic int64-gradient GD, differentially
+    tested against numpy bit-for-bit in tests/test_classifier.py).
+    Top-25 by score; the oracle restates the identical fold."""
+    from zeek_duckdb_spark.operators.classifier import logreg_score
+
+    e = _t(spark, sf, "embeddings")
+    return (
+        logreg_score(e, _CLS_W, _CLS_B)
+        .select("vec_id", "quality_score")
+        .orderBy(F.desc("quality_score"), F.asc("vec_id"))
+        .limit(25)
+    )
+
+
+def _cls_scores_oracle() -> str:
+    w_sql = "[" + ", ".join(repr(v) for v in _CLS_W) + "]"
+    return (
+        "SELECT vec_id, ROUND(1.0 / (1.0 + exp(-(list_sum("
+        f"list_transform(list_zip(CAST(embedding AS DOUBLE[]), {w_sql}), "
+        f"z -> z[1] * z[2])) + {_CLS_B!r}))), 6) AS quality_score "
+        "FROM embeddings "
+        "ORDER BY quality_score DESC, vec_id ASC LIMIT 25"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2380,6 +2414,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_words": doc_bloom_words,
         "pipe_weighted_sample": pipe_weighted_sample,
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
+        "cls_quality_scores": cls_quality_scores,
     }
 
 
@@ -2447,4 +2482,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_bloom_words": _bloom_words_oracle(),
         "pipe_weighted_sample": _weighted_sample_oracle(),
         "pipe_weighted_sample_grouped": _weighted_sample_grouped_oracle(),
+        "cls_quality_scores": _cls_scores_oracle(),
     }

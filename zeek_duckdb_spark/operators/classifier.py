@@ -1,0 +1,313 @@
+"""Learned quality classifier over embeddings — the modern
+training-data gate (FineWeb-Edu / DCLM style): fit a logistic
+regression on labeled examples, score the corpus, keep what clears a
+threshold.  The heuristic gates (textops.quality_score) catch junk;
+this family ranks by LEARNED quality.
+
+Scale shape, in the repo's house style:
+
+- **fit** (:func:`logreg_fit`) is driver-held model state (dim+1
+  doubles) refined by full-batch gradient descent where every pass is
+  ONE zero-shuffle ``mapInPandas`` partial-sum job.  Determinism is
+  engineered the same way as ``pca.comoment_sums`` / ``pq_train``:
+  features snap to a corpus-global int8 grid (one aggregate pass for
+  the scale) and the per-row residual ``p_i - y_i`` snaps to 2^-20
+  fixed point, so every gradient component is an EXACT int64 sum —
+  identical weights under any partitioning or cluster size.  The int
+  grid means the optimizer sees the quantized features (within int8
+  resolution of the true objective — noise far below label noise);
+  the returned weights fold the grid scale back so they apply to RAW
+  vectors.
+- **score** (:func:`logreg_score`) is a pure per-row fold —
+  ``sigmoid(w . x + b)`` — zero shuffle, pushdown-friendly, and with
+  ``kernel='expr'`` the dot accumulates SEQUENTIALLY left-to-right so
+  a DuckDB oracle restates it exactly (the cosine-fold recipe);
+  ``kernel='arrow'`` is the numpy matvec serving path (same results
+  after the 6-dp round; ~8x less scoring CPU at real corpus sizes,
+  per the SCALING.md cosine-kernel A/B).
+- **gate** (:func:`filter_by_classifier`) composes the score with a
+  threshold filter — the "keep documents the classifier rates
+  educational" pass.
+
+Logistic regression is the published workhorse for this job (fastText
+/ DCLM quality classifiers are linear models over embeddings); public
+background: Cox 1958, bag-of-tricks fastText (Joulin et al. 2016).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "logreg_fit",
+    "logreg_score",
+    "filter_by_classifier",
+]
+
+# residual fixed-point grid: |p - y| <= 1 snaps to 2^-20 steps, so a
+# per-row product with an int8 feature is <= 2^27 — int64 partials hold
+# ~7e10 rows per partition before overflow could even be a question
+_RES_FP = 1 << 20
+
+
+def _sigmoid(z):
+    # overflow-safe driver-side sigmoid (exp(709+) overflows a double)
+    if z >= 0:
+        return 1.0 / (1.0 + math.exp(-z))
+    e = math.exp(z)
+    return e / (1.0 + e)
+
+
+def logreg_fit(
+    df: DataFrame,
+    label_col: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> dict:
+    """Fit ``sigmoid(w . x + b)`` to 0/1 labels by deterministic
+    full-batch gradient descent; returns ``{"weights", "bias",
+    "scale", "n", "loss"}`` with weights in RAW-vector units (apply
+    via :func:`logreg_score`).
+
+    Each iteration is one zero-shuffle ``mapInPandas`` pass emitting
+    per-partition ``(n, int64 grad, int64 grad_b, fp loss)`` partials;
+    the driver merges them with exact integer adds and takes the
+    gradient step.  Rows whose vector length differs from ``dim`` or
+    whose label is NULL are dropped (same policy as ``pq_train``).
+
+    ``loss`` is the per-iteration mean log-loss trace (fixed-point,
+    deterministic) — a cheap fit diagnostic: it should fall.
+
+    At 100 TB you fit on a labeled SAMPLE (labels are the scarce
+    thing), then :func:`logreg_score` the corpus — the fit input here
+    is the labeled set, not the corpus.
+    """
+    if iters < 0:
+        raise ValueError("logreg_fit: iters must be >= 0")
+    if lr <= 0:
+        raise ValueError("logreg_fit: lr must be > 0")
+    if l2 < 0:
+        raise ValueError("logreg_fit: l2 must be >= 0")
+
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    src = (
+        df.select(
+            x.alias("__x"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__y").isNotNull() & (F.size("__x") == dim))
+    )
+    bad = src.filter(~F.col("__y").isin(0.0, 1.0)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"logreg_fit: labels must be 0/1, found {bad[0]['__y']!r}"
+        )
+    # corpus-global int8 grid (pq_train's recipe): one aggregate pass
+    max_abs = src.agg(
+        F.max(
+            F.aggregate(
+                F.col("__x"), F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v))
+            )
+        ).alias("mx")
+    ).first()["mx"]
+    if max_abs is None or max_abs == 0.0:
+        raise ValueError("logreg_fit: no usable rows (empty or all-zero)")
+    scale = float(max_abs) / 127.0
+    q = F.transform(
+        F.col("__x"),
+        lambda v: F.floor(v / F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
+    base = src.select(q.alias("__q"), "__y").persist()
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("g", T.ArrayType(T.LongType())),
+            T.StructField("gb", T.LongType()),
+            T.StructField("ls", T.LongType()),
+        ]
+    )
+
+    def pass_factory(w_grid: list[float], b: float):
+        wv = np.asarray(w_grid, dtype=np.float64)
+
+        def fn(batches):
+            n = 0
+            g = np.zeros(dim, dtype=np.int64)
+            gb = np.int64(0)
+            ls = np.int64(0)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.array(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
+                )
+                y = pdf["__y"].to_numpy(dtype=np.float64)
+                # per-row dot: deterministic per row, order-independent
+                z = Q.astype(np.float64) @ wv + b
+                p = np.where(
+                    z >= 0, 1.0 / (1.0 + np.exp(-np.abs(z))),
+                    np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z))),
+                )
+                # residual to 2^-20 fixed point -> exact int64 grad
+                r = np.floor((p - y) * _RES_FP + 0.5).astype(np.int64)
+                n += len(Q)
+                g += (Q * r[:, None]).sum(axis=0)
+                gb += r.sum()
+                # log-loss in the same fixed point (diagnostic trace);
+                # clamp avoids log(0) at saturated predictions
+                pc = np.clip(p, 1e-12, 1.0 - 1e-12)
+                ll = -(y * np.log(pc) + (1.0 - y) * np.log(1.0 - pc))
+                ls += np.floor(ll * _RES_FP + 0.5).astype(np.int64).sum()
+            if n:
+                yield pd.DataFrame(
+                    {"n": [n], "g": [g.tolist()], "gb": [int(gb)],
+                     "ls": [int(ls)]}
+                )
+
+        return fn
+
+    w_grid = [0.0] * dim
+    b = 0.0
+    n_rows = 0
+    loss_trace: list[float] = []
+    try:
+        if iters == 0:
+            n_rows = base.count()
+            if n_rows == 0:
+                raise ValueError("logreg_fit: no usable rows")
+        for _ in range(iters):
+            rows = base.mapInPandas(
+                pass_factory(w_grid, b), schema=out_schema
+            ).collect()
+            n_rows = sum(int(r["n"]) for r in rows)
+            if n_rows == 0:
+                raise ValueError("logreg_fit: no usable rows")
+            g_tot = [0] * dim
+            gb_tot = 0
+            ls_tot = 0
+            for r in rows:  # exact integer merges, any partitioning
+                for j, v in enumerate(r["g"]):
+                    g_tot[j] += int(v)
+                gb_tot += int(r["gb"])
+                ls_tot += int(r["ls"])
+            loss_trace.append(ls_tot / _RES_FP / n_rows)
+            w_grid = [
+                w - lr * ((gj / _RES_FP) / n_rows + l2 * w)
+                for w, gj in zip(w_grid, g_tot)
+            ]
+            b -= lr * ((gb_tot / _RES_FP) / n_rows)
+    finally:
+        base.unpersist()
+    return {
+        "weights": [w / scale for w in w_grid],  # raw-vector units
+        "bias": b,
+        "scale": scale,
+        "n": n_rows,
+        "loss": loss_trace,
+    }
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "quality_score",
+    kernel: str = "expr",
+) -> DataFrame:
+    """Add ``sigmoid(w . x + b)`` rounded to 6 dp — a pure per-row
+    fold, zero shuffle.  ``kernel='expr'`` accumulates the dot
+    SEQUENTIALLY (oracle-restatable: DuckDB's list fold produces the
+    identical IEEE op sequence); ``kernel='arrow'`` is the numpy
+    matvec serving path (same values after the round).  Rows whose
+    vector length differs from ``len(weights)`` score NULL."""
+    if kernel not in ("expr", "arrow"):
+        raise ValueError("logreg_score: kernel must be 'expr' or 'arrow'")
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("logreg_score: weights is empty")
+    if kernel == "expr":
+        x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        w_lit = F.array(*[F.lit(float(w)) for w in weights])
+        z = F.aggregate(
+            F.zip_with(x, w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) + F.lit(float(bias))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        score = F.when(F.size(vec_col) == dim, F.round(p, 6))
+        return df.withColumn(out_col, score)
+
+    import numpy as np
+    import pandas as pd
+
+    wv = np.asarray(weights, dtype=np.float64)
+    fields = df.schema.fields
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scores = []
+            for v in pdf[vec_col]:
+                xa = np.asarray(v, dtype=np.float64)
+                if xa.shape[0] != dim:
+                    scores.append(None)
+                    continue
+                z = float(xa @ wv) + float(bias)
+                scores.append(round(_sigmoid(z), 6))
+            pdf[out_col] = pd.Series(scores, dtype="float64")
+            yield pdf
+
+    schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    return df.mapInPandas(fn, schema=schema)
+
+
+def filter_by_classifier(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float,
+    keep: str = "above",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "expr",
+) -> DataFrame:
+    """The classifier GATE: keep rows whose score clears ``threshold``
+    (``keep='above'``: score >= threshold — the quality-keep shape;
+    ``'below'``: score < threshold — the junk-harvest shape).  Rows
+    that score NULL (wrong-length vectors) never pass either gate.
+    The score column is dropped — compose :func:`logreg_score`
+    yourself if you want it kept."""
+    if keep not in ("above", "below"):
+        raise ValueError("filter_by_classifier: keep must be 'above' or 'below'")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(
+            "filter_by_classifier: threshold must be in [0, 1] "
+            "(it gates a sigmoid)"
+        )
+    scored = logreg_score(
+        df, weights, bias, id_col=id_col, vec_col=vec_col,
+        out_col="__cls_p", kernel=kernel,
+    )
+    cond = (
+        F.col("__cls_p") >= threshold
+        if keep == "above"
+        else F.col("__cls_p") < threshold
+    )
+    return scored.filter(cond).drop("__cls_p")
