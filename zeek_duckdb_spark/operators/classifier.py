@@ -21,10 +21,12 @@ Scale shape, in the repo's house style:
 - **score** (:func:`logreg_score`) is a pure per-row fold —
   ``sigmoid(w . x + b)`` — zero shuffle, pushdown-friendly, and with
   ``kernel='expr'`` the dot accumulates SEQUENTIALLY left-to-right so
-  a DuckDB oracle restates it exactly (the cosine-fold recipe);
-  ``kernel='arrow'`` is the numpy matvec serving path (same results
-  after the 6-dp round; ~8x less scoring CPU at real corpus sizes,
-  per the SCALING.md cosine-kernel A/B).
+  a DuckDB oracle restates it exactly (the cosine-fold recipe).
+  MEASURED (SCALING.md r9): unlike the cosine top-k family, expr WINS
+  here — one dot per row stays inside whole-stage codegen (0.33 s vs
+  arrow's 0.67 s at 512k x dim 64), so ``kernel='expr'`` is the right
+  default for serving too; ``kernel='arrow'`` exists for very high
+  dims where a BLAS matvec eventually overtakes the interpreted fold.
 - **gate** (:func:`filter_by_classifier`) composes the score with a
   threshold filter — the "keep documents the classifier rates
   educational" pass.
