@@ -2392,6 +2392,19 @@ def _cls_scores_oracle() -> str:
     )
 
 
+def tx_compression(spark, sf):
+    """zlib-compressibility quality signal (textops.compression_features,
+    the Gopher/RefinedWeb heuristic): per-doc compressed/raw byte
+    ratio via one Arrow-batched map, zero shuffle.  DEFLATE is not
+    SQL-expressible, so this entry is rows-only for the driver; the
+    exact differential against Python zlib is pinned locally
+    (tests/test_textops.py)."""
+    from zeek_duckdb_spark.operators.textops import compression_features
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return compression_features(d).select("doc_id", "zlib_ratio")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2415,6 +2428,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_weighted_sample": pipe_weighted_sample,
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
         "cls_quality_scores": cls_quality_scores,
+        "tx_compression": tx_compression,
     }
 
 

@@ -688,3 +688,50 @@ def test_canonicalize_url_numeric_password_not_a_port(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_compression_features_differential_and_gate(spark):
+    """zlib_ratio must equal a direct Python zlib computation exactly
+    (same interpreter, same bundled zlib), the degenerate rows score
+    NULL, and the signal separates repetitive boilerplate from prose
+    from high-entropy noise."""
+    import zlib
+
+    from zeek_duckdb_spark.operators.textops import compression_features
+
+    import random as _random
+
+    words = ["entropy", "coding", "compresses", "natural", "prose",
+             "tokens", "repeat", "the", "a", "of", "in", "model",
+             "while", "signal", "filter", "corpus", "quality", "text"]
+    rng = _random.Random(7)
+    prose = " ".join(rng.choice(words) for _ in range(200))
+    spam = "buy now " * 60
+    alnum = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    noise = "".join(rng.choice(alnum) for _ in range(600))
+    rows = [(1, prose), (2, spam), (3, noise), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.zlib_ratio
+        for r in compression_features(df).collect()
+    }
+    for i, t in rows:
+        if not t:
+            assert got[i] is None
+        else:
+            raw = t.encode("utf-8")
+            assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    # the heuristic's whole point: spam << prose < noise
+    assert got[2] < 0.25 < got[1] < got[3]
+    # level knob changes the ratio deterministically; bad level raises
+    g9 = {
+        r.doc_id: r.zlib_ratio
+        for r in compression_features(df, level=9).collect()
+    }
+    assert g9[2] <= got[2]
+    with pytest.raises(ValueError, match="level"):
+        compression_features(df, level=0)
+    # zero-shuffle plan
+    from zeek_duckdb_spark.plans import audit
+
+    assert audit.num_shuffles(compression_features(df)) == 0

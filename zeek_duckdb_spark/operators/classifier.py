@@ -34,6 +34,11 @@ Scale shape, in the repo's house style:
 Logistic regression is the published workhorse for this job (fastText
 / DCLM quality classifiers are linear models over embeddings); public
 background: Cox 1958, bag-of-tricks fastText (Joulin et al. 2016).
+
+Siblings: ``textops.quality_classifier_score`` is the scoring-only
+hashed-bag-of-TOKENS form (weights trained offline); this module is
+the EMBEDDING-feature form and brings the distributed fit, so the
+whole train-then-gate loop runs in-engine.
 """
 
 from __future__ import annotations

@@ -22,6 +22,7 @@ __all__ = [
     "nonempty_tokens",
     "token_count",
     "quality_features",
+    "compression_features",
     "repetition_features",
     "lang_id",
     "fingerprint",
@@ -189,6 +190,59 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         F.round(sum_tok_len.cast("double") / n_tokens, 6).alias("mean_token_len"),
     )
+
+
+def compression_features(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "zlib_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the Gopher/RefinedWeb
+    quality heuristic the length/punct/stopword family can't express:
+    machine-generated boilerplate and repeated spam compress far
+    below natural prose (ratio << 0.4), while high-entropy junk
+    (base64 blobs, minified code) compresses above it (ratio ~1).
+    Adds ``out_col`` = compressed_bytes / raw_utf8_bytes (6 dp;
+    NULL text or empty text -> NULL: an empty doc has no ratio).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` map (zlib is C
+    speed, ~100 MB/s/core; no JVM expression can express DEFLATE, so
+    this is a legitimate Python-boundary crossing), zero shuffle, no
+    driver state.  Deterministic for a fixed zlib/level: the ratio
+    uses only the compressed LENGTH.  Compose with
+    ``quality_checks``/``filter`` for the gate:
+    ``df.filter((F.col('zlib_ratio') > 0.35) & (F.col('zlib_ratio') < 0.95))``.
+    """
+    if not 1 <= level <= 9:
+        raise ValueError("compression_features: level must be in [1, 9]")
+    import zlib
+
+    import pyspark.sql.types as T
+
+    fields = df.schema.fields
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = []
+            for t in pdf[text_col]:
+                if t is None:
+                    vals.append(None)
+                    continue
+                raw = str(t).encode("utf-8")
+                if not raw:
+                    vals.append(None)
+                    continue
+                vals.append(round(len(zlib.compress(raw, level)) / len(raw), 6))
+            pdf[out_col] = pd.Series(vals, dtype="float64")
+            yield pdf
+
+    schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    return df.mapInPandas(fn, schema=schema)
 
 
 def repetition_features(
