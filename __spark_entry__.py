@@ -2392,6 +2392,34 @@ def _cls_scores_oracle() -> str:
     )
 
 
+def pipe_split_corpus(spark, sf):
+    """Deterministic train/val/test labeling (pipeline.split_corpus):
+    exhaustive md5-bucket split on the doc key — a pure zero-shuffle
+    row expression, reproducible on any cluster; keyed on a GROUP key
+    (domain, dedup cluster) it is the eval-leakage guard.  Per-split
+    counts here; the oracle restates the exact CASE thresholds."""
+    from zeek_duckdb_spark.operators.pipeline import split_corpus
+
+    d = _t(spark, sf, "documents")
+    out = split_corpus(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=4)
+    return out.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+def _split_corpus_oracle() -> str:
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    b = (
+        md5_long_sql("concat_ws(':', CAST(doc_id AS VARCHAR), '4')")
+        + " % 1000000"
+    )
+    return (
+        f"SELECT CASE WHEN {b} < 800000 THEN 'train' "
+        f"WHEN {b} < 900000 THEN 'val' ELSE 'test' END AS split, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY 1"
+    )
+
+
 def tx_compression(spark, sf):
     """zlib-compressibility quality signal (textops.compression_features,
     the Gopher/RefinedWeb heuristic): per-doc compressed/raw byte
@@ -2429,6 +2457,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
         "cls_quality_scores": cls_quality_scores,
         "tx_compression": tx_compression,
+        "pipe_split_corpus": pipe_split_corpus,
     }
 
 
@@ -2497,4 +2526,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "pipe_weighted_sample": _weighted_sample_oracle(),
         "pipe_weighted_sample_grouped": _weighted_sample_grouped_oracle(),
         "cls_quality_scores": _cls_scores_oracle(),
+        "pipe_split_corpus": _split_corpus_oracle(),
     }

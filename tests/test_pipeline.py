@@ -1114,3 +1114,74 @@ def test_weighted_sample_k_guards_and_plan(spark):
     )
     # global top-k, never a corpus sort: per-partition heaps + k-row merge
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------
+# split_corpus (deterministic train/val/test labeling)
+# ---------------------------------------------------------------------
+
+
+def test_split_corpus_matches_duckdb_and_is_exhaustive(spark):
+    import duckdb
+
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+    from zeek_duckdb_spark.operators.pipeline import split_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_corpus(df, "doc_id", fr, seed=4)
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 2000  # exhaustive labeling, no drops
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS doc_id FROM range(2000)")
+    b = md5_long_sql("concat_ws(':', CAST(doc_id AS VARCHAR), '4')") + " % 1000000"
+    want = {
+        i: s
+        for i, s in con.sql(
+            f"SELECT doc_id, CASE WHEN {b} < 800000 THEN 'train' "
+            f"WHEN {b} < 900000 THEN 'val' ELSE 'test' END FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # fractions honored within sampling noise at n=2000
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    # deterministic across partitionings
+    again = {
+        r.doc_id: r.split
+        for r in split_corpus(df.repartition(13), "doc_id", fr, 4).collect()
+    }
+    assert again == got
+
+
+def test_split_corpus_group_keyed_no_leakage_and_guards(spark):
+    import pytest as _pytest
+
+    from zeek_duckdb_spark.operators.pipeline import split_corpus
+
+    # rows keyed by DOMAIN: every row of a domain must share a split
+    rows = [(i, f"domain{i % 37}.example") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = split_corpus(df, "domain", {"train": 0.7, "test": 0.3})
+    per_domain = (
+        out.groupBy("domain")
+        .agg(F.count_distinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_domain)
+    with _pytest.raises(ValueError, match="fractions is empty"):
+        split_corpus(df, "domain", {})
+    with _pytest.raises(ValueError, match="must be in"):
+        split_corpus(df, "domain", {"a": 0.0, "b": 1.0})
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, "domain", {"a": 0.5, "b": 0.3})
+    # zero-shuffle labeling
+    from zeek_duckdb_spark.plans import audit
+
+    assert audit.num_shuffles(
+        split_corpus(df, "domain", {"train": 0.7, "test": 0.3})
+    ) == 0

@@ -39,6 +39,7 @@ __all__ = [
     "incremental_clean_ingest_stream",
     "salted_group_count",
     "deterministic_sample",
+    "split_corpus",
     "stratified_sample",
     "balance_clusters",
     "shard_corpus",
@@ -659,6 +660,64 @@ def _sample_bucket(key: Column, seed: int) -> Column:
     from zeek_duckdb_spark.operators.hashutil import md5_long
 
     return md5_long(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))) % F.lit(1_000_000)
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: every row gets a
+    ``split`` label from its key's md5 bucket, so the assignment is
+    exhaustive (fractions must sum to 1), reproducible across runs,
+    partitionings and cluster sizes, and a pure pushdown-friendly row
+    expression (zero shuffle — this is a LABELING, not a shuffle-split
+    like randomSplit, whose assignment changes with partitioning).
+
+    LEAKAGE CONTROL is the point of ``key_col``: split on ``doc_id``
+    for a plain row split, or on a GROUP key (registered domain, user
+    id, cluster representative) so every row of a group lands in the
+    SAME split — the eval-contamination guard (near-duplicates of a
+    training doc must not reach the test set; split on the dedup
+    cluster key after :func:`graph.resolve_clusters`).
+
+    Fraction boundaries are cumulative integer thresholds on the
+    1e6-bucket grid, so the oracle restates the exact CASE; each
+    fraction is honored to ±1e-6 of the key distribution.
+    """
+    if not fractions:
+        raise ValueError("split_corpus: fractions is empty")
+    for name, f in fractions.items():
+        if not 0 < f <= 1:
+            raise ValueError(
+                f"split_corpus: fraction for {name!r} must be in (0, 1]"
+            )
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split_corpus: fractions sum to {total!r}, must sum to 1 "
+            "(the split is exhaustive — add an explicit 'rest' bucket "
+            "instead of leaving rows unlabeled)"
+        )
+    bucket = _sample_bucket(F.col(key_col), seed)
+    expr: Column | None = None
+    hi = 0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        # last split takes everything remaining: cumulative float
+        # rounding must never leave bucket 999999 unlabeled
+        hi = 1_000_000 if i == len(names) - 1 else hi + int(
+            round(fractions[name] * 1_000_000)
+        )
+        cond = bucket < hi
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(out_col, expr)
 
 
 def deterministic_sample(
