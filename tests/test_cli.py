@@ -305,3 +305,78 @@ def test_distinct_slice_catalog_land_and_merge(spark, tmp_path, capsys):
         main(["distinct", str(tmp_path / "nope*"), "--merge"], spark=spark)
     with pytest.raises(SystemExit, match="column is required"):
         main(["distinct", day1], spark=spark)
+
+
+def test_score_fit_gate_loop(spark, tmp_path, capsys):
+    """The classifier loop from a shell: fit on a labeled sample
+    (landing the model JSON), score the corpus, gate at a threshold —
+    rerunning from the landed model (no --fit) gives identical rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    DIM = 8
+    w_true = rng.normal(0, 1, DIM)
+    X = rng.normal(0, 1, (200, DIM))
+    y = (X @ w_true > 0).astype(int)
+    X = X + 0.9 * np.sign(X @ w_true)[:, None] * w_true / np.linalg.norm(w_true)
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(y[i])) for i in range(200)],
+        "vec_id long, embedding array<double>, label int",
+    ).write.parquet(labeled)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1000 + i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(corpus)
+    model = str(tmp_path / "model.json")
+    out1 = str(tmp_path / "kept")
+    rc = main(["score", corpus, out1, "--fit", labeled, "--dim", "8",
+               "--model", model, "--iters", "25", "--lr", "2.0",
+               "--threshold", "0.5"], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["fitted"] and rep["gated"] and 0 < rep["rows_out"] < 200
+    # kept rows should be overwhelmingly the true-positive class
+    kept = {r.vec_id - 1000 for r in spark.read.parquet(out1).collect()}
+    acc = sum(1 for i in kept if y[i] == 1) / len(kept)
+    assert acc >= 0.9
+    # serve from the landed model, no refit: same gate survivors
+    out2 = str(tmp_path / "kept2")
+    rc = main(["score", corpus, out2, "--model", model,
+               "--threshold", "0.5"], spark=spark)
+    assert rc == 0
+    again = {r.vec_id - 1000 for r in spark.read.parquet(out2).collect()}
+    assert again == kept
+    # ungated scoring lands every row with its score column
+    out3 = str(tmp_path / "scored")
+    rc = main(["score", corpus, out3, "--model", model], spark=spark)
+    assert rc == 0
+    scored = spark.read.parquet(out3)
+    assert scored.count() == 200 and "quality_score" in scored.columns
+    with pytest.raises(SystemExit, match="--dim"):
+        main(["score", corpus, out3, "--fit", labeled], spark=spark)
+    with pytest.raises(SystemExit, match="--fit or --model"):
+        main(["score", corpus, out3], spark=spark)
+
+
+def test_split_subcommand(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"domain{i % 23}.example") for i in range(400)],
+        "doc_id long, domain string",
+    ).write.parquet(src)
+    out = str(tmp_path / "splits")
+    rc = main(["split", src, out, "--key", "domain",
+               "--frac", "train=0.7", "--frac", "test=0.3"], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["counts"]) == {"train", "test"}
+    assert sum(rep["counts"].values()) == 400
+    back = spark.read.parquet(out)
+    # group key integrity: no domain straddles splits
+    from pyspark.sql import functions as F
+
+    per = back.groupBy("domain").agg(
+        F.count_distinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per)

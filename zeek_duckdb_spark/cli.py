@@ -191,6 +191,46 @@ def _build_parser() -> argparse.ArgumentParser:
                          "merge the kilobyte sketches and print the "
                          "union's distinct counts without re-scanning "
                          "any source data")
+
+    sc = sub.add_parser(
+        "score",
+        help="learned quality classifier: fit on labeled embeddings, "
+             "score/gate a corpus (classifier.logreg_*)",
+    )
+    sc.add_argument("path", help="corpus parquet (needs the vector column)")
+    sc.add_argument("out", help="output parquet dir for scored/gated rows")
+    sc.add_argument("--fit", default=None, metavar="DIR",
+                    help="labeled parquet (vector column + --label-col) "
+                         "to fit on; omit to score with --model weights")
+    sc.add_argument("--model", default=None, metavar="JSON",
+                    help="model JSON file ({'weights': [...], 'bias': b}) "
+                         "— written here after --fit, read when no --fit")
+    sc.add_argument("--label-col", default="label")
+    sc.add_argument("--vec-col", default="embedding")
+    sc.add_argument("--id-col", default="vec_id")
+    sc.add_argument("--dim", type=int, default=None,
+                    help="vector dimension (required with --fit)")
+    sc.add_argument("--iters", type=int, default=20)
+    sc.add_argument("--lr", type=float, default=1.0)
+    sc.add_argument("--threshold", type=float, default=None,
+                    help="gate: keep only rows scoring >= THRESHOLD "
+                         "(omit to land all rows with their score)")
+
+    sp = sub.add_parser(
+        "split",
+        help="deterministic leakage-safe train/val/test labeling "
+             "(pipeline.split_corpus), landed partitioned by split",
+    )
+    sp.add_argument("path", help="parquet directory")
+    sp.add_argument("out", help="output root (partitioned by split=)")
+    sp.add_argument("--key", required=True,
+                    help="split key column — use a GROUP key (domain, "
+                         "cluster id) to pin whole groups to one split")
+    sp.add_argument("--frac", action="append", required=True,
+                    metavar="NAME=F", help="split fraction, repeatable; "
+                         "must sum to 1 (e.g. --frac train=0.8 "
+                         "--frac val=0.1 --frac test=0.1)")
+    sp.add_argument("--seed", type=int, default=0)
     return p
 
 
@@ -397,6 +437,74 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                       "groups": list(groups)}))
                 else:
                     _tsv(hll_estimate(sk), None)  # |groups| rows
+        elif args.cmd == "score":
+            from zeek_duckdb_spark.operators.classifier import (
+                filter_by_classifier,
+                logreg_fit,
+                logreg_score,
+            )
+
+            if args.fit:
+                if args.dim is None:
+                    raise SystemExit("score: --dim is required with --fit")
+                labeled = spark.read.parquet(args.fit)
+                model = logreg_fit(
+                    labeled, args.label_col, args.dim,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                    iters=args.iters, lr=args.lr,
+                )
+                if args.model:
+                    with open(args.model, "w") as f:
+                        json.dump({"weights": model["weights"],
+                                   "bias": model["bias"]}, f)
+            else:
+                if not args.model:
+                    raise SystemExit("score: provide --fit or --model")
+                with open(args.model) as f:
+                    model = json.load(f)
+            corpus = spark.read.parquet(args.path)
+            if args.threshold is not None:
+                out_df = filter_by_classifier(
+                    corpus, model["weights"], model["bias"],
+                    args.threshold, id_col=args.id_col,
+                    vec_col=args.vec_col,
+                )
+            else:
+                out_df = logreg_score(
+                    corpus, model["weights"], model["bias"],
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            out_df.write.mode("overwrite").parquet(args.out)
+            n = _parquet_row_count(args.out)
+            print(json.dumps({
+                "rows_out": n, "out": args.out,
+                "fitted": bool(args.fit),
+                "loss": model.get("loss", [None])[-1] if args.fit else None,
+                "gated": args.threshold is not None,
+            }))
+        elif args.cmd == "split":
+            from zeek_duckdb_spark.operators.pipeline import split_corpus
+
+            fractions: dict[str, float] = {}
+            for spec in args.frac:
+                name, f = _split_spec(spec, "--frac", "NAME=F")
+                fractions[name] = float(f)
+            src = spark.read.parquet(args.path)
+            (
+                split_corpus(src, args.key, fractions, seed=args.seed)
+                .repartition("split")
+                .write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(args.out)
+            )
+            from pyspark.sql import functions as F
+
+            counts = {
+                r["split"]: r["n"]
+                for r in spark.read.parquet(args.out)
+                .groupBy("split").agg(F.count("*").alias("n")).collect()
+            }
+            print(json.dumps({"out": args.out, "counts": counts}))
         return 0
     finally:
         if owns:
