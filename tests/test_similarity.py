@@ -1,0 +1,82 @@
+"""kcenter_select (greedy furthest-point diversity selection)."""
+
+import pytest
+
+
+# ---------------------------------------------------------------------
+# kcenter_select (greedy furthest-point diversity selection)
+# ---------------------------------------------------------------------
+
+
+def test_kcenter_hits_every_cluster_before_duplicates(spark):
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(6)
+    DIM = 16
+    centres = rng.normal(0, 12, (5, DIM))
+    pts = np.concatenate([c + rng.normal(0, 0.3, (40, DIM)) for c in centres])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    sel = kcenter_select(df, 5)
+    assert len(sel) == 5 and sel[0][0] == 0  # deterministic anchor
+    clusters = {int(i) // 40 for i, _ in sel}
+    assert clusters == {0, 1, 2, 3, 4}  # one exemplar per mode
+    # radius trace: monotone non-increasing after the anchor, and the
+    # drop after all 5 modes are covered is sharp (inter-cluster ->
+    # intra-cluster distances)
+    radii = [r for _, r in sel[1:]]
+    assert radii == sorted(radii, reverse=True)
+    more = kcenter_select(df, 7)
+    assert more[5][1] < 0.2 * radii[-1]
+
+
+def test_kcenter_deterministic_and_matches_numpy(spark):
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(2)
+    DIM = 8
+    pts = rng.normal(0, 1, (120, DIM))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    a = kcenter_select(df, 6)
+    b = kcenter_select(df.repartition(13), 6)
+    assert a == b  # exact-int distances -> identical under partitioning
+
+    # numpy reference of the SAME quantized greedy (int64 distances,
+    # max-dist argmax, low-id ties)
+    scale = np.abs(pts).max() / 127.0
+    Q = np.floor(pts / scale + 0.5).astype(np.int64)
+    sel = [0]
+    want = [(0, float("inf"))]
+    for _ in range(5):
+        d2 = np.min(
+            [((Q - Q[s]) ** 2).sum(axis=1) for s in sel], axis=0
+        )
+        i = int(np.argmax(d2))  # argmax returns the first (lowest) index
+        want.append((i, float(np.sqrt(d2[i])) * scale))
+        sel.append(i)
+    assert [(i, r) for i, r in a] == want
+
+
+def test_kcenter_duplicates_and_guards(spark):
+    from zeek_duckdb_spark.operators.similarity import kcenter_select
+
+    # only 2 distinct points: selection stops early instead of padding
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 1.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    sel = kcenter_select(df, 3)
+    assert [i for i, _ in sel] == [1, 3]
+    with pytest.raises(ValueError, match="k must"):
+        kcenter_select(df, 0)
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_select(df.filter("vec_id < 0"), 2)

@@ -55,6 +55,7 @@ __all__ = [
     "quantized_topk",
     "semantic_pairs",
     "semantic_dedup",
+    "kcenter_select",
 ]
 
 
@@ -923,3 +924,103 @@ def semantic_dedup(
     return df.join(
         drops.select(F.col("v").alias(id_col)), id_col, "left_anti"
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Greedy k-center (furthest-point) selection — ``k`` maximally
+    DIVERSE exemplars from an embedding corpus, the coreset/eval-set
+    builder (Gonzalez 1985: the greedy choice is a 2-approximation of
+    the optimal k-center cover).  Where :func:`semantic_dedup` removes
+    redundancy and ``pipeline``'s cluster-balanced sampling rebalances
+    topics, this picks the SPREAD: each round selects the point
+    farthest from everything selected so far.
+
+    Returns ``[(id, radius), ...]`` in selection order — model-sized
+    driver state like a centroid list.  ``radius`` is the point's
+    distance (in raw vector units) to the nearest earlier selection:
+    the corpus' covering radius when that point was added, a measured
+    diversity trace (monotone non-increasing; a sharp drop at i means
+    ~i natural modes).  The first selection is the minimum id (a
+    deterministic anchor; radius NULL-analog 0.0 is reported as
+    float('inf') for "nothing selected yet" clarity... no: it reports
+    the corpus diameter proxy — see below).
+
+    Scale shape: k zero-shuffle rounds.  Vectors snap once to a
+    corpus-global int8 grid (one aggregate pass — pq_train's recipe),
+    so every pairwise squared distance is an EXACT int64 and the
+    argmax row is identical under any partitioning (ties break to the
+    lower id).  Each round is one map (min over the <= k selected
+    centers, which ride as an int-array literal) + one ``max_by``
+    aggregate; nothing but (id, qvec, dist) scalars ever reach the
+    driver.  k is model-sized (<= a few hundred) — the per-row cost of
+    round i is O(i * dim), so total work is O(n * k^2 * dim / k) ==
+    O(n k dim) folds, all inside whole-stage codegen.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    src = df.select(F.col(id_col).alias("__id"), x.alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    dim_row = src.select(F.size("__x").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kcenter_select: corpus is empty")
+    max_abs = src.agg(
+        F.max(
+            F.aggregate(
+                F.col("__x"), F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v))
+            )
+        ).alias("mx")
+    ).first()["mx"]
+    if max_abs is None:
+        raise ValueError("kcenter_select: corpus is empty")
+    scale = float(max_abs) / 127.0 if max_abs > 0 else 1.0
+    q = F.transform(
+        F.col("__x"),
+        lambda v: F.floor(v / F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
+    base = src.select("__id", q.alias("__q")).persist()
+    try:
+        first = base.orderBy(F.asc("__id")).limit(1).collect()[0]
+        selected = [(first["__id"], float("inf"))]
+        centers = [[int(v) for v in first["__q"]]]
+        while len(selected) < k:
+            cents_lit = (
+                "array("
+                + ", ".join(
+                    "array(" + ", ".join(f"{v}L" for v in c) + ")"
+                    for c in centers
+                )
+                + ")"
+            )
+            # exact int64 min-over-centers squared distance per row
+            d2 = F.expr(
+                f"aggregate({cents_lit}, CAST(NULL AS BIGINT), (best, c) -> "
+                "least(coalesce(best, 9223372036854775807), "
+                "aggregate(zip_with(__q, c, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, v) -> acc + v)))"
+            )
+            row = (
+                base.select("__id", "__q", d2.alias("__d2"))
+                .agg(
+                    F.expr(
+                        "max_by(struct(__id, __q, __d2), "
+                        "struct(__d2, -__id))"
+                    ).alias("w")
+                )
+                .select("w.__id", "w.__q", "w.__d2")
+                .first()
+            )
+            d2_int = int(row["__d2"])
+            if d2_int == 0:
+                break  # every remaining point duplicates a center
+            selected.append((row["__id"], (d2_int ** 0.5) * scale))
+            centers.append([int(v) for v in row["__q"]])
+    finally:
+        base.unpersist()
+    return selected
