@@ -479,7 +479,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps({
                 "rows_out": n, "out": args.out,
                 "fitted": bool(args.fit),
-                "loss": model.get("loss", [None])[-1] if args.fit else None,
+                "loss": (model.get("loss") or [None])[-1] if args.fit else None,
                 "gated": args.threshold is not None,
             }))
         elif args.cmd == "split":

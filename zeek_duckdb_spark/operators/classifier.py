@@ -276,7 +276,7 @@ def logreg_score(
                     continue
                 z = float(xa @ wv) + float(bias)
                 scores.append(round(_sigmoid(z), 6))
-            pdf[out_col] = pd.Series(scores, dtype="float64")
+            pdf[out_col] = pd.Series(scores, index=pdf.index, dtype="float64")
             yield pdf
 
     schema = T.StructType(

@@ -945,10 +945,9 @@ def kcenter_select(
     distance (in raw vector units) to the nearest earlier selection:
     the corpus' covering radius when that point was added, a measured
     diversity trace (monotone non-increasing; a sharp drop at i means
-    ~i natural modes).  The first selection is the minimum id (a
-    deterministic anchor; radius NULL-analog 0.0 is reported as
-    float('inf') for "nothing selected yet" clarity... no: it reports
-    the corpus diameter proxy — see below).
+    ~i natural modes).  The first selection is the minimum id — a
+    deterministic anchor with no earlier selection to measure against,
+    so its radius is ``float('inf')``.
 
     Scale shape: k zero-shuffle rounds.  Vectors snap once to a
     corpus-global int8 grid (one aggregate pass — pq_train's recipe),

@@ -236,7 +236,7 @@ def compression_features(
                     vals.append(None)
                     continue
                 vals.append(round(len(zlib.compress(raw, level)) / len(raw), 6))
-            pdf[out_col] = pd.Series(vals, dtype="float64")
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
             yield pdf
 
     schema = T.StructType(
