@@ -1185,3 +1185,34 @@ def test_split_corpus_group_keyed_no_leakage_and_guards(spark):
     assert audit.num_shuffles(
         split_corpus(df, "domain", {"train": 0.7, "test": 0.3})
     ) == 0
+
+
+def test_clean_corpus_compression_band(spark):
+    """compression_band gates boilerplate (ratio << lo) and
+    high-entropy junk (> hi) while prose passes; stage order keeps it
+    after the surface filter."""
+    import random as _random
+
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    rng = _random.Random(3)
+    words = ["model", "signal", "filter", "corpus", "quality", "text",
+             "the", "of", "tokens", "entropy", "natural", "prose"]
+    prose = " ".join(rng.choice(words) for _ in range(120))
+    spam = "win free coins now " * 40
+    alnum = "abcdefghijklmnopqrstuvwxyz0123456789"
+    junk = " ".join(
+        "".join(rng.choice(alnum) for _ in range(12)) for _ in range(60)
+    )
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam), (3, junk)], "doc_id long, text string"
+    )
+    out = clean_corpus(df, min_tokens=3, max_punct_ratio=0.5,
+                       compression_band=(0.15, 0.6))
+    assert {r.doc_id for r in out.collect()} == {1}
+    # the gate column does not leak into the output schema
+    assert "zlib_ratio" not in out.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression_band"):
+        clean_corpus(df, compression_band=(0.9, 0.2))

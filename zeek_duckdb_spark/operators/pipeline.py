@@ -75,6 +75,7 @@ def clean_corpus(
     max_perplexity: float | None = None,
     min_perplexity: float | None = None,
     normalize_form: str | None = None,
+    compression_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -137,6 +138,12 @@ def clean_corpus(
       whose twin the gate rejects.  Docs too short to score (< n
       tokens) are dropped by the gate (un-scorable ≈ unusable for
       training; lower ``min_tokens`` interacts — see tests).
+    - ``compression_band=(lo, hi)`` keeps documents whose zlib ratio
+      (textops.compression_features — the Gopher/RefinedWeb signal)
+      falls inside the band: below ``lo`` is repetitive boilerplate,
+      above ``hi`` is high-entropy junk.  Runs AFTER the cheap
+      surface filter (it crosses the Python boundary, so it should
+      see the thinned corpus) and before the LM gate.
     """
     keep_cols = [id_col, text_col]
     if near_keep_score is not None and near_keep_score in df.columns:
@@ -186,6 +193,18 @@ def clean_corpus(
         (F.col("q_tokens") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
+    if compression_band is not None:
+        lo, hi = compression_band
+        if not 0.0 <= lo < hi:
+            raise ValueError(
+                "clean_corpus: compression_band must be (lo, hi) with "
+                "0 <= lo < hi"
+            )
+        from zeek_duckdb_spark.operators.textops import compression_features
+
+        kept = compression_features(kept, text_col).filter(
+            F.col("zlib_ratio").between(lo, hi)
+        ).drop("zlib_ratio")
     if (max_perplexity is not None or min_perplexity is not None) and lm is None:
         raise ValueError("clean_corpus: perplexity bounds need lm=")
     if lm is not None:
