@@ -173,3 +173,30 @@ def test_validation(spark):
     # iters=0 returns the zero model but still validates rows exist
     m = logreg_fit(df, "label", DIM, iters=0)
     assert m["weights"] == [0.0] * DIM and m["bias"] == 0.0
+
+
+def test_null_and_nan_vectors_review_regressions(spark):
+    """Review-fix regressions: a NULL vector must score NULL on BOTH
+    kernels (arrow used to crash the task), and a NaN element in a fit
+    row is dropped instead of poisoning the corpus-global scale."""
+    from zeek_duckdb_spark.operators.classifier import logreg_fit, logreg_score
+
+    w = [0.5] * 4
+    odd = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    for kernel in ("expr", "arrow"):
+        s = {r.vec_id: r.quality_score
+             for r in logreg_score(odd, w, 0.0, kernel=kernel).collect()}
+        assert s[2] is None and s[1] is not None, kernel
+    labeled = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 1),
+         (2, [-1.0, 0.0, 0.0, 0.0], 0),
+         (3, [float("nan"), 1.0, 1.0, 1.0], 1),   # dropped, not poison
+         (4, [1.0, None, 0.0, 0.0], 0)],          # dropped, not crash
+        "vec_id long, embedding array<double>, label int",
+    )
+    m = logreg_fit(labeled, "label", 4, iters=3, lr=1.0)
+    assert m["n"] == 2  # only the two clean rows fit
+    assert all(math.isfinite(v) for v in m["weights"])

@@ -462,3 +462,32 @@ def test_ivfpq_append_equals_rebuild_and_probe_prunes(spark, emb, tmp_path):
     pruned = ivfpq_topk(spark.read.parquet(path), q, cells, cbs, k_top=5, nprobe=1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_ivfpq_l2_refine_null_vectors_sink(spark):
+    """Review-fix regression: a NULL/wrong-length vector in refine_with
+    yields a NULL exact_dist, which must sink to the bottom (ASC is
+    NULLS FIRST by default — it used to rank as the nearest)."""
+    from zeek_duckdb_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(12)
+    pts = rng.normal(0, 1, (60, DIM))
+    d = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    cells, cbs, codes = ivfpq_build(d, dim=DIM, n_cells=2, m=M, k=16, iters=1)
+    # poison two rows' vectors in the refine table
+    from pyspark.sql import functions as F
+
+    bad = d.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None).cast("array<double>"))
+        .when(F.col("vec_id") == 1, F.expr("slice(embedding, 1, 3)"))
+        .otherwise(F.col("embedding")),
+    )
+    got = ivfpq_topk(codes, pts[5].tolist(), cells, cbs, 10, nprobe=2,
+                     refine_with=bad).collect()
+    ids = [r.vec_id for r in got]
+    assert 0 not in ids and 1 not in ids
+    assert all(r.exact_dist is not None for r in got)

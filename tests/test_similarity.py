@@ -80,3 +80,26 @@ def test_kcenter_duplicates_and_guards(spark):
         kcenter_select(df, 0)
     with pytest.raises(ValueError, match="empty"):
         kcenter_select(df.filter("vec_id < 0"), 2)
+
+
+def test_kcenter_malformed_rows_dropped_and_string_ids(spark):
+    """Review-fix regressions: a wrong-length/NaN vector must be
+    DROPPED (the null-padded distance fold would otherwise make it win
+    every round with a garbage radius), and string ids must work (the
+    old tie-break negated the id, which CAST-errors under ANSI)."""
+    from zeek_duckdb_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [5.0]),
+         (4, [float("nan"), 1.0]), (5, [1.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    sel = kcenter_select(df, 2)
+    assert [i for i, _ in sel] == [1, 2]  # malformed 3/4/5 never win
+    assert sel[1][1] == pytest.approx((200.0) ** 0.5, rel=0.02)
+    s = spark.createDataFrame(
+        [("b2", [0.0, 0.0]), ("a1", [0.0, 0.0]), ("c3", [9.0, 9.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = kcenter_select(s, 2)
+    assert [i for i, _ in got] == ["a1", "c3"]  # min-id anchor, ties low

@@ -341,19 +341,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # completed landing intact.  <id> is the input dir's
             # basename — the natural daily key (.../crawl/2026-08-14
             # -> batch=2026-08-14) — SUFFIXED with a short hash of the
-            # full normalized path, so two distinct inputs sharing a
-            # basename (crawl-a/2026-08-14 vs crawl-b/2026-08-14) land
-            # in distinct batch=<id> dirs instead of the later one's
-            # overwrite-before-append silently replacing the earlier
-            # landing; the same path always re-derives the same id, so
-            # crash-repair reruns still hit their own dir.  Readers of
-            # the root get it back as a `batch` partition column.
-            norm = os.path.normpath(os.path.abspath(args.path))
-            path_tag = hashlib.md5(norm.encode()).hexdigest()[:8]
+            # path AS GIVEN (trailing slashes stripped), so two
+            # distinct inputs sharing a basename (crawl-a/2026-08-14
+            # vs crawl-b/2026-08-14) land in distinct batch=<id> dirs
+            # instead of the later one's overwrite-before-append
+            # silently replacing the earlier landing.  Deliberately
+            # NOT normalized through os.path: abspath would make the
+            # id cwd-dependent for relative paths (breaking the
+            # crash-repair rerun invariant when the operator reruns
+            # from cron instead of a shell) and normpath collapses the
+            # // in URI schemes (s3://bucket -> s3:/bucket).  The
+            # contract is: the same path STRING re-derives the same
+            # id.  Readers of the root get it back as a `batch`
+            # partition column.
+            given = args.path.rstrip("/") or "/"
+            path_tag = hashlib.md5(given.encode()).hexdigest()[:8]
+            base_name = given.rsplit("/", 1)[-1] or "root"
             batch_id = (
-                re.sub(
-                    r"[^A-Za-z0-9._-]", "_", os.path.basename(norm)
-                )
+                re.sub(r"[^A-Za-z0-9._-]", "_", base_name)
                 + "-"
                 + path_tag
             )

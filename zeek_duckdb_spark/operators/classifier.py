@@ -110,7 +110,21 @@ def logreg_fit(
             x.alias("__x"),
             F.col(label_col).cast("double").alias("__y"),
         )
-        .filter(F.col("__y").isNotNull() & (F.size("__x") == dim))
+        # drop NULL labels, wrong-length vectors, AND vectors with
+        # NULL/NaN/inf elements: one NaN element would poison the
+        # corpus-global max_abs (scale = NaN -> every __q NULL) and a
+        # NULL element crashes the int64 batch cast in the executor —
+        # element-level garbage is dropped like the row-level kind
+        .filter(
+            F.col("__y").isNotNull()
+            & (F.size("__x") == dim)
+            & ~F.exists(
+                "__x",
+                lambda v: v.isNull()
+                | F.isnan(v)
+                | (F.abs(v) == float("inf")),
+            )
+        )
     )
     bad = src.filter(~F.col("__y").isin(0.0, 1.0)).limit(1).collect()
     if bad:
@@ -270,8 +284,11 @@ def logreg_score(
                 continue
             scores = []
             for v in pdf[vec_col]:
+                if v is None:  # expr kernel scores NULL; parity
+                    scores.append(None)
+                    continue
                 xa = np.asarray(v, dtype=np.float64)
-                if xa.shape[0] != dim:
+                if xa.ndim != 1 or xa.shape[0] != dim:
                     scores.append(None)
                     continue
                 z = float(xa @ wv) + float(bias)

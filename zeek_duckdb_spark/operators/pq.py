@@ -770,7 +770,9 @@ def ivfpq_topk(
             ),
             6,
         ).alias("exact_dist")
-        eorder = [F.asc("exact_dist"), F.asc(id_col)]
+        # asc_nulls_last: a NULL/wrong-length refine vector must sink,
+        # not rank first (ASC is NULLS FIRST by default)
+        eorder = [F.asc_nulls_last("exact_dist"), F.asc(id_col)]
     else:
         dot = F.aggregate(
             F.zip_with(x, q_lit, lambda a, b: a * b),

@@ -966,9 +966,32 @@ def kcenter_select(
     src = df.select(F.col(id_col).alias("__id"), x.alias("__x")).filter(
         F.col("__x").isNotNull()
     )
-    dim_row = src.select(F.size("__x").alias("d")).first()
+    # the corpus dimension is the MODE of row sizes (one counter-sized
+    # agg, deterministic tie-break) — anchoring it on any single row
+    # would let one malformed row redefine "malformed" for the corpus
+    dim_row = (
+        src.groupBy(F.size("__x").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .first()
+    )
     if dim_row is None:
         raise ValueError("kcenter_select: corpus is empty")
+    # malformed rows are DROPPED, not selected: a wrong-length vector
+    # null-pads the zip_with distance fold (min-distance collapses to
+    # the int64-MAX sentinel -> the row would always win a round), and
+    # a NaN/inf element poisons the global scale — same policy as
+    # pq_train's size filter, extended to element finiteness
+    dim = int(dim_row["d"])
+    src = src.filter(
+        (F.size("__x") == dim)
+        & ~F.exists(
+            "__x",
+            lambda v: v.isNull()
+            | F.isnan(v)
+            | (F.abs(v) == float("inf")),
+        )
+    )
     max_abs = src.agg(
         F.max(
             F.aggregate(
@@ -1006,10 +1029,14 @@ def kcenter_select(
             )
             row = (
                 base.select("__id", "__q", d2.alias("__d2"))
+                # min_by over (-d2, id): largest distance first, ties to
+                # the LOWEST id — id compares natively (string ids work;
+                # a negated id would CAST-error under ANSI), and -d2 is
+                # safe (d2 <= (254^2)*dim, far from int64 edges)
                 .agg(
                     F.expr(
-                        "max_by(struct(__id, __q, __d2), "
-                        "struct(__d2, -__id))"
+                        "min_by(struct(__id, __q, __d2), "
+                        "struct(-__d2, __id))"
                     ).alias("w")
                 )
                 .select("w.__id", "w.__q", "w.__d2")

@@ -412,7 +412,13 @@ def _norm_group_cols(group_cols, fn: str) -> tuple[str, ...]:
     mirroring how key_col params read elsewhere."""
     if isinstance(group_cols, str):
         return (group_cols,)
-    return tuple(group_cols)
+    try:
+        return tuple(group_cols)
+    except TypeError:
+        raise TypeError(
+            f"{fn}: group_cols must be a column name or an iterable of "
+            f"column names, got {type(group_cols).__name__}"
+        ) from None
 
 
 # ----------------------------------------------------------------------
