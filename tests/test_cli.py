@@ -380,3 +380,33 @@ def test_split_subcommand(spark, tmp_path, capsys):
     per = back.groupBy("domain").agg(
         F.count_distinct("split").alias("n")).collect()
     assert all(r.n == 1 for r in per)
+
+
+def test_batch_id_contract():
+    """The landing-id contract (no Spark needed): same path string ->
+    same id; same-basename roots differ; trailing slashes ignored; URI
+    schemes survive un-mangled; cwd never enters the hash."""
+    from zeek_duckdb_spark.cli import _batch_id
+
+    a = _batch_id("/data/crawl-a/2026-08-14")
+    b = _batch_id("/data/crawl-b/2026-08-14")
+    assert a != b
+    assert a.startswith("2026-08-14-") and b.startswith("2026-08-14-")
+    assert _batch_id("/data/crawl-a/2026-08-14/") == a
+    assert _batch_id("/data/crawl-a/2026-08-14") == a  # pure function
+    # URI schemes: the double slash must not collapse into the id hash
+    s3 = _batch_id("s3://bucket/crawl/2026-08-14")
+    assert s3.startswith("2026-08-14-") and s3 != a
+    assert _batch_id("s3://bucket/crawl/2026-08-14/") == s3
+    # a relative path hashes the STRING, independent of cwd
+    import os
+
+    cwd = os.getcwd()
+    try:
+        r1 = _batch_id("crawl/2026-08-14")
+        os.chdir("/tmp")
+        r2 = _batch_id("crawl/2026-08-14")
+    finally:
+        os.chdir(cwd)
+    assert r1 == r2
+    assert _batch_id("/") == "root-" + _batch_id("/").rsplit("-", 1)[-1]

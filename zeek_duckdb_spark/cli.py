@@ -37,6 +37,20 @@ def _split_spec(spec: str, flag: str, form: str) -> tuple[str, str]:
     return a, b
 
 
+def _batch_id(path: str) -> str:
+    """Landing id for clean-incremental: the input's basename (the
+    natural daily key) + an 8-hex md5 of the path AS GIVEN (trailing
+    slashes stripped).  Same path string -> same id (the crash-repair
+    rerun invariant); distinct roots sharing a basename -> distinct
+    ids.  Deliberately no os.path normalization: abspath would make
+    the id cwd-dependent and normpath mangles URI schemes
+    (s3://bucket -> s3:/bucket)."""
+    given = path.rstrip("/") or "/"
+    tag = hashlib.md5(given.encode()).hexdigest()[:8]
+    base_name = given.rsplit("/", 1)[-1] or "root"
+    return re.sub(r"[^A-Za-z0-9._-]", "_", base_name) + "-" + tag
+
+
 def _parquet_row_count(path: str) -> int:
     """Row count from parquet footer metadata — a driver-side file
     walk, zero data IO (the row count lives in every footer)."""
@@ -341,27 +355,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # completed landing intact.  <id> is the input dir's
             # basename — the natural daily key (.../crawl/2026-08-14
             # -> batch=2026-08-14) — SUFFIXED with a short hash of the
-            # path AS GIVEN (trailing slashes stripped), so two
-            # distinct inputs sharing a basename (crawl-a/2026-08-14
-            # vs crawl-b/2026-08-14) land in distinct batch=<id> dirs
-            # instead of the later one's overwrite-before-append
-            # silently replacing the earlier landing.  Deliberately
-            # NOT normalized through os.path: abspath would make the
-            # id cwd-dependent for relative paths (breaking the
-            # crash-repair rerun invariant when the operator reruns
-            # from cron instead of a shell) and normpath collapses the
-            # // in URI schemes (s3://bucket -> s3:/bucket).  The
-            # contract is: the same path STRING re-derives the same
-            # id.  Readers of the root get it back as a `batch`
-            # partition column.
-            given = args.path.rstrip("/") or "/"
-            path_tag = hashlib.md5(given.encode()).hexdigest()[:8]
-            base_name = given.rsplit("/", 1)[-1] or "root"
-            batch_id = (
-                re.sub(r"[^A-Za-z0-9._-]", "_", base_name)
-                + "-"
-                + path_tag
-            )
+            # path as given so same-basename roots land separately and
+            # the same path string re-derives the same id (the
+            # crash-repair rerun invariant; see _batch_id for the
+            # URI/cwd contract).  Readers of the root get it back as a
+            # `batch` partition column.
+            batch_id = _batch_id(args.path)
             land = os.path.join(args.out, f"batch={batch_id}")
             survivors = incremental_clean_ingest(
                 batch,
