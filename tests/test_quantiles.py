@@ -529,3 +529,25 @@ def test_property_exact_quantiles_any_multiset(spark, vals, qs, leaf, parts):
         max_passes=64,
     )
     assert got == _py_disc(vals, qs)
+
+
+def test_outlier_skewed_interval_reanchors_instead_of_collecting(spark):
+    """Review-fix regression: one extreme outlier (1e300) leaves the
+    refinement hunting a [0, 1e300] interval whose mass all lives in
+    [0, 1]; the stall must RE-ANCHOR to the members' [min, max] (one
+    bounded agg) — the old path routed it into the distinct-value
+    fallback, collecting ~every distinct value to the driver."""
+    import duckdb
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "CASE WHEN id = 0 THEN 1e300 ELSE id / 200000.0 END AS x"
+    )
+    got = exact_quantiles(df, "x", [0.25, 0.5, 0.99], leaf_limit=256)
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT quantile_disc(CASE WHEN range = 0 THEN 1e300 "
+        f"ELSE range / 200000.0 END, [0.25, 0.5, 0.99]) "
+        f"FROM range({n})"
+    ).fetchone()[0]
+    assert got == [float(v) for v in want]

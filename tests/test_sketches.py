@@ -361,3 +361,44 @@ def test_hll_build_merge_estimate(spark, tmp_path):
         hll_merge(hll_build(a, "k", "g"), hll_build(b, "k", "g"), "g")
     ).count()
     assert m == 3
+
+
+def test_cm_build_rejects_negative_weights(spark):
+    """Review-fix regression: negative build weights silently make the
+    min estimator undershoot (counters can still look non-negative),
+    so cm_build rejects them up front like cm_merge does."""
+    from zeek_duckdb_spark.operators.sketches import cm_build
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", -2), ("b", 3)], "url string, w int"
+    )
+    with pytest.raises(ValueError, match="negative weights"):
+        cm_build(df, "url", width=64, depth=2, weight_col="w")
+
+
+def test_heavy_hitters_one_pass_single_scan(spark):
+    """Review-fix regression: exact=False must scan the corpus ONCE —
+    the budget and merged branches read a materialized sketch, not two
+    re-executions of the mapInPandas pass.  Proven via the Python-UDF
+    accumulator-free route: count scan executions with an accumulator."""
+    from zeek_duckdb_spark.operators.sketches import heavy_hitters
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_rows():
+        rows = [("k%d" % (i % 50),) for i in range(5000)]
+        return spark.createDataFrame(rows, "url string")
+
+    df = counting_rows()
+
+    def bump(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    tapped = df.mapInPandas(bump, schema="url string")
+    out = heavy_hitters(tapped, "url", k=5, capacity=32, exact=False)
+    rows = out.collect()
+    assert len(rows) == 5 and rows[0].n_lo <= rows[0].n_hi
+    # every input row crossed the tap exactly once
+    assert acc.value == 5000

@@ -28,7 +28,10 @@ next pass's interval reuses the *same* predicates, so the rank
 bookkeeping is exact no matter how edge arithmetic rounds — the
 b-th bucket IS the next interval, bit for bit.  Intervals narrowed
 below double resolution (edges collapse) fall back to a
-distinct-value collect of the few remaining representable values.
+distinct-value collect of the few remaining representable values;
+intervals that STALL (shed no mass twice — edges far from the data,
+e.g. one extreme outlier) re-anchor to their members' [min, max] with
+one bounded aggregate instead.
 
 Passes are O(log_buckets(range)) worst case but ``leaf_limit`` ends
 the loop after 2-3 on real data.  Every pass is a full-scan aggregate
@@ -187,10 +190,11 @@ def exact_quantiles(
     state = {i: (mn, mx, True, 0, n) for i in targets}
     answers: dict[int, float] = {}
     # consecutive passes with unchanged (below, mass): the interval
-    # shrank 64x without shedding a row — the mass is concentrated on
-    # (near-)duplicates and bisection can run for hundreds of passes
-    # before float edges collapse (unboundedly many near 0.0), so two
-    # stalls route the target to the distinct-value fallback
+    # shrank 64x without shedding a row — either the mass concentrates
+    # on (near-)duplicates or the edges sit far from the data (one
+    # outlier stretches the interval across empty space); two stalls
+    # re-anchor the interval to the members' [min, max] (one bounded
+    # agg), after which bisection resumes productively
     stalls = {i: 0 for i in targets}
     if mn == mx:
         return [mn for _ in qs]
@@ -229,11 +233,51 @@ def exact_quantiles(
             )
         passes += 1
 
-        # degenerate intervals (edges no longer split in doubles, or
-        # the stall counter fired): the handful of representable
-        # values left resolve via a distinct-value count, whatever
-        # their duplication — ONE batched pass for all of them, not
-        # one corpus scan per target
+        # STALLED intervals (bisection shed nothing twice) re-anchor
+        # to the members' actual [min, max] — one batched agg, never a
+        # collect.  A stall means the interval's edges are far from
+        # the data (one extreme outlier leaves [0, 1e300] hunting for
+        # mass that all lives in [0, 1]); re-anchoring collapses the
+        # interval to the data's true span and bisection resumes
+        # productively.  The member SET is unchanged (every member of
+        # [lo, hi) lies in [mn, mx], inclusive), so below/mass carry
+        # over exactly.  The old behavior — routing stalls into the
+        # distinct-value fallback — collected an UNBOUNDED value set
+        # when the stall came from a wide interval rather than from
+        # duplicates (driver OOM on outlier-skewed columns).
+        stalled = [
+            i
+            for i in live
+            if stalls[i] >= 2
+            and (lambda e: len(set(e)) >= 3 and e == sorted(e))(
+                _edges(state[i][0], state[i][1], buckets)
+            )
+        ]
+        if stalled:
+            saggs = []
+            for j, i in enumerate(stalled):
+                lo, hi, top, _, _ = state[i]
+                m = _member(lo, hi, top)
+                saggs.append(F.min(F.when(m, F.col("__x"))).alias(f"mn{j}"))
+                saggs.append(F.max(F.when(m, F.col("__x"))).alias(f"mx{j}"))
+            srow = src.agg(*saggs).first()
+            for j, i in enumerate(stalled):
+                mn = float(srow[f"mn{j}"])
+                mx = float(srow[f"mx{j}"])
+                _, _, _, below, mass = state[i]
+                if mn == mx:
+                    answers[i] = mn
+                else:
+                    state[i] = (mn, mx, True, below, mass)
+                stalls[i] = 0
+            continue
+
+        # degenerate intervals (edges no longer split in doubles): the
+        # handful of representable values left resolve via a
+        # distinct-value count, whatever their duplication — ONE
+        # batched pass for all of them, not one corpus scan per
+        # target; bounded by construction (a non-splittable interval
+        # holds only a few representable doubles)
         plans: dict[tuple[float, float, bool], list[float]] = {}
         targets_of: dict[tuple[float, float, bool], list[int]] = {}
         degen: list[int] = []
@@ -241,11 +285,7 @@ def exact_quantiles(
         for i in live:
             lo, hi, top, _, _ = state[i]
             edges = _edges(lo, hi, buckets)
-            if (
-                len(set(edges)) < 3
-                or edges != sorted(edges)
-                or stalls[i] >= 2
-            ):
+            if len(set(edges)) < 3 or edges != sorted(edges):
                 degen.append(i)
                 continue
             # targets sharing an interval (always true on pass 1)
@@ -530,8 +570,8 @@ def exact_quantiles_grouped(
     targets: dict[tuple[int, int], int] = {}
     state: dict[tuple[int, int], tuple[float, float, bool, int, int]] = {}
     answers: dict[tuple[int, int], float] = {}
-    # stall counter, same role as in exact_quantiles: duplicate-heavy
-    # mass bisection can't shed goes to the distinct fallback
+    # stall counter, same role as in exact_quantiles: two stalls
+    # re-anchor the interval to its members' [min, max]
     stalls: dict[tuple[int, int], int] = {}
     for gi, r in enumerate(heads):
         n = int(r["n"])
@@ -628,17 +668,49 @@ def exact_quantiles_grouped(
             )
         passes += 1
 
+        # ---- stalled intervals: re-anchor to member [min, max] ----
+        # (same rationale and bookkeeping as exact_quantiles: one
+        # batched bounded agg through the interval join, never an
+        # unbounded distinct collect)
+        stalled = []
+        for k in live:
+            lo, hi, top, _, _ = state[k]
+            edges = _edges(lo, hi, buckets)
+            if stalls[k] >= 2 and len(set(edges)) >= 3 and edges == sorted(edges):
+                stalled.append(k)
+        if stalled:
+            ivals = F.broadcast(
+                spark.createDataFrame(_interval_rows(stalled), ischema)
+            )
+            mm = (
+                src.join(
+                    ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
+                    how="inner",
+                )
+                .filter(member)
+                .groupBy("__egi", "__eti")
+                .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+                .collect()
+            )
+            for r in mm:
+                k = (int(r["__egi"]), int(r["__eti"]))
+                mn, mx = float(r["mn"]), float(r["mx"])
+                _, _, _, below, mass = state[k]
+                if mn == mx:
+                    answers[k] = mn
+                else:
+                    state[k] = (mn, mx, True, below, mass)
+                stalls[k] = 0
+            continue
+
         # ---- degenerate intervals: batched distinct-value counts --
+        # (edge-collapse only — bounded by representable doubles)
         degen = []
         plans: dict[tuple[int, int], list[float]] = {}
         for k in live:
             lo, hi, top, _, _ = state[k]
             edges = _edges(lo, hi, buckets)
-            if (
-                len(set(edges)) < 3
-                or edges != sorted(edges)
-                or stalls[k] >= 2
-            ):
+            if len(set(edges)) < 3 or edges != sorted(edges):
                 degen.append(k)
             else:
                 plans[k] = edges

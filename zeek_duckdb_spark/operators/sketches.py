@@ -206,10 +206,14 @@ def heavy_hitters(
     # lower bound; the sentinel rows supply sum(floor(n_p/(cap+1))),
     # the total decrement budget, for the upper bound).  The sketch is
     # partitions x capacity rows — this aggregate is metadata-sized.
+    # localCheckpoint materializes it ONCE: the budget and merged
+    # branches below have different subplans (no exchange reuse), so
+    # an unmaterialized sketch would re-run the full corpus scan per
+    # branch — two scans in the mode whose whole point is one pass.
     sketch = df.select(key_col).mapInPandas(
         _mg_partition_factory(key_col, capacity),
         schema=f"`{key_col}` {field.dataType.simpleString()}, __mg_n long",
-    )
+    ).localCheckpoint(eager=True)
     budget = (
         sketch.filter(F.col(key_col).isNull())
         .agg(
@@ -320,14 +324,37 @@ def cm_build(
     broadcast-sized driver state (4 x 16384 longs = 512 KB), identical
     under any partitioning.  Estimates overshoot by at most
     ``e/width * n`` with probability ``1 - e^-depth`` (Cormode &
-    Muthukrishnan 2005) and NEVER undershoot."""
+    Muthukrishnan 2005) and NEVER undershoot — which is why negative
+    weights are REJECTED here: they keep counters non-negative-looking
+    while silently making the min estimator undershoot (the same
+    contract cm_merge enforces on already-built sketches)."""
+    if weight_col is not None:
+        neg = (
+            df.filter(F.col(key_col).isNotNull())
+            .agg(
+                F.sum(
+                    F.when(F.col(weight_col).cast("long") < 0, 1).otherwise(0)
+                ).alias("neg")
+            )
+            .first()["neg"]
+        )
+        if int(neg or 0) > 0:
+            raise ValueError(
+                "cm_build: negative weights would void the min "
+                "estimator's no-undershoot guarantee — deletions are "
+                "unsupported (see cm_merge)"
+            )
     rows = cm_counts_df(df, key_col, width, depth, seed, weight_col)
     counts = [[0] * width for _ in range(depth)]
-    n = 0
-    for r in rows.collect():
-        c = int(r["cnt"])
-        counts[int(r["row"])][int(r["pos"])] = c
-    n = sum(counts[0]) if depth >= 1 else 0
+    # Arrow transfer, not row-by-row py4j: at width 2^20 x depth 4 the
+    # nonzero-counter set is ~10^6 rows and per-row deserialization
+    # dominates the build (the bloom words-table lesson)
+    pdf = rows.toPandas()
+    for row_i, pos_i, c in zip(
+        pdf["row"].to_numpy(), pdf["pos"].to_numpy(), pdf["cnt"].to_numpy()
+    ):
+        counts[int(row_i)][int(pos_i)] = int(c)
+    n = sum(counts[0])
     return {
         "width": width,
         "depth": depth,
