@@ -1075,3 +1075,99 @@ def test_exact_dedup_incremental_null_text_passthrough(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] is None and got[3] is None
     assert got[1] is not None
+
+
+# ---------------------------------------------------------------------
+# review-fix regressions (round 9 second review pass)
+# ---------------------------------------------------------------------
+
+
+def test_corpus_overlap_tolerates_null_text(spark):
+    """A NULL-text row must neither crash the KMV driver merge nor
+    inflate the exact distinct counts."""
+    a = _docs(spark, [(1, "alpha beta gamma"), (2, None), (3, "delta eps")])
+    b = _docs(spark, [(10, "alpha beta gamma"), (11, None)])
+    for k in (None, 64):
+        r = dd.corpus_overlap(a, b, sketch_k=k)
+        assert r["distinct_a"] == 2 and r["distinct_b"] == 1
+        assert r["containment_b_in_a"] == 1.0
+
+
+def test_strip_dup_spans_preserves_extra_columns(spark):
+    """strip_duplicate_spans must carry non-(id, text) columns through
+    — clean_corpus composes it with a carried classifier score."""
+    base = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base, 0.9), (2, base + " tail piece here", 0.4)],
+        "doc_id long, text string, clf_score double",
+    )
+    out = dd.strip_duplicate_spans(df, width=8)
+    assert set(out.columns) == {"doc_id", "text", "clf_score"}
+    scores = {r.doc_id: r.clf_score for r in out.collect()}
+    assert scores == {1: 0.9, 2: 0.4}
+    # end-to-end: the previously-broken composition
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    cleaned = clean_corpus(
+        df, min_tokens=1, max_punct_ratio=1.0, strip_dup_spans=True,
+        near_dedup="minhash", near_params={"threshold": 0.99},
+        near_keep_score="clf_score",
+    )
+    assert cleaned.count() >= 1  # no unresolved-column AnalysisException
+
+
+def test_exact_dedup_stream_null_text_passthrough(spark, tmp_path):
+    """Streaming NULL-text rows pass through as survivors (batch
+    contract) instead of collapsing to one per watermark horizon."""
+    import time
+
+    src = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "same body", "2026-01-01 00:00:01"),
+         (2, "same body", "2026-01-01 00:00:02"),
+         (3, None, "2026-01-01 00:00:03"),
+         (4, None, "2026-01-01 00:00:04")],
+        "doc_id long, text string, ts string",
+    ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts").write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    dedup = dd.exact_dedup_stream(stream, "ts", "10 minutes")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # one of {1,2} survives dedup; BOTH null-text rows pass through
+    assert 3 in got and 4 in got and len(got) == 3
+
+
+def test_simhash_geometry_validation_and_null_flood(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma delta"), (2, None)])
+    sims = dd.simhash(docs)
+    # NULL simhash rows are excluded from chunking (no NULL bucket)
+    ch = dd._simhash_chunks(sims, "doc_id", 4, 60)
+    assert ch.filter(F.col("chunk").isNull()).count() == 0
+    # blocks > bits would put every doc in one zero-width mega-bucket
+    with pytest.raises(ValueError, match="blocks must be"):
+        dd.simhash_pairs(sims, max_hamming=3, blocks=64, bits=60)
+    # max_hamming >= blocks stays ALLOWED (best-effort candidate mode
+    # several pipeline defaults rely on — see _simhash_geometry)
+    dd.simhash_pairs(sims, max_hamming=4, blocks=4).collect()
+
+
+def test_band_buckets_reject_non_dividing_bands(spark):
+    sigs = dd.minhash_signatures(
+        _docs(spark, [(1, "alpha beta gamma delta epsilon")]),
+        num_hashes=32, shingle_k=3,
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        dd.minhash_lsh_pairs(sigs, bands=5, num_hashes=32)
+    with pytest.raises(ValueError, match="must divide"):
+        dd.write_band_index(sigs, "/tmp/never", bands=48, num_hashes=32)

@@ -481,7 +481,10 @@ def test_chunk_documents_matches_python_reference(spark):
         toks = text.split()
         s = 0
         cid = 0
-        while s < len(toks):
+        # starts run to max(1, n - overlap): a start inside the last
+        # chunk's overlap region would emit a fully-contained duplicate
+        end = max(1, len(toks) - 3)
+        while s < end and s < len(toks):
             w = toks[s : s + 10]
             want.append((i, cid, " ".join(w), len(w)))
             s += 7
@@ -499,7 +502,8 @@ def test_chunk_documents_overlap_and_edges(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
-    assert by_doc[1] == [(0, "a b c"), (1, "c d e"), (2, "e")]
+    # the old trailing (2, "e") chunk was fully contained in "c d e"
+    assert by_doc[1] == [(0, "a b c"), (1, "c d e")]
     assert 2 not in by_doc  # empty doc -> no chunks
     assert by_doc[3] == [(0, "x")]
     # consecutive chunks share exactly `overlap` tokens
@@ -581,7 +585,7 @@ def test_chunk_documents_matches_duckdb(spark):
                              t -> t != '') AS toks
           FROM read_parquet('{sf}/documents.parquet')
         ), starts AS (
-          SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS s
+          SELECT doc_id, toks, unnest(range(1, greatest(1, len(toks) - 4) + 1, 8)) AS s
           FROM toked WHERE len(toks) > 0
         )
         SELECT doc_id,
@@ -1216,3 +1220,54 @@ def test_clean_corpus_compression_band(spark):
 
     with _pytest.raises(ValueError, match="compression_band"):
         clean_corpus(df, compression_band=(0.9, 0.2))
+
+
+def test_pack_sequences_duplicate_ids_rows_frame(spark):
+    """Review-fix regression: duplicate ids within a shard must lay
+    out head-to-tail (ROWS frame), not both receive the RANGE-peer
+    sum (overlapping offsets)."""
+    from zeek_duckdb_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(7, 10), (7, 20), (9, 5)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, seq_len=512, n_shards=1).collect()
+    starts = sorted(
+        (r.seq_offset + r.seq_id * 512, r.n_tokens) for r in out
+    )
+    # three rows occupy [0,10), [10,30), [30,35) in SOME order of the
+    # duplicate pair — no overlap, total span == sum of tokens
+    assert [s for s, _ in starts] == [0, 10, 30]
+
+
+def test_chunk_documents_no_fully_contained_trailing_chunk(spark):
+    """Review-fix regression: a doc whose tail start falls inside the
+    previous chunk's overlap region must NOT emit a fully-contained
+    duplicate chunk; token coverage is preserved."""
+    from zeek_duckdb_spark.operators.pipeline import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(226))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, max_tokens=256, overlap=32).collect()
+    assert len(rows) == 1  # chunk 0 covers all 226 tokens
+    assert rows[0].n_tokens == 226
+    # a genuinely long doc still strides with overlap and loses nothing
+    text2 = " ".join(f"t{i}" for i in range(500))
+    df2 = spark.createDataFrame([(1, text2)], "doc_id long, text string")
+    rows2 = sorted(
+        chunk_documents(df2, max_tokens=256, overlap=32).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    covered = set()
+    for r in rows2:
+        start = r.chunk_id * (256 - 32)
+        covered |= set(range(start, start + r.n_tokens))
+    assert covered == set(range(500))
+    # and no chunk is contained in another
+    spans = [
+        (r.chunk_id * 224, r.chunk_id * 224 + r.n_tokens) for r in rows2
+    ]
+    for i, (s1, e1) in enumerate(spans):
+        for j, (s2, e2) in enumerate(spans):
+            if i != j:
+                assert not (s2 <= s1 and e1 <= e2)

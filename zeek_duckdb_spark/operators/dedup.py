@@ -239,6 +239,15 @@ def _band_buckets(
     restate it (and 8 bytes ride the shuffle, not the concatenated
     signature string); generated as one SQL string — see the F.expr
     note in minhash_signatures (construction cost, not semantics)."""
+    if bands < 1 or num_hashes % bands != 0:
+        # silent truncation would quietly change the LSH S-curve the
+        # caller tuned (bands=5 over 32 hashes uses only 30), and
+        # bands > num_hashes generates unparseable empty concat_ws SQL
+        raise ValueError(
+            f"minhash LSH: bands ({bands}) must divide num_hashes "
+            f"({num_hashes}) — rows_per_band is the S-curve parameter, "
+            "not a rounding detail"
+        )
     rows_per_band = num_hashes // bands
     if "__nonempty" in sig_df.columns:
         banded = sig_df.filter(F.col("__nonempty"))
@@ -649,6 +658,10 @@ def simhash_pairs(
     block-permutation trick: split the ``bits``-wide hash into
     ``blocks`` chunks; any pair within ``max_hamming < blocks`` must
     agree on at least one chunk, so bucket by chunk instead of O(n²).
+    ``max_hamming >= blocks`` is allowed as BEST-EFFORT candidate
+    generation (the pigeonhole completeness guarantee no longer holds;
+    pairs differing in every chunk are silently missed) — raise
+    ``blocks`` if you need the guarantee at a larger radius.
 
     Candidates via groupBy(blk, chunk) + per-bucket pair expansion
     (one 20-byte-row shuffle) rather than a bucket self-join — same
@@ -656,6 +669,7 @@ def simhash_pairs(
     shuffle so Hamming distance is computed in the expansion, no
     re-join needed.  ``max_bucket_size``/``on_oversize`` bound the
     degenerate-bucket blowup exactly as in minhash_lsh_pairs."""
+    _simhash_geometry(blocks, bits, max_hamming)
     e = _simhash_chunks(sim_df, id_col, blocks, bits)
     grouped = (
         e.groupBy("blk", "chunk")
@@ -728,11 +742,38 @@ def exact_dedup_incremental(
     return survivors.unionByName(with_fp.filter(F.col("fp").isNull()))
 
 
+def _simhash_geometry(
+    blocks: int, bits: int, max_hamming: int | None = None
+) -> None:
+    """Validate the block-permutation parameters.  HARD error only for
+    geometry that breaks the bucketing itself: blocks > bits gives
+    zero-width chunks (mask 0 — every doc lands in one corpus-sized
+    mega-bucket).  ``max_hamming >= blocks`` is deliberately ALLOWED:
+    the pigeonhole guarantee ("any pair within max_hamming shares a
+    chunk") only holds below blocks, but the family is also used as a
+    best-effort candidate generator past it (near-dup pairs usually
+    agree on far more than one chunk), and several pipeline defaults
+    (phash max_hamming=6 over blocks=4) rely on that mode — the
+    docstrings state the recall contract instead."""
+    del max_hamming  # documented-best-effort above the pigeonhole bound
+    if blocks < 1 or blocks > bits:
+        raise ValueError(
+            f"simhash: blocks must be in [1, bits] (got blocks={blocks}, "
+            f"bits={bits}) — blocks > bits makes zero-width chunks"
+        )
+
+
 def _simhash_chunks(
     sim_df: DataFrame, id_col: str, blocks: int, bits: int
 ) -> DataFrame:
     """(id, simhash, blk, chunk) block-permutation rows — shared by the
-    full and incremental SimHash pair generators."""
+    full and incremental SimHash pair generators.  NULL-simhash rows
+    (NULL text) are EXCLUDED: they can never form a pair (NULL
+    hamming filters out) but would otherwise flood one (blk, NULL)
+    bucket per block and trip the bucket-size guard on crawl corpora
+    with many empty docs."""
+    _simhash_geometry(blocks, bits)
+    sim_df = sim_df.filter(F.col("simhash").isNotNull())
     width = bits // blocks
     mask = (1 << width) - 1
     chunk_cols = F.array(
@@ -881,6 +922,7 @@ def simhash_pairs_incremental(
             "simhash_pairs_incremental: provide index_sims or "
             "index_chunked"
         )
+    _simhash_geometry(blocks, bits, max_hamming)
     nb = _simhash_chunks(new_sims, id_col, blocks, bits)
     ib = (
         index_chunked
@@ -954,7 +996,8 @@ def ngram_jaccard_pairs(
         max_token_freq = DEFAULT_MAX_TOKEN_FREQ
     d = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("tok"),
+        # _shingles already ends in array_distinct — no second pass
+        F.explode(_shingles(F.col(text_col), n)).alias("tok"),
     )
     if max_token_freq is not None:
         # anti-join against the HOT tokens (tiny set — broadcastable at
@@ -1106,10 +1149,20 @@ def exact_dedup_stream(
     not the stream's lifetime, and is partitioned across the cluster
     by fingerprint like any stateful operator.  Exactly one row per
     duplicate group within the horizon is emitted (which one is
-    arrival-order-dependent, as in any streaming dedup)."""
+    arrival-order-dependent, as in any streaming dedup).
+
+    Un-fingerprintable rows (NULL key — NULL text) PASS THROUGH as
+    survivors, matching :func:`exact_dedup_incremental`'s batch
+    contract: the state store treats NULL keys as EQUAL, so without
+    the split every distinct NULL-text row after the first would
+    silently vanish for a whole watermark horizon."""
     k = key if key is not None else fingerprint(F.col(text_col))
     s = stream.withColumn("__fp", k).withWatermark(ts_col, watermark_delay)
-    return s.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+    deduped = (
+        s.filter(F.col("__fp").isNotNull())
+        .dropDuplicatesWithinWatermark(["__fp"])
+    )
+    return deduped.unionByName(s.filter(F.col("__fp").isNull())).drop("__fp")
 
 
 def near_dedup_stream(
@@ -1172,8 +1225,10 @@ def strip_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("__cut"))
     )
-    base = df.select(F.col(id_col), F.col(text_col))
-    joined = base.join(losing, id_col, "left")
+    # keep ALL input columns (a carried classifier score must survive
+    # this stage — clean_corpus composes it with near_keep_score);
+    # only the text column is rewritten
+    joined = df.join(losing, id_col, "left")
     toks = tokens(F.col(text_col))
     kept = F.filter(
         toks,
@@ -1181,11 +1236,13 @@ def strip_duplicate_spans(
             F.col("__cut"), lambda p: (j >= p) & (j < p + F.lit(width))
         ),
     )
+    passthrough = [c for c in df.columns if c not in (id_col, text_col)]
     return joined.select(
         F.col(id_col),
         F.when(F.col("__cut").isNull(), F.col(text_col))
         .otherwise(F.concat_ws(" ", kept))
         .alias(text_col),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -1217,8 +1274,19 @@ def corpus_overlap(
     the exact fingerprint-set intersection (one join — bench-scale or
     verification use).
     """
-    fa = a.select(md5_long(fingerprint(F.col(text_col))).alias("h")).distinct()
-    fb = b.select(md5_long(fingerprint(F.col(text_col))).alias("h")).distinct()
+    # NULL-text rows have no fingerprint: drop them (a NULL hash would
+    # crash the driver-side KMV sort against ints and silently inflate
+    # the exact distinct counts)
+    fa = (
+        a.select(md5_long(fingerprint(F.col(text_col))).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    fb = (
+        b.select(md5_long(fingerprint(F.col(text_col))).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     if sketch_k is None:
         # each distinct frame feeds two actions (count + join); persist
         # so the md5+distinct shuffle runs once per corpus, not twice

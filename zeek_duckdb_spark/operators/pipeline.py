@@ -974,7 +974,17 @@ def pack_sequences(
     sharded = shard_corpus(
         df.withColumn(token_col, checked), n_shards, id_col, seed
     )
-    w = Window.partitionBy("shard").orderBy(F.asc(id_col))
+    # ROWS frame, not the default RANGE: RANGE includes ORDER BY peers,
+    # so duplicate ids in a shard (e.g. a mix_corpora output packed on
+    # doc_id instead of mix_key) would BOTH receive the sum of both
+    # rows' tokens — overlapping start offsets silently corrupting the
+    # layout; ROWS gives the documented head-to-tail running sum (and
+    # is cheaper even when ids are unique)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(token_col).over(w)
     start = (cum - F.col(token_col)).cast("long")
     return (
@@ -1235,8 +1245,17 @@ def chunk_documents(
         F.col(id_col), nonempty_tokens(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") > 0)
     # starts: 1, 1+stride, ... while start <= n (1-based slice indexing)
+    # the sequence ends at n - overlap (not n): a start inside the last
+    # chunk's overlap region would emit a trailing chunk FULLY CONTAINED
+    # in its predecessor (e.g. max_tokens=256, overlap=32, 226-token
+    # doc: starts 1 and 225, where chunk 0 already covers the whole
+    # doc) — pure duplicate passages in the RAG/embedding corpus.  No
+    # token is lost: the last kept start exceeds n - max_tokens, so its
+    # chunk reaches the end.  greatest(1, ...) keeps the mandatory
+    # first chunk for docs shorter than overlap.
     chunks = F.expr(
-        f"transform(sequence(1, size(__toks), {stride}), s -> named_struct("
+        f"transform(sequence(1, greatest(1, size(__toks) - {overlap}), "
+        f"{stride}), s -> named_struct("
         f"'chunk_id', CAST((s - 1) / {stride} AS INT), "
         f"'chunk_text', concat_ws(' ', slice(__toks, s, {max_tokens})), "
         f"'n_tokens', least({max_tokens}, size(__toks) - s + 1)))"
