@@ -200,3 +200,25 @@ def test_null_and_nan_vectors_review_regressions(spark):
     m = logreg_fit(labeled, "label", 4, iters=3, lr=1.0)
     assert m["n"] == 2  # only the two clean rows fit
     assert all(math.isfinite(v) for v in m["weights"])
+
+
+def test_logreg_score_existing_out_col_kernel_parity(spark):
+    """Advice-fix regression: when out_col already EXISTS in df, both
+    kernels must REPLACE it (withColumn semantics) — the arrow kernel
+    used to append a duplicate StructField while the pandas assignment
+    overwrote in place, so the declared schema had one more column
+    than the yielded batches and the job died at runtime."""
+    w = [0.5] * 4
+    df = spark.createDataFrame(
+        [(1, [0.2] * 4, 99.0), (2, [-0.2] * 4, 99.0)],
+        "vec_id long, embedding array<double>, quality_score double",
+    )
+    outs = {}
+    for kernel in ("expr", "arrow"):
+        got = logreg_score(df, w, 0.0, kernel=kernel)
+        assert got.columns == ["vec_id", "embedding", "quality_score"]
+        outs[kernel] = {
+            r.vec_id: r.quality_score for r in got.collect()
+        }
+    assert outs["expr"] == outs["arrow"]
+    assert outs["expr"][1] != 99.0  # replaced, not kept

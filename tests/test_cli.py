@@ -410,3 +410,33 @@ def test_batch_id_contract():
         os.chdir(cwd)
     assert r1 == r2
     assert _batch_id("/") == "root-" + _batch_id("/").rsplit("-", 1)[-1]
+
+
+def test_cli_clean_incremental_legacy_landing_guard(spark, tmp_path):
+    """Advice-fix regression: a pre-hash batch=<basename> landing
+    (older id scheme) next to this input's new-id landing is surfaced
+    as an error — a rerun would otherwise land a SECOND full copy of
+    the batch and silently duplicate rows for readers of the root.
+    --legacy-ok proceeds when the operator asserts the legacy dir
+    belongs to a different root that merely shares the basename."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    src = str(tmp_path / "day9")
+    out = str(tmp_path / "landing")
+    fps, sigs = str(tmp_path / "fps"), str(tmp_path / "sigs")
+    spark.createDataFrame(
+        [(1, "a fresh day nine document body")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    os.makedirs(os.path.join(out, "batch=day9"))  # older build's landing
+    with pytest.raises(SystemExit, match="legacy landing"):
+        main(["clean-incremental", src, out, "--fps", fps, "--sigs", sigs],
+             spark=spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["clean-incremental", src, out, "--fps", fps,
+                   "--sigs", sigs, "--legacy-ok"], spark=spark)
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows_out"] == 1

@@ -551,3 +551,30 @@ def test_outlier_skewed_interval_reanchors_instead_of_collecting(spark):
         f"FROM range({n})"
     ).fetchone()[0]
     assert got == [float(v) for v in want]
+
+
+def test_reanchor_keeps_upper_bound_through_degenerate_path(spark):
+    """Advice-fix regression: a stalled interval re-anchors to
+    [mn, nextafter(mx)) with top=False — NOT (mn, mx, top=True), which
+    re-admits every row above the original hi, so an edge collapse
+    right after the re-anchor would route ALL rows >= mn into the
+    distinct-value fallback.  Shape: the target mass sits on two
+    ADJACENT doubles (degenerate immediately after re-anchor) with an
+    extreme outlier above; answers must stay exact."""
+    ulp = _math.nextafter(1.0, _math.inf)
+    df = spark.createDataFrame(
+        [(1.0,)] * 5 + [(ulp,)] * 5 + [(1e300,)], "x double"
+    )
+    # rank for q=0.5 over 11 rows = 6 -> the 6th sorted value = ulp
+    assert exact_quantiles(df, "x", [0.5], leaf_limit=1) == [ulp]
+    gdf = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("a", ulp)] * 5 + [("a", 1e300), ("b", 7.0)],
+        "g string, x double",
+    )
+    got = sorted(
+        (r.g, r.value)
+        for r in exact_quantiles_grouped(
+            gdf, "x", [0.5], "g", leaf_limit=1, strategy="refine"
+        ).collect()
+    )
+    assert got == [("a", ulp), ("b", 7.0)]

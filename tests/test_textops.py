@@ -735,3 +735,19 @@ def test_compression_features_differential_and_gate(spark):
     from zeek_duckdb_spark.plans import audit
 
     assert audit.num_shuffles(compression_features(df)) == 0
+
+
+def test_compression_features_existing_out_col_replaced(spark):
+    """Advice-fix regression: an existing out_col is REPLACED at its
+    position (withColumn semantics) — appending a duplicate field
+    declared a column the batches didn't carry and failed at runtime."""
+    from zeek_duckdb_spark.operators.textops import compression_features
+
+    df = spark.createDataFrame(
+        [(1, "hello hello hello hello hello", 9.9), (2, None, 9.9)],
+        "doc_id long, text string, zlib_ratio double",
+    )
+    got = compression_features(df)
+    assert got.columns == ["doc_id", "text", "zlib_ratio"]
+    vals = {r.doc_id: r.zlib_ratio for r in got.collect()}
+    assert vals[2] is None and vals[1] is not None and vals[1] != 9.9

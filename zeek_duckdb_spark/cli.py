@@ -158,6 +158,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="compute verdicts without touching the indexes")
     ci.add_argument("--allow-id-reruns", action="store_true",
                     help="skip the globally-unique-id check (deliberate reruns)")
+    ci.add_argument("--legacy-ok", action="store_true",
+                    help="proceed even if a pre-hash batch=<basename> "
+                         "landing (older id scheme) exists next to this "
+                         "input's landing — assert it belongs to a "
+                         "DIFFERENT input that merely shares the basename")
 
     tp = sub.add_parser(
         "top",
@@ -221,7 +226,6 @@ def _build_parser() -> argparse.ArgumentParser:
                          "— written here after --fit, read when no --fit")
     sc.add_argument("--label-col", default="label")
     sc.add_argument("--vec-col", default="embedding")
-    sc.add_argument("--id-col", default="vec_id")
     sc.add_argument("--dim", type=int, default=None,
                     help="vector dimension (required with --fit)")
     sc.add_argument("--iters", type=int, default=20)
@@ -362,6 +366,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # `batch` partition column.
             batch_id = _batch_id(args.path)
             land = os.path.join(args.out, f"batch={batch_id}")
+            # one-time migration guard: builds before the path-hash
+            # suffix landed this input as batch=<basename> only, so a
+            # crash-repair rerun under the new scheme would derive a
+            # DIFFERENT id and land a second full copy next to the old
+            # one — silent row duplication for readers of the root.
+            # The legacy dir can't be cleaned automatically (under the
+            # old scheme ANY root sharing the basename landed there);
+            # surface it and make the operator decide.
+            legacy = os.path.join(
+                args.out, f"batch={batch_id.rsplit('-', 1)[0]}"
+            )
+            if os.path.isdir(legacy) and not args.legacy_ok:
+                raise SystemExit(
+                    f"error: legacy landing {legacy!r} exists (pre-hash "
+                    f"id scheme). If it was landed from this same input, "
+                    f"rename it to {land!r} (or remove it and re-land) "
+                    f"before rerunning; if it belongs to a different "
+                    f"input that merely shares the basename, pass "
+                    f"--legacy-ok."
+                )
             survivors = incremental_clean_ingest(
                 batch,
                 args.fps,
@@ -454,7 +478,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 labeled = spark.read.parquet(args.fit)
                 model = logreg_fit(
                     labeled, args.label_col, args.dim,
-                    id_col=args.id_col, vec_col=args.vec_col,
+                    vec_col=args.vec_col,
                     iters=args.iters, lr=args.lr,
                 )
                 if args.model:
@@ -470,13 +494,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.threshold is not None:
                 out_df = filter_by_classifier(
                     corpus, model["weights"], model["bias"],
-                    args.threshold, id_col=args.id_col,
-                    vec_col=args.vec_col,
+                    args.threshold, vec_col=args.vec_col,
                 )
             else:
                 out_df = logreg_score(
                     corpus, model["weights"], model["bias"],
-                    id_col=args.id_col, vec_col=args.vec_col,
+                    vec_col=args.vec_col,
                 )
             out_df.write.mode("overwrite").parquet(args.out)
             n = _parquet_row_count(args.out)

@@ -73,7 +73,6 @@ def logreg_fit(
     df: DataFrame,
     label_col: str,
     dim: int,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 20,
     lr: float = 1.0,
@@ -244,7 +243,6 @@ def logreg_score(
     df: DataFrame,
     weights: list[float],
     bias: float,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "quality_score",
     kernel: str = "expr",
@@ -296,9 +294,24 @@ def logreg_score(
             pdf[out_col] = pd.Series(scores, index=pdf.index, dtype="float64")
             yield pdf
 
-    schema = T.StructType(
-        list(fields) + [T.StructField(out_col, T.DoubleType())]
-    )
+    # out_col may already exist (withColumn-replace semantics, matching
+    # the expr kernel): the pandas assignment overwrites in place, so
+    # the schema must REPLACE the existing field at its position —
+    # appending a duplicate field would declare one more column than
+    # the yielded batches carry and fail at runtime
+    if any(f.name == out_col for f in fields):
+        schema = T.StructType(
+            [
+                T.StructField(out_col, T.DoubleType())
+                if f.name == out_col
+                else f
+                for f in fields
+            ]
+        )
+    else:
+        schema = T.StructType(
+            list(fields) + [T.StructField(out_col, T.DoubleType())]
+        )
     return df.mapInPandas(fn, schema=schema)
 
 
@@ -308,7 +321,6 @@ def filter_by_classifier(
     bias: float,
     threshold: float,
     keep: str = "above",
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "expr",
 ) -> DataFrame:
@@ -326,7 +338,7 @@ def filter_by_classifier(
             "(it gates a sigmoid)"
         )
     scored = logreg_score(
-        df, weights, bias, id_col=id_col, vec_col=vec_col,
+        df, weights, bias, vec_col=vec_col,
         out_col="__cls_p", kernel=kernel,
     )
     cond = (

@@ -268,7 +268,19 @@ def exact_quantiles(
                 if mn == mx:
                     answers[i] = mn
                 else:
-                    state[i] = (mn, mx, True, below, mass)
+                    # re-anchor to [mn, nextafter(mx)) with top=False:
+                    # the member set is EXACTLY the old interval's
+                    # members ([mn, mx] inclusive).  top=True would
+                    # drop the upper bound and re-admit every row
+                    # above the original hi — inflating the top-bucket
+                    # mass and, if edges collapse right after the
+                    # re-anchor, routing ALL rows >= mn into the
+                    # distinct-value fallback (the unbounded collect
+                    # this path exists to avoid).
+                    state[i] = (
+                        mn, math.nextafter(mx, math.inf), False,
+                        below, mass,
+                    )
                 stalls[i] = 0
             continue
 
@@ -699,7 +711,13 @@ def exact_quantiles_grouped(
                 if mn == mx:
                     answers[k] = mn
                 else:
-                    state[k] = (mn, mx, True, below, mass)
+                    # [mn, nextafter(mx)) with top=False — see the
+                    # ungrouped re-anchor: preserves the member set
+                    # exactly instead of opening the interval upward
+                    state[k] = (
+                        mn, math.nextafter(mx, math.inf), False,
+                        below, mass,
+                    )
                 stalls[k] = 0
             continue
 

@@ -239,9 +239,23 @@ def compression_features(
             pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
             yield pdf
 
-    schema = T.StructType(
-        list(fields) + [T.StructField(out_col, T.DoubleType())]
-    )
+    # withColumn-replace semantics when out_col already exists: the
+    # pandas assignment overwrites in place, so replace the field at
+    # its position rather than appending a duplicate (which would
+    # declare a column the batches don't carry — runtime failure)
+    if any(f.name == out_col for f in fields):
+        schema = T.StructType(
+            [
+                T.StructField(out_col, T.DoubleType())
+                if f.name == out_col
+                else f
+                for f in fields
+            ]
+        )
+    else:
+        schema = T.StructType(
+            list(fields) + [T.StructField(out_col, T.DoubleType())]
+        )
     return df.mapInPandas(fn, schema=schema)
 
 
