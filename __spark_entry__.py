@@ -1080,7 +1080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the exact-dedup rows) and mm_media_stats (per-source byte
     # stats — half-covered by its sibling multimodal rows) out, to
     # driver-gate the round-8 grouped-quantiles and count-min families
-    # (qt_grouped_quantiles, ev_cm_counts).
+    # (qt_grouped_quantiles, ev_cm_counts).  Round 10 rotated
+    # q22_array_norms (array ops shape-covered by the embedding
+    # family) and dd_cosine_pairs (covered by sim_topk +
+    # dd_jaccard_pairs) out, to driver-gate the round-9 classifier and
+    # corpus-splitting families (cls_quality_scores,
+    # pipe_split_corpus).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -1097,7 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_date_trunc": q18_date_trunc,
         "q19_json_extract": q19_json_extract,
         "qt_exact_quantiles": qt_exact_quantiles,
-        "q22_array_norms": q22_array_norms,
+        "cls_quality_scores": cls_quality_scores,
         "q23_rollup": q23_rollup,
         "q25_exists_correlated": q25_exists_correlated,
         "q26_stats": q26_stats,
@@ -1108,7 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": dd_clusters,
         "dd_minhash_lsh": dd_minhash_lsh,
         "dd_simhash_pairs": dd_simhash_pairs,
-        "dd_cosine_pairs": dd_cosine_pairs,
+        "pipe_split_corpus": pipe_split_corpus,
         "sim_topk": sim_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
@@ -1787,12 +1792,7 @@ def oracle_sql() -> dict[str, str]:
                      AS value
             FROM lineitem
         """,
-        "q22_array_norms": """
-            SELECT vec_id, len(embedding) AS dim,
-                   ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                                      x -> x * x))), 6) AS l2_norm
-            FROM embeddings WHERE vec_id < 100
-        """,
+        "cls_quality_scores": _cls_scores_oracle(),
         "q23_rollup": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                    ROUND(SUM(o_totalprice), 2) AS sum_total
@@ -1893,17 +1893,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(v)), ',') AS members
             FROM comp GROUP BY component
         """,
-        "dd_cosine_pairs": """
-            WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                         FROM embeddings WHERE vec_id < 200),
-            scored AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) /
-                           (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
-                            SQRT(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine_sim
-              FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
-        """,
+        "pipe_split_corpus": _split_corpus_oracle(),
         "sim_topk": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id = 0),
@@ -2441,7 +2431,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose UNION coverage q15_set_ops half-duplicates — its slot
     driver-gates qt_exact_quantiles) or round 9 (tx_fingerprint,
     mm_media_stats — their slots driver-gate qt_grouped_quantiles and
-    ev_cm_counts) — still oracle-checked by the local harness
+    ev_cm_counts) or round 10 (q22_array_norms, dd_cosine_pairs —
+    their slots driver-gate cls_quality_scores and pipe_split_corpus)
+    — still oracle-checked by the local harness
     (tests/test_entry_oracle.py) so their coverage never regresses."""
     return {
         "q20_cross_join": q20_cross_join,
@@ -2455,9 +2447,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_words": doc_bloom_words,
         "pipe_weighted_sample": pipe_weighted_sample,
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
-        "cls_quality_scores": cls_quality_scores,
         "tx_compression": tx_compression,
-        "pipe_split_corpus": pipe_split_corpus,
+        "q22_array_norms": q22_array_norms,
+        "dd_cosine_pairs": dd_cosine_pairs,
     }
 
 
@@ -2525,6 +2517,21 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_bloom_words": _bloom_words_oracle(),
         "pipe_weighted_sample": _weighted_sample_oracle(),
         "pipe_weighted_sample_grouped": _weighted_sample_grouped_oracle(),
-        "cls_quality_scores": _cls_scores_oracle(),
-        "pipe_split_corpus": _split_corpus_oracle(),
+        "q22_array_norms": """
+            SELECT vec_id, len(embedding) AS dim,
+                   ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 6) AS l2_norm
+            FROM embeddings WHERE vec_id < 100
+        """,
+        "dd_cosine_pairs": """
+            WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings WHERE vec_id < 200),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) /
+                           (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
+                            SQRT(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine_sim
+              FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
+        """,
     }
