@@ -103,3 +103,65 @@ def test_kcenter_malformed_rows_dropped_and_string_ids(spark):
     )
     got = kcenter_select(s, 2)
     assert [i for i, _ in got] == ["a1", "c3"]  # min-id anchor, ties low
+
+
+def test_kcenter_coreset_composition_and_covering_radius(spark):
+    """Coreset mode (sample_fraction): the k greedy rounds scan only a
+    deterministic sample, every selected id comes FROM that sample,
+    and on planted modes the full-corpus covering radius stays within
+    2x of direct greedy (the Gonzalez 2-approx composes when the
+    sample hits every mode).  kcenter_covering_radius measures the
+    radius with one zero-shuffle pass and matches numpy."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators.pipeline import deterministic_sample
+    from zeek_duckdb_spark.operators.similarity import (
+        kcenter_covering_radius,
+        kcenter_select,
+    )
+
+    rng = np.random.default_rng(11)
+    DIM = 12
+    centres = rng.normal(0, 15, (6, DIM))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.4, (400, DIM)) for c in centres]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+
+    direct = kcenter_select(df, 6)
+    coreset = kcenter_select(df, 6, sample_fraction=0.25, seed=3)
+    assert len(coreset) == 6
+    # the loop ran on the sample ONLY: every pick is a sample member
+    sample_ids = {
+        r.vec_id
+        for r in deterministic_sample(df, "vec_id", 0.25, 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert {i for i, _ in coreset} <= sample_ids
+    assert len(sample_ids) < 0.4 * len(pts)  # genuinely sublinear scan
+
+    r_direct = kcenter_covering_radius(df, [i for i, _ in direct])
+    r_coreset = kcenter_covering_radius(df, [i for i, _ in coreset])
+    assert 0 < r_coreset <= 2.0 * r_direct  # the 2-approx composes
+
+    # covering radius == the numpy value (same float64 geometry)
+    ids = [int(i) for i, _ in direct]
+    C = pts[ids]
+    d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    assert r_direct == pytest.approx(float(np.sqrt(d2.max())), rel=1e-9)
+
+    # key-hash determinism: same fraction/seed on ANY partitioning
+    assert (
+        kcenter_select(df.repartition(3), 6, sample_fraction=0.25, seed=3)
+        == coreset
+    )
+    with pytest.raises(ValueError, match="sample_fraction"):
+        kcenter_select(df, 2, sample_fraction=0.0)
+    with pytest.raises(ValueError, match="not found"):
+        kcenter_covering_radius(df, [99999999])
+    with pytest.raises(ValueError, match="ids is empty"):
+        kcenter_covering_radius(df, [])

@@ -376,6 +376,110 @@ def test_cm_build_rejects_negative_weights(spark):
         cm_build(df, "url", width=64, depth=2, weight_col="w")
 
 
+def test_cm_median_signed_deletes_exact_when_wide(spark):
+    """CM-median (the Cormode-Muthukrishnan signed regime): a deletion
+    batch built with allow_signed=True merges into the standing sketch
+    (the windowed-stream expiry path); estimator='median' tracks the
+    NET counts, while the min path refuses the signed sketch — its
+    one-sided no-undershoot bound is void.  Wide sketch: probes are
+    collision-free, so the medians are EXACT nets."""
+    from zeek_duckdb_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+        cm_merge,
+    )
+
+    ins = _cm_skewed(spark)
+    true = {
+        r.url: r.n
+        for r in ins.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    dels = spark.createDataFrame(
+        [("hot1", -100), ("hot3", -40)], "url string, w int"
+    )
+    m_ins = cm_build(ins, "url", width=1 << 14, depth=5)
+    m_del = cm_build(
+        dels, "url", width=1 << 14, depth=5, weight_col="w",
+        allow_signed=True,
+    )
+    assert m_ins["signed"] is False and m_del["signed"] is True
+    merged = cm_merge(m_ins, m_del)
+    assert merged["signed"] is True
+    net = {**true, "hot1": true["hot1"] - 100, "hot3": 0}
+    keys = ins.select("url").distinct()
+    est = {
+        r.url: r.est
+        for r in cm_estimate(
+            keys, "url", merged, estimator="median"
+        ).collect()
+    }
+    assert est == net
+    with pytest.raises(ValueError, match="median"):
+        cm_estimate(keys, "url", merged)  # min refuses signed
+    # median reads unsigned sketches too (weaker: still >= true here)
+    est_u = {
+        r.url: r.est
+        for r in cm_estimate(
+            keys, "url", m_ins, estimator="median"
+        ).collect()
+    }
+    assert all(est_u[k] >= true[k] for k in true)
+    with pytest.raises(ValueError, match="estimator"):
+        cm_estimate(keys, "url", m_ins, estimator="avg")
+    # min-path behavior on unsigned sketches is UNCHANGED
+    est_min = {
+        r.url: r.est for r in cm_estimate(keys, "url", m_ins).collect()
+    }
+    assert est_min == true
+
+
+def test_cm_median_two_sided_bound_when_narrow(spark):
+    """Interleaved inserts + deletes on a NARROW signed sketch: the
+    CM-median error is TWO-SIDED (under- and overshoot both possible)
+    but stays within 3e/width * ||f||_1 for the large majority of keys
+    (the 1 - e^-depth/4 regime)."""
+    import math
+
+    from zeek_duckdb_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+        cm_merge,
+    )
+
+    ins = _cm_skewed(spark)
+    dels = spark.createDataFrame(
+        [("hot1", -100), ("hot2", -20), ("hot3", -40)], "url string, w int"
+    )
+    width, depth = 32, 5
+    merged = cm_merge(
+        cm_build(ins, "url", width=width, depth=depth),
+        cm_build(
+            dels, "url", width=width, depth=depth, weight_col="w",
+            allow_signed=True,
+        ),
+    )
+    true = {
+        r.url: r.n
+        for r in ins.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    net = {
+        **true,
+        "hot1": true["hot1"] - 100,
+        "hot2": true["hot2"] - 20,
+        "hot3": 0,
+    }
+    est = {
+        r.url: r.est
+        for r in cm_estimate(
+            ins.select("url").distinct(), "url", merged,
+            estimator="median",
+        ).collect()
+    }
+    bound = 3 * math.e / width * sum(abs(v) for v in net.values())
+    errs = [abs(est[k] - net[k]) for k in net]
+    assert sum(e <= bound for e in errs) >= len(errs) * 0.9
+
+
 def test_heavy_hitters_one_pass_single_scan(spark):
     """Review-fix regression: exact=False must scan the corpus ONCE —
     the budget and merged branches read a materialized sketch, not two

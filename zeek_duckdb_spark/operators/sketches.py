@@ -318,17 +318,25 @@ def cm_build(
     depth: int = 4,
     seed: int = 7,
     weight_col: str | None = None,
+    allow_signed: bool = False,
 ) -> dict:
-    """Build the sketch.  Returns ``{width, depth, seed, n, counts}``
-    with ``counts`` a depth x width dense int list-of-lists —
+    """Build the sketch.  Returns ``{width, depth, seed, n, counts,
+    signed}`` with ``counts`` a depth x width dense int list-of-lists —
     broadcast-sized driver state (4 x 16384 longs = 512 KB), identical
     under any partitioning.  Estimates overshoot by at most
     ``e/width * n`` with probability ``1 - e^-depth`` (Cormode &
     Muthukrishnan 2005) and NEVER undershoot — which is why negative
-    weights are REJECTED here: they keep counters non-negative-looking
-    while silently making the min estimator undershoot (the same
-    contract cm_merge enforces on already-built sketches)."""
-    if weight_col is not None:
+    weights are REJECTED here by default: they keep counters
+    non-negative-looking while silently making the min estimator
+    undershoot (the same contract cm_merge enforces on already-built
+    sketches).
+
+    ``allow_signed=True`` opts into the SIGNED-update regime
+    (deletions, e.g. a windowed stream's expiry batch built with
+    negative weights): the sketch is marked ``signed`` and only the
+    two-sided ``cm_estimate(estimator='median')`` may read it — the
+    min path refuses, its one-sided bound no longer holds."""
+    if weight_col is not None and not allow_signed:
         neg = (
             df.filter(F.col(key_col).isNotNull())
             .agg(
@@ -341,8 +349,9 @@ def cm_build(
         if int(neg or 0) > 0:
             raise ValueError(
                 "cm_build: negative weights would void the min "
-                "estimator's no-undershoot guarantee — deletions are "
-                "unsupported (see cm_merge)"
+                "estimator's no-undershoot guarantee — build deletion "
+                "batches with allow_signed=True and read via "
+                "cm_estimate(estimator='median')"
             )
     rows = cm_counts_df(df, key_col, width, depth, seed, weight_col)
     counts = [[0] * width for _ in range(depth)]
@@ -361,6 +370,7 @@ def cm_build(
         "seed": seed,
         "n": n,
         "counts": counts,
+        "signed": bool(allow_signed),
     }
 
 
@@ -369,13 +379,37 @@ def cm_estimate(
     key_col: str,
     model: dict,
     out_col: str = "est",
+    estimator: str = "min",
 ) -> DataFrame:
-    """``df`` + an ``out_col`` long column: the count-min estimate
-    min over rows of counter[row][h_row(key)].  The counters ride as a
-    broadcast 1-row join (out of codegen — per-model recompiles would
-    otherwise dominate small jobs); the probe is depth element_at
-    lookups + ``least`` — a zero-shuffle map.  NULL keys estimate
-    NULL."""
+    """``df`` + an ``out_col`` long column: the count-min estimate over
+    the depth counter probes.  The counters ride as a broadcast 1-row
+    join (out of codegen — per-model recompiles would otherwise
+    dominate small jobs); the probe is depth element_at lookups folded
+    by the estimator — a zero-shuffle map.  NULL keys estimate NULL.
+
+    ``estimator='min'`` (default) is the classic CM bound: never
+    undershoots, overshoot <= ``e/width * n`` w.p. ``1 - e^-depth`` —
+    valid ONLY for non-negative updates, so it REFUSES sketches built
+    or merged with ``allow_signed=True``.
+
+    ``estimator='median'`` is the Cormode-Muthukrishnan CM-median
+    variant for the SIGNED regime (deletions via negative-weight
+    batches): the depth probes are sorted and the lower median taken
+    (exact middle at odd depth — prefer odd depth here; the
+    lower-median choice keeps the estimate an integer and
+    SQL-restatable).  The bound is TWO-SIDED and weaker:
+    ``|est - true| <= 3e/width * ||f||_1`` w.p. ``1 - e^-depth/4``
+    (Cormode & Muthukrishnan 2005, Thm 5.2 regime) — estimates can
+    undershoot.  Works on unsigned sketches too (strictly weaker than
+    min there; use it only when deletions are in play)."""
+    if estimator not in ("min", "median"):
+        raise ValueError("cm_estimate: estimator must be 'min' or 'median'")
+    if estimator == "min" and model.get("signed", False):
+        raise ValueError(
+            "cm_estimate: sketch carries signed updates (deletions) — "
+            "the min estimator's no-undershoot bound no longer holds; "
+            "use estimator='median'"
+        )
     spark = df.sparkSession
     flat = [int(v) for row in model["counts"] for v in row]
     cdf = spark.createDataFrame([(flat,)], "__cm_counts array<long>")
@@ -391,7 +425,15 @@ def cm_estimate(
             )
         )
     ]
-    est = probes[0] if len(probes) == 1 else F.least(*probes)
+    if estimator == "median":
+        # lower median of the sorted depth probes: 1-indexed element
+        # (depth+1)//2 — the exact middle at odd depth, deterministic
+        # and integer-valued at even depth
+        est = F.element_at(
+            F.array_sort(F.array(*probes)), (model["depth"] + 1) // 2
+        )
+    else:
+        est = probes[0] if len(probes) == 1 else F.least(*probes)
     return (
         df.crossJoin(F.broadcast(cdf))
         .withColumn(
@@ -406,22 +448,31 @@ def cm_merge(a: dict, b: dict) -> dict:
     """Counter-wise add of two count-min sketches built with
     identical (width, depth, seed) — CM is a linear sketch, so
     per-batch sketches fold into the standing one without touching
-    history.  Non-negative updates only: ``cm_estimate``'s min
-    estimator (and its NEVER-undershoot guarantee) is only valid
-    while every merged update is >= 0 — supporting deletions would
-    require the median estimator (Cormode-Muthukrishnan's CM-median
-    variant) and forfeits the one-sided bound, so negative-weight
-    merges are rejected."""
+    history.
+
+    UNSIGNED sketches (the default regime) stay non-negative-update
+    only: ``cm_estimate``'s min estimator (and its NEVER-undershoot
+    guarantee) is only valid while every merged update is >= 0, so a
+    negative counter in either unsigned side is rejected as
+    corruption.  Merging in a sketch built with ``allow_signed=True``
+    (a deletion batch) is the supported windowed-stream expiry path:
+    the RESULT is marked signed and only
+    ``cm_estimate(estimator='median')`` — the two-sided CM-median
+    bound — may read it from then on."""
     for f in ("width", "depth", "seed"):
         if a[f] != b[f]:
             raise ValueError(f"cm_merge: {f} differs ({a[f]} vs {b[f]})")
-    for side, s in (("a", a), ("b", b)):
-        if any(c < 0 for row in s["counts"] for c in row):
-            raise ValueError(
-                f"cm_merge: sketch {side} has negative counters; "
-                "deletions are unsupported (the min estimator's "
-                "no-undershoot guarantee requires non-negative updates)"
-            )
+    signed = a.get("signed", False) or b.get("signed", False)
+    if not signed:
+        for side, s in (("a", a), ("b", b)):
+            if any(c < 0 for row in s["counts"] for c in row):
+                raise ValueError(
+                    f"cm_merge: sketch {side} has negative counters; "
+                    "deletions are unsupported in the unsigned regime "
+                    "(the min estimator's no-undershoot guarantee "
+                    "requires non-negative updates) — build deletion "
+                    "batches with allow_signed=True"
+                )
     return {
         **a,
         "n": a["n"] + b["n"],
@@ -429,6 +480,7 @@ def cm_merge(a: dict, b: dict) -> dict:
             [x + y for x, y in zip(ra, rb)]
             for ra, rb in zip(a["counts"], b["counts"])
         ],
+        "signed": signed,
     }
 
 
