@@ -222,3 +222,158 @@ def test_logreg_score_existing_out_col_kernel_parity(spark):
         }
     assert outs["expr"] == outs["arrow"]
     assert outs["expr"][1] != 99.0  # replaced, not kept
+
+
+# --- token-feature fit (token_logreg_fit) ----------------------------
+
+
+def _text_blobs(spark, n_per=120, seed=9, parts=8):
+    """Separable synthetic text: disjoint good/spam vocabularies."""
+    import random
+
+    rng = random.Random(seed)
+    good = ["research", "article", "analysis", "method", "data",
+            "result", "study", "evidence", "theory", "model"]
+    spam = ["buy", "cheap", "pills", "click", "winner", "free",
+            "offer", "casino", "bonus", "deal"]
+    rows, i = [], 0
+    for vocab, label in ((good, 1), (spam, 0)):
+        for _ in range(n_per):
+            k = rng.randint(5, 15)
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(k)), label)
+            )
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).repartition(parts)
+
+
+def test_token_logreg_fit_deterministic_accurate_and_oracle(spark):
+    """The in-engine fastText-style token-classifier fit: bit-identical
+    weights under any partitioning (exact int64 gradients on the
+    2^-10 frequency grid), >= 0.95 accuracy on separable text through
+    the SERVING scorer (quality_classifier_score — the feature map is
+    shared by construction), falling loss, and a DuckDB full-value
+    restatement of the fitted scores."""
+    import duckdb
+
+    from zeek_duckdb_spark.operators.classifier import token_logreg_fit
+    from zeek_duckdb_spark.operators.textops import (
+        quality_classifier_score,
+    )
+
+    df = _text_blobs(spark)
+    D = 256
+    m1 = token_logreg_fit(df, "label", dim=D, iters=12, lr=2.0)
+    m2 = token_logreg_fit(
+        df.repartition(17), "label", dim=D, iters=12, lr=2.0
+    )
+    assert m1 == m2  # exact int64 partials -> bit-identical fit
+    assert m1["n"] == 240 and m1["dim"] == D
+    assert m1["loss"][-1] < m1["loss"][0]  # GD converges
+
+    scored = df.select(
+        "doc_id", "label",
+        quality_classifier_score(
+            F.col("text"), m1["weights"], m1["bias"]
+        ).alias("s"),
+    ).collect()
+    acc = sum((r.s >= 0.5) == (r.label == 1) for r in scored) / len(scored)
+    assert acc >= 0.95
+
+    # DuckDB restates the fitted scorer exactly (same md5 bucket,
+    # sequential mean, sigmoid)
+    w_sql = "[" + ", ".join(repr(w) for w in m1["weights"]) + "]"
+    rows = [
+        (r.doc_id, r.text) for r in df.select("doc_id", "text").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute(f"""
+        WITH w AS (SELECT {w_sql}::DOUBLE[] AS wv),
+        tk AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  tk -> tk <> '') AS toks FROM t)
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-({m1["bias"]!r} + COALESCE(
+                 list_sum(list_transform(toks,
+                   tk -> wv[CAST((CAST(concat('0x', substring(md5(tk), 1, 15))
+                     AS BIGINT) % {D}) + 1 AS INT)])) / len(toks), 0.0))))
+        FROM tk, w
+    """).fetchall())
+    got = {r.doc_id: r.s for r in df.select(
+        "doc_id",
+        quality_classifier_score(
+            F.col("text"), m1["weights"], m1["bias"]
+        ).alias("s"),
+    ).collect()}
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_token_logreg_fit_null_empty_docs_and_guards(spark):
+    from zeek_duckdb_spark.operators.classifier import token_logreg_fit
+
+    df = spark.createDataFrame(
+        [(1, "research analysis quality text here", 1),
+         (2, "buy cheap pills now fast", 0),
+         (3, None, 1),        # NULL text: bias-only features, kept
+         (4, "", 0),          # empty doc: bias-only features, kept
+         (5, "good words", None)],  # NULL label: dropped
+        "doc_id long, text string, label int",
+    )
+    m = token_logreg_fit(df, "label", dim=64, iters=3, lr=1.0)
+    assert m["n"] == 4  # NULL label dropped, NULL/empty text kept
+    assert all(not (w != w) for w in m["weights"])  # no NaN
+
+    with pytest.raises(ValueError, match="dim"):
+        token_logreg_fit(df, "label", dim=0)
+    with pytest.raises(ValueError, match="labels must be 0/1"):
+        token_logreg_fit(
+            spark.createDataFrame([(1, "x", 2)],
+                                  "doc_id long, text string, label int"),
+            "label", dim=8, iters=1,
+        )
+    with pytest.raises(ValueError, match="no usable rows"):
+        token_logreg_fit(df.filter("doc_id < 0"), "label", dim=8, iters=1)
+
+
+def test_token_fit_composes_with_clean_corpus_gate(spark):
+    """The full in-engine loop: fit the token classifier, then gate a
+    corpus through clean_corpus(classifier=) — planted junk dies, good
+    docs survive, and the gate is a pure zero-shuffle expression."""
+    from zeek_duckdb_spark.operators.classifier import token_logreg_fit
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    labeled = _text_blobs(spark)
+    m = token_logreg_fit(labeled, "label", dim=256, iters=12, lr=2.0)
+
+    corpus = spark.createDataFrame(
+        [(100, "research method shows this result holds in the study"),
+         (101, "buy cheap pills casino bonus click the winner offer"),
+         (102, "the analysis of the data supports the theory model")],
+        "doc_id long, text string",
+    )
+    kept = clean_corpus(
+        corpus, min_tokens=3,
+        classifier={"weights": m["weights"], "bias": m["bias"],
+                    "threshold": 0.5},
+    )
+    assert {r.doc_id for r in kept.collect()} == {100, 102}
+    junk = clean_corpus(
+        corpus, min_tokens=3,
+        classifier={"weights": m["weights"], "bias": m["bias"],
+                    "threshold": 0.5, "keep": "below"},
+    )
+    assert {r.doc_id for r in junk.collect()} == {101}
+    with pytest.raises(ValueError, match="threshold"):
+        clean_corpus(corpus, classifier={"weights": m["weights"],
+                                         "threshold": 1.5}).collect()
+    with pytest.raises(ValueError, match="weights"):
+        clean_corpus(corpus, classifier={"threshold": 0.5}).collect()
+    with pytest.raises(ValueError, match="keep"):
+        clean_corpus(corpus, classifier={
+            "weights": m["weights"], "threshold": 0.5, "keep": "maybe",
+        }).collect()

@@ -302,3 +302,66 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
     assert not _glob.glob(f"{land}/batch=2")
     assert spark.read.parquet(sigs).count() == n_sigs_before
     assert {r.doc_id for r in spark.read.parquet(land).collect()} == {1, 2, 11}
+
+
+def test_stream_clean_ingest_classifier_gate_matches_batch(spark, tmp_path):
+    """Streaming classifier gate (clean_corpus's learned-quality dict
+    threaded through incremental_clean_ingest_stream): a planted
+    low-quality batch loses its junk docs in the STREAM exactly as in
+    the batch loop — the gate is a zero-shuffle expression fold, so
+    the two paths are the same plan.  Rejected docs also never enter
+    the fp/sig indexes."""
+    import glob as _glob
+    import json as _json
+
+    from zeek_duckdb_spark.operators.classifier import token_logreg_fit
+    from zeek_duckdb_spark.operators.pipeline import (
+        incremental_clean_ingest,
+        incremental_clean_ingest_stream,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, "research analysis data method result study", 1)
+         for i in range(30)]
+        + [(100 + i, "buy cheap pills casino bonus click offer", 0)
+           for i in range(30)],
+        "doc_id long, text string, label int",
+    )
+    m = token_logreg_fit(labeled, "label", dim=128, iters=10, lr=2.0)
+    gate = {"weights": m["weights"], "bias": m["bias"], "threshold": 0.5}
+
+    batch = spark.createDataFrame(
+        [(1, "the research method shows a clear result in the data"),
+         (2, "buy cheap pills now casino bonus winner click offer deal"),
+         (3, "this analysis of the study evidence supports the theory"),
+         (4, "the research method shows a clear result in the data")],
+        "doc_id long, text string",
+    )  # 2 = planted junk, 4 = dup of 1
+
+    src = tmp_path / "in"
+    src.mkdir()
+    fps, sigs = str(tmp_path / "fps"), str(tmp_path / "sigs")
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    stage = str(tmp_path / "_stage")
+    batch.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0],
+                f"{src}/day1.parquet")
+
+    s = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = incremental_clean_ingest_stream(
+        s, fps, sigs, land, ckpt, threshold=0.5, classifier=gate
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(f"{land}/batch=0").collect()}
+    bfps, bsigs = str(tmp_path / "bfps"), str(tmp_path / "bsigs")
+    want = {r.doc_id for r in incremental_clean_ingest(
+        batch, bfps, bsigs, threshold=0.5, classifier=gate
+    ).collect()}
+    assert got == want == {1, 3}  # junk gated, dup deduped, good lands
+    # rejected docs never reached the indexes
+    sig_ids = sorted(
+        r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()
+    )
+    assert sig_ids == [1, 3]

@@ -35,10 +35,11 @@ Logistic regression is the published workhorse for this job (fastText
 / DCLM quality classifiers are linear models over embeddings); public
 background: Cox 1958, bag-of-tricks fastText (Joulin et al. 2016).
 
-Siblings: ``textops.quality_classifier_score`` is the scoring-only
-hashed-bag-of-TOKENS form (weights trained offline); this module is
-the EMBEDDING-feature form and brings the distributed fit, so the
-whole train-then-gate loop runs in-engine.
+Siblings: ``textops.quality_classifier_score`` is the hashed
+bag-of-TOKENS scorer; :func:`token_logreg_fit` here trains its
+weights in-engine over the same feature map, so BOTH classifier
+families (embedding and token) now run the full train-then-gate loop
+without leaving the engine.
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ __all__ = [
     "logreg_fit",
     "logreg_score",
     "filter_by_classifier",
+    "token_logreg_fit",
 ]
 
 # residual fixed-point grid: |p - y| <= 1 snaps to 2^-20 steps, so a
@@ -347,3 +349,176 @@ def filter_by_classifier(
         else F.col("__cls_p") < threshold
     )
     return scored.filter(cond).drop("__cls_p")
+
+
+# token-frequency fixed-point grid: mean token frequencies (c_j / n in
+# [0, 1]) snap to 2^-10 steps, so a per-row product with the 2^-20
+# residual grid is <= 2^30 — int64 partials hold ~8e9 rows/partition
+_TOK_FX = 1 << 10
+
+
+def token_logreg_fit(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 4096,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> dict:
+    """Train the fastText-style TOKEN quality classifier in-engine —
+    the FineWeb/DCLM "reference corpus vs crawl" gate.  Fits
+    ``sigmoid(bias + mean over tokens of weights[md5(token) mod dim])``
+    to 0/1 labels and returns ``{"weights", "bias", "dim", "n",
+    "loss"}`` whose weights plug DIRECTLY into
+    :func:`textops.quality_classifier_score` (and therefore into
+    ``clean_corpus(classifier=...)``): the feature map here is the
+    scorer's own JVM expression — ``nonempty_tokens`` + the
+    engine-portable md5 bucket — evaluated Spark-side, so train and
+    serve can never disagree on tokenization or hashing.
+
+    Determinism is the :func:`logreg_fit` recipe on a SPARSE feature
+    space: per-row mean token frequencies snap to a static 2^-10 grid
+    (no corpus-global scale pass needed — frequencies live in [0, 1])
+    and residuals to 2^-20, so every gradient component is an EXACT
+    int64 sum of per-row integer products — identical weights under
+    any partitioning or cluster size.  Each GD pass is ONE zero-shuffle
+    ``mapInPandas`` job emitting (n, sparse int64 grad, grad_b, loss)
+    partials; per-row work is O(distinct tokens), never O(dim).
+
+    NULL/empty/whitespace docs contribute zero features (they score
+    ``sigmoid(bias)``, matching the scorer); NULL labels are dropped.
+    At 100 TB you fit on the labeled SAMPLE — labels are the scarce
+    thing — then score the corpus with the pure-JVM fold.
+    """
+    if dim < 1:
+        raise ValueError("token_logreg_fit: dim must be >= 1")
+    if iters < 0:
+        raise ValueError("token_logreg_fit: iters must be >= 0")
+    if lr <= 0:
+        raise ValueError("token_logreg_fit: lr must be > 0")
+    if l2 < 0:
+        raise ValueError("token_logreg_fit: l2 must be >= 0")
+    from zeek_duckdb_spark.operators.hashutil import md5_long
+    from zeek_duckdb_spark.operators.textops import nonempty_tokens
+
+    buckets = F.transform(
+        nonempty_tokens(F.col(text_col)),
+        lambda t: (md5_long(t) % F.lit(dim)).cast("int"),
+    )
+    src = df.select(
+        buckets.alias("__b"),
+        F.col(label_col).cast("double").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    bad = src.filter(~F.col("__y").isin(0.0, 1.0)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"token_logreg_fit: labels must be 0/1, found {bad[0]['__y']!r}"
+        )
+    base = src.persist()
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("gi", T.ArrayType(T.IntegerType())),
+            T.StructField("gv", T.ArrayType(T.LongType())),
+            T.StructField("gb", T.LongType()),
+            T.StructField("ls", T.LongType()),
+        ]
+    )
+
+    def pass_factory(w_list: list[float], b: float):
+        wv = np.asarray(w_list, dtype=np.float64)
+
+        def fn(batches):
+            n = 0
+            g = {}
+            gb = 0
+            ls = 0
+            for pdf in batches:
+                for bk, y in zip(pdf["__b"], pdf["__y"]):
+                    n += 1
+                    if bk is None or len(bk) == 0:
+                        idx = None
+                        z = b
+                    else:
+                        # np.unique returns SORTED indices -> the
+                        # float dot below folds in a fixed order on
+                        # every executor
+                        idx, cnt = np.unique(
+                            np.asarray(bk, dtype=np.int64),
+                            return_counts=True,
+                        )
+                        qx = np.floor(
+                            cnt / len(bk) * _TOK_FX + 0.5
+                        ).astype(np.int64)
+                        z = float(wv[idx] @ (qx / _TOK_FX)) + b
+                    p = _sigmoid(z)
+                    r = int(math.floor((p - float(y)) * _RES_FP + 0.5))
+                    if idx is not None:
+                        for j, q in zip(idx, qx):
+                            g[int(j)] = g.get(int(j), 0) + r * int(q)
+                    gb += r
+                    pc = min(max(p, 1e-12), 1.0 - 1e-12)
+                    ll = -(
+                        float(y) * math.log(pc)
+                        + (1.0 - float(y)) * math.log(1.0 - pc)
+                    )
+                    ls += int(math.floor(ll * _RES_FP + 0.5))
+            if n:
+                keys = sorted(g)
+                yield pd.DataFrame(
+                    {
+                        "n": [n],
+                        "gi": [keys],
+                        "gv": [[g[k] for k in keys]],
+                        "gb": [gb],
+                        "ls": [ls],
+                    }
+                )
+
+        return fn
+
+    w = [0.0] * dim
+    b = 0.0
+    n_rows = 0
+    loss_trace: list[float] = []
+    try:
+        if iters == 0:
+            n_rows = base.count()
+            if n_rows == 0:
+                raise ValueError("token_logreg_fit: no usable rows")
+        for _ in range(iters):
+            rows = base.mapInPandas(
+                pass_factory(w, b), schema=out_schema
+            ).collect()
+            n_rows = sum(int(r["n"]) for r in rows)
+            if n_rows == 0:
+                raise ValueError("token_logreg_fit: no usable rows")
+            g_tot: dict[int, int] = {}
+            gb_tot = 0
+            ls_tot = 0
+            for r in rows:  # exact integer merges, any partitioning
+                for j, v in zip(r["gi"], r["gv"]):
+                    g_tot[int(j)] = g_tot.get(int(j), 0) + int(v)
+                gb_tot += int(r["gb"])
+                ls_tot += int(r["ls"])
+            loss_trace.append(ls_tot / _RES_FP / n_rows)
+            denom = _RES_FP * _TOK_FX * n_rows
+            w = [
+                wj - lr * (g_tot.get(j, 0) / denom + l2 * wj)
+                for j, wj in enumerate(w)
+            ]
+            b -= lr * ((gb_tot / _RES_FP) / n_rows)
+    finally:
+        base.unpersist()
+    return {
+        "weights": w,
+        "bias": b,
+        "dim": dim,
+        "n": n_rows,
+        "loss": loss_trace,
+    }

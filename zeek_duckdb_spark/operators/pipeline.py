@@ -76,6 +76,7 @@ def clean_corpus(
     min_perplexity: float | None = None,
     normalize_form: str | None = None,
     compression_band: tuple[float, float] | None = None,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """Quality-filter + language-tag + exact-dedup a document table.
 
@@ -144,6 +145,15 @@ def clean_corpus(
       above ``hi`` is high-entropy junk.  Runs AFTER the cheap
       surface filter (it crosses the Python boundary, so it should
       see the thinned corpus) and before the LM gate.
+    - ``classifier={'weights': [...], 'bias': b, 'threshold': t,
+      'keep': 'above'}`` gates documents by the LEARNED token quality
+      classifier (textops.quality_classifier_score — train the
+      weights in-engine with :func:`classifier.token_logreg_fit`).
+      The score is a pure zero-shuffle JVM expression fold, so the
+      gate is stream-safe by construction and runs right after the
+      surface filter (it costs like one, unlike the Python-boundary
+      and model-join gates that follow).  ``keep='above'`` (default)
+      keeps score >= threshold; ``'below'`` harvests the junk side.
     """
     keep_cols = [id_col, text_col]
     if near_keep_score is not None and near_keep_score in df.columns:
@@ -193,6 +203,8 @@ def clean_corpus(
         (F.col("q_tokens") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
+    if classifier is not None:
+        kept = _classifier_gate(kept, text_col, classifier)
     if compression_band is not None:
         lo, hi = compression_band
         if not 0.0 <= lo < hi:
@@ -235,6 +247,34 @@ def clean_corpus(
             deduped, id_col, text_col, near_dedup, near_params, near_keep_score
         )
     return deduped.withColumn("lang_guess", lang_id(F.col(text_col)))
+
+
+def _classifier_gate(df: DataFrame, text_col: str, classifier: dict) -> DataFrame:
+    """Shared learned-quality gate: a pure zero-shuffle expression
+    filter over textops.quality_classifier_score — stream-safe by
+    construction (no state, no shuffle, no Python), which is what lets
+    the ingest STREAM reuse it verbatim."""
+    from zeek_duckdb_spark.operators.textops import quality_classifier_score
+
+    weights = classifier.get("weights")
+    if not weights:
+        raise ValueError("classifier: 'weights' must be a non-empty list")
+    threshold = classifier.get("threshold")
+    if threshold is None or not 0.0 <= float(threshold) <= 1.0:
+        raise ValueError(
+            "classifier: 'threshold' must be in [0, 1] (it gates a sigmoid)"
+        )
+    keep = classifier.get("keep", "above")
+    if keep not in ("above", "below"):
+        raise ValueError("classifier: 'keep' must be 'above' or 'below'")
+    score = quality_classifier_score(
+        F.col(text_col), list(weights), float(classifier.get("bias", 0.0))
+    )
+    return df.filter(
+        score >= float(threshold)
+        if keep == "above"
+        else score < float(threshold)
+    )
 
 
 def _near_dedup_pass(
@@ -394,6 +434,7 @@ def incremental_clean_ingest(
     update_index: bool = True,
     check_ids: bool = True,
     land_path: str | None = None,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """The packaged daily-crawl ingest loop: exact + fuzzy dedup of a
     NEW batch against PERSISTED indexes, with the index updated for
@@ -454,7 +495,15 @@ def incremental_clean_ingest(
 
     Signature parameters must match across calls — they ARE the index
     format (mixed parameters make signatures incomparable; the same
-    contract as minhash_lsh_pairs_incremental)."""
+    contract as minhash_lsh_pairs_incremental).
+
+    ``classifier`` (same dict as ``clean_corpus(classifier=)``) gates
+    the batch by learned token quality BEFORE any dedup work — a pure
+    zero-shuffle expression filter, so rejected docs never pay for
+    fingerprints or signatures and never enter the indexes.  A later
+    byte-identical copy of a rejected doc scores identically and is
+    rejected by the same gate, so keeping rejects out of the index
+    loses nothing."""
     from zeek_duckdb_spark.operators.dedup import (
         exact_dedup_incremental,
         minhash_lsh_pairs_incremental,
@@ -463,6 +512,8 @@ def incremental_clean_ingest(
     from zeek_duckdb_spark.operators.graph import connected_components
 
     spark = new_df.sparkSession
+    if classifier is not None:
+        new_df = _classifier_gate(new_df, text_col, classifier)
 
     def _maybe(path: str, schema: str) -> DataFrame:
         # probe by reading: works on any Hadoop-visible filesystem
@@ -589,6 +640,7 @@ def incremental_clean_ingest_stream(
     bands: int = 8,
     seed: int = 1,
     available_now: bool = True,
+    classifier: dict | None = None,
 ):
     """The daily-crawl ingest loop as a STREAMING job: each
     micro-batch of ``stream_df`` (``read_zeek_stream``, a file-source
@@ -624,7 +676,12 @@ def incremental_clean_ingest_stream(
 
     Sequencing note: micro-batches execute serially within the query,
     so batch N+1's verdicts always see batch N's index appends — the
-    property the daily loop gets from running days in order."""
+    property the daily loop gets from running days in order.
+
+    ``classifier`` passes straight through to
+    :func:`incremental_clean_ingest` — the gate is a zero-shuffle
+    expression filter (stream-safe by construction), so streaming
+    survivors match the batch loop's survivors exactly."""
     import os as _os
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -644,6 +701,7 @@ def incremental_clean_ingest_stream(
             update_index=True,
             check_ids=False,
             land_path=_os.path.join(land_path, f"batch={batch_id}"),
+            classifier=classifier,
         )
 
     writer = (
