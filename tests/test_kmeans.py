@@ -252,3 +252,56 @@ def test_kmeans_parallel_init_validation(spark):
     with pytest.raises(ValueError, match="candidates"):
         # 36-row corpus cannot yield 30 candidates in one stingy round
         kmeans_parallel_init(corpus, k=30, rounds=1, oversample=1)
+
+
+def test_batched_probe_matches_per_query_loop(spark, emb, tmp_path):
+    """ivf_probe_topk_batch: one union-cell scan for the whole request
+    batch, per-query results IDENTICAL to the per-query probe loop —
+    including queries whose probe sets differ (rows pulled into the
+    scan by ANOTHER query's cells must not leak into this query's
+    candidates)."""
+    from zeek_duckdb_spark.operators.kmeans import (
+        ivf_probe_topk,
+        ivf_probe_topk_batch,
+        ivf_write,
+    )
+    from zeek_duckdb_spark.plans import audit
+
+    path = str(tmp_path / "ivf")
+    cents = ivf_write(emb, path, n_centroids=6, iters=2)
+    queries = emb.filter(F.col("vec_id") < 16)
+
+    batch = ivf_probe_topk_batch(
+        spark, path, cents, queries, k=5, nprobe=2
+    )
+    rows = batch.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.vec_id, r.cosine_sim))
+    assert set(got) == set(range(16))
+    for qid in range(16):
+        q = emb.filter(F.col("vec_id") == qid)
+        want = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivf_probe_topk(
+                spark, path, cents, q, k=5, nprobe=2
+            ).collect()
+        ]
+        assert got[qid] == want, qid
+
+    # ONE partition-pruned scan serves the whole batch (count scans in
+    # the final plan only — AQE's string repeats the initial plan)
+    plan = audit.physical_plan(batch)
+    assert "PartitionFilters" in plan
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1
+
+    with pytest.raises(ValueError, match="queries is empty"):
+        ivf_probe_topk_batch(
+            spark, path, cents, emb.filter("vec_id < 0"), k=5
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        ivf_probe_topk_batch(
+            spark, path, cents,
+            queries.union(emb.filter(F.col("vec_id") == 0)), k=5,
+        )

@@ -55,6 +55,7 @@ __all__ = [
     "ivf_write",
     "ivf_append",
     "ivf_probe_topk",
+    "ivf_probe_topk_batch",
 ]
 
 
@@ -610,6 +611,132 @@ def ivf_probe_topk(
         scored.orderBy(F.desc_nulls_last("cosine_sim"), F.asc(id_col))
         .limit(k)
         .filter(F.col("cosine_sim").isNotNull())
+    )
+
+
+def ivf_probe_topk_batch(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized IVF index for MANY queries at once — the
+    retrieval serving shape (a request batch of hundreds/thousands of
+    queries, not one).  :func:`ivf_probe_topk` pays one partition-
+    pruned scan PER query; here the whole batch pays ONE scan of the
+    UNION of its touched cells, and every Arrow batch of index rows is
+    scored against all queries with a single int64 matmul — the
+    ``topk_neighbors_batch`` recipe applied to the landed layout.
+
+    Per query the result is IDENTICAL to :func:`ivf_probe_topk`:
+    probe-cell selection reuses the same sequential cosine fold over
+    the centroid model (driver-side, Q x K folds over a tiny model),
+    scoring is the same exact int64 quantized dot (matmul of int64 is
+    still exact integer arithmetic) with the same float64
+    denominator / 6-dp round / (sim DESC, id ASC) tie-break, rows in
+    cells outside a query's own nprobe set are masked out even when
+    another query's probe pulled them into the scan, and self-matches
+    are excluded.
+
+    Scale shape: one partition-pruned scan (PartitionFilters on the
+    union cell set); the kernel emits <= k rows per query per Arrow
+    batch, so the merge window's shuffle is bounded by k·Q·batches —
+    the corpus never leaves the scan stage.  Output: (q_id, id,
+    cosine_sim), exactly k per query (fewer if the probed cells hold
+    fewer valid rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    q_rows = (
+        quantize_embeddings(queries, query_id_col, vec_col)
+        .select(F.col(query_id_col).alias("q_id"), F.col("qvec"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("ivf_probe_topk_batch: queries is empty")
+    q_ids = [r["q_id"] for r in q_rows]
+    if len(set(q_ids)) != len(q_ids):
+        raise ValueError("ivf_probe_topk_batch: duplicate query ids")
+    Qq = np.asarray(
+        [[int(v) for v in r["qvec"]] for r in q_rows], dtype=np.int64
+    )
+
+    live_cents = [(c, v) for c, v in cents if any(x != 0.0 for x in v)]
+    allowed: list[np.ndarray] = []
+    union_cells: set[int] = set()
+    for qi in range(len(q_ids)):
+        qd = [float(v) for v in Qq[qi]]
+        scored = sorted(
+            ((c, _seq_cosine(qd, v)) for c, v in live_cents),
+            key=lambda t: (-t[1], t[0]),
+        )
+        cells = [int(c) for c, _ in scored[:nprobe]]
+        allowed.append(np.asarray(cells, dtype=np.int64))
+        union_cells.update(cells)
+
+    idx = spark.read.parquet(path).filter(
+        F.col("cell").isin(sorted(union_cells))
+    )
+    qn = np.sqrt((Qq.astype(np.float64) ** 2).sum(axis=1))
+    q_id_arr = np.asarray(q_ids)
+    q_id_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = (
+        spark.read.parquet(path).schema[id_col].dataType.simpleString()
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            X = np.vstack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+            )
+            dots = X @ Qq.T  # exact int64 — the quantized-dot contract
+            xn = np.sqrt((X.astype(np.float64) ** 2).sum(axis=1))
+            sims = dots.astype(np.float64) / (xn[:, None] * qn[None, :])
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(q_id_arr)):
+                mask = np.isin(cells, allowed[j]) & (ids != q_id_arr[j])
+                cand_ids = ids[mask]
+                # round BEFORE the cut — the per-batch ordering must be
+                # the global (rounded DESC, id ASC) key or boundary
+                # picks would depend on Arrow batch boundaries
+                cand_sims = np.round(sims[:, j][mask], 6)
+                valid = ~np.isnan(cand_sims) & ~np.isinf(cand_sims)
+                cand_ids, cand_sims = cand_ids[valid], cand_sims[valid]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), q_id_arr[j]))
+                out_id.append(cand_ids[order])
+                out_sim.append(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine_sim": np.concatenate(out_sim),
+                }
+            )
+
+    cands = idx.select(id_col, "cell", "qvec").mapInPandas(
+        score_batches,
+        schema=f"q_id {q_id_type}, {id_col} {id_type}, cosine_sim double",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("q_id", F.desc("cosine_sim"), F.asc(id_col))
     )
 
 
