@@ -42,11 +42,6 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-# the sf~5 tier exists to answer ONE question — does the q03/q05
-# equi-join ratio turn over as fixed costs amortize — so it only
-# materializes and runs the join-family queries
-TABLES5 = ["region", "nation", "customer", "orders", "lineitem"]
-HEADLINE5 = ["q01_pricing_summary", "q03_top_orders", "q05_nation_revenue"]
 HEADLINE = [
     "q01_pricing_summary", "q03_top_orders", "q05_nation_revenue",
     "q09_group_big", "q12_window_running", "dd_exact_groups",
@@ -54,6 +49,12 @@ HEADLINE = [
     # r7 headline members, added to the scaling table in r8
     "nf_dns_tunneling", "pq_ann_topk", "sim_topk_batch",
 ]
+# the sf~5 tier originally ran the join family only (the one open
+# question was whether the q03/q05 ratio turns over); round 10 extends
+# it to the FULL headline set so the suite-total ratio trajectory is
+# measured, not asserted, for the window/sessionize/sketch rows too
+TABLES5 = TABLES
+HEADLINE5 = HEADLINE
 
 
 # per-copy SELECT rewriting keys so copy i's rows join only copy i's
@@ -341,6 +342,10 @@ def write_scaling_md(lines: list[str], path: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sf5-iters", type=int, default=None,
+                    help="iterations for the 50x tier (default: --iters; "
+                         "the tier costs ~2 min/iteration across both "
+                         "engines)")
     ap.add_argument("--no-sf5", action="store_true",
                     help="skip the 50x join-gap replicate")
     ap.add_argument("--no-bucketed", action="store_true",
@@ -363,10 +368,11 @@ def main() -> None:
 
     sf5_results = None
     if not args.no_sf5:
+        it5 = args.sf5_iters if args.sf5_iters is not None else args.iters
         materialize(SF5, COPIES5, TABLES5)
         sf5_results = {
-            "spark": bench_spark(SF5, args.iters, HEADLINE5),
-            "duckdb": bench_duckdb(SF5, args.iters, True, HEADLINE5, TABLES5),
+            "spark": bench_spark(SF5, it5, HEADLINE5),
+            "duckdb": bench_duckdb(SF5, it5, True, HEADLINE5, TABLES5),
         }
 
     bucketed = None
@@ -434,13 +440,16 @@ def main() -> None:
     ]
     if sf5_results is not None:
         lines += [
-            "## sf~5 replicate (50x) — does the join ratio turn over?",
+            "## sf~5 replicate (50x) — the FULL headline set",
             "",
-            "Under the round-5 naive join order the q03/q05 ratio ROSE with",
-            "scale (12.6x -> 14.9x -> 19.5x for q03 at sf0.1/1/5), leaving",
-            "'the constants amortize' asserted rather than measured.  With",
-            "the reworked plans above it falls monotonically — measured on",
-            "50x-replicated facts (~30M lineitem rows), join-family only.",
+            "Round 10 extended this tier from the join family to all 13",
+            "headline queries: the 2x-bar argument rests on 'ratios fall",
+            "monotonically with scale', and that is now MEASURED for the",
+            "window/sessionize/sketch rows instead of asserted.  50x-",
+            "replicated facts (~30M lineitem rows, ~100k docs, 5M events),",
+            "dimension tables 1x, same replicate protocol as sf~1 (key",
+            "offsets + per-copy token markers preserve join fan-out and",
+            "near-dup density).",
             "",
             "| query | spark sf5 | duckdb sf5 | ratio | (ratio sf0.1 -> sf1 -> sf5) |",
             "|---|---|---|---|---|",
@@ -455,9 +464,12 @@ def main() -> None:
             )
         s5t = sum(sf5_results["spark"].values())
         d5t = sum(sf5_results["duckdb"].values())
+        t01 = tot["sf0.1"]["spark"] / tot["sf0.1"]["duckdb"]
+        t1 = tot["sf1"]["spark"] / tot["sf1"]["duckdb"]
         lines += [
-            f"| **total (join family)** | **{s5t:.3f}** | **{d5t:.3f}** | "
-            f"**{s5t / d5t:.2f}x** | |",
+            f"| **total (all 13)** | **{s5t:.3f}** | **{d5t:.3f}** | "
+            f"**{s5t / d5t:.2f}x** | "
+            f"**{t01:.2f}x -> {t1:.2f}x -> {s5t / d5t:.2f}x** |",
             "",
         ]
     if bucketed is not None:
