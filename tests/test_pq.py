@@ -491,3 +491,64 @@ def test_ivfpq_l2_refine_null_vectors_sink(spark):
     ids = [r.vec_id for r in got]
     assert 0 not in ids and 1 not in ids
     assert all(r.exact_dist is not None for r in got)
+
+
+def test_ivfpq_batch_matches_per_query_loop(spark, emb, ivfpq):
+    """ivfpq_topk_batch: one union-cell scan for the whole request
+    batch; per-query ADC ranking identical to the ivfpq_topk loop
+    (sequential LUT accumulation order preserved), and the shortlist
+    exact-cosine refine matches the per-query refine too."""
+    from zeek_duckdb_spark.operators.pq import ivfpq_topk, ivfpq_topk_batch
+
+    cells, cbs, codes = ivfpq
+    codes = codes.localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 12)
+    qvecs = {
+        r.vec_id: [float(v) for v in r.embedding] for r in queries.collect()
+    }
+
+    # ADC-only mode
+    got = {}
+    for r in ivfpq_topk_batch(
+        codes, queries, cells, cbs, k_top=5, nprobe=2
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.vec_id, r.adc_dist))
+    assert set(got) == set(range(12))
+    for qid, qv in qvecs.items():
+        want = [
+            (r.vec_id, r.adc_dist)
+            for r in ivfpq_topk(codes, qv, cells, cbs, k_top=5, nprobe=2)
+            .collect()
+        ]
+        assert got[qid] == want, qid
+
+    # shortlist exact-cosine refine mode
+    gotr = {}
+    for r in ivfpq_topk_batch(
+        codes, queries, cells, cbs, k_top=5, nprobe=2,
+        refine_with=emb, refine_factor=3, refine_metric="cosine",
+    ).collect():
+        gotr.setdefault(r.q_id, []).append((r.vec_id, r.exact_score))
+    for qid, qv in qvecs.items():
+        want = [
+            (r.vec_id, r.exact_score)
+            for r in ivfpq_topk(
+                codes, qv, cells, cbs, k_top=5, nprobe=2,
+                refine_with=emb, refine_factor=3, refine_metric="cosine",
+            ).collect()
+        ]
+        assert gotr[qid] == want, qid
+
+    with pytest.raises(ValueError, match="queries is empty"):
+        ivfpq_topk_batch(codes, queries.filter("vec_id < 0"), cells, cbs)
+    with pytest.raises(ValueError, match="duplicate"):
+        ivfpq_topk_batch(
+            codes, queries.union(emb.filter(F.col("vec_id") == 0)),
+            cells, cbs,
+        )
+    with pytest.raises(ValueError, match="query dim"):
+        ivfpq_topk_batch(
+            codes,
+            queries.select("vec_id", F.slice("embedding", 1, 8).alias("embedding")),
+            cells, cbs,
+        )

@@ -57,6 +57,7 @@ __all__ = [
     "ivfpq_encode",
     "ivfpq_append",
     "ivfpq_topk",
+    "ivfpq_topk_batch",
 ]
 
 
@@ -824,4 +825,226 @@ def ivfpq_topk(
         .select(F.col(id_col), F.col("cell"), exact)
         .orderBy(*eorder)
         .limit(k_top)
+    )
+
+
+def ivfpq_topk_batch(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    cells: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k_top: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    refine_metric: str = "l2",
+) -> DataFrame:
+    """IVF-PQ top-k for MANY queries at once — the compressed-index
+    sibling of ``kmeans.ivf_probe_topk_batch``: the whole request
+    batch pays ONE scan of the union of its probed cells (partition-
+    pruned on a ``partitionBy("cell")`` landing), and every Arrow
+    batch of codes is ADC-scored against all queries in one kernel.
+
+    Per query the ADC ranking is IDENTICAL to :func:`ivfpq_topk`:
+    probe cells and per-(query, cell) residual lookup tables are
+    computed driver-side with the same arithmetic, the kernel
+    accumulates the m LUT terms SEQUENTIALLY left-to-right (the JVM
+    fold's op order), rows in cells outside a query's own probe set
+    are masked even when another query's probe pulled them into the
+    scan, and ties break (adc_dist ASC, id ASC) after the same 6-dp
+    round.
+
+    ``refine_with`` adds the shortlist exact re-rank
+    (``refine_factor * k_top`` ADC candidates per query, vectors
+    joined back for THOSE rows only — a broadcast of the model-sized
+    candidate set — then exact ``refine_metric`` order).  The
+    all-probed-rows exact mode (``ivfpq_topk(refine_factor=None)``)
+    has no batch form here: that shape IS
+    ``kmeans.ivf_probe_topk_batch`` over the raw-vector landing.
+
+    Output: ``(q_id, id, adc_dist[, exact_*])`` — k_top rows per
+    query, ordered within each query.  Shuffles are bounded by
+    candidate counts (k·Q·batches through the merge window), never
+    the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if not 1 <= nprobe <= len(cells):
+        raise ValueError(
+            f"ivfpq_topk_batch: nprobe must be in [1, {len(cells)}]"
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    if refine_metric not in ("l2", "cosine"):
+        raise ValueError(
+            "ivfpq_topk_batch: refine_metric must be 'l2' or 'cosine'"
+        )
+    if refine_with is not None and refine_factor < 1:
+        raise ValueError("ivfpq_topk_batch: refine_factor must be >= 1")
+    q_rows = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__v")
+    ).collect()
+    if not q_rows:
+        raise ValueError("ivfpq_topk_batch: queries is empty")
+    q_ids = [r["q_id"] for r in q_rows]
+    if len(set(q_ids)) != len(q_ids):
+        raise ValueError("ivfpq_topk_batch: duplicate query ids")
+    qvecs = []
+    for r in q_rows:
+        v = [float(x) for x in r["__v"]]
+        if len(v) != dim:
+            raise ValueError(
+                f"ivfpq_topk_batch: query dim {len(v)} != codebook dim {dim}"
+            )
+        qvecs.append(v)
+
+    # driver-side probe selection + per-(query, cell) residual LUTs —
+    # the same arithmetic as ivfpq_topk, query by query
+    luts: list[dict[int, "np.ndarray"]] = []
+    union_cells: set[int] = set()
+    for qd in qvecs:
+        d2 = [
+            (sum((a - b) * (a - b) for a, b in zip(qd, c)), ci)
+            for ci, c in enumerate(cells)
+        ]
+        probed = [ci for _, ci in sorted(d2)[:nprobe]]
+        per_cell = {}
+        for ci in probed:
+            rq = [a - b for a, b in zip(qd, cells[ci])]
+            lut = []
+            for j, cb in enumerate(codebooks):
+                sub = rq[j * dsub : (j + 1) * dsub]
+                lut.append(
+                    [
+                        sum((a - b) * (a - b) for a, b in zip(sub, cent))
+                        for cent in cb
+                    ]
+                )
+            per_cell[ci] = np.asarray(lut, dtype=np.float64)
+        luts.append(per_cell)
+        union_cells.update(probed)
+
+    idx = codes_df.filter(F.col("cell").isin(sorted(union_cells)))
+    q_id_arr = np.asarray(q_ids)
+    q_id_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    keep_n = (
+        k_top if refine_with is None else max(k_top, refine_factor * k_top)
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cellarr = pdf["cell"].to_numpy().astype(np.int64)
+            C = np.vstack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]]
+            )
+            out_q, out_id, out_d = [], [], []
+            for qi in range(len(q_id_arr)):
+                cand_ids, cand_d = [], []
+                for ci, L in luts[qi].items():
+                    rows = np.nonzero(cellarr == ci)[0]
+                    if len(rows) == 0:
+                        continue
+                    codes = C[rows]
+                    # sequential left-to-right accumulation over the m
+                    # subspaces — the JVM aggregate fold's op order, so
+                    # pre-round values match ivfpq_topk bit-for-bit
+                    acc = L[0][codes[:, 0]]
+                    for j in range(1, m):
+                        acc = acc + L[j][codes[:, j]]
+                    cand_ids.append(ids[rows])
+                    cand_d.append(np.round(acc, 6))
+                if not cand_ids:
+                    continue
+                aid = np.concatenate(cand_ids)
+                ad = np.concatenate(cand_d)
+                order = np.lexsort((aid, ad))[:keep_n]
+                out_q.append(np.full(len(order), q_id_arr[qi]))
+                out_id.append(aid[order])
+                out_d.append(ad[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_id),
+                        "adc_dist": np.concatenate(out_d),
+                    }
+                )
+
+    cands = idx.select(id_col, "cell", "pq_codes").mapInPandas(
+        score_batches,
+        schema=f"q_id {q_id_type}, {id_col} {id_type}, adc_dist double",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    merged = (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep_n)
+        .drop("__rn")
+    )
+    if refine_with is None:  # keep_n == k_top here — merged IS the answer
+        return merged.orderBy("q_id", F.asc("adc_dist"), F.asc(id_col))
+
+    # exact re-rank of the per-query shortlists: the candidate set is
+    # model-sized (Q * refine_factor * k_top), so it broadcasts to the
+    # vector table and the exact scores run in one small Arrow kernel
+    joined = refine_with.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(merged), id_col
+    )
+    qmat = {qid: np.asarray(v, dtype=np.float64)
+            for qid, v in zip(q_ids, qvecs)}
+    ecol = "exact_dist" if refine_metric == "l2" else "exact_score"
+
+    def exact_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = []
+            for qid, v in zip(pdf["q_id"], pdf[vec_col]):
+                qv = qmat[qid]
+                if v is None:
+                    vals.append(None)
+                    continue
+                xa = np.asarray(v, dtype=np.float64)
+                if xa.ndim != 1 or xa.shape[0] != dim:
+                    vals.append(None)
+                    continue
+                if refine_metric == "l2":
+                    d = xa - qv
+                    vals.append(round(float(d @ d), 6))
+                else:
+                    den = float(np.sqrt(xa @ xa) * np.sqrt(qv @ qv))
+                    vals.append(
+                        round(float(xa @ qv) / den, 6) if den else None
+                    )
+            out = pdf[["q_id", id_col, "adc_dist"]].copy()
+            out[ecol] = pd.Series(vals, index=pdf.index, dtype="float64")
+            yield out
+
+    exact = joined.mapInPandas(
+        exact_batches,
+        schema=(
+            f"q_id {q_id_type}, {id_col} {id_type}, adc_dist double, "
+            f"{ecol} double"
+        ),
+    )
+    eorder = (
+        [F.asc_nulls_last(ecol), F.asc(id_col)]
+        if refine_metric == "l2"
+        else [F.desc_nulls_last(ecol), F.asc(id_col)]
+    )
+    we = Window.partitionBy("q_id").orderBy(*eorder)
+    return (
+        exact.withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") <= k_top)
+        .drop("__rn")
+        .orderBy("q_id", *eorder)
     )
