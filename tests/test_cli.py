@@ -440,3 +440,53 @@ def test_cli_clean_incremental_legacy_landing_guard(spark, tmp_path):
                    "--sigs", sigs, "--legacy-ok"], spark=spark)
     assert rc == 0
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows_out"] == 1
+
+
+def test_score_token_features_loop(spark, tmp_path, capsys):
+    """The fastText-style TOKEN classifier loop from a shell
+    (--features tokens): fit on labeled text, gate the corpus, serve
+    again from the landed model; a features-mismatched serve fails
+    loudly instead of scoring garbage."""
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        [(i, "research analysis data method result study", 1)
+         for i in range(40)]
+        + [(100 + i, "buy cheap pills casino bonus click offer", 0)
+           for i in range(40)],
+        "doc_id long, text string, label int",
+    ).write.parquet(labeled)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "the research method data shows a result"),
+         (2, "buy cheap pills casino click bonus now"),
+         (3, "study evidence analysis of the method")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    model = str(tmp_path / "tok_model.json")
+    out1 = str(tmp_path / "kept")
+    rc = main(["score", corpus, out1, "--fit", labeled,
+               "--features", "tokens", "--dim", "128", "--model", model,
+               "--iters", "10", "--lr", "2.0", "--threshold", "0.5"],
+              spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["fitted"] and rep["gated"]
+    kept = {r.doc_id for r in spark.read.parquet(out1).collect()}
+    assert kept == {1, 3}
+    assert json.load(open(model))["features"] == "tokens"
+    # serve from the landed model without refit: same survivors
+    out2 = str(tmp_path / "kept2")
+    rc = main(["score", corpus, out2, "--model", model,
+               "--features", "tokens", "--threshold", "0.5"], spark=spark)
+    assert rc == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 3}
+    # ungated scoring keeps all rows + the score column
+    out3 = str(tmp_path / "scored")
+    rc = main(["score", corpus, out3, "--model", model,
+               "--features", "tokens"], spark=spark)
+    assert rc == 0
+    sc = spark.read.parquet(out3)
+    assert sc.count() == 3 and "quality_score" in sc.columns
+    # a token model served through the embedding path must refuse
+    with pytest.raises(SystemExit, match="--features"):
+        main(["score", corpus, out3, "--model", model], spark=spark)

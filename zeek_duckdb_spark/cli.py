@@ -226,8 +226,18 @@ def _build_parser() -> argparse.ArgumentParser:
                          "— written here after --fit, read when no --fit")
     sc.add_argument("--label-col", default="label")
     sc.add_argument("--vec-col", default="embedding")
+    sc.add_argument("--features", choices=["embedding", "tokens"],
+                    default="embedding",
+                    help="'embedding': logistic regression over a vector "
+                         "column; 'tokens': the fastText-style hashed "
+                         "bag-of-tokens classifier over --text-col "
+                         "(classifier.token_logreg_fit + the zero-shuffle "
+                         "quality_classifier_score fold)")
+    sc.add_argument("--text-col", default="text",
+                    help="text column for --features tokens")
     sc.add_argument("--dim", type=int, default=None,
-                    help="vector dimension (required with --fit)")
+                    help="feature dimension (required with --fit; "
+                         "hash-bucket count for --features tokens)")
     sc.add_argument("--iters", type=int, default=20)
     sc.add_argument("--lr", type=float, default=1.0)
     sc.add_argument("--threshold", type=float, default=None,
@@ -470,28 +480,59 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 filter_by_classifier,
                 logreg_fit,
                 logreg_score,
+                token_logreg_fit,
             )
 
             if args.fit:
                 if args.dim is None:
                     raise SystemExit("score: --dim is required with --fit")
                 labeled = spark.read.parquet(args.fit)
-                model = logreg_fit(
-                    labeled, args.label_col, args.dim,
-                    vec_col=args.vec_col,
-                    iters=args.iters, lr=args.lr,
-                )
+                if args.features == "tokens":
+                    model = token_logreg_fit(
+                        labeled, args.label_col, text_col=args.text_col,
+                        dim=args.dim, iters=args.iters, lr=args.lr,
+                    )
+                else:
+                    model = logreg_fit(
+                        labeled, args.label_col, args.dim,
+                        vec_col=args.vec_col,
+                        iters=args.iters, lr=args.lr,
+                    )
                 if args.model:
                     with open(args.model, "w") as f:
                         json.dump({"weights": model["weights"],
-                                   "bias": model["bias"]}, f)
+                                   "bias": model["bias"],
+                                   "features": args.features}, f)
             else:
                 if not args.model:
                     raise SystemExit("score: provide --fit or --model")
                 with open(args.model) as f:
                     model = json.load(f)
+                if model.get("features", "embedding") != args.features:
+                    raise SystemExit(
+                        "score: model was fit with --features "
+                        f"{model.get('features', 'embedding')!r}; rerun "
+                        "with the matching --features flag"
+                    )
             corpus = spark.read.parquet(args.path)
-            if args.threshold is not None:
+            if args.features == "tokens":
+                from pyspark.sql import functions as F
+
+                from zeek_duckdb_spark.operators.textops import (
+                    quality_classifier_score,
+                )
+
+                score = quality_classifier_score(
+                    F.col(args.text_col), model["weights"], model["bias"]
+                )
+                scored = corpus.withColumn("quality_score", score)
+                out_df = (
+                    scored.filter(F.col("quality_score") >= args.threshold)
+                    .drop("quality_score")
+                    if args.threshold is not None
+                    else scored
+                )
+            elif args.threshold is not None:
                 out_df = filter_by_classifier(
                     corpus, model["weights"], model["bias"],
                     args.threshold, vec_col=args.vec_col,
