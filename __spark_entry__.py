@@ -2288,6 +2288,69 @@ def _cm_counts_oracle() -> str:
     )
 
 
+def ev_cm_median(spark, sf):
+    """CM-median over a signed sketch (operators/sketches, r10):
+    insert sketch over event user_ids MERGED with a deletion batch
+    (every 5th event at weight -1, allow_signed=True — the
+    windowed-stream expiry shape), read with estimator='median' (the
+    Cormode-Muthukrishnan two-sided bound; the min path refuses
+    signed sketches).  The oracle restates the counter sums AND the
+    lower-median probe arithmetic exactly."""
+    from zeek_duckdb_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+        cm_merge,
+    )
+
+    ev = _t(spark, sf, "events")
+    ins = cm_build(ev, "user_id", width=1 << 12, depth=3)
+    dels = cm_build(
+        ev.filter(F.col("event_id") % 5 == 0).withColumn("__w", F.lit(-1)),
+        "user_id", width=1 << 12, depth=3, weight_col="__w",
+        allow_signed=True,
+    )
+    merged = cm_merge(ins, dels)
+    keys = ev.select("user_id").filter(F.col("user_id").isNotNull()).distinct()
+    return cm_estimate(
+        keys, "user_id", merged, out_col="cm_med", estimator="median"
+    )
+
+
+def _cm_median_oracle() -> str:
+    from zeek_duckdb_spark.operators.hashutil import md5_long_sql
+
+    w = 1 << 12
+
+    def pos(i: int, expr: str) -> str:
+        return (
+            md5_long_sql(f"concat_ws(':', '7', 'cm{i}', {expr})") + f" % {w}"
+        )
+
+    ctr_arms = " UNION ALL ".join(
+        f"SELECT {i} AS row, " + pos(i, "CAST(k AS VARCHAR)")
+        + " AS pos, SUM(w) AS cnt FROM src GROUP BY 2"
+        for i in range(3)
+    )
+    probes = [
+        "COALESCE((SELECT cnt FROM ctr WHERE row = %d AND pos = %s), 0)"
+        % (i, pos(i, "CAST(keys.user_id AS VARCHAR)"))
+        for i in range(3)
+    ]
+    return (
+        "WITH src AS ("
+        "  SELECT user_id AS k, 1 AS w FROM events WHERE user_id IS NOT NULL"
+        "  UNION ALL"
+        "  SELECT user_id AS k, -1 AS w FROM events"
+        "  WHERE user_id IS NOT NULL AND event_id % 5 = 0), "
+        f"ctr AS ({ctr_arms}), "
+        "keys AS (SELECT DISTINCT user_id FROM events "
+        "WHERE user_id IS NOT NULL) "
+        "SELECT user_id, CAST(list_sort(["
+        + ", ".join(probes)
+        + "])[2] AS BIGINT) AS cm_med FROM keys"
+    )
+
+
 def pipe_weighted_sample(spark, sf):
     """Exact-k weighted sample without replacement
     (pipeline.weighted_sample_k, Efraimidis-Spirakis): top-50 docs by
@@ -2450,6 +2513,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_compression": tx_compression,
         "q22_array_norms": q22_array_norms,
         "dd_cosine_pairs": dd_cosine_pairs,
+        "ev_cm_median": ev_cm_median,
     }
 
 
@@ -2534,4 +2598,5 @@ def extra_oracle_sql() -> dict[str, str]:
               FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
         """,
+        "ev_cm_median": _cm_median_oracle(),
     }
