@@ -681,15 +681,12 @@ def ivf_probe_topk_batch(
         allowed.append(np.asarray(cells, dtype=np.int64))
         union_cells.update(cells)
 
-    idx = spark.read.parquet(path).filter(
-        F.col("cell").isin(sorted(union_cells))
-    )
+    full = spark.read.parquet(path)
+    idx = full.filter(F.col("cell").isin(sorted(union_cells)))
     qn = np.sqrt((Qq.astype(np.float64) ** 2).sum(axis=1))
     q_id_arr = np.asarray(q_ids)
     q_id_type = queries.schema[query_id_col].dataType.simpleString()
-    id_type = (
-        spark.read.parquet(path).schema[id_col].dataType.simpleString()
-    )
+    id_type = full.schema[id_col].dataType.simpleString()
 
     def score_batches(batches):
         for pdf in batches:

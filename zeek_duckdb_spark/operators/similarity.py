@@ -1114,10 +1114,16 @@ def kcenter_covering_radius(
         F.col("__x").isNotNull()
     )
     crows = src.filter(F.col("__id").isin(ids)).collect()
+    missing = set(ids) - {r["__id"] for r in crows}
+    if missing:
+        raise ValueError(
+            f"kcenter_covering_radius: {len(missing)} center id(s) "
+            "not found in the corpus"
+        )
     if len(crows) != len(set(ids)):
         raise ValueError(
-            "kcenter_covering_radius: "
-            f"{len(set(ids)) - len(crows)} center id(s) not found"
+            "kcenter_covering_radius: duplicate corpus rows for "
+            "center id(s) — centers must be unique ids"
         )
     C = np.asarray([[float(v) for v in r["__x"]] for r in crows])
     if C.ndim != 2:
