@@ -51,6 +51,17 @@ def _batch_id(path: str) -> str:
     return re.sub(r"[^A-Za-z0-9._-]", "_", base_name) + "-" + tag
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence probe through the JVM Hadoop FileSystem — works on
+    ANY Spark-visible filesystem (s3a://, hdfs://, abfs://, file://),
+    unlike a driver-local os.path stat, which silently answers False
+    for every object-store URI (the landing roots this CLI targets)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _parquet_row_count(path: str) -> int:
     """Row count from parquet footer metadata — a driver-side file
     walk, zero data IO (the row count lives in every footer)."""
@@ -387,7 +398,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             legacy = os.path.join(
                 args.out, f"batch={batch_id.rsplit('-', 1)[0]}"
             )
-            if os.path.isdir(legacy) and not args.legacy_ok:
+            if not args.legacy_ok and _hadoop_path_exists(spark, legacy):
                 raise SystemExit(
                     f"error: legacy landing {legacy!r} exists (pre-hash "
                     f"id scheme). If it was landed from this same input, "
@@ -515,6 +526,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         "with the matching --features flag"
                     )
             corpus = spark.read.parquet(args.path)
+            if args.threshold is not None and not 0.0 <= args.threshold <= 1.0:
+                # the embedding path gets this from filter_by_classifier;
+                # the tokens path gates inline, so validate here — a fat-
+                # fingered threshold would otherwise silently land an
+                # EMPTY corpus
+                raise SystemExit(
+                    "score: --threshold must be in [0, 1] (it gates a sigmoid)"
+                )
             if args.features == "tokens":
                 from pyspark.sql import functions as F
 

@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 from zeek_duckdb_spark.operators.similarity import (
     _cosine_argmax_np,
     _np_cent_geometry,
+    _np_round6_half_up,
     quantize_embeddings,
 )
 
@@ -706,8 +707,9 @@ def ivf_probe_topk_batch(
                 cand_ids = ids[mask]
                 # round BEFORE the cut — the per-batch ordering must be
                 # the global (rounded DESC, id ASC) key or boundary
-                # picks would depend on Arrow batch boundaries
-                cand_sims = np.round(sims[:, j][mask], 6)
+                # picks would depend on Arrow batch boundaries; half-up
+                # to match the per-query path's F.round exactly
+                cand_sims = _np_round6_half_up(sims[:, j][mask])
                 valid = ~np.isnan(cand_sims) & ~np.isinf(cand_sims)
                 cand_ids, cand_sims = cand_ids[valid], cand_sims[valid]
                 order = np.lexsort((cand_ids, -cand_sims))[:k]

@@ -869,10 +869,14 @@ def ivfpq_topk_batch(
     query, ordered within each query.  Shuffles are bounded by
     candidate counts (k·Q·batches through the merge window), never
     the corpus."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
+
+    from zeek_duckdb_spark.operators.similarity import _np_round6_half_up
 
     if not 1 <= nprobe <= len(cells):
         raise ValueError(
@@ -962,7 +966,9 @@ def ivfpq_topk_batch(
                     for j in range(1, m):
                         acc = acc + L[j][codes[:, j]]
                     cand_ids.append(ids[rows])
-                    cand_d.append(np.round(acc, 6))
+                    # half-up, matching ivfpq_topk's F.round (np.round
+                    # is HALF_EVEN and flips dyadic .5 boundaries)
+                    cand_d.append(_np_round6_half_up(acc))
                 if not cand_ids:
                     continue
                 aid = np.concatenate(cand_ids)
@@ -1017,14 +1023,24 @@ def ivfpq_topk_batch(
                 if xa.ndim != 1 or xa.shape[0] != dim:
                     vals.append(None)
                     continue
+                # half-up like the per-query path's F.round — python
+                # round() is HALF_EVEN like np.round
                 if refine_metric == "l2":
                     d = xa - qv
-                    vals.append(round(float(d @ d), 6))
+                    vals.append(
+                        math.floor(float(d @ d) * 1e6 + 0.5) / 1e6
+                    )
                 else:
                     den = float(np.sqrt(xa @ xa) * np.sqrt(qv @ qv))
-                    vals.append(
-                        round(float(xa @ qv) / den, 6) if den else None
-                    )
+                    if den:
+                        s = float(xa @ qv) / den
+                        vals.append(
+                            math.copysign(
+                                math.floor(abs(s) * 1e6 + 0.5), s
+                            ) / 1e6
+                        )
+                    else:
+                        vals.append(None)
             out = pdf[["q_id", id_col, "adc_dist"]].copy()
             out[ecol] = pd.Series(vals, index=pdf.index, dtype="float64")
             yield out

@@ -60,6 +60,17 @@ __all__ = [
 ]
 
 
+def _np_round6_half_up(a):
+    """6-dp round matching Spark's ``F.round`` (HALF_UP, away from
+    zero): ``sign(x) * floor(|x|*1e6 + 0.5) / 1e6``.  ``np.round`` is
+    HALF_EVEN and flips exact dyadic half-boundary values (x.xxxxxx5)
+    the JVM rounds up — the batch kernels that pin parity against a
+    JVM ``F.round`` sibling must not use it.  NaN/inf pass through."""
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product (deterministic order)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -1125,6 +1136,19 @@ def kcenter_covering_radius(
             "kcenter_covering_radius: duplicate corpus rows for "
             "center id(s) — centers must be unique ids"
         )
+    # validate CENTER vectors like corpus rows: a NULL element would
+    # TypeError with no culprit named, and one NaN/inf element would
+    # poison every row's min-distance and surface as the misleading
+    # 'no valid rows' error pointing at the corpus
+    for r in crows:
+        v = list(r["__x"])
+        if any(x is None for x in v) or not all(
+            math.isfinite(float(x)) for x in v if x is not None
+        ):
+            raise ValueError(
+                "kcenter_covering_radius: center id "
+                f"{r['__id']!r} has NULL/NaN/inf vector elements"
+            )
     C = np.asarray([[float(v) for v in r["__x"]] for r in crows])
     if C.ndim != 2:
         raise ValueError(
@@ -1134,7 +1158,10 @@ def kcenter_covering_radius(
     c2 = (C * C).sum(axis=1)
 
     def fn(batches):
-        best = -1.0
+        best = None  # None = no valid rows; round-off can make a true
+        # zero-distance batch maximum land a hair NEGATIVE, so the
+        # sentinel must be a flag, not a sign check (an exactly-covered
+        # corpus would otherwise report 'no valid rows')
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1156,8 +1183,9 @@ def kcenter_covering_radius(
                 + c2[None, :]
                 - 2.0 * (X @ C.T)
             )
-            best = max(best, float(np.min(d2, axis=1).max()))
-        if best >= 0:
+            m = float(np.min(d2, axis=1).max())
+            best = m if best is None else max(best, m)
+        if best is not None:
             yield pd.DataFrame({"m": [best]})
 
     rows = src.select("__x").mapInPandas(fn, schema="m double").collect()
