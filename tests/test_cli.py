@@ -490,3 +490,48 @@ def test_score_token_features_loop(spark, tmp_path, capsys):
     # a token model served through the embedding path must refuse
     with pytest.raises(SystemExit, match="--features"):
         main(["score", corpus, out3, "--model", model], spark=spark)
+
+
+def test_clean_with_classifier_model(spark, tmp_path, capsys):
+    """The full shell loop: fit the token classifier (score --fit
+    --features tokens), then clean --classifier-model gates the corpus
+    by learned quality alongside the heuristic filters; an embedding
+    model is refused (the gate runs over text)."""
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        [(i, "research analysis data method result study", 1)
+         for i in range(40)]
+        + [(100 + i, "buy cheap pills casino bonus click offer", 0)
+           for i in range(40)],
+        "doc_id long, text string, label int",
+    ).write.parquet(labeled)
+    model = str(tmp_path / "tok.json")
+    dummy_out = str(tmp_path / "dummy")
+    rc = main(["score", labeled, dummy_out, "--fit", labeled,
+               "--features", "tokens", "--dim", "128", "--model", model,
+               "--iters", "10", "--lr", "2.0"], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "the research method data shows a result here"),
+         (2, "buy cheap pills casino click bonus now today"),
+         (3, "study evidence analysis of the method and data")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "cleaned")
+    rc = main(["clean", corpus, out, "--min-tokens", "3",
+               "--classifier-model", model], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_in"] == 3 and rep["rows_out"] == 2
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    # an embedding-features model must be refused
+    emb_model = str(tmp_path / "emb.json")
+    json.dump({"weights": [0.1] * 8, "bias": 0.0,
+               "features": "embedding"}, open(emb_model, "w"))
+    with pytest.raises(SystemExit, match="TOKEN model"):
+        main(["clean", corpus, out, "--classifier-model", emb_model],
+             spark=spark)

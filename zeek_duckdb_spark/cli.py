@@ -153,6 +153,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="NFC/NFKC/NFD/NFKD text normalization first")
     cl.add_argument("--near-dedup", choices=["minhash", "simhash"], default=None)
     cl.add_argument("--strip-dup-spans", action="store_true")
+    cl.add_argument("--classifier-model", default=None, metavar="JSON",
+                    help="token-classifier model JSON from "
+                         "`score --fit --features tokens` — gates docs "
+                         "by learned quality (zero-shuffle expression)")
+    cl.add_argument("--classifier-threshold", type=float, default=0.5,
+                    help="keep docs scoring >= T (with --classifier-model)")
 
     ci = sub.add_parser(
         "clean-incremental",
@@ -349,6 +355,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # rows_in from parquet FOOTERS (driver-side metadata walk),
             # not a corpus scan — the stat line must not double input IO
             n_in = _parquet_row_count(args.path)
+            classifier = None
+            if args.classifier_model is not None:
+                with open(args.classifier_model) as f:
+                    cm = json.load(f)
+                if cm.get("features", "tokens") != "tokens":
+                    raise SystemExit(
+                        "clean: --classifier-model must be a TOKEN model "
+                        "(score --fit --features tokens) — the gate runs "
+                        "over the text column"
+                    )
+                classifier = {"weights": cm["weights"],
+                              "bias": cm.get("bias", 0.0),
+                              "threshold": args.classifier_threshold}
             cleaned = clean_corpus(
                 src,
                 id_col=args.id_col,
@@ -359,6 +378,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 normalize_form=args.normalize,
                 near_dedup=args.near_dedup,
                 strip_dup_spans=args.strip_dup_spans,
+                classifier=classifier,
             )
             cleaned.write.mode("overwrite").parquet(args.out)
             n_out = spark.read.parquet(args.out).count()
