@@ -585,10 +585,17 @@ def _emb_parallel(spark, sf):
 def dd_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates.  The md5-derived hash family
     lets the oracle restate the exact signatures and band buckets in
-    SQL (see _minhash_lsh_oracle)."""
+    SQL (see _minhash_lsh_oracle).  verify_with=d: verification
+    shingles compute per CANDIDATE, not corpus-wide on both join
+    sides — measured r10: 0.69 s vs 1.00 s at sf0.1 and 8.0 s vs
+    20.0 s at sf~5 (the default path re-derives the tokenize+md5
+    chain 3x over the corpus), identical rows."""
     d = _docs_parallel(spark, sf)
     sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_k=3)
-    return dd.minhash_lsh_pairs(sigs, "doc_id", bands=8, threshold=0.7)
+    return dd.minhash_lsh_pairs(
+        sigs, "doc_id", bands=8, threshold=0.7, verify_with=d,
+        text_col="text",
+    )
 
 
 def dd_simhash_pairs(spark, sf):

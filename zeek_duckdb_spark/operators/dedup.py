@@ -307,11 +307,16 @@ def minhash_lsh_pairs(
       compute verification shingles ONLY for rows that survive the
       candidate join — the stored text passes through the join
       untouched and the tokenize+md5 pipeline runs per candidate, not
-      corpus-wide on both join sides.  At 100 TB (candidates ≪ corpus)
-      that is the right shape; at bench scale (5 k docs, ~10² pairs)
-      the corpus-wide columnar recompute measures slightly FASTER
-      (2.08 s vs 2.35 s full-pipeline medians), so the default stays
-      ``None`` — choose per corpus size.
+      corpus-wide on both join sides.  PASS IT: without it the
+      sig-frame path re-derives the whole tokenize+shingle+md5 chain
+      over the corpus on each verify side (3x total with the bucket
+      pass — HOF projections have no cross-consumer reuse), and the
+      r10 measurement has it winning at EVERY tier (0.69 s vs 1.00 s
+      at sf0.1, 8.0 s vs 20.0 s at sf~5, identical rows; an earlier
+      5k-doc measurement that favored the default by 0.3 s no longer
+      reproduces).  The default stays ``None`` only because the
+      signature frame doesn't carry the text column to re-derive
+      from.
     - empty-shingle docs are excluded via the signature sentinel
       (``minhash[0] == 2^31-1``, unreachable for any real shingle since
       the fold is mod 2^31-1), not by re-deriving shingles.
