@@ -471,18 +471,19 @@ def main() -> None:
             f"**{s5t / d5t:.2f}x** | "
             f"**{t01:.2f}x -> {t1:.2f}x -> {s5t / d5t:.2f}x** |",
             "",
-            "Reading: the SUITE total is the trajectory that matters and it",
-            "falls monotonically — past parity and into an outright win at",
-            "the 50x tier (r10: 1.78x -> 1.34x -> 0.76x after the minhash",
-            "per-candidate-verify fix took the dd row from 22 s to ~9 s).",
-            "Per query, honest caveats: sub-second Spark rows (tx_quality,",
-            "sim_topk) sit at the stage-scheduling noise floor, so their",
-            "per-tier ratios wobble; dd_minhash_lsh grows ~linearly in docs",
-            "on both engines and sits near parity at tier (no bucket",
-            "explosion); and on nf_dns_tunneling / pq_ann_topk the DuckDB",
-            "oracle restatement becomes the slow side outright (0.2x) — the",
-            "workloads that dominate wall time are the ones where the",
-            "distributed plan wins first.",
+            "Reading: the SUITE total is the trajectory that matters — this",
+            f"run measures {t01:.2f}x -> {t1:.2f}x -> {s5t / d5t:.2f}x"
+            " (totals swing with machine load; the r10 reference run after",
+            "the minhash per-candidate-verify fix read 1.78x -> 1.34x ->",
+            "0.76x, an outright win at the 50x tier — the fix took the dd",
+            "row from 22 s to ~9 s).  Per query, honest caveats: sub-second",
+            "Spark rows (tx_quality, sim_topk) sit at the stage-scheduling",
+            "noise floor, so their per-tier ratios wobble; dd_minhash_lsh",
+            "grows ~linearly in docs on both engines and sits near parity",
+            "at tier (no bucket explosion); and on nf_dns_tunneling /",
+            "pq_ann_topk the DuckDB oracle restatement becomes the slow",
+            "side outright (0.2x) — the workloads that dominate wall time",
+            "are the ones where the distributed plan wins first.",
             "",
         ]
     if bucketed is not None:

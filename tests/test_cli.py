@@ -535,3 +535,61 @@ def test_clean_with_classifier_model(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="TOKEN model"):
         main(["clean", corpus, out, "--classifier-model", emb_model],
              spark=spark)
+
+
+def test_clean_incremental_classifier_gate_and_legacy_model_refusal(
+    spark, tmp_path, capsys
+):
+    """clean-incremental applies the token gate from the shell (junk
+    never reaches the landing or the sig index), and BOTH clean
+    commands refuse a legacy no-'features' model JSON (those are
+    embedding models — applying them as hashed-token weights would
+    silently gate on garbage)."""
+    import io
+    from contextlib import redirect_stdout
+
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        [(i, "research analysis data method result study", 1)
+         for i in range(40)]
+        + [(100 + i, "buy cheap pills casino bonus click offer", 0)
+           for i in range(40)],
+        "doc_id long, text string, label int",
+    ).write.parquet(labeled)
+    model = str(tmp_path / "tok.json")
+    rc = main(["score", labeled, str(tmp_path / "d"), "--fit", labeled,
+               "--features", "tokens", "--dim", "128", "--model", model,
+               "--iters", "10", "--lr", "2.0"], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+
+    batch = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(1, "the research method data shows a result here"),
+         (2, "buy cheap pills casino click bonus now today")],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    out = str(tmp_path / "landing")
+    fps, sigs = str(tmp_path / "fps"), str(tmp_path / "sigs")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["clean-incremental", batch, out, "--fps", fps,
+                   "--sigs", sigs, "--classifier-model", model],
+                  spark=spark)
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows_out"] == 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+    assert [r.doc_id for r in spark.read.parquet(sigs).select("doc_id").collect()] == [1]
+
+    legacy = str(tmp_path / "legacy.json")
+    json.dump({"weights": [0.1] * 8, "bias": 0.0}, open(legacy, "w"))
+    with pytest.raises(SystemExit, match="TOKEN model"):
+        main(["clean", batch, str(tmp_path / "x"),
+              "--classifier-model", legacy], spark=spark)
+    with pytest.raises(SystemExit, match="TOKEN model"):
+        main(["clean-incremental", batch, out, "--fps", fps, "--sigs",
+              sigs, "--classifier-model", legacy], spark=spark)
+    with pytest.raises(SystemExit, match="threshold"):
+        main(["clean", batch, str(tmp_path / "x"),
+              "--classifier-model", model,
+              "--classifier-threshold", "1.5"], spark=spark)

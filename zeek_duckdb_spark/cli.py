@@ -51,6 +51,36 @@ def _batch_id(path: str) -> str:
     return re.sub(r"[^A-Za-z0-9._-]", "_", base_name) + "-" + tag
 
 
+def _load_token_classifier(model_path, threshold, cmd: str):
+    """Load + validate a TOKEN-classifier model JSON for the clean /
+    clean-incremental gates.  Returns the classifier dict for
+    ``clean_corpus(classifier=)`` or None when no model was given.
+    A missing 'features' key means an EMBEDDING model (the score
+    command's original JSONs carried only {weights, bias}) — those are
+    refused here, not silently mis-applied as hashed-token weights."""
+    if model_path is None:
+        return None
+    with open(model_path) as f:
+        cm = json.load(f)
+    if cm.get("features", "embedding") != "tokens":
+        raise SystemExit(
+            f"{cmd}: --classifier-model must be a TOKEN model "
+            "(score --fit --features tokens) — the gate runs over the "
+            "text column"
+        )
+    if not cm.get("weights"):
+        raise SystemExit(
+            f"{cmd}: --classifier-model JSON has no 'weights' list"
+        )
+    if not 0.0 <= threshold <= 1.0:
+        raise SystemExit(
+            f"{cmd}: --classifier-threshold must be in [0, 1] "
+            "(it gates a sigmoid)"
+        )
+    return {"weights": cm["weights"], "bias": cm.get("bias", 0.0),
+            "threshold": threshold}
+
+
 def _hadoop_path_exists(spark, path: str) -> bool:
     """Existence probe through the JVM Hadoop FileSystem — works on
     ANY Spark-visible filesystem (s3a://, hdfs://, abfs://, file://),
@@ -175,6 +205,13 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="compute verdicts without touching the indexes")
     ci.add_argument("--allow-id-reruns", action="store_true",
                     help="skip the globally-unique-id check (deliberate reruns)")
+    ci.add_argument("--classifier-model", default=None, metavar="JSON",
+                    help="token-classifier model JSON (score --fit "
+                         "--features tokens): gate each batch by learned "
+                         "quality BEFORE dedup — rejects never enter the "
+                         "indexes")
+    ci.add_argument("--classifier-threshold", type=float, default=0.5,
+                    help="keep docs scoring >= T (with --classifier-model)")
     ci.add_argument("--legacy-ok", action="store_true",
                     help="proceed even if a pre-hash batch=<basename> "
                          "landing (older id scheme) exists next to this "
@@ -355,19 +392,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # rows_in from parquet FOOTERS (driver-side metadata walk),
             # not a corpus scan — the stat line must not double input IO
             n_in = _parquet_row_count(args.path)
-            classifier = None
-            if args.classifier_model is not None:
-                with open(args.classifier_model) as f:
-                    cm = json.load(f)
-                if cm.get("features", "tokens") != "tokens":
-                    raise SystemExit(
-                        "clean: --classifier-model must be a TOKEN model "
-                        "(score --fit --features tokens) — the gate runs "
-                        "over the text column"
-                    )
-                classifier = {"weights": cm["weights"],
-                              "bias": cm.get("bias", 0.0),
-                              "threshold": args.classifier_threshold}
+            classifier = _load_token_classifier(
+                args.classifier_model, args.classifier_threshold, "clean"
+            )
             cleaned = clean_corpus(
                 src,
                 id_col=args.id_col,
@@ -437,6 +464,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 update_index=not args.dry_run,
                 check_ids=not args.allow_id_reruns,
                 land_path=land,
+                classifier=_load_token_classifier(
+                    args.classifier_model, args.classifier_threshold,
+                    "clean-incremental",
+                ),
             )
             n_out = survivors.count()
             print(json.dumps({
