@@ -506,3 +506,48 @@ def test_heavy_hitters_one_pass_single_scan(spark):
     assert len(rows) == 5 and rows[0].n_lo <= rows[0].n_hi
     # every input row crossed the tap exactly once
     assert acc.value == 5000
+
+
+def test_cm_allow_signed_marks_signed_only_on_actual_negatives(spark):
+    """allow_signed=True is a PERMISSION, not a verdict: a batch whose
+    weights turn out all-non-negative (or an unweighted build) still
+    satisfies the min estimator's no-undershoot precondition, so the
+    sketch stays unsigned and min-path readers keep the stronger
+    one-sided bound."""
+    from zeek_duckdb_spark.operators.sketches import cm_build, cm_estimate
+
+    ins = _cm_skewed(spark)
+    true = {
+        r.url: r.n
+        for r in ins.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    # unweighted build with allow_signed=True: never signed
+    m_unit = cm_build(ins, "url", width=1 << 14, depth=5, allow_signed=True)
+    assert m_unit["signed"] is False
+    # weighted build, all weights non-negative, allow_signed=True
+    w_pos = spark.createDataFrame(
+        [("hot1", 3), ("hot2", 0), ("cold0", 1)], "url string, w int"
+    )
+    m_pos = cm_build(
+        w_pos, "url", width=1 << 14, depth=5, weight_col="w",
+        allow_signed=True,
+    )
+    assert m_pos["signed"] is False
+    # the min estimator accepts both and is exact at this width
+    keys = ins.select("url").distinct()
+    est = {r.url: r.est for r in cm_estimate(keys, "url", m_unit).collect()}
+    assert est == true
+    est_p = {
+        r.url: r.est
+        for r in cm_estimate(
+            w_pos.select("url").distinct(), "url", m_pos
+        ).collect()
+    }
+    assert est_p == {"hot1": 3, "hot2": 0, "cold0": 1}
+    # a genuinely negative batch is still marked signed
+    dels = spark.createDataFrame([("hot1", -1)], "url string, w int")
+    m_neg = cm_build(
+        dels, "url", width=1 << 14, depth=5, weight_col="w",
+        allow_signed=True,
+    )
+    assert m_neg["signed"] is True

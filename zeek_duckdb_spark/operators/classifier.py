@@ -375,16 +375,30 @@ def token_logreg_fit(
     ``clean_corpus(classifier=...)``): the feature map here is the
     scorer's own JVM expression — ``nonempty_tokens`` + the
     engine-portable md5 bucket — evaluated Spark-side, so train and
-    serve can never disagree on tokenization or hashing.
+    serve can never disagree on tokenization or hashing.  One
+    quantization gap remains BY DESIGN: training snaps mean token
+    frequencies to the 2^-10 grid (that is what makes the gradient an
+    exact int64), while :func:`textops.quality_classifier_score`
+    serves with exact unquantized means — a document whose serve-time
+    score lands within ~``sum|w_j| * 2^-11`` of the gate threshold can
+    be gated differently than the training loss implies.  That band is
+    vanishingly thin for trained weights; if exact train/serve score
+    agreement matters more than serving cost, quantize the serve-side
+    features to the same grid yourself.
 
     Determinism is the :func:`logreg_fit` recipe on a SPARSE feature
     space: per-row mean token frequencies snap to a static 2^-10 grid
     (no corpus-global scale pass needed — frequencies live in [0, 1])
     and residuals to 2^-20, so every gradient component is an EXACT
     int64 sum of per-row integer products — identical weights under
-    any partitioning or cluster size.  Each GD pass is ONE zero-shuffle
-    ``mapInPandas`` job emitting (n, sparse int64 grad, grad_b, loss)
-    partials; per-row work is O(distinct tokens), never O(dim).
+    any partitioning or cluster size.  The per-row feature dot is a
+    PINNED strict left fold over the row's distinct buckets in
+    ascending order (vectorized across rows grouped by distinct-token
+    count — no per-token Python in the loop), so the pre-quantization
+    floats are identical on every executor too.  Each GD pass is ONE
+    zero-shuffle ``mapInPandas`` job emitting (n, sparse int64 grad,
+    grad_b, loss) partials; per-row work is O(distinct tokens), never
+    O(dim).
 
     NULL/empty/whitespace docs contribute zero features (they score
     ``sigmoid(bias)``, matching the scorer); NULL labels are dropped.
@@ -435,46 +449,90 @@ def token_logreg_fit(
 
         def fn(batches):
             n = 0
-            g = {}
+            g = np.zeros(dim, dtype=np.int64)
             gb = 0
             ls = 0
             for pdf in batches:
-                for bk, y in zip(pdf["__b"], pdf["__y"]):
-                    n += 1
-                    if bk is None or len(bk) == 0:
-                        idx = None
-                        z = b
-                    else:
-                        # np.unique returns SORTED indices -> the
-                        # float dot below folds in a fixed order on
-                        # every executor
-                        idx, cnt = np.unique(
-                            np.asarray(bk, dtype=np.int64),
-                            return_counts=True,
-                        )
-                        qx = np.floor(
-                            cnt / len(bk) * _TOK_FX + 0.5
-                        ).astype(np.int64)
-                        z = float(wv[idx] @ (qx / _TOK_FX)) + b
-                    p = _sigmoid(z)
-                    r = int(math.floor((p - float(y)) * _RES_FP + 0.5))
-                    if idx is not None:
-                        for j, q in zip(idx, qx):
-                            g[int(j)] = g.get(int(j), 0) + r * int(q)
+                nb = len(pdf)
+                if nb == 0:
+                    continue
+                n += nb
+                bks = pdf["__b"]
+                ys = pdf["__y"].to_numpy(dtype=np.float64)
+                lens = np.fromiter(
+                    (0 if bk is None else len(bk) for bk in bks),
+                    dtype=np.int64,
+                    count=nb,
+                )
+                total = int(lens.sum())
+                z = np.full(nb, b, dtype=np.float64)
+                if total:
+                    flat = np.empty(total, dtype=np.int64)
+                    pos = 0
+                    for bk in bks:
+                        if bk is None or len(bk) == 0:
+                            continue
+                        a = np.asarray(bk, dtype=np.int64)
+                        flat[pos : pos + len(a)] = a
+                        pos += len(a)
+                    rowid = np.repeat(np.arange(nb, dtype=np.int64), lens)
+                    # one batch-wide unique over (row, bucket): sorts
+                    # by row then bucket, so each row's distinct
+                    # buckets come out in the same ASCENDING order the
+                    # old per-row np.unique produced
+                    uq, cnt = np.unique(rowid * dim + flat,
+                                        return_counts=True)
+                    urow = (uq // dim).astype(np.int64)
+                    ubkt = (uq % dim).astype(np.int64)
+                    qx = np.floor(
+                        cnt / lens[urow] * _TOK_FX + 0.5
+                    ).astype(np.int64)
+                    # per-row dot = strict left fold over the sorted
+                    # distinct buckets (rows grouped by distinct-token
+                    # count so the fold vectorizes across rows) — a
+                    # PINNED op order, deterministic on any executor
+                    kdist = np.bincount(urow, minlength=nb)
+                    offs = np.concatenate(
+                        ([0], np.cumsum(kdist)[:-1])
+                    ).astype(np.int64)
+                    wq = wv[ubkt] * (qx / _TOK_FX)
+                    for k in np.unique(kdist):
+                        if k == 0:
+                            continue
+                        rows_k = np.nonzero(kdist == k)[0]
+                        idxmat = offs[rows_k][:, None] + np.arange(k)
+                        terms = wq[idxmat]
+                        acc = terms[:, 0].copy()
+                        for j in range(1, int(k)):
+                            acc += terms[:, j]
+                        z[rows_k] = acc + b
+                # scalar math.exp/math.log per ROW (not per token):
+                # np.exp/np.log can differ from libm in the last ulp,
+                # which could flip a quantized residual at a 2^-20
+                # boundary across numpy builds
+                rs = np.zeros(nb, dtype=np.int64)
+                for i in range(nb):
+                    p = _sigmoid(float(z[i]))
+                    y = float(ys[i])
+                    r = int(math.floor((p - y) * _RES_FP + 0.5))
+                    rs[i] = r
                     gb += r
                     pc = min(max(p, 1e-12), 1.0 - 1e-12)
                     ll = -(
-                        float(y) * math.log(pc)
-                        + (1.0 - float(y)) * math.log(1.0 - pc)
+                        y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc)
                     )
                     ls += int(math.floor(ll * _RES_FP + 0.5))
+                if total:
+                    # int64 scatter-add: exact and order-free, like
+                    # the old dict accumulation
+                    np.add.at(g, ubkt, rs[urow] * qx)
             if n:
-                keys = sorted(g)
+                keys = np.nonzero(g)[0]
                 yield pd.DataFrame(
                     {
                         "n": [n],
-                        "gi": [keys],
-                        "gv": [[g[k] for k in keys]],
+                        "gi": [[int(k) for k in keys]],
+                        "gv": [[int(g[k]) for k in keys]],
                         "gb": [gb],
                         "ls": [ls],
                     }

@@ -691,6 +691,11 @@ def ivf_probe_topk_batch(
 
     def score_batches(batches):
         for pdf in batches:
+            # drop NULL-id rows up front: the per-query path's JVM
+            # `col != lit` is NULL -> filtered, and numpy `ids !=
+            # q_id` would instead KEEP None (and lexsort over an
+            # object array holding None can TypeError)
+            pdf = pdf[pdf[id_col].notna()]
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()

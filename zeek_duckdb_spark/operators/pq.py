@@ -860,7 +860,10 @@ def ivfpq_topk_batch(
     ``refine_with`` adds the shortlist exact re-rank
     (``refine_factor * k_top`` ADC candidates per query, vectors
     joined back for THOSE rows only — a broadcast of the model-sized
-    candidate set — then exact ``refine_metric`` order).  The
+    candidate set — then exact ``refine_metric`` order).  The refine
+    kernel, like the ADC kernel, accumulates its sums with a strict
+    sequential left fold (``np.add.accumulate``) so pre-round values
+    match :func:`ivfpq_topk`'s JVM ``aggregate`` bit-for-bit.  The
     all-probed-rows exact mode (``ivfpq_topk(refine_factor=None)``)
     has no batch form here: that shape IS
     ``kmeans.ivf_probe_topk_batch`` over the raw-vector landing.
@@ -1007,6 +1010,18 @@ def ivfpq_topk_batch(
     )
     qmat = {qid: np.asarray(v, dtype=np.float64)
             for qid, v in zip(q_ids, qvecs)}
+
+    # strict left-to-right float64 fold: np.add.accumulate is defined
+    # as a sequential scan (r[i] = r[i-1] + a[i]), unlike np.sum /
+    # "@" which use pairwise/BLAS reductions — this mirrors the JVM
+    # aggregate fold of ivfpq_topk so pre-round values match
+    # bit-for-bit, not just to the 6-dp grid
+    def _seq_sum(a):
+        return float(np.add.accumulate(a, dtype=np.float64)[-1])
+
+    qnorm = {
+        qid: math.sqrt(_seq_sum(qv * qv)) for qid, qv in qmat.items()
+    }
     ecol = "exact_dist" if refine_metric == "l2" else "exact_score"
 
     def exact_batches(batches):
@@ -1028,12 +1043,12 @@ def ivfpq_topk_batch(
                 if refine_metric == "l2":
                     d = xa - qv
                     vals.append(
-                        math.floor(float(d @ d) * 1e6 + 0.5) / 1e6
+                        math.floor(_seq_sum(d * d) * 1e6 + 0.5) / 1e6
                     )
                 else:
-                    den = float(np.sqrt(xa @ xa) * np.sqrt(qv @ qv))
+                    den = math.sqrt(_seq_sum(xa * xa)) * qnorm[qid]
                     if den:
-                        s = float(xa @ qv) / den
+                        s = _seq_sum(xa * qv) / den
                         vals.append(
                             math.copysign(
                                 math.floor(abs(s) * 1e6 + 0.5), s

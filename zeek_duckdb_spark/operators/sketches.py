@@ -335,8 +335,14 @@ def cm_build(
     (deletions, e.g. a windowed stream's expiry batch built with
     negative weights): the sketch is marked ``signed`` and only the
     two-sided ``cm_estimate(estimator='median')`` may read it — the
-    min path refuses, its one-sided bound no longer holds."""
-    if weight_col is not None and not allow_signed:
+    min path refuses, its one-sided bound no longer holds.  The flag
+    marks the sketch signed only when negative updates actually
+    OCCURRED (one cheap pre-agg checks; unit-weight builds are never
+    signed): a "deletion" batch that turns out all-non-negative still
+    satisfies the no-undershoot precondition, and permanently locking
+    its readers out of the stronger min estimator would waste it."""
+    has_neg = False
+    if weight_col is not None:
         neg = (
             df.filter(F.col(key_col).isNotNull())
             .agg(
@@ -346,7 +352,8 @@ def cm_build(
             )
             .first()["neg"]
         )
-        if int(neg or 0) > 0:
+        has_neg = int(neg or 0) > 0
+        if has_neg and not allow_signed:
             raise ValueError(
                 "cm_build: negative weights would void the min "
                 "estimator's no-undershoot guarantee — build deletion "
@@ -370,7 +377,7 @@ def cm_build(
         "seed": seed,
         "n": n,
         "counts": counts,
-        "signed": bool(allow_signed),
+        "signed": bool(allow_signed and has_neg),
     }
 
 

@@ -742,6 +742,13 @@ def quality_classifier_score(
     matrix), the md5 bucket is the engine-portable hashutil family, and
     the fold is sequential left-to-right so an oracle can restate it
     bit-for-bit.  Empty/whitespace docs score sigmoid(bias).
+
+    Note when the weights come from :func:`classifier.token_logreg_fit`:
+    training quantizes mean token frequencies to a 2^-10 grid while
+    this scorer uses exact means, so scores within ~``sum|w_j| *
+    2^-11`` of a gate threshold can fall on the other side of it than
+    the training loss implies (tokenization and hashing are shared by
+    construction and can never disagree).
     """
     if not weights:
         raise ValueError("weights must be non-empty")
