@@ -305,3 +305,18 @@ def test_batched_probe_matches_per_query_loop(spark, emb, tmp_path):
             spark, path, cents,
             queries.union(emb.filter(F.col("vec_id") == 0)), k=5,
         )
+    # the request-batch guard: a corpus-sized queries frame refuses
+    # loudly BEFORE collecting to the driver (bounded take, no OOM);
+    # max_batch == Q exactly still serves
+    with pytest.raises(ValueError, match="max_batch"):
+        ivf_probe_topk_batch(
+            spark, path, cents, queries, k=5, nprobe=2, max_batch=15
+        )
+    ok = ivf_probe_topk_batch(
+        spark, path, cents, queries, k=5, nprobe=2, max_batch=16
+    )
+    assert {r.q_id for r in ok.collect()} == set(range(16))
+    with pytest.raises(ValueError, match="max_batch"):
+        ivf_probe_topk_batch(
+            spark, path, cents, queries, k=5, max_batch=0
+        )

@@ -552,3 +552,13 @@ def test_ivfpq_batch_matches_per_query_loop(spark, emb, ivfpq):
             queries.select("vec_id", F.slice("embedding", 1, 8).alias("embedding")),
             cells, cbs,
         )
+    # the request-batch guard: refuse corpus-sized queries loudly
+    # BEFORE collecting (bounded take); max_batch == Q still serves
+    with pytest.raises(ValueError, match="max_batch"):
+        ivfpq_topk_batch(codes, queries, cells, cbs, max_batch=11)
+    ok = ivfpq_topk_batch(
+        codes, queries, cells, cbs, k_top=5, nprobe=2, max_batch=12
+    )
+    assert {r.q_id for r in ok.collect()} == set(range(12))
+    with pytest.raises(ValueError, match="max_batch"):
+        ivfpq_topk_batch(codes, queries, cells, cbs, max_batch=0)

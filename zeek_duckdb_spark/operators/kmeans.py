@@ -625,10 +625,18 @@ def ivf_probe_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    max_batch: int = 65536,
 ) -> DataFrame:
     """Probe a materialized IVF index for MANY queries at once — the
     retrieval serving shape (a request batch of hundreds/thousands of
-    queries, not one).  :func:`ivf_probe_topk` pays one partition-
+    queries, not one).  ``queries`` is a REQUEST BATCH, not a corpus:
+    it is collected to the driver (the probe-cell selection and the
+    scoring matmul want it as one dense matrix), so a corpus-sized
+    DataFrame here would OOM the driver — the loud ``max_batch`` guard
+    (default 65536: a 65536 x dim int64 matrix is ~0.5 GB at dim 1024,
+    plus Q x nprobe cell lists) refuses before collecting; raise it
+    deliberately if your driver is sized for more, or split the
+    request stream into batches upstream.  :func:`ivf_probe_topk` pays one partition-
     pruned scan PER query; here the whole batch pays ONE scan of the
     UNION of its touched cells, and every Arrow batch of index rows is
     scored against all queries with a single int64 matmul — the
@@ -655,11 +663,22 @@ def ivf_probe_topk_batch(
 
     from pyspark.sql import Window
 
+    if max_batch < 1:
+        raise ValueError("ivf_probe_topk_batch: max_batch must be >= 1")
+    # take(max_batch + 1), never collect(): a corpus passed by mistake
+    # costs one bounded fetch and a clear error, not a driver OOM
     q_rows = (
         quantize_embeddings(queries, query_id_col, vec_col)
         .select(F.col(query_id_col).alias("q_id"), F.col("qvec"))
-        .collect()
+        .take(max_batch + 1)
     )
+    if len(q_rows) > max_batch:
+        raise ValueError(
+            f"ivf_probe_topk_batch: queries holds more than max_batch="
+            f"{max_batch} rows — this serves a REQUEST BATCH collected "
+            "to the driver, not a corpus; split the requests into "
+            "batches or raise max_batch if the driver is sized for it"
+        )
     if not q_rows:
         raise ValueError("ivf_probe_topk_batch: queries is empty")
     q_ids = [r["q_id"] for r in q_rows]

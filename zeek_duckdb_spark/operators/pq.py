@@ -841,6 +841,7 @@ def ivfpq_topk_batch(
     refine_with: DataFrame | None = None,
     refine_factor: int = 4,
     refine_metric: str = "l2",
+    max_batch: int = 65536,
 ) -> DataFrame:
     """IVF-PQ top-k for MANY queries at once — the compressed-index
     sibling of ``kmeans.ivf_probe_topk_batch``: the whole request
@@ -871,7 +872,13 @@ def ivfpq_topk_batch(
     Output: ``(q_id, id, adc_dist[, exact_*])`` — k_top rows per
     query, ordered within each query.  Shuffles are bounded by
     candidate counts (k·Q·batches through the merge window), never
-    the corpus."""
+    the corpus.
+
+    ``queries`` is a REQUEST BATCH, not a corpus: it is collected to
+    the driver (probe selection + the Q x nprobe x m x k residual LUTs
+    are driver state), so the loud ``max_batch`` guard (default 65536)
+    refuses anything larger BEFORE collecting — split the request
+    stream upstream or raise it deliberately for a bigger driver."""
     import math
 
     import numpy as np
@@ -894,9 +901,20 @@ def ivfpq_topk_batch(
         )
     if refine_with is not None and refine_factor < 1:
         raise ValueError("ivfpq_topk_batch: refine_factor must be >= 1")
+    if max_batch < 1:
+        raise ValueError("ivfpq_topk_batch: max_batch must be >= 1")
+    # take(max_batch + 1), never collect(): a corpus passed by mistake
+    # costs one bounded fetch and a clear error, not a driver OOM
     q_rows = queries.select(
         F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__v")
-    ).collect()
+    ).take(max_batch + 1)
+    if len(q_rows) > max_batch:
+        raise ValueError(
+            f"ivfpq_topk_batch: queries holds more than max_batch="
+            f"{max_batch} rows — this serves a REQUEST BATCH collected "
+            "to the driver, not a corpus; split the requests into "
+            "batches or raise max_batch if the driver is sized for it"
+        )
     if not q_rows:
         raise ValueError("ivfpq_topk_batch: queries is empty")
     q_ids = [r["q_id"] for r in q_rows]
