@@ -1127,7 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": tx_quality,
         "tx_repetition": tx_repetition,
         "tx_boilerplate": tx_boilerplate,
-        "tx_langid": tx_langid,
+        "emb_comoments": emb_comoments,
         "tx_token_counts": tx_token_counts,
         "qt_grouped_quantiles": qt_grouped_quantiles,
         "ev_cm_counts": ev_cm_counts,
@@ -1141,7 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_join": ev_range_join,
         "sim_quant_topk": sim_quant_topk,
         "sim_kmeans_ivf": sim_kmeans_ivf,
-        "pipe_pack": pipe_pack,
+        "doc_bloom_words": doc_bloom_words,
         "dd_dup_spans": dd_dup_spans,
         "zeek_scan": zeek_scan,
     }
@@ -1995,23 +1995,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(a.text, '') AS text
             FROM d LEFT JOIN asm a USING (doc_id)
         """,
-        "tx_langid": """
-            WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-            s AS (SELECT
-                    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
-                    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-                    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-                    len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS s_es
-                  FROM t)
-            SELECT lang_guess, COUNT(*) AS n FROM (
-              SELECT CASE
-                       WHEN s_en > 0 AND s_en >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
-                       WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
-                       WHEN s_fr > 0 AND s_fr >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
-                       WHEN s_es > 0 AND s_es >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
-                       ELSE 'und' END AS lang_guess
-              FROM s) t
-            GROUP BY lang_guess
+        # the proven sim_quant_topk quantize restatement, then exact
+        # int64 sums of q_i * q_j over the upper triangle
+        "emb_comoments": """
+            WITH e AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+            qz AS (
+              SELECT list_transform(x, v -> CAST(floor(v / s + 0.5) AS INT))
+                       AS qvec
+              FROM (SELECT x,
+                           greatest(list_max(list_transform(x, v -> abs(v))),
+                                    1e-12) / 127.0 AS s
+                    FROM e))
+            SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+                   SUM(CAST(qvec[i.range + 1] AS BIGINT) * qvec[j.range + 1])
+                     AS s_ij
+            FROM qz, range(64) i, range(64) j
+            WHERE i.range <= j.range GROUP BY 1, 2
         """,
         "tx_token_counts": """
             SELECT doc_id,
@@ -2070,29 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": _ann_lsh_oracle(),
         "sim_ivf_topk": _ivf_topk_oracle(),
         "sim_kmeans_ivf": _kmeans_ivf_oracle(),
-        "pipe_pack": """
-            WITH t AS (
-              SELECT doc_id,
-                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-              FROM documents),
-            s AS (
-              SELECT doc_id, n_tokens,
-                     CAST(concat('0x', substring(md5(
-                         concat_ws(':', CAST(doc_id AS VARCHAR), '7')), 1, 15))
-                       AS BIGINT) % 4 AS shard
-              FROM t),
-            w AS (
-              SELECT doc_id, n_tokens, shard,
-                     CAST(COALESCE(SUM(n_tokens) OVER (
-                         PARTITION BY shard ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS BIGINT) AS start
-              FROM s)
-            SELECT doc_id, n_tokens, shard,
-                   start // 512 AS seq_id,
-                   start % 512 AS seq_offset
-            FROM w
-        """,
+        "doc_bloom_words": _bloom_words_oracle(),
         "dd_dup_spans": """
             WITH t AS (
               SELECT doc_id,
@@ -2143,8 +2121,12 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _pq_topk_oracle(),
         # zeek_scan: the Spark side re-lands read_zeek's typed output
         # as parquet (fixtures/zeek_scan_landing.parquet) and
-        # aggregates the landing; the oracle aggregates THE SAME file,
-        # so the value hash covers the Zeek parser end-to-end.
+        # aggregates the landing; the oracle aggregates THE SAME file.
+        # The value hash therefore pins the landing->aggregate path
+        # and schema stability, NOT parse correctness (a systematic
+        # parse error would agree with itself) — parse correctness is
+        # pinned by the golden-row reference-corpus port in
+        # tests/test_read_zeek.py.
         "zeek_scan": f"""
             SELECT log_name,
                    COUNT(*) AS n,
@@ -2503,6 +2485,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mm_media_stats — their slots driver-gate qt_grouped_quantiles and
     ev_cm_counts) or round 10 (q22_array_norms, dd_cosine_pairs —
     their slots driver-gate cls_quality_scores and pipe_split_corpus)
+    or round 11 (tx_langid, pipe_pack — a regex CASE whose shape the
+    tx family carries and a running-sum window carried by q12/q29;
+    their slots driver-gate emb_comoments and doc_bloom_words, the
+    last full-value-oracle families with no driver row)
     — still oracle-checked by the local harness
     (tests/test_entry_oracle.py) so their coverage never regresses."""
     return {
@@ -2512,9 +2498,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_union_tagged": q21_union_tagged,
         "tx_fingerprint": tx_fingerprint,
         "mm_media_stats": mm_media_stats,
-        "emb_comoments": emb_comoments,
+        "tx_langid": tx_langid,
         "emb_rand_proj": emb_rand_proj,
-        "doc_bloom_words": doc_bloom_words,
+        "pipe_pack": pipe_pack,
         "pipe_weighted_sample": pipe_weighted_sample,
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
         "tx_compression": tx_compression,
@@ -2566,26 +2552,48 @@ def extra_oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT encode(text)) AS distinct_payloads
             FROM documents GROUP BY source
         """,
-        # the proven sim_quant_topk quantize restatement, then exact
-        # int64 sums of q_i * q_j over the upper triangle
-        "emb_comoments": """
-            WITH e AS (
-              SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-            qz AS (
-              SELECT list_transform(x, v -> CAST(floor(v / s + 0.5) AS INT))
-                       AS qvec
-              FROM (SELECT x,
-                           greatest(list_max(list_transform(x, v -> abs(v))),
-                                    1e-12) / 127.0 AS s
-                    FROM e))
-            SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
-                   SUM(CAST(qvec[i.range + 1] AS BIGINT) * qvec[j.range + 1])
-                     AS s_ij
-            FROM qz, range(64) i, range(64) j
-            WHERE i.range <= j.range GROUP BY 1, 2
+        "tx_langid": """
+            WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+            s AS (SELECT
+                    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+                    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+                    len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS s_es
+                  FROM t)
+            SELECT lang_guess, COUNT(*) AS n FROM (
+              SELECT CASE
+                       WHEN s_en > 0 AND s_en >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de > 0 AND s_de >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr > 0 AND s_fr >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       WHEN s_es > 0 AND s_es >= GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+                       ELSE 'und' END AS lang_guess
+              FROM s) t
+            GROUP BY lang_guess
         """,
         "emb_rand_proj": _rand_proj_oracle(),
-        "doc_bloom_words": _bloom_words_oracle(),
+        "pipe_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(concat('0x', substring(md5(
+                         concat_ws(':', CAST(doc_id AS VARCHAR), '7')), 1, 15))
+                       AS BIGINT) % 4 AS shard
+              FROM t),
+            w AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start
+              FROM s)
+            SELECT doc_id, n_tokens, shard,
+                   start // 512 AS seq_id,
+                   start % 512 AS seq_offset
+            FROM w
+        """,
         "pipe_weighted_sample": _weighted_sample_oracle(),
         "pipe_weighted_sample_grouped": _weighted_sample_grouped_oracle(),
         "q22_array_norms": """
