@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (this container ships no image/audio
-libraries): ``decode_media`` raises NotImplementedError unless a
-deterministic fake decoder is requested OR a user decoder callback is
-injected.  Everything Spark-side — schema, Arrow batch shape,
-``mapInPandas`` plumbing, partition sizing — is real and tested.
+PNG decodes for REAL via the built-in pure-Python codec
+(:mod:`operators.png` — zlib + Paeth unfiltering, no extra packages):
+``decode_media(decoder="png")`` / ``phash_media(decoder="png")`` run
+the feature and near-dup paths on real encoded image bytes end-to-end.
+Other formats are STUBBED (this container ships no image/audio
+libraries): they raise NotImplementedError unless a deterministic fake
+decoder is requested OR a user decoder callback is injected.
+Everything Spark-side — schema, Arrow batch shape, ``mapInPandas``
+plumbing, partition sizing — is real and tested either way.
 
 Injecting a real decoder WITHOUT editing this module: each decode-ish
 operator takes a plain-Python callback —
@@ -116,23 +120,37 @@ def decode_media(
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
-    decoder: Callable[[bytes], list] | None = None,
+    decoder: Callable[[bytes], list] | str | None = None,
 ) -> DataFrame:
     """Decode/feature-extract media via mapInPandas.
 
     ``decoder``: user callback ``fn(payload: bytes) -> list[float]``
     (see module docstring) — the injection point for a real
-    PIL/librosa feature extractor.  fake=True uses the deterministic
-    byte-statistics stub instead.  Neither -> NotImplementedError
-    (clearly-marked stub; the container has no PIL/librosa).
+    PIL/librosa feature extractor — or the string ``"png"`` for the
+    built-in pure-Python PNG decoder (:mod:`operators.png`, no extra
+    packages: emits [width, height, mean_gray, std_gray] from REAL
+    encoded bytes).  fake=True uses the deterministic byte-statistics
+    stub instead.  Neither -> NotImplementedError (clearly-marked
+    stub; the container has no PIL/librosa and non-PNG formats need
+    one).
     """
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
+    if decoder == "png":
+        from zeek_duckdb_spark.operators.png import png_features
+
+        decoder = png_features
+    elif isinstance(decoder, str):
+        raise ValueError(
+            f"decode_media: unknown built-in decoder {decoder!r} "
+            "(only 'png'); pass a callable for other formats"
+        )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode requires an image/audio library not present "
-            "in this environment; pass fake=True for the deterministic stub "
-            "or inject decoder=fn(payload)->list[float]"
+            "real media decode beyond PNG requires an image/audio library "
+            "not present in this environment; pass decoder='png' for the "
+            "built-in PNG path, fake=True for the deterministic stub, or "
+            "inject decoder=fn(payload)->list[float]"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -527,24 +545,37 @@ def phash_media(
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
-    decoder: Callable[[bytes], object] | None = None,
+    decoder: Callable[[bytes], object] | str | None = None,
     bits: int = 60,
 ) -> DataFrame:
     """(id, phash): perceptual hash per media payload — the IMAGE
     near-dup key (byte-identical dedup misses re-encoded/resized
     copies; pHash survives them).  ``decoder`` maps payload bytes to a
     2-D grayscale array (inject PIL: ``lambda b:
-    np.asarray(Image.open(io.BytesIO(b)).convert('L'))``); fake=True
-    uses the deterministic byte-tile stand-in.  mapInPandas Arrow
-    batches; pure map, zero shuffle.  Pair generation:
-    :func:`phash_pairs` (the SimHash block-permutation machinery — a
-    pHash IS a 60-bit locality-sensitive hash)."""
+    np.asarray(Image.open(io.BytesIO(b)).convert('L'))``) — or the
+    string ``"png"`` for the built-in pure-Python PNG decoder
+    (:mod:`operators.png`), which runs the near-dup path on REAL
+    encoded image bytes with no extra packages; fake=True uses the
+    deterministic byte-tile stand-in.  mapInPandas Arrow batches; pure
+    map, zero shuffle.  Pair generation: :func:`phash_pairs` (the
+    SimHash block-permutation machinery — a pHash IS a 60-bit
+    locality-sensitive hash)."""
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
+    if decoder == "png":
+        from zeek_duckdb_spark.operators.png import decode_png
+
+        decoder = decode_png
+    elif isinstance(decoder, str):
+        raise ValueError(
+            f"phash_media: unknown built-in decoder {decoder!r} "
+            "(only 'png'); pass a callable for other formats"
+        )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real image decode requires PIL (absent in this environment); "
-            "pass fake=True or inject decoder=fn(payload)->2-D array"
+            "real image decode beyond PNG requires PIL (absent in this "
+            "environment); pass decoder='png' for the built-in PNG path, "
+            "fake=True, or inject decoder=fn(payload)->2-D array"
         )
     if not 1 <= bits <= 60:
         raise ValueError("phash_media: bits must be in [1, 60]")
