@@ -237,6 +237,253 @@ def bench_sketch(iters: int) -> dict:
     return out
 
 
+def bench_serving(iters: int) -> None:
+    """Regenerates the batched-serving tables (SCALING.md r10 one-offs,
+    foldable ever since): build a 1M x dim-64 clustered corpus, land
+    the raw-vector IVF index and the IVF-PQ code index ONCE, then
+    probe with the per-query loop (16-query sample) vs batch=64/256.
+    Prints markdown rows for the MANUAL section (stamped with the
+    regeneration command) and pins loop-vs-batch parity in-run."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.operators.kmeans import (
+        ivf_probe_topk,
+        ivf_probe_topk_batch,
+        ivf_write,
+    )
+    from zeek_duckdb_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_batch,
+    )
+    from zeek_duckdb_spark.session import get_spark
+
+    DIM, N, CELLS = 64, 1_000_000, 64
+    spark = get_spark("bench-serving")
+
+    def synth(ids):
+        cols = []
+        for d in range(DIM):
+            center = F.sin((F.col("id") % CELLS + 1) * (d + 1) * 0.7)
+            noise = (F.rand(1000 + d) - 0.5) * 0.3
+            cols.append(center + noise)
+        return ids.select(
+            F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+        )
+
+    corpus = synth(spark.range(N)).repartition(32)
+    corpus = corpus.persist()
+    corpus.count()
+    q_rows = synth(spark.range(2_000_000, 2_000_000 + 256)).collect()
+    qdf_all = spark.createDataFrame(q_rows)
+
+    tmp = tempfile.mkdtemp(prefix="serving-")
+    rows: list[str] = []
+
+    def med(fn, n=None):
+        n = iters if n is None else n
+        ts = [None] * n
+        for i in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts[i] = time.perf_counter() - t0
+        return statistics.median(ts)
+
+    # --- raw-vector IVF ---------------------------------------------
+    ivf_path = os.path.join(tmp, "ivf")
+    t0 = time.perf_counter()
+    cents = ivf_write(corpus, ivf_path, n_centroids=CELLS, iters=2)
+    t_build = time.perf_counter() - t0
+    rows.append(f"| ivf_write landing (once) | {t_build:.0f} s | amortized over every probe |")
+
+    loop_q = q_rows[:16]
+    def ivf_loop():
+        for r in loop_q:
+            q1 = spark.createDataFrame([r])
+            ivf_probe_topk(
+                spark, ivf_path, cents, q1, k=10, nprobe=2
+            ).collect()
+    t_loop = med(ivf_loop, n=1) / len(loop_q)
+    rows.append(f"| per-query ivf_probe_topk loop | {t_loop:.3f} s | 1x |")
+
+    loop_res = {}
+    for r in loop_q:
+        q1 = spark.createDataFrame([r])
+        loop_res[r.vec_id] = [
+            (x.vec_id, x.cosine_sim)
+            for x in ivf_probe_topk(
+                spark, ivf_path, cents, q1, k=10, nprobe=2
+            ).collect()
+        ]
+    for bsz in (64, 256):
+        qdf = spark.createDataFrame(q_rows[:bsz])
+        t_b = med(lambda: ivf_probe_topk_batch(
+            spark, ivf_path, cents, qdf, k=10, nprobe=2
+        ).collect()) / bsz
+        if bsz == 256:  # parity pin on the sampled 16
+            got = {}
+            for x in ivf_probe_topk_batch(
+                spark, ivf_path, cents, qdf, k=10, nprobe=2
+            ).collect():
+                got.setdefault(x.q_id, []).append((x.vec_id, x.cosine_sim))
+            bad = [q for q in loop_res if got.get(q) != loop_res[q]]
+            assert not bad, f"IVF batch/loop divergence: {bad}"
+        rows.append(
+            f"| ivf_probe_topk_batch, batch={bsz} | {t_b:.3f} s "
+            f"| {t_loop / t_b:.0f}x |"
+        )
+
+    # --- IVF-PQ -------------------------------------------------------
+    t0 = time.perf_counter()
+    cells, cbs, codes = ivfpq_build(
+        corpus, DIM, n_cells=CELLS, m=8, k=16, iters=2, train_sample=0.05
+    )
+    pq_path = os.path.join(tmp, "ivfpq")
+    codes.repartition("cell").write.partitionBy("cell").parquet(pq_path)
+    t_pq_build = time.perf_counter() - t0
+    rows.append(f"| ivfpq_build + land codes (once) | {t_pq_build:.1f} s | 8 bytes/vec |")
+    codes_l = spark.read.parquet(pq_path)
+
+    def pq_loop():
+        for r in loop_q:
+            ivfpq_topk(
+                codes_l, [float(v) for v in r.embedding], cells, cbs,
+                k_top=10, nprobe=2,
+            ).collect()
+    t_pq_loop = med(pq_loop, n=1) / len(loop_q)
+    rows.append(f"| per-query ivfpq_topk loop | {t_pq_loop:.3f} s | 1x |")
+
+    pq_loop_res = {
+        r.vec_id: [
+            (x.vec_id, x.adc_dist)
+            for x in ivfpq_topk(
+                codes_l, [float(v) for v in r.embedding], cells, cbs,
+                k_top=10, nprobe=2,
+            ).collect()
+        ]
+        for r in loop_q
+    }
+    for bsz in (64, 256):
+        qdf = spark.createDataFrame(q_rows[:bsz])
+        t_b = med(lambda: ivfpq_topk_batch(
+            codes_l, qdf, cells, cbs, k_top=10, nprobe=2
+        ).collect()) / bsz
+        if bsz == 256:
+            got = {}
+            for x in ivfpq_topk_batch(
+                codes_l, qdf, cells, cbs, k_top=10, nprobe=2
+            ).collect():
+                got.setdefault(x.q_id, []).append((x.vec_id, x.adc_dist))
+            bad = [q for q in pq_loop_res if got.get(q) != pq_loop_res[q]]
+            assert not bad, f"IVF-PQ batch/loop divergence: {bad}"
+        rows.append(f"| ADC batch={bsz} | {t_b:.3f} s | {t_pq_loop / t_b:.0f}x |")
+
+    qdf = spark.createDataFrame(q_rows[:256])
+    t_r = med(lambda: ivfpq_topk_batch(
+        codes_l, qdf, cells, cbs, k_top=10, nprobe=2,
+        refine_with=corpus, refine_factor=4, refine_metric="cosine",
+    ).collect()) / 256
+    rows.append(
+        f"| + shortlist exact-cosine refine (x4), batch=256 | {t_r:.4f} s "
+        f"| {t_pq_loop / t_r:.0f}x the loop |"
+    )
+
+    print("| path | s/query | vs loop |")
+    print("|---|---|---|")
+    for r in rows:
+        print(r)
+    print(
+        f"\nstamp: regenerated with `python bench_scaling.py --serving "
+        f"--iters {iters}` (1M x dim-{DIM}, {CELLS} cells, nprobe=2, "
+        "k=10; medians of --iters per batch row; loop rows single-pass; "
+        "batch-vs-loop parity asserted in-run on the 16-query sample)"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    corpus.unpersist()
+    spark.stop()
+
+
+def bench_compaction(iters: int) -> None:
+    """A/B for the append-mode index maintenance loop: N daily appends
+    fragment a (blk, pfx) chunk-index landing into N files per
+    directory; measure the pruned probe and the full scan before and
+    after compact_chunk_index.  Prints markdown rows for the MANUAL
+    section."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.operators.dedup import (
+        compact_chunk_index,
+        load_chunk_index,
+        write_chunk_index,
+    )
+    from zeek_duckdb_spark.session import get_spark
+
+    N_APPENDS, BATCH, PFX = 40, 5_000, 16
+    spark = get_spark("bench-compaction")
+    tmp = tempfile.mkdtemp(prefix="compaction-")
+    path = os.path.join(tmp, "chunkidx")
+    t0 = time.perf_counter()
+    for day in range(N_APPENDS):
+        sim = spark.range(day * BATCH, (day + 1) * BATCH).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64("id"), F.lit(1 << 60)).alias("simhash"),
+        )
+        write_chunk_index(sim, path, blocks=4, bits=60, pfx_mod=PFX)
+    t_appends = time.perf_counter() - t0
+
+    def count_files():
+        return sum(
+            1 for _r, _d, names in os.walk(path)
+            for n in names if n.endswith(".parquet")
+        )
+
+    touched = [(b, p) for b in range(4) for p in range(2)]  # 8 of 64 dirs
+
+    def probe():
+        load_chunk_index(spark, path, touched).groupBy("blk").count().collect()
+
+    def full():
+        load_chunk_index(spark, path).groupBy("blk").count().collect()
+
+    def med(fn):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    probe()  # warm
+    files_b = count_files()
+    pre_probe, pre_full = med(probe), med(full)
+    rows_before = load_chunk_index(spark, path).count()
+    t0 = time.perf_counter()
+    stats = compact_chunk_index(spark, path)
+    t_compact = time.perf_counter() - t0
+    probe()  # warm
+    post_probe, post_full = med(probe), med(full)
+    assert load_chunk_index(spark, path).count() == rows_before
+
+    print("| state | files | pruned probe (8/64 dirs) | full scan |")
+    print("|---|---|---|---|")
+    print(f"| after {N_APPENDS} appends ({t_appends:.0f} s total) | "
+          f"{files_b} | {pre_probe:.3f} s | {pre_full:.3f} s |")
+    print(f"| after compact_chunk_index ({t_compact:.1f} s) | "
+          f"{stats['files_after']} | {post_probe:.3f} s | {post_full:.3f} s |")
+    print(
+        f"\nstamp: regenerated with `python bench_scaling.py --compaction "
+        f"--iters {iters}` ({N_APPENDS} appends x {BATCH} rows, blocks=4, "
+        f"pfx_mod={PFX}; medians of --iters; row-count identity asserted "
+        "in-run)"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
 def _bucketed_queries(spark, sf_dir: str, li_t: str, ord_t: str):
     """q03/q05 re-expressed over the bucketed catalog tables — same
     semantics as the __spark_entry__ versions, facts read from the
@@ -353,7 +600,21 @@ def main() -> None:
     ap.add_argument("--sketch", action="store_true",
                     help="run ONLY the sketch-family scaling rows "
                          "(prints a markdown table, leaves SCALING.md alone)")
+    ap.add_argument("--serving", action="store_true",
+                    help="run ONLY the batched IVF/IVF-PQ serving probes "
+                         "at 1M vectors (prints stamped markdown rows for "
+                         "the MANUAL section, leaves SCALING.md alone)")
+    ap.add_argument("--compaction", action="store_true",
+                    help="run ONLY the chunk-index compaction A/B "
+                         "(prints stamped markdown rows for the MANUAL "
+                         "section, leaves SCALING.md alone)")
     args = ap.parse_args()
+    if args.serving:
+        bench_serving(max(args.iters, 3))
+        return
+    if args.compaction:
+        bench_compaction(max(args.iters, 3))
+        return
     materialize_sf1()
     if args.sketch:
         bench_sketch(args.iters)

@@ -1171,3 +1171,103 @@ def test_band_buckets_reject_non_dividing_bands(spark):
         dd.minhash_lsh_pairs(sigs, bands=5, num_hashes=32)
     with pytest.raises(ValueError, match="must divide"):
         dd.write_band_index(sigs, "/tmp/never", bands=48, num_hashes=32)
+
+
+def test_compact_band_index_preserves_rows_layout_and_pruning(
+    spark, tmp_path
+):
+    """The append-mode maintenance loop: N daily appends fragment each
+    (band, pfx) directory into N files; compact_band_index folds them
+    back with rows, layout, pruning, and subsequent appends all
+    unchanged."""
+    import os
+
+    path = str(tmp_path / "bandidx")
+    n_appends = 6
+    for day in range(n_appends):
+        docs = _docs(
+            spark,
+            [
+                (day * 100 + i, " ".join(f"d{day}i{i}w{j}" for j in range(12)))
+                for i in range(10)
+            ],
+        )
+        sigs = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+        dd.write_band_index(sigs, path, bands=8, num_hashes=32, pfx_mod=4)
+
+    def files_per_dir():
+        out = {}
+        for root, _d, names in os.walk(path):
+            pq = [n for n in names if n.endswith(".parquet")]
+            if pq:
+                out[os.path.relpath(root, path)] = len(pq)
+        return out
+
+    before_files = files_per_dir()
+    assert max(before_files.values()) > 1  # appends fragmented it
+    before_rows = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in dd.load_band_index(spark, path).collect()
+    )
+    before_dirs = set(before_files)
+
+    stats = dd.compact_band_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+
+    after_files = files_per_dir()
+    assert set(after_files) == before_dirs  # every (band,pfx) dir kept
+    assert max(after_files.values()) == 1  # folded to one file each
+    after_rows = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in dd.load_band_index(spark, path).collect()
+    )
+    assert after_rows == before_rows  # full-value identity
+
+    # pruned probe still prunes post-compaction
+    probe = dd.load_band_index(spark, path, [(0, 3)])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert all(r.band == 0 for r in probe.collect())
+
+    # appends after compaction land exactly-once into the same layout
+    docs = _docs(
+        spark,
+        [(9000 + i, " ".join(f"post{i}w{j}" for j in range(12)))
+         for i in range(5)],
+    )
+    sigs = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    dd.write_band_index(sigs, path, bands=8, num_hashes=32, pfx_mod=4)
+    final = dd.load_band_index(spark, path)
+    ids = {r.doc_id for r in final.select("doc_id").distinct().collect()}
+    assert {9000 + i for i in range(5)} <= ids
+    assert final.count() == len(after_rows) + 5 * 8  # 8 bands per doc
+
+
+def test_compact_chunk_index_roundtrip(spark, tmp_path):
+    """compact_chunk_index: same maintenance contract for the
+    (blk, pfx) simhash/phash landings."""
+    import os
+
+    path = str(tmp_path / "chunkidx")
+    for day in range(4):
+        sim = spark.createDataFrame(
+            [(day * 10 + i, (day * 7919 + i * 104729) % (1 << 60))
+             for i in range(8)],
+            "doc_id long, simhash long",
+        )
+        dd.write_chunk_index(sim, path, blocks=4, bits=60, pfx_mod=4)
+    before = sorted(
+        tuple(r) for r in dd.load_chunk_index(spark, path).collect()
+    )
+    stats = dd.compact_chunk_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(
+        tuple(r) for r in dd.load_chunk_index(spark, path).collect()
+    )
+    assert after == before
+    dirs = {
+        os.path.relpath(root, path)
+        for root, _d, names in os.walk(path)
+        if any(n.endswith(".parquet") for n in names)
+    }
+    assert all(d.startswith("blk=") and "pfx=" in d for d in dirs)

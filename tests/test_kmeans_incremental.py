@@ -132,3 +132,56 @@ def test_warm_start_validates_model(spark, emb):
             emb, k=2, iters=1,
             init_centroids=[(0, cents[0][1]), (0, cents[1][1])],
         )
+
+
+def test_ivf_compact_preserves_probes_and_appends(spark, emb, tmp_path):
+    """ivf_compact folds the one-file-per-append accumulation back to
+    size-targeted files per cell: probe results identical, cell
+    layout + pruning preserved, appends keep working afterwards."""
+    import os
+
+    from zeek_duckdb_spark.operators.kmeans import ivf_compact
+
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") < 200)
+    cents = ivf_write(base, path, n_centroids=4, iters=2)
+    for lo in range(200, 500, 100):  # three daily appends
+        ivf_append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ),
+            path, cents,
+        )
+
+    def files_per_cell():
+        out = {}
+        for root, _d, names in os.walk(path):
+            pq = [n for n in names if n.endswith(".parquet")]
+            if pq:
+                out[os.path.relpath(root, path)] = len(pq)
+        return out
+
+    q = emb.filter(F.col("vec_id") == 7)
+    before = files_per_cell()
+    assert max(before.values()) > 1
+    want = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_probe_topk(spark, path, cents, q, k=5, nprobe=2)
+        .collect()
+    ]
+
+    stats = ivf_compact(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    after = files_per_cell()
+    assert set(after) == set(before) and max(after.values()) == 1
+    got = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_probe_topk(spark, path, cents, q, k=5, nprobe=2)
+        .collect()
+    ]
+    assert got == want
+
+    # post-compaction append still equals the uncompacted world
+    ivf_append(emb.filter(F.col("vec_id") >= 500), path, cents)
+    n_all = spark.read.parquet(path).count()
+    assert n_all == emb.count()

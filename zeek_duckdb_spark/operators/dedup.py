@@ -433,6 +433,29 @@ def write_band_index(
     )
 
 
+def compact_band_index(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-file maintenance for a :func:`write_band_index` landing —
+    the standing job of the ``mode='append'`` growth shape: every
+    daily append adds one file per touched (band, pfx) directory, so
+    after a year of appends each pruned probe pays ~365 file opens
+    per directory it reads, metadata-bound long before IO-bound.
+
+    Delegates to ``sources.sink.compact_landing`` with the nested
+    ``band=*/pfx=*`` layout preserved (per-partition file targets, the
+    atomic RENAME_EXCHANGE swap): :func:`load_band_index` pruning and
+    :func:`touched_band_partitions` are unchanged, and subsequent
+    appends keep landing into the same directories — run it on
+    whatever cadence keeps files-per-directory small (weekly for a
+    daily-append loop).  Returns compact_landing's stats dict."""
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    return compact_landing(
+        spark, path, target_file_bytes, partition_col=["band", "pfx"]
+    )
+
+
 def touched_band_partitions(
     banded_new: DataFrame, pfx_mod: int = 64
 ) -> list[tuple[int, int]]:
@@ -851,6 +874,20 @@ def write_chunk_index(
         .write.mode(mode)
         .partitionBy("blk", "pfx")
         .parquet(path)
+    )
+
+
+def compact_chunk_index(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """:func:`compact_band_index` for the :func:`write_chunk_index`
+    family (and, via the phash delegation, ``write_phash_index``
+    landings): preserves the ``blk=*/pfx=*`` layout, leaves pruning
+    and subsequent appends untouched."""
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    return compact_landing(
+        spark, path, target_file_bytes, partition_col=["blk", "pfx"]
     )
 
 

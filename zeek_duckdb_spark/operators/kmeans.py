@@ -527,9 +527,10 @@ def ivf_append(
     Scale shape: one zero-shuffle argmax map over the batch + one
     repartition("cell") of the BATCH only (so each touched cell gains
     one file set, not one file per task); the standing index never
-    moves.  Periodically :func:`sources.sink.compact_landing` is the
-    wrong tool here (bucket-like layout contract) — re-land a cell
-    with ivf_write on a filtered corpus if it fragments.
+    moves.  Each append adds one file per touched ``cell=`` directory,
+    so probes slowly go metadata-bound — run :func:`ivf_compact` on a
+    maintenance cadence to fold them back to size-targeted files with
+    the cell layout (and therefore probe pruning) preserved.
 
     Drift note: appends reuse yesterday's model, so centroids slowly
     stale as the distribution moves; refresh with
@@ -546,6 +547,23 @@ def ivf_append(
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
+    )
+
+
+def ivf_compact(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-file maintenance for an :func:`ivf_write` +
+    :func:`ivf_append` landing: folds the one-file-per-append
+    accumulation in each ``cell=`` directory back to size-targeted
+    files, preserving the cell layout (``sources.sink.compact_landing``
+    with per-partition file targets and the atomic swap), so
+    :func:`ivf_probe_topk` pruning and future appends are unchanged.
+    Rows are untouched — append == rebuild parity still holds."""
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    return compact_landing(
+        spark, path, target_file_bytes, partition_col=["cell"]
     )
 
 

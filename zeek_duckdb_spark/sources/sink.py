@@ -131,7 +131,7 @@ def compact_landing(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 << 20,
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
 ) -> dict:
     """Small-file compaction for a parquet landing directory — the
     standing maintenance job of any streaming/incremental landing zone
@@ -142,9 +142,10 @@ def compact_landing(
     ``target_file_bytes`` of on-disk parquet: file count =
     ceil(total_bytes / target), derived from driver-side file metadata
     (no job).  With ``partition_col`` (a directory-partitioned layout
-    from ``write_zeek_parquet``), each partition directory is
-    preserved — the rewrite repartitions WITHIN partitions via
-    partitionBy, so partition pruning keeps working.
+    from ``write_zeek_parquet``; a LIST for nested layouts like the
+    banded/chunked index landings' ``band=*/pfx=*``), each partition
+    directory is preserved — the rewrite repartitions WITHIN
+    partitions via partitionBy, so partition pruning keeps working.
 
     Swap protocol (local/posix filesystems): write to ``path.tmp``,
     then atomically EXCHANGE tmp and path via Linux
@@ -183,29 +184,40 @@ def compact_landing(
     old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(tmp, ignore_errors=True)
     if partition_col is not None:
+        pcols = (
+            [partition_col]
+            if isinstance(partition_col, str)
+            else list(partition_col)
+        )
         # per-PARTITION file target: partition p gets
         # ceil(p_bytes / target) files, derived from the same driver
         # walk (a global salt modulus would spread EVERY partition over
         # n_out tasks — more and smaller files than before compaction).
-        # The modulus rides as a partition-value -> count literal map.
+        # The modulus rides as a partition-value -> count literal map;
+        # for nested layouts the key is the '\x1f'-joined value tuple.
         part_bytes: dict[str, int] = {}
-        prefix = f"{partition_col}="
         for f in files:
             rel = os.path.relpath(f, path)
-            val = next(
-                (
-                    seg[len(prefix):]
-                    for seg in rel.split(os.sep)
-                    if seg.startswith(prefix)
-                ),
-                None,
-            )
-            if val is None:
-                raise ValueError(
-                    f"compact_landing: '{f}' is not under a "
-                    f"'{partition_col}=' directory; wrong partition_col?"
+            segs = rel.split(os.sep)
+            vals = []
+            for c in pcols:
+                prefix = f"{c}="
+                val = next(
+                    (
+                        seg[len(prefix):]
+                        for seg in segs
+                        if seg.startswith(prefix)
+                    ),
+                    None,
                 )
-            part_bytes[val] = part_bytes.get(val, 0) + os.path.getsize(f)
+                if val is None:
+                    raise ValueError(
+                        f"compact_landing: '{f}' is not under a "
+                        f"'{c}=' directory; wrong partition_col?"
+                    )
+                vals.append(val)
+            key = "\x1f".join(vals)
+            part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(f)
         mod_map = F.create_map(
             *[
                 F.lit(x)
@@ -213,20 +225,22 @@ def compact_landing(
                 for x in (val, max(1, math.ceil(b / target_file_bytes)))
             ]
         )
+        key_col = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in pcols]
+        )
         salted = df.withColumn(
             "__salt",
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in df.columns]),
-                F.coalesce(
-                    mod_map[F.col(partition_col).cast("string")],
-                    F.lit(1),
-                ),
+                F.coalesce(mod_map[key_col], F.lit(1)),
             ),
         )
         (
-            salted.repartition(F.col(partition_col), F.col("__salt"))
+            salted.repartition(
+                *[F.col(c) for c in pcols], F.col("__salt")
+            )
             .drop("__salt")
-            .write.partitionBy(partition_col)
+            .write.partitionBy(*pcols)
             .mode("overwrite")
             .parquet(tmp)
         )
