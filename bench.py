@@ -3,18 +3,42 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_ITERS (default 5).
+     SPARK_GRAFT_BENCH_ITERS (default 5),
+     SPARK_GRAFT_BENCH_PAIRED (default 1; 0 disables the baseline arm).
 
 Each query is forced through a noop sink so the full plan materializes
 (a bare count() would let Catalyst prune aggregate columns).
 
-Noise control: one untimed warm-up pass over all queries (JIT, codegen
-compile, parquet footers, page cache), then ITERS timed runs per query;
-the reported per-query number is the MEDIAN, with the min..max spread
-in a side channel.  A single timed run was observed to swing +-2.5x on
-an unchanged query (q05: 0.77 / 2.19 / 0.87 s across three round-2
-runs), which made every bench delta unfalsifiable; medians of 5 agree
-within ~10% run-to-run.
+Noise control, in layers:
+
+- one untimed warm-up pass over all queries per arm (JIT, codegen
+  compile, parquet footers, page cache), then ITERS timed runs per
+  query; the reported per-query number is the MEDIAN with min..max in
+  a side channel (single runs swing +-2.5x on this VM);
+
+- PAIRED-ARM protocol (the round-11 instrument fix): a pinned
+  prior-round snapshot (BASELINE_COMMIT, materialized as a git
+  worktree under /tmp) runs in its own persistent JVM, and every
+  iteration cycle times each query in BOTH arms back-to-back with the
+  arm order alternating per cycle (same-JVM-pair A/B has ~+-5%
+  position bias; alternation cancels it).  The per-query
+  ``paired.queries_ratio`` is the median over cycles of
+  head/baseline — VM state hits both arms of a pair within seconds of
+  each other, so a ratio far from 1.0 is CODE, not machine.
+  Cross-round comparisons should read the paired block; the raw
+  totals still swing with VM state (rounds 6-10 proved repeatedly
+  that cross-round raw deltas up to ~1.5x are machine);
+
+- calibration probes, now three-axis: pure-ALU codegen (CALIB), a
+  parquet scan+agg (CALIBSCAN), and the round-11 stage-shaped probe
+  (CALIBSTAGE: 64 ~10 ms tasks + a shuffle) that senses the
+  scheduler/SMT contention mode BENCH_r10 exposed — the long-task ALU
+  probe read the machine as FAST (drift 0.80) while every multi-task
+  stage ran ~23% slow, so the old normalization amplified that noise.
+  ``value_normalized`` keeps the historical two-probe definition for
+  continuity; ``contention_ratio`` (stage probe vs its idle constant)
+  is the diagnostic that explains raw-total movement the other probes
+  miss.
 """
 
 from __future__ import annotations
@@ -22,20 +46,30 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
-import __spark_entry__ as entry_mod
-from zeek_duckdb_spark.session import get_spark
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# The pinned paired-arm baseline: round-10 HEAD (the round whose BENCH
+# raw total moved +23% on untouched queries while single-task probes
+# pointed the wrong way).  Advance this deliberately when a round's
+# plan changes are MEANT to move the headline numbers — the paired
+# ratio then measures exactly that move.
+BASELINE_COMMIT = "72fe19ba522f336fd4497c465da22667d2293a82"
 
 # Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
 # machine-drift note: the observed idle end of the cpu 0.28-0.48 s /
 # scan 0.22-0.45 s ranges).  value_normalized = value / geomean(probe /
 # idle) — an estimate of what THIS run's total would read on the idle
-# machine, so cross-round deltas stop needing manual A/B re-benches.
-# These constants change only if the probe definitions change.
+# machine.  These constants change only if the probe definitions change.
 CALIBRATION_IDLE_SEC = 0.28
 CALIBRATION_SCAN_IDLE_SEC = 0.25
+# Stage-shaped probe idle constant (recorded 2026-08-15 on a machine
+# whose CALIB/CALIBSCAN read near their idle constants; provisional in
+# the same sense as the two above).
+CALIBRATION_STAGE_IDLE_SEC = 0.35
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -52,15 +86,14 @@ HEADLINE = [
 
 
 def drift_ratio(calib_med: float, calib_scan_med: float, sf: float) -> float:
-    """Machine-drift estimate from the calibration probes: the
-    geometric mean of the two probes' ratios vs their recorded idle
-    medians — the headline mix is both scan-shaped and compute-shaped,
-    and geomean keeps the normalization symmetric (a 2x-slow and a
-    2x-fast VM state cancel).  The SCAN probe reads sf_dir's own
+    """Machine-drift estimate from the two HISTORICAL calibration
+    probes (kept definition-stable so value_normalized stays
+    comparable across rounds).  The SCAN probe reads sf_dir's own
     lineitem, so its idle constant is only valid at the tier it was
-    recorded on (sf0.1) — at any other tier its "drift" would mostly
-    measure data size, so the estimate falls back to the
-    data-independent CPU probe alone."""
+    recorded on (sf0.1); elsewhere fall back to the CPU probe.  Known
+    blind spot (BENCH_r10): neither probe senses scheduler/SMT
+    contention that only short-task multi-stage work pays — that is
+    what contention_ratio and the paired block are for."""
     if abs(sf - 0.1) < 1e-9:
         return (
             (calib_med / CALIBRATION_IDLE_SEC)
@@ -69,60 +102,148 @@ def drift_ratio(calib_med: float, calib_scan_med: float, sf: float) -> float:
     return calib_med / CALIBRATION_IDLE_SEC
 
 
+class Arm:
+    """One persistent bench_runner.py child over one checkout."""
+
+    def __init__(self, name: str, arm_dir: str, sf_dir: str):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_ARM_DIR"] = arm_dir
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        self.name = name
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench_runner.py")],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            cwd=arm_dir,
+            env=env,
+            text=True,
+            bufsize=1,
+        )
+        self._await("READY")
+
+    def _await(self, prefix: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(
+                    f"bench arm {self.name}: child exited "
+                    f"(rc={self.proc.poll()})"
+                )
+            line = line.strip()
+            if line.startswith(prefix) or line.startswith("ERR"):
+                if line.startswith("ERR"):
+                    raise RuntimeError(f"bench arm {self.name}: {line}")
+                return line
+
+    def cmd(self, command: str) -> float:
+        self.proc.stdin.write(command + "\n")
+        self.proc.stdin.flush()
+        return float(self._await("TIME").split()[1])
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def ensure_baseline_worktree() -> str | None:
+    """Materialize BASELINE_COMMIT as a detached git worktree OUTSIDE
+    the repo (so repo-walking tools never see a second copy of the
+    source).  Returns its path, or None when unavailable (no git, no
+    commit) — the bench then runs single-arm."""
+    dst = f"/tmp/zeek-spark-bench-base-{BASELINE_COMMIT[:7]}"
+    try:
+        if os.path.isdir(dst):
+            head = subprocess.run(
+                ["git", "-C", dst, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=60,
+            )
+            if head.returncode == 0 and head.stdout.strip() == BASELINE_COMMIT:
+                return dst
+            subprocess.run(
+                ["git", "-C", REPO, "worktree", "remove", "--force", dst],
+                capture_output=True, timeout=60,
+            )
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "prune"],
+            capture_output=True, timeout=60,
+        )
+        add = subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", dst,
+             BASELINE_COMMIT],
+            capture_output=True, text=True, timeout=120,
+        )
+        return dst if add.returncode == 0 else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("zeek-spark-bench")
-    queries = entry_mod.queries()
-
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    want_paired = os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0"
 
-    def run(name: str) -> float:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+    base_dir = ensure_baseline_worktree() if want_paired else None
+    head = Arm("head", REPO, sf_dir)
+    base = Arm("baseline", base_dir, sf_dir) if base_dir else None
 
-    def calibrate() -> float:
-        # CODE-INDEPENDENT machine-speed probe: a fixed pure-codegen
-        # arithmetic job whose wall time tracks the VM's current CPU
-        # state, not this repo's plans.  The bench VM drifts ~1.5x
-        # within a day (SCALING.md machine-drift note); dividing the
-        # headline total by (calibration_sec / its historical idle
-        # value, recorded in SCALING.md) normalizes cross-round comparisons.
-        t0 = time.perf_counter()
-        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
-            "sum(pmod(id * 2654435761L, 1000000007L)) AS s"
-        ).collect()
-        return time.perf_counter() - t0
+    # untimed warm-up pass per arm (alternating so cache state is fair)
+    for name in HEADLINE:
+        head.cmd(f"RUN {name}")
+        if base:
+            base.cmd(f"RUN {name}")
 
-    def calibrate_scan() -> float:
-        # second probe for the IO/scheduling axis: a generic parquet
-        # scan + hash aggregate over the benchmark's own lineitem dir
-        # (plain spark.read, no repo code) — slow VM states hit
-        # scan-shaped work harder than pure-CPU codegen
-        t0 = time.perf_counter()
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
-            "l_returnflag"
-        ).count().collect()
-        return time.perf_counter() - t0
+    head.cmd("CALIB")  # warm the probe plans too
+    calib = [head.cmd("CALIB") for _ in range(3)]
+    head.cmd("CALIBSCAN")
+    calib_scan = [head.cmd("CALIBSCAN") for _ in range(3)]
+    head.cmd("CALIBSTAGE")
+    calib_stage = [head.cmd("CALIBSTAGE") for _ in range(3)]
 
-    for name in HEADLINE:  # untimed warm-up pass
-        run(name)
-    calibrate()  # warm the calibration codegen too
-    calib = [calibrate() for _ in range(3)]
-    calibrate_scan()
-    calib_scan = [calibrate_scan() for _ in range(3)]
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    for _ in range(iters):  # interleave iterations so drift hits all queries
+    h_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    b_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for cycle in range(iters):
         for name in HEADLINE:
-            samples[name].append(run(name))
+            arms = [head] if base is None else (
+                [head, base] if cycle % 2 == 0 else [base, head]
+            )
+            for arm in arms:
+                t = arm.cmd(f"RUN {name}")
+                (h_samples if arm is head else b_samples)[name].append(t)
 
-    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
-    spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
+    timings = {n: round(statistics.median(s), 4) for n, s in h_samples.items()}
+    spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in h_samples.items()}
     total = round(sum(timings.values()), 4)
     calib_med = statistics.median(calib)
     calib_scan_med = statistics.median(calib_scan)
+    calib_stage_med = statistics.median(calib_stage)
     drift = drift_ratio(calib_med, calib_scan_med, sf)
+
+    paired = None
+    if base is not None:
+        per_q = {}
+        for n in HEADLINE:
+            ratios = sorted(
+                h / b for h, b in zip(h_samples[n], b_samples[n]) if b > 0
+            )
+            per_q[n] = round(statistics.median(ratios), 3)
+        b_medians = {
+            n: round(statistics.median(s), 4) for n, s in b_samples.items()
+        }
+        b_total = round(sum(b_medians.values()), 4)
+        paired = {
+            "baseline_commit": BASELINE_COMMIT[:12],
+            "total_baseline": b_total,
+            "ratio": round(total / b_total, 4) if b_total else None,
+            "queries_ratio": per_q,
+            "protocol": "same-cycle interleave, arm order alternated per cycle",
+        }
+
     print(
         json.dumps(
             {
@@ -130,17 +251,24 @@ def main() -> None:
                 "value": total,
                 "value_normalized": round(total / drift, 4),
                 "machine_drift_ratio": round(drift, 4),
+                "contention_ratio": round(
+                    calib_stage_med / CALIBRATION_STAGE_IDLE_SEC, 4
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "paired": paired,
                 "iters": iters,
                 "calibration_sec": round(calib_med, 4),
                 "calibration_scan_sec": round(calib_scan_med, 4),
+                "calibration_stage_sec": round(calib_stage_med, 4),
                 "sf": sf,
             }
         )
     )
-    spark.stop()
+    head.close()
+    if base:
+        base.close()
 
 
 if __name__ == "__main__":
