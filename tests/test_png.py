@@ -251,3 +251,40 @@ def test_phash_real_bytes_planted_pair_collapses(spark):
         mm.phash_media(df, decoder="jpeg")
     with pytest.raises(ValueError, match="unknown built-in"):
         mm.decode_media(df, decoder="jpeg")
+
+
+def test_png_resize_unit():
+    from zeek_duckdb_spark.operators.png import png_resize
+
+    img = _rand_img(19, 32, 32)
+    out = decode_png(png_resize(encode_png(img), 16, 8))
+    assert out.shape == (8, 16)
+    # nearest-neighbour with the phash index convention
+    ry = (np.arange(8) * 32) // 8
+    rx = (np.arange(16) * 32) // 16
+    assert np.array_equal(out, img.astype(np.float64)[np.ix_(ry, rx)])
+    with pytest.raises(ValueError, match="signature"):
+        png_resize(b"not a png at all", 4, 4)
+    with pytest.raises(ValueError, match="width"):
+        png_resize(encode_png(img), 0, 4)
+
+
+def test_resize_media_png_builtin_end_to_end(spark):
+    """resize_media(resizer='png'): real decode -> NN resample ->
+    real re-encode in executors; an upscale round-trips to the
+    original pHash (the index-sampling convention is shared)."""
+    from zeek_duckdb_spark.operators import multimodal as mm
+    from zeek_duckdb_spark.operators.png import decode_png as dec
+
+    base = _rand_img(23)
+    rows = [(1, bytearray(encode_png(base))), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.id: r for r in mm.resize_media(df, 64, 64, resizer="png").collect()}
+    assert out[2].resized is None
+    up = dec(bytes(out[1].resized))
+    assert up.shape == (64, 64)
+    from zeek_duckdb_spark.operators.multimodal import phash_value
+
+    assert phash_value(up) == phash_value(base.astype(np.float64))
+    with pytest.raises(ValueError, match="unknown built-in"):
+        mm.resize_media(df, 4, 4, resizer="jpeg")

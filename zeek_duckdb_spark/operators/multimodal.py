@@ -191,7 +191,7 @@ def resize_media(
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
-    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    resizer: Callable[[bytes, int, int], bytes] | str | None = None,
 ) -> DataFrame:
     """Resize an image payload to width x height via mapInPandas.
 
@@ -199,8 +199,12 @@ def resize_media(
     (see module docstring) — the injection point for a real PIL resize;
     its return bytes are passed through verbatim (a real encoder's
     output is NOT width*height bytes — that invariant applies to the
-    fake path only).  fake=False without a resizer requires a real
-    image library -> NotImplementedError
+    fake path only).  The string ``"png"`` selects the built-in
+    pure-Python path (:func:`operators.png.png_resize`:
+    decode -> nearest-neighbour grayscale resample -> re-encode, no
+    extra packages; non-PNG payloads error loudly).  fake=False
+    without a resizer requires a real image library for other formats
+    -> NotImplementedError
     (clearly-marked stub; the container has no PIL).  fake=True emits a
     deterministic width*height-byte payload (the source bytes tiled and
     truncated) so the distributed plumbing — binary-in/binary-out Arrow
@@ -213,11 +217,21 @@ def resize_media(
     """
     if fake and resizer is not None:
         raise ValueError("pass either fake=True or resizer=, not both")
+    if resizer == "png":
+        from zeek_duckdb_spark.operators.png import png_resize
+
+        resizer = png_resize
+    elif isinstance(resizer, str):
+        raise ValueError(
+            f"resize_media: unknown built-in resizer {resizer!r} "
+            "(only 'png'); pass a callable for other formats"
+        )
     if not fake and resizer is None:
         raise NotImplementedError(
-            "real image resize requires an image library not present in "
-            "this environment; pass fake=True for the deterministic stub "
-            "or inject resizer=fn(payload, width, height)->bytes"
+            "real image resize beyond PNG requires an image library not "
+            "present in this environment; pass resizer='png' for the "
+            "built-in PNG path, fake=True for the deterministic stub, or "
+            "inject resizer=fn(payload, width, height)->bytes"
         )
     wh = width * height
 

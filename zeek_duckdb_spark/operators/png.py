@@ -28,7 +28,7 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["decode_png", "encode_png", "png_features"]
+__all__ = ["decode_png", "encode_png", "png_features", "png_resize"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -203,6 +203,23 @@ def encode_png(img) -> bytes:
         + chunk(b"IDAT", zlib.compress(body, 9))
         + chunk(b"IEND", b"")
     )
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """The ``resize_media(resizer="png")`` built-in: decode a PNG,
+    nearest-neighbour resample the grayscale plane to height x width
+    (the same index-sampling convention as ``multimodal.phash_value``,
+    so an upscale round-trips to the identical pHash), re-encode as an
+    8-bit gray PNG.  Raises ValueError on non-PNG payloads — a loud
+    wrong-format signal beats silently passing bytes through."""
+    import numpy as np
+
+    if width < 1 or height < 1:
+        raise ValueError("png_resize: width/height must be >= 1")
+    g = decode_png(payload)
+    ry = (np.arange(height) * g.shape[0]) // height
+    rx = (np.arange(width) * g.shape[1]) // width
+    return encode_png(g[np.ix_(ry, rx)])
 
 
 def png_features(payload: bytes) -> list:
