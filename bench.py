@@ -168,6 +168,10 @@ def ensure_baseline_worktree() -> str | None:
                 ["git", "-C", REPO, "worktree", "remove", "--force", dst],
                 capture_output=True, timeout=60,
             )
+            if os.path.isdir(dst):  # stale non-worktree leftover
+                import shutil
+
+                shutil.rmtree(dst, ignore_errors=True)
         subprocess.run(
             ["git", "-C", REPO, "worktree", "prune"],
             capture_output=True, timeout=60,

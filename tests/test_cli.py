@@ -593,3 +593,35 @@ def test_clean_incremental_classifier_gate_and_legacy_model_refusal(
         main(["clean", batch, str(tmp_path / "x"),
               "--classifier-model", model,
               "--classifier-threshold", "1.5"], spark=spark)
+
+
+def test_compact_nested_partition_cols(spark, tmp_path, capsys):
+    """CLI compact with a comma-separated --partition-col drives the
+    r11 multi-level layout path (the banded/chunked index shape)."""
+    import os
+
+    from zeek_duckdb_spark.operators import dedup as dd
+
+    path = str(tmp_path / "bandidx")
+    for day in range(3):
+        docs = spark.createDataFrame(
+            [(day * 10 + i, " ".join(f"d{day}i{i}w{j}" for j in range(10)))
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        sigs = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+        dd.write_band_index(sigs, path, bands=4, num_hashes=32, pfx_mod=2)
+    before = spark.read.parquet(path).count()
+    rc = main(
+        ["compact", path, "--partition-col", "band,pfx"], spark=spark
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == before
+    dirs = {
+        os.path.relpath(r, path)
+        for r, _d, names in os.walk(path)
+        if any(n.endswith(".parquet") for n in names)
+    }
+    assert all(d.startswith("band=") and "pfx=" in d for d in dirs)

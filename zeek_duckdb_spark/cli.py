@@ -147,7 +147,10 @@ def _build_parser() -> argparse.ArgumentParser:
     co = sub.add_parser("compact", help="small-file compaction of a landing dir")
     co.add_argument("path")
     co.add_argument("--target-bytes", type=int, default=128 << 20)
-    co.add_argument("--partition-col", default=None)
+    co.add_argument("--partition-col", default=None,
+                    help="directory-partition column; comma-separate for "
+                         "nested layouts (e.g. band,pfx for the banded "
+                         "index landings)")
 
     pr = sub.add_parser("profile", help="one-pass corpus health profile")
     pr.add_argument("path", help="parquet directory")
@@ -347,8 +350,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "compact":
             from zeek_duckdb_spark.sources.sink import compact_landing
 
+            pcol = args.partition_col
+            if pcol and "," in pcol:
+                pcol = [c.strip() for c in pcol.split(",") if c.strip()]
             stats = compact_landing(
-                spark, args.path, args.target_bytes, args.partition_col
+                spark, args.path, args.target_bytes, pcol
             )
             print(json.dumps(stats))
         elif args.cmd == "profile":

@@ -60,6 +60,7 @@ __all__ = [
     "phash_value",
     "write_phash_index",
     "load_phash_index",
+    "compact_phash_index",
 ]
 
 # typed metadata struct carried alongside the opaque payload
@@ -671,6 +672,19 @@ def write_phash_index(
         pfx_mod=pfx_mod,
         mode=mode,
     )
+
+
+def compact_phash_index(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-file maintenance for a :func:`write_phash_index` landing —
+    the phash-named delegation of ``dedup.compact_chunk_index`` (the
+    layout IS a chunk index): folds the one-file-per-append growth
+    back to size-targeted files with the (blk, pfx) directories,
+    pruning, and future appends preserved."""
+    from zeek_duckdb_spark.operators.dedup import compact_chunk_index
+
+    return compact_chunk_index(spark, path, target_file_bytes)
 
 
 def load_phash_index(

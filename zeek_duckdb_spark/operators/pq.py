@@ -651,7 +651,9 @@ def ivfpq_append(
     encodes + appends, existing files untouched, the
     partition-pruned ``ivfpq_topk`` probe keeps working.  Refresh the
     models with a re-train + re-land when the residual distribution
-    drifts."""
+    drifts.  The landing shares the raw-vector index's ``cell=``
+    layout, so ``kmeans.ivf_compact`` is its small-file maintenance
+    job too (each append adds one file per touched cell)."""
     (
         ivfpq_encode(df_new, cells, codebooks, id_col, vec_col, kernel)
         .repartition("cell")
