@@ -288,3 +288,44 @@ def test_resize_media_png_builtin_end_to_end(spark):
     assert phash_value(up) == phash_value(base.astype(np.float64))
     with pytest.raises(ValueError, match="unknown built-in"):
         mm.resize_media(df, 4, 4, resizer="jpeg")
+
+
+# --- property fuzz: the codec round-trips arbitrary images ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    rgb=st.booleans(),
+)
+def test_property_roundtrip_exact(h, w, seed, rgb):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == (h, w)
+    if rgb:
+        want = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        assert np.allclose(out, want)
+    else:
+        assert np.array_equal(out, img.astype(np.float64))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+)
+def test_property_any_filter_sequence_unfilters(h, w, seed, filters):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    assert np.array_equal(
+        decode_png(_filtered_png(img, filters)), img.astype(np.float64)
+    )
