@@ -715,6 +715,52 @@ def mm_decode_fake(spark, sf):
     return dec.join(rez, "doc_id")
 
 
+def mm_png_roundtrip(spark, sf):
+    """REAL image codec inside the engine, full-value oracle-checked:
+    each doc's utf-8 payload tiles to a 16x16 gray image, encodes to
+    actual PNG bytes and decodes back via the pure-Python codec
+    (operators/png.py — zlib + unfiltering) in executors, then exact
+    integer gray statistics come out.  PNG is lossless, so the stats
+    equal byte statistics of the tiled payload — which DuckDB restates
+    from the hex dump (the proven mm_decode_fake recipe), making the
+    hash check transit the real encode->decode round-trip.  Exact
+    int64 sums (values <= 2^24), no rounding edge."""
+    import pandas as pd
+
+    from zeek_duckdb_spark.operators.png import decode_png, encode_png
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    with_media = mm.attach_media(d, "text", fmt="utf8")
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, sums, sqs = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                if b is None:
+                    continue
+                raw = bytes(b) or b"\0"
+                raw = (raw * (256 // len(raw) + 1))[:256]
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                g = decode_png(encode_png(img))  # the REAL codec path
+                ids.append(did)
+                sums.append(int(g.sum()))
+                sqs.append(int((g * g).sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "sum_gray": sums, "sumsq_gray": sqs}
+                )
+
+    return (
+        with_media.select("doc_id", "media")
+        .mapInPandas(
+            batches, "doc_id long, sum_gray long, sumsq_gray long"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def sim_topk_batch(spark, sf):
     """Batch ANN serving shape: cosine top-20 for FOUR query vectors in
     one pass (similarity.topk_neighbors_batch — mapInPandas numpy
@@ -2495,6 +2541,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
         "mm_decode_fake": mm_decode_fake,
+        "mm_png_roundtrip": mm_png_roundtrip,
         "q21_union_tagged": q21_union_tagged,
         "tx_fingerprint": tx_fingerprint,
         "mm_media_stats": mm_media_stats,
@@ -2533,6 +2580,32 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
+        # PNG is lossless, so the engine-side encode->decode gray sums
+        # equal tiled-payload byte sums restated from the hex dump
+        "mm_png_roundtrip": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents WHERE doc_id < 100),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN n = 0 THEN repeat('00', 256)
+                          ELSE substring(repeat(hx, CAST(256 // n + 1 AS BIGINT)),
+                                         1, 512)
+                     END AS thx
+              FROM b),
+            v AS (
+              SELECT doc_id,
+                     list_transform(range(1, 257),
+                       i -> CAST(concat('0x', substring(thx, 2*i - 1, 2))
+                                 AS BIGINT)) AS bytes_
+              FROM t)
+            SELECT doc_id,
+                   CAST(list_sum(bytes_) AS BIGINT) AS sum_gray,
+                   CAST(list_sum(list_transform(bytes_, x -> x * x)) AS BIGINT)
+                     AS sumsq_gray
+            FROM v ORDER BY doc_id
+        """,
         "q21_union_tagged": """
             SELECT tag, COUNT(*) AS n FROM (
               SELECT 'high' AS tag, event_id FROM events WHERE value > 400
