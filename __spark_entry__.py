@@ -2586,7 +2586,10 @@ def extra_oracle_sql() -> dict[str, str]:
             WITH b AS (
               SELECT doc_id, hex(encode(text)) AS hx,
                      CAST(octet_length(encode(text)) AS BIGINT) AS n
-              FROM documents WHERE doc_id < 100),
+              FROM documents
+              -- Spark side skips NULL payloads (nothing to encode);
+              -- keep the row sets identical by construction
+              WHERE doc_id < 100 AND text IS NOT NULL),
             t AS (
               SELECT doc_id,
                      CASE WHEN n = 0 THEN repeat('00', 256)

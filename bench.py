@@ -122,7 +122,13 @@ class Arm:
         )
         self._await("READY")
 
-    def _await(self, prefix: str) -> str:
+    def _await(self, expected: str) -> str:
+        """Read until an exact protocol token arrives: ``expected``
+        ("READY" as a whole line, or the "TIME " prefix) or the
+        child's "ERR " reply.  Anything else on stdout — a library's
+        'ERROR ...' log line, a stray println — is skipped, not
+        treated as protocol (exact-token match, never a loose
+        startswith that 'ERROR' would satisfy)."""
         while True:
             line = self.proc.stdout.readline()
             if not line:
@@ -131,9 +137,9 @@ class Arm:
                     f"(rc={self.proc.poll()})"
                 )
             line = line.strip()
-            if line.startswith(prefix) or line.startswith("ERR"):
-                if line.startswith("ERR"):
-                    raise RuntimeError(f"bench arm {self.name}: {line}")
+            if line.startswith("ERR "):
+                raise RuntimeError(f"bench arm {self.name}: {line}")
+            if line == expected or line.startswith(expected + " "):
                 return line
 
     def cmd(self, command: str) -> float:

@@ -277,7 +277,6 @@ def bench_serving(iters: int) -> None:
     corpus = corpus.persist()
     corpus.count()
     q_rows = synth(spark.range(2_000_000, 2_000_000 + 256)).collect()
-    qdf_all = spark.createDataFrame(q_rows)
 
     tmp = tempfile.mkdtemp(prefix="serving-")
     rows: list[str] = []

@@ -329,3 +329,28 @@ def test_property_any_filter_sequence_unfilters(h, w, seed, filters):
     assert np.array_equal(
         decode_png(_filtered_png(img, filters)), img.astype(np.float64)
     )
+
+
+def test_corrupt_idat_raises_valueerror_not_zlib_error():
+    """CRC-valid chunks around a truncated deflate stream must still
+    raise ValueError (the documented single-exception contract), never
+    leak zlib.error into a caller's except-ValueError row skip."""
+    img = _rand_img(2, 8, 8)
+    good = encode_png(img)
+    # parse out the IDAT, truncate its deflate payload, rebuild with a
+    # CORRECT CRC so only the stream itself is broken
+    pos = 8
+    out = good[:8]
+    while pos + 12 <= len(good):
+        (ln,) = struct.unpack(">I", good[pos:pos + 4])
+        ctype = good[pos + 4:pos + 8]
+        data = good[pos + 8:pos + 8 + ln]
+        if ctype == b"IDAT":
+            data = data[: len(data) // 2]
+        out += (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="IDAT|inflated"):
+        decode_png(out)

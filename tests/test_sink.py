@@ -171,3 +171,31 @@ def test_exchange_paths_atomic_swap(tmp_path):
     assert (b / "x.txt").read_text() == "old"
     # missing source -> syscall fails, caller falls back
     assert not _exchange_paths(str(tmp_path / "absent"), str(a))
+
+
+def test_compact_landing_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values needing Hive path-escaping (space, colon) must
+    round-trip between the directory walk and the column-side key —
+    the r11 unquote fix; before it the mod-map lookup silently missed
+    and the loud no-match guard (also r11) would now catch it."""
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    out = str(tmp_path / "land")
+    df = spark.createDataFrame(
+        [(i, "a b" if i % 2 == 0 else "c:d") for i in range(40)],
+        "id long, part string",
+    )
+    df.repartition(4).write.partitionBy("part").parquet(out)
+    before = {(r.id, r.part) for r in spark.read.parquet(out).collect()}
+    stats = compact_landing(
+        spark, out, target_file_bytes=1 << 30, partition_col="part"
+    )
+    assert stats["files_after"] <= stats["files_before"]
+    after = {(r.id, r.part) for r in spark.read.parquet(out).collect()}
+    assert after == before
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("part=")}
+    # Spark Hive-escapes ':' but not the space — the walk must
+    # unquote exactly what Spark escaped
+    assert dirs == {"part=a b", "part=c%3Ad"}

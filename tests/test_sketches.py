@@ -508,12 +508,13 @@ def test_heavy_hitters_one_pass_single_scan(spark):
     assert acc.value == 5000
 
 
-def test_cm_allow_signed_marks_signed_only_on_actual_negatives(spark):
-    """allow_signed=True is a PERMISSION, not a verdict: a batch whose
-    weights turn out all-non-negative (or an unweighted build) still
-    satisfies the min estimator's no-undershoot precondition, so the
-    sketch stays unsigned and min-path readers keep the stronger
-    one-sided bound."""
+def test_cm_allow_signed_is_a_regime_declaration(spark):
+    """allow_signed declares the signed-update regime; it takes effect
+    only when a weight_col exists (unit weights cannot be negative, so
+    an unweighted allow_signed build stays unsigned and keeps the
+    stronger min estimator).  A value scan deciding the flag would
+    race a second evaluation of a non-deterministic df against the
+    counts job — the declaration is the only consistent contract."""
     from zeek_duckdb_spark.operators.sketches import cm_build, cm_estimate
 
     ins = _cm_skewed(spark)
@@ -521,10 +522,14 @@ def test_cm_allow_signed_marks_signed_only_on_actual_negatives(spark):
         r.url: r.n
         for r in ins.groupBy("url").agg(F.count("*").alias("n")).collect()
     }
-    # unweighted build with allow_signed=True: never signed
+    # unweighted build with allow_signed=True: no-op, never signed
     m_unit = cm_build(ins, "url", width=1 << 14, depth=5, allow_signed=True)
     assert m_unit["signed"] is False
-    # weighted build, all weights non-negative, allow_signed=True
+    keys = ins.select("url").distinct()
+    est = {r.url: r.est for r in cm_estimate(keys, "url", m_unit).collect()}
+    assert est == true  # min path still serves, exact at this width
+    # weighted + allow_signed: signed by declaration, even when the
+    # batch happens to contain no negative weight
     w_pos = spark.createDataFrame(
         [("hot1", 3), ("hot2", 0), ("cold0", 1)], "url string, w int"
     )
@@ -532,22 +537,18 @@ def test_cm_allow_signed_marks_signed_only_on_actual_negatives(spark):
         w_pos, "url", width=1 << 14, depth=5, weight_col="w",
         allow_signed=True,
     )
-    assert m_pos["signed"] is False
-    # the min estimator accepts both and is exact at this width
-    keys = ins.select("url").distinct()
-    est = {r.url: r.est for r in cm_estimate(keys, "url", m_unit).collect()}
-    assert est == true
+    assert m_pos["signed"] is True
+    with pytest.raises(ValueError, match="median"):
+        cm_estimate(w_pos.select("url"), "url", m_pos)  # min refuses
     est_p = {
         r.url: r.est
         for r in cm_estimate(
-            w_pos.select("url").distinct(), "url", m_pos
+            w_pos.select("url").distinct(), "url", m_pos,
+            estimator="median",
         ).collect()
     }
     assert est_p == {"hot1": 3, "hot2": 0, "cold0": 1}
-    # a genuinely negative batch is still marked signed
+    # a genuinely negative batch without the declaration still raises
     dels = spark.createDataFrame([("hot1", -1)], "url string, w int")
-    m_neg = cm_build(
-        dels, "url", width=1 << 14, depth=5, weight_col="w",
-        allow_signed=True,
-    )
-    assert m_neg["signed"] is True
+    with pytest.raises(ValueError, match="allow_signed"):
+        cm_build(dels, "url", width=1 << 14, depth=5, weight_col="w")

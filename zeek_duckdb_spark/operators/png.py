@@ -107,7 +107,13 @@ def decode_png(payload: bytes):
 
     bpp = _CHANNELS[color]  # bytes per pixel at depth 8
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # keep the documented single-exception contract: callers that
+        # skip bad rows with `except ValueError` must not be killed by
+        # a CRC-valid-but-corrupt deflate stream leaking zlib.error
+        raise ValueError(f"decode_png: corrupt IDAT stream ({e})") from e
     if len(raw) != (stride + 1) * h:
         raise ValueError(
             f"decode_png: inflated size {len(raw)} != expected "

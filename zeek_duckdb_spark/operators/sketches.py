@@ -336,13 +336,15 @@ def cm_build(
     negative weights): the sketch is marked ``signed`` and only the
     two-sided ``cm_estimate(estimator='median')`` may read it — the
     min path refuses, its one-sided bound no longer holds.  The flag
-    marks the sketch signed only when negative updates actually
-    OCCURRED (one cheap pre-agg checks; unit-weight builds are never
-    signed): a "deletion" batch that turns out all-non-negative still
-    satisfies the no-undershoot precondition, and permanently locking
-    its readers out of the stronger min estimator would waste it."""
-    has_neg = False
-    if weight_col is not None:
+    is a DECLARATION of the update regime, not a measurement: it takes
+    effect only when a ``weight_col`` is present (unit weights cannot
+    be negative, so ``allow_signed`` on an unweighted build is a no-op
+    and the sketch stays unsigned — it keeps the stronger min
+    estimator).  Pass it only on genuine deletion batches; a value
+    scan deciding the flag would race a second evaluation of a
+    non-deterministic ``df`` against the counts job, and could mark a
+    sketch unsigned whose counters actually absorbed deletions."""
+    if weight_col is not None and not allow_signed:
         neg = (
             df.filter(F.col(key_col).isNotNull())
             .agg(
@@ -352,8 +354,7 @@ def cm_build(
             )
             .first()["neg"]
         )
-        has_neg = int(neg or 0) > 0
-        if has_neg and not allow_signed:
+        if int(neg or 0) > 0:
             raise ValueError(
                 "cm_build: negative weights would void the min "
                 "estimator's no-undershoot guarantee — build deletion "
@@ -377,7 +378,7 @@ def cm_build(
         "seed": seed,
         "n": n,
         "counts": counts,
-        "signed": bool(allow_signed and has_neg),
+        "signed": bool(allow_signed and weight_col is not None),
     }
 
 

@@ -195,6 +195,8 @@ def compact_landing(
         # n_out tasks — more and smaller files than before compaction).
         # The modulus rides as a partition-value -> count literal map;
         # for nested layouts the key is the '\x1f'-joined value tuple.
+        from urllib.parse import unquote
+
         part_bytes: dict[str, int] = {}
         for f in files:
             rel = os.path.relpath(f, path)
@@ -215,7 +217,11 @@ def compact_landing(
                         f"compact_landing: '{f}' is not under a "
                         f"'{c}=' directory; wrong partition_col?"
                     )
-                vals.append(val)
+                # directory names carry Hive path-escaping (%XX for
+                # space/':'/'=' etc.); the column side below yields the
+                # UNESCAPED value, so decode here or the keys never
+                # match for such values
+                vals.append(unquote(val))
             key = "\x1f".join(vals)
             part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(f)
         mod_map = F.create_map(
@@ -225,14 +231,39 @@ def compact_landing(
                 for x in (val, max(1, math.ceil(b / target_file_bytes)))
             ]
         )
+        # NULL partition values land as the Hive default-partition
+        # token; mirror it so the key matches (concat_ws would silently
+        # SKIP a NULL and collapse a 2-col key into a 1-col string)
         key_col = F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in pcols]
+            "\x1f",
+            *[
+                F.coalesce(
+                    F.col(c).cast("string"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                )
+                for c in pcols
+            ],
         )
+        # a key with no modulus means the directory value didn't
+        # round-trip (an escaping/format case this walk doesn't
+        # handle): fail LOUDLY — the silent alternative compacts that
+        # partition to ONE file regardless of size
         salted = df.withColumn(
             "__salt",
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in df.columns]),
-                F.coalesce(mod_map[key_col], F.lit(1)),
+                F.when(
+                    mod_map[key_col].isNotNull(), mod_map[key_col]
+                ).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "compact_landing: partition key '%s' has no "
+                            "directory match — partition value escaping "
+                            "or formatting this tool does not round-trip",
+                            key_col,
+                        )
+                    )
+                ),
             ),
         )
         (
