@@ -1271,3 +1271,52 @@ def test_compact_chunk_index_roundtrip(spark, tmp_path):
         if any(n.endswith(".parquet") for n in names)
     }
     assert all(d.startswith("blk=") and "pfx=" in d for d in dirs)
+
+
+def test_minhash_arrow_kernel_bit_identical(spark):
+    """kernel='arrow' (numpy permutations over JVM md5 bases) must be
+    BIT-IDENTICAL to the expr path — exact int64 arithmetic both ways
+    — including the empty-shingle sentinel and NULL text; and the full
+    LSH pipeline over arrow signatures (verify_with) returns the same
+    pairs.  A shingle-less arrow frame without verify_with refuses
+    loudly."""
+    import pytest
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "completely different words here in this doc"),
+        (4, "ab"),            # shorter than the shingle width
+        (5, ""),              # empty
+        (6, None),            # NULL text
+    ] + [(100 + i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(30)]
+    docs = _docs(spark, rows).repartition(5)
+
+    e = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    a = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3,
+                              kernel="arrow")
+    assert "shingles" not in a.columns  # strings never cross Arrow
+    esig = {r.doc_id: (list(r.minhash), r["__nonempty"])
+            for r in e.collect()}
+    asig = {r.doc_id: (list(r.minhash), r["__nonempty"])
+            for r in a.collect()}
+    assert asig == esig
+
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs(
+            e, bands=8, threshold=0.5, verify_with=docs
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs(
+            a, bands=8, threshold=0.5, verify_with=docs
+        ).collect()
+    }
+    assert got == want and (1, 2) in got
+
+    with pytest.raises(ValueError, match="verify_with"):
+        dd.minhash_lsh_pairs(a, bands=8, threshold=0.5).collect()
+    with pytest.raises(ValueError, match="kernel"):
+        dd.minhash_signatures(docs, kernel="gpu")

@@ -135,6 +135,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 1,
     min_parallelism: int | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """MinHash signature per document: signature[i] =
     min over shingles of (a_i * h(shingle) + b_i) mod 2^31-1, where
@@ -161,7 +162,35 @@ def minhash_signatures(
     ``shingles``/``minhash`` gets alias-substituted below the
     projection chain by predicate pushdown and re-evaluates the md5
     fold per row (measured 10x: 0.32 s vs 3.6 s at sf0.1).
+
+    ``kernel``: ``"expr"`` (default) keeps everything in JVM
+    expressions — the oracle-restatable path.  ``"arrow"`` computes
+    the md5 BASE hashes in the JVM (hashing stays engine-portable)
+    but runs the N affine permutations + mins as one numpy
+    ``minimum.reduceat`` pass per Arrow batch — the permutation HOFs
+    (``transform``+``array_min``) are CodegenFallback (interpreted,
+    one array allocation per hash per row), so their cost grows with
+    ``num_hashes`` while the numpy pass barely does.  Exact int64
+    arithmetic both ways (a*h < 2^59), so the two kernels are
+    BIT-IDENTICAL (pinned by tests) and either satisfies the same
+    oracle.  MEASURED (sf~5, 100k docs, interleaved medians of 3):
+    at the default num_hashes=32 the kernels tie — tokenize + one
+    md5 per shingle is the shared base cost and the Arrow boundary
+    eats the permutation win (sig-only 5.35 s expr vs 5.12 s arrow;
+    full LSH pipeline parity) — but at num_hashes=128 the arrow
+    kernel is 1.37x on the signature stage (7.89 s vs 5.77 s).  Keep
+    the default at 32 hashes; switch when you raise the hash count.
+    The arrow output omits the ``shingles`` column (the strings
+    would ride the Arrow boundary for nothing — at 100 TB that is
+    most of the transfer); pair verification must therefore use
+    ``minhash_lsh_pairs(verify_with=docs)``, which is the right
+    call on every tier anyway (see its docstring).
     """
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(
+            f"minhash_signatures: kernel must be 'expr' or 'arrow', "
+            f"got {kernel!r}"
+        )
     toked = _ensure_parallelism(df, min_parallelism).select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
     )
@@ -180,6 +209,66 @@ def minhash_signatures(
         ).alias("__bases"),
     )
     coeffs = affine_coeffs(num_hashes, seed)
+    if kernel == "arrow":
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        src = based.select(
+            F.col(id_col), F.col("__bases"), F.col("__nonempty")
+        )
+
+        def batches(it):
+            import numpy as np
+
+            sentinel = [P31] * num_hashes
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                bases = pdf["__bases"]
+                lens = np.fromiter(
+                    (0 if v is None else len(v) for v in bases),
+                    dtype=np.int64,
+                    count=n,
+                )
+                sigs: list = [None] * n
+                nz = np.nonzero(lens > 0)[0]
+                if len(nz):
+                    flat = np.concatenate(
+                        [np.asarray(bases.iloc[i], dtype=np.int64)
+                         for i in nz]
+                    )
+                    starts = np.concatenate(
+                        ([0], np.cumsum(lens[nz])[:-1])
+                    ).astype(np.int64)
+                    # one vectorized pass per hash keeps peak memory at
+                    # O(total shingles), not O(H * total shingles);
+                    # exact int64: base < 2^28, a < 2^31 -> a*h < 2^59
+                    mins = np.empty((len(coeffs), len(nz)), dtype=np.int64)
+                    for hi, (a, b) in enumerate(coeffs):
+                        mins[hi] = np.minimum.reduceat(
+                            (a * flat + b) % P31, starts
+                        )
+                    for j, i in enumerate(nz):
+                        sigs[i] = [int(v) for v in mins[:, j]]
+                for i in range(n):
+                    if sigs[i] is None:
+                        sigs[i] = sentinel
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "minhash": sigs,
+                        "__nonempty": pdf["__nonempty"],
+                    }
+                )
+
+        return src.mapInPandas(
+            batches,
+            schema=(
+                f"{id_col} {id_type}, minhash array<bigint>, "
+                "__nonempty boolean"
+            ),
+        )
     # one F.expr over a generated SQL string: building N HOF trees
     # through the Column API costs ~0.9 s of py4j round-trips per plan
     # construction; one server-side parse costs milliseconds
@@ -363,6 +452,13 @@ def minhash_lsh_pairs(
         a_sh = _shingles(F.col("__txt_a"), shingle_k)
         b_sh = _shingles(F.col("__txt_b"), shingle_k)
     else:
+        if "shingles" not in sig_df.columns:
+            raise ValueError(
+                "minhash_lsh_pairs: this signature frame carries no "
+                "shingles column (minhash_signatures kernel='arrow' "
+                "output) — pass verify_with=<docs DataFrame> so "
+                "verification shingles compute per candidate"
+            )
         sh = sig_df.select(F.col(id_col), F.col("shingles"))
         sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
         sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
