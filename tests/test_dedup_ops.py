@@ -1320,3 +1320,59 @@ def test_minhash_arrow_kernel_bit_identical(spark):
         dd.minhash_lsh_pairs(a, bands=8, threshold=0.5).collect()
     with pytest.raises(ValueError, match="kernel"):
         dd.minhash_signatures(docs, kernel="gpu")
+
+
+def test_minhash_incremental_supports_arrow_frames_via_verify_with(spark):
+    """The incremental daily-crawl pass over kernel='arrow' signature
+    frames: verify_with computes candidate shingles (the frames carry
+    none), results equal the expr-frame incremental pass; without
+    verify_with the arrow frame refuses with the actionable error,
+    not an unresolved-column crash."""
+    import pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx_docs = _docs(
+        spark,
+        [(i, " ".join(f"i{i}w{j}" for j in range(10))) for i in range(20)]
+        + [(98, base)],
+    )
+    new_docs = _docs(
+        spark,
+        [(101, base + " lambda"), (102, "novel content entirely here now ok")],
+    )
+    all_docs = idx_docs.unionByName(new_docs)
+    k = dict(num_hashes=32, shingle_k=3)
+
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs_incremental(
+            dd.minhash_signatures(new_docs, **k),
+            dd.minhash_signatures(idx_docs, **k),
+            bands=8, threshold=0.5,
+        ).collect()
+    }
+    a_new = dd.minhash_signatures(new_docs, kernel="arrow", **k)
+    a_idx = dd.minhash_signatures(idx_docs, kernel="arrow", **k)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs_incremental(
+            a_new, a_idx, bands=8, threshold=0.5, verify_with=all_docs,
+        ).collect()
+    }
+    assert got == want and (98, 101) in got
+
+    # expr frames + verify_with also agree (the per-candidate path)
+    got_e = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs_incremental(
+            dd.minhash_signatures(new_docs, **k),
+            dd.minhash_signatures(idx_docs, **k),
+            bands=8, threshold=0.5, verify_with=all_docs,
+        ).collect()
+    }
+    assert got_e == want
+
+    with pytest.raises(ValueError, match="verify_with"):
+        dd.minhash_lsh_pairs_incremental(
+            a_new, a_idx, bands=8, threshold=0.5
+        ).collect()

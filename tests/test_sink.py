@@ -199,3 +199,34 @@ def test_compact_landing_hive_escaped_partition_values(spark, tmp_path):
     # Spark Hive-escapes ':' but not the space — the walk must
     # unquote exactly what Spark escaped
     assert dirs == {"part=a b", "part=c%3Ad"}
+
+
+def test_compact_landing_zero_padded_and_null_partition_values(
+    spark, tmp_path
+):
+    """Partition type inference must be OFF for the compaction read:
+    with it on, 'hour=00' infers as int 0 — the directory<->column key
+    never matches (the loud guard would abort) AND the rewrite would
+    silently re-land the directory as 'hour=0'.  NULL partition values
+    ride the Hive default-partition token through the same key."""
+    import os
+
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    out = str(tmp_path / "land")
+    df = spark.createDataFrame(
+        [(i, f"{i % 3:02d}" if i % 4 else None) for i in range(40)],
+        "id long, hour string",
+    )
+    df.repartition(4).write.partitionBy("hour").parquet(out)
+    before_dirs = {d for d in os.listdir(out) if d.startswith(("hour=", "__"))}
+    assert "hour=00" in before_dirs and "hour=__HIVE_DEFAULT_PARTITION__" in before_dirs
+    before = {(r.id, r.hour) for r in spark.read.parquet(out).collect()}
+
+    stats = compact_landing(
+        spark, out, target_file_bytes=1 << 30, partition_col="hour"
+    )
+    assert stats["files_after"] <= stats["files_before"]
+    after_dirs = {d for d in os.listdir(out) if d.startswith(("hour=", "__"))}
+    assert after_dirs == before_dirs  # '00' stays '00', never '0'
+    assert {(r.id, r.hour) for r in spark.read.parquet(out).collect()} == before

@@ -249,8 +249,13 @@ def minhash_signatures(
                         mins[hi] = np.minimum.reduceat(
                             (a * flat + b) % P31, starts
                         )
+                    # transpose once, then C-side tolist(): 3.2M
+                    # Python int() calls at 100k docs x 32 hashes is
+                    # exactly the interpreter overhead this kernel
+                    # exists to avoid
+                    cols = mins.T.tolist()
                     for j, i in enumerate(nz):
-                        sigs[i] = [int(v) for v in mins[:, j]]
+                        sigs[i] = cols[j]
                 for i in range(n):
                     if sigs[i] is None:
                         sigs[i] = sentinel
@@ -621,10 +626,19 @@ def minhash_lsh_pairs_incremental(
     on_oversize: str = "error",
     include_new_pairs: bool = True,
     index_banded: DataFrame | None = None,
+    verify_with: DataFrame | None = None,
+    text_col: str = "text",
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest: a new batch of
     signatures against a persisted corpus index, without re-pairing
     the index against itself.
+
+    ``verify_with`` (a docs DataFrame covering BOTH sides' ids with a
+    stored ``text_col``) computes verification shingles per candidate
+    exactly like :func:`minhash_lsh_pairs` — and it is the ONLY
+    verification path for ``kernel='arrow'`` signature frames, which
+    deliberately carry no shingles column.
 
     The daily-crawl shape: the corpus index (minhash_signatures output
     landed as parquet) holds N docs already deduped among themselves;
@@ -703,14 +717,41 @@ def minhash_lsh_pairs_incremental(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = new_sigs.select(F.col(id_col), F.col("shingles")).unionByName(
-        index_sigs.select(F.col(id_col), F.col("shingles"))
-    )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    if verify_with is not None:
+        src = verify_with.select(F.col(id_col), F.col(text_col).alias("__txt"))
+        sh_a = src.select(
+            F.col(id_col).alias("id_a"), F.col("__txt").alias("__txt_a")
+        )
+        sh_b = src.select(
+            F.col(id_col).alias("id_b"), F.col("__txt").alias("__txt_b")
+        )
+        joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        a_sh = _shingles(F.col("__txt_a"), shingle_k)
+        b_sh = _shingles(F.col("__txt_b"), shingle_k)
+    else:
+        for side, frame in (("new_sigs", new_sigs), ("index_sigs", index_sigs)):
+            if "shingles" not in frame.columns:
+                raise ValueError(
+                    f"minhash_lsh_pairs_incremental: {side} carries no "
+                    "shingles column (minhash_signatures kernel='arrow' "
+                    "output) — pass verify_with=<docs DataFrame covering "
+                    "both sides> so verification shingles compute per "
+                    "candidate"
+                )
+        sh = new_sigs.select(F.col(id_col), F.col("shingles")).unionByName(
+            index_sigs.select(F.col(id_col), F.col("shingles"))
+        )
+        sh_a = sh.select(
+            F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        sh_b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        a_sh = F.col("sh_a")
+        b_sh = F.col("sh_b")
+    inter = F.size(F.array_intersect(a_sh, b_sh)).cast("double")
+    union = F.size(F.array_union(a_sh, b_sh)).cast("double")
     return (
         joined.select(
             "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")

@@ -179,7 +179,21 @@ def compact_landing(
         raise ValueError(f"compact_landing: no parquet files under '{path}'")
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
+    # read partition values AS STRINGS (inference off) for the rewrite:
+    # inference turns 'hour=00' into int 0, which (a) breaks the
+    # directory<->column key round-trip below and (b) would REWRITE the
+    # directory as 'hour=0' — silently changing the layout readers and
+    # pruning predicates were built against.  The schema only lives in
+    # the directory names, so downstream readers re-infer as before.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        # the file index (and with it the partition schema) is built
+        # eagerly here, so restoring the conf after is safe
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(infer_key, infer_prev)
     tmp = path.rstrip("/") + ".compact-tmp"
     old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(tmp, ignore_errors=True)
