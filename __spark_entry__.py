@@ -1118,8 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # folded into surviving entries (equality filter ⊂ q03/q05;
     # sort+limit ⊂ q03; join+group+topk dup of q03; DISTINCT ⊂ q15;
     # IN-filter ⊂ q16; LIKE ⊂ q28; COUNT DISTINCT ⊂ q26 — see
-    # COVERAGE.md §2.B), and the oracle-less zeek_scan (non-parquet
-    # input, rows-only check) sits last.  Round 7 rotated the two
+    # COVERAGE.md §2.B), and zeek_scan (non-parquet input, fully
+    # oracle-checked since round 6 via its parquet re-landing oracle —
+    # see its docstring) sits last.  Round 7 rotated the two
     # lowest-information entries (q20_cross_join — a 25-row constant
     # join; mm_frame_sample — plumbing duplicated by mm_decode_fake)
     # out to extra_queries()/extra_oracle_sql(), where the local
@@ -1138,7 +1139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family) and dd_cosine_pairs (covered by sim_topk +
     # dd_jaccard_pairs) out, to driver-gate the round-9 classifier and
     # corpus-splitting families (cls_quality_scores,
-    # pipe_split_corpus).
+    # pipe_split_corpus).  Round 12 rotated tx_repetition out (its
+    # dup-line/top-bigram shape is carried by the surviving tx rows)
+    # to driver-gate mm_png_roundtrip — the only full-value oracle
+    # exercising the REAL PNG codec multimodal path end-to-end.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -1171,7 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "tx_quality": tx_quality,
-        "tx_repetition": tx_repetition,
+        "mm_png_roundtrip": mm_png_roundtrip,
         "tx_boilerplate": tx_boilerplate,
         "emb_comoments": emb_comoments,
         "tx_token_counts": tx_token_counts,
@@ -1977,49 +1981,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0 / len(toks), 6) AS mean_token_len
             FROM t
         """,
-        "tx_repetition": """
-            WITH d AS (
-              SELECT doc_id, concat_ws(chr(10), text, lang, source, lang) AS t
-              FROM documents WHERE doc_id < 300),
-            b AS (
-              SELECT doc_id, LENGTH(t) AS n_chars,
-                     string_split(t, chr(10)) AS lines,
-                     string_split_regex(trim(t), '\\s+') AS toks
-              FROM d),
-            l AS (
-              SELECT doc_id, n_chars, toks,
-                     len(lines) AS L, len(list_distinct(lines)) AS D,
-                     list_sort(lines) AS s
+        # PNG is lossless, so the engine-side encode->decode gray sums
+        # equal tiled-payload byte sums restated from the hex dump
+        "mm_png_roundtrip": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents
+              -- Spark side skips NULL payloads (nothing to encode);
+              -- keep the row sets identical by construction
+              WHERE doc_id < 100 AND text IS NOT NULL),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN n = 0 THEN repeat('00', 256)
+                          ELSE substring(repeat(hx, CAST(256 // n + 1 AS BIGINT)),
+                                         1, 512)
+                     END AS thx
               FROM b),
-            dc AS (
+            v AS (
               SELECT doc_id,
-                     COALESCE(list_sum(list_transform(range(1, L + 1), i ->
-                       CASE WHEN (i > 1 AND s[i] = s[i-1])
-                              OR (i < L AND s[i] = s[i+1])
-                            THEN LENGTH(s[i]) ELSE 0 END)), 0) AS dupc
-              FROM l),
-            g AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, len(toks)), i ->
-                            concat(toks[i], ' ', toks[i + 1]))) AS gram
-              FROM l WHERE len(toks) >= 2),
-            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
-            top AS (
-              SELECT doc_id, gram, c FROM (
-                SELECT doc_id, gram, c,
-                       ROW_NUMBER() OVER (PARTITION BY doc_id
-                                          ORDER BY c DESC, gram ASC) AS rn
-                FROM gc) WHERE rn = 1)
-            SELECT l.doc_id,
-                   CAST(L AS INT) AS n_lines,
-                   ROUND((L - D) * 1.0 / L, 6) AS dup_line_ratio,
-                   ROUND(CASE WHEN n_chars = 0 THEN 0
-                              ELSE dupc * 1.0 / n_chars END, 6)
-                     AS dup_line_char_ratio,
-                   ROUND(CASE WHEN n_chars = 0 OR top.c IS NULL THEN 0
-                              ELSE top.c * LENGTH(top.gram) * 1.0 / n_chars
-                         END, 6) AS top_bigram_ratio
-            FROM l JOIN dc USING (doc_id) LEFT JOIN top USING (doc_id)
+                     list_transform(range(1, 257),
+                       i -> CAST(concat('0x', substring(thx, 2*i - 1, 2))
+                                 AS BIGINT)) AS bytes_
+              FROM t)
+            SELECT doc_id,
+                   CAST(list_sum(bytes_) AS BIGINT) AS sum_gray,
+                   CAST(list_sum(list_transform(bytes_, x -> x * x)) AS BIGINT)
+                     AS sumsq_gray
+            FROM v ORDER BY doc_id
         """,
         "tx_boilerplate": """
             WITH d AS (
@@ -2054,8 +2043,8 @@ def oracle_sql() -> dict[str, str]:
                                     1e-12) / 127.0 AS s
                     FROM e))
             SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
-                   SUM(CAST(qvec[i.range + 1] AS BIGINT) * qvec[j.range + 1])
-                     AS s_ij
+                   CAST(SUM(CAST(qvec[i.range + 1] AS BIGINT)
+                            * qvec[j.range + 1]) AS BIGINT) AS s_ij
             FROM qz, range(64) i, range(64) j
             WHERE i.range <= j.range GROUP BY 1, 2
         """,
@@ -2534,14 +2523,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     or round 11 (tx_langid, pipe_pack — a regex CASE whose shape the
     tx family carries and a running-sum window carried by q12/q29;
     their slots driver-gate emb_comoments and doc_bloom_words, the
-    last full-value-oracle families with no driver row)
+    last full-value-oracle families with no driver row) or round 12
+    (tx_repetition — its dup-line/top-bigram shape is carried by the
+    surviving tx rows; its slot driver-gates mm_png_roundtrip, the
+    real-codec multimodal oracle)
     — still oracle-checked by the local harness
     (tests/test_entry_oracle.py) so their coverage never regresses."""
     return {
         "q20_cross_join": q20_cross_join,
         "mm_frame_sample": mm_frame_sample,
         "mm_decode_fake": mm_decode_fake,
-        "mm_png_roundtrip": mm_png_roundtrip,
+        "tx_repetition": tx_repetition,
         "q21_union_tagged": q21_union_tagged,
         "tx_fingerprint": tx_fingerprint,
         "mm_media_stats": mm_media_stats,
@@ -2580,34 +2572,49 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
-        # PNG is lossless, so the engine-side encode->decode gray sums
-        # equal tiled-payload byte sums restated from the hex dump
-        "mm_png_roundtrip": """
-            WITH b AS (
-              SELECT doc_id, hex(encode(text)) AS hx,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS n
-              FROM documents
-              -- Spark side skips NULL payloads (nothing to encode);
-              -- keep the row sets identical by construction
-              WHERE doc_id < 100 AND text IS NOT NULL),
-            t AS (
-              SELECT doc_id,
-                     CASE WHEN n = 0 THEN repeat('00', 256)
-                          ELSE substring(repeat(hx, CAST(256 // n + 1 AS BIGINT)),
-                                         1, 512)
-                     END AS thx
+        "tx_repetition": """
+            WITH d AS (
+              SELECT doc_id, concat_ws(chr(10), text, lang, source, lang) AS t
+              FROM documents WHERE doc_id < 300),
+            b AS (
+              SELECT doc_id, LENGTH(t) AS n_chars,
+                     string_split(t, chr(10)) AS lines,
+                     string_split_regex(trim(t), '\\s+') AS toks
+              FROM d),
+            l AS (
+              SELECT doc_id, n_chars, toks,
+                     len(lines) AS L, len(list_distinct(lines)) AS D,
+                     list_sort(lines) AS s
               FROM b),
-            v AS (
+            dc AS (
               SELECT doc_id,
-                     list_transform(range(1, 257),
-                       i -> CAST(concat('0x', substring(thx, 2*i - 1, 2))
-                                 AS BIGINT)) AS bytes_
-              FROM t)
-            SELECT doc_id,
-                   CAST(list_sum(bytes_) AS BIGINT) AS sum_gray,
-                   CAST(list_sum(list_transform(bytes_, x -> x * x)) AS BIGINT)
-                     AS sumsq_gray
-            FROM v ORDER BY doc_id
+                     COALESCE(list_sum(list_transform(range(1, L + 1), i ->
+                       CASE WHEN (i > 1 AND s[i] = s[i-1])
+                              OR (i < L AND s[i] = s[i+1])
+                            THEN LENGTH(s[i]) ELSE 0 END)), 0) AS dupc
+              FROM l),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)), i ->
+                            concat(toks[i], ' ', toks[i + 1]))) AS gram
+              FROM l WHERE len(toks) >= 2),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+            top AS (
+              SELECT doc_id, gram, c FROM (
+                SELECT doc_id, gram, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM gc) WHERE rn = 1)
+            SELECT l.doc_id,
+                   CAST(L AS INT) AS n_lines,
+                   ROUND((L - D) * 1.0 / L, 6) AS dup_line_ratio,
+                   ROUND(CASE WHEN n_chars = 0 THEN 0
+                              ELSE dupc * 1.0 / n_chars END, 6)
+                     AS dup_line_char_ratio,
+                   ROUND(CASE WHEN n_chars = 0 OR top.c IS NULL THEN 0
+                              ELSE top.c * LENGTH(top.gram) * 1.0 / n_chars
+                         END, 6) AS top_bigram_ratio
+            FROM l JOIN dc USING (doc_id) LEFT JOIN top USING (doc_id)
         """,
         "q21_union_tagged": """
             SELECT tag, COUNT(*) AS n FROM (

@@ -1376,3 +1376,13 @@ def test_minhash_incremental_supports_arrow_frames_via_verify_with(spark):
         dd.minhash_lsh_pairs_incremental(
             a_new, a_idx, bands=8, threshold=0.5
         ).collect()
+
+    # an UNDER-COVERING verify_with errors loudly instead of silently
+    # dropping the uncovered candidate pairs (round-12 coverage guard)
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException, match="does not cover"):
+        dd.minhash_lsh_pairs_incremental(
+            a_new, a_idx, bands=8, threshold=0.5,
+            verify_with=all_docs.filter(F.col("doc_id") != 101),
+        ).collect()

@@ -934,6 +934,89 @@ def test_incremental_clean_ingest_dry_run_is_stable_and_ids_checked(spark, tmp_p
     assert rerun.count() == 0  # fp already indexed -> exact pass drops
 
 
+def test_incremental_clean_ingest_auto_compaction(spark, tmp_path):
+    """Round-12 maintenance cadence: ``compact_after`` compacts the
+    fp/sig indexes MID-LOOP when a directory exceeds the threshold.
+    Two arms run the same two-day ingest — with and without
+    compaction — and must agree on every survivor set and on the
+    final index CONTENT (compaction is content-preserving; appends
+    stay exactly-once), while the compacted arm's index file count
+    drops to the compaction floor instead of growing per day."""
+    import os
+
+    from zeek_duckdb_spark.operators.pipeline import incremental_clean_ingest
+
+    def _nfiles(p):
+        return sum(
+            1 for r, _d, ns in os.walk(p) for n in ns
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+
+    def _day(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in ids],
+            "doc_id long, text string",
+        )
+
+    results = {}
+    for arm, kw in (("plain", {}), ("compact", {"compact_after": 1})):
+        fps = str(tmp_path / f"fps_{arm}")
+        sigs = str(tmp_path / f"sigs_{arm}")
+        out0 = {r.doc_id for r in incremental_clean_ingest(
+            _day(range(4)), fps, sigs, **kw).collect()}
+        out1 = {r.doc_id for r in incremental_clean_ingest(
+            _day(range(10, 14)), fps, sigs, **kw).collect()}
+        # day 2 replays a day-0 doc id-rekeyed: the index (compacted
+        # or not) must still drop it via the exact-fp pass
+        out2 = {r.doc_id for r in incremental_clean_ingest(
+            _day([0]).withColumn("doc_id", F.lit(200).cast("long")),
+            fps, sigs, **kw).collect()}
+        results[arm] = {
+            "out": (out0, out1, out2),
+            "fps_rows": sorted(r.fp for r in spark.read.parquet(fps).collect()),
+            "sig_ids": sorted(
+                r.doc_id for r in spark.read.parquet(sigs).collect()
+            ),
+            "files": (_nfiles(fps), _nfiles(sigs)),
+        }
+
+    # identical verdicts and identical index content across arms —
+    # compaction changed the LAYOUT only, appends stayed exactly-once
+    assert results["plain"]["out"] == results["compact"]["out"]
+    assert results["plain"]["out"][0] == set(range(4))
+    assert results["plain"]["out"][2] == set()          # fp pass holds
+    assert results["plain"]["fps_rows"] == results["compact"]["fps_rows"]
+    assert results["plain"]["sig_ids"] == results["compact"]["sig_ids"]
+    # the compacted arm sits at the floor (tiny data -> 1 file per
+    # index), the plain arm accumulated per-day appends
+    assert results["compact"]["files"] == (1, 1)
+    assert results["plain"]["files"][0] > 1
+    assert results["plain"]["files"][1] > 1
+
+
+def test_maybe_compact_landing_threshold_semantics(spark, tmp_path):
+    """The trigger itself: missing path and under-threshold layouts
+    are no-ops (None, zero jobs), over-threshold compacts and returns
+    the stats dict, bad threshold raises."""
+    import pytest as _pytest
+
+    from zeek_duckdb_spark.sources.sink import maybe_compact_landing
+
+    with _pytest.raises(ValueError, match="max_files_per_dir"):
+        maybe_compact_landing(spark, str(tmp_path / "x"), 0)
+    assert maybe_compact_landing(spark, str(tmp_path / "missing"), 3) is None
+
+    land = str(tmp_path / "land")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.repartition(2).write.mode("append").parquet(land)
+    assert maybe_compact_landing(spark, land, 3) is None  # 2 <= 3
+    df.repartition(4).write.mode("append").parquet(land)
+    stats = maybe_compact_landing(spark, land, 3)          # 6 > 3
+    assert stats is not None and stats["files_after"] == 1
+    # content preserved, rows doubled by the two appends
+    assert spark.read.parquet(land).count() == 200
+
+
 # ---------------------------------------------------------------------
 # weighted_sample_k (Efraimidis-Spirakis A-ES)
 # ---------------------------------------------------------------------

@@ -201,6 +201,27 @@ def test_compact_landing_hive_escaped_partition_values(spark, tmp_path):
     assert dirs == {"part=a b", "part=c%3Ad"}
 
 
+def test_compact_landing_rejects_x1f_in_partition_values(spark, tmp_path):
+    """Nested-partition keys are '\\x1f'-joined; a partition VALUE
+    containing \\x1f could collide two distinct keys and silently pick
+    the wrong per-partition file modulus — the driver walk must reject
+    it loudly (round-12 guard) instead."""
+    import pytest
+
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    out = str(tmp_path / "land")
+    df = spark.createDataFrame(
+        [(i, "ok" if i % 2 else "bad\x1fvalue") for i in range(10)],
+        "id long, part string",
+    )
+    df.repartition(2).write.partitionBy("part").parquet(out)
+    with pytest.raises(ValueError, match="x1f key separator"):
+        compact_landing(
+            spark, out, target_file_bytes=1 << 30, partition_col="part"
+        )
+
+
 def test_compact_landing_zero_padded_and_null_partition_values(
     spark, tmp_path
 ):

@@ -232,7 +232,11 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
     batches processed across a query RESTART must land exactly the
     batch loop's survivors, with no duplicate index rows, and a
     re-delivered day-1 file after the second restart must add
-    nothing."""
+    nothing.  Runs with a FORCED compact_after=1 (round 12): each
+    batch's appends end with an index compaction, which must change
+    the index LAYOUT only — every survivor/index assertion below is
+    identical to the uncompacted contract, and the indexes end at the
+    one-file floor instead of one-pile-per-batch."""
     import glob as _glob
 
     from zeek_duckdb_spark.operators.pipeline import (
@@ -266,7 +270,7 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
     def run_stream():
         s = spark.readStream.schema("doc_id long, text string").parquet(str(src))
         q = incremental_clean_ingest_stream(
-            s, fps, sigs, land, ckpt, threshold=0.5
+            s, fps, sigs, land, ckpt, threshold=0.5, compact_after=1
         )
         q.awaitTermination(120)
         q.stop()
@@ -302,6 +306,15 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
     assert not _glob.glob(f"{land}/batch=2")
     assert spark.read.parquet(sigs).count() == n_sigs_before
     assert {r.doc_id for r in spark.read.parquet(land).collect()} == {1, 2, 11}
+
+    # compact_after=1 held the indexes at the compaction floor
+    import os as _os
+    for idx in (fps, sigs):
+        n = sum(
+            1 for r, _d, ns in _os.walk(idx) for f in ns
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        assert n == 1, f"{idx}: expected the one-file floor, got {n}"
 
 
 def test_stream_clean_ingest_classifier_gate_matches_batch(spark, tmp_path):

@@ -215,6 +215,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "indexes")
     ci.add_argument("--classifier-threshold", type=float, default=0.5,
                     help="keep docs scoring >= T (with --classifier-model)")
+    ci.add_argument("--compact-after", type=int, default=None, metavar="N",
+                    help="after the index appends, compact any index "
+                         "whose worst directory exceeds N parquet files "
+                         "(the daily-append maintenance cadence; off by "
+                         "default)")
     ci.add_argument("--legacy-ok", action="store_true",
                     help="proceed even if a pre-hash batch=<basename> "
                          "landing (older id scheme) exists next to this "
@@ -474,6 +479,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     args.classifier_model, args.classifier_threshold,
                     "clean-incremental",
                 ),
+                compact_after=args.compact_after,
             )
             n_out = survivors.count()
             print(json.dumps({

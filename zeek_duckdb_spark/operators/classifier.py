@@ -395,7 +395,15 @@ def token_logreg_fit(
     PINNED strict left fold over the row's distinct buckets in
     ascending order (vectorized across rows grouped by distinct-token
     count — no per-token Python in the loop), so the pre-quantization
-    floats are identical on every executor too.  Each GD pass is ONE
+    floats are identical on every executor too.  Cross-VERSION note:
+    the pinned fold replaced an earlier per-row BLAS dot
+    (``wv[idx] @ qx`` — pairwise summation), and the two can differ
+    in the last ulp of pre-quantization ``z``, which can flip a
+    2^-20-quantized residual at a grid boundary; weights trained by
+    builds predating the vectorized kernel are therefore NOT
+    guaranteed bit-reproducible by this code (re-fit to re-derive
+    checkpoints bit-for-bit).  Each GD
+    pass is ONE
     zero-shuffle ``mapInPandas`` job emitting (n, sparse int64 grad,
     grad_b, loss) partials; per-row work is O(distinct tokens), never
     O(dim).

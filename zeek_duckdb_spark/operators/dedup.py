@@ -638,7 +638,10 @@ def minhash_lsh_pairs_incremental(
     stored ``text_col``) computes verification shingles per candidate
     exactly like :func:`minhash_lsh_pairs` — and it is the ONLY
     verification path for ``kernel='arrow'`` signature frames, which
-    deliberately carry no shingles column.
+    deliberately carry no shingles column.  Coverage is ENFORCED: a
+    candidate id that ``verify_with`` is missing (or carries with a
+    NULL text) raises at execution time instead of silently shrinking
+    the pair set — under-coverage is a recall bug, not a filter.
 
     The daily-crawl shape: the corpus index (minhash_signatures output
     landed as parquet) holds N docs already deduped among themselves;
@@ -725,9 +728,27 @@ def minhash_lsh_pairs_incremental(
         sh_b = src.select(
             F.col(id_col).alias("id_b"), F.col("__txt").alias("__txt_b")
         )
-        joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-        a_sh = _shingles(F.col("__txt_a"), shingle_k)
-        b_sh = _shingles(F.col("__txt_b"), shingle_k)
+        # LEFT joins + loud per-row guard: an inner join here would
+        # silently DROP any candidate pair whose id is missing from
+        # verify_with — a quiet recall loss.  Instead an under-covering
+        # docs frame errors, matching the loud-failure contract of the
+        # missing-shingles branch below.  Zero extra jobs: the check is
+        # a row-level raise inside the verification projection itself.
+        joined = cand.join(sh_a, "id_a", "left").join(sh_b, "id_b", "left")
+        cov_err = (
+            "minhash_lsh_pairs_incremental: verify_with does not cover "
+            "candidate id (absent or NULL text): "
+        )
+        a_txt = F.when(
+            F.col("__txt_a").isNull(),
+            F.raise_error(F.concat(F.lit(cov_err), F.col("id_a").cast("string"))),
+        ).otherwise(F.col("__txt_a"))
+        b_txt = F.when(
+            F.col("__txt_b").isNull(),
+            F.raise_error(F.concat(F.lit(cov_err), F.col("id_b").cast("string"))),
+        ).otherwise(F.col("__txt_b"))
+        a_sh = _shingles(a_txt, shingle_k)
+        b_sh = _shingles(b_txt, shingle_k)
     else:
         for side, frame in (("new_sigs", new_sigs), ("index_sigs", index_sigs)):
             if "shingles" not in frame.columns:

@@ -440,6 +440,8 @@ def incremental_clean_ingest(
     check_ids: bool = True,
     land_path: str | None = None,
     classifier: dict | None = None,
+    compact_after: int | None = None,
+    compact_target_bytes: int = 128 << 20,
 ) -> DataFrame:
     """The packaged daily-crawl ingest loop: exact + fuzzy dedup of a
     NEW batch against PERSISTED indexes, with the index updated for
@@ -508,7 +510,22 @@ def incremental_clean_ingest(
     fingerprints or signatures and never enter the indexes.  A later
     byte-identical copy of a rejected doc scores identically and is
     rejected by the same gate, so keeping rejects out of the index
-    loses nothing."""
+    loses nothing.
+
+    ``compact_after`` (honored only with ``update_index=True``) is the
+    maintenance cadence: after the index appends, each index path
+    whose worst directory holds MORE than ``compact_after`` parquet
+    files is compacted in place
+    (:func:`zeek_duckdb_spark.sources.sink.maybe_compact_landing`,
+    targeting ``compact_target_bytes`` per output file) — without it,
+    a year of ~32-file daily appends degrades every index probe into
+    the metadata-bound regime SCALING.md measures.  The check is one
+    driver-side walk (zero jobs under threshold); compaction is
+    content-preserving and runs AFTER both appends, so the
+    failure/retry contract above is unchanged — a crash mid-compaction
+    leaves either the old or the swapped layout (compact_landing's
+    swap protocol) and the rerun re-triggers it.  The returned
+    survivors are an eager snapshot, unaffected by the rewrite."""
     from zeek_duckdb_spark.operators.dedup import (
         exact_dedup_incremental,
         minhash_lsh_pairs_incremental,
@@ -628,6 +645,13 @@ def incremental_clean_ingest(
         survivors.select("fp").filter(F.col("fp").isNotNull()).write.mode(
             "append"
         ).parquet(fps_path)
+        if compact_after is not None:
+            from zeek_duckdb_spark.sources.sink import maybe_compact_landing
+
+            for p in (sigs_path, fps_path):
+                maybe_compact_landing(
+                    spark, p, compact_after, compact_target_bytes
+                )
     return survivors.drop("fp")
 
 
@@ -646,6 +670,8 @@ def incremental_clean_ingest_stream(
     seed: int = 1,
     available_now: bool = True,
     classifier: dict | None = None,
+    compact_after: int | None = None,
+    compact_target_bytes: int = 128 << 20,
 ):
     """The daily-crawl ingest loop as a STREAMING job: each
     micro-batch of ``stream_df`` (``read_zeek_stream``, a file-source
@@ -686,7 +712,16 @@ def incremental_clean_ingest_stream(
     ``classifier`` passes straight through to
     :func:`incremental_clean_ingest` — the gate is a zero-shuffle
     expression filter (stream-safe by construction), so streaming
-    survivors match the batch loop's survivors exactly."""
+    survivors match the batch loop's survivors exactly.
+
+    ``compact_after`` / ``compact_target_bytes`` pass through too:
+    each micro-batch's index appends end with the files-per-directory
+    threshold check, and micro-batches execute SERIALLY within the
+    query, so compaction never races an append from this stream.  The
+    replay story is unchanged — compaction preserves content, so a
+    crash-replayed batch sees the same index rows whether or not the
+    previous run compacted (its appends stay semantically idempotent,
+    windows 1-4 of the batch loop's contract)."""
     import os as _os
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -707,6 +742,8 @@ def incremental_clean_ingest_stream(
             check_ids=False,
             land_path=_os.path.join(land_path, f"batch={batch_id}"),
             classifier=classifier,
+            compact_after=compact_after,
+            compact_target_bytes=compact_target_bytes,
         )
 
     writer = (

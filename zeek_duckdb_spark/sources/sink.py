@@ -24,6 +24,7 @@ __all__ = [
     "ingest_zeek_to_parquet",
     "write_bucketed",
     "compact_landing",
+    "maybe_compact_landing",
 ]
 
 
@@ -235,7 +236,22 @@ def compact_landing(
                 # space/':'/'=' etc.); the column side below yields the
                 # UNESCAPED value, so decode here or the keys never
                 # match for such values
-                vals.append(unquote(val))
+                decoded = unquote(val)
+                # the per-partition modulus map keys on the
+                # '\x1f'-joined value tuple; a value CONTAINING \x1f
+                # could collide two distinct keys and silently pick the
+                # wrong modulus, bypassing the loud no-match path below
+                # — reject it here, mirroring that loud-failure
+                # contract
+                if "\x1f" in decoded:
+                    raise ValueError(
+                        "compact_landing: partition value "
+                        f"{decoded!r} for column '{c}' contains the "
+                        "\\x1f key separator — nested-partition keys "
+                        "would be ambiguous; rename the partition "
+                        "value"
+                    )
+                vals.append(decoded)
             key = "\x1f".join(vals)
             part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(f)
         mod_map = F.create_map(
@@ -306,3 +322,44 @@ def compact_landing(
         if n.endswith(".parquet")
     )
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def maybe_compact_landing(
+    spark: SparkSession,
+    path: str,
+    max_files_per_dir: int,
+    target_file_bytes: int = 128 << 20,
+    partition_col: str | list[str] | None = None,
+) -> dict | None:
+    """Threshold trigger for :func:`compact_landing` — the cadence
+    hook the incremental ingest loops call after their index appends,
+    so a year of daily appends can't quietly degrade the probe paths
+    into the metadata-bound regime SCALING.md measures.
+
+    Counts parquet files PER DIRECTORY with one driver-side walk (the
+    same metadata :func:`compact_landing` reads anyway; zero Spark
+    jobs when under threshold — the common case).  Per-directory, not
+    total, because partitioned layouts scale their directory count
+    with the data while each directory's file count should stay at
+    the one-file-per-dir floor compaction restores.  A missing or
+    empty ``path`` returns ``None`` (the bootstrap day has nothing to
+    compact).  Compacts only when some directory EXCEEDS
+    ``max_files_per_dir``; returns :func:`compact_landing`'s stats
+    dict when it ran, else ``None``.
+    """
+    import os
+
+    if max_files_per_dir < 1:
+        raise ValueError(
+            "maybe_compact_landing: max_files_per_dir must be >= 1"
+        )
+    worst = 0
+    for root, _dirs, names in os.walk(path):
+        n = sum(
+            1 for nm in names
+            if nm.endswith(".parquet") and not nm.startswith(".")
+        )
+        worst = max(worst, n)
+    if worst <= max_files_per_dir:
+        return None
+    return compact_landing(spark, path, target_file_bytes, partition_col)
