@@ -247,10 +247,11 @@ def test_phash_real_bytes_planted_pair_collapses(spark):
         float(base.astype(np.float64).mean())
     )
 
+    # 'jpeg' / 'image' became built-ins in round 12 (operators/jpeg.py)
     with pytest.raises(ValueError, match="unknown built-in"):
-        mm.phash_media(df, decoder="jpeg")
+        mm.phash_media(df, decoder="webp")
     with pytest.raises(ValueError, match="unknown built-in"):
-        mm.decode_media(df, decoder="jpeg")
+        mm.decode_media(df, decoder="webp")
 
 
 def test_png_resize_unit():
@@ -286,8 +287,9 @@ def test_resize_media_png_builtin_end_to_end(spark):
     from zeek_duckdb_spark.operators.multimodal import phash_value
 
     assert phash_value(up) == phash_value(base.astype(np.float64))
+    # 'jpeg' / 'image' became built-ins in round 12 (operators/jpeg.py)
     with pytest.raises(ValueError, match="unknown built-in"):
-        mm.resize_media(df, 4, 4, resizer="jpeg")
+        mm.resize_media(df, 4, 4, resizer="webp")
 
 
 # --- property fuzz: the codec round-trips arbitrary images ----------

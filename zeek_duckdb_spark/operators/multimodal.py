@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-PNG decodes for REAL via the built-in pure-Python codec
-(:mod:`operators.png` — zlib + Paeth unfiltering, no extra packages):
-``decode_media(decoder="png")`` / ``phash_media(decoder="png")`` run
-the feature and near-dup paths on real encoded image bytes end-to-end.
+PNG and baseline JPEG decode for REAL via the built-in pure-Python
+codecs (:mod:`operators.png` — zlib + Paeth unfiltering;
+:mod:`operators.jpeg` — Huffman + IDCT, the crawl-dominant format):
+``decode_media(decoder="png"|"jpeg"|"image")`` /
+``phash_media(decoder=...)`` run the feature and near-dup paths on
+real encoded image bytes end-to-end (``"image"`` sniffs the magic
+bytes per payload and dispatches PNG/JPEG — the mixed-corpus default).
 Other formats are STUBBED (this container ships no image/audio
 libraries): they raise NotImplementedError unless a deterministic fake
 decoder is requested OR a user decoder callback is injected.
@@ -73,6 +76,27 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def _sniffing(png_fn, jpeg_fn):
+    """Per-payload magic-byte dispatch for ``decoder="image"`` /
+    ``resizer="image"``: PNG signature -> the PNG codec, JPEG SOI ->
+    the JPEG codec, anything else errors loudly (a silent passthrough
+    would corrupt downstream features).  Returns a closure with the
+    same signature as the two codec callables."""
+
+    def dispatch(payload, *args):
+        b = bytes(payload)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_fn(b, *args)
+        if b[:2] == b"\xff\xd8":
+            return jpeg_fn(b, *args)
+        raise ValueError(
+            "image dispatch: payload matches neither the PNG nor the "
+            "JPEG signature — inject a decoder for other formats"
+        )
+
+    return dispatch
+
+
 def _pd_dtype_for(field) -> str:
     """pandas dtype for a Spark schema field's values inside a
     mapInPandas batch builder — one rule for every id-carrying operator
@@ -127,31 +151,41 @@ def decode_media(
 
     ``decoder``: user callback ``fn(payload: bytes) -> list[float]``
     (see module docstring) — the injection point for a real
-    PIL/librosa feature extractor — or the string ``"png"`` for the
-    built-in pure-Python PNG decoder (:mod:`operators.png`, no extra
-    packages: emits [width, height, mean_gray, std_gray] from REAL
-    encoded bytes).  fake=True uses the deterministic byte-statistics
-    stub instead.  Neither -> NotImplementedError (clearly-marked
-    stub; the container has no PIL/librosa and non-PNG formats need
-    one).
+    PIL/librosa feature extractor — or one of the built-in pure-Python
+    codecs: ``"png"`` (:mod:`operators.png`), ``"jpeg"``
+    (:mod:`operators.jpeg`, baseline sequential — the crawl-dominant
+    format), or ``"image"`` (magic-byte sniff per payload, the
+    mixed-corpus default).  All emit [width, height, mean_gray,
+    std_gray] from REAL encoded bytes, no extra packages.  fake=True
+    uses the deterministic byte-statistics stub instead.  Neither ->
+    NotImplementedError (clearly-marked stub; the container has no
+    PIL/librosa and other formats need one).
     """
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
-    if decoder == "png":
+    if isinstance(decoder, str):
+        from zeek_duckdb_spark.operators.jpeg import jpeg_features
         from zeek_duckdb_spark.operators.png import png_features
 
-        decoder = png_features
-    elif isinstance(decoder, str):
-        raise ValueError(
-            f"decode_media: unknown built-in decoder {decoder!r} "
-            "(only 'png'); pass a callable for other formats"
-        )
+        if decoder == "png":
+            decoder = png_features
+        elif decoder == "jpeg":
+            decoder = jpeg_features
+        elif decoder == "image":
+            decoder = _sniffing(png_features, jpeg_features)
+        else:
+            raise ValueError(
+                f"decode_media: unknown built-in decoder {decoder!r} "
+                "('png', 'jpeg' or 'image'); pass a callable for other "
+                "formats"
+            )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode beyond PNG requires an image/audio library "
-            "not present in this environment; pass decoder='png' for the "
-            "built-in PNG path, fake=True for the deterministic stub, or "
-            "inject decoder=fn(payload)->list[float]"
+            "real media decode beyond PNG/JPEG requires an image/audio "
+            "library not present in this environment; pass "
+            "decoder='png'/'jpeg'/'image' for the built-in codecs, "
+            "fake=True for the deterministic stub, or inject "
+            "decoder=fn(payload)->list[float]"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,10 +234,13 @@ def resize_media(
     (see module docstring) — the injection point for a real PIL resize;
     its return bytes are passed through verbatim (a real encoder's
     output is NOT width*height bytes — that invariant applies to the
-    fake path only).  The string ``"png"`` selects the built-in
-    pure-Python path (:func:`operators.png.png_resize`:
-    decode -> nearest-neighbour grayscale resample -> re-encode, no
-    extra packages; non-PNG payloads error loudly).  fake=False
+    fake path only).  The strings ``"png"`` / ``"jpeg"`` /
+    ``"image"`` select the built-in pure-Python paths
+    (:func:`operators.png.png_resize` /
+    :func:`operators.jpeg.jpeg_resize`; ``"image"`` sniffs the magic
+    bytes and re-encodes in the payload's own format): decode ->
+    nearest-neighbour grayscale resample -> re-encode, no extra
+    packages; wrong-format payloads error loudly.  fake=False
     without a resizer requires a real image library for other formats
     -> NotImplementedError
     (clearly-marked stub; the container has no PIL).  fake=True emits a
@@ -218,21 +255,31 @@ def resize_media(
     """
     if fake and resizer is not None:
         raise ValueError("pass either fake=True or resizer=, not both")
-    if resizer == "png":
+    if isinstance(resizer, str):
+        from zeek_duckdb_spark.operators.jpeg import jpeg_resize
         from zeek_duckdb_spark.operators.png import png_resize
 
-        resizer = png_resize
-    elif isinstance(resizer, str):
-        raise ValueError(
-            f"resize_media: unknown built-in resizer {resizer!r} "
-            "(only 'png'); pass a callable for other formats"
-        )
+        if resizer == "png":
+            resizer = png_resize
+        elif resizer == "jpeg":
+            resizer = jpeg_resize
+        elif resizer == "image":
+            # format-preserving: PNG payloads re-encode as PNG, JPEG
+            # as JPEG
+            resizer = _sniffing(png_resize, jpeg_resize)
+        else:
+            raise ValueError(
+                f"resize_media: unknown built-in resizer {resizer!r} "
+                "('png', 'jpeg' or 'image'); pass a callable for other "
+                "formats"
+            )
     if not fake and resizer is None:
         raise NotImplementedError(
-            "real image resize beyond PNG requires an image library not "
-            "present in this environment; pass resizer='png' for the "
-            "built-in PNG path, fake=True for the deterministic stub, or "
-            "inject resizer=fn(payload, width, height)->bytes"
+            "real image resize beyond PNG/JPEG requires an image library "
+            "not present in this environment; pass "
+            "resizer='png'/'jpeg'/'image' for the built-in codecs, "
+            "fake=True for the deterministic stub, or inject "
+            "resizer=fn(payload, width, height)->bytes"
         )
     wh = width * height
 
@@ -568,29 +615,40 @@ def phash_media(
     copies; pHash survives them).  ``decoder`` maps payload bytes to a
     2-D grayscale array (inject PIL: ``lambda b:
     np.asarray(Image.open(io.BytesIO(b)).convert('L'))``) — or the
-    string ``"png"`` for the built-in pure-Python PNG decoder
-    (:mod:`operators.png`), which runs the near-dup path on REAL
-    encoded image bytes with no extra packages; fake=True uses the
+    strings ``"png"`` / ``"jpeg"`` / ``"image"`` for the built-in
+    pure-Python codecs (:mod:`operators.png` / :mod:`operators.jpeg`;
+    ``"image"`` sniffs magic bytes per payload), which run the
+    near-dup path on REAL encoded image bytes — including re-encoded
+    JPEG copies, the dominant crawl shape — with no extra packages;
+    fake=True uses the
     deterministic byte-tile stand-in.  mapInPandas Arrow batches; pure
     map, zero shuffle.  Pair generation: :func:`phash_pairs` (the
     SimHash block-permutation machinery — a pHash IS a 60-bit
     locality-sensitive hash)."""
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
-    if decoder == "png":
+    if isinstance(decoder, str):
+        from zeek_duckdb_spark.operators.jpeg import decode_jpeg
         from zeek_duckdb_spark.operators.png import decode_png
 
-        decoder = decode_png
-    elif isinstance(decoder, str):
-        raise ValueError(
-            f"phash_media: unknown built-in decoder {decoder!r} "
-            "(only 'png'); pass a callable for other formats"
-        )
+        if decoder == "png":
+            decoder = decode_png
+        elif decoder == "jpeg":
+            decoder = decode_jpeg
+        elif decoder == "image":
+            decoder = _sniffing(decode_png, decode_jpeg)
+        else:
+            raise ValueError(
+                f"phash_media: unknown built-in decoder {decoder!r} "
+                "('png', 'jpeg' or 'image'); pass a callable for other "
+                "formats"
+            )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real image decode beyond PNG requires PIL (absent in this "
-            "environment); pass decoder='png' for the built-in PNG path, "
-            "fake=True, or inject decoder=fn(payload)->2-D array"
+            "real image decode beyond PNG/JPEG requires PIL (absent in "
+            "this environment); pass decoder='png'/'jpeg'/'image' for "
+            "the built-in codecs, fake=True, or inject "
+            "decoder=fn(payload)->2-D array"
         )
     if not 1 <= bits <= 60:
         raise ValueError("phash_media: bits must be in [1, 60]")
