@@ -77,6 +77,43 @@ def test_scaling_md_regeneration_preserves_manual_sections(tmp_path):
         assert bs.MANUAL_MARKER in f.read()
 
 
+def test_paired_cycles_interleaves_and_alternates():
+    """Round-12 protocol pin: the Spark-vs-DuckDB scaling bench runs
+    PAIRED cycles (both arms back-to-back per cycle, order alternated)
+    — the property that makes the graded ratio load-immune.  Stub
+    runners record global call order; the schedule must be
+    s...d...|d...s...|s...d... with full query sets per arm, and the
+    per-cycle ratios/median/spread must be computed per cycle, not
+    from pooled totals."""
+    import bench_scaling as bs
+
+    calls = []
+
+    # spark arm: 2.0 s/query on even cycles, 4.0 on odd (a load swing
+    # that hits BOTH arms of a cycle -> ratios must stay constant)
+    def run_s(name):
+        calls.append(("s", name))
+        return 2.0 if (len([c for c in calls if c[0] == "s"]) - 1) // 2 % 2 == 0 else 4.0
+
+    def run_d(name):
+        calls.append(("d", name))
+        return 1.0 if (len([c for c in calls if c[0] == "d"]) - 1) // 2 % 2 == 0 else 2.0
+
+    out = bs._paired_cycles(3, ["q1", "q2"], run_s, run_d)
+    tags = [t for t, _ in calls]
+    # cycle 0: s s d d ; cycle 1: d d s s ; cycle 2: s s d d
+    assert tags == ["s", "s", "d", "d", "d", "d", "s", "s", "s", "s", "d", "d"]
+    names = [n for _, n in calls]
+    assert names == ["q1", "q2"] * 6
+    # the load swing doubled both arms together -> every cycle ratio 2.0
+    assert out["cycle_ratios"] == [2.0, 2.0, 2.0]
+    assert out["ratio_median"] == 2.0
+    assert out["ratio_spread"] == [2.0, 2.0]
+    assert set(out["spark"]) == {"q1", "q2"}
+    assert out["spark"]["q1"] in (2.0, 4.0)  # median of [2,4,2] -> 2
+    assert out["spark"]["q1"] == 2.0 and out["duckdb"]["q1"] == 1.0
+
+
 def test_drift_ratio_both_branches():
     """Unit-pin BOTH normalization branches: the sf0.1 geomean of the
     two probe ratios, and the CPU-only fallback everywhere else."""
