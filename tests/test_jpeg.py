@@ -11,7 +11,6 @@ this codec), including a cross-CODEC pin: the same image's PNG and
 JPEG fixtures must decode to near-identical gray planes through two
 entirely disjoint code paths."""
 
-import glob
 import os
 import struct
 
@@ -91,6 +90,17 @@ def test_rgb_444_and_420_decode_to_luma():
         assert rmse < 4.0, (sub, rmse)
 
 
+def test_marker_fill_bytes_tolerated():
+    """T.81 allows optional 0xFF fill bytes before any marker — some
+    encoders emit them; the parser must skip them, not misparse the
+    second FF as a marker code."""
+    img = _smooth_img(6, 16, 16)
+    ok = encode_jpeg(img)
+    i = ok.find(b"\xff\xc0")
+    padded = ok[:i] + b"\xff\xff" + ok[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(ok))
+
+
 def test_restart_interval_bitstream_equivalent():
     img = _smooth_img(11, 40, 56)
     plain = decode_jpeg(encode_jpeg(img, quality=80))
@@ -134,20 +144,19 @@ def test_property_roundtrip_shape_and_range(h, w, seed, q):
 # independent-encoder fixtures (libjpeg output, not this codec's)
 # ----------------------------------------------------------------------
 
-_FIXTURE_GLOBS = [
-    "/usr/lib/python3*/test/imghdrdata",
-    "/usr/lib/python3*/test/test_email/data",
-    "/mnt/*/model_tools_env/*/python/install/lib/python3*/test/imghdrdata",
-    "/mnt/*/model_tools_env/*/python/install/lib/python3*/test/test_email/data",
-]
-
-
 def _find_fixture(name):
-    for pat in _FIXTURE_GLOBS:
-        for d in glob.glob(pat):
-            p = os.path.join(d, name)
-            if os.path.exists(p):
-                return p
+    """CPython's own stdlib test data (the `test` package ships with
+    the interpreter) — located portably, skip-if-absent."""
+    try:
+        import test as _t
+
+        base = os.path.dirname(_t.__file__)
+    except ImportError:
+        return None
+    for sub in ("imghdrdata", os.path.join("test_email", "data")):
+        p = os.path.join(base, sub, name)
+        if os.path.exists(p):
+            return p
     return None
 
 

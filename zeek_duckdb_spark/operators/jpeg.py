@@ -283,6 +283,9 @@ def decode_jpeg(payload: bytes):
         if buf[i] != 0xFF:
             raise ValueError("decode_jpeg: expected marker, got data")
         m = buf[i + 1]
+        if m == 0xFF:                    # optional fill byte before a marker
+            i += 1
+            continue
         if m == 0xD8:
             raise ValueError("decode_jpeg: unexpected second SOI")
         if m == 0xD9:

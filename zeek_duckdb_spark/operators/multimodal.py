@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-PNG and baseline JPEG decode for REAL via the built-in pure-Python
-codecs (:mod:`operators.png` — zlib + Paeth unfiltering;
-:mod:`operators.jpeg` — Huffman + IDCT, the crawl-dominant format):
-``decode_media(decoder="png"|"jpeg"|"image")`` /
+PNG, baseline JPEG and WAV audio decode for REAL via the built-in
+pure-Python codecs (:mod:`operators.png` — zlib + Paeth unfiltering;
+:mod:`operators.jpeg` — Huffman + IDCT, the crawl-dominant image
+format; :mod:`operators.wav` — RIFF PCM + log-band spectrogram):
+``decode_media(decoder="png"|"jpeg"|"image"|"wav")`` /
 ``phash_media(decoder=...)`` run the feature and near-dup paths on
-real encoded image bytes end-to-end (``"image"`` sniffs the magic
-bytes per payload and dispatches PNG/JPEG — the mixed-corpus default).
+real encoded media bytes end-to-end (``"image"`` sniffs the magic
+bytes per payload and dispatches PNG/JPEG — the mixed-corpus default;
+``"wav"`` hashes the clip's spectrogram through the SAME DCT-sign
+pHash, so audio re-encodes collapse via the same phash_pairs).
 Other formats are STUBBED (this container ships no image/audio
 libraries): they raise NotImplementedError unless a deterministic fake
 decoder is requested OR a user decoder callback is injected.
@@ -166,6 +169,7 @@ def decode_media(
     if isinstance(decoder, str):
         from zeek_duckdb_spark.operators.jpeg import jpeg_features
         from zeek_duckdb_spark.operators.png import png_features
+        from zeek_duckdb_spark.operators.wav import wav_features
 
         if decoder == "png":
             decoder = png_features
@@ -173,17 +177,19 @@ def decode_media(
             decoder = jpeg_features
         elif decoder == "image":
             decoder = _sniffing(png_features, jpeg_features)
+        elif decoder == "wav":
+            decoder = wav_features
         else:
             raise ValueError(
                 f"decode_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg' or 'image'); pass a callable for other "
-                "formats"
+                "('png', 'jpeg', 'image' or 'wav'); pass a callable for "
+                "other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode beyond PNG/JPEG requires an image/audio "
-            "library not present in this environment; pass "
-            "decoder='png'/'jpeg'/'image' for the built-in codecs, "
+            "real media decode beyond PNG/JPEG/WAV requires an "
+            "image/audio library not present in this environment; pass "
+            "decoder='png'/'jpeg'/'image'/'wav' for the built-in codecs, "
             "fake=True for the deterministic stub, or inject "
             "decoder=fn(payload)->list[float]"
         )
@@ -630,6 +636,7 @@ def phash_media(
     if isinstance(decoder, str):
         from zeek_duckdb_spark.operators.jpeg import decode_jpeg
         from zeek_duckdb_spark.operators.png import decode_png
+        from zeek_duckdb_spark.operators.wav import wav_spectrogram
 
         if decoder == "png":
             decoder = decode_png
@@ -637,18 +644,22 @@ def phash_media(
             decoder = decode_jpeg
         elif decoder == "image":
             decoder = _sniffing(decode_png, decode_jpeg)
+        elif decoder == "wav":
+            # AUDIO near-dup through the same machinery: the log-band
+            # spectrogram is a 2-D array exactly like a decoded image
+            decoder = wav_spectrogram
         else:
             raise ValueError(
                 f"phash_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg' or 'image'); pass a callable for other "
-                "formats"
+                "('png', 'jpeg', 'image' or 'wav'); pass a callable for "
+                "other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real image decode beyond PNG/JPEG requires PIL (absent in "
-            "this environment); pass decoder='png'/'jpeg'/'image' for "
-            "the built-in codecs, fake=True, or inject "
-            "decoder=fn(payload)->2-D array"
+            "real media decode beyond PNG/JPEG/WAV requires "
+            "PIL/soundfile (absent in this environment); pass "
+            "decoder='png'/'jpeg'/'image'/'wav' for the built-in "
+            "codecs, fake=True, or inject decoder=fn(payload)->2-D array"
         )
     if not 1 <= bits <= 60:
         raise ValueError("phash_media: bits must be in [1, 60]")
