@@ -25,7 +25,9 @@ operator takes a plain-Python callback —
 - ``resize_media(df, w, h, resizer=fn)`` with
   ``fn(payload: bytes, width: int, height: int) -> bytes``;
 - ``sample_frames(df, sampler=fn)`` with ``fn(payload: bytes) ->
-  iterable[(frame_idx: int, frame: bytes)]``.
+  iterable[(frame_idx: int, frame: bytes)]`` — or ``sampler="avi"``
+  for the built-in MJPEG-AVI container parser (:mod:`operators.avi`),
+  which emits REAL encoded JPEG frames with no external library.
 
 The callback is cloudpickled into the ``mapInPandas`` closure like any
 Spark UDF body, so it must be importable/self-contained on executors
@@ -330,40 +332,66 @@ def sample_frames(
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
-    sampler: Callable[[bytes], "Iterator[tuple[int, bytes]]"] | None = None,
+    sampler: Callable[[bytes], "Iterator[tuple[int, bytes]]"] | str | None = None,
 ) -> DataFrame:
     """Sample frames from a video payload via mapInPandas — the
     row-EXPANDING multimodal shape (one input row -> up to
-    ``max_frames`` frame rows), the plumbing a real ffmpeg/decord
-    frame sampler drops into.
+    ``max_frames`` frame rows).
 
-    fake=False -> NotImplementedError (no video library in this
-    container).  fake=True treats the payload as consecutive
-    ``frame_bytes``-byte frames and emits every ``stride``-th frame up
-    to ``max_frames`` — deterministic byte slices, restatable as a
-    DuckDB oracle (range unnest + hex-string slice).
+    ``sampler="avi"`` (round 12) samples for REAL: MJPEG-AVI
+    containers (:mod:`operators.avi`) yield actual encoded JPEG
+    frames, honoring ``stride``/``max_frames``; each emitted frame is
+    a standalone baseline JPEG, so the full video near-dup chain runs
+    without any external library — sample_frames(sampler='avi') ->
+    phash_media(decoder='jpeg') -> phash_pairs.  Other containers
+    (MP4/H264) still need an injected ffmpeg/decord callback.
 
-    The per-row Python loop here is the decode stub itself (a real
-    frame decoder is inherently per-payload work); everything around it
-    is Arrow-batched.  Null payloads emit no frames; a non-empty
-    payload's final partial frame is kept (ceil division), so every
-    byte is reachable.
+    fake=True treats the payload as consecutive ``frame_bytes``-byte
+    frames and emits every ``stride``-th frame up to ``max_frames`` —
+    deterministic byte slices, restatable as a DuckDB oracle (range
+    unnest + hex-string slice).  Neither -> NotImplementedError.
+
+    The per-row Python loop here is the decode work itself (frame
+    extraction is inherently per-payload); everything around it is
+    Arrow-batched.  Null payloads emit no frames; the fake path keeps
+    a non-empty payload's final partial frame (ceil division), so
+    every byte is reachable.
 
     ``sampler``: user callback ``fn(payload) -> iterable[(frame_idx,
     frame_bytes)]`` (see module docstring) — the injection point for a
-    real ffmpeg/decord sampler; ``frame_bytes``/``stride``/
-    ``max_frames`` apply to the fake path only (a real sampler owns its
-    own stride policy).
+    real ffmpeg/decord sampler; ``frame_bytes`` applies to the fake
+    path only, ``stride``/``max_frames`` to the fake and ``"avi"``
+    paths (a user callback owns its own stride policy).
 
     Output: (id, frame_idx int, frame binary).
     """
     if fake and sampler is not None:
         raise ValueError("pass either fake=True or sampler=, not both")
+    if isinstance(sampler, str):
+        if sampler == "avi":
+            from zeek_duckdb_spark.operators.avi import avi_mjpeg_frames
+
+            def sampler(b, _stride=stride, _cap=max_frames):
+                emitted = 0
+                for f_idx, frame in avi_mjpeg_frames(b):
+                    if f_idx % _stride:
+                        continue
+                    if emitted >= _cap:
+                        break
+                    emitted += 1
+                    yield f_idx, frame
+        else:
+            raise ValueError(
+                f"sample_frames: unknown built-in sampler {sampler!r} "
+                "(only 'avi'); pass a callable for other containers"
+            )
     if not fake and sampler is None:
         raise NotImplementedError(
-            "real frame sampling requires a video library not present in "
-            "this environment; pass fake=True for the deterministic stub "
-            "or inject sampler=fn(payload)->iterable[(frame_idx, frame)]"
+            "real frame sampling beyond MJPEG-AVI requires a video "
+            "library not present in this environment; pass "
+            "sampler='avi' for the built-in container parser, fake=True "
+            "for the deterministic stub, or inject "
+            "sampler=fn(payload)->iterable[(frame_idx, frame)]"
         )
 
     def fake_sample(b: bytes):
