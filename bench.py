@@ -52,12 +52,14 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# The pinned paired-arm baseline: round-10 HEAD (the round whose BENCH
-# raw total moved +23% on untouched queries while single-task probes
-# pointed the wrong way).  Advance this deliberately when a round's
-# plan changes are MEANT to move the headline numbers — the paired
-# ratio then measures exactly that move.
-BASELINE_COMMIT = "72fe19ba522f336fd4497c465da22667d2293a82"
+# The pinned paired-arm baseline: the round-11 snapshot (same code as
+# r11 HEAD 1bc5113, plus that round's verdict files), so the round-12
+# paired ratio reads THIS round's code changes against the last graded
+# round.  Advance this once per round; keep it at the prior round's
+# snapshot commit so cross-round deltas stay falsifiable.  (r11 used
+# r10 HEAD 72fe19b — the round whose BENCH raw total moved +23% on
+# untouched queries while single-task probes pointed the wrong way.)
+BASELINE_COMMIT = "7ce81fc34534b08f05c0f11c65e7ced66d6ca650"
 
 # Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
 # machine-drift note: the observed idle end of the cpu 0.28-0.48 s /

@@ -349,12 +349,12 @@ def test_image_sniffing_decoder_mixed_corpus(spark):
     assert feats[0][0] == 48.0 and feats[1][0] == 48.0
 
     bad = spark.createDataFrame(
-        [(9, bytearray(b"GIF89a not supported"))],
+        [(9, bytearray(b"BM bitmap not supported"))],
         "doc_id long, media binary",
     )
     from pyspark.errors import PySparkException
 
-    with pytest.raises(PySparkException, match="neither the PNG nor"):
+    with pytest.raises(PySparkException, match="matches none of the PNG/JPEG/GIF"):
         mm.phash_media(bad, decoder="image").collect()
 
 

@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-PNG, baseline JPEG and WAV audio decode for REAL via the built-in
+PNG, baseline JPEG, GIF and WAV audio decode for REAL via the built-in
 pure-Python codecs (:mod:`operators.png` — zlib + Paeth unfiltering;
 :mod:`operators.jpeg` — Huffman + IDCT, the crawl-dominant image
-format; :mod:`operators.wav` — RIFF PCM + log-band spectrogram):
-``decode_media(decoder="png"|"jpeg"|"image"|"wav")`` /
+format; :mod:`operators.gif` — LZW + palette; :mod:`operators.wav` —
+RIFF PCM + log-band spectrogram):
+``decode_media(decoder="png"|"jpeg"|"gif"|"image"|"wav")`` /
 ``phash_media(decoder=...)`` run the feature and near-dup paths on
 real encoded media bytes end-to-end (``"image"`` sniffs the magic
-bytes per payload and dispatches PNG/JPEG — the mixed-corpus default;
-``"wav"`` hashes the clip's spectrogram through the SAME DCT-sign
-pHash, so audio re-encodes collapse via the same phash_pairs).
+bytes per payload and dispatches PNG/JPEG/GIF — the mixed-corpus
+default; ``"wav"`` hashes the clip's spectrogram through the SAME
+DCT-sign pHash, so audio re-encodes collapse via the same
+phash_pairs).
 Other formats are STUBBED (this container ships no image/audio
 libraries): they raise NotImplementedError unless a deterministic fake
 decoder is requested OR a user decoder callback is injected.
@@ -27,7 +29,9 @@ operator takes a plain-Python callback —
 - ``sample_frames(df, sampler=fn)`` with ``fn(payload: bytes) ->
   iterable[(frame_idx: int, frame: bytes)]`` — or ``sampler="avi"``
   for the built-in MJPEG-AVI container parser (:mod:`operators.avi`),
-  which emits REAL encoded JPEG frames with no external library.
+  which emits REAL encoded JPEG frames with no external library, or
+  ``sampler="gif"`` for animated GIFs (each image block re-wrapped as
+  a standalone single-frame GIF).
 
 The callback is cloudpickled into the ``mapInPandas`` closure like any
 Spark UDF body, so it must be importable/self-contained on executors
@@ -81,12 +85,13 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def _sniffing(png_fn, jpeg_fn):
+def _sniffing(png_fn, jpeg_fn, gif_fn):
     """Per-payload magic-byte dispatch for ``decoder="image"`` /
     ``resizer="image"``: PNG signature -> the PNG codec, JPEG SOI ->
-    the JPEG codec, anything else errors loudly (a silent passthrough
-    would corrupt downstream features).  Returns a closure with the
-    same signature as the two codec callables."""
+    the JPEG codec, GIF87a/GIF89a -> the GIF codec, anything else
+    errors loudly (a silent passthrough would corrupt downstream
+    features).  Returns a closure with the same signature as the
+    codec callables."""
 
     def dispatch(payload, *args):
         b = bytes(payload)
@@ -94,9 +99,11 @@ def _sniffing(png_fn, jpeg_fn):
             return png_fn(b, *args)
         if b[:2] == b"\xff\xd8":
             return jpeg_fn(b, *args)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_fn(b, *args)
         raise ValueError(
-            "image dispatch: payload matches neither the PNG nor the "
-            "JPEG signature — inject a decoder for other formats"
+            "image dispatch: payload matches none of the PNG/JPEG/GIF "
+            "signatures — inject a decoder for other formats"
         )
 
     return dispatch
@@ -169,6 +176,7 @@ def decode_media(
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
     if isinstance(decoder, str):
+        from zeek_duckdb_spark.operators.gif import gif_features
         from zeek_duckdb_spark.operators.jpeg import jpeg_features
         from zeek_duckdb_spark.operators.png import png_features
         from zeek_duckdb_spark.operators.wav import wav_features
@@ -177,22 +185,24 @@ def decode_media(
             decoder = png_features
         elif decoder == "jpeg":
             decoder = jpeg_features
+        elif decoder == "gif":
+            decoder = gif_features
         elif decoder == "image":
-            decoder = _sniffing(png_features, jpeg_features)
+            decoder = _sniffing(png_features, jpeg_features, gif_features)
         elif decoder == "wav":
             decoder = wav_features
         else:
             raise ValueError(
                 f"decode_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'image' or 'wav'); pass a callable for "
-                "other formats"
+                "('png', 'jpeg', 'gif', 'image' or 'wav'); pass a "
+                "callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode beyond PNG/JPEG/WAV requires an "
+            "real media decode beyond PNG/JPEG/GIF/WAV requires an "
             "image/audio library not present in this environment; pass "
-            "decoder='png'/'jpeg'/'image'/'wav' for the built-in codecs, "
-            "fake=True for the deterministic stub, or inject "
+            "decoder='png'/'jpeg'/'gif'/'image'/'wav' for the built-in "
+            "codecs, fake=True for the deterministic stub, or inject "
             "decoder=fn(payload)->list[float]"
         )
 
@@ -264,6 +274,7 @@ def resize_media(
     if fake and resizer is not None:
         raise ValueError("pass either fake=True or resizer=, not both")
     if isinstance(resizer, str):
+        from zeek_duckdb_spark.operators.gif import gif_resize
         from zeek_duckdb_spark.operators.jpeg import jpeg_resize
         from zeek_duckdb_spark.operators.png import png_resize
 
@@ -271,21 +282,23 @@ def resize_media(
             resizer = png_resize
         elif resizer == "jpeg":
             resizer = jpeg_resize
+        elif resizer == "gif":
+            resizer = gif_resize
         elif resizer == "image":
             # format-preserving: PNG payloads re-encode as PNG, JPEG
-            # as JPEG
-            resizer = _sniffing(png_resize, jpeg_resize)
+            # as JPEG, GIF as GIF
+            resizer = _sniffing(png_resize, jpeg_resize, gif_resize)
         else:
             raise ValueError(
                 f"resize_media: unknown built-in resizer {resizer!r} "
-                "('png', 'jpeg' or 'image'); pass a callable for other "
-                "formats"
+                "('png', 'jpeg', 'gif' or 'image'); pass a callable for "
+                "other formats"
             )
     if not fake and resizer is None:
         raise NotImplementedError(
-            "real image resize beyond PNG/JPEG requires an image library "
-            "not present in this environment; pass "
-            "resizer='png'/'jpeg'/'image' for the built-in codecs, "
+            "real image resize beyond PNG/JPEG/GIF requires an image "
+            "library not present in this environment; pass "
+            "resizer='png'/'jpeg'/'gif'/'image' for the built-in codecs, "
             "fake=True for the deterministic stub, or inject "
             "resizer=fn(payload, width, height)->bytes"
         )
@@ -343,8 +356,12 @@ def sample_frames(
     frames, honoring ``stride``/``max_frames``; each emitted frame is
     a standalone baseline JPEG, so the full video near-dup chain runs
     without any external library — sample_frames(sampler='avi') ->
-    phash_media(decoder='jpeg') -> phash_pairs.  Other containers
-    (MP4/H264) still need an injected ffmpeg/decord callback.
+    phash_media(decoder='jpeg') -> phash_pairs.  ``sampler="gif"``
+    does the same for animated GIFs (:func:`operators.gif.gif_frames`:
+    each image block re-wrapped as a standalone single-frame GIF —
+    independent rasters, no inter-frame compositing), feeding
+    phash_media(decoder='gif').  Other containers (MP4/H264) still
+    need an injected ffmpeg/decord callback.
 
     fake=True treats the payload as consecutive ``frame_bytes``-byte
     frames and emits every ``stride``-th frame up to ``max_frames`` —
@@ -369,28 +386,35 @@ def sample_frames(
         raise ValueError("pass either fake=True or sampler=, not both")
     if isinstance(sampler, str):
         if sampler == "avi":
-            from zeek_duckdb_spark.operators.avi import avi_mjpeg_frames
-
-            def sampler(b, _stride=stride, _cap=max_frames):
-                emitted = 0
-                for f_idx, frame in avi_mjpeg_frames(b):
-                    if f_idx % _stride:
-                        continue
-                    if emitted >= _cap:
-                        break
-                    emitted += 1
-                    yield f_idx, frame
+            from zeek_duckdb_spark.operators.avi import avi_mjpeg_frames as _frames
+        elif sampler == "gif":
+            # animated GIF: each image block re-wrapped as a standalone
+            # single-frame GIF (operators/gif.gif_frames — independent
+            # rasters, no inter-frame compositing; see its docstring),
+            # so every emitted frame flows through the same chain as
+            # AVI frames: phash_media(decoder='gif') -> phash_pairs
+            from zeek_duckdb_spark.operators.gif import gif_frames as _frames
         else:
             raise ValueError(
                 f"sample_frames: unknown built-in sampler {sampler!r} "
-                "(only 'avi'); pass a callable for other containers"
+                "('avi' or 'gif'); pass a callable for other containers"
             )
+
+        def sampler(b, _frames=_frames, _stride=stride, _cap=max_frames):
+            emitted = 0
+            for f_idx, frame in _frames(b):
+                if f_idx % _stride:
+                    continue
+                if emitted >= _cap:
+                    break
+                emitted += 1
+                yield f_idx, frame
     if not fake and sampler is None:
         raise NotImplementedError(
-            "real frame sampling beyond MJPEG-AVI requires a video "
-            "library not present in this environment; pass "
-            "sampler='avi' for the built-in container parser, fake=True "
-            "for the deterministic stub, or inject "
+            "real frame sampling beyond MJPEG-AVI and animated GIF "
+            "requires a video library not present in this environment; "
+            "pass sampler='avi'/'gif' for the built-in container "
+            "parsers, fake=True for the deterministic stub, or inject "
             "sampler=fn(payload)->iterable[(frame_idx, frame)]"
         )
 
@@ -649,8 +673,9 @@ def phash_media(
     copies; pHash survives them).  ``decoder`` maps payload bytes to a
     2-D grayscale array (inject PIL: ``lambda b:
     np.asarray(Image.open(io.BytesIO(b)).convert('L'))``) — or the
-    strings ``"png"`` / ``"jpeg"`` / ``"image"`` for the built-in
-    pure-Python codecs (:mod:`operators.png` / :mod:`operators.jpeg`;
+    strings ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"image"`` for the
+    built-in pure-Python codecs (:mod:`operators.png` /
+    :mod:`operators.jpeg` / :mod:`operators.gif`;
     ``"image"`` sniffs magic bytes per payload), which run the
     near-dup path on REAL encoded image bytes — including re-encoded
     JPEG copies, the dominant crawl shape — with no extra packages;
@@ -662,6 +687,7 @@ def phash_media(
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
     if isinstance(decoder, str):
+        from zeek_duckdb_spark.operators.gif import decode_gif
         from zeek_duckdb_spark.operators.jpeg import decode_jpeg
         from zeek_duckdb_spark.operators.png import decode_png
         from zeek_duckdb_spark.operators.wav import wav_spectrogram
@@ -670,8 +696,10 @@ def phash_media(
             decoder = decode_png
         elif decoder == "jpeg":
             decoder = decode_jpeg
+        elif decoder == "gif":
+            decoder = decode_gif
         elif decoder == "image":
-            decoder = _sniffing(decode_png, decode_jpeg)
+            decoder = _sniffing(decode_png, decode_jpeg, decode_gif)
         elif decoder == "wav":
             # AUDIO near-dup through the same machinery: the log-band
             # spectrogram is a 2-D array exactly like a decoded image
@@ -679,14 +707,14 @@ def phash_media(
         else:
             raise ValueError(
                 f"phash_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'image' or 'wav'); pass a callable for "
-                "other formats"
+                "('png', 'jpeg', 'gif', 'image' or 'wav'); pass a "
+                "callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode beyond PNG/JPEG/WAV requires "
+            "real media decode beyond PNG/JPEG/GIF/WAV requires "
             "PIL/soundfile (absent in this environment); pass "
-            "decoder='png'/'jpeg'/'image'/'wav' for the built-in "
+            "decoder='png'/'jpeg'/'gif'/'image'/'wav' for the built-in "
             "codecs, fake=True, or inject decoder=fn(payload)->2-D array"
         )
     if not 1 <= bits <= 60:
