@@ -110,3 +110,55 @@ def test_sample_frames_avi_end_to_end(spark):
 
     with pytest.raises(ValueError, match="unknown built-in sampler"):
         mm.sample_frames(df, sampler="mp4")
+
+
+def _chunk(cid, body):
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _lst(ltype, body):
+    return _chunk(b"LIST", ltype + body)
+
+
+def _strl(fcc_type, handler):
+    return _lst(b"strl", _chunk(b"strh", fcc_type + handler + b"\x00" * 40))
+
+
+def _hand_avi(strls, movi_chunks):
+    body = b"AVI " + _lst(b"hdrl", b"".join(strls)) + _lst(
+        b"movi", b"".join(movi_chunks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multi_stream_scope_enforced():
+    """Round-12 fix: the documented ONE-video-stream scope is enforced
+    loudly (two vids streams raise), and the frame walk filters movi
+    chunks to THE video stream's 2-digit id — another stream's '##dc'
+    chunks never interleave into the frame sequence."""
+    from zeek_duckdb_spark.operators.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(np.full((8, 8), 64.0), quality=90)
+
+    # two video streams: loud refusal, regardless of codec order
+    two = _hand_avi(
+        [_strl(b"vids", b"MJPG"), _strl(b"vids", b"XVID")],
+        [_chunk(b"00dc", jpg)],
+    )
+    with pytest.raises(ValueError, match="2 video streams"):
+        avi_mjpeg_frames(two)
+
+    # audio stream 0 + video stream 1: frames come ONLY from '01dc';
+    # the non-JPEG '00dc'-named junk (wrong-stream data) is ignored
+    # (pre-fix: any '##dc' chunk was yielded -> bad-SOI error here)
+    mixed = _hand_avi(
+        [_strl(b"auds", b"\x01\x00\x00\x00"), _strl(b"vids", b"MJPG")],
+        [
+            _chunk(b"00wb", b"\x00" * 32),   # audio data
+            _chunk(b"00dc", b"not a jpeg"),  # foreign-stream junk
+            _chunk(b"01dc", jpg),
+        ],
+    )
+    out = list(avi_mjpeg_frames(mixed))
+    assert [(i, f[:2]) for i, f in out] == [(0, b"\xff\xd8")]

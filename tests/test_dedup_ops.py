@@ -1386,3 +1386,33 @@ def test_minhash_incremental_supports_arrow_frames_via_verify_with(spark):
             a_new, a_idx, bands=8, threshold=0.5,
             verify_with=all_docs.filter(F.col("doc_id") != 101),
         ).collect()
+
+
+def test_minhash_lsh_pairs_verify_with_coverage_guard(spark):
+    """Batch twin of the incremental coverage guard (round-12): a
+    verify_with frame missing a candidate id raises loudly instead of
+    silently dropping the pair — the inner join previously shrank the
+    pair set with no error."""
+    from pyspark.errors import PySparkException
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (10, base),
+        (11, base + " extra"),
+        (12, "completely different words entirely here now"),
+    ]
+    docs = _docs(spark, rows)
+    sigs = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    # fully-covering verify_with: same pairs as the sig-frame path
+    want = {
+        (p.id_a, p.id_b)
+        for p in dd.minhash_lsh_pairs(
+            sigs, bands=8, threshold=0.5, verify_with=docs
+        ).collect()
+    }
+    assert want == {(10, 11)}
+    with pytest.raises(PySparkException, match="does not cover"):
+        dd.minhash_lsh_pairs(
+            sigs, bands=8, threshold=0.5,
+            verify_with=docs.filter(F.col("doc_id") != 11),
+        ).collect()

@@ -426,3 +426,16 @@ def test_error_surfaces():
         encode_gif(np.zeros(16))
     with pytest.raises(ValueError, match="u16 limit"):
         encode_gif(np.zeros((1, 70000)))
+
+
+def test_lzw_output_capped_by_descriptor():
+    """The LZW decode stops once the descriptor's raster is full
+    (round-12: the cap makes a malicious stream unable to expand past
+    the claimed w*h) — a descriptor shrunk to 2x2 over a 10x10 stream
+    decodes to the first 4 raster pixels, no error, bounded output."""
+    img = _rand_img(2, 10, 10)
+    enc = bytearray(encode_gif(img))
+    struct.pack_into("<HH", enc, 13 + 768 + 5, 2, 2)
+    out = decode_gif(bytes(enc))
+    assert out.shape == (2, 2)
+    assert np.array_equal(out, img.ravel()[:4].reshape(2, 2).astype(np.float64))

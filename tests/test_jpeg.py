@@ -386,3 +386,39 @@ def test_resize_media_jpeg_and_format_preserving_image(spark):
         ).collect()
     }
     assert decode_jpeg(only_jpeg[0]).shape == (8, 8)
+
+
+def test_gray_non_interleaved_scan_ignores_sampling_factors():
+    """T.81 A.2.2: an Ns=1 scan is NON-interleaved — one data unit per
+    MCU, the declared sampling factors do not group blocks (round-12
+    fix; jpegtran -grayscale emits exactly this shape by keeping Y's
+    2x2 factors).  Patch the SOF's factors to 2x2: the stream is
+    unchanged, so the decode must be identical."""
+    for h, w in [(24, 24), (32, 32), (24, 40), (17, 9)]:
+        img = np.round(_smooth_img(3, h, w))
+        enc = encode_jpeg(img, quality=95)
+        p = enc.index(b"\xff\xc0")
+        assert enc[p + 9] == 1 and enc[p + 11] == 0x11  # 1 comp, 1x1
+        patched = enc[: p + 11] + b"\x22" + enc[p + 12 :]
+        assert np.array_equal(decode_jpeg(patched), decode_jpeg(enc)), (h, w)
+
+
+def test_dqt_emitted_in_zigzag_order():
+    """DQT carries its table in ZIGZAG scan order; un-zigzagging the
+    emitted bytes must recover the natural-order scaled Annex-K matrix
+    the quantizer used (round-12 fix: the natural table was previously
+    written raw AND used through a zigzag permutation — self-consistent
+    in the file, but quantizing low frequencies with high-frequency
+    step sizes, off the documented Annex-K loss profile)."""
+    from zeek_duckdb_spark.operators.jpeg import _QL, _ZIGZAG, _scale_q
+
+    for q in (50, 85):
+        enc = encode_jpeg(np.round(_smooth_img(7)), quality=q)
+        p = enc.index(b"\xff\xdb")
+        tab = list(enc[p + 5 : p + 5 + 64])  # marker(2) + len(2) + pq/tq(1)
+        nat = [0] * 64
+        for k in range(64):
+            nat[_ZIGZAG[k]] = tab[k]
+        assert nat == _scale_q(_QL, q), q
+    # IJG convention: quality 50 is the unscaled K.1 table itself
+    assert _scale_q(_QL, 50) == _QL

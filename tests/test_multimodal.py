@@ -348,3 +348,14 @@ def test_phash_skips_null_payloads(spark):
     )
     got = phash_media(d, fake=True).collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_sample_frames_validates_stride_driver_side(media):
+    """stride=0 must fail at construction with a clear message, not as
+    an opaque ZeroDivisionError inside executor tasks (round-12)."""
+    with pytest.raises(ValueError, match="stride"):
+        mm.sample_frames(media, stride=0, fake=True)
+    with pytest.raises(ValueError, match="max_frames"):
+        mm.sample_frames(media, max_frames=0, fake=True)
+    with pytest.raises(ValueError, match="frame_bytes"):
+        mm.sample_frames(media, frame_bytes=0, fake=True)

@@ -1,5 +1,7 @@
 """Pipeline composition + skew-guard equivalence tests."""
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -1354,3 +1356,44 @@ def test_chunk_documents_no_fully_contained_trailing_chunk(spark):
         for j, (s2, e2) in enumerate(spans):
             if i != j:
                 assert not (s2 <= s1 and e1 <= e2)
+
+
+def test_incremental_clean_ingest_recovers_crashed_compaction(spark, tmp_path):
+    """A compaction killed inside its rename-pair fallback window
+    leaves the index path MISSING with the data stranded in the
+    .compact-* siblings — before the round-12 fix the next ingest read
+    mapped that to the empty-index bootstrap and silently re-admitted
+    the whole corpus.  The read now repairs the state first."""
+    from zeek_duckdb_spark.operators.pipeline import incremental_clean_ingest
+
+    fps = str(tmp_path / "fps")
+    sigs = str(tmp_path / "sigs")
+    day0 = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert incremental_clean_ingest(day0, fps, sigs).count() == 4
+
+    # simulate the crash window on BOTH indexes: fps mid-fallback with
+    # the compacted rewrite complete, sigs with only the old layout
+    os.rename(fps, fps + ".compact-old")
+    spark.read.parquet(fps + ".compact-old").repartition(1).write.parquet(
+        fps + ".compact-tmp"
+    )
+    os.rename(sigs, sigs + ".compact-old")
+
+    day1 = spark.createDataFrame(
+        [
+            (100, " ".join(f"w0x{j}" for j in range(25))),  # dup of day-0 id 0
+            (101, "genuinely novel text " + "epsilon zeta " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_clean_ingest(
+        day1, fps, sigs, threshold=0.5
+    ).collect()}
+    # the duplicate still dies against the RECOVERED index — an empty
+    # bootstrap would have admitted both
+    assert got == {101}
+    assert not os.path.exists(fps + ".compact-old")
+    assert not os.path.exists(fps + ".compact-tmp")

@@ -251,3 +251,42 @@ def test_compact_landing_zero_padded_and_null_partition_values(
     after_dirs = {d for d in os.listdir(out) if d.startswith(("hour=", "__"))}
     assert after_dirs == before_dirs  # '00' stays '00', never '0'
     assert {(r.id, r.hour) for r in spark.read.parquet(out).collect()} == before
+
+
+def test_recover_landing_crash_states(spark, tmp_path):
+    """Crash recovery for the rename-pair fallback window: a kill
+    between rename(path, old) and rename(tmp, path) leaves path
+    MISSING — which the ingest loops would otherwise mistake for the
+    empty-index bootstrap (round-12 fix).  Both stranded states repair
+    to a readable path."""
+    from zeek_duckdb_spark.sources.sink import recover_landing
+
+    p = str(tmp_path / "land")
+    spark.range(100).repartition(4).write.parquet(p)
+
+    # intact path: no-op
+    assert recover_landing(p) is None
+
+    # state A: crash BEFORE the tmp rewrite existed (or after it was
+    # consumed) — only .compact-old holds the data
+    os.rename(p, p + ".compact-old")
+    assert recover_landing(p) == "restored-old"
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + ".compact-old")
+
+    # state B: crash between the two renames — compacted data complete
+    # in .compact-tmp, pre-compaction data in .compact-old
+    spark.read.parquet(p).repartition(1).write.parquet(p + ".compact-tmp")
+    os.rename(p, p + ".compact-old")
+    assert recover_landing(p) == "completed-swap"
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + ".compact-old")
+    assert not os.path.exists(p + ".compact-tmp")
+
+    # maybe_compact_landing over the stranded state repairs it too
+    # (worst=0 on a missing path would otherwise never re-trigger)
+    from zeek_duckdb_spark.sources.sink import maybe_compact_landing
+
+    os.rename(p, p + ".compact-old")
+    assert maybe_compact_landing(spark, p, max_files_per_dir=1000) is None
+    assert spark.read.parquet(p).count() == 100

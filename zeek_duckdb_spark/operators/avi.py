@@ -27,23 +27,11 @@ __all__ = ["avi_mjpeg_frames", "encode_avi_mjpeg"]
 
 
 def _walk_chunks(buf: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, body_len) for the chunks in
-    buf[pos:end]; LIST chunks yield their list-type as fourcc prefixed
-    'LIST:' with the body EXCLUDING the 4-byte list type."""
-    while pos + 8 <= end:
-        cid = buf[pos : pos + 4]
-        (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-        body = pos + 8
-        if body + ln > end:
-            raise ValueError(
-                f"avi_mjpeg_frames: truncated {cid!r} chunk"
-            )
-        if cid == b"LIST":
-            ltype = buf[body : body + 4]
-            yield b"LIST:" + ltype, body + 4, ln - 4
-        else:
-            yield cid, body, ln
-        pos = body + ln + (ln & 1)      # chunks are word-aligned
+    """The shared RIFF walker (:mod:`operators.riff`), error-labeled
+    for this parser."""
+    from zeek_duckdb_spark.operators.riff import walk_chunks
+
+    return walk_chunks(buf, pos, end, who="avi_mjpeg_frames")
 
 
 def avi_mjpeg_frames(payload: bytes):
@@ -62,7 +50,8 @@ def avi_mjpeg_frames(payload: bytes):
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("avi_mjpeg_frames: not a RIFF/AVI file")
 
-    handler = None
+    vids = []                       # (stream index, handler fourcc)
+    stream_no = 0
     movi = None
     for cid, start, ln in _walk_chunks(buf, 12, len(buf)):
         if cid == b"LIST:hdrl":
@@ -70,13 +59,21 @@ def avi_mjpeg_frames(payload: bytes):
                 if c2 == b"LIST:strl":
                     for c3, s3, l3 in _walk_chunks(buf, s2, s2 + l2):
                         if c3 == b"strh" and l3 >= 8:
-                            fcc_type = buf[s3 : s3 + 4]
-                            if fcc_type == b"vids":
-                                handler = buf[s3 + 4 : s3 + 8]
+                            if buf[s3 : s3 + 4] == b"vids":
+                                vids.append((stream_no, buf[s3 + 4 : s3 + 8]))
+                    # streams are numbered by strl position, video or not
+                    stream_no += 1
         elif cid == b"LIST:movi":
             movi = (start, ln)
-    if handler is None:
+    if not vids:
         raise ValueError("avi_mjpeg_frames: no video stream (strh vids)")
+    if len(vids) > 1:
+        raise ValueError(
+            f"avi_mjpeg_frames: {len(vids)} video streams — outside the "
+            "one-video-stream scope; inject a real sampler "
+            "(ffmpeg/decord) through the sampler= seam"
+        )
+    v_idx, handler = vids[0]
     if handler.upper() not in (b"MJPG", b"MJPA"):
         raise ValueError(
             f"avi_mjpeg_frames: codec {handler.decode('latin1')!r} is "
@@ -85,13 +82,16 @@ def avi_mjpeg_frames(payload: bytes):
         )
     if movi is None:
         raise ValueError("avi_mjpeg_frames: missing movi list")
+    # only THE video stream's chunks are frames: '##dc' where ## is the
+    # stream's 2-digit ASCII number (audio '##wb' and any other
+    # stream's data never interleave into the frame sequence)
+    want = b"%02ddc" % v_idx
 
     def gen():
         idx = 0
         start, ln = movi
         for cid, s, l in _walk_chunks(buf, start, start + ln):
-            # '##dc' = compressed video frame of stream ##
-            if len(cid) == 4 and cid[2:4] == b"dc":
+            if cid == want:
                 frame = buf[s : s + l]
                 if frame[:2] != b"\xff\xd8":
                     raise ValueError(

@@ -410,7 +410,10 @@ def minhash_lsh_pairs(
       5k-doc measurement that favored the default by 0.3 s no longer
       reproduces).  The default stays ``None`` only because the
       signature frame doesn't carry the text column to re-derive
-      from.
+      from.  ``verify_with`` must COVER every candidate id with
+      non-NULL text — an under-covering frame raises per-row instead
+      of silently shrinking the pair set (the same loud-failure
+      contract as ``minhash_lsh_pairs_incremental``).
     - empty-shingle docs are excluded via the signature sentinel
       (``minhash[0] == 2^31-1``, unreachable for any real shingle since
       the fold is mod 2^31-1), not by re-deriving shingles.
@@ -449,13 +452,29 @@ def minhash_lsh_pairs(
     )
     if verify_with is not None:
         # stored text passes through the join unevaluated; shingles are
-        # computed only for rows that survive the candidate join
+        # computed only for rows that survive the candidate join.
+        # LEFT joins + loud per-row guard (same contract as
+        # minhash_lsh_pairs_incremental): an inner join would silently
+        # DROP any candidate pair whose id is missing from verify_with
+        # — a quiet recall loss, not a filter
         src = verify_with.select(F.col(id_col), F.col(text_col).alias("__txt"))
         sh_a = src.select(F.col(id_col).alias("id_a"), F.col("__txt").alias("__txt_a"))
         sh_b = src.select(F.col(id_col).alias("id_b"), F.col("__txt").alias("__txt_b"))
-        joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-        a_sh = _shingles(F.col("__txt_a"), shingle_k)
-        b_sh = _shingles(F.col("__txt_b"), shingle_k)
+        joined = cand.join(sh_a, "id_a", "left").join(sh_b, "id_b", "left")
+        cov_err = (
+            "minhash_lsh_pairs: verify_with does not cover candidate "
+            "id (absent or NULL text): "
+        )
+        a_txt = F.when(
+            F.col("__txt_a").isNull(),
+            F.raise_error(F.concat(F.lit(cov_err), F.col("id_a").cast("string"))),
+        ).otherwise(F.col("__txt_a"))
+        b_txt = F.when(
+            F.col("__txt_b").isNull(),
+            F.raise_error(F.concat(F.lit(cov_err), F.col("id_b").cast("string"))),
+        ).otherwise(F.col("__txt_b"))
+        a_sh = _shingles(a_txt, shingle_k)
+        b_sh = _shingles(b_txt, shingle_k)
     else:
         if "shingles" not in sig_df.columns:
             raise ValueError(

@@ -65,8 +65,10 @@ def _lzw_decode(data: bytes, min_size: int, expected: int) -> bytes:
     terminates; the table stops growing at 4096 entries until the next
     clear (deferred clear), exactly as compliant encoders assume.
     Raises on truncation, a non-root first code, or a code beyond the
-    table; surplus pixels past ``expected`` are tolerated (some
-    encoders pad the last row) and sliced by the caller."""
+    table.  ``expected`` CAPS the output: decoding returns as soon as
+    that many indices exist (surplus codes — some encoders pad the
+    last row — and the trailing EOI are then left unread), so a
+    malicious LZW stream cannot expand past the raster it claims."""
     if not (2 <= min_size <= 8):
         # palettes cap at 256 entries, so roots are always byte values
         raise ValueError(f"decode_gif: LZW minimum code size {min_size} out of range")
@@ -109,6 +111,8 @@ def _lzw_decode(data: bytes, min_size: int, expected: int) -> bytes:
         else:
             raise ValueError("decode_gif: corrupt LZW (code beyond table)")
         out += entry
+        if len(out) >= expected:  # raster full: decompression-bomb cap
+            return bytes(out)
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < _MAX_CODE_WIDTH:
@@ -334,14 +338,11 @@ def gif_resize(payload: bytes, width: int, height: int) -> bytes:
     (the same index-sampling convention as ``multimodal.phash_value``,
     so an upscale round-trips to the identical pHash), re-encode as a
     gray-palette GIF.  Raises ValueError on non-GIF payloads."""
-    import numpy as np
+    from zeek_duckdb_spark.operators.raster import nn_resample
 
     if width < 1 or height < 1:
         raise ValueError("gif_resize: width/height must be >= 1")
-    g = decode_gif(payload)
-    ry = (np.arange(height) * g.shape[0]) // height
-    rx = (np.arange(width) * g.shape[1]) // width
-    return encode_gif(g[np.ix_(ry, rx)])
+    return encode_gif(nn_resample(decode_gif(payload), width, height))
 
 
 def gif_features(payload: bytes) -> list:

@@ -396,6 +396,14 @@ def decode_jpeg(payload: bytes):
         raise ValueError("decode_jpeg: no scan found (missing SOS)")
     sel, pos = scan
     h, w = size
+    if len(comps) == 1:
+        # T.81 A.2.2: an Ns=1 scan is NON-interleaved — the MCU is one
+        # data unit and the declared sampling factors do NOT group
+        # blocks; geometry is ceil(w/8) x ceil(h/8) in raster order.
+        # (Real files hit this: jpegtran -grayscale keeps Y's 2x2
+        # factors.)  Force effective 1x1 so the MCU loop below walks
+        # one block per MCU.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -644,12 +652,13 @@ def encode_jpeg(
 
     C = _dct_matrix()
     Ct = C.T
-    qnat = []
-    for qid in qids:
-        nat = np.empty((8, 8))
-        for k in range(64):
-            nat.flat[_ZIGZAG[k]] = qtabs[qid][k]
-        qnat.append(nat)
+    # _QL/_QC (and _scale_q's output) are in NATURAL row-major order —
+    # use them directly; the zigzag reordering belongs to the DQT
+    # emission below, not here (applying _ZIGZAG here would quantize
+    # with a permuted matrix: coarse quantizers landing on low
+    # frequencies, which silently breaks the Annex-K loss profile
+    # while staying self-consistent in the emitted file)
+    qnat = [np.asarray(t, dtype=np.float64).reshape(8, 8) for t in qtabs]
 
     dc_codes = [_canonical_codes(*_DC_L), _canonical_codes(*_DC_C)]
     ac_codes = [_canonical_codes(*_AC_L), _canonical_codes(*_AC_C)]
@@ -692,7 +701,9 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for qid, tab in enumerate(qtabs):
-        out += seg(0xDB, bytes([qid]) + bytes(tab))
+        # DQT carries the table in ZIGZAG scan order: byte k is the
+        # coefficient at natural position _ZIGZAG[k]
+        out += seg(0xDB, bytes([qid]) + bytes(tab[_ZIGZAG[k]] for k in range(64)))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
@@ -720,14 +731,11 @@ def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
     ``multimodal.phash_value``), re-encode as a grayscale baseline
     JPEG (quality 90).  Raises ValueError on non-JPEG payloads — a
     loud wrong-format signal beats silently passing bytes through."""
-    import numpy as np
+    from zeek_duckdb_spark.operators.raster import nn_resample
 
     if width < 1 or height < 1:
         raise ValueError("jpeg_resize: width/height must be >= 1")
-    g = decode_jpeg(payload)
-    ry = (np.arange(height) * g.shape[0]) // height
-    rx = (np.arange(width) * g.shape[1]) // width
-    return encode_jpeg(g[np.ix_(ry, rx)], quality=90)
+    return encode_jpeg(nn_resample(decode_jpeg(payload), width, height), quality=90)
 
 
 def jpeg_features(payload: bytes) -> list:

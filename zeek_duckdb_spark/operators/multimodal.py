@@ -384,6 +384,14 @@ def sample_frames(
     """
     if fake and sampler is not None:
         raise ValueError("pass either fake=True or sampler=, not both")
+    # validate driver-side: stride=0 would otherwise surface as an
+    # opaque ZeroDivisionError inside executor tasks
+    if stride < 1:
+        raise ValueError("sample_frames: stride must be >= 1")
+    if max_frames < 1:
+        raise ValueError("sample_frames: max_frames must be >= 1")
+    if frame_bytes < 1:
+        raise ValueError("sample_frames: frame_bytes must be >= 1")
     if isinstance(sampler, str):
         if sampler == "avi":
             from zeek_duckdb_spark.operators.avi import avi_mjpeg_frames as _frames
@@ -638,9 +646,9 @@ def phash_value(img, bits: int = 60) -> int:
     a = np.asarray(img, dtype=np.float64)
     if a.ndim != 2 or a.size == 0:
         raise ValueError("phash: decoder must return a non-empty 2-D array")
-    ry = (np.arange(32) * a.shape[0]) // 32
-    rx = (np.arange(32) * a.shape[1]) // 32
-    small = a[np.ix_(ry, rx)]
+    from zeek_duckdb_spark.operators.raster import nn_resample
+
+    small = nn_resample(a, 32, 32)
     C = _dct_basis(32)
     coefs = (C @ small @ C.T)[:8, :8].flatten()[1 : bits + 1]
     med = np.median(coefs)

@@ -523,8 +523,11 @@ def incremental_clean_ingest(
     driver-side walk (zero jobs under threshold); compaction is
     content-preserving and runs AFTER both appends, so the
     failure/retry contract above is unchanged — a crash mid-compaction
-    leaves either the old or the swapped layout (compact_landing's
-    swap protocol) and the rerun re-triggers it.  The returned
+    leaves either the old layout, the swapped layout, or (rename-pair
+    fallback only) a missing path with the data stranded in the
+    ``.compact-*`` siblings, which the next run's index read repairs
+    via :func:`~zeek_duckdb_spark.sources.sink.recover_landing` before
+    it could be mistaken for the empty-index bootstrap.  The returned
     survivors are an eager snapshot, unaffected by the rewrite."""
     from zeek_duckdb_spark.operators.dedup import (
         exact_dedup_incremental,
@@ -553,6 +556,15 @@ def incremental_clean_ingest(
             # the whole batch undeduped and append duplicates
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                # ... and not-found may be a compaction crashed inside
+                # its rename-pair fallback window (the standing index
+                # stranded in .compact-tmp/.compact-old siblings) —
+                # bootstrapping THAT would silently reset the index
+                # and re-admit the whole corpus.  Repair and retry.
+                from zeek_duckdb_spark.sources.sink import recover_landing
+
+                if recover_landing(path) is not None:
+                    return spark.read.parquet(path)
                 return spark.createDataFrame([], schema)
             raise
 

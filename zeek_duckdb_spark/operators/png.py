@@ -218,14 +218,11 @@ def png_resize(payload: bytes, width: int, height: int) -> bytes:
     so an upscale round-trips to the identical pHash), re-encode as an
     8-bit gray PNG.  Raises ValueError on non-PNG payloads — a loud
     wrong-format signal beats silently passing bytes through."""
-    import numpy as np
+    from zeek_duckdb_spark.operators.raster import nn_resample
 
     if width < 1 or height < 1:
         raise ValueError("png_resize: width/height must be >= 1")
-    g = decode_png(payload)
-    ry = (np.arange(height) * g.shape[0]) // height
-    rx = (np.arange(width) * g.shape[1]) // width
-    return encode_png(g[np.ix_(ry, rx)])
+    return encode_png(nn_resample(decode_png(payload), width, height))
 
 
 def png_features(payload: bytes) -> list:

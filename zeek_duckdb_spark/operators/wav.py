@@ -58,24 +58,19 @@ def decode_wav(payload: bytes):
     buf = bytes(payload)
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("decode_wav: not a RIFF/WAVE file")
-    pos = 12
+    from zeek_duckdb_spark.operators.riff import walk_chunks
+
     fmt = None
     data = None
-    while pos + 8 <= len(buf):
-        cid = buf[pos : pos + 4]
-        (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-        body = buf[pos + 8 : pos + 8 + ln]
-        if len(body) != ln:
-            raise ValueError(f"decode_wav: truncated {cid!r} chunk")
+    for cid, s, ln in walk_chunks(buf, 12, len(buf), who="decode_wav"):
         if cid == b"fmt ":
-            fmt = body
+            fmt = buf[s : s + ln]
         elif cid == b"data":
-            data = body
+            data = buf[s : s + ln]
             # fmt is required to interpret data; keep walking only if
             # fmt has not appeared yet (non-canonical chunk order)
             if fmt is not None:
                 break
-        pos += 8 + ln + (ln & 1)        # chunks are word-aligned
     if fmt is None:
         raise ValueError("decode_wav: missing fmt chunk")
     if data is None:

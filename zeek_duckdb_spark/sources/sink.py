@@ -25,6 +25,7 @@ __all__ = [
     "write_bucketed",
     "compact_landing",
     "maybe_compact_landing",
+    "recover_landing",
 ]
 
 
@@ -128,6 +129,38 @@ def _exchange_paths(a: str, b: str) -> bool:
     return ret == 0
 
 
+def recover_landing(path: str) -> str | None:
+    """Crash recovery for :func:`compact_landing`'s rename-pair
+    fallback: a kill between ``rename(path, .compact-old)`` and
+    ``rename(.compact-tmp, path)`` leaves ``path`` MISSING with the
+    data stranded in the siblings — and a missing index path would
+    otherwise read as the empty-index bootstrap in the ingest loops,
+    silently resetting a standing dedup index.  Driver-local (like the
+    swap itself; object-store layouts never hit the fallback).
+
+    If ``path`` exists (or is not a local path), does nothing.  If it
+    is missing and ``.compact-tmp`` exists, the compacted rewrite was
+    complete before the swap began — finish the interrupted swap
+    (tmp -> path, drop old).  Else if ``.compact-old`` exists, restore
+    the pre-compaction data.  Returns the action taken
+    (``"completed-swap"`` / ``"restored-old"``) or None."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        return None
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    if os.path.isdir(tmp):
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return "completed-swap"
+    if os.path.isdir(old):
+        os.rename(old, path)
+        return "restored-old"
+    return None
+
+
 def compact_landing(
     spark: SparkSession,
     path: str,
@@ -156,7 +189,11 @@ def compact_landing(
     filesystems return EINVAL) it falls back to the rename pair
     (old away, tmp in), which has a reader-visible instant where
     ``path`` does not exist — a reader landing in that window errors
-    rather than reading stale data.  On an object store, use the table
+    rather than reading stale data, and a CRASH in that window leaves
+    ``path`` missing with the data stranded in the siblings;
+    :func:`recover_landing` repairs that state and runs automatically
+    at the top of this function, :func:`maybe_compact_landing`, and
+    the ingest loops' index reads.  On an object store, use the table
     format's own compaction (rewrite_data_files) instead — this helper
     is for the plain-directory landing zone.  NOT for bucketed tables
     (write_bucketed) — bucket file layout is part of their contract;
@@ -170,6 +207,7 @@ def compact_landing(
 
     if target_file_bytes < 1:
         raise ValueError("compact_landing: target_file_bytes must be >= 1")
+    recover_landing(path)  # finish/undo a crashed fallback swap first
     files = []
     for root, _dirs, names in os.walk(path):
         files.extend(
@@ -353,6 +391,9 @@ def maybe_compact_landing(
         raise ValueError(
             "maybe_compact_landing: max_files_per_dir must be >= 1"
         )
+    # a crashed fallback swap leaves path missing (os.walk -> nothing,
+    # worst=0) — recover first or the trigger would never re-fire
+    recover_landing(path)
     worst = 0
     for root, _dirs, names in os.walk(path):
         n = sum(
