@@ -2510,6 +2510,34 @@ def tx_compression(spark, sf):
     return compression_features(d).select("doc_id", "zlib_ratio")
 
 
+def tx_html_extract(spark, sf):
+    """HTML -> text extraction (operators/htmlops.py, round 12 — the
+    crawl-pipeline front door): each document's text wrapped in an
+    HTML page with script/style junk, then extracted back out via the
+    stdlib-parser Arrow-batched map.  FULL-VALUE oracle: the extractor
+    collapses whitespace with the explicit ASCII class, so the
+    expected output is restatable as trim(regexp_replace(text,
+    '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) over the raw text — the junk
+    subtrees must vanish for the hashes to match."""
+    from zeek_duckdb_spark.operators.htmlops import extract_text_html
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    wrapped = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><title>t</title><style>p{color:red}</style>"
+                "</head><body><script>var junk = 1;</script><p>"
+            ),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return extract_text_html(wrapped, "html", "extracted").select(
+        "doc_id", "extracted"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entries outside the driver's 50-slot ``queries()`` budget —
     rotated out in round 7 (q20, mm_frame_sample) or added after the
@@ -2543,6 +2571,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_weighted_sample": pipe_weighted_sample,
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
         "tx_compression": tx_compression,
+        "tx_html_extract": tx_html_extract,
         "q22_array_norms": q22_array_norms,
         "dd_cosine_pairs": dd_cosine_pairs,
         "ev_cm_median": ev_cm_median,
@@ -2572,6 +2601,12 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
+        "tx_html_extract": """
+            SELECT doc_id,
+                   trim(regexp_replace(text, '[ \t\r\f' || chr(11) || '\n]+',
+                                       ' ', 'g')) AS extracted
+            FROM documents WHERE doc_id < 200
+        """,
         "tx_repetition": """
             WITH d AS (
               SELECT doc_id, concat_ws(chr(10), text, lang, source, lang) AS t

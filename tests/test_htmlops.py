@@ -1,0 +1,192 @@
+"""HTML -> text extraction + link harvesting (operators/htmlops.py) —
+the crawl-pipeline front door: golden extractions, the RE2-restatable
+whitespace contract (DuckDB differential), malformed-input behavior,
+the frontier composition (links -> canonicalize -> registered domain),
+and the Spark plumbing (Arrow batches, NULL passthrough, injected
+extractor, zero-shuffle plan)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.operators.htmlops import (
+    extract_links,
+    extract_links_html,
+    extract_text_html,
+    html_to_text,
+)
+
+_DOC = """<!DOCTYPE html><html><head><title>My Page</title>
+<style>body { color: red }</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body><h1>Header &amp; More</h1>
+<p>First   paragraph
+spanning lines.</p><p>Second <b>bold</b> and <i>italic</i> text.</p>
+<ul><li>one</li><li>two</li></ul>
+<div>block<br>break</div>
+<noscript>enable js</noscript><template><p>ghost</p></template>
+<svg><text>vector</text></svg>
+<table><tr><td>a</td><td>b</td></tr></table>
+<a href="/rel">link text</a>
+</body></html>"""
+
+
+def test_golden_extraction():
+    t = html_to_text(_DOC)
+    lines = t.split("\n")
+    assert lines[0] == "Header & More"              # entity decoded
+    assert "First paragraph spanning lines." in lines
+    assert "Second bold and italic text." in lines  # inline flow joins
+    assert ["one", "two"] == lines[lines.index("one"):lines.index("one") + 2]
+    assert "block" in lines and "break" in lines    # <br> breaks
+    # dropped subtrees: script/style/noscript/template/svg and title
+    for junk in ("var x", "color", "enable js", "ghost", "vector", "My Page"):
+        assert junk not in t, junk
+    assert html_to_text(_DOC, keep_title=True).split("\n")[0] == "My Page"
+    assert "link text" in t                         # anchor TEXT is content
+
+
+def test_whitespace_contract_duckdb_differential():
+    """The per-line collapse uses the explicit ASCII class so an
+    oracle can restate it in RE2 SQL: a single-<p> wrap of arbitrary
+    ASCII text must extract to exactly DuckDB's
+    trim(regexp_replace(text, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'))."""
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "g", "delta42", ""]
+    ws = [" ", "\t", "\n", "\r", "\f", "\v", "  ", " \n\t "]
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 12)
+        parts = []
+        for _ in range(n):
+            parts.append(words[rng.randint(len(words))])
+            parts.append(ws[rng.randint(len(ws))])
+        docs.append((i, "".join(parts)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i int, txt varchar)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    want = dict(
+        con.sql(
+            "SELECT i, trim(regexp_replace(txt, '[ \t\r\n\f\v]+', ' ', 'g')) FROM t"
+        ).fetchall()
+    )
+    for i, txt in docs:
+        got = html_to_text(f"<p>{txt}</p>")
+        assert got == want[i], (i, repr(txt), repr(got), repr(want[i]))
+
+
+def test_unicode_whitespace_left_to_normalize_text():
+    # NBSP is NOT in the ASCII collapse class — it survives extraction
+    # (normalize_text owns unicode whitespace)
+    assert html_to_text("<p>a&nbsp;b</p>") == "a\xa0b"
+    assert html_to_text("<p>café   au\tlait</p>") == "café au lait"
+
+
+def test_malformed_html_is_harmless():
+    # unbalanced tags: extraction keys on tag names, not tree balance
+    assert "ok" in html_to_text("<p>ok</div></p><b>bold")
+    # unclosed script swallows the tail (browser CDATA behavior, documented)
+    assert html_to_text("<p>seen</p><script>var x=1; rest") == "seen"
+    assert html_to_text("") == ""
+    with pytest.raises(ValueError, match="doc is None"):
+        html_to_text(None)
+    with pytest.raises(ValueError, match="doc is None"):
+        extract_links(None)
+
+
+def test_extract_links_and_resolution():
+    h = (
+        '<a href="/a">x</a><a href="#frag">y</a><a href="mailto:z@z">m</a>'
+        '<a href="javascript:void(0)">j</a><a href="data:text/plain,x">d</a>'
+        '<a href="http://e.com/b?q=1">z</a><a href="c.html"/>'
+        '<a name="anchor-no-href">n</a><a href="/a">dup kept</a>'
+    )
+    assert extract_links(h) == ["/a", "http://e.com/b?q=1", "c.html", "/a"]
+    assert extract_links(h, base_url="http://site.org/dir/page.html") == [
+        "http://site.org/a",
+        "http://e.com/b?q=1",
+        "http://site.org/dir/c.html",
+        "http://site.org/a",
+    ]
+
+
+def test_spark_extraction_and_null_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, _DOC), (2, "<p>tiny</p>"), (3, None)],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r.text for r in extract_text_html(df).collect()}
+    assert out[2] == "tiny" and out[3] is None
+    assert out[1].split("\n")[0] == "Header & More"
+
+    # injected extractor wins (the selectolax/lxml seam)
+    inj = {
+        r.doc_id: r.text
+        for r in extract_text_html(df, extractor=lambda h: f"len={len(h)}").collect()
+    }
+    assert inj[2] == "len=11" and inj[3] is None
+
+    # zero shuffle, one Arrow eval
+    plan = (
+        extract_text_html(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_spark_frontier_composition(spark):
+    """The crawl-frontier chain: extract links per page, resolve
+    against the page URL, explode, canonicalize, registered-domain —
+    all existing textops operators compose downstream."""
+    from zeek_duckdb_spark.operators.textops import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://news.example.org/world/",
+             '<a href="story.html?utm_source=x&id=2">s</a>'
+             '<a href="HTTP://Other.COM:80/p#top">o</a>'),
+            (2, "http://blog.example.com/", None),
+        ],
+        "doc_id long, url string, html string",
+    )
+    links = extract_links_html(df, base_url_col="url")
+    rows = (
+        links.select("doc_id", F.explode("links").alias("link"))
+        .withColumn("canon", canonicalize_url(F.col("link")))
+        .withColumn("dom", registered_domain(url_host(F.col("canon"))))
+        .collect()
+    )
+    got = {(r.doc_id, r.canon, r.dom) for r in rows}
+    assert (1, "http://news.example.org/world/story.html?id=2",
+            "example.org") in got
+    assert (1, "http://other.com/p", "other.com") in got
+    # NULL html row contributes no links
+    assert all(r.doc_id == 1 for r in rows)
+
+
+def test_composes_with_clean_corpus(spark):
+    """End-to-end crawl shape: HTML in, extracted text through the
+    existing cleaning pipeline (dedup sees the EXTRACTED text, so two
+    pages differing only in markup collapse as exact dups)."""
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    body = "the quick brown fox jumps over the lazy dog " * 3
+    pages = [
+        (1, f"<html><body><p>{body}</p></body></html>"),
+        (2, f"<html><body><div>{body}</div><script>x()</script></body></html>"),
+        (3, "<p>" + "completely different content here now " * 4 + "</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    text = extract_text_html(df).drop("html")
+    survivors = {
+        r.doc_id for r in clean_corpus(text, min_tokens=5).collect()
+    }
+    # 1 and 2 extract to the SAME text -> exact dup, min id survives
+    assert survivors == {1, 3}

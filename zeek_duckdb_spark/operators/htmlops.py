@@ -1,0 +1,262 @@
+"""HTML -> text extraction and link harvesting — the FIRST stage of a
+crawl-to-training-data pipeline (WARC/HTML in, clean text out), which
+every downstream operator here (dedup, quality, LM gates, tokenizer
+training) assumes has already happened.
+
+``html_to_text`` is a pure-Python reference extractor over the
+stdlib's ``html.parser.HTMLParser`` (no lxml/bs4 in this container):
+script/style/template/noscript/iframe/svg subtrees are dropped, block
+elements break lines, character references decode, and whitespace
+collapses per line using the EXPLICIT ASCII class ``[ \\t\\r\\n\\f\\v]``
+— not Python's unicode ``\\s`` — so an oracle can restate the collapse
+in RE2-based SQL exactly (the same restatability contract as
+``textops.normalize_text``'s control-character class).  Unicode
+whitespace beyond ASCII is left to ``normalize_text``, the stage that
+owns it.
+
+``extract_links`` harvests ``a[href]`` values (optionally resolved
+against a base URL with stdlib ``urljoin``) — the crawl-frontier feed
+that composes with ``textops.canonicalize_url`` (dedup key) and
+``textops.registered_domain`` / ``filter_blocked_domains``
+(frontier policy).
+
+The Spark operators (``extract_text_html`` / ``extract_links_html``)
+are Arrow-batched ``pandas_udf`` maps: HTML parsing has no JVM/SQL
+form, so this is a legitimate Python boundary crossing (the
+``textops.compression_features`` argument) — one narrow map, zero
+shuffle, NULL passthrough.  The stdlib parser does ~1-5 MB/s/core;
+right for the tested path and modest corpora.  At 100 TB inject a
+native parser (selectolax/lxml) through the ``extractor=`` seam — the
+same pluggable-callback contract as the multimodal ``decoder=`` seam —
+and the Spark plumbing (schema, batching, NULL policy) is unchanged.
+
+Malformed-HTML notes (stdlib parser semantics, stated so nobody
+mistakes them for bugs): an UNCLOSED ``<script>`` swallows the rest of
+the document (the parser stays in CDATA mode, as browsers do);
+mismatched/unclosed normal tags are harmless (extraction keys on tag
+NAMES, not tree balance); bytes are not sniffed — decode charset
+upstream (``spark.read`` already yields str).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# module-global so pandas_udf can resolve stringized `pd.Series` type
+# hints (future-annotations keeps them strings; pyspark resolves them
+# against the defining module's globals)
+import pandas as pd  # noqa: F401
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "html_to_text",
+    "extract_links",
+    "extract_text_html",
+    "extract_links_html",
+]
+
+# subtrees whose text is never content ('title' joins them unless
+# keep_title — head/meta/link are void of text, so head itself needn't
+# be skipped)
+_SKIP_TAGS = frozenset(
+    ["script", "style", "noscript", "template", "iframe", "svg", "math"]
+)
+
+# tags that terminate the current text line (block-level flow, HTML5
+# outline elements, table/list structure, br/hr)
+_BLOCK_TAGS = frozenset(
+    [
+        "address", "article", "aside", "blockquote", "br", "caption",
+        "dd", "details", "div", "dl", "dt", "fieldset", "figcaption",
+        "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+        "header", "hr", "li", "main", "nav", "ol", "option", "p", "pre",
+        "section", "select", "summary", "table", "tbody", "td", "tfoot",
+        "th", "thead", "title", "tr", "ul",
+    ]
+)
+
+_ASCII_WS = " \t\r\n\f\v"
+
+
+def _collapse(s: str) -> str:
+    """Collapse runs of ASCII whitespace to single spaces and trim —
+    the RE2-restatable class only (see module docstring)."""
+    return " ".join(p for p in s.split(None) if p) if s.isascii() else _collapse_explicit(s)
+
+
+def _collapse_explicit(s: str) -> str:
+    out = []
+    run = False
+    for ch in s:
+        if ch in _ASCII_WS:
+            run = True
+            continue
+        if run and out:
+            out.append(" ")
+        run = False
+        out.append(ch)
+    return "".join(out)
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self, keep_title: bool):
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._keep_title = keep_title
+        self._cur: list = []
+        self._lines: list = []
+
+    def _flush(self) -> None:
+        if self._cur:
+            line = _collapse("".join(self._cur))
+            if line:
+                self._lines.append(line)
+            self._cur = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS or (tag == "title" and not self._keep_title):
+            self._skip += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS or (tag == "title" and not self._keep_title):
+            if self._skip:
+                self._skip -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        # void form (<br/>, <hr/>) — block break, never a skip scope
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if not self._skip and data:
+            self._cur.append(data)
+
+    def text(self) -> str:
+        self._flush()
+        return "\n".join(self._lines)
+
+
+def html_to_text(doc: str, keep_title: bool = False) -> str:
+    """HTML -> plain text: one line per block-level run, character
+    references decoded, script/style/etc subtrees dropped, per-line
+    ASCII-whitespace collapse.  ``keep_title`` keeps the document
+    title as its own (usually first) line.  Plain text with no markup
+    passes through modulo the whitespace collapse — note that the
+    block-break newlines THIS function emits are themselves whitespace
+    to a second application (which would fold the lines to one), so
+    run extraction once, on HTML."""
+    if doc is None:
+        raise ValueError("html_to_text: doc is None")
+    p = _TextExtractor(keep_title)
+    p.feed(doc)
+    p.close()
+    return p.text()
+
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+
+def extract_links(doc: str, base_url: str | None = None) -> list:
+    """``a[href]`` values in document order (duplicates kept — the
+    frontier dedups on the canonicalized form).  ``base_url`` resolves
+    relative hrefs with stdlib ``urljoin``; fragment-only and
+    javascript:/mailto: hrefs are dropped either way."""
+    if doc is None:
+        raise ValueError("extract_links: doc is None")
+    p = _LinkExtractor()
+    p.feed(doc)
+    p.close()
+    out = []
+    for h in p.hrefs:
+        h = h.strip()
+        if not h or h.startswith("#"):
+            continue
+        low = h.lower()
+        if low.startswith(("javascript:", "mailto:", "data:")):
+            continue
+        if base_url is not None:
+            from urllib.parse import urljoin
+
+            h = urljoin(base_url, h)
+        out.append(h)
+    return out
+
+
+def extract_text_html(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    keep_title: bool = False,
+    extractor=None,
+) -> DataFrame:
+    """Add ``out_col`` = extracted text of ``html_col`` — ONE
+    Arrow-batched map, zero shuffle, NULL html -> NULL text.
+
+    ``extractor``: optional ``fn(html: str) -> str`` replacing the
+    stdlib extractor (inject selectolax/lxml for the 100 TB path; the
+    callback is cloudpickled into the UDF closure like the multimodal
+    ``decoder=`` seam)."""
+    kt = keep_title
+    fn = extractor if extractor is not None else (
+        lambda h: html_to_text(h, keep_title=kt)
+    )
+
+    @F.pandas_udf("string")
+    def _ex(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: None if h is None else fn(h))
+
+    return df.withColumn(out_col, _ex(F.col(html_col)))
+
+
+def extract_links_html(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "links",
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = array of hrefs from ``html_col`` (see
+    :func:`extract_links`) — the crawl-frontier feed.  With
+    ``base_url_col`` (e.g. the page's own URL), relative hrefs resolve
+    per row.  One Arrow-batched map, zero shuffle; compose with
+    ``textops.canonicalize_url`` + ``filter_blocked_domains`` for
+    frontier policy."""
+    if base_url_col is None:
+
+        @F.pandas_udf("array<string>")
+        def _links(s: pd.Series) -> pd.Series:
+            return s.map(lambda h: None if h is None else extract_links(h))
+
+        return df.withColumn(out_col, _links(F.col(html_col)))
+
+    @F.pandas_udf("array<string>")
+    def _links_based(s: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if h is None else extract_links(h, base_url=u)
+                for h, u in zip(s, b)
+            ]
+        )
+
+    return df.withColumn(
+        out_col, _links_based(F.col(html_col), F.col(base_url_col))
+    )
