@@ -1,0 +1,163 @@
+"""WARC reader (sources/warc.py): spec round-trips (plain and
+member-per-record gzip), HTTP response head parsing incl. chunked
+transfer-encoding, record-type filtering, loud error surfaces, and the
+complete raw-crawl chain — read_warc -> decode -> extract_text_html ->
+clean_corpus."""
+
+import gzip
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zeek_duckdb_spark.sources.warc import encode_warc, parse_warc, read_warc
+
+
+def _http(body: bytes, ctype="text/html", status=200, chunked=False) -> bytes:
+    if chunked:
+        chunks = [body[i : i + 7] for i in range(0, len(body), 7)]
+        enc = b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks)
+        enc += b"0\r\n\r\n"
+        head = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            "Transfer-Encoding: chunked\r\n\r\n"
+        ).encode()
+        return head + enc
+    head = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body
+
+
+def _response_rec(uri: str, body: bytes, **kw):
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{abs(hash(uri)) % 10**12}>",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2026-08-16T00:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        _http(body, **kw),
+    )
+
+
+def test_parse_roundtrip_plain_and_gzip():
+    recs = [
+        ({"WARC-Type": "warcinfo"}, b"software: test\r\n"),
+        _response_rec("http://a.org/x", b"<p>hello</p>"),
+        ({"WARC-Type": "request", "WARC-Target-URI": "http://a.org/x"},
+         b"GET /x HTTP/1.1\r\n\r\n"),
+    ]
+    for compress in (False, True):
+        blob = encode_warc(recs, compress=compress)
+        got = list(parse_warc(blob))
+        assert [r["headers"]["warc-type"] for r in got] == [
+            "warcinfo", "response", "request",
+        ]
+        assert got[1]["headers"]["warc-target-uri"] == "http://a.org/x"
+        assert got[1]["payload"].endswith(b"<p>hello</p>")
+        # gzip layout really is one member per record
+        if compress:
+            assert blob.count(b"\x1f\x8b\x08") >= 3
+
+
+def test_error_surfaces():
+    with pytest.raises(ValueError, match="payload is None"):
+        list(parse_warc(None))
+    with pytest.raises(ValueError, match="version line"):
+        list(parse_warc(b"NOT A WARC\r\n\r\n"))
+    ok = encode_warc([_response_rec("http://a.org/", b"x")], compress=False)
+    with pytest.raises(ValueError, match="truncated WARC record payload"):
+        list(parse_warc(ok[: len(ok) - 8]))
+    no_len = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nbody\r\n\r\n"
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        list(parse_warc(no_len))
+    # response payload that is not HTTP fails loudly at read time
+    from zeek_duckdb_spark.sources.warc import _parse_http_response
+
+    with pytest.raises(ValueError, match="not HTTP"):
+        _parse_http_response(b"garbage bytes", "t")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _parse_http_response(
+            _http(b"x")[: -1].replace(b"Content-Length: 1", b"Transfer-Encoding: chunked")
+            + b"zz\r\nx\r\n0\r\n\r\n",
+            "t",
+        )
+
+
+def test_read_warc_end_to_end_chain(spark, tmp_path):
+    """The complete raw-crawl shape: two .warc.gz files -> response
+    rows (requests filtered, chunked bodies decoded, status/ctype from
+    the HTTP head) -> utf-8 decode -> extract_text_html ->
+    clean_corpus, where a markup-only re-crawl of the same page dies
+    as an exact dup of the extracted text."""
+    from zeek_duckdb_spark.operators.htmlops import extract_text_html
+    from zeek_duckdb_spark.operators.pipeline import clean_corpus
+
+    body = ("the quick brown fox jumps over the lazy dog " * 3).strip()
+    page_a = f"<html><body><p>{body}</p></body></html>".encode()
+    page_a2 = (
+        f"<html><body><script>x()</script><div>{body}</div></body></html>"
+    ).encode()
+    page_b = ("<p>" + "different novel content here " * 5 + "</p>").encode()
+
+    f1 = tmp_path / "crawl-00.warc.gz"
+    f1.write_bytes(encode_warc([
+        ({"WARC-Type": "warcinfo"}, b"software: test\r\n"),
+        _response_rec("http://site.org/a", page_a),
+        ({"WARC-Type": "request", "WARC-Target-URI": "http://site.org/a"},
+         b"GET /a HTTP/1.1\r\n\r\n"),
+        _response_rec("http://site.org/b", page_b, chunked=True),
+    ]))
+    f2 = tmp_path / "crawl-01.warc.gz"
+    f2.write_bytes(encode_warc([
+        _response_rec("http://mirror.net/a", page_a2),
+        _response_rec("http://site.org/404", b"gone", status=404,
+                      ctype="text/plain"),
+    ]))
+
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    rows = {r.target_uri: r for r in df.collect()}
+    # requests/warcinfo filtered; 4 responses across 2 files
+    assert set(rows) == {
+        "http://site.org/a", "http://site.org/b",
+        "http://mirror.net/a", "http://site.org/404",
+    }
+    assert rows["http://site.org/404"].http_status == 404
+    assert rows["http://site.org/a"].content_type == "text/html"
+    assert bytes(rows["http://site.org/b"].body) == page_b  # chunked decoded
+    assert rows["http://site.org/a"].warc_date == "2026-08-16T00:00:00Z"
+
+    # record-type opt-in: requests visible when asked
+    all_types = read_warc(
+        spark, str(tmp_path / "*.warc.gz"), record_types=None
+    )
+    assert all_types.count() == 6
+
+    # the chain: HTML pages -> text -> clean corpus
+    pages = (
+        df.filter((F.col("http_status") == 200)
+                  & (F.col("content_type") == "text/html"))
+        .select(
+            F.xxhash64("target_uri").alias("doc_id"),
+            "target_uri",
+            F.decode(F.col("body"), "utf-8").alias("html"),
+        )
+    )
+    text = extract_text_html(pages, "html", "text").drop("html")
+    cleaned = clean_corpus(text, min_tokens=5)  # keeps (doc_id, text, q_*)
+    survivors = {
+        r.target_uri
+        for r in cleaned.join(text.select("doc_id", "target_uri"), "doc_id")
+        .collect()
+    }
+    # same extracted text from site.org/a and mirror.net/a -> one survives
+    assert len(survivors) == 2
+    assert "http://site.org/b" in survivors
+    assert len({"http://site.org/a", "http://mirror.net/a"} & survivors) == 1
+
+    # plan shape: pure map over the file scan, zero shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -20,6 +20,7 @@ from zeek_duckdb_spark.header import ZeekHeader, parse_header, zeek_type_to_spar
 from zeek_duckdb_spark.sources.zeek import read_zeek
 from zeek_duckdb_spark.sources.zeek_json import read_zeek_json
 from zeek_duckdb_spark.sources.zeek_writer import write_zeek, write_zeek_stream
+from zeek_duckdb_spark.sources.warc import read_warc
 from zeek_duckdb_spark.functions.inet import register_inet_functions
 from zeek_duckdb_spark.functions.intervals import (
     interval_text,
@@ -46,6 +47,7 @@ __all__ = [
     "zeek_type_to_spark",
     "read_zeek",
     "read_zeek_json",
+    "read_warc",
     "write_zeek",
     "write_zeek_stream",
     "register",

@@ -1,0 +1,229 @@
+"""WARC (Web ARChive) reader — the container Common Crawl and most
+web crawlers ship, and the missing first hop of the crawl pipeline:
+``read_warc`` -> ``htmlops.extract_text_html`` -> ``pipeline.
+clean_corpus`` is the complete raw-crawl-to-training-text chain.
+
+Format layout follows the public ISO 28500 / WARC 1.0-1.1
+specification: a record is a ``WARC/1.x`` version line, named header
+fields, a blank line, ``Content-Length`` payload octets, and a
+``\\r\\n\\r\\n`` separator; a ``.warc.gz`` file is a sequence of gzip
+MEMBERS (typically one per record — stdlib ``gzip`` reads concatenated
+members transparently).  For ``response`` records the payload is a raw
+HTTP/1.x response; the HTTP head is parsed off (status, headers,
+chunked transfer-encoding decoded) so ``body`` is the actual entity
+bytes.  No third-party code.
+
+Scale shape: ONE task per WARC file (``spark.read.format
+("binaryFile")`` rows carry whole files; crawl WARCs are ~1 GiB, so a
+file fits executor memory the same way it fits the fetcher that wrote
+it), record expansion is a row-expanding ``mapInPandas`` exactly like
+``multimodal.sample_frames`` — pure map, zero shuffle, and everything
+downstream (charset decode, HTML extraction, dedup) stays declarative.
+Parsing is per-record Python (the inherent boundary — WARC framing has
+no JVM/SQL form); at higher throughput inject a native reader through
+the same composition seam.
+
+The writer half (``encode_warc``) is the FIXTURE side, like
+``encode_png``/``encode_avi_mjpeg``: build spec-compliant plain or
+member-per-record-gzip WARC bytes so tests plant real crawl files
+without fetching anything.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+# module-global so pandas_udf/mapInPandas stringized type hints resolve
+import pandas as pd  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["parse_warc", "encode_warc", "read_warc"]
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _decode_chunked(body: bytes, who: str) -> bytes:
+    """RFC 9112 chunked transfer-encoding decode (hex size line,
+    chunk, CRLF, ... , 0-size terminator; trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError(f"{who}: truncated chunked encoding (no size line)")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"{who}: bad chunk size line {size_tok[:16]!r}"
+            ) from None
+        pos = nl + 2
+        if n == 0:
+            return bytes(out)
+        if pos + n > len(body):
+            raise ValueError(f"{who}: truncated chunk body")
+        out += body[pos : pos + n]
+        pos += n + 2  # chunk CRLF
+
+
+def _parse_http_response(payload: bytes, who: str):
+    """Raw HTTP/1.x response bytes -> (status int, content_type str or
+    None, body bytes).  Chunked bodies are decoded; a payload that is
+    not an HTTP response at all raises."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        raise ValueError(f"{who}: response record payload is not HTTP")
+    head = payload[:sep].decode("latin-1")
+    body = payload[sep + 4 :]
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        raise ValueError(f"{who}: bad HTTP status line {lines[0]!r}")
+    status = int(parts[1])
+    ctype = None
+    chunked = False
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        k = k.strip().lower()
+        if k == "content-type":
+            ctype = v.strip()
+        elif k == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
+    if chunked:
+        body = _decode_chunked(body, who)
+    return status, ctype, body
+
+
+def parse_warc(payload: bytes, who: str = "parse_warc"):
+    """WARC bytes (plain or gzip) -> generator of record dicts:
+    ``{"headers": {lowercased-name: value}, "payload": bytes}``.
+    Raises on a bad version line, missing Content-Length, or
+    truncation — a lying crawl file fails loudly, not by yielding
+    partial records."""
+    if payload is None:
+        raise ValueError(f"{who}: payload is None")
+    buf = bytes(payload)
+    if buf[:2] == _GZIP_MAGIC:
+        # concatenated gzip members decode in one pass
+        buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        nl = buf.find(b"\r\n", pos)
+        if nl < 0 or not buf[pos:nl].startswith(b"WARC/"):
+            raise ValueError(
+                f"{who}: expected WARC version line at offset {pos}"
+            )
+        hdr_end = buf.find(b"\r\n\r\n", nl)
+        if hdr_end < 0:
+            raise ValueError(f"{who}: truncated WARC header block")
+        headers: dict = {}
+        for ln in buf[nl + 2 : hdr_end].decode("latin-1").split("\r\n"):
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError(f"{who}: WARC record missing Content-Length")
+        ln_ = int(headers["content-length"])
+        body_start = hdr_end + 4
+        if body_start + ln_ > n:
+            raise ValueError(f"{who}: truncated WARC record payload")
+        yield {"headers": headers, "payload": buf[body_start : body_start + ln_]}
+        pos = body_start + ln_
+
+
+def encode_warc(records, compress: bool = True) -> bytes:
+    """Fixture encoder: ``records`` is an iterable of (headers dict,
+    payload bytes); emits spec-compliant WARC bytes, gzipped one
+    member per record when ``compress`` (the crawl-standard layout)."""
+    out = bytearray()
+    for headers, payload in records:
+        head = [b"WARC/1.0"]
+        for k, v in headers.items():
+            head.append(f"{k}: {v}".encode("latin-1"))
+        head.append(f"Content-Length: {len(payload)}".encode())
+        rec = b"\r\n".join(head) + b"\r\n\r\n" + bytes(payload) + b"\r\n\r\n"
+        out += gzip.compress(rec) if compress else rec
+    return bytes(out)
+
+
+_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+) -> DataFrame:
+    """Read WARC files (plain or .warc.gz) into one row per record:
+    (warc_file, record_id, warc_type, target_uri, warc_date string,
+    http_status, content_type, body binary).
+
+    ``record_types`` filters on WARC-Type (default: the ``response``
+    records that carry page content; pass ``("response", "request",
+    "metadata", ...)`` or ``None`` for everything).  For response
+    records the HTTP head is parsed off — ``http_status`` /
+    ``content_type`` come from it and ``body`` is the entity bytes
+    (chunked transfer-encoding decoded); for other record types the
+    raw WARC payload rides in ``body`` with content_type from the
+    WARC header.  Charset decoding is downstream's choice
+    (``F.decode(col, 'utf-8')`` or a charset-sniffing UDF), then
+    ``htmlops.extract_text_html`` for pages.
+
+    One binaryFile row per WARC file -> row-expanding mapInPandas;
+    zero shuffle."""
+    wanted = None if record_types is None else {t.lower() for t in record_types}
+    files = spark.read.format("binaryFile").load(path)
+
+    def expand(it):
+        for pdf in it:
+            rows = {c: [] for c in _WARC_SCHEMA.fieldNames()}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(blob), who=f"read_warc({fpath})"):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "")
+                    if wanted is not None and wtype.lower() not in wanted:
+                        continue
+                    status, ctype, body = None, h.get("content-type"), rec["payload"]
+                    if wtype.lower() == "response":
+                        status, ctype, body = _parse_http_response(
+                            rec["payload"], who=f"read_warc({fpath})"
+                        )
+                    rows["warc_file"].append(fpath)
+                    rows["record_id"].append(h.get("warc-record-id"))
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(h.get("warc-target-uri"))
+                    rows["warc_date"].append(h.get("warc-date"))
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["body"].append(body)
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(
+                        rows[c],
+                        dtype="Int32" if c == "http_status" else "object",
+                    )
+                    for c in _WARC_SCHEMA.fieldNames()
+                }
+            )
+
+    return files.select("path", "content").mapInPandas(expand, _WARC_SCHEMA)
