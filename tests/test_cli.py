@@ -625,3 +625,46 @@ def test_compact_nested_partition_cols(spark, tmp_path, capsys):
         if any(n.endswith(".parquet") for n in names)
     }
     assert all(d.startswith("band=") and "pfx=" in d for d in dirs)
+
+
+def test_ingest_crawl_subcommand(spark, tmp_path):
+    """WARC glob -> extracted-text parquet landing from the command
+    line: only 200/html responses land by default, script junk is
+    gone, the doc_id is deterministic across re-lands."""
+    from zeek_duckdb_spark.sources.warc import encode_warc
+
+    body = b"<html><body><script>x()</script><p>crawl  page text</p></body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    png = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\nContent-Length: 3\r\n\r\nabc"
+    miss = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\nContent-Length: 4\r\n\r\ngone"
+    (tmp_path / "c.warc.gz").write_bytes(encode_warc([
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:1>",
+          "WARC-Target-URI": "http://a.org/p", "WARC-Date": "2026-08-16T00:00:00Z",
+          "Content-Type": "application/http; msgtype=response"}, http),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:2>",
+          "WARC-Target-URI": "http://a.org/i.png",
+          "Content-Type": "application/http; msgtype=response"}, png),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:3>",
+          "WARC-Target-URI": "http://a.org/gone",
+          "Content-Type": "application/http; msgtype=response"}, miss),
+    ]))
+    out = str(tmp_path / "landed")
+    rc = main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out], spark=spark)
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.url == "http://a.org/p" and r.text == "crawl page text"
+    first_id = r.doc_id
+    # re-land: deterministic doc_id, overwrite semantics
+    assert main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out],
+                spark=spark) == 0
+    assert spark.read.parquet(out).collect()[0].doc_id == first_id
+    # --all-responses keeps the png and the 404 rows too
+    rc = main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out,
+               "--all-responses"], spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 3

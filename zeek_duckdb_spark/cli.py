@@ -321,6 +321,19 @@ def _build_parser() -> argparse.ArgumentParser:
                          "must sum to 1 (e.g. --frac train=0.8 "
                          "--frac val=0.1 --frac test=0.1)")
     sp.add_argument("--seed", type=int, default=0)
+
+    cw = sub.add_parser(
+        "ingest-crawl",
+        help="WARC crawl files -> extracted-text parquet landing "
+             "(read_warc -> extract_text_html; utf-8 pages)",
+    )
+    cw.add_argument("pattern", help="WARC file glob (plain or .warc.gz)")
+    cw.add_argument("out", help="parquet output directory")
+    cw.add_argument("--keep-title", action="store_true",
+                    help="keep the page title as the first text line")
+    cw.add_argument("--all-responses", action="store_true",
+                    help="keep every response record (default: HTTP 200 "
+                         "with an html content type)")
     return p
 
 
@@ -655,6 +668,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 .groupBy("split").agg(F.count("*").alias("n")).collect()
             }
             print(json.dumps({"out": args.out, "counts": counts}))
+        elif args.cmd == "ingest-crawl":
+            from pyspark.sql import functions as F
+
+            from zeek_duckdb_spark.operators.htmlops import extract_text_html
+            from zeek_duckdb_spark.sources.warc import read_warc
+
+            recs = read_warc(spark, args.pattern)
+            if not args.all_responses:
+                recs = recs.filter(
+                    (F.col("http_status") == 200)
+                    & F.col("content_type").contains("html")
+                )
+            pages = recs.select(
+                # deterministic id: same record -> same id on re-land
+                F.xxhash64("target_uri", "warc_date", "record_id")
+                .alias("doc_id"),
+                F.col("target_uri").alias("url"),
+                "warc_date",
+                F.decode(F.col("body"), "utf-8").alias("html"),
+            )
+            out_df = extract_text_html(
+                pages, "html", "text", keep_title=args.keep_title
+            ).drop("html")
+            out_df.write.mode("overwrite").parquet(args.out)
+            print(
+                f"landed {_parquet_row_count(args.out)} docs -> {args.out}",
+                file=sys.stderr,
+            )
         return 0
     finally:
         if owns:
