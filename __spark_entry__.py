@@ -2522,6 +2522,16 @@ def tx_html_extract(spark, sf):
     from zeek_duckdb_spark.operators.htmlops import extract_text_html
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    # pre-escape &/</> so the wrap is sound for ANY corpus text (the
+    # extractor decodes the escapes back, so the expected output stays
+    # the raw text whitespace-collapsed)
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
     wrapped = d.select(
         "doc_id",
         F.concat(
@@ -2529,7 +2539,7 @@ def tx_html_extract(spark, sf):
                 "<html><head><title>t</title><style>p{color:red}</style>"
                 "</head><body><script>var junk = 1;</script><p>"
             ),
-            F.col("text"),
+            esc,
             F.lit("</p></body></html>"),
         ).alias("html"),
     )

@@ -190,3 +190,41 @@ def test_composes_with_clean_corpus(spark):
     }
     # 1 and 2 extract to the SAME text -> exact dup, min id survives
     assert survivors == {1, 3}
+
+
+def test_collapse_class_is_exactly_the_documented_six(spark=None):
+    """\\x1c-\\x1f are NOT in the collapse class (str.split(None)
+    would eat them and diverge from the RE2 restatement; round-12):
+    behavior must not depend on unrelated non-ASCII bytes in the
+    line."""
+    assert html_to_text("<p>a\x1cb</p>") == "a\x1cb"
+    assert html_to_text("<p>a\x1cb\xa0</p>") == "a\x1cb\xa0"
+    assert html_to_text("<p>a \x1c b</p>") == "a \x1c b"
+
+
+def test_stray_close_tags_cannot_leak_skip_subtrees():
+    """The skip scope is a STACK keyed on tag names: a stray close of
+    a different skip tag inside an open one must not terminate it
+    (round-12 — a shared counter leaked template/svg content)."""
+    assert html_to_text("<template></style><p>ghost</p></template>") == ""
+    assert html_to_text("<svg></title><text>vector</text></svg>") == ""
+    assert html_to_text("<script></template>var x;</script><p>ok</p>") == "ok"
+    # balanced nesting still closes correctly
+    assert html_to_text("<svg><svg></svg></svg><p>after</p>") == "after"
+    # a stray close with NOTHING open is harmless
+    assert html_to_text("</style><p>fine</p>") == "fine"
+
+
+def test_escape_wrap_oracle_is_sound_for_markupish_text():
+    """The tx_html_extract wrap pre-escapes &/</> so the full-value
+    oracle holds for ANY corpus text: extraction of the escaped wrap
+    returns the raw text whitespace-collapsed (round-12)."""
+    tricky = [
+        "a &amp; b",
+        "use <b> tags &copy; now",
+        "5 < 6 > 4 & more",
+        "&#65; numeric ref",
+    ]
+    for t in tricky:
+        esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        assert html_to_text(f"<p>{esc}</p>") == " ".join(t.split(" ")), t

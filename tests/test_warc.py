@@ -161,3 +161,45 @@ def test_read_warc_end_to_end_chain(spark, tmp_path):
     # plan shape: pure map over the file scan, zero shuffle
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_negative_content_length_rejected():
+    """A crafted Content-Length that moves the cursor backwards must
+    raise, not loop forever re-yielding the same record (round-12)."""
+    rec = (b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: -54\r\n"
+           b"\r\nbody\r\n\r\n")
+    with pytest.raises(ValueError, match="bad WARC Content-Length"):
+        list(parse_warc(rec))
+    with pytest.raises(ValueError, match="bad WARC Content-Length"):
+        list(parse_warc(rec.replace(b"-54", b"4x")))
+
+
+def test_content_encoding_gzip_deflate_and_loud_br():
+    """Content-Encoding applies to the entity: gzip/deflate bodies
+    (ubiquitous in real crawls) decompress; brotli raises loudly
+    instead of landing compressed bytes as 'text' (round-12)."""
+    import zlib
+
+    from zeek_duckdb_spark.sources.warc import _parse_http_response
+
+    body = b"<p>compressed page</p>"
+
+    def resp(enc_name, payload):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Encoding: {enc_name}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+
+    s, c, b = _parse_http_response(resp("gzip", gzip.compress(body)), "t")
+    assert b == body
+    s, c, b = _parse_http_response(resp("deflate", zlib.compress(body)), "t")
+    assert b == body
+    # raw-deflate variant some servers emit
+    raw = zlib.compressobj(wbits=-15)
+    s, c, b = _parse_http_response(
+        resp("deflate", raw.compress(body) + raw.flush()), "t"
+    )
+    assert b == body
+    with pytest.raises(ValueError, match="Content-Encoding 'br'"):
+        _parse_http_response(resp("br", b"\x00\x01"), "t")

@@ -77,36 +77,34 @@ _BLOCK_TAGS = frozenset(
     ]
 )
 
-_ASCII_WS = " \t\r\n\f\v"
+import re as _re
+
+# EXACTLY the documented 6-char class — not Python's \s or
+# str.split(None), both of which also eat \x1c-\x1f and unicode
+# whitespace and would silently diverge from the RE2 restatement
+_WS_RUN = _re.compile(r"[ \t\r\n\f\v]+")
 
 
 def _collapse(s: str) -> str:
     """Collapse runs of ASCII whitespace to single spaces and trim —
     the RE2-restatable class only (see module docstring)."""
-    return " ".join(p for p in s.split(None) if p) if s.isascii() else _collapse_explicit(s)
-
-
-def _collapse_explicit(s: str) -> str:
-    out = []
-    run = False
-    for ch in s:
-        if ch in _ASCII_WS:
-            run = True
-            continue
-        if run and out:
-            out.append(" ")
-        run = False
-        out.append(ch)
-    return "".join(out)
+    return _WS_RUN.sub(" ", s).strip(" ")
 
 
 class _TextExtractor(HTMLParser):
     def __init__(self, keep_title: bool):
         super().__init__(convert_charrefs=True)
-        self._skip = 0
+        # a STACK of open skip-tag names, not a counter: crawled HTML
+        # is full of stray close tags, and a bare </style> inside an
+        # open <template> must NOT terminate the template scope (a
+        # counter would leak the subtree into extracted text)
+        self._skip_stack: list = []
         self._keep_title = keep_title
         self._cur: list = []
         self._lines: list = []
+
+    def _is_skip(self, tag) -> bool:
+        return tag in _SKIP_TAGS or (tag == "title" and not self._keep_title)
 
     def _flush(self) -> None:
         if self._cur:
@@ -116,16 +114,18 @@ class _TextExtractor(HTMLParser):
             self._cur = []
 
     def handle_starttag(self, tag, attrs):
-        if tag in _SKIP_TAGS or (tag == "title" and not self._keep_title):
-            self._skip += 1
+        if self._is_skip(tag):
+            self._skip_stack.append(tag)
             return
         if tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_endtag(self, tag):
-        if tag in _SKIP_TAGS or (tag == "title" and not self._keep_title):
-            if self._skip:
-                self._skip -= 1
+        if self._is_skip(tag):
+            # close only the matching innermost scope; a stray close
+            # of a DIFFERENT skip tag is ignored
+            if self._skip_stack and self._skip_stack[-1] == tag:
+                self._skip_stack.pop()
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -136,7 +136,7 @@ class _TextExtractor(HTMLParser):
             self._flush()
 
     def handle_data(self, data):
-        if not self._skip and data:
+        if not self._skip_stack and data:
             self._cur.append(data)
 
     def text(self) -> str:

@@ -86,6 +86,7 @@ def _parse_http_response(payload: bytes, who: str):
     status = int(parts[1])
     ctype = None
     chunked = False
+    cenc = None
     for ln in lines[1:]:
         k, _, v = ln.partition(":")
         k = k.strip().lower()
@@ -93,8 +94,29 @@ def _parse_http_response(payload: bytes, who: str):
             ctype = v.strip()
         elif k == "transfer-encoding" and "chunked" in v.lower():
             chunked = True
+        elif k == "content-encoding":
+            cenc = v.strip().lower()
     if chunked:
         body = _decode_chunked(body, who)
+    # Content-Encoding applies to the (de-chunked) entity — gzip is
+    # ubiquitous in real crawls; passing compressed bytes through as
+    # 'body' would silently land mojibake as training text
+    if cenc in (None, "", "identity"):
+        pass
+    elif cenc in ("gzip", "x-gzip"):
+        body = gzip.decompress(body)
+    elif cenc == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            body = zlib.decompress(body, -15)  # raw-deflate servers
+    else:
+        raise ValueError(
+            f"{who}: Content-Encoding {cenc!r} is outside the "
+            "identity/gzip/deflate scope (br/zstd need their codecs)"
+        )
     return status, ctype, body
 
 
@@ -132,7 +154,12 @@ def parse_warc(payload: bytes, who: str = "parse_warc"):
             headers[k.strip().lower()] = v.strip()
         if "content-length" not in headers:
             raise ValueError(f"{who}: WARC record missing Content-Length")
-        ln_ = int(headers["content-length"])
+        cl = headers["content-length"]
+        if not cl.isdigit():
+            # a negative/garbage length could move the cursor BACKWARD
+            # and loop forever on a crafted file — reject before slicing
+            raise ValueError(f"{who}: bad WARC Content-Length {cl!r}")
+        ln_ = int(cl)
         body_start = hdr_end + 4
         if body_start + ln_ > n:
             raise ValueError(f"{who}: truncated WARC record payload")
