@@ -219,6 +219,13 @@ def read_warc(
     One binaryFile row per WARC file -> row-expanding mapInPandas;
     zero shuffle."""
     wanted = None if record_types is None else {t.lower() for t in record_types}
+    # parallelism note: binaryFile's split sizing (bytesPerCore +
+    # openCostInBytes padding) already lands ~min(n_files,
+    # defaultParallelism) tasks for small-file layouts and one task
+    # per file for crawl-sized ones (a file can't split), so the
+    # Python parse below parallelizes without an explicit repartition;
+    # measured at bench_scaling.py --crawl, where the residual gap to
+    # linear is VM SMT contention, not task layout.
     files = spark.read.format("binaryFile").load(path)
 
     def expand(it):
