@@ -203,3 +203,90 @@ def test_content_encoding_gzip_deflate_and_loud_br():
     assert b == body
     with pytest.raises(ValueError, match="Content-Encoding 'br'"):
         _parse_http_response(resp("br", b"\x00\x01"), "t")
+
+
+def test_body_text_col_charset_decode(spark):
+    """Charset-aware entity decode: the Content-Type charset is
+    honored, absent/garbage charsets fall back to utf-8, undecodable
+    bytes become U+FFFD instead of killing the job, NULL passes."""
+    from zeek_duckdb_spark.sources.warc import body_text_col
+
+    rows = [
+        (1, bytearray("café".encode("utf-8")), "text/html"),
+        (2, bytearray("café".encode("latin-1")),
+         'text/html; charset="ISO-8859-1"'),
+        (3, bytearray("caf\xe9 page".encode("latin-1")), "text/html"),
+        (4, bytearray(b"plain"), "text/html; charset=bogus-name-99"),
+        (5, None, "text/html"),
+        (6, bytearray("你好".encode("gbk")),
+         "text/html; charset=GBK"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, content_type string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in df.select("doc_id", body_text_col().alias("text")).collect()
+    }
+    assert got[1] == "café"
+    assert got[2] == "café"                       # declared latin-1
+    assert got[3] == "caf� page"             # lying utf-8: replace
+    assert got[4] == "plain"                      # unknown charset name
+    assert got[5] is None
+    assert got[6] == "你好"               # gbk honored
+
+
+def test_read_warc_stream_exactly_once(spark, tmp_path):
+    """The daily-crawl stream shape: rotated-in WARC files become
+    micro-batches; a second availableNow run from the same checkpoint
+    parses ONLY the new file (no duplicates), matching the batch
+    reader's rows."""
+    from zeek_duckdb_spark.sources.warc import read_warc_stream
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    out = str(tmp_path / "landed")
+    ck = str(tmp_path / "ck")
+
+    def day(i):
+        return encode_warc([
+            _response_rec(f"http://d{i}.org/a", b"<p>day page a</p>"),
+            _response_rec(f"http://d{i}.org/b", b"<p>day page b</p>"),
+        ])
+
+    (crawl / "day0.warc.gz").write_bytes(day(0))
+
+    def drain():
+        q = (
+            read_warc_stream(spark, str(crawl), max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {r.target_uri for r in spark.read.parquet(out).collect()}
+    assert got == {"http://d0.org/a", "http://d0.org/b"}
+
+    (crawl / "day1.warc.gz").write_bytes(day(1))
+    drain()  # restart from the checkpoint
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # day0 NOT re-parsed
+    assert {r.target_uri for r in rows} == {
+        f"http://d{i}.org/{p}" for i in (0, 1) for p in "ab"
+    }
+    # row content matches the batch reader
+    batch = {
+        (r.target_uri, bytes(r.body), r.http_status)
+        for r in read_warc(spark, str(crawl / "*.warc.gz")).collect()
+    }
+    stream = {
+        (r.target_uri, bytes(r.body), r.http_status) for r in rows
+    }
+    assert batch == stream
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_warc_stream(spark, str(crawl), max_files_per_trigger=0)
