@@ -228,3 +228,42 @@ def test_escape_wrap_oracle_is_sound_for_markupish_text():
     for t in tricky:
         esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         assert html_to_text(f"<p>{esc}</p>") == " ".join(t.split(" ")), t
+
+
+def test_link_density_filter_drops_navigation():
+    """max_link_density (jusText/boilerpipe heuristic): nav bars,
+    footers and tag clouds are ~100% anchor text and drop; prose with
+    inline links survives; None keeps everything."""
+    h = (
+        '<nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></nav>'
+        "<p>A real paragraph of body prose that happens to mention "
+        '<a href="/x">one link</a> among many ordinary words.</p>'
+        '<footer><a href="/p">Privacy</a> | <a href="/t">Terms</a></footer>'
+    )
+    full = html_to_text(h)
+    assert "Home About Contact" in full and "Privacy | Terms" in full
+    main = html_to_text(h, max_link_density=0.5)
+    assert "Home About Contact" not in main
+    assert "Privacy" not in main
+    assert "A real paragraph of body prose" in main
+    assert "one link" in main            # the inline link's TEXT stays
+    # threshold 1.0 keeps even pure-link lines (ratio <= 1)
+    assert "Home About Contact" in html_to_text(h, max_link_density=1.0)
+    with pytest.raises(ValueError, match="max_link_density"):
+        html_to_text(h, max_link_density=1.5)
+    # the '|' separator in the footer is NON-anchor text, so the
+    # footer's ratio is just under 1 — pin it still dies at 0.5
+    # (12 anchor chars of 13 non-ws)
+
+
+def test_extract_text_html_link_density_spark(spark):
+    from zeek_duckdb_spark.operators.htmlops import extract_text_html
+
+    h = ('<nav><a href="/">Home</a><a href="/a">About</a></nav>'
+         "<p>Body text with many plain words here.</p>")
+    df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+    out = extract_text_html(df, max_link_density=0.5).collect()[0].text
+    assert out == "Body text with many plain words here."
+    with pytest.raises(ValueError, match="max_link_density"):
+        extract_text_html(df, max_link_density=-0.1)

@@ -101,22 +101,32 @@ class _TextExtractor(HTMLParser):
         self._skip_stack: list = []
         self._keep_title = keep_title
         self._cur: list = []
-        self._lines: list = []
+        self._lines: list = []          # (text, raw_len, anchor_len)
+        self._a_depth = 0
 
     def _is_skip(self, tag) -> bool:
         return tag in _SKIP_TAGS or (tag == "title" and not self._keep_title)
 
     def _flush(self) -> None:
         if self._cur:
-            line = _collapse("".join(self._cur))
+            raw = "".join(t for t, _a in self._cur)
+            line = _collapse(raw)
             if line:
-                self._lines.append(line)
+                # non-whitespace char counts for the link-density ratio
+                nws = lambda s: sum(len(p) for p in s.split())
+                self._lines.append((
+                    line,
+                    sum(nws(t) for t, _a in self._cur),
+                    sum(nws(t) for t, a in self._cur if a),
+                ))
             self._cur = []
 
     def handle_starttag(self, tag, attrs):
         if self._is_skip(tag):
             self._skip_stack.append(tag)
             return
+        if tag == "a":
+            self._a_depth += 1
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -127,6 +137,8 @@ class _TextExtractor(HTMLParser):
             if self._skip_stack and self._skip_stack[-1] == tag:
                 self._skip_stack.pop()
             return
+        if tag == "a" and self._a_depth:
+            self._a_depth -= 1
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -137,14 +149,24 @@ class _TextExtractor(HTMLParser):
 
     def handle_data(self, data):
         if not self._skip_stack and data:
-            self._cur.append(data)
+            self._cur.append((data, self._a_depth > 0))
 
-    def text(self) -> str:
+    def text(self, max_link_density=None) -> str:
         self._flush()
-        return "\n".join(self._lines)
+        if max_link_density is None:
+            return "\n".join(t for t, _r, _a in self._lines)
+        return "\n".join(
+            t
+            for t, raw, anch in self._lines
+            if raw == 0 or anch / raw <= max_link_density
+        )
 
 
-def html_to_text(doc: str, keep_title: bool = False) -> str:
+def html_to_text(
+    doc: str,
+    keep_title: bool = False,
+    max_link_density: float | None = None,
+) -> str:
     """HTML -> plain text: one line per block-level run, character
     references decoded, script/style/etc subtrees dropped, per-line
     ASCII-whitespace collapse.  ``keep_title`` keeps the document
@@ -152,13 +174,23 @@ def html_to_text(doc: str, keep_title: bool = False) -> str:
     passes through modulo the whitespace collapse — note that the
     block-break newlines THIS function emits are themselves whitespace
     to a second application (which would fold the lines to one), so
-    run extraction once, on HTML."""
+    run extraction once, on HTML.
+
+    ``max_link_density`` (the jusText/boilerpipe heuristic): drop
+    lines whose ANCHOR-text fraction exceeds it — navigation bars,
+    footers, 'related articles' boxes and tag clouds are nearly 100%
+    link text, while prose with inline links sits well below.  0.5 is
+    a reasonable crawl default; None (the default) keeps everything,
+    including standalone link lines.  The fraction counts raw
+    non-whitespace data characters before collapsing."""
     if doc is None:
         raise ValueError("html_to_text: doc is None")
+    if max_link_density is not None and not 0.0 <= max_link_density <= 1.0:
+        raise ValueError("html_to_text: max_link_density must be in [0, 1]")
     p = _TextExtractor(keep_title)
     p.feed(doc)
     p.close()
-    return p.text()
+    return p.text(max_link_density)
 
 
 class _LinkExtractor(HTMLParser):
@@ -207,18 +239,25 @@ def extract_text_html(
     html_col: str = "html",
     out_col: str = "text",
     keep_title: bool = False,
+    max_link_density: float | None = None,
     extractor=None,
 ) -> DataFrame:
     """Add ``out_col`` = extracted text of ``html_col`` — ONE
     Arrow-batched map, zero shuffle, NULL html -> NULL text.
+    ``max_link_density`` drops navigation-like lines (see
+    :func:`html_to_text`).
 
     ``extractor``: optional ``fn(html: str) -> str`` replacing the
     stdlib extractor (inject selectolax/lxml for the 100 TB path; the
     callback is cloudpickled into the UDF closure like the multimodal
     ``decoder=`` seam)."""
-    kt = keep_title
+    if max_link_density is not None and not 0.0 <= max_link_density <= 1.0:
+        raise ValueError(
+            "extract_text_html: max_link_density must be in [0, 1]"
+        )
+    kt, mld = keep_title, max_link_density
     fn = extractor if extractor is not None else (
-        lambda h: html_to_text(h, keep_title=kt)
+        lambda h: html_to_text(h, keep_title=kt, max_link_density=mld)
     )
 
     @F.pandas_udf("string")
