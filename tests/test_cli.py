@@ -668,3 +668,27 @@ def test_ingest_crawl_subcommand(spark, tmp_path):
                "--all-responses"], spark=spark)
     assert rc == 0
     assert spark.read.parquet(out).count() == 3
+
+
+def test_ingest_crawl_charset_and_link_density(spark, tmp_path):
+    """ingest-crawl decodes per the page's declared charset and
+    --max-link-density drops navigation boilerplate."""
+    from zeek_duckdb_spark.sources.warc import encode_warc
+
+    body = ('<nav><a href="/">Home</a><a href="/a">About</a></nav>'
+            "<p>artículo útil with plain words here</p>").encode("latin-1")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    (tmp_path / "c.warc.gz").write_bytes(encode_warc([
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:c>",
+          "WARC-Target-URI": "http://l.org/p",
+          "Content-Type": "application/http; msgtype=response"}, http),
+    ]))
+    out = str(tmp_path / "landed")
+    rc = main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out,
+               "--max-link-density", "0.5"], spark=spark)
+    assert rc == 0
+    r = spark.read.parquet(out).collect()[0]
+    assert r.text == "artículo útil with plain words here"

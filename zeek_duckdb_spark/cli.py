@@ -334,6 +334,11 @@ def _build_parser() -> argparse.ArgumentParser:
     cw.add_argument("--all-responses", action="store_true",
                     help="keep every response record (default: HTTP 200 "
                          "with an html content type)")
+    cw.add_argument("--max-link-density", type=float, default=None,
+                    metavar="F",
+                    help="drop lines whose anchor-text fraction exceeds F "
+                         "(nav/footer boilerplate; 0.5 is a reasonable "
+                         "crawl default)")
     return p
 
 
@@ -672,7 +677,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from pyspark.sql import functions as F
 
             from zeek_duckdb_spark.operators.htmlops import extract_text_html
-            from zeek_duckdb_spark.sources.warc import read_warc
+            from zeek_duckdb_spark.sources.warc import body_text_col, read_warc
 
             recs = read_warc(spark, args.pattern)
             if not args.all_responses:
@@ -686,10 +691,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 .alias("doc_id"),
                 F.col("target_uri").alias("url"),
                 "warc_date",
-                F.decode(F.col("body"), "utf-8").alias("html"),
+                # charset-aware: crawls are not all utf-8
+                body_text_col().alias("html"),
             )
             out_df = extract_text_html(
-                pages, "html", "text", keep_title=args.keep_title
+                pages, "html", "text",
+                keep_title=args.keep_title,
+                max_link_density=args.max_link_density,
             ).drop("html")
             out_df.write.mode("overwrite").parquet(args.out)
             print(
