@@ -290,3 +290,26 @@ def test_read_warc_stream_exactly_once(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_files_per_trigger"):
         read_warc_stream(spark, str(crawl), max_files_per_trigger=0)
+
+
+def test_warc_zst_container(tmp_path):
+    """.warc.zst decodes through the module-free zstd ladder: the
+    vendored store-mode codec (always available) and pyarrow's bundled
+    entropy codec — same records as the plain form."""
+    recs = [_response_rec("http://z.org/a", b"<p>zstd page</p>")]
+    plain = encode_warc(recs, compress=False)
+
+    from zeek_duckdb_spark.sources.zstd_raw import compress_store
+
+    got = list(parse_warc(compress_store(plain)))
+    assert got[0]["headers"]["warc-target-uri"] == "http://z.org/a"
+
+    import pyarrow as pa
+
+    if pa.Codec.is_available("zstd"):
+        buf = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(buf, "zstd") as out:
+            out.write(plain)
+        got = list(parse_warc(bytes(buf.getvalue())))
+        assert got[0]["headers"]["warc-target-uri"] == "http://z.org/a"
+        assert got[0]["payload"].endswith(b"<p>zstd page</p>")

@@ -8,7 +8,9 @@ specification: a record is a ``WARC/1.x`` version line, named header
 fields, a blank line, ``Content-Length`` payload octets, and a
 ``\\r\\n\\r\\n`` separator; a ``.warc.gz`` file is a sequence of gzip
 MEMBERS (typically one per record — stdlib ``gzip`` reads concatenated
-members transparently).  For ``response`` records the payload is a raw
+members transparently), and ``.warc.zst`` decodes through the repo's
+module-free zstd ladder (zstandard module / vendored store-mode codec
+/ pyarrow).  For ``response`` records the payload is a raw
 HTTP/1.x response; the HTTP head is parsed off (status, headers,
 chunked transfer-encoding decoded) so ``body`` is the actual entity
 bytes.  No third-party code.
@@ -49,6 +51,51 @@ __all__ = [
 ]
 
 _GZIP_MAGIC = b"\x1f\x8b"
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _decompress_container(buf: bytes, who: str) -> bytes:
+    """Container decompression by magic: gzip (concatenated members —
+    the crawl-standard .warc.gz layout), zstd (.warc.zst via the
+    repo's module-free chain: the ``zstandard`` module when installed,
+    else the vendored store-mode codec, else pyarrow's bundled codec —
+    the same ladder ``header.open_zeek_text`` uses), else passthrough
+    (plain .warc)."""
+    if buf[:2] == _GZIP_MAGIC:
+        return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+    if buf[:4] == _ZSTD_MAGIC:
+        try:
+            import zstandard  # type: ignore
+
+            return zstandard.ZstdDecompressor().stream_reader(
+                io.BytesIO(buf), read_across_frames=True
+            ).read()
+        except ImportError:
+            pass
+        from zeek_duckdb_spark.sources.zstd_raw import (
+            ZstdCompressedBlockError,
+            decompress,
+        )
+
+        try:
+            return decompress(buf)
+        except ZstdCompressedBlockError:
+            try:
+                import pyarrow as pa
+
+                if pa.Codec.is_available("zstd"):
+                    return bytes(
+                        pa.CompressedInputStream(
+                            pa.BufferReader(buf), "zstd"
+                        ).read()
+                    )
+            except Exception:
+                pass
+            raise ValueError(
+                f"{who}: entropy-coded zstd WARC needs the zstandard "
+                "module or a pyarrow build with zstd"
+            ) from None
+    return buf
 
 
 def _decode_chunked(body: bytes, who: str) -> bytes:
@@ -127,17 +174,14 @@ def _parse_http_response(payload: bytes, who: str):
 
 
 def parse_warc(payload: bytes, who: str = "parse_warc"):
-    """WARC bytes (plain or gzip) -> generator of record dicts:
+    """WARC bytes (plain, gzip or zstd) -> generator of record dicts:
     ``{"headers": {lowercased-name: value}, "payload": bytes}``.
     Raises on a bad version line, missing Content-Length, or
     truncation — a lying crawl file fails loudly, not by yielding
     partial records."""
     if payload is None:
         raise ValueError(f"{who}: payload is None")
-    buf = bytes(payload)
-    if buf[:2] == _GZIP_MAGIC:
-        # concatenated gzip members decode in one pass
-        buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+    buf = _decompress_container(bytes(payload), who)
     pos = 0
     n = len(buf)
     while pos < n:
@@ -207,7 +251,7 @@ def read_warc(
     path: str,
     record_types: tuple = ("response",),
 ) -> DataFrame:
-    """Read WARC files (plain or .warc.gz) into one row per record:
+    """Read WARC files (plain, .warc.gz or .warc.zst) into one row per record:
     (warc_file, record_id, warc_type, target_uri, warc_date string,
     http_status, content_type, body binary).
 
