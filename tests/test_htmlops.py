@@ -267,3 +267,46 @@ def test_extract_text_html_link_density_spark(spark):
     assert out == "Body text with many plain words here."
     with pytest.raises(ValueError, match="max_link_density"):
         extract_text_html(df, max_link_density=-0.1)
+
+
+def test_unclosed_anchor_does_not_poison_link_density():
+    """Crawled HTML is full of unclosed <a> tags (HTMLParser does no
+    HTML5 tree repair): the anchor state must reset at block
+    boundaries, or one missing </a> marks the whole rest of the page
+    as anchor text and the density filter drops everything
+    (round-12)."""
+    h = ('<ul><li><a href="/">Home</li></ul>'
+         "<p>A real paragraph of plain body prose with many words.</p>")
+    out = html_to_text(h, max_link_density=0.5)
+    assert "A real paragraph of plain body prose" in out
+    # anchors inside SKIPPED subtrees must not leak state either
+    h2 = ('<template><a href="x">t</template>'
+          "<p>Plain prose paragraph with ordinary words here.</p>")
+    assert "Plain prose paragraph" in html_to_text(h2, max_link_density=0.5)
+
+
+def test_link_density_denominator_uses_ascii_class():
+    """The density denominator counts non-whitespace per the SAME
+    6-char ASCII class as the collapse: NBSP is page CONTENT (it stays
+    in the text), so it must count — a 4-anchor-char line padded with
+    ten NBSPs is 4/14, not 4/4 (round-12)."""
+    h = '<p><a href="/">Home</a>' + "&nbsp;" * 10 + "</p>"
+    assert html_to_text(h, max_link_density=0.5) != ""
+
+
+def test_charset_decode_non_text_codec_fallback(spark):
+    """codecs.lookup resolves bytes transforms (hex/base64/zlib/rot13)
+    that are NOT text encodings — a page declaring charset=hex must
+    fall back to utf-8-replace, not abort the batch (round-12)."""
+    from zeek_duckdb_spark.sources.warc import body_text_col
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"plain page"), "text/html; charset=hex"),
+         (2, bytearray(b"ok"), "text/html; charset=rot13")],
+        "doc_id long, body binary, content_type string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in df.select("doc_id", body_text_col().alias("text")).collect()
+    }
+    assert got == {1: "plain page", 2: "ok"}

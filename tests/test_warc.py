@@ -174,10 +174,13 @@ def test_negative_content_length_rejected():
         list(parse_warc(rec.replace(b"-54", b"4x")))
 
 
-def test_content_encoding_gzip_deflate_and_loud_br():
+def test_content_encoding_decode_and_quarantine():
     """Content-Encoding applies to the entity: gzip/deflate bodies
-    (ubiquitous in real crawls) decompress; brotli raises loudly
-    instead of landing compressed bytes as 'text' (round-12)."""
+    (ubiquitous in real crawls) decompress with a NULL residual;
+    unsupported (br) or UNDECODABLE (truncated gzip — crawls cap
+    record sizes) bodies are QUARANTINED — raw bytes kept, residual
+    names the encoding — instead of one poison page killing the job
+    or wedging the checkpointed stream (round-12)."""
     import zlib
 
     from zeek_duckdb_spark.sources.warc import _parse_http_response
@@ -191,18 +194,47 @@ def test_content_encoding_gzip_deflate_and_loud_br():
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode() + payload
 
-    s, c, b = _parse_http_response(resp("gzip", gzip.compress(body)), "t")
-    assert b == body
-    s, c, b = _parse_http_response(resp("deflate", zlib.compress(body)), "t")
-    assert b == body
+    s, c, b, e = _parse_http_response(resp("gzip", gzip.compress(body)), "t")
+    assert b == body and e is None
+    s, c, b, e = _parse_http_response(resp("deflate", zlib.compress(body)), "t")
+    assert b == body and e is None
     # raw-deflate variant some servers emit
     raw = zlib.compressobj(wbits=-15)
-    s, c, b = _parse_http_response(
+    s, c, b, e = _parse_http_response(
         resp("deflate", raw.compress(body) + raw.flush()), "t"
     )
-    assert b == body
-    with pytest.raises(ValueError, match="Content-Encoding 'br'"):
-        _parse_http_response(resp("br", b"\x00\x01"), "t")
+    assert b == body and e is None
+    # brotli: quarantined, raw bytes preserved
+    s, c, b, e = _parse_http_response(resp("br", b"\x00\x01"), "t")
+    assert (b, e) == (b"\x00\x01", "br")
+    # truncated gzip: quarantined, not a crash
+    trunc = gzip.compress(body)[:-6]
+    s, c, b, e = _parse_http_response(resp("gzip", trunc), "t")
+    assert (b, e) == (trunc, "gzip")
+
+
+def test_decode_text_and_quarantine_columns(spark, tmp_path):
+    """decode_text=True lands body_text in the SAME expansion map
+    (one Arrow crossing); quarantined records carry NULL body_text and
+    the encoding name, and filter out via content_encoding IS NULL."""
+    good = _response_rec("http://q.org/ok", "página ok".encode("latin-1"),
+                         ctype="text/html; charset=ISO-8859-1")
+    br_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\nContent-Length: 2\r\n\r\n\x00\x01"
+    )
+    bad = ({"WARC-Type": "response", "WARC-Record-ID": "<urn:q2>",
+            "WARC-Target-URI": "http://q.org/br",
+            "Content-Type": "application/http; msgtype=response"}, br_http)
+    (tmp_path / "q.warc.gz").write_bytes(encode_warc([good, bad]))
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"), decode_text=True)
+    rows = {r.target_uri: r for r in df.collect()}
+    ok, br = rows["http://q.org/ok"], rows["http://q.org/br"]
+    assert ok.content_encoding is None and ok.body_text == "página ok"
+    assert br.content_encoding == "br" and br.body_text is None
+    assert bytes(br.body) == b"\x00\x01"
+    clean = df.filter("content_encoding IS NULL")
+    assert clean.count() == 1
 
 
 def test_body_text_col_charset_decode(spark):

@@ -677,13 +677,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from pyspark.sql import functions as F
 
             from zeek_duckdb_spark.operators.htmlops import extract_text_html
-            from zeek_duckdb_spark.sources.warc import body_text_col, read_warc
+            from zeek_duckdb_spark.sources.warc import read_warc
 
-            recs = read_warc(spark, args.pattern)
+            # decode_text=True: the charset-aware decode happens INSIDE
+            # the record-expansion map (body/content_type are already
+            # Python objects there), so page bytes cross Arrow once
+            recs = read_warc(spark, args.pattern, decode_text=True)
             if not args.all_responses:
                 recs = recs.filter(
                     (F.col("http_status") == 200)
                     & F.col("content_type").contains("html")
+                    & F.col("content_encoding").isNull()
                 )
             pages = recs.select(
                 # deterministic id: same record -> same id on re-land
@@ -691,8 +695,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 .alias("doc_id"),
                 F.col("target_uri").alias("url"),
                 "warc_date",
-                # charset-aware: crawls are not all utf-8
-                body_text_col().alias("html"),
+                F.col("body_text").alias("html"),
             )
             out_df = extract_text_html(
                 pages, "html", "text",

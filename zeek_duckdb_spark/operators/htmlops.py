@@ -102,7 +102,7 @@ class _TextExtractor(HTMLParser):
         self._keep_title = keep_title
         self._cur: list = []
         self._lines: list = []          # (text, raw_len, anchor_len)
-        self._a_depth = 0
+        self._in_anchor = False
 
     def _is_skip(self, tag) -> bool:
         return tag in _SKIP_TAGS or (tag == "title" and not self._keep_title)
@@ -112,21 +112,32 @@ class _TextExtractor(HTMLParser):
             raw = "".join(t for t, _a in self._cur)
             line = _collapse(raw)
             if line:
-                # non-whitespace char counts for the link-density ratio
-                nws = lambda s: sum(len(p) for p in s.split())
+                # non-whitespace char counts for the link-density
+                # ratio, using the SAME 6-char ASCII class as the
+                # collapse (str.split would exclude NBSP/\x1c-\x1f
+                # from the denominator while they stay in the text)
+                nws = lambda s: len(_WS_RUN.sub("", s))
                 self._lines.append((
                     line,
                     sum(nws(t) for t, _a in self._cur),
                     sum(nws(t) for t, a in self._cur if a),
                 ))
             self._cur = []
+        # an anchor does not legally span a block boundary; browsers
+        # auto-close it there.  Without this, ONE unclosed <a> (common
+        # in crawled HTML — HTMLParser does no HTML5 tree repair)
+        # would mark the whole rest of the document as anchor text and
+        # max_link_density would drop every later line.
+        self._in_anchor = False
 
     def handle_starttag(self, tag, attrs):
         if self._is_skip(tag):
             self._skip_stack.append(tag)
             return
+        if self._skip_stack:
+            return  # a tag INSIDE a skipped subtree must not leak state
         if tag == "a":
-            self._a_depth += 1
+            self._in_anchor = True
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -137,19 +148,21 @@ class _TextExtractor(HTMLParser):
             if self._skip_stack and self._skip_stack[-1] == tag:
                 self._skip_stack.pop()
             return
-        if tag == "a" and self._a_depth:
-            self._a_depth -= 1
+        if self._skip_stack:
+            return
+        if tag == "a":
+            self._in_anchor = False
         if tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_startendtag(self, tag, attrs):
         # void form (<br/>, <hr/>) — block break, never a skip scope
-        if tag in _BLOCK_TAGS:
+        if not self._skip_stack and tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_data(self, data):
         if not self._skip_stack and data:
-            self._cur.append((data, self._a_depth > 0))
+            self._cur.append((data, self._in_anchor))
 
     def text(self, max_link_density=None) -> str:
         self._flush()

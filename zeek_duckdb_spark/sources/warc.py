@@ -54,26 +54,50 @@ _GZIP_MAGIC = b"\x1f\x8b"
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 
+def _is_zstd(buf: bytes) -> bool:
+    """Standard frame magic OR a leading SKIPPABLE frame (magic
+    0x184D2A50-5F) — the IIPC ``.warc.zst`` convention leads with the
+    shared dictionary in a skippable frame, so keying on the standard
+    magic alone would misroute those files to the plain-WARC path."""
+    if buf[:4] == _ZSTD_MAGIC:
+        return True
+    return len(buf) >= 4 and 0x50 <= buf[0] <= 0x5F and buf[1:4] == b"\x2a\x4d\x18"
+
+
+_ZSTD_DICT_NOTE = (
+    "an IIPC dictionary-bearing .warc.zst needs its shared dictionary "
+    "loaded into the decoder — out of this reader's scope; "
+    "pre-decompress upstream or inject a prepared reader"
+)
+
+
 def _decompress_container(buf: bytes, who: str) -> bytes:
     """Container decompression by magic: gzip (concatenated members —
     the crawl-standard .warc.gz layout), zstd (.warc.zst via the
     repo's module-free chain: the ``zstandard`` module when installed,
     else the vendored store-mode codec, else pyarrow's bundled codec —
-    the same ladder ``header.open_zeek_text`` uses), else passthrough
-    (plain .warc)."""
+    the same ladder ``header.open_zeek_text`` uses; skippable frames
+    are tolerated, dictionary-COMPRESSED frames error naming the IIPC
+    convention), else passthrough (plain .warc)."""
     if buf[:2] == _GZIP_MAGIC:
         return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
-    if buf[:4] == _ZSTD_MAGIC:
+    if _is_zstd(buf):
         try:
             import zstandard  # type: ignore
-
-            return zstandard.ZstdDecompressor().stream_reader(
-                io.BytesIO(buf), read_across_frames=True
-            ).read()
         except ImportError:
-            pass
+            zstandard = None
+        if zstandard is not None:
+            try:
+                return zstandard.ZstdDecompressor().stream_reader(
+                    io.BytesIO(buf), read_across_frames=True
+                ).read()
+            except Exception as exc:
+                raise ValueError(
+                    f"{who}: zstd decode failed ({exc}); {_ZSTD_DICT_NOTE}"
+                ) from None
         from zeek_duckdb_spark.sources.zstd_raw import (
             ZstdCompressedBlockError,
+            ZstdRawError,
             decompress,
         )
 
@@ -83,17 +107,27 @@ def _decompress_container(buf: bytes, who: str) -> bytes:
             try:
                 import pyarrow as pa
 
-                if pa.Codec.is_available("zstd"):
-                    return bytes(
-                        pa.CompressedInputStream(
-                            pa.BufferReader(buf), "zstd"
-                        ).read()
-                    )
+                has_zstd = pa.Codec.is_available("zstd")
             except Exception:
-                pass
+                has_zstd = False
+            if not has_zstd:
+                raise ValueError(
+                    f"{who}: entropy-coded zstd WARC needs the zstandard "
+                    "module or a pyarrow build with zstd"
+                ) from None
+            try:
+                return bytes(
+                    pa.CompressedInputStream(
+                        pa.BufferReader(buf), "zstd"
+                    ).read()
+                )
+            except Exception as exc:
+                raise ValueError(
+                    f"{who}: zstd decode failed ({exc}); {_ZSTD_DICT_NOTE}"
+                ) from None
+        except ZstdRawError as exc:
             raise ValueError(
-                f"{who}: entropy-coded zstd WARC needs the zstandard "
-                "module or a pyarrow build with zstd"
+                f"{who}: corrupt or truncated zstd stream ({exc})"
             ) from None
     return buf
 
@@ -125,8 +159,19 @@ def _decode_chunked(body: bytes, who: str) -> bytes:
 
 def _parse_http_response(payload: bytes, who: str):
     """Raw HTTP/1.x response bytes -> (status int, content_type str or
-    None, body bytes).  Chunked bodies are decoded; a payload that is
-    not an HTTP response at all raises."""
+    None, body bytes, content_encoding_residual str or None).
+
+    Chunked transfer-encoding is decoded (framing errors raise — that
+    is OUR parse being violated).  Content-Encoding is decoded for
+    gzip/deflate; when the encoding is unsupported (br/zstd) or its
+    decode FAILS (truncated-gzip entities are real — crawls cap record
+    sizes, see WARC-Truncated), the record is QUARANTINED rather than
+    poisoning the job: ``body`` keeps the raw still-encoded bytes and
+    the residual names the encoding.  One page must not kill a 100 TB
+    ingest, and a raising record would wedge ``read_warc_stream``
+    forever (the checkpoint replays the same poison file every
+    restart).  Filter ``content_encoding IS NULL`` downstream for
+    fully-decoded entities."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0 or not payload.startswith(b"HTTP/"):
         raise ValueError(f"{who}: response record payload is not HTTP")
@@ -151,26 +196,24 @@ def _parse_http_response(payload: bytes, who: str):
             cenc = v.strip().lower()
     if chunked:
         body = _decode_chunked(body, who)
-    # Content-Encoding applies to the (de-chunked) entity — gzip is
-    # ubiquitous in real crawls; passing compressed bytes through as
-    # 'body' would silently land mojibake as training text
     if cenc in (None, "", "identity"):
-        pass
-    elif cenc in ("gzip", "x-gzip"):
-        body = gzip.decompress(body)
-    elif cenc == "deflate":
+        return status, ctype, body, None
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            return status, ctype, gzip.decompress(body), None
+        except Exception:
+            return status, ctype, body, cenc  # truncated/corrupt: quarantine
+    if cenc == "deflate":
         import zlib
 
         try:
-            body = zlib.decompress(body)
+            return status, ctype, zlib.decompress(body), None
         except zlib.error:
-            body = zlib.decompress(body, -15)  # raw-deflate servers
-    else:
-        raise ValueError(
-            f"{who}: Content-Encoding {cenc!r} is outside the "
-            "identity/gzip/deflate scope (br/zstd need their codecs)"
-        )
-    return status, ctype, body
+            try:
+                return status, ctype, zlib.decompress(body, -15), None
+            except zlib.error:
+                return status, ctype, body, cenc
+    return status, ctype, body, cenc  # br/zstd/unknown: quarantine
 
 
 def parse_warc(payload: bytes, who: str = "parse_warc"):
@@ -205,11 +248,18 @@ def parse_warc(payload: bytes, who: str = "parse_warc"):
         if "content-length" not in headers:
             raise ValueError(f"{who}: WARC record missing Content-Length")
         cl = headers["content-length"]
-        if not cl.isdigit():
-            # a negative/garbage length could move the cursor BACKWARD
-            # and loop forever on a crafted file — reject before slicing
+        # a negative/garbage length could move the cursor BACKWARD and
+        # loop forever on a crafted file — reject before slicing
+        # (int() not isdigit(): superscript digits pass isdigit but
+        # would raise a context-free ValueError here)
+        try:
+            ln_ = int(cl)
+        except ValueError:
+            raise ValueError(
+                f"{who}: bad WARC Content-Length {cl!r}"
+            ) from None
+        if ln_ < 0:
             raise ValueError(f"{who}: bad WARC Content-Length {cl!r}")
-        ln_ = int(cl)
         body_start = hdr_end + 4
         if body_start + ln_ > n:
             raise ValueError(f"{who}: truncated WARC record payload")
@@ -241,31 +291,76 @@ _WARC_SCHEMA = T.StructType(
         T.StructField("warc_date", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
+        # NULL = body is the fully-decoded entity; else the
+        # still-encoded Content-Encoding name (quarantined record)
+        T.StructField("content_encoding", T.StringType()),
         T.StructField("body", T.BinaryType()),
     ]
 )
+
+_WARC_TEXT_SCHEMA = T.StructType(
+    _WARC_SCHEMA.fields + [T.StructField("body_text", T.StringType())]
+)
+
+
+def _charset_decode(raw: bytes, content_type) -> str:
+    """Charset-aware entity decode — the shared policy of
+    :func:`body_text_col` and ``read_warc(decode_text=True)``: use the
+    charset named in Content-Type when it is a REAL text encoding
+    (``codecs.lookup`` also resolves bytes transforms like hex/base64/
+    zlib, which would raise at str-decode time — a lying header must
+    not kill the batch), else utf-8; undecodable bytes become U+FFFD
+    replacements."""
+    import codecs
+    import re
+
+    enc = "utf-8"
+    if content_type:
+        m = re.search(r"charset=[\"']?([\w.:-]+)", content_type, re.I)
+        if m:
+            try:
+                info = codecs.lookup(m.group(1))
+                if getattr(info, "_is_text_encoding", True):
+                    enc = m.group(1)
+            except LookupError:
+                pass
+    try:
+        return raw.decode(enc, errors="replace")
+    except (LookupError, ValueError):
+        return raw.decode("utf-8", errors="replace")
 
 
 def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple = ("response",),
+    decode_text: bool = False,
 ) -> DataFrame:
     """Read WARC files (plain, .warc.gz or .warc.zst) into one row per record:
     (warc_file, record_id, warc_type, target_uri, warc_date string,
-    http_status, content_type, body binary).
+    http_status, content_type, content_encoding, body binary
+    [, body_text string]).
 
     ``record_types`` filters on WARC-Type (default: the ``response``
     records that carry page content; pass ``("response", "request",
     "metadata", ...)`` or ``None`` for everything).  For response
     records the HTTP head is parsed off — ``http_status`` /
     ``content_type`` come from it and ``body`` is the entity bytes
-    (chunked transfer-encoding decoded); for other record types the
-    raw WARC payload rides in ``body`` with content_type from the
-    WARC header.  Charset decoding is downstream's choice —
-    ``F.decode(col, 'utf-8')`` for a known-utf-8 corpus, or
-    :func:`body_text_col` for the charset-in-Content-Type crawl
-    reality — then ``htmlops.extract_text_html`` for pages.
+    (chunked transfer-encoding decoded; gzip/deflate Content-Encoding
+    decompressed).  ``content_encoding`` is the QUARANTINE column:
+    NULL means ``body`` is the fully-decoded entity; a non-NULL value
+    (br/zstd, or gzip/deflate whose decode failed — truncated entities
+    are real in crawls) means ``body`` kept the raw still-encoded
+    bytes, because one poison page must not kill the job or wedge the
+    checkpointed stream.  For other record types the raw WARC payload
+    rides in ``body`` with content_type from the WARC header.
+
+    ``decode_text=True`` adds ``body_text``: the charset-aware decode
+    (Content-Type charset, utf-8-replace policy — see
+    :func:`body_text_col`) done INSIDE the expansion map, where body
+    and content_type are already Python objects, so the hottest column
+    crosses Arrow once; quarantined records get NULL.  Feed it to
+    ``htmlops.extract_text_html`` for pages.
 
     One binaryFile row per WARC file -> row-expanding mapInPandas;
     zero shuffle."""
@@ -279,27 +374,34 @@ def read_warc(
     # linear is VM SMT contention, not task layout.
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        _make_expand(wanted), _WARC_SCHEMA
+        _make_expand(wanted, decode_text),
+        _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA,
     )
 
 
-def _make_expand(wanted):
+def _make_expand(wanted, decode_text: bool = False):
     """The record-expansion mapInPandas body shared by the batch and
     streaming readers (``wanted`` = lowercased WARC-Type filter set or
-    None)."""
+    None).  ``decode_text`` adds a ``body_text`` column decoded HERE —
+    body and content_type are already plain Python objects inside this
+    map, so decoding in-place avoids a second Arrow crossing of the
+    hottest column (quarantined still-encoded records get NULL
+    body_text)."""
+    schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
 
     def expand(it):
         for pdf in it:
-            rows = {c: [] for c in _WARC_SCHEMA.fieldNames()}
+            rows = {c: [] for c in schema.fieldNames()}
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc(bytes(blob), who=f"read_warc({fpath})"):
                     h = rec["headers"]
                     wtype = h.get("warc-type", "")
                     if wanted is not None and wtype.lower() not in wanted:
                         continue
-                    status, ctype, body = None, h.get("content-type"), rec["payload"]
+                    status, cenc = None, None
+                    ctype, body = h.get("content-type"), rec["payload"]
                     if wtype.lower() == "response":
-                        status, ctype, body = _parse_http_response(
+                        status, ctype, body, cenc = _parse_http_response(
                             rec["payload"], who=f"read_warc({fpath})"
                         )
                     rows["warc_file"].append(fpath)
@@ -309,14 +411,20 @@ def _make_expand(wanted):
                     rows["warc_date"].append(h.get("warc-date"))
                     rows["http_status"].append(status)
                     rows["content_type"].append(ctype)
+                    rows["content_encoding"].append(cenc)
                     rows["body"].append(body)
+                    if decode_text:
+                        rows["body_text"].append(
+                            None if cenc is not None
+                            else _charset_decode(body, ctype)
+                        )
             yield pd.DataFrame(
                 {
                     c: pd.Series(
                         rows[c],
                         dtype="Int32" if c == "http_status" else "object",
                     )
-                    for c in _WARC_SCHEMA.fieldNames()
+                    for c in schema.fieldNames()
                 }
             )
 
@@ -340,6 +448,7 @@ def read_warc_stream(
     path: str,
     record_types: tuple = ("response",),
     max_files_per_trigger: int | None = None,
+    decode_text: bool = False,
 ) -> DataFrame:
     """Streaming :func:`read_warc`: the same one-row-per-record expand
     over a ``binaryFile`` FILE STREAM, for the daily-crawl shape —
@@ -362,7 +471,8 @@ def read_warc_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path)
     return files.select("path", "content").mapInPandas(
-        _make_expand(wanted), _WARC_SCHEMA
+        _make_expand(wanted, decode_text),
+        _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA,
     )
 
 
@@ -387,24 +497,12 @@ def body_text_col(
 
     @F.pandas_udf("string")
     def _dec(b: pd.Series, ct: pd.Series) -> pd.Series:
-        import codecs
-        import re
-
-        out = []
-        for raw, c in zip(b, ct):
-            if raw is None:
-                out.append(None)
-                continue
-            enc = "utf-8"
-            if c:
-                m = re.search(r"charset=[\"']?([\w.:-]+)", c, re.I)
-                if m:
-                    try:
-                        codecs.lookup(m.group(1))
-                        enc = m.group(1)
-                    except LookupError:
-                        pass  # lying header: utf-8-replace fallback
-            out.append(bytes(raw).decode(enc, errors="replace"))
-        return pd.Series(out, dtype="object")
+        return pd.Series(
+            [
+                None if raw is None else _charset_decode(bytes(raw), c)
+                for raw, c in zip(b, ct)
+            ],
+            dtype="object",
+        )
 
     return _dec(body, content_type)
