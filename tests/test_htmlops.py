@@ -310,3 +310,68 @@ def test_charset_decode_non_text_codec_fallback(spark):
         for r in df.select("doc_id", body_text_col().alias("text")).collect()
     }
     assert got == {1: "plain page", 2: "ok"}
+
+
+def test_extract_meta_reference():
+    from zeek_duckdb_spark.operators.htmlops import extract_meta
+
+    h = """<html lang="en-US"><head><title>My  Article</title>
+<meta name="description" content="A summary.">
+<meta property="og:description" content="ignored, description won">
+<link rel="CANONICAL stylesheet" href=" https://orig.example.com/post/1 ">
+<meta name="robots" content="NOINDEX, nofollow"></head>
+<body><p>x</p></body></html>"""
+    assert extract_meta(h) == {
+        "title": "My Article",
+        "description": "A summary.",
+        "lang": "en-US",
+        "canonical": "https://orig.example.com/post/1",
+        "noindex": True,
+    }
+    # og:description serves when plain description is absent
+    h2 = '<meta property="og:description" content="og only"/>'
+    assert extract_meta(h2)["description"] == "og only"
+    assert extract_meta("<p>no head</p>") == {
+        "title": None, "description": None, "lang": None,
+        "canonical": None, "noindex": False,
+    }
+    with pytest.raises(ValueError, match="doc is None"):
+        extract_meta(None)
+
+
+def test_extract_meta_html_canonical_dedup(spark):
+    """The canonical-URL dedup composition: syndicated copies declare
+    the SAME <link rel=canonical>, so grouping on
+    coalesce(meta.canonical, url) collapses them BEFORE any content
+    hashing — and noindex pages filter out."""
+    from zeek_duckdb_spark.operators.htmlops import extract_meta_html
+
+    art = '<link rel="canonical" href="https://orig.example/a"><p>story</p>'
+    rows = [
+        (1, "https://orig.example/a", art),
+        (2, "https://mirror-one.example/copy", art),
+        (3, "https://other.example/b", "<p>different article</p>"),
+        (4, "https://spam.example/x",
+         '<meta name="robots" content="noindex"><p>thin page</p>'),
+        (5, "https://null.example/n", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = extract_meta_html(df)
+    kept = out.filter(
+        ~F.coalesce(F.col("meta.noindex"), F.lit(False))
+        & F.col("html").isNotNull()
+    ).withColumn("dedup_key", F.coalesce(F.col("meta.canonical"), F.col("url")))
+    groups = {
+        r.dedup_key: set(r.ids)
+        for r in kept.groupBy("dedup_key")
+        .agg(F.collect_set("doc_id").alias("ids")).collect()
+    }
+    assert groups["https://orig.example/a"] == {1, 2}   # syndication collapses
+    assert groups["https://other.example/b"] == {3}
+    assert 4 not in {i for s in groups.values() for i in s}  # noindex dropped
+    # NULL html -> NULL struct
+    nulls = {r.doc_id: r.meta for r in out.collect()}
+    assert nulls[5].title is None and nulls[5].noindex is None
+    # zero shuffle on the extraction itself
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -53,8 +53,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "html_to_text",
     "extract_links",
+    "extract_meta",
     "extract_text_html",
     "extract_links_html",
+    "extract_meta_html",
 ]
 
 # subtrees whose text is never content ('title' joins them unless
@@ -312,3 +314,107 @@ def extract_links_html(
     return df.withColumn(
         out_col, _links_based(F.col(html_col), F.col(base_url_col))
     )
+
+
+class _MetaExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list = []
+        self._in_title = False
+        self.description = None
+        self.lang = None
+        self.canonical = None
+        self.noindex = False
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "html" and self.lang is None:
+            self.lang = a.get("lang") or a.get("xml:lang")
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            name = (a.get("name") or a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                return
+            if self.description is None and name in (
+                "description", "og:description"
+            ):
+                self.description = content
+            elif name == "robots" and "noindex" in content.lower():
+                self.noindex = True
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and self.canonical is None:
+                href = (a.get("href") or "").strip()
+                if href:
+                    self.canonical = href
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        # <title/> void form: nothing to capture
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+
+
+def extract_meta(doc: str) -> dict:
+    """HTML -> document metadata dict: ``title`` (whitespace-collapsed),
+    ``description`` (meta description / og:description, first wins),
+    ``lang`` (the ``<html lang>`` attribute, unvalidated — compare
+    against ``textops.lang_id`` on the extracted text to catch lying
+    headers), ``canonical`` (``<link rel=canonical>`` href — pages
+    declaring the SAME canonical are the same logical document, the
+    dedup key that collapses syndicated/mirrored copies before any
+    content hashing), and ``noindex`` (meta robots — pages the SITE
+    says not to index are usually pages you don't want to train on
+    either).  Missing pieces are None/False."""
+    if doc is None:
+        raise ValueError("extract_meta: doc is None")
+    p = _MetaExtractor()
+    p.feed(doc)
+    p.close()
+    title = _collapse("".join(p.title_parts)) or None
+    return {
+        "title": title,
+        "description": p.description,
+        "lang": p.lang,
+        "canonical": p.canonical,
+        "noindex": p.noindex,
+    }
+
+
+_META_TYPE = (
+    "struct<title:string,description:string,lang:string,"
+    "canonical:string,noindex:boolean>"
+)
+
+
+def extract_meta_html(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "meta",
+) -> DataFrame:
+    """Add ``out_col`` = metadata struct of ``html_col`` (see
+    :func:`extract_meta`) — ONE Arrow-batched map, zero shuffle, NULL
+    html -> NULL struct.  Crawl uses: dedup on
+    ``coalesce(meta.canonical, url)`` to collapse syndicated copies
+    BEFORE content hashing, filter ``NOT meta.noindex``, and
+    cross-check ``meta.lang`` against ``textops.lang_id``."""
+
+    @F.pandas_udf(_META_TYPE)
+    def _meta(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            {"title": None, "description": None, "lang": None,
+             "canonical": None, "noindex": None}
+            if h is None else extract_meta(h)
+            for h in s
+        ]
+        return pd.DataFrame(rows)
+
+    return df.withColumn(out_col, _meta(F.col(html_col)))
