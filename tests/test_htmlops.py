@@ -337,6 +337,11 @@ def test_extract_meta_reference():
     }
     with pytest.raises(ValueError, match="doc is None"):
         extract_meta(None)
+    # FIRST title element wins (browser rule): an svg tooltip <title>
+    # later in the page must not append to the document title
+    h3 = ("<title>Doc Title</title><body>"
+          "<svg><title>svg tooltip</title><circle/></svg></body>")
+    assert extract_meta(h3)["title"] == "Doc Title"
 
 
 def test_extract_meta_html_canonical_dedup(spark):

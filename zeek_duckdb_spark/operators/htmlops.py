@@ -321,6 +321,7 @@ class _MetaExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.title_parts: list = []
         self._in_title = False
+        self._title_done = False
         self.description = None
         self.lang = None
         self.canonical = None
@@ -330,7 +331,10 @@ class _MetaExtractor(HTMLParser):
         a = dict(attrs)
         if tag == "html" and self.lang is None:
             self.lang = a.get("lang") or a.get("xml:lang")
-        elif tag == "title":
+        elif tag == "title" and not self._title_done:
+            # FIRST title element only (browser rule) — svg/symbol
+            # subtrees carry their own <title> tooltips that must not
+            # append to the document title
             self._in_title = True
         elif tag == "meta":
             name = (a.get("name") or a.get("property") or "").lower()
@@ -351,12 +355,15 @@ class _MetaExtractor(HTMLParser):
                     self.canonical = href
 
     def handle_endtag(self, tag):
-        if tag == "title":
+        if tag == "title" and self._in_title:
             self._in_title = False
+            self._title_done = True
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
         # <title/> void form: nothing to capture
+        if tag == "title":
+            self._in_title = False
 
     def handle_data(self, data):
         if self._in_title:
