@@ -640,6 +640,13 @@ def test_ingest_crawl_subcommand(spark, tmp_path):
     )
     png = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\nContent-Length: 3\r\n\r\nabc"
     miss = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\nContent-Length: 4\r\n\r\ngone"
+    # legal uppercase Content-Type (real crawls carry Text/HTML) —
+    # the default page filter must not drop it (round-13)
+    upper_body = b"<p>uppercase content type page words</p>"
+    upper = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: Text/HTML\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(upper_body) + upper_body
+    )
     (tmp_path / "c.warc.gz").write_bytes(encode_warc([
         ({"WARC-Type": "response", "WARC-Record-ID": "<urn:1>",
           "WARC-Target-URI": "http://a.org/p", "WARC-Date": "2026-08-16T00:00:00Z",
@@ -650,24 +657,29 @@ def test_ingest_crawl_subcommand(spark, tmp_path):
         ({"WARC-Type": "response", "WARC-Record-ID": "<urn:3>",
           "WARC-Target-URI": "http://a.org/gone",
           "Content-Type": "application/http; msgtype=response"}, miss),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:4>",
+          "WARC-Target-URI": "http://a.org/upper",
+          "Content-Type": "application/http; msgtype=response"}, upper),
     ]))
     out = str(tmp_path / "landed")
     rc = main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out], spark=spark)
     assert rc == 0
-    rows = spark.read.parquet(out).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert r.url == "http://a.org/p" and r.text == "crawl page text"
+    rows = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"http://a.org/p", "http://a.org/upper"}
+    r = rows["http://a.org/p"]
+    assert r.text == "crawl page text"
+    assert rows["http://a.org/upper"].text == "uppercase content type page words"
     first_id = r.doc_id
     # re-land: deterministic doc_id, overwrite semantics
     assert main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out],
                 spark=spark) == 0
-    assert spark.read.parquet(out).collect()[0].doc_id == first_id
+    relanded = {r.url: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert relanded["http://a.org/p"] == first_id
     # --all-responses keeps the png and the 404 rows too
     rc = main(["ingest-crawl", str(tmp_path / "*.warc.gz"), out,
                "--all-responses"], spark=spark)
     assert rc == 0
-    assert spark.read.parquet(out).count() == 3
+    assert spark.read.parquet(out).count() == 4
 
 
 def test_ingest_crawl_charset_and_link_density(spark, tmp_path):

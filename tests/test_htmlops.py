@@ -342,6 +342,26 @@ def test_extract_meta_reference():
     h3 = ("<title>Doc Title</title><body>"
           "<svg><title>svg tooltip</title><circle/></svg></body>")
     assert extract_meta(h3)["title"] == "Doc Title"
+    # ...and an svg tooltip that PRECEDES (or substitutes for) the
+    # head title must not become the document title either — the
+    # skip stack covers svg/math/template subtrees (round-13)
+    h4 = ("<body><svg><title>svg tooltip</title><circle/></svg>"
+          "<p>x</p></body><title>Late Title</title>")
+    assert extract_meta(h4)["title"] == "Late Title"
+    h5 = "<svg><title>only tooltip</title></svg><p>body</p>"
+    assert extract_meta(h5)["title"] is None
+    # metadata inside an inert <template> is not document metadata,
+    # and a stray </style> inside it must not end the template scope
+    h6 = ("<template></style><meta name=description content=no>"
+          "<title>T</title><link rel=canonical href=http://t/>"
+          "</template><title>Real</title>"
+          '<meta name="description" content="yes">')
+    m6 = extract_meta(h6)
+    assert m6["title"] == "Real"
+    assert m6["description"] == "yes"
+    assert m6["canonical"] is None
+    # self-closing <svg/> opens no scope
+    assert extract_meta("<svg/><title>After</title>")["title"] == "After"
 
 
 def test_extract_meta_html_canonical_dedup(spark):

@@ -74,17 +74,23 @@ def test_error_surfaces():
     no_len = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nbody\r\n\r\n"
     with pytest.raises(ValueError, match="missing Content-Length"):
         list(parse_warc(no_len))
-    # response payload that is not HTTP fails loudly at read time
+    # structurally-non-HTTP payload still raises at the UNIT level —
+    # the expansion map gates on the record Content-Type and
+    # quarantines instead (test_non_http_response_quarantine)
     from zeek_duckdb_spark.sources.warc import _parse_http_response
 
     with pytest.raises(ValueError, match="not HTTP"):
         _parse_http_response(b"garbage bytes", "t")
-    with pytest.raises(ValueError, match="bad chunk size"):
-        _parse_http_response(
-            _http(b"x")[: -1].replace(b"Content-Length: 1", b"Transfer-Encoding: chunked")
-            + b"zz\r\nx\r\n0\r\n\r\n",
-            "t",
-        )
+    # broken chunk framing QUARANTINES (residual 'chunked', raw
+    # still-framed bytes kept) — same WARC-Truncated event as a
+    # truncated gzip entity, same policy (round-13)
+    bad_chunk = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nzz\r\nx\r\n0\r\n\r\n"
+    )
+    s, c, b, e = _parse_http_response(bad_chunk, "t")
+    assert (s, e) == (200, "chunked")
+    assert b == b"zz\r\nx\r\n0\r\n\r\n"
 
 
 def test_read_warc_end_to_end_chain(spark, tmp_path):
@@ -322,6 +328,141 @@ def test_read_warc_stream_exactly_once(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_files_per_trigger"):
         read_warc_stream(spark, str(crawl), max_files_per_trigger=0)
+
+
+def test_chunked_truncation_quarantine_batch_and_stream(spark, tmp_path):
+    """A capped mid-chunk response (the WARC-Truncated event for
+    chunked framing) must QUARANTINE — residual 'chunked', raw
+    still-framed bytes kept — in both the batch and streaming readers,
+    and must not wedge the checkpointed stream on restart (round-13:
+    the quarantine policy is uniform, not gzip-only)."""
+    from zeek_duckdb_spark.sources.warc import read_warc_stream
+
+    capped = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nff\r\n<p>only ten"
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "day0.warc.gz").write_bytes(encode_warc([
+        _response_rec("http://ok.org/a", b"<p>good page</p>"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:capped>",
+          "WARC-Target-URI": "http://capped.org/x",
+          "Content-Type": "application/http; msgtype=response"}, capped),
+    ]))
+
+    df = read_warc(spark, str(crawl / "*.warc.gz"), decode_text=True)
+    rows = {r.target_uri: r for r in df.collect()}
+    bad = rows["http://capped.org/x"]
+    assert bad.content_encoding == "chunked"
+    assert bytes(bad.body) == b"ff\r\n<p>only ten"
+    assert bad.http_status == 200 and bad.body_text is None
+    assert rows["http://ok.org/a"].content_encoding is None
+
+    out, ck = str(tmp_path / "landed"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            read_warc_stream(spark, str(crawl))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()  # the poison file parses instead of wedging the stream
+    got = {r.target_uri: r.content_encoding
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"http://ok.org/a": None, "http://capped.org/x": "chunked"}
+    # restart with a new file: checkpoint advances past the capped one
+    (crawl / "day1.warc.gz").write_bytes(encode_warc([
+        _response_rec("http://ok.org/b", b"<p>next day</p>"),
+    ]))
+    drain()
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_non_http_response_quarantine(spark, tmp_path):
+    """WARC permits response records whose payload is not HTTP
+    (DNS/FTP captures).  HTTP parsing gates on the record Content-Type:
+    non-HTTP captures pass through raw (NULL residual, WARC header
+    content_type); a record CLAIMING application/http with a garbage
+    payload quarantines under residual 'http'; a Content-Type-less
+    record sniffs (round-13)."""
+    dns_payload = b"20260816 fc.example.org A 192.0.2.7\n"
+    recs = [
+        _response_rec("http://ok.org/a", b"<p>http page</p>"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:dns>",
+          "WARC-Target-URI": "dns:fc.example.org",
+          "Content-Type": "text/dns"}, dns_payload),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:lying>",
+          "WARC-Target-URI": "http://lying.org/x",
+          "Content-Type": "application/http; msgtype=response"},
+         b"garbage that is not HTTP"),
+        # sloppy writer: no Content-Type at all, payload IS HTTP
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:sniff>",
+          "WARC-Target-URI": "http://sniff.org/y"},
+         _http(b"<p>sniffed</p>")),
+    ]
+    (tmp_path / "mixed.warc.gz").write_bytes(encode_warc(recs))
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"), decode_text=True)
+    rows = {r.target_uri: r for r in df.collect()}
+    assert len(rows) == 4  # nothing raised; the file survived intact
+
+    dns = rows["dns:fc.example.org"]
+    assert dns.content_encoding is None and dns.http_status is None
+    assert dns.content_type == "text/dns"
+    assert bytes(dns.body) == dns_payload
+    assert dns.body_text == dns_payload.decode()  # decodable passthrough
+
+    lying = rows["http://lying.org/x"]
+    assert lying.content_encoding == "http" and lying.http_status is None
+    assert bytes(lying.body) == b"garbage that is not HTTP"
+    assert lying.body_text is None
+    assert lying.content_type == "application/http; msgtype=response"
+
+    sniffed = rows["http://sniff.org/y"]
+    assert sniffed.http_status == 200
+    assert sniffed.content_type == "text/html"
+    assert sniffed.body_text == "<p>sniffed</p>"
+
+
+def test_expand_flush_bounds(monkeypatch):
+    """_make_expand must yield bounded frames — never a whole crawl
+    file's expansion in one DataFrame (round-13: x32 tasks at
+    local[32], a 1 GiB file's 2-3 GiB expansion per task would stack
+    to the memory budget).  Unit-level: drive the generator directly
+    and assert per-yield row counts and content equality."""
+    import pandas as pd
+
+    from zeek_duckdb_spark.sources import warc as W
+
+    blob = encode_warc([
+        _response_rec(f"http://m.org/{i}", f"<p>page {i}</p>".encode())
+        for i in range(25)
+    ])
+    batch = pd.DataFrame({"path": ["f.warc.gz"], "content": [blob]})
+
+    def run():
+        return list(W._make_expand({"response"})(iter([batch])))
+
+    whole = pd.concat(run(), ignore_index=True)
+    assert len(whole) == 25
+
+    monkeypatch.setattr(W, "_FLUSH_RECORDS", 8)
+    frames = run()
+    assert [len(f) for f in frames] == [8, 8, 8, 1]
+    bounded = pd.concat(frames, ignore_index=True)
+    pd.testing.assert_frame_equal(whole, bounded)
+
+    # byte-threshold path: one big body forces a flush
+    monkeypatch.setattr(W, "_FLUSH_RECORDS", 10_000)
+    monkeypatch.setattr(W, "_FLUSH_BYTES", 64)
+    frames = run()
+    assert len(frames) > 1 and all(len(f) <= 5 for f in frames)
+    pd.testing.assert_frame_equal(
+        whole, pd.concat(frames, ignore_index=True)
+    )
 
 
 def test_warc_zst_container(tmp_path):

@@ -686,7 +686,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if not args.all_responses:
                 recs = recs.filter(
                     (F.col("http_status") == 200)
-                    & F.col("content_type").contains("html")
+                    # lower() first: 'Text/HTML' / 'TEXT/HTML' are
+                    # legal and present in real crawls — a
+                    # case-sensitive contains silently drops them
+                    & F.lower(F.col("content_type")).contains("html")
                     & F.col("content_encoding").isNull()
                 )
             pages = recs.select(

@@ -316,25 +316,40 @@ def extract_links_html(
     )
 
 
+# subtrees whose <title>/<meta>/<link> are NOT document metadata: an
+# svg/math <title> is a tooltip, a <template> is inert content
+_META_SKIP_TAGS = frozenset(["svg", "math", "template"])
+
+
 class _MetaExtractor(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.title_parts: list = []
         self._in_title = False
         self._title_done = False
+        # a STACK like _TextExtractor's, not a counter — a stray
+        # close tag inside an open <template> must not end its scope
+        self._skip_stack: list = []
         self.description = None
         self.lang = None
         self.canonical = None
         self.noindex = False
 
     def handle_starttag(self, tag, attrs):
+        if tag in _META_SKIP_TAGS:
+            self._skip_stack.append(tag)
+            return
+        if self._skip_stack:
+            # an svg tooltip <title> (or template'd meta/link) that
+            # PRECEDES the head title must not become the document
+            # title — browsers only read metadata outside these
+            # subtrees
+            return
         a = dict(attrs)
         if tag == "html" and self.lang is None:
             self.lang = a.get("lang") or a.get("xml:lang")
         elif tag == "title" and not self._title_done:
-            # FIRST title element only (browser rule) — svg/symbol
-            # subtrees carry their own <title> tooltips that must not
-            # append to the document title
+            # FIRST title element only (browser rule)
             self._in_title = True
         elif tag == "meta":
             name = (a.get("name") or a.get("property") or "").lower()
@@ -355,18 +370,30 @@ class _MetaExtractor(HTMLParser):
                     self.canonical = href
 
     def handle_endtag(self, tag):
+        if tag in _META_SKIP_TAGS:
+            # only the matching innermost scope closes (stray close
+            # tags of a different skip tag are ignored)
+            if self._skip_stack and self._skip_stack[-1] == tag:
+                self._skip_stack.pop()
+            return
+        if self._skip_stack:
+            return
         if tag == "title" and self._in_title:
             self._in_title = False
             self._title_done = True
 
     def handle_startendtag(self, tag, attrs):
+        # a self-closing <svg/> opens no scope — route through
+        # start+end so the stack stays balanced
+        if tag in _META_SKIP_TAGS:
+            return
         self.handle_starttag(tag, attrs)
         # <title/> void form: nothing to capture
         if tag == "title":
             self._in_title = False
 
     def handle_data(self, data):
-        if self._in_title:
+        if self._in_title and not self._skip_stack:
             self.title_parts.append(data)
 
 

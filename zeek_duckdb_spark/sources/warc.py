@@ -161,17 +161,30 @@ def _parse_http_response(payload: bytes, who: str):
     """Raw HTTP/1.x response bytes -> (status int, content_type str or
     None, body bytes, content_encoding_residual str or None).
 
-    Chunked transfer-encoding is decoded (framing errors raise — that
-    is OUR parse being violated).  Content-Encoding is decoded for
-    gzip/deflate; when the encoding is unsupported (br/zstd) or its
-    decode FAILS (truncated-gzip entities are real — crawls cap record
-    sizes, see WARC-Truncated), the record is QUARANTINED rather than
-    poisoning the job: ``body`` keeps the raw still-encoded bytes and
-    the residual names the encoding.  One page must not kill a 100 TB
-    ingest, and a raising record would wedge ``read_warc_stream``
-    forever (the checkpoint replays the same poison file every
-    restart).  Filter ``content_encoding IS NULL`` downstream for
-    fully-decoded entities."""
+    The QUARANTINE policy is uniform: any per-record decode failure
+    yields a row with the raw still-encoded bytes in ``body`` and a
+    residual naming what could not be undone, never an exception —
+    one page must not kill a 100 TB ingest, and a raising record would
+    wedge ``read_warc_stream`` forever (the checkpoint replays the
+    same poison file every restart).  Residuals:
+
+    - ``'chunked'`` — truncated/garbled chunked transfer-encoding
+      framing (crawls cap record sizes, see WARC-Truncated — a capped
+      mid-chunk response is the same real-world event as a truncated
+      gzip entity and gets the same treatment); ``body`` keeps the raw
+      still-chunk-framed bytes.
+    - the Content-Encoding name (``'br'``/``'zstd'``/...) — the
+      encoding is unsupported, or gzip/deflate whose decode FAILED
+      (truncated entities).
+    - (the caller adds ``'http'`` when this function raises — a record
+      *claiming* application/http whose payload isn't parseable HTTP.)
+
+    The only raises left are structural: a payload that does not even
+    start with ``HTTP/`` or has no status line — callers gate on the
+    WARC record's own Content-Type before calling (non-HTTP captures
+    exist: DNS/FTP responses are legal WARC ``response`` records) and
+    quarantine on the raise.  Filter ``content_encoding IS NULL``
+    downstream for fully-decoded entities."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0 or not payload.startswith(b"HTTP/"):
         raise ValueError(f"{who}: response record payload is not HTTP")
@@ -195,7 +208,13 @@ def _parse_http_response(payload: bytes, who: str):
         elif k == "content-encoding":
             cenc = v.strip().lower()
     if chunked:
-        body = _decode_chunked(body, who)
+        try:
+            body = _decode_chunked(body, who)
+        except ValueError:
+            # capped/garbled chunk framing: quarantine with the raw
+            # still-chunk-framed bytes (Content-Encoding, if any, is
+            # beneath the broken framing and unreachable anyway)
+            return status, ctype, body, "chunked"
     if cenc in (None, "", "identity"):
         return status, ctype, body, None
     if cenc in ("gzip", "x-gzip"):
@@ -349,11 +368,16 @@ def read_warc(
     (chunked transfer-encoding decoded; gzip/deflate Content-Encoding
     decompressed).  ``content_encoding`` is the QUARANTINE column:
     NULL means ``body`` is the fully-decoded entity; a non-NULL value
-    (br/zstd, or gzip/deflate whose decode failed — truncated entities
-    are real in crawls) means ``body`` kept the raw still-encoded
-    bytes, because one poison page must not kill the job or wedge the
-    checkpointed stream.  For other record types the raw WARC payload
-    rides in ``body`` with content_type from the WARC header.
+    means ``body`` kept the raw still-encoded bytes, because one
+    poison page must not kill the job or wedge the checkpointed
+    stream.  Residual values: a Content-Encoding name (br/zstd, or
+    gzip/deflate whose decode failed — truncated entities are real in
+    crawls), ``'chunked'`` (capped/garbled chunked framing, the same
+    WARC-Truncated event), or ``'http'`` (a record claiming
+    application/http whose payload isn't parseable HTTP).  Non-HTTP
+    ``response`` captures (DNS/FTP — legal per ISO 28500, gated on the
+    record's Content-Type) and other record types pass through raw
+    with content_type from the WARC header and NULL residual.
 
     ``decode_text=True`` adds ``body_text``: the charset-aware decode
     (Content-Type charset, utf-8-replace policy — see
@@ -379,6 +403,18 @@ def read_warc(
     )
 
 
+# per-yield bounds for the record-expansion map: a real crawl WARC is
+# ~1 GiB whose decoded bodies are another 1-3 GiB of Python objects —
+# accumulating a whole file's rows before yielding would hold all of
+# it per task simultaneously (x32 tasks at local[32]).  Flushing every
+# N records / M expanded bytes keeps rows-in-flight bounded at ~the
+# flush size regardless of file size (the raw file blob + decompressed
+# buffer remain resident — that is binaryFile's inherent unit — but
+# the 2-3x expansion no longer stacks on top of it).
+_FLUSH_RECORDS = 2048
+_FLUSH_BYTES = 64 << 20
+
+
 def _make_expand(wanted, decode_text: bool = False):
     """The record-expansion mapInPandas body shared by the batch and
     streaming readers (``wanted`` = lowercased WARC-Type filter set or
@@ -386,12 +422,39 @@ def _make_expand(wanted, decode_text: bool = False):
     body and content_type are already plain Python objects inside this
     map, so decoding in-place avoids a second Arrow crossing of the
     hottest column (quarantined still-encoded records get NULL
-    body_text)."""
+    body_text).
+
+    HTTP parsing is gated on the WARC record's own Content-Type:
+    ``application/http`` payloads (or, for sloppy writers that omit
+    Content-Type, payloads sniffing as ``HTTP/``) get the head parsed
+    off; non-HTTP ``response`` captures (DNS/FTP — legal per ISO
+    28500) pass through raw with the WARC header's content_type, and a
+    record CLAIMING application/http whose payload won't parse is
+    quarantined with residual ``'http'`` — never a raise, because one
+    such record would kill the file and wedge the checkpointed stream
+    on every replay.
+
+    Yields a DataFrame every ``_FLUSH_RECORDS`` records or
+    ``_FLUSH_BYTES`` expanded body bytes (see constants above) so a
+    1 GiB crawl file never holds its full expansion in flight."""
     schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+    cols = schema.fieldNames()
+
+    def _frame(rows):
+        return pd.DataFrame(
+            {
+                c: pd.Series(
+                    rows[c],
+                    dtype="Int32" if c == "http_status" else "object",
+                )
+                for c in cols
+            }
+        )
 
     def expand(it):
         for pdf in it:
-            rows = {c: [] for c in schema.fieldNames()}
+            rows = {c: [] for c in cols}
+            pending = 0
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc(bytes(blob), who=f"read_warc({fpath})"):
                     h = rec["headers"]
@@ -400,10 +463,20 @@ def _make_expand(wanted, decode_text: bool = False):
                         continue
                     status, cenc = None, None
                     ctype, body = h.get("content-type"), rec["payload"]
-                    if wtype.lower() == "response":
-                        status, ctype, body, cenc = _parse_http_response(
-                            rec["payload"], who=f"read_warc({fpath})"
-                        )
+                    rec_ct = (ctype or "").lower()
+                    is_http = "application/http" in rec_ct or (
+                        ctype is None and body[:5] == b"HTTP/"
+                    )
+                    if wtype.lower() == "response" and is_http:
+                        try:
+                            status, ctype, body, cenc = _parse_http_response(
+                                rec["payload"], who=f"read_warc({fpath})"
+                            )
+                        except ValueError:
+                            # claimed-HTTP payload that isn't: raw
+                            # passthrough under the 'http' residual
+                            status, cenc = None, "http"
+                            ctype, body = h.get("content-type"), rec["payload"]
                     rows["warc_file"].append(fpath)
                     rows["record_id"].append(h.get("warc-record-id"))
                     rows["warc_type"].append(wtype)
@@ -418,15 +491,15 @@ def _make_expand(wanted, decode_text: bool = False):
                             None if cenc is not None
                             else _charset_decode(body, ctype)
                         )
-            yield pd.DataFrame(
-                {
-                    c: pd.Series(
-                        rows[c],
-                        dtype="Int32" if c == "http_status" else "object",
-                    )
-                    for c in schema.fieldNames()
-                }
-            )
+                    pending += len(body) if body is not None else 0
+                    if (
+                        len(rows["body"]) >= _FLUSH_RECORDS
+                        or pending >= _FLUSH_BYTES
+                    ):
+                        yield _frame(rows)
+                        rows = {c: [] for c in cols}
+                        pending = 0
+            yield _frame(rows)
 
     return expand
 
