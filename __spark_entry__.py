@@ -1143,6 +1143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dup-line/top-bigram shape is carried by the surviving tx rows)
     # to driver-gate mm_png_roundtrip — the only full-value oracle
     # exercising the REAL PNG codec multimodal path end-to-end.
+    # Round 13 rotated ev_cm_counts out (the sketch family keeps a
+    # driver slot via sk_heavy_hitters; count-min's full-value oracle
+    # stays locally checked) to driver-gate tx_html_extract — the
+    # crawl front door's HTML→text whitespace contract, the round-12
+    # flagship whose oracle had only local coverage.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -1180,7 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_comoments": emb_comoments,
         "tx_token_counts": tx_token_counts,
         "qt_grouped_quantiles": qt_grouped_quantiles,
-        "ev_cm_counts": ev_cm_counts,
+        "tx_html_extract": tx_html_extract,
         "sk_heavy_hitters": sk_heavy_hitters,
         "sim_topk_batch": sim_topk_batch,
         "nf_dns_tunneling": nf_dns_tunneling,
@@ -2099,7 +2104,12 @@ def oracle_sql() -> dict[str, str]:
               FROM lang) t
             GROUP BY lang_guess
         """,
-        "ev_cm_counts": _cm_counts_oracle(),
+        "tx_html_extract": """
+            SELECT doc_id,
+                   trim(regexp_replace(text, '[ \t\r\f' || chr(11) || '\n]+',
+                                       ' ', 'g')) AS extracted
+            FROM documents WHERE doc_id < 200
+        """,
         "dd_minhash_lsh": _minhash_lsh_oracle(),
         "dd_simhash_pairs": _simhash_pairs_oracle(),
         "sim_ann_lsh": _ann_lsh_oracle(),
@@ -2564,7 +2574,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last full-value-oracle families with no driver row) or round 12
     (tx_repetition — its dup-line/top-bigram shape is carried by the
     surviving tx rows; its slot driver-gates mm_png_roundtrip, the
-    real-codec multimodal oracle)
+    real-codec multimodal oracle) or round 13 (ev_cm_counts — the
+    sketch family keeps a driver slot via sk_heavy_hitters; its slot
+    driver-gates tx_html_extract, the crawl front door's HTML→text
+    whitespace-contract oracle)
     — still oracle-checked by the local harness
     (tests/test_entry_oracle.py) so their coverage never regresses."""
     return {
@@ -2581,7 +2594,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_weighted_sample": pipe_weighted_sample,
         "pipe_weighted_sample_grouped": pipe_weighted_sample_grouped,
         "tx_compression": tx_compression,
-        "tx_html_extract": tx_html_extract,
+        "ev_cm_counts": ev_cm_counts,
         "q22_array_norms": q22_array_norms,
         "dd_cosine_pairs": dd_cosine_pairs,
         "ev_cm_median": ev_cm_median,
@@ -2611,12 +2624,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
-        "tx_html_extract": """
-            SELECT doc_id,
-                   trim(regexp_replace(text, '[ \t\r\f' || chr(11) || '\n]+',
-                                       ' ', 'g')) AS extracted
-            FROM documents WHERE doc_id < 200
-        """,
+        "ev_cm_counts": _cm_counts_oracle(),
         "tx_repetition": """
             WITH d AS (
               SELECT doc_id, concat_ws(chr(10), text, lang, source, lang) AS t

@@ -225,24 +225,29 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path):
     assert n_fps == 3
 
 
-def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
+def test_stream_clean_ingest_two_batches_restart(spark, tmp_path, monkeypatch):
     """incremental_clean_ingest_stream: the FULL daily-crawl loop
     (exact + fuzzy dedup vs the persisted indexes, per-batch landing,
     index appends) as a foreachBatch streaming job — two rotated-in
     batches processed across a query RESTART must land exactly the
     batch loop's survivors, with no duplicate index rows, and a
     re-delivered day-1 file after the second restart must add
-    nothing.  Runs with a FORCED compact_after=1 (round 12): each
-    batch's appends end with an index compaction, which must change
-    the index LAYOUT only — every survivor/index assertion below is
-    identical to the uncompacted contract, and the indexes end at the
-    one-file floor instead of one-pile-per-batch."""
+    nothing.  Compaction runs BY DEFAULT (round 13): the caller does
+    NOT pass compact_after — the module default cadence, forced low
+    here by lowering STREAM_COMPACT_AFTER_DEFAULT, fires mid-loop and
+    must change the index LAYOUT only — every survivor/index
+    assertion below is identical to the uncompacted contract, and the
+    indexes end at the one-file floor instead of one-pile-per-batch."""
     import glob as _glob
 
+    from zeek_duckdb_spark.operators import pipeline as P
     from zeek_duckdb_spark.operators.pipeline import (
         incremental_clean_ingest,
         incremental_clean_ingest_stream,
     )
+
+    assert P.STREAM_COMPACT_AFTER_DEFAULT == 64  # the shipped default
+    monkeypatch.setattr(P, "STREAM_COMPACT_AFTER_DEFAULT", 1)
 
     src = tmp_path / "in"
     src.mkdir()
@@ -270,7 +275,7 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
     def run_stream():
         s = spark.readStream.schema("doc_id long, text string").parquet(str(src))
         q = incremental_clean_ingest_stream(
-            s, fps, sigs, land, ckpt, threshold=0.5, compact_after=1
+            s, fps, sigs, land, ckpt, threshold=0.5
         )
         q.awaitTermination(120)
         q.stop()
@@ -307,7 +312,8 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path):
     assert spark.read.parquet(sigs).count() == n_sigs_before
     assert {r.doc_id for r in spark.read.parquet(land).collect()} == {1, 2, 11}
 
-    # compact_after=1 held the indexes at the compaction floor
+    # the DEFAULT cadence (forced to 1) held the indexes at the
+    # compaction floor with no caller opt-in
     import os as _os
     for idx in (fps, sigs):
         n = sum(

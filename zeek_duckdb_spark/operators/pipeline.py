@@ -667,6 +667,20 @@ def incremental_clean_ingest(
     return survivors.drop("fp")
 
 
+# default maintenance cadence for the STREAMING ingest loop: compact
+# an index directory once its worst partition exceeds this many
+# parquet files.  Conservative — an append lands ~1-32 files per
+# micro-batch, so 64 means compaction fires every couple of months of
+# daily batches, yet a year of appends can never reach the
+# metadata-bound regime SCALING.md measures.  The BATCH loop keeps
+# None (a one-shot call shouldn't rewrite indexes it doesn't own);
+# the stream OWNS its indexes across batches, so maintenance is its
+# job by default.  Pass compact_after=None to opt out.
+STREAM_COMPACT_AFTER_DEFAULT = 64
+
+_COMPACT_USE_DEFAULT = object()  # sentinel: "caller didn't say"
+
+
 def incremental_clean_ingest_stream(
     stream_df: DataFrame,
     fps_path: str,
@@ -682,7 +696,7 @@ def incremental_clean_ingest_stream(
     seed: int = 1,
     available_now: bool = True,
     classifier: dict | None = None,
-    compact_after: int | None = None,
+    compact_after: int | None = _COMPACT_USE_DEFAULT,
     compact_target_bytes: int = 128 << 20,
 ):
     """The daily-crawl ingest loop as a STREAMING job: each
@@ -726,15 +740,23 @@ def incremental_clean_ingest_stream(
     expression filter (stream-safe by construction), so streaming
     survivors match the batch loop's survivors exactly.
 
-    ``compact_after`` / ``compact_target_bytes`` pass through too:
-    each micro-batch's index appends end with the files-per-directory
-    threshold check, and micro-batches execute SERIALLY within the
-    query, so compaction never races an append from this stream.  The
-    replay story is unchanged — compaction preserves content, so a
-    crash-replayed batch sees the same index rows whether or not the
-    previous run compacted (its appends stay semantically idempotent,
-    windows 1-4 of the batch loop's contract)."""
+    ``compact_after`` defaults to :data:`STREAM_COMPACT_AFTER_DEFAULT`
+    (64) — the stream OWNS its indexes across batches, and without a
+    default cadence a year of daily appends reproduces exactly the
+    metadata-bound degradation SCALING.md measures; pass ``None`` to
+    opt out, or an int to tune.  Each micro-batch's index appends end
+    with the files-per-directory threshold check (one driver-side
+    walk, zero jobs under threshold), and micro-batches execute
+    SERIALLY within the query, so compaction never races an append
+    from this stream.  The replay story is unchanged — compaction
+    preserves content, so a crash-replayed batch sees the same index
+    rows whether or not the previous run compacted (its appends stay
+    semantically idempotent, windows 1-4 of the batch loop's
+    contract)."""
     import os as _os
+
+    if compact_after is _COMPACT_USE_DEFAULT:
+        compact_after = STREAM_COMPACT_AFTER_DEFAULT
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
