@@ -619,6 +619,58 @@ def bench_crawl(iters: int) -> None:
         ts.append(time.perf_counter() - t0)
     t_spark = statistics.median(ts)
 
+    # realistic-file tier (round 13): ONE plain .warc >= 256 MB — the
+    # crawl-production shape where binaryFile cannot split and the
+    # whole file is a single task, exercising the one-task-per-file
+    # path and the bounded-flush expansion (_make_expand yields every
+    # _FLUSH_RECORDS/_FLUSH_BYTES, so the task never holds the file's
+    # full 2-3x expansion; the bound itself is pinned by
+    # tests/test_warc.py::test_expand_flush_bounds).  Record expansion
+    # only (parse + HTTP head + flush) — the HTML stage's per-core
+    # rate is the tier above's number and would just multiply here.
+    BIG_TARGET = 256 << 20
+    big_path = os.path.join(tmp, "big.warc")
+    big_recs, big_bytes, ri = [], 0, 0
+    while big_bytes < BIG_TARGET:
+        body = page(99, ri)
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        big_recs.append((
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:big-{ri}>",
+             "WARC-Target-URI": f"http://bench.org/big/{ri}",
+             "Content-Type": "application/http; msgtype=response"},
+            http,
+        ))
+        big_bytes += len(http) + 120  # ~record overhead
+        ri += 1
+    with open(big_path, "wb") as fh:
+        fh.write(encode_warc(big_recs, compress=False))
+    big_mb = os.path.getsize(big_path) / 1e6
+    n_big = len(big_recs)
+    del big_recs
+
+    def big_run():
+        # build the DataFrame fresh per run: re-collecting one
+        # AdaptiveSparkPlan instance reuses its materialized shuffle
+        # stages, which would time the 274 MB parse once and the
+        # final-agg replay thereafter (measured 4.7 s -> 0.1 s)
+        row = read_warc(spark, big_path).agg(
+            F.count("*").alias("n"), F.sum(F.length("body")).alias("b")
+        ).collect()[0]
+        assert row.n == n_big, row
+        return row
+
+    big_run()  # warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        big_run()
+        ts.append(time.perf_counter() - t0)
+    t_big = statistics.median(ts)
+
     print("| path | input | wall | rate |")
     print("|---|---|---|---|")
     print(f"| single-core python (parse_warc + html_to_text, 1 file) | "
@@ -628,10 +680,51 @@ def bench_crawl(iters: int) -> None:
           f"{N_FILES * RECS} pages) | {raw_mb:.1f} MB gz | {t_spark:.2f} s | "
           f"{raw_mb / t_spark:.1f} MB/s ({raw_mb / t_spark / core_rate:.1f}x "
           "the single core) |")
+    print(f"| single {big_mb:.0f} MB plain .warc, 1 task (read_warc "
+          f"expand only, {n_big} pages, bounded flushes) | "
+          f"{big_mb:.0f} MB | {t_big:.2f} s | {big_mb / t_big:.1f} "
+          "MB/s/task |")
+
+    # native-parser A/B through the extractor= seam (round 13): when
+    # selectolax/lxml is installed, measure the per-core step the
+    # docstrings promise; when absent (this sandbox), say so honestly
+    # so the number regenerates wherever the package exists.
+    try:
+        from zeek_duckdb_spark.operators.htmlops import native_extractor
+
+        nfn = native_extractor()
+        docs = [
+            rec["payload"][rec["payload"].find(b"\r\n\r\n") + 4:]
+            .decode("utf-8")
+            for rec in parse_warc(one)
+        ]
+        html_mb = sum(len(d) for d in docs) / 1e6
+
+        def _time_fn(fn):
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                for d in docs:
+                    fn(d)
+                ts.append(time.perf_counter() - t0)
+            return statistics.median(ts)
+
+        t_std = _time_fn(html_to_text)
+        t_nat = _time_fn(nfn)
+        print(f"| native-parser A/B (extractor= seam, {len(docs)} pages, "
+              f"1 core) | {html_mb:.1f} MB html | stdlib {t_std:.2f} s / "
+              f"native {t_nat:.2f} s | {html_mb / t_std:.1f} -> "
+              f"{html_mb / t_nat:.1f} MB/s/core "
+              f"({t_std / t_nat:.1f}x step) |")
+    except ImportError as exc:
+        print(f"| native-parser A/B (extractor= seam) | — | skipped: "
+              f"package absent ({exc}) | rerun where selectolax/lxml "
+              "is installed |")
     print(
         f"\nstamp: regenerated with `python bench_scaling.py --crawl "
         f"--iters {iters}` ({N_FILES} files x {RECS} pages x ~{PARAS} "
-        "paragraphs; medians of --iters; row-count asserted in-run).  "
+        "paragraphs, plus one single-task >=256 MB plain .warc tier; "
+        "medians of --iters; row-counts asserted in-run).  "
         "Task layout is one file per task (verified 32/32); the gap to "
         "linear is this VM's SMT contention across 32 concurrent "
         "CPU-bound Python workers (the same mode bench.py's "

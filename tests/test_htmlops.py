@@ -364,6 +364,31 @@ def test_extract_meta_reference():
     assert extract_meta("<svg/><title>After</title>")["title"] == "After"
 
 
+def test_native_extractor_seam():
+    """native_extractor resolves an installed native parser for the
+    extractor= seam, or raises a NAMING ImportError when none is
+    installed (this sandbox) — callers must get an honest skip, not a
+    silent stdlib fallback.  When a parser IS present, the callback
+    must drop the same non-content subtrees and collapse whitespace."""
+    from zeek_duckdb_spark.operators.htmlops import native_extractor
+
+    with pytest.raises(ValueError, match="unknown parser"):
+        native_extractor(prefer=("beautifulsoup",))
+
+    try:
+        fn = native_extractor()
+    except ImportError as exc:
+        assert "selectolax" in str(exc) and "lxml" in str(exc)
+        pytest.skip("no native HTML parser installed")
+    out = fn(
+        "<html><head><script>junk()</script><style>p{}</style></head>"
+        "<body><p>real   content</p><svg><title>tip</title></svg>"
+        "<p>more text</p></body></html>"
+    )
+    assert "junk" not in out and "p{}" not in out and "tip" not in out
+    assert "real content" in out and "more text" in out
+
+
 def test_extract_meta_html_canonical_dedup(spark):
     """The canonical-URL dedup composition: syndicated copies declare
     the SAME <link rel=canonical>, so grouping on

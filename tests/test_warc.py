@@ -210,13 +210,80 @@ def test_content_encoding_decode_and_quarantine():
         resp("deflate", raw.compress(body) + raw.flush()), "t"
     )
     assert b == body and e is None
-    # brotli: quarantined, raw bytes preserved
+    # brotli GARBAGE: quarantined, raw bytes preserved (a valid br
+    # stream decodes through the ladder — test_brotli_zstd_entity_recovery)
     s, c, b, e = _parse_http_response(resp("br", b"\x00\x01"), "t")
     assert (b, e) == (b"\x00\x01", "br")
     # truncated gzip: quarantined, not a crash
     trunc = gzip.compress(body)[:-6]
     s, c, b, e = _parse_http_response(resp("gzip", trunc), "t")
     assert (b, e) == (trunc, "gzip")
+
+
+def test_brotli_zstd_entity_recovery(spark, tmp_path, monkeypatch):
+    """Round-13: ``Content-Encoding: br`` and ``zstd`` entities decode
+    through the optional-decoder ladder (brotli/brotlicffi/zstandard
+    module if installed, else pyarrow's bundled codecs — present in
+    this container), so those pages' text is RECOVERED instead of
+    silently absent from the corpus; truncated streams and
+    decoder-absent environments still quarantine cleanly.  A mixed
+    fixture measures the recovered-page fraction: everything but the
+    truncated entity."""
+    import pyarrow as pa
+
+    from zeek_duckdb_spark.sources import warc as W
+    from zeek_duckdb_spark.sources.warc import _parse_http_response
+
+    body = b"<p>the encoded page body</p>" * 10
+    br = pa.Codec("brotli").compress(body, asbytes=True)
+
+    def resp(enc, payload):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Encoding: {enc}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+
+    s, c, b, e = _parse_http_response(resp("br", br), "t")
+    assert (b, e) == (body, None)
+    # truncated br: quarantined
+    s, c, b, e = _parse_http_response(resp("br", br[: len(br) // 2]), "t")
+    assert (b, e) == (br[: len(br) // 2], "br")
+    if pa.Codec.is_available("zstd"):
+        zs = pa.Codec("zstd").compress(body, asbytes=True)
+        s, c, b, e = _parse_http_response(resp("zstd", zs), "t")
+        assert (b, e) == (body, None)
+
+    # decoder-absent environment: the ladder's ImportError quarantines
+    def _no_decoder(_b):
+        raise ImportError("no brotli decoder")
+
+    monkeypatch.setattr(W, "_brotli_decompress", _no_decoder)
+    s, c, b, e = _parse_http_response(resp("br", br), "t")
+    assert (b, e) == (br, "br")
+    monkeypatch.undo()
+
+    # mixed-fixture recovered-page fraction through read_warc
+    def rec(uri, payload):
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:{uri}>",
+                 "WARC-Target-URI": uri,
+                 "Content-Type": "application/http; msgtype=response"},
+                payload)
+
+    (tmp_path / "mix.warc.gz").write_bytes(encode_warc([
+        rec("http://m.org/plain", resp("identity", body)),
+        rec("http://m.org/gz", resp("gzip", gzip.compress(body))),
+        rec("http://m.org/br", resp("br", br)),
+        rec("http://m.org/br-trunc", resp("br", br[:8])),
+    ]))
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"), decode_text=True)
+    rows = {r.target_uri: r for r in df.collect()}
+    recovered = {u for u, r in rows.items() if r.content_encoding is None}
+    assert recovered == {
+        "http://m.org/plain", "http://m.org/gz", "http://m.org/br",
+    }  # 3/4 recovered; only the truncated entity stays quarantined
+    assert rows["http://m.org/br"].body_text == body.decode()
+    assert rows["http://m.org/br-trunc"].body_text is None
 
 
 def test_decode_text_and_quarantine_columns(spark, tmp_path):

@@ -56,6 +56,7 @@ __all__ = [
     "extract_meta",
     "extract_text_html",
     "extract_links_html",
+    "native_extractor",
     "extract_meta_html",
 ]
 
@@ -280,6 +281,82 @@ def extract_text_html(
         return s.map(lambda h: None if h is None else fn(h))
 
     return df.withColumn(out_col, _ex(F.col(html_col)))
+
+
+def native_extractor(prefer: tuple = ("selectolax", "lxml")):
+    """Build an ``extract_text_html(extractor=...)`` callback from an
+    installed native HTML parser — the documented 100 TB throughput
+    seam, resolved through an import ladder like the optional
+    ``zstandard`` container path.  Tries ``prefer`` in order
+    (``selectolax``'s lexbor engine first — the faster of the two —
+    then ``lxml``) and raises ImportError naming both when neither is
+    installed, so callers/benches can print an honest "skipped:
+    package absent" instead of silently falling back.
+
+    Contract difference, stated: the native extractors drop the same
+    non-content subtrees (script/style/noscript/template/iframe/svg/
+    math/title) and collapse whitespace with the SAME 6-char ASCII
+    class, but their line/block segmentation follows the native
+    parser's tree, not ``html_to_text``'s block-tag list — use them
+    for throughput at scale; keep oracle/contract work on the stdlib
+    path.  The callback is cloudpickled into the UDF closure, so the
+    package must be installed on executors too."""
+    _DROP = (
+        "script", "style", "noscript", "template", "iframe", "svg",
+        "math", "title",
+    )
+    errs = []
+    for name in prefer:
+        if name == "selectolax":
+            try:
+                from selectolax.parser import HTMLParser as _SxParser
+            except ImportError as exc:
+                errs.append(str(exc))
+                continue
+
+            def _sx(h: str) -> str:
+                tree = _SxParser(h)
+                tree.strip_tags(list(_DROP))
+                txt = tree.text(separator="\n", strip=False)
+                return "\n".join(
+                    ln for ln in (_collapse(p) for p in txt.split("\n")) if ln
+                )
+
+            return _sx
+        if name == "lxml":
+            try:
+                import lxml.html as _lx
+            except ImportError as exc:
+                errs.append(str(exc))
+                continue
+
+            def _lxml(h: str) -> str:
+                doc = _lx.fromstring(h)
+                # snapshot: mutating under a live iterator skips nodes
+                for el in list(doc.iter(*_DROP)):
+                    # keep tail text — removing the node verbatim would
+                    # drop the text that follows it in the parent
+                    parent = el.getparent()
+                    if parent is None:
+                        continue
+                    if el.tail:
+                        prev = el.getprevious()
+                        if prev is not None:
+                            prev.tail = (prev.tail or "") + el.tail
+                        else:
+                            parent.text = (parent.text or "") + el.tail
+                    parent.remove(el)
+                txt = doc.text_content()
+                return "\n".join(
+                    ln for ln in (_collapse(p) for p in txt.split("\n")) if ln
+                )
+
+            return _lxml
+        raise ValueError(f"native_extractor: unknown parser {name!r}")
+    raise ImportError(
+        "native_extractor: no native HTML parser installed — "
+        f"pip install selectolax or lxml (tried {', '.join(prefer)})"
+    )
 
 
 def extract_links_html(

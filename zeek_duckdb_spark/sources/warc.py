@@ -132,6 +132,61 @@ def _decompress_container(buf: bytes, who: str) -> bytes:
     return buf
 
 
+def _brotli_decompress(body: bytes) -> bytes:
+    """Brotli entity decode through the optional-decoder ladder (the
+    ``zstandard`` pattern): the ``brotli`` / ``brotlicffi`` module
+    when installed, else pyarrow's bundled brotli codec (present in
+    every pyarrow build this repo supports — parquet ships it), which
+    decodes STREAMING so the unknown entity size is not a problem.
+    Raises ImportError when no decoder exists anywhere (the caller
+    quarantines under 'br'), any other exception on a corrupt or
+    truncated stream (same quarantine)."""
+    try:
+        import brotli  # type: ignore
+    except ImportError:
+        try:
+            import brotlicffi as brotli  # type: ignore
+        except ImportError:
+            brotli = None
+    if brotli is not None:
+        return brotli.decompress(body)
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("brotli"):
+        raise ImportError(
+            "no brotli decoder: install brotli/brotlicffi or a pyarrow "
+            "build with brotli"
+        )
+    return bytes(
+        pa.CompressedInputStream(pa.BufferReader(body), "brotli").read()
+    )
+
+
+def _zstd_entity_decompress(body: bytes) -> bytes:
+    """RFC 8878 ``Content-Encoding: zstd`` entity decode through the
+    same ladder: zstandard module, else pyarrow's bundled codec.
+    Raises ImportError with no decoder, else propagates decode
+    errors — the caller quarantines either way."""
+    try:
+        import zstandard  # type: ignore
+    except ImportError:
+        zstandard = None
+    if zstandard is not None:
+        return zstandard.ZstdDecompressor().stream_reader(
+            io.BytesIO(body), read_across_frames=True
+        ).read()
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        raise ImportError(
+            "no zstd decoder: install zstandard or a pyarrow build "
+            "with zstd"
+        )
+    return bytes(
+        pa.CompressedInputStream(pa.BufferReader(body), "zstd").read()
+    )
+
+
 def _decode_chunked(body: bytes, who: str) -> bytes:
     """RFC 9112 chunked transfer-encoding decode (hex size line,
     chunk, CRLF, ... , 0-size terminator; trailers ignored)."""
@@ -232,7 +287,21 @@ def _parse_http_response(payload: bytes, who: str):
                 return status, ctype, zlib.decompress(body, -15), None
             except zlib.error:
                 return status, ctype, body, cenc
-    return status, ctype, body, cenc  # br/zstd/unknown: quarantine
+    if cenc == "br":
+        # real crawls carry br (any fetcher sending Accept-Encoding:
+        # br); without this the pages' text is simply absent from the
+        # corpus.  Decoder absent (ImportError) or stream corrupt ->
+        # quarantine, same as every other residual.
+        try:
+            return status, ctype, _brotli_decompress(body), None
+        except Exception:
+            return status, ctype, body, cenc
+    if cenc == "zstd":
+        try:
+            return status, ctype, _zstd_entity_decompress(body), None
+        except Exception:
+            return status, ctype, body, cenc
+    return status, ctype, body, cenc  # unknown encoding: quarantine
 
 
 def parse_warc(payload: bytes, who: str = "parse_warc"):
