@@ -248,10 +248,12 @@ def test_phash_real_bytes_planted_pair_collapses(spark):
     )
 
     # 'jpeg' / 'image' became built-ins in round 12 (operators/jpeg.py)
+    # 'webp' became a built-in in round 13 (operators/webp.py) — probe
+    # with a format that stays out of pure-Python scope
     with pytest.raises(ValueError, match="unknown built-in"):
-        mm.phash_media(df, decoder="webp")
+        mm.phash_media(df, decoder="bmp")
     with pytest.raises(ValueError, match="unknown built-in"):
-        mm.decode_media(df, decoder="webp")
+        mm.decode_media(df, decoder="bmp")
 
 
 def test_png_resize_unit():
@@ -287,9 +289,9 @@ def test_resize_media_png_builtin_end_to_end(spark):
     from zeek_duckdb_spark.operators.multimodal import phash_value
 
     assert phash_value(up) == phash_value(base.astype(np.float64))
-    # 'jpeg' / 'image' became built-ins in round 12 (operators/jpeg.py)
+    # 'jpeg'/'image' became built-ins in round 12, 'webp' in round 13
     with pytest.raises(ValueError, match="unknown built-in"):
-        mm.resize_media(df, 4, 4, resizer="webp")
+        mm.resize_media(df, 4, 4, resizer="bmp")
 
 
 # --- property fuzz: the codec round-trips arbitrary images ----------

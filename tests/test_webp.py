@@ -1,0 +1,322 @@
+"""Pure-Python lossless-WebP (VP8L) codec (operators/webp.py) — the
+crawl-thumbnail format the PNG/JPEG/GIF trio didn't cover (VERDICT
+r12 missing item #2), closed through the same `decoder=` seam with
+zero new packages.
+
+Validation strategy: there is NO independent WebP encoder in this
+container (no PIL/libwebp), so (a) every decoder feature is
+round-trip-tested through the fixture encoder's per-feature switches
+(subtract-green, color cache, LZ77 with BOTH distance encodings —
+plane-coded and direct, left-predictor transform, constant color
+transform, palette indexing at every packing width), each against the
+independently-held numpy source array; (b) the cross-CODEC pin: the
+same image encoded as PNG (the established, libpng-pinned codec) and
+as lossless WebP must decode to IDENTICAL gray planes and collapse as
+near-dups through phash_pairs — two entirely disjoint code paths
+agreeing on the pixels; (c) a hand-assembled minimal VP8L bitstream
+decodes to hand-computed pixels, pinning the bit-level layout
+independent of the encoder's higher-level planning."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zeek_duckdb_spark.operators.webp import (
+    decode_vp8l_argb,
+    decode_webp,
+    encode_webp,
+    webp_features,
+    webp_resize,
+)
+
+
+def _gray(seed, h=16, w=16):
+    return np.random.RandomState(seed).randint(
+        0, 256, (h, w)
+    ).astype(np.uint8)
+
+
+def _natural_img(seed, h=64, w=64):
+    rng = np.random.RandomState(seed)
+    img = rng.normal(0, 1, (h * 2, w * 2))
+    for _ in range(3):
+        img = (np.roll(img, 1, 0) + img + np.roll(img, -1, 0)) / 3
+        img = (np.roll(img, 1, 1) + img + np.roll(img, -1, 1)) / 3
+    img = img[:h, :w]
+    return (img - img.min()) / (img.max() - img.min()) * 255
+
+
+# ----------------------------------------------------------------------
+# round-trips, one per decoder feature
+# ----------------------------------------------------------------------
+def test_roundtrip_gray_exact():
+    g = _gray(1, 13, 17)
+    out = decode_webp(encode_webp(g))
+    assert out.dtype == np.float64
+    assert np.array_equal(out, g.astype(np.float64))
+
+
+def test_roundtrip_rgb_exact_and_luma_fold():
+    rgb = np.random.RandomState(2).randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    payload = encode_webp(rgb)
+    argb = decode_vp8l_argb(payload)
+    assert np.array_equal(argb[:, :, 1:], rgb)
+    assert (argb[:, :, 0] == 255).all()
+    want = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    )
+    assert np.allclose(decode_webp(payload), want)
+
+
+def test_roundtrip_color_cache():
+    # tiled content so cache hits actually occur
+    g = np.tile(_gray(3, 4, 8), (4, 2))
+    for bits in (1, 6, 11):
+        out = decode_webp(encode_webp(g, use_cache_bits=bits))
+        assert np.array_equal(out, g.astype(np.float64)), bits
+
+
+def test_roundtrip_lz77_both_distance_encodings():
+    g = np.repeat(_gray(4, 6, 5), 7, axis=1)  # horizontal runs
+    direct = encode_webp(g, lz77_runs=True, lz77_plane_dist=False)
+    plane = encode_webp(g, lz77_runs=True, lz77_plane_dist=True)
+    assert direct != plane  # genuinely different encodings...
+    for payload in (direct, plane):
+        assert np.array_equal(decode_webp(payload), g.astype(np.float64))
+    # ...and the run coding actually engaged (smaller than literal-only)
+    assert len(plane) < len(encode_webp(g))
+
+
+def test_roundtrip_predictor_transform():
+    # smooth content: left-prediction leaves small residuals
+    g = np.cumsum(
+        np.random.RandomState(5).randint(0, 7, (12, 14)), axis=1
+    ).astype(np.uint8)
+    out = decode_webp(encode_webp(g, predictor_left=True))
+    assert np.array_equal(out, g.astype(np.float64))
+    rgb = np.random.RandomState(6).randint(0, 256, (7, 9, 3)).astype(np.uint8)
+    argb = decode_vp8l_argb(encode_webp(rgb, predictor_left=True))
+    assert np.array_equal(argb[:, :, 1:], rgb)
+
+
+def test_roundtrip_color_transform():
+    rgb = np.random.RandomState(7).randint(0, 256, (10, 6, 3)).astype(np.uint8)
+    for cte in (0x00, 0x35, 0x80, 0xFF):  # incl. negative signed bytes
+        argb = decode_vp8l_argb(encode_webp(rgb, color_transform=cte))
+        assert np.array_equal(argb[:, :, 1:], rgb), hex(cte)
+
+
+def test_roundtrip_palette_all_packing_widths():
+    rng = np.random.RandomState(8)
+    for nvals, shape in ((2, (7, 19)), (3, (5, 8)), (4, (6, 9)),
+                         (13, (8, 10)), (16, (4, 33))):
+        vals = rng.choice(256, nvals, replace=False)
+        g = rng.choice(vals, shape).astype(np.uint8)
+        out = decode_webp(encode_webp(g, palette=True))
+        assert np.array_equal(out, g.astype(np.float64)), nvals
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 10_000),
+    cache=st.sampled_from([0, 4]),
+    lz77=st.booleans(),
+)
+def test_property_roundtrip_exact(h, w, seed, cache, lz77):
+    g = _gray(seed, h, w)
+    payload = encode_webp(g, use_cache_bits=cache, lz77_runs=lz77)
+    assert np.array_equal(decode_webp(payload), g.astype(np.float64))
+
+
+# ----------------------------------------------------------------------
+# bit-level pin, independent of the encoder's planning
+# ----------------------------------------------------------------------
+def test_hand_assembled_minimal_stream():
+    """A 2x1 image hand-assembled bit by bit straight from the spec
+    reading rules: header, no transforms, no cache, no meta, five
+    prefix codes (each a 1- or 2-symbol simple code), two literals.
+    Pins the bit order (LSB-first fields, MSB-first prefix codes) and
+    the simple-code layout without going through encode_webp's
+    planner."""
+    bits = []
+
+    def w(v, n):
+        bits.extend((v >> i) & 1 for i in range(n))
+
+    w(0x2F, 8)          # signature
+    w(1, 14)            # width - 1 = 1 -> w=2
+    w(0, 14)            # height - 1 = 0 -> h=1
+    w(0, 1)             # alpha hint
+    w(0, 3)             # version
+    w(0, 1)             # no transform
+    w(0, 1)             # no color cache
+    w(0, 1)             # no meta prefix
+    # green: simple, 2 symbols (8-bit first): 10 and 200
+    w(1, 1); w(1, 1); w(1, 1); w(10, 8); w(200, 8)
+    # red: simple, 1 symbol, 8-bit: 7
+    w(1, 1); w(0, 1); w(1, 1); w(7, 8)
+    # blue: simple, 1 symbol, 1-bit: 1
+    w(1, 1); w(0, 1); w(0, 1); w(1, 1)
+    # alpha: simple, 1 symbol, 8-bit: 255
+    w(1, 1); w(0, 1); w(1, 1); w(255, 8)
+    # distance: simple, 1 symbol, 1-bit: 0
+    w(1, 1); w(0, 1); w(0, 1); w(0, 1)
+    # pixel 0: green symbol 10 -> canonical code 0 (1 bit); r/b/a 0 bits
+    w(0, 1)
+    # pixel 1: green symbol 200 -> code 1
+    w(1, 1)
+    payload = bytearray()
+    for i, bit in enumerate(bits):
+        if i % 8 == 0:
+            payload.append(0)
+        payload[-1] |= bit << (i % 8)
+    vp8l = bytes(payload)
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l) + (len(vp8l) & 1))
+        + b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+        + (b"\x00" if len(vp8l) & 1 else b"")
+    )
+    argb = decode_vp8l_argb(riff)
+    assert argb.shape == (1, 2, 4)
+    # (A, R, G, B) per hand-chosen symbols
+    assert argb[0, 0].tolist() == [255, 7, 10, 1]
+    assert argb[0, 1].tolist() == [255, 7, 200, 1]
+
+
+# ----------------------------------------------------------------------
+# cross-codec pin: WebP vs the established PNG codec
+# ----------------------------------------------------------------------
+def test_cross_codec_agreement_with_png():
+    from zeek_duckdb_spark.operators.png import decode_png, encode_png
+
+    img = np.round(_natural_img(21, 32, 40)).astype(np.uint8)
+    via_png = decode_png(encode_png(img))
+    via_webp = decode_webp(encode_webp(img))
+    assert np.array_equal(via_png, via_webp)
+
+
+def test_error_surfaces():
+    with pytest.raises(ValueError, match="payload is None"):
+        decode_webp(None)
+    with pytest.raises(ValueError, match="bad RIFF header"):
+        decode_webp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    # lossy VP8 names the seam instead of guessing
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="lossy VP8"):
+        decode_webp(lossy)
+    anim = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"ANMF" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="animated"):
+        decode_webp(anim)
+    # truncated VP8L payload
+    ok = encode_webp(_gray(9, 6, 6))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(ok[:24] + b"")
+    # bad signature byte inside the chunk
+    bad = bytearray(ok)
+    bad[20] ^= 0xFF  # first VP8L payload byte
+    with pytest.raises(ValueError, match="VP8L signature|truncated|prefix"):
+        decode_webp(bytes(bad))
+    with pytest.raises(ValueError, match="zero-sized"):
+        encode_webp(np.zeros((0, 4)))
+    with pytest.raises(ValueError, match="expected HxW"):
+        encode_webp(np.zeros((2, 2, 4)))
+    with pytest.raises(ValueError, match="palette mode needs"):
+        encode_webp(np.arange(289).reshape(17, 17) % 256, palette=True)
+
+
+def test_features_and_resize_units():
+    g = _gray(11, 10, 20)
+    f = webp_features(encode_webp(g))
+    assert f[0] == 20.0 and f[1] == 10.0
+    assert f[2] == pytest.approx(float(g.mean()))
+    assert f[3] == pytest.approx(float(g.std()))
+    up = webp_resize(encode_webp(g), 40, 20)
+    assert decode_webp(up).shape == (20, 40)
+    with pytest.raises(ValueError, match="width/height"):
+        webp_resize(encode_webp(g), 0, 5)
+
+
+# ----------------------------------------------------------------------
+# the Spark seam: near-dup + mixed-corpus sniffing on real WebP bytes
+# ----------------------------------------------------------------------
+def test_phash_real_webp_planted_near_dups_collapse(spark):
+    """VERDICT r12 'done' criterion: planted WebP near-dup pairs
+    collapse via phash_pairs on REAL encoded bytes, and the cross-
+    format pair (the same image as PNG and as WebP) collapses through
+    decoder='image' — the case neither single-format decoder covers."""
+    from zeek_duckdb_spark.operators import multimodal as mm
+    from zeek_duckdb_spark.operators.png import encode_png
+
+    base = np.round(_natural_img(42, 64, 64)).astype(np.uint8)
+    up = np.kron(base, np.ones((2, 2))).astype(np.uint8)  # 2x upscale
+    others = [
+        np.round(_natural_img(s, 64, 64)).astype(np.uint8)
+        for s in (77, 101)
+    ]
+    rows = [
+        (0, bytearray(encode_webp(base))),
+        (1, bytearray(encode_webp(up))),                 # resized copy
+        (2, bytearray(encode_webp(base, use_cache_bits=6,
+                                  lz77_runs=True))),     # re-encoded copy
+        (3, bytearray(encode_png(base))),                # same image, PNG
+        (4, bytearray(encode_webp(others[0]))),
+        (5, bytearray(encode_webp(others[1]))),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary").repartition(3)
+
+    hashed = mm.phash_media(df, decoder="image")
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    assert set(hs) == {0, 1, 2, 3, 4, 5}
+    # lossless re-encode and the PNG twin hash IDENTICALLY; the
+    # resize is a near-dup within the default radius
+    assert hs[0] == hs[2] == hs[3]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in mm.phash_pairs(hashed, max_hamming=6).collect()
+    }
+    assert {(0, 1), (0, 2), (0, 3)} <= pairs, sorted(pairs)
+    for a, b in pairs:
+        assert a in (0, 1, 2, 3) and b in (0, 1, 2, 3), (a, b)
+
+    feats = {
+        r.doc_id: r.feature
+        for r in mm.decode_media(
+            df.filter("media IS NOT NULL"), decoder="image"
+        ).collect()
+    }
+    assert feats[0][0] == 64.0 and feats[1][1] == 128.0
+    # PNG and WebP decode paths agree on the stats exactly
+    assert feats[0] == feats[3]
+
+
+def test_resize_media_webp_builtin_and_format_preserving(spark):
+    from zeek_duckdb_spark.operators import multimodal as mm
+    from zeek_duckdb_spark.operators.png import encode_png
+
+    g = _gray(13, 12, 16)
+    rows = [
+        (0, bytearray(encode_webp(g))),
+        (1, bytearray(encode_png(g))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {
+        r.id: bytes(r.resized)
+        for r in mm.resize_media(df, width=8, height=6,
+                                 resizer="image").collect()
+    }
+    # format-preserving: WebP stays WebP, PNG stays PNG
+    assert out[0][:4] == b"RIFF" and out[0][8:12] == b"WEBP"
+    assert out[1][:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_webp(out[0]).shape == (6, 8)

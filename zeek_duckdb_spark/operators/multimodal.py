@@ -85,13 +85,13 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def _sniffing(png_fn, jpeg_fn, gif_fn):
+def _sniffing(png_fn, jpeg_fn, gif_fn, webp_fn=None):
     """Per-payload magic-byte dispatch for ``decoder="image"`` /
     ``resizer="image"``: PNG signature -> the PNG codec, JPEG SOI ->
-    the JPEG codec, GIF87a/GIF89a -> the GIF codec, anything else
-    errors loudly (a silent passthrough would corrupt downstream
-    features).  Returns a closure with the same signature as the
-    codec callables."""
+    the JPEG codec, GIF87a/GIF89a -> the GIF codec, RIFF....WEBP ->
+    the lossless-WebP codec (r13), anything else errors loudly (a
+    silent passthrough would corrupt downstream features).  Returns a
+    closure with the same signature as the codec callables."""
 
     def dispatch(payload, *args):
         b = bytes(payload)
@@ -101,9 +101,11 @@ def _sniffing(png_fn, jpeg_fn, gif_fn):
             return jpeg_fn(b, *args)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return gif_fn(b, *args)
+        if webp_fn is not None and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            return webp_fn(b, *args)
         raise ValueError(
-            "image dispatch: payload matches none of the PNG/JPEG/GIF "
-            "signatures — inject a decoder for other formats"
+            "image dispatch: payload matches none of the PNG/JPEG/GIF/"
+            "WebP signatures — inject a decoder for other formats"
         )
 
     return dispatch
@@ -180,6 +182,7 @@ def decode_media(
         from zeek_duckdb_spark.operators.jpeg import jpeg_features
         from zeek_duckdb_spark.operators.png import png_features
         from zeek_duckdb_spark.operators.wav import wav_features
+        from zeek_duckdb_spark.operators.webp import webp_features
 
         if decoder == "png":
             decoder = png_features
@@ -187,23 +190,27 @@ def decode_media(
             decoder = jpeg_features
         elif decoder == "gif":
             decoder = gif_features
+        elif decoder == "webp":
+            decoder = webp_features
         elif decoder == "image":
-            decoder = _sniffing(png_features, jpeg_features, gif_features)
+            decoder = _sniffing(
+                png_features, jpeg_features, gif_features, webp_features
+            )
         elif decoder == "wav":
             decoder = wav_features
         else:
             raise ValueError(
                 f"decode_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'gif', 'image' or 'wav'); pass a "
-                "callable for other formats"
+                "('png', 'jpeg', 'gif', 'webp', 'image' or 'wav'); pass "
+                "a callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode beyond PNG/JPEG/GIF/WAV requires an "
-            "image/audio library not present in this environment; pass "
-            "decoder='png'/'jpeg'/'gif'/'image'/'wav' for the built-in "
-            "codecs, fake=True for the deterministic stub, or inject "
-            "decoder=fn(payload)->list[float]"
+            "real media decode beyond PNG/JPEG/GIF/WebP(lossless)/WAV "
+            "requires an image/audio library not present in this "
+            "environment; pass decoder='png'/'jpeg'/'gif'/'webp'/"
+            "'image'/'wav' for the built-in codecs, fake=True for the "
+            "deterministic stub, or inject decoder=fn(payload)->list[float]"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,6 +284,7 @@ def resize_media(
         from zeek_duckdb_spark.operators.gif import gif_resize
         from zeek_duckdb_spark.operators.jpeg import jpeg_resize
         from zeek_duckdb_spark.operators.png import png_resize
+        from zeek_duckdb_spark.operators.webp import webp_resize
 
         if resizer == "png":
             resizer = png_resize
@@ -284,23 +292,27 @@ def resize_media(
             resizer = jpeg_resize
         elif resizer == "gif":
             resizer = gif_resize
+        elif resizer == "webp":
+            resizer = webp_resize
         elif resizer == "image":
             # format-preserving: PNG payloads re-encode as PNG, JPEG
-            # as JPEG, GIF as GIF
-            resizer = _sniffing(png_resize, jpeg_resize, gif_resize)
+            # as JPEG, GIF as GIF, WebP as lossless WebP
+            resizer = _sniffing(
+                png_resize, jpeg_resize, gif_resize, webp_resize
+            )
         else:
             raise ValueError(
                 f"resize_media: unknown built-in resizer {resizer!r} "
-                "('png', 'jpeg', 'gif' or 'image'); pass a callable for "
-                "other formats"
+                "('png', 'jpeg', 'gif', 'webp' or 'image'); pass a "
+                "callable for other formats"
             )
     if not fake and resizer is None:
         raise NotImplementedError(
-            "real image resize beyond PNG/JPEG/GIF requires an image "
-            "library not present in this environment; pass "
-            "resizer='png'/'jpeg'/'gif'/'image' for the built-in codecs, "
-            "fake=True for the deterministic stub, or inject "
-            "resizer=fn(payload, width, height)->bytes"
+            "real image resize beyond PNG/JPEG/GIF/WebP(lossless) "
+            "requires an image library not present in this environment; "
+            "pass resizer='png'/'jpeg'/'gif'/'webp'/'image' for the "
+            "built-in codecs, fake=True for the deterministic stub, or "
+            "inject resizer=fn(payload, width, height)->bytes"
         )
     wh = width * height
 
@@ -699,6 +711,7 @@ def phash_media(
         from zeek_duckdb_spark.operators.jpeg import decode_jpeg
         from zeek_duckdb_spark.operators.png import decode_png
         from zeek_duckdb_spark.operators.wav import wav_spectrogram
+        from zeek_duckdb_spark.operators.webp import decode_webp
 
         if decoder == "png":
             decoder = decode_png
@@ -706,8 +719,12 @@ def phash_media(
             decoder = decode_jpeg
         elif decoder == "gif":
             decoder = decode_gif
+        elif decoder == "webp":
+            decoder = decode_webp
         elif decoder == "image":
-            decoder = _sniffing(decode_png, decode_jpeg, decode_gif)
+            decoder = _sniffing(
+                decode_png, decode_jpeg, decode_gif, decode_webp
+            )
         elif decoder == "wav":
             # AUDIO near-dup through the same machinery: the log-band
             # spectrogram is a 2-D array exactly like a decoded image
@@ -715,15 +732,16 @@ def phash_media(
         else:
             raise ValueError(
                 f"phash_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'gif', 'image' or 'wav'); pass a "
-                "callable for other formats"
+                "('png', 'jpeg', 'gif', 'webp', 'image' or 'wav'); "
+                "pass a callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
-            "real media decode beyond PNG/JPEG/GIF/WAV requires "
-            "PIL/soundfile (absent in this environment); pass "
-            "decoder='png'/'jpeg'/'gif'/'image'/'wav' for the built-in "
-            "codecs, fake=True, or inject decoder=fn(payload)->2-D array"
+            "real media decode beyond PNG/JPEG/GIF/WebP(lossless)/WAV "
+            "requires PIL/soundfile (absent in this environment); pass "
+            "decoder='png'/'jpeg'/'gif'/'webp'/'image'/'wav' for the "
+            "built-in codecs, fake=True, or inject "
+            "decoder=fn(payload)->2-D array"
         )
     if not 1 <= bits <= 60:
         raise ValueError("phash_media: bits must be in [1, 60]")
