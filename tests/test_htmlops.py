@@ -215,6 +215,24 @@ def test_stray_close_tags_cannot_leak_skip_subtrees():
     assert html_to_text("</style><p>fine</p>") == "fine"
 
 
+def test_unclosed_foreign_content_breaks_out_at_html_tags():
+    """An UNCLOSED <svg>/<math> must not swallow the rest of the
+    document: per the HTML standard's foreign-content rules, a start
+    tag like <p>/<div> auto-closes the foreign scope (round-13 — the
+    r12 stack kept the scope open to EOF, losing all later text and
+    metadata on one common malformation)."""
+    assert (
+        html_to_text("<svg><circle r=1><p>real text</p>") == "real text"
+    )
+    assert html_to_text("<math><mi>x</mi><div>after</div>") == "after"
+    # svg-internal elements do NOT break out: the tooltip stays gone
+    assert html_to_text("<svg><text>vector label</text><p>yes</p>") == "yes"
+    # template is not foreign content: no breakout, inert to EOF
+    assert html_to_text("<template><p>ghost</p>") == ""
+    # nested foreign scopes all pop at one breakout tag
+    assert html_to_text("<svg><math><p>deep</p>") == "deep"
+
+
 def test_escape_wrap_oracle_is_sound_for_markupish_text():
     """The tx_html_extract wrap pre-escapes &/</> so the full-value
     oracle holds for ANY corpus text: extraction of the escaped wrap
@@ -362,6 +380,17 @@ def test_extract_meta_reference():
     assert m6["canonical"] is None
     # self-closing <svg/> opens no scope
     assert extract_meta("<svg/><title>After</title>")["title"] == "After"
+    # UNCLOSED svg/math: a breakout start tag (HTML foreign-content
+    # rule) repairs the scope so later metadata is not swallowed...
+    h7 = ('<svg><circle r=1><p>content</p><title>Real</title>'
+          '<meta name="description" content="d">')
+    m7 = extract_meta(h7)
+    assert m7["title"] == "Real" and m7["description"] == "d"
+    # ...but a title DIRECTLY inside the unclosed svg is still the
+    # tooltip (title is legal foreign content — no breakout)
+    assert extract_meta("<svg><circle r=1><title>tip</title>")["title"] is None
+    # template never breaks out (browsers parse it inertly to </template>)
+    assert extract_meta("<template><p>x</p><title>T</title>")["title"] is None
 
 
 def test_native_extractor_seam():

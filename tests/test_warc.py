@@ -470,11 +470,18 @@ def test_non_http_response_quarantine(spark, tmp_path):
         ({"WARC-Type": "response", "WARC-Record-ID": "<urn:sniff>",
           "WARC-Target-URI": "http://sniff.org/y"},
          _http(b"<p>sniffed</p>")),
+        # sloppier writer: record stamped with the ENTITY type but the
+        # payload is a full HTTP message — must still parse (r13
+        # review: header-only gating silently lost these pages)
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:mislabel>",
+          "WARC-Target-URI": "http://mislabel.org/z",
+          "Content-Type": "text/html"},
+         _http(b"<p>mislabeled</p>")),
     ]
     (tmp_path / "mixed.warc.gz").write_bytes(encode_warc(recs))
     df = read_warc(spark, str(tmp_path / "*.warc.gz"), decode_text=True)
     rows = {r.target_uri: r for r in df.collect()}
-    assert len(rows) == 4  # nothing raised; the file survived intact
+    assert len(rows) == 5  # nothing raised; the file survived intact
 
     dns = rows["dns:fc.example.org"]
     assert dns.content_encoding is None and dns.http_status is None
@@ -492,6 +499,10 @@ def test_non_http_response_quarantine(spark, tmp_path):
     assert sniffed.http_status == 200
     assert sniffed.content_type == "text/html"
     assert sniffed.body_text == "<p>sniffed</p>"
+
+    mis = rows["http://mislabel.org/z"]
+    assert mis.http_status == 200 and mis.content_encoding is None
+    assert mis.body_text == "<p>mislabeled</p>"
 
 
 def test_expand_flush_bounds(monkeypatch):

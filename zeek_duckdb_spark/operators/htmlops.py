@@ -80,6 +80,32 @@ _BLOCK_TAGS = frozenset(
     ]
 )
 
+# HTML-parsing-spec foreign-content breakout: inside an (unclosed)
+# svg/math subtree, a start tag from this list makes browsers
+# auto-close the foreign scope ("in foreign content" insertion mode,
+# HTML standard 13.2.6.5).  Without it one unclosed <svg> — common in
+# crawled HTML — would swallow the rest of the document's text AND
+# metadata.  <title>/<link> are deliberately NOT here (they are legal
+# foreign content — svg tooltips must stay suppressed); <template>
+# scopes never break out (browsers parse template content inertly to
+# its close tag).
+_FOREIGN_BREAKOUT = frozenset([
+    "b", "big", "blockquote", "body", "br", "center", "code", "dd",
+    "div", "dl", "dt", "em", "embed", "font", "h1", "h2", "h3", "h4",
+    "h5", "h6", "head", "hr", "i", "img", "li", "listing", "menu",
+    "meta", "nobr", "ol", "p", "pre", "ruby", "s", "small", "span",
+    "strong", "strike", "sub", "sup", "table", "tt", "u", "ul", "var",
+])
+
+
+def _breakout(skip_stack: list, tag: str) -> None:
+    """Pop open svg/math scopes when ``tag`` is a breakout start tag
+    (template and the CDATA-ish skip tags are never popped)."""
+    if tag in _FOREIGN_BREAKOUT:
+        while skip_stack and skip_stack[-1] in ("svg", "math"):
+            skip_stack.pop()
+
+
 import re as _re
 
 # EXACTLY the documented 6-char class — not Python's \s or
@@ -138,7 +164,9 @@ class _TextExtractor(HTMLParser):
             self._skip_stack.append(tag)
             return
         if self._skip_stack:
-            return  # a tag INSIDE a skipped subtree must not leak state
+            _breakout(self._skip_stack, tag)  # unclosed svg/math repair
+            if self._skip_stack:
+                return  # a tag INSIDE a skipped subtree must not leak state
         if tag == "a":
             self._in_anchor = True
         if tag in _BLOCK_TAGS:
@@ -330,8 +358,23 @@ def native_extractor(prefer: tuple = ("selectolax", "lxml")):
                 errs.append(str(exc))
                 continue
 
+            import re as _nre
+
+            _xml_decl = _nre.compile(r"^\s*<\?xml[^>]*\?>")
+
             def _lxml(h: str) -> str:
-                doc = _lx.fromstring(h)
+                # crawl-reality guards, same policy as the stdlib path:
+                # one page must not kill the job.  lxml refuses str
+                # input carrying an XML encoding declaration (XHTML
+                # pages) and raises on empty/comment-only documents —
+                # strip the former, map the latter to no text.
+                h = _xml_decl.sub("", h)
+                if not h.strip():
+                    return ""
+                try:
+                    doc = _lx.fromstring(h)
+                except Exception:
+                    return ""
                 # snapshot: mutating under a live iterator skips nodes
                 for el in list(doc.iter(*_DROP)):
                     # keep tail text — removing the node verbatim would
@@ -417,11 +460,13 @@ class _MetaExtractor(HTMLParser):
             self._skip_stack.append(tag)
             return
         if self._skip_stack:
-            # an svg tooltip <title> (or template'd meta/link) that
-            # PRECEDES the head title must not become the document
-            # title — browsers only read metadata outside these
-            # subtrees
-            return
+            _breakout(self._skip_stack, tag)  # unclosed svg/math repair
+            if self._skip_stack:
+                # an svg tooltip <title> (or template'd meta/link) that
+                # PRECEDES the head title must not become the document
+                # title — browsers only read metadata outside these
+                # subtrees
+                return
         a = dict(attrs)
         if tag == "html" and self.lang is None:
             self.lang = a.get("lang") or a.get("xml:lang")

@@ -132,15 +132,16 @@ def _decompress_container(buf: bytes, who: str) -> bytes:
     return buf
 
 
-def _brotli_decompress(body: bytes) -> bytes:
-    """Brotli entity decode through the optional-decoder ladder (the
-    ``zstandard`` pattern): the ``brotli`` / ``brotlicffi`` module
-    when installed, else pyarrow's bundled brotli codec (present in
-    every pyarrow build this repo supports — parquet ships it), which
-    decodes STREAMING so the unknown entity size is not a problem.
-    Raises ImportError when no decoder exists anywhere (the caller
-    quarantines under 'br'), any other exception on a corrupt or
-    truncated stream (same quarantine)."""
+# memoized entity-decoder resolvers: the ladder walks failed imports
+# only ONCE per process — failed imports are not cached in sys.modules,
+# so resolving per record would re-scan sys.path inside the hottest
+# parse loop for every br/zstd entity.  The cache value is either the
+# decoder callable or the ImportError to re-raise (decoder genuinely
+# absent stays a cheap, consistent signal).
+_ENTITY_DECODERS: dict = {}
+
+
+def _resolve_brotli():
     try:
         import brotli  # type: ignore
     except ImportError:
@@ -149,7 +150,7 @@ def _brotli_decompress(body: bytes) -> bytes:
         except ImportError:
             brotli = None
     if brotli is not None:
-        return brotli.decompress(body)
+        return brotli.decompress
     import pyarrow as pa
 
     if not pa.Codec.is_available("brotli"):
@@ -157,24 +158,27 @@ def _brotli_decompress(body: bytes) -> bytes:
             "no brotli decoder: install brotli/brotlicffi or a pyarrow "
             "build with brotli"
         )
-    return bytes(
-        pa.CompressedInputStream(pa.BufferReader(body), "brotli").read()
-    )
+
+    def _dec(body: bytes) -> bytes:
+        return bytes(
+            pa.CompressedInputStream(pa.BufferReader(body), "brotli").read()
+        )
+
+    return _dec
 
 
-def _zstd_entity_decompress(body: bytes) -> bytes:
-    """RFC 8878 ``Content-Encoding: zstd`` entity decode through the
-    same ladder: zstandard module, else pyarrow's bundled codec.
-    Raises ImportError with no decoder, else propagates decode
-    errors — the caller quarantines either way."""
+def _resolve_zstd_entity():
     try:
         import zstandard  # type: ignore
     except ImportError:
         zstandard = None
     if zstandard is not None:
-        return zstandard.ZstdDecompressor().stream_reader(
-            io.BytesIO(body), read_across_frames=True
-        ).read()
+        def _dec(body: bytes) -> bytes:
+            return zstandard.ZstdDecompressor().stream_reader(
+                io.BytesIO(body), read_across_frames=True
+            ).read()
+
+        return _dec
     import pyarrow as pa
 
     if not pa.Codec.is_available("zstd"):
@@ -182,9 +186,49 @@ def _zstd_entity_decompress(body: bytes) -> bytes:
             "no zstd decoder: install zstandard or a pyarrow build "
             "with zstd"
         )
-    return bytes(
-        pa.CompressedInputStream(pa.BufferReader(body), "zstd").read()
-    )
+
+    def _dec(body: bytes) -> bytes:
+        return bytes(
+            pa.CompressedInputStream(pa.BufferReader(body), "zstd").read()
+        )
+
+    return _dec
+
+
+def _entity_decoder(kind: str):
+    """Memoized ladder lookup; raises the cached ImportError when the
+    decoder is genuinely absent (the caller quarantines)."""
+    got = _ENTITY_DECODERS.get(kind)
+    if got is None:
+        try:
+            got = _resolve_brotli() if kind == "br" else _resolve_zstd_entity()
+        except ImportError as exc:
+            got = exc
+        _ENTITY_DECODERS[kind] = got
+    if isinstance(got, ImportError):
+        raise got
+    return got
+
+
+def _brotli_decompress(body: bytes) -> bytes:
+    """Brotli entity decode through the optional-decoder ladder (the
+    ``zstandard`` pattern): the ``brotli`` / ``brotlicffi`` module
+    when installed, else pyarrow's bundled brotli codec (present in
+    every pyarrow build this repo supports — parquet ships it), which
+    decodes STREAMING so the unknown entity size is not a problem.
+    Raises ImportError when no decoder exists anywhere (the caller
+    quarantines under 'br'), any other exception on a corrupt or
+    truncated stream (same quarantine).  Resolution is memoized per
+    process (see ``_entity_decoder``)."""
+    return _entity_decoder("br")(body)
+
+
+def _zstd_entity_decompress(body: bytes) -> bytes:
+    """RFC 8878 ``Content-Encoding: zstd`` entity decode through the
+    same memoized ladder: zstandard module, else pyarrow's bundled
+    codec.  Raises ImportError with no decoder, else propagates
+    decode errors — the caller quarantines either way."""
+    return _entity_decoder("zstd")(body)
 
 
 def _decode_chunked(body: bytes, who: str) -> bytes:
@@ -493,11 +537,12 @@ def _make_expand(wanted, decode_text: bool = False):
     hottest column (quarantined still-encoded records get NULL
     body_text).
 
-    HTTP parsing is gated on the WARC record's own Content-Type:
-    ``application/http`` payloads (or, for sloppy writers that omit
-    Content-Type, payloads sniffing as ``HTTP/``) get the head parsed
-    off; non-HTTP ``response`` captures (DNS/FTP — legal per ISO
-    28500) pass through raw with the WARC header's content_type, and a
+    HTTP parsing is gated on the WARC record's own Content-Type OR a
+    payload sniff: ``application/http`` records and payloads starting
+    ``HTTP/`` (sloppy writers stamp the entity type on the record)
+    get the head parsed off; non-HTTP ``response`` captures (DNS/FTP
+    — legal per ISO 28500) pass through raw with the WARC header's
+    content_type, and a
     record CLAIMING application/http whose payload won't parse is
     quarantined with residual ``'http'`` — never a raise, because one
     such record would kill the file and wedge the checkpointed stream
@@ -533,8 +578,14 @@ def _make_expand(wanted, decode_text: bool = False):
                     status, cenc = None, None
                     ctype, body = h.get("content-type"), rec["payload"]
                     rec_ct = (ctype or "").lower()
-                    is_http = "application/http" in rec_ct or (
-                        ctype is None and body[:5] == b"HTTP/"
+                    # declared application/http OR a payload that IS an
+                    # HTTP message regardless of the declared type —
+                    # sloppy writers stamp the ENTITY type (text/html)
+                    # on the record, and gating on the header alone
+                    # would silently drop those pages raw
+                    is_http = (
+                        "application/http" in rec_ct
+                        or body[:5] == b"HTTP/"
                     )
                     if wtype.lower() == "response" and is_http:
                         try:
