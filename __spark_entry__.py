@@ -715,19 +715,14 @@ def mm_decode_fake(spark, sf):
     return dec.join(rez, "doc_id")
 
 
-def mm_png_roundtrip(spark, sf):
-    """REAL image codec inside the engine, full-value oracle-checked:
-    each doc's utf-8 payload tiles to a 16x16 gray image, encodes to
-    actual PNG bytes and decodes back via the pure-Python codec
-    (operators/png.py — zlib + unfiltering) in executors, then exact
-    integer gray statistics come out.  PNG is lossless, so the stats
-    equal byte statistics of the tiled payload — which DuckDB restates
-    from the hex dump (the proven mm_decode_fake recipe), making the
-    hash check transit the real encode->decode round-trip.  Exact
-    int64 sums (values <= 2^24), no rounding edge."""
+def _mm_lossless_roundtrip(spark, sf, encode, decode):
+    """Shared body of mm_png_roundtrip / mm_webp_roundtrip: tile each
+    doc's utf-8 payload to a 16x16 gray image, push it through a REAL
+    lossless codec (encode -> decode) in executors, emit exact integer
+    gray statistics.  Losslessness makes the stats equal byte
+    statistics of the tiled payload, which DuckDB restates from the
+    hex dump — one oracle, any lossless codec."""
     import pandas as pd
-
-    from zeek_duckdb_spark.operators.png import decode_png, encode_png
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     with_media = mm.attach_media(d, "text", fmt="utf8")
@@ -743,7 +738,7 @@ def mm_png_roundtrip(spark, sf):
                 raw = bytes(b) or b"\0"
                 raw = (raw * (256 // len(raw) + 1))[:256]
                 img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
-                g = decode_png(encode_png(img))  # the REAL codec path
+                g = decode(encode(img))  # the REAL codec path
                 ids.append(did)
                 sums.append(int(g.sum()))
                 sqs.append(int((g * g).sum()))
@@ -759,6 +754,38 @@ def mm_png_roundtrip(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+def mm_webp_roundtrip(spark, sf):
+    """The round-13 lossless-WebP codec (operators/webp.py — full
+    VP8L: prefix codes, color cache, LZ77, subtract-green) through the
+    SAME full-value roundtrip oracle as mm_png_roundtrip: tiled
+    payloads encode to real RIFF/VP8L bytes and decode back in
+    executors; exact gray sums match DuckDB's hex-dump restatement
+    because the codec is lossless.  Cache + LZ77 on so the oracle
+    transits the non-trivial encoder paths."""
+    from zeek_duckdb_spark.operators.webp import decode_webp, encode_webp
+
+    return _mm_lossless_roundtrip(
+        spark, sf,
+        lambda img: encode_webp(img, use_cache_bits=6, lz77_runs=True),
+        decode_webp,
+    )
+
+
+def mm_png_roundtrip(spark, sf):
+    """REAL image codec inside the engine, full-value oracle-checked:
+    each doc's utf-8 payload tiles to a 16x16 gray image, encodes to
+    actual PNG bytes and decodes back via the pure-Python codec
+    (operators/png.py — zlib + unfiltering) in executors, then exact
+    integer gray statistics come out.  PNG is lossless, so the stats
+    equal byte statistics of the tiled payload — which DuckDB restates
+    from the hex dump (the proven mm_decode_fake recipe), making the
+    hash check transit the real encode->decode round-trip.  Exact
+    int64 sums (values <= 2^24), no rounding edge."""
+    from zeek_duckdb_spark.operators.png import decode_png, encode_png
+
+    return _mm_lossless_roundtrip(spark, sf, encode_png, decode_png)
 
 
 def sim_topk_batch(spark, sf):
@@ -2598,6 +2625,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_array_norms": q22_array_norms,
         "dd_cosine_pairs": dd_cosine_pairs,
         "ev_cm_median": ev_cm_median,
+        "mm_webp_roundtrip": mm_webp_roundtrip,
     }
 
 
@@ -2750,4 +2778,7 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
         """,
         "ev_cm_median": _cm_median_oracle(),
+        # the SAME hex-dump restatement as the PNG row: losslessness
+        # is the whole contract, so one oracle serves any codec
+        "mm_webp_roundtrip": oracle_sql()["mm_png_roundtrip"],
     }
