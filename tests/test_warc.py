@@ -543,6 +543,66 @@ def test_expand_flush_bounds(monkeypatch):
     )
 
 
+def test_crawl_image_near_dup_chain(spark, tmp_path):
+    """The complete multimodal crawl chain on one WARC: read_warc ->
+    filter image/* responses -> phash_media(decoder='image', four-way
+    sniff) -> phash_pairs, where the SAME image served as PNG at one
+    URL and as lossless WebP at another collapses as a near-dup pair
+    across formats, and an unrelated image does not (round-13: the
+    WebP codec completes the crawl-thumbnail sniff)."""
+    import numpy as np
+
+    from zeek_duckdb_spark.operators import multimodal as mm
+    from zeek_duckdb_spark.operators.png import encode_png
+    from zeek_duckdb_spark.operators.webp import encode_webp
+
+    rng = np.random.RandomState(5)
+    img = rng.normal(0, 1, (128, 128))
+    for _ in range(3):
+        img = (np.roll(img, 1, 0) + img + np.roll(img, -1, 0)) / 3
+        img = (np.roll(img, 1, 1) + img + np.roll(img, -1, 1)) / 3
+    img = np.round(
+        (img - img.min()) / (img.max() - img.min()) * 255
+    )[:64, :64].astype(np.uint8)
+    other = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+
+    def img_rec(uri, payload, ctype):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:{uri}>",
+                 "WARC-Target-URI": uri,
+                 "Content-Type": "application/http; msgtype=response"},
+                http)
+
+    (tmp_path / "media.warc.gz").write_bytes(encode_warc([
+        img_rec("http://m.org/a.png", encode_png(img), "image/png"),
+        img_rec("http://m.org/a.webp", encode_webp(img), "image/webp"),
+        img_rec("http://m.org/other.png", encode_png(other), "image/png"),
+        _response_rec("http://m.org/page", b"<p>not an image</p>"),
+    ]))
+
+    from pyspark.sql import functions as F
+
+    imgs = (
+        read_warc(spark, str(tmp_path / "*.warc.gz"))
+        .filter(F.col("content_type").startswith("image/")
+                & F.col("content_encoding").isNull())
+        .select(F.xxhash64("target_uri").alias("doc_id"),
+                "target_uri", F.col("body").alias("media"))
+    )
+    hashed = mm.phash_media(imgs, decoder="image")
+    uri_of = {r.doc_id: r.target_uri for r in imgs.collect()}
+    pairs = [
+        (uri_of[r.id_a], uri_of[r.id_b])
+        for r in mm.phash_pairs(hashed, max_hamming=6).collect()
+    ]
+    assert sorted(pairs[0]) == sorted(
+        ("http://m.org/a.png", "http://m.org/a.webp")
+    ) and len(pairs) == 1, pairs
+
+
 def test_warc_zst_container(tmp_path):
     """.warc.zst decodes through the module-free zstd ladder: the
     vendored store-mode codec (always available) and pyarrow's bundled
