@@ -231,6 +231,15 @@ def test_unclosed_foreign_content_breaks_out_at_html_tags():
     assert html_to_text("<template><p>ghost</p>") == ""
     # nested foreign scopes all pop at one breakout tag
     assert html_to_text("<svg><math><p>deep</p>") == "deep"
+    # the breakout applies to SELF-CLOSING start tags too (XHTML-style
+    # <br/>/<img/> are common in crawled HTML)
+    assert html_to_text("<svg><circle r=1><br/>real text") == "real text"
+    assert html_to_text("<svg><circle r=1><img src=x />caption") == "caption"
+    # <font> breaks out ONLY with color/face/size (SVG has its own
+    # <font> element that stays foreign content)
+    assert html_to_text("<svg><font><glyph/>inner</font></svg><p>ok</p>") == "ok"
+    assert html_to_text("<svg><font color=red>styled</font> after") \
+        == "styled after"
 
 
 def test_escape_wrap_oracle_is_sound_for_markupish_text():

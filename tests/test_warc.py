@@ -477,11 +477,18 @@ def test_non_http_response_quarantine(spark, tmp_path):
           "WARC-Target-URI": "http://mislabel.org/z",
           "Content-Type": "text/html"},
          _http(b"<p>mislabeled</p>")),
+        # a NON-declared text body that merely STARTS with 'HTTP/'
+        # (a document about HTTP) must pass through clean — the sniff
+        # only force-parses, never force-quarantines (r13 review)
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:about>",
+          "WARC-Target-URI": "http://about.org/http.txt",
+          "Content-Type": "text/plain"},
+         b"HTTP/1.1 is the most widely deployed protocol version."),
     ]
     (tmp_path / "mixed.warc.gz").write_bytes(encode_warc(recs))
     df = read_warc(spark, str(tmp_path / "*.warc.gz"), decode_text=True)
     rows = {r.target_uri: r for r in df.collect()}
-    assert len(rows) == 5  # nothing raised; the file survived intact
+    assert len(rows) == 6  # nothing raised; the file survived intact
 
     dns = rows["dns:fc.example.org"]
     assert dns.content_encoding is None and dns.http_status is None
@@ -503,6 +510,11 @@ def test_non_http_response_quarantine(spark, tmp_path):
     mis = rows["http://mislabel.org/z"]
     assert mis.http_status == 200 and mis.content_encoding is None
     assert mis.body_text == "<p>mislabeled</p>"
+
+    about = rows["http://about.org/http.txt"]
+    assert about.http_status is None and about.content_encoding is None
+    assert about.content_type == "text/plain"
+    assert about.body_text.startswith("HTTP/1.1 is the most")
 
 
 def test_expand_flush_bounds(monkeypatch):

@@ -235,6 +235,47 @@ def test_error_surfaces():
         encode_webp(np.arange(289).reshape(17, 17) % 256, palette=True)
 
 
+def test_decompression_bomb_guard():
+    """A ~31-byte VALID stream can claim 16383x16383 (268M pixels from
+    zero-bit codes) — untrusted crawl bytes must hit the pixel cap
+    BEFORE any decode work, and max_pixels= must lift it for trusted
+    archives (round-13 review)."""
+    from zeek_duckdb_spark.operators.webp import _BitWriter, _riff_wrap
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16382, 14)  # w = 16383
+    bw.write(16382, 14)  # h = 16383
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bomb = _riff_wrap(bw.bytes())
+    with pytest.raises(ValueError, match="bomb guard"):
+        decode_webp(bomb)
+    # the cap is header-based: a legitimate image just over the
+    # default cap decodes when the caller raises max_pixels
+    g = _gray(10, 4, 4)
+    payload = encode_webp(g)
+    assert np.array_equal(
+        decode_webp(payload, max_pixels=16), g.astype(np.float64)
+    )
+    with pytest.raises(ValueError, match="bomb guard"):
+        decode_webp(payload, max_pixels=15)
+
+
+def test_encoder_validation():
+    g = _gray(12, 4, 4)
+    with pytest.raises(ValueError, match="use_cache_bits"):
+        encode_webp(g, use_cache_bits=12)
+    with pytest.raises(ValueError, match="use_cache_bits"):
+        encode_webp(g, use_cache_bits=16)
+    # the flat-code fallback refuses small alphabets instead of
+    # indexing past them (distance alphabet is 40)
+    from zeek_duckdb_spark.operators.webp import _lengths_for
+
+    with pytest.raises(ValueError, match="alphabet_size >= 256"):
+        _lengths_for([1, 5, 9], 40)
+
+
 def test_features_and_resize_units():
     g = _gray(11, 10, 20)
     f = webp_features(encode_webp(g))

@@ -91,19 +91,27 @@ _BLOCK_TAGS = frozenset(
 # its close tag).
 _FOREIGN_BREAKOUT = frozenset([
     "b", "big", "blockquote", "body", "br", "center", "code", "dd",
-    "div", "dl", "dt", "em", "embed", "font", "h1", "h2", "h3", "h4",
+    "div", "dl", "dt", "em", "embed", "h1", "h2", "h3", "h4",
     "h5", "h6", "head", "hr", "i", "img", "li", "listing", "menu",
     "meta", "nobr", "ol", "p", "pre", "ruby", "s", "small", "span",
     "strong", "strike", "sub", "sup", "table", "tt", "u", "ul", "var",
 ])
 
 
-def _breakout(skip_stack: list, tag: str) -> None:
+def _breakout(skip_stack: list, tag: str, attrs=None) -> None:
     """Pop open svg/math scopes when ``tag`` is a breakout start tag
-    (template and the CDATA-ish skip tags are never popped)."""
-    if tag in _FOREIGN_BREAKOUT:
-        while skip_stack and skip_stack[-1] in ("svg", "math"):
-            skip_stack.pop()
+    (template and the CDATA-ish skip tags are never popped).  Per the
+    spec, <font> breaks out ONLY with a color/face/size attribute —
+    SVG's own <font> element stays foreign content."""
+    if tag == "font":
+        if not any(
+            k in ("color", "face", "size") for k, _v in (attrs or ())
+        ):
+            return
+    elif tag not in _FOREIGN_BREAKOUT:
+        return
+    while skip_stack and skip_stack[-1] in ("svg", "math"):
+        skip_stack.pop()
 
 
 import re as _re
@@ -164,7 +172,8 @@ class _TextExtractor(HTMLParser):
             self._skip_stack.append(tag)
             return
         if self._skip_stack:
-            _breakout(self._skip_stack, tag)  # unclosed svg/math repair
+            # unclosed svg/math repair (HTML foreign-content breakout)
+            _breakout(self._skip_stack, tag, attrs)
             if self._skip_stack:
                 return  # a tag INSIDE a skipped subtree must not leak state
         if tag == "a":
@@ -187,7 +196,12 @@ class _TextExtractor(HTMLParser):
             self._flush()
 
     def handle_startendtag(self, tag, attrs):
-        # void form (<br/>, <hr/>) — block break, never a skip scope
+        # void form (<br/>, <hr/>) — block break, never a skip scope.
+        # The breakout rule applies to START tags regardless of the
+        # self-closing flag (XHTML-style <br/> inside an unclosed
+        # <svg> must still repair the scope).
+        if self._skip_stack:
+            _breakout(self._skip_stack, tag, attrs)
         if not self._skip_stack and tag in _BLOCK_TAGS:
             self._flush()
 
@@ -460,7 +474,8 @@ class _MetaExtractor(HTMLParser):
             self._skip_stack.append(tag)
             return
         if self._skip_stack:
-            _breakout(self._skip_stack, tag)  # unclosed svg/math repair
+            # unclosed svg/math repair (HTML foreign-content breakout)
+            _breakout(self._skip_stack, tag, attrs)
             if self._skip_stack:
                 # an svg tooltip <title> (or template'd meta/link) that
                 # PRECEDES the head title must not become the document

@@ -516,11 +516,23 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool):
     return pixels
 
 
-def decode_vp8l_argb(payload: bytes):
+# decompression-bomb guard: a ~31-byte VALID stream can claim
+# 16383x16383 and decode 268M pixels from zero-bit single-symbol
+# codes — crawl bytes are untrusted, and one such record would stall
+# an executor task for hours (and a checkpointed stream forever).
+# 2^22 pixels (~4 MP) covers crawl thumbnails/images with room; raise
+# via the parameter for trusted archives.
+_MAX_PIXELS_DEFAULT = 1 << 22
+
+
+def decode_vp8l_argb(payload: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
     """WebP bytes (RIFF container) -> HxWx4 uint8 ARGB array via the
     full VP8L decode.  Raises ValueError for non-WebP payloads, lossy
-    VP8 frames (callback territory — see module docstring) and
-    corrupt/truncated streams."""
+    VP8 frames (callback territory — see module docstring),
+    corrupt/truncated streams, and images whose HEADER claims more
+    than ``max_pixels`` pixels (the decompression-bomb guard above —
+    VP8L's entropy coding legitimately reaches million-to-one ratios,
+    so only a pixel cap bounds the work)."""
     import numpy as np
 
     if payload is None:
@@ -557,6 +569,12 @@ def decode_vp8l_argb(payload: bytes):
     br.read(1)  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("decode_webp: unknown VP8L version")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"decode_webp: image claims {w}x{h} = {w * h} pixels, over "
+            f"the {max_pixels}-pixel bomb guard (pass max_pixels= to "
+            "raise it for trusted archives)"
+        )
     pixels = _decode_image_stream(br, w, h, True)
     arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
     out = np.empty((h, w, 4), dtype=np.uint8)
@@ -567,15 +585,16 @@ def decode_vp8l_argb(payload: bytes):
     return out
 
 
-def decode_webp(payload: bytes):
+def decode_webp(payload: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
     """WebP (lossless) bytes -> 2-D float64 grayscale array, the shape
     :func:`multimodal.phash_value` consumes.  Gray images (R==G==B)
     return the channel exactly (like PNG color type 0 / the GIF gray
     ramp); color folds to ITU-R BT.601 luma, matching the sibling
-    decoders."""
+    decoders.  ``max_pixels`` is the decompression-bomb guard (see
+    :func:`decode_vp8l_argb`)."""
     import numpy as np
 
-    argb = decode_vp8l_argb(payload)
+    argb = decode_vp8l_argb(payload, max_pixels=max_pixels)
     r = argb[:, :, 1].astype(np.float64)
     g = argb[:, :, 2].astype(np.float64)
     b = argb[:, :, 3].astype(np.float64)
@@ -706,6 +725,14 @@ def _lengths_for(symbols, alphabet_size: int):
         return lengths
     if any(s >= 256 for s in distinct):
         raise ValueError("encode_webp: flat code needs symbols < 256")
+    if alphabet_size < 256:
+        # latent-landmine guard: the distance alphabet is 40 — a
+        # future encoder emitting >2 distinct distance symbols must
+        # grow a proper code, not index past the list
+        raise ValueError(
+            "encode_webp: flat fallback needs alphabet_size >= 256 "
+            f"(got {alphabet_size} with {len(distinct)} distinct symbols)"
+        )
     for s in range(256):
         lengths[s] = 8
     return lengths
@@ -755,6 +782,10 @@ def encode_webp(
         raise ValueError("encode_webp: zero-sized image")
     if w > 1 << 14 or h > 1 << 14:
         raise ValueError("encode_webp: dimensions exceed the VP8L 14-bit limit")
+    if use_cache_bits and not 1 <= use_cache_bits <= 11:
+        # 12+ emits a stream the decoder (and the spec) rejects; 16+
+        # would silently truncate in the 4-bit header field
+        raise ValueError("encode_webp: use_cache_bits must be 0 or 1-11")
     if palette and not gray:
         raise ValueError("encode_webp: palette mode is for gray fixtures")
     if predictor_left and (palette or lz77_runs or use_cache_bits):

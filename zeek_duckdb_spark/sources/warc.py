@@ -583,19 +583,21 @@ def _make_expand(wanted, decode_text: bool = False):
                     # sloppy writers stamp the ENTITY type (text/html)
                     # on the record, and gating on the header alone
                     # would silently drop those pages raw
-                    is_http = (
-                        "application/http" in rec_ct
-                        or body[:5] == b"HTTP/"
-                    )
+                    declared = "application/http" in rec_ct
+                    is_http = declared or body[:5] == b"HTTP/"
                     if wtype.lower() == "response" and is_http:
                         try:
                             status, ctype, body, cenc = _parse_http_response(
                                 rec["payload"], who=f"read_warc({fpath})"
                             )
                         except ValueError:
-                            # claimed-HTTP payload that isn't: raw
-                            # passthrough under the 'http' residual
-                            status, cenc = None, "http"
+                            # DECLARED application/http that won't parse
+                            # -> 'http' quarantine; an undeclared body
+                            # that merely STARTS with 'HTTP/' (e.g. a
+                            # text file about HTTP) -> clean raw
+                            # passthrough, exactly as before the sniff
+                            status = None
+                            cenc = "http" if declared else None
                             ctype, body = h.get("content-type"), rec["payload"]
                     rows["warc_file"].append(fpath)
                     rows["record_id"].append(h.get("warc-record-id"))
