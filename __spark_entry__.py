@@ -2349,6 +2349,24 @@ def _cm_counts_oracle() -> str:
     )
 
 
+def cx_surt_keys(spark, sf):
+    """SURT index keys (textops.surt_key — the CDX/web-archive sort
+    key, round 13) over URLs synthesized from document fields in BOTH
+    engines identically; the oracle restates the whole transform
+    (lowercase, www-strip, host reversal, path lowering, query sort)
+    in RE2 + list SQL.  Pure JVM expressions, zero Python, zero
+    shuffle."""
+    from zeek_duckdb_spark.operators.textops import surt_key
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("http://www."), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/D"), F.col("doc_id").cast("string"),
+        F.lit("?b=2&A=1"),
+    )
+    return d.select("doc_id", surt_key(url).alias("urlkey"))
+
+
 def ev_cm_median(spark, sf):
     """CM-median over a signed sketch (operators/sketches, r10):
     insert sketch over event user_ids MERGED with a deletion batch
@@ -2626,6 +2644,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cosine_pairs": dd_cosine_pairs,
         "ev_cm_median": ev_cm_median,
         "mm_webp_roundtrip": mm_webp_roundtrip,
+        "cx_surt_keys": cx_surt_keys,
     }
 
 
@@ -2781,4 +2800,25 @@ def extra_oracle_sql() -> dict[str, str]:
         # the SAME hex-dump restatement as the PNG row: losslessness
         # is the whole contract, so one oracle serves any codec
         "mm_webp_roundtrip": oracle_sql()["mm_png_roundtrip"],
+        "cx_surt_keys": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'http://www.' || source || '.example.com/' || lang ||
+                     '/D' || CAST(doc_id AS VARCHAR) || '?b=2&A=1' AS u
+              FROM documents WHERE doc_id < 300),
+            p AS (
+              SELECT doc_id,
+                     lower(regexp_replace(regexp_extract(u,
+                       '^https?://([A-Za-z0-9.-]+)', 1), '^www\.', '')) AS host,
+                     lower(regexp_extract(u,
+                       '^https?://[A-Za-z0-9.-]+(/[^?#]*)', 1)) AS path,
+                     lower(regexp_extract(u, '\?([^#]*)', 1)) AS q
+              FROM t)
+            SELECT doc_id,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' || path || '?' ||
+                   array_to_string(list_sort(string_split(q, '&')), '&')
+                     AS urlkey
+            FROM p
+        """,
     }

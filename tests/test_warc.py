@@ -615,6 +615,128 @@ def test_crawl_image_near_dup_chain(spark, tmp_path):
     ) and len(pairs) == 1, pairs
 
 
+def test_cdx_records_random_access_roundtrip(spark, tmp_path):
+    """CDX index generation (round-13): the emitted (offset, length)
+    spans honor the web-archive random-access contract — seek into the
+    .warc.gz, read length bytes, gunzip, parse EXACTLY the indexed
+    record — and urlkey/digest/timestamp follow the public CDX
+    conventions (SURT key, sha1-base32 of the decoded entity,
+    14-digit time)."""
+    import base64
+    import gzip as _gzip
+    import hashlib
+
+    from zeek_duckdb_spark.sources.warc import cdx_records
+
+    body_a = b"<p>indexed page a</p>"
+    body_b = b"<p>indexed page b, chunked</p>"
+    f = tmp_path / "c.warc.gz"
+    f.write_bytes(encode_warc([
+        ({"WARC-Type": "warcinfo"}, b"software: test\r\n"),
+        _response_rec("https://www.Example.com/A/b?z=1&a=2", body_a),
+        _response_rec("http://site.org/chunk", body_b, chunked=True),
+    ]))
+
+    df = cdx_records(spark, str(tmp_path / "*.warc.gz"))
+    rows = sorted(df.collect(), key=lambda r: r.offset)
+    assert len(rows) == 2  # warcinfo filtered by default
+
+    a, b = rows
+    assert a.urlkey == "com,example)/a/b?a=2&z=1"  # SURT: lowered, www
+    assert b.urlkey == "org,site)/chunk"           # stripped, sorted q
+    assert a.cdx_ts == "20260816000000"
+    assert a.mime == "text/html" and a.http_status == 200
+    # digest = sha1-base32 of the DECODED entity (chunked undone)
+    assert a.digest == base64.b32encode(
+        hashlib.sha1(body_a).digest()).decode()
+    assert b.digest == base64.b32encode(
+        hashlib.sha1(body_b).digest()).decode()
+
+    # THE contract: seek/read/gunzip each span -> exactly that record
+    blob = f.read_bytes()
+    for r, want_body in ((a, body_a), (b, body_b)):
+        member = blob[r.offset : r.offset + r.length]
+        recs = list(parse_warc(_gzip.decompress(member)))
+        assert len(recs) == 1
+        assert recs[0]["headers"]["warc-target-uri"] == r.url
+
+    # spans tile the file exactly (member-per-record layout)
+    got = {r.offset for r in cdx_records(
+        spark, str(tmp_path / "*.warc.gz"), record_types=None).collect()}
+    assert 0 in got and max(got) < len(blob)
+
+    # plain .warc: direct byte spans
+    plain = tmp_path / "p.warc"
+    plain.write_bytes(encode_warc(
+        [_response_rec("http://p.org/x", body_a)], compress=False))
+    (pr,) = cdx_records(spark, str(plain)).collect()
+    raw = plain.read_bytes()
+    assert raw[pr.offset : pr.offset + pr.length].startswith(b"WARC/1.0")
+    assert raw[pr.offset : pr.offset + pr.length].endswith(body_a)
+
+    # zero shuffle: pure map over the file scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_surt_key_unit_and_differential(spark):
+    """surt_key: unit pins for the SURT conventions + a DuckDB
+    differential restating the whole transform in SQL over generated
+    URLs (the oracle recipe the extra_queries entry uses)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.operators.textops import surt_key
+
+    cases = [
+        ("https://www.Example.com/A/b?z=1&a=2", "com,example)/a/b?a=2&z=1"),
+        ("http://sub.site.org/", "org,site,sub)/"),
+        ("http://site.org", "org,site)/"),
+        ("http://site.org:8080/x", "org,site:8080)/x"),
+        ("http://site.org:80/x", "org,site)/x"),          # default port
+        ("https://site.org:443/x", "org,site)/x"),
+        ("http://bob@site.org/x#frag", "org,site)/x"),    # userinfo+frag
+        ("not a url", "not a url"),                       # passthrough
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _w) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: r.k for r in df.select(
+        "i", surt_key(F.col("url")).alias("k")).collect()}
+    for i, (_u, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    # differential: DuckDB restates the transform over generated URLs
+    urls = [
+        f"http://www.s{i % 7}.dom{i % 3}.com/P{i}/x?b={i}&A=1"
+        for i in range(200)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    spark_out = {r.i: r.k for r in sdf.select(
+        "i", surt_key(F.col("url")).alias("k")).collect()}
+    duck = duckdb.connect()
+    duck_out = dict(duck.execute("""
+        WITH t AS (SELECT i, u FROM (SELECT unnest(range(200)) AS i,
+                   unnest($urls) AS u)),
+        p AS (SELECT i,
+               lower(regexp_replace(regexp_extract(u,
+                 '^https?://([A-Za-z0-9.-]+)', 1), '^www\\.', '')) AS host,
+               lower(regexp_extract(u,
+                 '^https?://[A-Za-z0-9.-]+(/[^?#]*)', 1)) AS path,
+               lower(regexp_extract(u, '\\?([^#]*)', 1)) AS q
+              FROM t)
+        SELECT i, array_to_string(list_reverse(string_split(host, '.')), ',')
+               || ')' || path || '?' ||
+               array_to_string(list_sort(string_split(q, '&')), '&') AS k
+        FROM p
+    """, {"urls": urls}).fetchall())
+    assert spark_out == duck_out
+
+
 def test_warc_zst_container(tmp_path):
     """.warc.zst decodes through the module-free zstd ladder: the
     vendored store-mode codec (always available) and pyarrow's bundled

@@ -31,6 +31,7 @@ __all__ = [
     "extract_urls",
     "url_host",
     "canonicalize_url",
+    "surt_key",
     "registered_domain",
     "registered_domain_psl_col",
     "filter_blocked_domains",
@@ -573,6 +574,55 @@ def canonicalize_url(col: Column) -> Column:
         scheme, F.lit("://"), userinfo, host, keep_port, norm_path, norm_query
     )
     return F.when(host == "", u).otherwise(canon)
+
+
+def surt_key(col: Column) -> Column:
+    """SURT-form index key of one http(s) URL — the sort key every
+    web-archive index (CDX/CDXJ, the format Common Crawl and Wayback
+    ship) uses, because reversing the host groups a domain's pages
+    into one contiguous key range: ``https://www.Example.com/A/b?z=1&a=2``
+    -> ``com,example)/a/b?a=2&z=1``.
+
+    Rules (the public SURT convention as canonicalized by web-archive
+    tooling, stated here so the oracle can restate them): scheme,
+    userinfo and fragment dropped; host lowercased, one leading
+    ``www.`` stripped, dot-segments REVERSED and joined with commas;
+    a non-default port kept as ``:port`` before ``)``; path lowercased
+    (empty -> ``/``); query params lowercased and SORTED (all kept —
+    this is an index key, not the dedup key; tracking-param removal is
+    :func:`canonicalize_url`'s job).
+
+    Pure JVM expressions (the same parse as canonicalize_url plus a
+    reverse/join over a handful of host labels), zero shuffle; a value
+    that doesn't parse as an http(s) URL passes through
+    trimmed-unchanged, NULL -> NULL."""
+    u = F.trim(col)
+    _auth = r"(?i)^https?://((?:[^/@?#]*@)?)"
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, _auth + r"([A-Za-z0-9.-]+)(?=[/:?#]|$)", 2)
+    )
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host_nw, r"\.")), ",")
+    port = F.regexp_extract(u, _auth + r"[A-Za-z0-9.-]+:(\d+)(?=[/?#]|$)", 2)
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.lower(
+        F.regexp_extract(u, _auth + r"[A-Za-z0-9.-]+(?::\d+)?([^?#]*)", 2)
+    )
+    norm_path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1))
+    params = F.array_sort(F.filter(F.split(query, "&"), lambda p: p != ""))
+    norm_query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    key = F.concat(rev_host, keep_port, F.lit(")"), norm_path, norm_query)
+    return F.when(host == "", u).otherwise(key)
 
 
 def registered_domain(host: Column) -> Column:

@@ -47,6 +47,7 @@ __all__ = [
     "encode_warc",
     "read_warc",
     "read_warc_stream",
+    "cdx_records",
     "body_text_col",
 ]
 
@@ -357,6 +358,43 @@ def parse_warc(payload: bytes, who: str = "parse_warc"):
     if payload is None:
         raise ValueError(f"{who}: payload is None")
     buf = _decompress_container(bytes(payload), who)
+    for _s, _e, rec in _record_spans(buf, who):
+        yield rec
+
+
+def _iter_gzip_members(buf: bytes, who: str):
+    """Member iteration for the crawl-standard one-record-per-member
+    ``.warc.gz`` layout: yields ``(offset, compressed_length,
+    decompressed bytes)`` per gzip member — the (offset, length)
+    pair IS the CDX random-access contract (seek to offset, read
+    length bytes, gunzip, get the record).  memoryview slicing keeps
+    this O(total bytes), not O(members * bytes)."""
+    import zlib
+
+    mv = memoryview(buf)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(mv[pos:])
+        except zlib.error as exc:
+            raise ValueError(
+                f"{who}: corrupt gzip member at offset {pos} ({exc})"
+            ) from None
+        if not d.eof:
+            raise ValueError(f"{who}: truncated gzip member at offset {pos}")
+        consumed = (n - pos) - len(d.unused_data)
+        yield pos, consumed, out
+        pos += consumed
+
+
+def _record_spans(buf: bytes, who: str):
+    """Record loop over a DECOMPRESSED buffer: yields
+    ``(start, end, record_dict)`` where [start, end) covers the
+    version line through the payload's final byte (the plain-file
+    random-access span).  parse_warc wraps this; cdx_records uses the
+    spans."""
     pos = 0
     n = len(buf)
     while pos < n:
@@ -395,7 +433,10 @@ def parse_warc(payload: bytes, who: str = "parse_warc"):
         body_start = hdr_end + 4
         if body_start + ln_ > n:
             raise ValueError(f"{who}: truncated WARC record payload")
-        yield {"headers": headers, "payload": buf[body_start : body_start + ln_]}
+        yield pos, body_start + ln_, {
+            "headers": headers,
+            "payload": buf[body_start : body_start + ln_],
+        }
         pos = body_start + ln_
 
 
@@ -669,6 +710,147 @@ def read_warc_stream(
         _make_expand(wanted, decode_text),
         _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA,
     )
+
+
+_CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("urlkey", T.StringType()),
+        T.StructField("cdx_ts", T.StringType()),       # 14-digit
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),       # sha1, base32
+        T.StructField("length", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("warc_file", T.StringType()),
+    ]
+)
+
+
+def cdx_records(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+) -> DataFrame:
+    """Build a CDX(J)-style index of WARC files — the standard
+    web-archive random-access index (the format Common Crawl and
+    Wayback ship): one row per record with (urlkey SURT sort key,
+    14-digit timestamp, url, mime, http_status, sha1-base32 digest of
+    the decoded entity, length, offset, warc_file).
+
+    Random-access contract, per container:
+    - ``.warc.gz`` (the crawl-standard member-per-record layout):
+      ``offset``/``length`` are the COMPRESSED gzip-member byte span —
+      seek, read ``length`` bytes, gunzip, parse one record (pinned by
+      the round-trip test).  A member holding several records yields
+      that many rows sharing the member span.
+    - plain ``.warc``: the record's direct byte span.
+    - ``.warc.zst``: spans into the DECOMPRESSED stream (frame-level
+      random access needs the IIPC dictionary layout — out of scope,
+      stated; the index is still a valid lookup table after
+      pre-decompression).
+
+    ``urlkey`` is :func:`textops.surt_key` applied JVM-side AFTER the
+    expansion — one SURT implementation serves the frontier ops and
+    this index.  ``digest`` hashes the DECODED entity (chunked/
+    gzip/br undone), so two captures of identical content match even
+    when transfer framing differed; quarantined records hash their
+    raw bytes.  The quarantine policy is the reader's: no record
+    raises.
+
+    One binaryFile row per WARC file -> row-expanding mapInPandas,
+    zero shuffle; emit order is file order.  A CDX FILE is sorted by
+    (urlkey, cdx_ts): add ``.orderBy("urlkey", "cdx_ts")`` before
+    writing — the sort is a real shuffle, priced only when the
+    artifact needs it."""
+    from zeek_duckdb_spark.operators.textops import surt_key
+    from pyspark.sql import functions as F
+
+    wanted = None if record_types is None else {t.lower() for t in record_types}
+    files = spark.read.format("binaryFile").load(path)
+    out = files.select("path", "content").mapInPandas(
+        _make_cdx_expand(wanted), _CDX_SCHEMA
+    )
+    return out.withColumn("urlkey", surt_key(F.col("url")))
+
+
+def _make_cdx_expand(wanted):
+    """CDX row builder: per-member spans for .warc.gz, per-record
+    spans otherwise; HTTP gating + quarantine identical to
+    :func:`_make_expand`; bounded flushes."""
+
+    def expand(it):
+        import base64
+        import hashlib
+
+        cols = _CDX_SCHEMA.fieldNames()
+
+        def _frame(rows):
+            return pd.DataFrame(
+                {
+                    c: pd.Series(
+                        rows[c],
+                        dtype="Int32" if c == "http_status" else "object",
+                    )
+                    for c in cols
+                }
+            )
+
+        for pdf in it:
+            rows = {c: [] for c in cols}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                who = f"cdx_records({fpath})"
+                raw = bytes(blob)
+                if raw[:2] == _GZIP_MAGIC:
+                    spans = (
+                        (off, clen, rec)
+                        for off, clen, data in _iter_gzip_members(raw, who)
+                        for _s, _e, rec in _record_spans(data, who)
+                    )
+                else:
+                    data = _decompress_container(raw, who)
+                    spans = (
+                        (s, e - s, rec)
+                        for s, e, rec in _record_spans(data, who)
+                    )
+                for off, length, rec in spans:
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "").lower()
+                    if wanted is not None and wtype not in wanted:
+                        continue
+                    status = None
+                    ctype, body = h.get("content-type"), rec["payload"]
+                    declared = "application/http" in (ctype or "").lower()
+                    if wtype == "response" and (
+                        declared or body[:5] == b"HTTP/"
+                    ):
+                        try:
+                            status, ctype, body, cenc = _parse_http_response(
+                                rec["payload"], who=who
+                            )
+                        except ValueError:
+                            ctype, body = h.get("content-type"), rec["payload"]
+                    digest = base64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode()
+                    wdate = h.get("warc-date") or ""
+                    cdx_ts = "".join(c for c in wdate if c.isdigit())[:14]
+                    mime = (ctype or "").split(";", 1)[0].strip() or None
+                    rows["urlkey"].append(None)  # filled JVM-side
+                    rows["cdx_ts"].append(cdx_ts or None)
+                    rows["url"].append(h.get("warc-target-uri"))
+                    rows["mime"].append(mime)
+                    rows["http_status"].append(status)
+                    rows["digest"].append(digest)
+                    rows["length"].append(length)
+                    rows["offset"].append(off)
+                    rows["warc_file"].append(fpath)
+                    if len(rows["url"]) >= _FLUSH_RECORDS:
+                        yield _frame(rows)
+                        rows = {c: [] for c in cols}
+            yield _frame(rows)
+
+    return expand
 
 
 def body_text_col(
