@@ -1,0 +1,133 @@
+"""RFC 9309 robots.txt parsing/matching + sitemap harvesting
+(operators/robots.py) — the crawl-politeness gate between
+extract_links and the fetch queue.  Matching pins follow the RFC's
+own examples (longest-match, allow-on-tie, * and $ wildcards, group
+selection by most-specific User-agent)."""
+
+import pytest
+
+from zeek_duckdb_spark.operators.robots import (
+    extract_sitemap_urls,
+    filter_robots_disallowed,
+    parse_robots,
+    robots_allowed,
+    robots_sitemaps,
+)
+
+_ROBOTS = """# example file
+User-agent: *
+Disallow: /private/
+Allow: /private/public-page.html
+Disallow: /*.pdf$
+Disallow: /search
+
+User-agent: examplebot
+User-agent: otherbot
+Disallow: /only-for-example/
+
+Sitemap: https://s.org/sitemap.xml
+Sitemap: https://s.org/sitemap-news.xml
+"""
+
+
+def test_group_selection_and_rules():
+    star = parse_robots(_ROBOTS, "somebot")
+    assert (False, "/private/") in star and (True, "/private/public-page.html") in star
+    # the specific group wins ENTIRELY over * (RFC: groups don't cascade)
+    spec = parse_robots(_ROBOTS, "ExampleBot/1.2")
+    assert spec == [(False, "/only-for-example/")]
+    # multiple UA lines share one group
+    assert parse_robots(_ROBOTS, "otherbot") == [(False, "/only-for-example/")]
+    # longest UA prefix wins
+    two = ("User-agent: a\nDisallow: /short/\n\n"
+           "User-agent: abc\nDisallow: /long/\n")
+    assert parse_robots(two, "abcbot") == [(False, "/long/")]
+    with pytest.raises(ValueError, match="txt is None"):
+        parse_robots(None)
+
+
+def test_longest_match_semantics():
+    rules = parse_robots(_ROBOTS, "somebot")
+    assert not robots_allowed("/private/secret.html", rules)
+    # the longer Allow overrides the shorter Disallow
+    assert robots_allowed("/private/public-page.html", rules)
+    # wildcard + end anchor
+    assert not robots_allowed("/docs/file.pdf", rules)
+    assert robots_allowed("/docs/file.pdf.html", rules)   # $ anchored
+    assert not robots_allowed("/search?q=x", rules)       # prefix + query
+    assert robots_allowed("/other", rules)                # no match
+    # equal-length tie resolves to allow
+    tie = [(False, "/p/"), (True, "/p/")]
+    assert robots_allowed("/p/x", tie)
+    # empty Disallow is allow-all (not a pattern)
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_sitemaps_and_sitemap_xml():
+    assert robots_sitemaps(_ROBOTS) == [
+        "https://s.org/sitemap.xml", "https://s.org/sitemap-news.xml",
+    ]
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://s.org/a</loc><lastmod>2026-08-16</lastmod></url>
+  <url><loc> https://s.org/b </loc></url>
+</urlset>"""
+    assert extract_sitemap_urls(urlset) == (
+        "urlset", ["https://s.org/a", "https://s.org/b"],
+    )
+    index = ("<sitemapindex><sitemap><loc>https://s.org/s1.xml</loc>"
+             "</sitemap></sitemapindex>")
+    assert extract_sitemap_urls(index) == (
+        "sitemapindex", ["https://s.org/s1.xml"],
+    )
+    with pytest.raises(ValueError, match="bad XML"):
+        extract_sitemap_urls("<urlset><url></urlset>")
+    with pytest.raises(ValueError, match="not a sitemap"):
+        extract_sitemap_urls("<rss></rss>")
+
+
+def test_filter_robots_disallowed_spark(spark):
+    """The 100 TB shape: per-host robots parsed once on the small
+    side, hash join on host, Arrow longest-match on the page side;
+    hosts without a robots row keep (or drop with
+    keep_unknown=False)."""
+    pages = spark.createDataFrame(
+        [
+            (0, "https://a.org/ok.html"),
+            (1, "https://a.org/private/x"),
+            (2, "https://a.org/private/public-page.html"),
+            (3, "https://A.ORG/doc.pdf"),          # host case-folds
+            (4, "https://unknown.net/y"),          # no robots row
+            (5, "https://b.org/anything"),         # allow-all robots
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.org", _ROBOTS), ("b.org", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    kept = {r.doc_id for r in
+            filter_robots_disallowed(pages, robots).collect()}
+    assert kept == {0, 2, 4, 5}
+    conservative = {r.doc_id for r in filter_robots_disallowed(
+        pages, robots, keep_unknown=False).collect()}
+    assert conservative == {0, 2, 5}
+    # a specific agent hits its own group
+    bot = {r.doc_id for r in filter_robots_disallowed(
+        pages, robots, user_agent="examplebot").collect()}
+    assert bot == {0, 1, 2, 3, 4, 5}  # only /only-for-example/ blocked
+
+
+def test_extract_sitemap_urls_df_spark(spark):
+    from zeek_duckdb_spark.operators.robots import extract_sitemap_urls_df
+
+    rows = [
+        (0, "<urlset><url><loc>https://s.org/a</loc></url></urlset>"),
+        (1, "not xml at all"),      # bad sitemap -> empty, not a crash
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, xml string")
+    got = {r.doc_id: r.sitemap_urls
+           for r in extract_sitemap_urls_df(df).collect()}
+    assert got[0] == ["https://s.org/a"]
+    assert got[1] == [] and got[2] is None
