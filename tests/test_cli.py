@@ -682,6 +682,26 @@ def test_ingest_crawl_subcommand(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_export_wet_subcommand(spark, tmp_path):
+    """export-wet: a landed text corpus (the ingest-crawl output
+    shape) exports as WET shards read_warc reads back; a corpus
+    without a date column still exports (WARC-Date is optional)."""
+    from zeek_duckdb_spark.sources.warc import read_warc
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "https://c.org/a", "text one"), (2, "https://c.org/b", "two")],
+        "doc_id long, url string, text string",   # no warc_date col
+    ).write.parquet(src)
+    out = str(tmp_path / "wet")
+    rc = main(["export-wet", src, out, "--shards", "1"], spark=spark)
+    assert rc == 0
+    back = read_warc(spark, f"{out}/part-*.warc.gz",
+                     record_types=("conversion",), decode_text=True)
+    got = {r.target_uri: r.body_text for r in back.collect()}
+    assert got == {"https://c.org/a": "text one", "https://c.org/b": "two"}
+
+
 def test_ingest_crawl_charset_and_link_density(spark, tmp_path):
     """ingest-crawl decodes per the page's declared charset and
     --max-link-density drops navigation boilerplate."""

@@ -737,6 +737,64 @@ def test_surt_key_unit_and_differential(spark):
     assert spark_out == duck_out
 
 
+def test_write_wet_roundtrip(spark, tmp_path):
+    """WET export (round-13): extracted text lands as WARC conversion
+    records that read_warc itself reads back — the closing arc of the
+    crawl chain (read_warc -> extract_text_html -> clean_corpus ->
+    write_wet) — with deterministic record ids (re-export is
+    byte-stable), NULL rows skipped, and atomic per-partition
+    shards."""
+    import glob as _glob
+
+    from zeek_duckdb_spark.sources.warc import write_wet
+
+    rows = [
+        (0, "https://w.org/a", "2026-08-16T00:00:00Z", "cleaned text a"),
+        (1, "https://w.org/b", "2026-08-16T00:00:01Z", "page b körper"),
+        (2, None, "2026-08-16T00:00:02Z", "no url: skipped"),
+        (3, "https://w.org/d", None, "no date still lands"),
+        (4, "https://w.org/e", "2026-08-16T00:00:04Z", None),  # skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_date string, text string"
+    ).repartition(2)
+    out = str(tmp_path / "wet")
+    write_wet(df, out)
+
+    shards = _glob.glob(f"{out}/part-*.warc.gz")
+    assert 1 <= len(shards) <= 2
+
+    back = read_warc(
+        spark, f"{out}/part-*.warc.gz",
+        record_types=("conversion",), decode_text=True,
+    )
+    got = {r.target_uri: r for r in back.collect()}
+    assert set(got) == {"https://w.org/a", "https://w.org/b",
+                        "https://w.org/d"}
+    assert got["https://w.org/b"].body_text == "page b körper"
+    assert got["https://w.org/a"].content_type == "text/plain"
+    assert got["https://w.org/a"].warc_date == "2026-08-16T00:00:00Z"
+    ids1 = {r.target_uri: r.record_id for r in back.collect()}
+
+    # deterministic re-export: same ids, overwrite semantics
+    write_wet(df, out)
+    ids2 = {r.target_uri: r.record_id for r in read_warc(
+        spark, f"{out}/part-*.warc.gz", record_types=("conversion",)
+    ).collect()}
+    assert ids1 == ids2
+    assert all(i.startswith("<urn:sha1:") for i in ids1.values())
+
+    # mode='error' refuses a non-empty dir
+    with pytest.raises(Exception, match="already contains WET shards"):
+        write_wet(df, out, mode="error")
+
+    # typed-API guard on the raw format path
+    with pytest.raises(Exception, match="expects exactly"):
+        df.select("doc_id", "url").write.format("wet").mode(
+            "overwrite"
+        ).save(str(tmp_path / "bad"))
+
+
 def test_warc_zst_container(tmp_path):
     """.warc.zst decodes through the module-free zstd ladder: the
     vendored store-mode codec (always available) and pyarrow's bundled

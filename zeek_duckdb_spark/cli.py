@@ -168,6 +168,18 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="shorthand for --compress gz")
     ex.add_argument("--compress", choices=["gz", "zst"], default=None)
 
+    ew = sub.add_parser(
+        "export-wet",
+        help="write a text corpus as WET (WARC conversion) shards",
+    )
+    ew.add_argument("path", help="parquet directory")
+    ew.add_argument("out")
+    ew.add_argument("--url-col", default="url")
+    ew.add_argument("--date-col", default="warc_date")
+    ew.add_argument("--text-col", default="text")
+    ew.add_argument("--shards", type=int, default=None,
+                    help="repartition to N output shards")
+
     ch = sub.add_parser("check", help="data-quality gate from a rules JSON file")
     ch.add_argument("path", help="parquet directory")
     ch.add_argument("rules", help="JSON file: list of rule objects")
@@ -402,6 +414,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 compress=args.compress or args.gz,
             )
             print(f"exported -> {args.out}", file=sys.stderr)
+        elif args.cmd == "export-wet":
+            from zeek_duckdb_spark.sources.warc import write_wet
+
+            from pyspark.sql import functions as F
+
+            df = spark.read.parquet(args.path)
+            if args.date_col not in df.columns:
+                # corpora without a capture date still export (the
+                # WARC-Date header is optional in our conversion rows)
+                df = df.withColumn(args.date_col, F.lit(None).cast("string"))
+            if args.shards:
+                df = df.repartition(args.shards)
+            write_wet(
+                df, args.out,
+                url_col=args.url_col,
+                date_col=args.date_col,
+                text_col=args.text_col,
+            )
+            print(f"exported WET -> {args.out}", file=sys.stderr)
         elif args.cmd == "check":
             from zeek_duckdb_spark.operators.quality_checks import check_rules
 

@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -777,3 +778,82 @@ def register_zeek_datasource(spark) -> None:
     except Exception:
         pass
     spark.dataSource.register(ZeekDataSource)
+
+
+class WetDataSource(DataSource):
+    """Write half of the WET export (``warc.write_wet`` is the typed
+    API): (url, warc_date, text) string rows -> one member-per-record
+    ``part-NNNNN.warc.gz`` WET shard per partition, same atomic
+    tmp+rename discipline as the zeek writer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wet"
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        want = ["url", "warc_date", "text"]
+        names = [f.name for f in schema.fields]
+        if names != want or any(
+            not isinstance(f.dataType, T.StringType) for f in schema.fields
+        ):
+            raise ValueError(
+                "wet writer expects exactly (url string, warc_date "
+                "string, text string) — use zeek_duckdb_spark.sources."
+                "warc.write_wet(df, path, ...) for the typed API"
+            )
+        return WetShardWriter(self.options, overwrite)
+
+
+class WetShardWriter(DataSourceWriter):
+    """Per-partition WET sink (see WetDataSource)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import os
+
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("write_wet: no output path")
+        os.makedirs(self._path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self._path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self._path, f))
+        elif any(f.startswith("part-") for f in os.listdir(self._path)):
+            raise ValueError(
+                f"write_wet: '{self._path}' already contains WET shards "
+                "(mode='error'); use mode='overwrite'"
+            )
+
+    def write(self, iterator):
+        import os
+
+        from pyspark import TaskContext
+
+        from zeek_duckdb_spark.sources.warc import wet_shard_bytes
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        blob = wet_shard_bytes(
+            (row[0], row[1], row[2]) for row in iterator
+        )
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        if not blob:
+            return WriterCommitMessage()  # empty partition: no shard
+        final = os.path.join(self._path, f"part-{pid:05d}.warc.gz")
+        tmp = final + f".tmp-{attempt}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, final)  # atomic: retried attempts can't interleave
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        pass
+
+
+def register_wet_datasource(spark) -> None:
+    spark.dataSource.register(WetDataSource)

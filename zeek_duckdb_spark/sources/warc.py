@@ -48,6 +48,8 @@ __all__ = [
     "read_warc",
     "read_warc_stream",
     "cdx_records",
+    "write_wet",
+    "wet_shard_bytes",
     "body_text_col",
 ]
 
@@ -851,6 +853,77 @@ def _make_cdx_expand(wanted):
             yield _frame(rows)
 
     return expand
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """WET export — the Common Crawl derived-text artifact: write
+    extracted page text as WARC ``conversion`` records (WARC-Type:
+    conversion, Content-Type: text/plain, WARC-Target-URI/WARC-Date
+    from the row, a DETERMINISTIC sha1-urn record id so re-exports are
+    byte-stable), one member-per-record ``part-NNNNN.warc.gz`` shard
+    per partition.  The closing arc of the crawl chain: ``read_warc ->
+    extract_text_html -> clean_corpus -> write_wet`` re-lands cleaned
+    text in the same container the raw crawl arrived in, so any
+    WARC-consuming tool (including :func:`read_warc` itself — the
+    round-trip is pinned) can read the corpus.
+
+    Scale shape: the same per-partition atomic sink as ``write_zeek``
+    (tmp + os.replace, retried attempts can't interleave) — control
+    ``files via df.repartition(n)``; rows with NULL url or text are
+    skipped (nothing to index a record by).  ``mode``: 'overwrite'
+    clears prior ``part-*`` shards, 'error' refuses a non-empty dir."""
+    if mode not in ("overwrite", "error"):
+        raise ValueError("write_wet: mode must be 'overwrite' or 'error'")
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.datasource import register_wet_datasource
+
+    register_wet_datasource(df.sparkSession)
+    out = df.select(
+        F.col(url_col).cast("string").alias("url"),
+        F.col(date_col).cast("string").alias("warc_date"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    (
+        out.write.format("wet")
+        .mode("overwrite" if mode == "overwrite" else "append")
+        .save(path)
+    )
+
+
+def wet_shard_bytes(rows) -> bytes:
+    """(url, warc_date, text) tuples -> one member-per-record WET
+    ``.warc.gz`` shard (the executor-side body of :func:`write_wet`,
+    exposed for tests and custom sinks).  Deterministic: record ids
+    are sha1 urns of (url, date, text)."""
+    import hashlib
+
+    recs = []
+    for url, wdate, text in rows:
+        if url is None or text is None:
+            continue
+        payload = text.encode("utf-8")
+        rid = hashlib.sha1(
+            (url + "\x00" + (wdate or "") + "\x00").encode("utf-8")
+            + payload
+        ).hexdigest()
+        headers = {
+            "WARC-Type": "conversion",
+            "WARC-Record-ID": f"<urn:sha1:{rid}>",
+            "WARC-Target-URI": url,
+            "Content-Type": "text/plain",
+        }
+        if wdate:
+            headers["WARC-Date"] = wdate
+        recs.append((headers, payload))
+    return encode_warc(recs, compress=True)
 
 
 def body_text_col(
