@@ -117,6 +117,18 @@ def test_filter_robots_disallowed_spark(spark):
         pages, robots, user_agent="examplebot").collect()}
     assert bot == {0, 1, 2, 3, 4, 5}  # only /only-for-example/ blocked
 
+    # userinfo URLs still join to their real host (r13 review: the
+    # old url_host captured 'bob' as the host and the politeness gate
+    # let the disallowed URL through as host-unknown)
+    tricky = spark.createDataFrame(
+        [(10, "https://bob@a.org/private/x"),
+         (11, "https://bob@a.org/fine")],
+        "doc_id long, url string",
+    )
+    kept2 = {r.doc_id for r in
+             filter_robots_disallowed(tricky, robots).collect()}
+    assert kept2 == {11}
+
 
 def test_extract_sitemap_urls_df_spark(spark):
     from zeek_duckdb_spark.operators.robots import extract_sitemap_urls_df

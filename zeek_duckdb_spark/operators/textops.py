@@ -485,7 +485,11 @@ def pii_redact(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
 # they reference (spam/adult/blocklisted hosts) before any content
 # heuristic runs.  All JVM regex, restatable in oracle SQL.
 URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
-_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+# optional userinfo skipped: 'https://bob@a.org/x' must yield a.org,
+# not bob — the same rule canonicalize_url/surt_key apply (r13: the
+# robots join key extracted the USERINFO as host and let disallowed
+# URLs through the politeness gate)
+_HOST_PATTERN = r"https?://(?:[^/@?#]*@)?([A-Za-z0-9.-]+)"
 
 
 def extract_urls(col: Column) -> Column:

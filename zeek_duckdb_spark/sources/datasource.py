@@ -829,23 +829,33 @@ class WetShardWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        from zeek_duckdb_spark.sources.warc import wet_shard_bytes
+        from zeek_duckdb_spark.sources.warc import wet_record_bytes
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
-        blob = wet_shard_bytes(
-            (row[0], row[1], row[2]) for row in iterator
-        )
-        from pyspark.sql.datasource import WriterCommitMessage
-
-        if not blob:
-            return WriterCommitMessage()  # empty partition: no shard
         final = os.path.join(self._path, f"part-{pid:05d}.warc.gz")
         tmp = final + f".tmp-{attempt}"
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        os.replace(tmp, final)  # atomic: retried attempts can't interleave
+        # STREAM record-by-record (each row -> one gzip member appended
+        # immediately): a multi-GiB text partition never materializes
+        # in memory, matching ZeekLogWriter's per-row discipline; the
+        # file opens lazily so an empty partition leaves no shard
+        fh = None
+        try:
+            for row in iterator:
+                member = wet_record_bytes(row[0], row[1], row[2])
+                if member is None:
+                    continue
+                if fh is None:
+                    fh = open(tmp, "wb")
+                fh.write(member)
+        finally:
+            if fh is not None:
+                fh.close()
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        if fh is not None:
+            os.replace(tmp, final)  # atomic: retries can't interleave
         return WriterCommitMessage()
 
     def commit(self, messages):

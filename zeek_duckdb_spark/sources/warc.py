@@ -49,6 +49,7 @@ __all__ = [
     "read_warc_stream",
     "cdx_records",
     "write_wet",
+    "wet_record_bytes",
     "wet_shard_bytes",
     "body_text_col",
 ]
@@ -559,6 +560,38 @@ def read_warc(
     )
 
 
+def _typed_frame(cols, rows):
+    """Schema-typed pandas frame for the expansion maps — ONE dtype
+    rule (nullable Int32 for http_status, object elsewhere) shared by
+    the reader and the CDX builder so they cannot drift."""
+    return pd.DataFrame(
+        {
+            c: pd.Series(
+                rows[c], dtype="Int32" if c == "http_status" else "object"
+            )
+            for c in cols
+        }
+    )
+
+
+def _http_gate(h: dict, payload: bytes, who: str):
+    """The shared HTTP-or-passthrough decision of the reader and the
+    CDX builder (ONE implementation so the r13 quarantine fixes cannot
+    drift apart): returns (status, ctype, body, cenc).  Declared
+    application/http OR a payload sniffing as ``HTTP/`` parses the
+    head off; a declared record that won't parse quarantines under
+    ``'http'``; an undeclared sniff that won't parse passes through
+    clean; non-HTTP captures pass through raw."""
+    ctype = h.get("content-type")
+    declared = "application/http" in (ctype or "").lower()
+    if not (declared or payload[:5] == b"HTTP/"):
+        return None, ctype, payload, None
+    try:
+        return _parse_http_response(payload, who=who)
+    except ValueError:
+        return None, ctype, payload, ("http" if declared else None)
+
+
 # per-yield bounds for the record-expansion map: a real crawl WARC is
 # ~1 GiB whose decoded bodies are another 1-3 GiB of Python objects —
 # accumulating a whole file's rows before yielding would hold all of
@@ -598,15 +631,7 @@ def _make_expand(wanted, decode_text: bool = False):
     cols = schema.fieldNames()
 
     def _frame(rows):
-        return pd.DataFrame(
-            {
-                c: pd.Series(
-                    rows[c],
-                    dtype="Int32" if c == "http_status" else "object",
-                )
-                for c in cols
-            }
-        )
+        return _typed_frame(cols, rows)
 
     def expand(it):
         for pdf in it:
@@ -618,30 +643,13 @@ def _make_expand(wanted, decode_text: bool = False):
                     wtype = h.get("warc-type", "")
                     if wanted is not None and wtype.lower() not in wanted:
                         continue
-                    status, cenc = None, None
-                    ctype, body = h.get("content-type"), rec["payload"]
-                    rec_ct = (ctype or "").lower()
-                    # declared application/http OR a payload that IS an
-                    # HTTP message regardless of the declared type —
-                    # sloppy writers stamp the ENTITY type (text/html)
-                    # on the record, and gating on the header alone
-                    # would silently drop those pages raw
-                    declared = "application/http" in rec_ct
-                    is_http = declared or body[:5] == b"HTTP/"
-                    if wtype.lower() == "response" and is_http:
-                        try:
-                            status, ctype, body, cenc = _parse_http_response(
-                                rec["payload"], who=f"read_warc({fpath})"
-                            )
-                        except ValueError:
-                            # DECLARED application/http that won't parse
-                            # -> 'http' quarantine; an undeclared body
-                            # that merely STARTS with 'HTTP/' (e.g. a
-                            # text file about HTTP) -> clean raw
-                            # passthrough, exactly as before the sniff
-                            status = None
-                            cenc = "http" if declared else None
-                            ctype, body = h.get("content-type"), rec["payload"]
+                    if wtype.lower() == "response":
+                        status, ctype, body, cenc = _http_gate(
+                            h, rec["payload"], who=f"read_warc({fpath})"
+                        )
+                    else:
+                        status, cenc = None, None
+                        ctype, body = h.get("content-type"), rec["payload"]
                     rows["warc_file"].append(fpath)
                     rows["record_id"].append(h.get("warc-record-id"))
                     rows["warc_type"].append(wtype)
@@ -788,15 +796,7 @@ def _make_cdx_expand(wanted):
         cols = _CDX_SCHEMA.fieldNames()
 
         def _frame(rows):
-            return pd.DataFrame(
-                {
-                    c: pd.Series(
-                        rows[c],
-                        dtype="Int32" if c == "http_status" else "object",
-                    )
-                    for c in cols
-                }
-            )
+            return _typed_frame(cols, rows)
 
         for pdf in it:
             rows = {c: [] for c in cols}
@@ -820,18 +820,13 @@ def _make_cdx_expand(wanted):
                     wtype = h.get("warc-type", "").lower()
                     if wanted is not None and wtype not in wanted:
                         continue
-                    status = None
-                    ctype, body = h.get("content-type"), rec["payload"]
-                    declared = "application/http" in (ctype or "").lower()
-                    if wtype == "response" and (
-                        declared or body[:5] == b"HTTP/"
-                    ):
-                        try:
-                            status, ctype, body, cenc = _parse_http_response(
-                                rec["payload"], who=who
-                            )
-                        except ValueError:
-                            ctype, body = h.get("content-type"), rec["payload"]
+                    if wtype == "response":
+                        status, ctype, body, _cenc = _http_gate(
+                            h, rec["payload"], who=who
+                        )
+                    else:
+                        status = None
+                        ctype, body = h.get("content-type"), rec["payload"]
                     digest = base64.b32encode(
                         hashlib.sha1(body).digest()
                     ).decode()
@@ -898,32 +893,40 @@ def write_wet(
     )
 
 
-def wet_shard_bytes(rows) -> bytes:
-    """(url, warc_date, text) tuples -> one member-per-record WET
-    ``.warc.gz`` shard (the executor-side body of :func:`write_wet`,
-    exposed for tests and custom sinks).  Deterministic: record ids
-    are sha1 urns of (url, date, text)."""
+def wet_record_bytes(url, wdate, text) -> "bytes | None":
+    """ONE (url, warc_date, text) row -> one gzip-member WET
+    conversion record (None for NULL url/text — nothing to index a
+    record by).  Deterministic: the record id is a sha1 urn of
+    (url, date, text).  The streaming unit of :func:`write_wet`'s
+    sink: shards are written record-by-record, never materializing a
+    partition's text in memory."""
     import hashlib
 
-    recs = []
-    for url, wdate, text in rows:
-        if url is None or text is None:
-            continue
-        payload = text.encode("utf-8")
-        rid = hashlib.sha1(
-            (url + "\x00" + (wdate or "") + "\x00").encode("utf-8")
-            + payload
-        ).hexdigest()
-        headers = {
-            "WARC-Type": "conversion",
-            "WARC-Record-ID": f"<urn:sha1:{rid}>",
-            "WARC-Target-URI": url,
-            "Content-Type": "text/plain",
-        }
-        if wdate:
-            headers["WARC-Date"] = wdate
-        recs.append((headers, payload))
-    return encode_warc(recs, compress=True)
+    if url is None or text is None:
+        return None
+    payload = text.encode("utf-8")
+    rid = hashlib.sha1(
+        (url + "\x00" + (wdate or "") + "\x00").encode("utf-8") + payload
+    ).hexdigest()
+    headers = {
+        "WARC-Type": "conversion",
+        "WARC-Record-ID": f"<urn:sha1:{rid}>",
+        "WARC-Target-URI": url,
+        "Content-Type": "text/plain",
+    }
+    if wdate:
+        headers["WARC-Date"] = wdate
+    return encode_warc([(headers, payload)], compress=True)
+
+
+def wet_shard_bytes(rows) -> bytes:
+    """(url, warc_date, text) tuples -> one member-per-record WET
+    ``.warc.gz`` shard (test/custom-sink convenience over
+    :func:`wet_record_bytes`; the Spark sink streams the records
+    instead of joining them)."""
+    return b"".join(
+        m for m in (wet_record_bytes(*r) for r in rows) if m is not None
+    )
 
 
 def body_text_col(
