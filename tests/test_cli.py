@@ -682,6 +682,36 @@ def test_ingest_crawl_subcommand(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_index_crawl_subcommand(spark, tmp_path):
+    """index-crawl: WARC glob -> sorted CDX parquet from the command
+    line (urlkey order; --all-types widens past responses)."""
+    from zeek_duckdb_spark.sources.warc import encode_warc
+
+    body = b"<p>x</p>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body)) + body
+    (tmp_path / "c.warc.gz").write_bytes(encode_warc([
+        ({"WARC-Type": "warcinfo"}, b"software: t\r\n"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:1>",
+          "WARC-Target-URI": "https://www.B.org/x",
+          "WARC-Date": "2026-08-16T00:00:00Z",
+          "Content-Type": "application/http; msgtype=response"}, http),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:2>",
+          "WARC-Target-URI": "https://a.org/y",
+          "WARC-Date": "2026-08-16T00:00:01Z",
+          "Content-Type": "application/http; msgtype=response"}, http),
+    ]))
+    out = str(tmp_path / "cdx")
+    assert main(["index-crawl", str(tmp_path / "*.warc.gz"), out],
+                spark=spark) == 0
+    rows = spark.read.parquet(out).collect()
+    assert [r.urlkey for r in rows] == ["org,a)/y", "org,b)/x"]  # sorted
+    assert all(r.http_status == 200 for r in rows)
+    assert main(["index-crawl", str(tmp_path / "*.warc.gz"), out,
+                 "--all-types", "--no-sort"], spark=spark) == 0
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_export_wet_subcommand(spark, tmp_path):
     """export-wet: a landed text corpus (the ingest-crawl output
     shape) exports as WET shards read_warc reads back; a corpus

@@ -168,6 +168,18 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="shorthand for --compress gz")
     ex.add_argument("--compress", choices=["gz", "zst"], default=None)
 
+    ic = sub.add_parser(
+        "index-crawl",
+        help="build a CDX-style index parquet from WARC files",
+    )
+    ic.add_argument("pattern", help="WARC glob (plain/.gz/.zst)")
+    ic.add_argument("out")
+    ic.add_argument("--all-types", action="store_true",
+                    help="index every record type, not just responses")
+    ic.add_argument("--no-sort", action="store_true",
+                    help="skip the (urlkey, cdx_ts) sort (saves the "
+                         "shuffle when the consumer sorts anyway)")
+
     ew = sub.add_parser(
         "export-wet",
         help="write a text corpus as WET (WARC conversion) shards",
@@ -414,6 +426,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 compress=args.compress or args.gz,
             )
             print(f"exported -> {args.out}", file=sys.stderr)
+        elif args.cmd == "index-crawl":
+            from zeek_duckdb_spark.sources.warc import cdx_records
+
+            idx = cdx_records(
+                spark, args.pattern,
+                record_types=None if args.all_types else ("response",),
+            )
+            if not args.no_sort:
+                idx = idx.orderBy("urlkey", "cdx_ts")
+            idx.write.mode("overwrite").parquet(args.out)
+            print(
+                f"indexed {_parquet_row_count(args.out)} records -> "
+                f"{args.out}",
+                file=sys.stderr,
+            )
         elif args.cmd == "export-wet":
             from zeek_duckdb_spark.sources.warc import write_wet
 
