@@ -679,6 +679,46 @@ def test_cdx_records_random_access_roundtrip(spark, tmp_path):
     assert "Exchange" not in plan
 
 
+def test_read_warc_selected_spans(spark, tmp_path):
+    """The CDX payoff: filter the index, read ONLY those spans back —
+    rows identical to the full read_warc for the selected URLs, for
+    gz-member AND plain containers, including quarantined records."""
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.warc import cdx_records, read_warc_selected
+
+    capped = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              b"Transfer-Encoding: chunked\r\n\r\nff\r\nshort")
+    recs = [
+        _response_rec(f"https://d{i % 2}.org/p{i}",
+                      f"<p>page {i} body</p>".encode())
+        for i in range(6)
+    ] + [({"WARC-Type": "response", "WARC-Record-ID": "<urn:cap>",
+           "WARC-Target-URI": "https://d0.org/capped",
+           "Content-Type": "application/http; msgtype=response"}, capped)]
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc(recs[:4]))
+    (tmp_path / "b.warc").write_bytes(encode_warc(recs[4:], compress=False))
+
+    glob = str(tmp_path / "*.warc*")
+    idx = cdx_records(spark, glob)
+    # select one domain via the SURT key prefix — the index's raison
+    picked = idx.filter(F.col("urlkey").startswith("org,d0)"))
+    got = {r.target_uri: r for r in
+           read_warc_selected(spark, picked, decode_text=True).collect()}
+    full = {r.target_uri: r for r in
+            read_warc(spark, glob, decode_text=True).collect()
+            if "d0.org" in r.target_uri}
+    assert set(got) == set(full) == {
+        "https://d0.org/p0", "https://d0.org/p2", "https://d0.org/p4",
+        "https://d0.org/capped",
+    }
+    for uri in got:
+        assert bytes(got[uri].body) == bytes(full[uri].body), uri
+        assert got[uri].body_text == full[uri].body_text
+        assert got[uri].content_encoding == full[uri].content_encoding
+    assert got["https://d0.org/capped"].content_encoding == "chunked"
+
+
 def test_surt_key_unit_and_differential(spark):
     """surt_key: unit pins for the SURT conventions + a DuckDB
     differential restating the whole transform in SQL over generated
