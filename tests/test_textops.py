@@ -173,6 +173,23 @@ def test_extract_urls_and_hosts(spark):
     ).first()
     assert hosts.doms == ["example.com", "bad.net"]
 
+    # userinfo URLs: the full URL extracts and the host skips past the
+    # username (r13 — truncating at '@' let a blocklisted domain hide
+    # behind a userinfo prefix on the extract_urls -> url_host path)
+    df2 = spark.createDataFrame(
+        [("spam at https://user@evil.com/x plus http://a:pw@b.org/y",)],
+        ["text"],
+    )
+    r2 = df2.select(
+        extract_urls(F.col("text")).alias("urls"),
+        F.transform(
+            extract_urls(F.col("text")),
+            lambda u: registered_domain(url_host(u)),
+        ).alias("doms"),
+    ).first()
+    assert r2.urls == ["https://user@evil.com/x", "http://a:pw@b.org/y"]
+    assert r2.doms == ["evil.com", "b.org"]
+
 
 def test_filter_blocked_domains_drop_and_flag(spark):
     from zeek_duckdb_spark.operators.textops import filter_blocked_domains

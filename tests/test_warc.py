@@ -719,6 +719,36 @@ def test_read_warc_selected_spans(spark, tmp_path):
     assert got["https://d0.org/capped"].content_encoding == "chunked"
 
 
+def test_read_warc_selected_multi_record_member(spark, tmp_path):
+    """A whole-file SINGLE-member .warc.gz (gzip of a plain warc) is
+    legal: its CDX rows share one span.  Selected reads must read the
+    span ONCE, emit ONLY the requested records, and never duplicate
+    rows when several selected records share the span (r13 review)."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.warc import cdx_records, read_warc_selected
+
+    recs = [
+        _response_rec(f"https://m{i % 2}.org/p{i}", f"<p>{i}</p>".encode())
+        for i in range(4)
+    ]
+    plain = encode_warc(recs, compress=False)
+    (tmp_path / "whole.warc.gz").write_bytes(_gzip.compress(plain))
+
+    idx = cdx_records(spark, str(tmp_path / "*.warc.gz"))
+    # all 4 CDX rows share the single member span
+    spans = {(r.offset, r.length) for r in idx.collect()}
+    assert len(spans) == 1
+
+    # select one domain: exactly its 2 records come back, once each
+    got = [r.target_uri for r in read_warc_selected(
+        spark, idx.filter(F.col("urlkey").startswith("org,m1)"))
+    ).collect()]
+    assert sorted(got) == ["https://m1.org/p1", "https://m1.org/p3"]
+
+
 def test_surt_key_unit_and_differential(spark):
     """surt_key: unit pins for the SURT conventions + a DuckDB
     differential restating the whole transform in SQL over generated

@@ -835,7 +835,13 @@ class WetShardWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
         final = os.path.join(self._path, f"part-{pid:05d}.warc.gz")
-        tmp = final + f".tmp-{attempt}"
+        # dot-prefixed tmp: invisible to Spark directory listings and
+        # to the writer's own part-* overwrite/error scans, so a
+        # mid-write task kill can never poison a later read_warc over
+        # the directory or block mode='error'
+        tmp = os.path.join(
+            self._path, f".part-{pid:05d}.warc.gz.tmp-{attempt}"
+        )
         # STREAM record-by-record (each row -> one gzip member appended
         # immediately): a multi-GiB text partition never materializes
         # in memory, matching ZeekLogWriter's per-row discipline; the
@@ -849,6 +855,15 @@ class WetShardWriter(DataSourceWriter):
                 if fh is None:
                     fh = open(tmp, "wb")
                 fh.write(member)
+        except BaseException:
+            if fh is not None:
+                fh.close()
+                fh = None
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            raise
         finally:
             if fh is not None:
                 fh.close()

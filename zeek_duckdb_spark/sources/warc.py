@@ -593,6 +593,34 @@ def _http_gate(h: dict, payload: bytes, who: str):
         return None, ctype, payload, ("http" if declared else None)
 
 
+def _append_record_row(rows: dict, fpath, rec: dict, decode_text: bool, who: str) -> int:
+    """Assemble ONE reader-schema row from a parsed record (the shared
+    body of read_warc's expand and read_warc_selected — one copy of
+    the gate/quarantine/decode policy).  Returns the body length for
+    the caller's flush accounting."""
+    h = rec["headers"]
+    wtype = h.get("warc-type", "")
+    if wtype.lower() == "response":
+        status, ctype, body, cenc = _http_gate(h, rec["payload"], who=who)
+    else:
+        status, cenc = None, None
+        ctype, body = h.get("content-type"), rec["payload"]
+    rows["warc_file"].append(fpath)
+    rows["record_id"].append(h.get("warc-record-id"))
+    rows["warc_type"].append(wtype)
+    rows["target_uri"].append(h.get("warc-target-uri"))
+    rows["warc_date"].append(h.get("warc-date"))
+    rows["http_status"].append(status)
+    rows["content_type"].append(ctype)
+    rows["content_encoding"].append(cenc)
+    rows["body"].append(body)
+    if decode_text:
+        rows["body_text"].append(
+            None if cenc is not None else _charset_decode(body, ctype)
+        )
+    return len(body) if body is not None else 0
+
+
 # per-yield bounds for the record-expansion map: a real crawl WARC is
 # ~1 GiB whose decoded bodies are another 1-3 GiB of Python objects —
 # accumulating a whole file's rows before yielding would hold all of
@@ -640,32 +668,13 @@ def _make_expand(wanted, decode_text: bool = False):
             pending = 0
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc(bytes(blob), who=f"read_warc({fpath})"):
-                    h = rec["headers"]
-                    wtype = h.get("warc-type", "")
+                    wtype = rec["headers"].get("warc-type", "")
                     if wanted is not None and wtype.lower() not in wanted:
                         continue
-                    if wtype.lower() == "response":
-                        status, ctype, body, cenc = _http_gate(
-                            h, rec["payload"], who=f"read_warc({fpath})"
-                        )
-                    else:
-                        status, cenc = None, None
-                        ctype, body = h.get("content-type"), rec["payload"]
-                    rows["warc_file"].append(fpath)
-                    rows["record_id"].append(h.get("warc-record-id"))
-                    rows["warc_type"].append(wtype)
-                    rows["target_uri"].append(h.get("warc-target-uri"))
-                    rows["warc_date"].append(h.get("warc-date"))
-                    rows["http_status"].append(status)
-                    rows["content_type"].append(ctype)
-                    rows["content_encoding"].append(cenc)
-                    rows["body"].append(body)
-                    if decode_text:
-                        rows["body_text"].append(
-                            None if cenc is not None
-                            else _charset_decode(body, ctype)
-                        )
-                    pending += len(body) if body is not None else 0
+                    pending += _append_record_row(
+                        rows, fpath, rec, decode_text,
+                        who=f"read_warc({fpath})",
+                    )
                     if (
                         len(rows["body"]) >= _FLUSH_RECORDS
                         or pending >= _FLUSH_BYTES
@@ -884,8 +893,18 @@ def read_warc_selected(
     assembly are container-independent)."""
     from pyspark.sql import functions as F
 
+    # ONE read per distinct span: multi-record members (whole-file
+    # single-member .warc.gz is legal) share (offset, length) across
+    # their CDX rows — group the requested urls per span so the read
+    # dedupes AND only the requested records re-emit.  A NULL-url
+    # record (warcinfo) is tracked by the _want_null flag since
+    # collect_set drops NULLs.
     sel = (
-        cdx_df.select("warc_file", "offset", "length")
+        cdx_df.groupBy("warc_file", "offset", "length")
+        .agg(
+            F.collect_set("url").alias("_want"),
+            F.max(F.col("url").isNull()).alias("_want_null"),
+        )
         .repartition(F.col("warc_file"))
         .sortWithinPartitions("warc_file", "offset")
     )
@@ -896,35 +915,13 @@ def read_warc_selected(
         cur_path = None
         fh = None
         rows = {c: [] for c in cols}
-
-        def _emit(fpath, rec):
-            h = rec["headers"]
-            wtype = h.get("warc-type", "")
-            if wtype.lower() == "response":
-                status, ctype, body, cenc = _http_gate(
-                    h, rec["payload"], who=f"read_warc_selected({fpath})"
-                )
-            else:
-                status, cenc = None, None
-                ctype, body = h.get("content-type"), rec["payload"]
-            rows["warc_file"].append(fpath)
-            rows["record_id"].append(h.get("warc-record-id"))
-            rows["warc_type"].append(wtype)
-            rows["target_uri"].append(h.get("warc-target-uri"))
-            rows["warc_date"].append(h.get("warc-date"))
-            rows["http_status"].append(status)
-            rows["content_type"].append(ctype)
-            rows["content_encoding"].append(cenc)
-            rows["body"].append(body)
-            if decode_text:
-                rows["body_text"].append(
-                    None if cenc is not None else _charset_decode(body, ctype)
-                )
+        pending = 0
 
         try:
             for pdf in it:
-                for fpath, off, length in zip(
-                    pdf["warc_file"], pdf["offset"], pdf["length"]
+                for fpath, off, length, want, want_null in zip(
+                    pdf["warc_file"], pdf["offset"], pdf["length"],
+                    pdf["_want"], pdf["_want_null"],
                 ):
                     local = str(fpath)
                     if local.startswith("file:"):
@@ -945,13 +942,27 @@ def read_warc_selected(
                             "or use gz/plain containers for selected "
                             "reads"
                         )
+                    wanted_uris = set(want)
                     for _s, _e, rec in _record_spans(
                         span, f"read_warc_selected({fpath})"
                     ):
-                        _emit(fpath, rec)
-                    if len(rows["body"]) >= _FLUSH_RECORDS:
-                        yield _typed_frame(cols, rows)
-                        rows = {c: [] for c in cols}
+                        uri = rec["headers"].get("warc-target-uri")
+                        if uri is None:
+                            if not want_null:
+                                continue
+                        elif uri not in wanted_uris:
+                            continue  # co-member record nobody asked for
+                        pending += _append_record_row(
+                            rows, fpath, rec, decode_text,
+                            who=f"read_warc_selected({fpath})",
+                        )
+                        if (
+                            len(rows["body"]) >= _FLUSH_RECORDS
+                            or pending >= _FLUSH_BYTES
+                        ):
+                            yield _typed_frame(cols, rows)
+                            rows = {c: [] for c in cols}
+                            pending = 0
             yield _typed_frame(cols, rows)
         finally:
             if fh is not None:
