@@ -685,6 +685,55 @@ def bench_crawl(iters: int) -> None:
           f"{big_mb:.0f} MB | {t_big:.2f} s | {big_mb / t_big:.1f} "
           "MB/s/task |")
 
+    # CDX index + selected-read tiers (round 13): index the big file
+    # (parse + per-record sha1 digests), then read a tiny urlkey
+    # selection back through the spans — the random-access payoff the
+    # index exists for, priced against the full parse above.
+    from pyspark.sql import functions as Fq
+
+    from zeek_duckdb_spark.sources.warc import cdx_records, read_warc_selected
+
+    def cdx_run():
+        row = cdx_records(spark, big_path).agg(
+            Fq.count("*").alias("n")
+        ).collect()[0]
+        assert row.n == n_big, row
+        return row
+
+    cdx_run()  # warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        cdx_run()
+        ts.append(time.perf_counter() - t0)
+    t_cdx = statistics.median(ts)
+
+    idx = cdx_records(spark, big_path).filter(
+        Fq.col("url").isin([f"http://bench.org/big/{i}" for i in range(10)])
+    )
+    idx.write.mode("overwrite").parquet(os.path.join(tmp, "cdx10"))
+    sel_src = spark.read.parquet(os.path.join(tmp, "cdx10"))
+
+    def sel_run():
+        n = read_warc_selected(spark, sel_src).count()
+        assert n == 10, n
+        return n
+
+    sel_run()  # warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sel_run()
+        ts.append(time.perf_counter() - t0)
+    t_sel = statistics.median(ts)
+
+    print(f"| cdx_records over the single {big_mb:.0f} MB .warc "
+          f"(1 task, parse + sha1 digests) | {big_mb:.0f} MB | "
+          f"{t_cdx:.2f} s | {big_mb / t_cdx:.1f} MB/s/task |")
+    print(f"| read_warc_selected, 10 of {n_big} records via CDX spans | "
+          f"10 spans | {t_sel:.2f} s | {t_big / t_sel:.0f}x faster than "
+          "re-parsing the file |")
+
     # native-parser A/B through the extractor= seam (round 13): when
     # selectolax/lxml is installed, measure the per-core step the
     # docstrings promise; when absent (this sandbox), say so honestly
