@@ -733,20 +733,31 @@ def test_read_warc_selected_multi_record_member(spark, tmp_path):
     recs = [
         _response_rec(f"https://m{i % 2}.org/p{i}", f"<p>{i}</p>".encode())
         for i in range(4)
+    ] + [
+        # request record sharing p1's URI in the SAME member: selected
+        # reads key on record_id, so it must NOT ride along (r13 —
+        # a URI is not record identity)
+        ({"WARC-Type": "request", "WARC-Record-ID": "<urn:req-p1>",
+          "WARC-Target-URI": "https://m1.org/p1"},
+         b"GET /p1 HTTP/1.1\r\n\r\n"),
     ]
     plain = encode_warc(recs, compress=False)
     (tmp_path / "whole.warc.gz").write_bytes(_gzip.compress(plain))
 
     idx = cdx_records(spark, str(tmp_path / "*.warc.gz"))
-    # all 4 CDX rows share the single member span
+    # all CDX rows (responses only by default) share the member span
     spans = {(r.offset, r.length) for r in idx.collect()}
     assert len(spans) == 1
 
-    # select one domain: exactly its 2 records come back, once each
-    got = [r.target_uri for r in read_warc_selected(
+    # select one domain: exactly its 2 RESPONSE records come back,
+    # once each — not the co-member request with the same URI
+    sel = read_warc_selected(
         spark, idx.filter(F.col("urlkey").startswith("org,m1)"))
-    ).collect()]
-    assert sorted(got) == ["https://m1.org/p1", "https://m1.org/p3"]
+    ).collect()
+    assert sorted(r.target_uri for r in sel) == [
+        "https://m1.org/p1", "https://m1.org/p3",
+    ]
+    assert all(r.warc_type == "response" for r in sel)
 
 
 def test_surt_key_unit_and_differential(spark):

@@ -487,8 +487,14 @@ def pii_redact(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
 # optional userinfo matched ('https://bob@evil.com/x' must extract
 # the FULL url so url_host can skip to evil.com — truncating at the
 # username would let a blocklisted domain evade filter_blocked_domains
-# via a userinfo prefix, r13); RE2-safe, restatable verbatim
-URL_PATTERN = r"https?://(?:[^\s/@?#]*@)?[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+# via a userinfo prefix, r13); the userinfo class is the CONSERVATIVE
+# RFC-ish alphabet [A-Za-z0-9._%:-], NOT a negated class — a negated
+# class greedily spans commas/quotes in running text and would glue
+# 'https://evil.com,x@innocent.com' into one URL whose host is the
+# WRONG side.  RE2-safe, restatable verbatim.
+URL_PATTERN = (
+    r"https?://(?:[A-Za-z0-9._%:-]*@)?[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+)
 # optional userinfo skipped: 'https://bob@a.org/x' must yield a.org,
 # not bob — the same rule canonicalize_url/surt_key apply (r13: the
 # robots join key extracted the USERINFO as host and let disallowed

@@ -814,6 +814,12 @@ class WetShardWriter(DataSourceWriter):
         if not self._path:
             raise ValueError("write_wet: no output path")
         os.makedirs(self._path, exist_ok=True)
+        # always reap stale dot-tmps (a SIGKILLed task's except handler
+        # never ran; without this they accumulate forever since the
+        # part-* scans don't see them)
+        for f in os.listdir(self._path):
+            if f.startswith(".part-") and ".tmp-" in f:
+                os.remove(os.path.join(self._path, f))
         if overwrite:
             for f in os.listdir(self._path):
                 if f.startswith("part-"):

@@ -737,6 +737,10 @@ _CDX_SCHEMA = T.StructType(
         T.StructField("urlkey", T.StringType()),
         T.StructField("cdx_ts", T.StringType()),       # 14-digit
         T.StructField("url", T.StringType()),
+        # WARC-Record-ID: the RECORD identity selected reads key on —
+        # a URI is not identity (request/response pairs and re-crawls
+        # share it inside one member)
+        T.StructField("record_id", T.StringType()),
         T.StructField("mime", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("digest", T.StringType()),       # sha1, base32
@@ -755,8 +759,9 @@ def cdx_records(
     """Build a CDX(J)-style index of WARC files — the standard
     web-archive random-access index (the format Common Crawl and
     Wayback ship): one row per record with (urlkey SURT sort key,
-    14-digit timestamp, url, mime, http_status, sha1-base32 digest of
-    the decoded entity, length, offset, warc_file).
+    14-digit timestamp, url, record_id — the WARC record identity
+    :func:`read_warc_selected` keys on, mime, http_status, sha1-base32
+    digest of the decoded entity, length, offset, warc_file).
 
     Random-access contract, per container:
     - ``.warc.gz`` (the crawl-standard member-per-record layout):
@@ -846,6 +851,7 @@ def _make_cdx_expand(wanted):
                     rows["urlkey"].append(None)  # filled JVM-side
                     rows["cdx_ts"].append(cdx_ts or None)
                     rows["url"].append(h.get("warc-target-uri"))
+                    rows["record_id"].append(h.get("warc-record-id"))
                     rows["mime"].append(mime)
                     rows["http_status"].append(status)
                     rows["digest"].append(digest)
@@ -871,9 +877,11 @@ def read_warc_selected(
     only the indexed byte ranges instead of re-parsing every file.
 
     ``cdx_df`` is any subset of a :func:`cdx_records` result (filter
-    it by urlkey prefix / mime / status first); only (warc_file,
-    offset, length) are consumed.  Returns the same schema as
-    :func:`read_warc`.
+    it by urlkey prefix / mime / status first); the consumed columns
+    are (warc_file, offset, length, record_id) — record_id is the
+    sub-selection key inside multi-record gzip members (a URI is not
+    record identity: request/response pairs and same-URL re-crawls
+    share it).  Returns the same schema as :func:`read_warc`.
 
     Scale shape: rows REPARTITION BY warc_file and sort by offset
     within the partition, so each task opens a file handle once and
@@ -895,15 +903,15 @@ def read_warc_selected(
 
     # ONE read per distinct span: multi-record members (whole-file
     # single-member .warc.gz is legal) share (offset, length) across
-    # their CDX rows — group the requested urls per span so the read
-    # dedupes AND only the requested records re-emit.  A NULL-url
-    # record (warcinfo) is tracked by the _want_null flag since
-    # collect_set drops NULLs.
+    # their CDX rows — group the requested RECORD IDS per span so the
+    # read dedupes AND exactly the requested records re-emit.  A
+    # record-id-less row (malformed writer) is tracked by the
+    # _want_null flag since collect_set drops NULLs.
     sel = (
         cdx_df.groupBy("warc_file", "offset", "length")
         .agg(
-            F.collect_set("url").alias("_want"),
-            F.max(F.col("url").isNull()).alias("_want_null"),
+            F.collect_set("record_id").alias("_want"),
+            F.max(F.col("record_id").isNull()).alias("_want_null"),
         )
         .repartition(F.col("warc_file"))
         .sortWithinPartitions("warc_file", "offset")
@@ -942,15 +950,15 @@ def read_warc_selected(
                             "or use gz/plain containers for selected "
                             "reads"
                         )
-                    wanted_uris = set(want)
+                    wanted_ids = set(want)
                     for _s, _e, rec in _record_spans(
                         span, f"read_warc_selected({fpath})"
                     ):
-                        uri = rec["headers"].get("warc-target-uri")
-                        if uri is None:
+                        rid = rec["headers"].get("warc-record-id")
+                        if rid is None:
                             if not want_null:
                                 continue
-                        elif uri not in wanted_uris:
+                        elif rid not in wanted_ids:
                             continue  # co-member record nobody asked for
                         pending += _append_record_row(
                             rows, fpath, rec, decode_text,
