@@ -190,6 +190,21 @@ def test_extract_urls_and_hosts(spark):
     assert r2.urls == ["https://user@evil.com/x", "http://a:pw@b.org/y"]
     assert r2.doms == ["evil.com", "b.org"]
 
+    # RFC userinfo chars (~ ! $ etc.) must not truncate before the
+    # real host, while text delimiters (comma) must not glue two
+    # hosts into one URL — the stated middle ground (r13)
+    df3 = spark.createDataFrame(
+        [("a https://x~@evil.com/m then https://good.org,admin@bad.io end",)],
+        ["text"],
+    )
+    r3 = df3.select(
+        F.transform(
+            extract_urls(F.col("text")),
+            lambda u: registered_domain(url_host(u)),
+        ).alias("doms")
+    ).first()
+    assert r3.doms == ["evil.com", "good.org"]
+
 
 def test_filter_blocked_domains_drop_and_flag(spark):
     from zeek_duckdb_spark.operators.textops import filter_blocked_domains

@@ -759,6 +759,19 @@ def test_read_warc_selected_multi_record_member(spark, tmp_path):
     ]
     assert all(r.warc_type == "response" for r in sel)
 
+    # pre-r13 persisted index shape (no record_id column): url-keyed
+    # fallback still selects, with its documented URI-identity caveat
+    legacy = idx.drop("record_id").filter(
+        F.col("urlkey").startswith("org,m0)")
+    )
+    got_legacy = sorted(r.target_uri for r in read_warc_selected(
+        spark, legacy).collect())
+    assert got_legacy == ["https://m0.org/p0", "https://m0.org/p2"]
+
+    # span-level-only selection when NEITHER identity column exists
+    bare = idx.select("warc_file", "offset", "length").limit(1)
+    assert read_warc_selected(spark, bare).count() == 5  # whole member
+
 
 def test_surt_key_unit_and_differential(spark):
     """surt_key: unit pins for the SURT conventions + a DuckDB

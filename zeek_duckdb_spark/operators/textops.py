@@ -487,13 +487,21 @@ def pii_redact(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
 # optional userinfo matched ('https://bob@evil.com/x' must extract
 # the FULL url so url_host can skip to evil.com — truncating at the
 # username would let a blocklisted domain evade filter_blocked_domains
-# via a userinfo prefix, r13); the userinfo class is the CONSERVATIVE
-# RFC-ish alphabet [A-Za-z0-9._%:-], NOT a negated class — a negated
-# class greedily spans commas/quotes in running text and would glue
-# 'https://evil.com,x@innocent.com' into one URL whose host is the
-# WRONG side.  RE2-safe, restatable verbatim.
+# via a userinfo prefix, r13).  The userinfo class is a DELIBERATE
+# middle ground, stated: RFC 3986 userinfo (unreserved + sub-delims +
+# ':' + pct) MINUS the characters that routinely delimit URLs in
+# running text — comma, quote, parens — because this pattern scans
+# prose, not single URLs: a full-RFC class would glue
+# 'https://evil.com,x@innocent.com' into one URL with the WRONG host
+# (both directions of that mistake are an evasion), while a class
+# without ~!$&*+;= would truncate 'https://x~@evil.com' BEFORE the
+# real host (the r13 evasion again).  _HOST_PATTERN keeps the looser
+# negated class intentionally — url_host runs on single already-
+# extracted URLs where text-gluing cannot happen.  RE2-safe,
+# restatable verbatim.
 URL_PATTERN = (
-    r"https?://(?:[A-Za-z0-9._%:-]*@)?[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+    r"https?://(?:[A-Za-z0-9._%:~!$&*+;=-]*@)?"
+    r"[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
 )
 # optional userinfo skipped: 'https://bob@a.org/x' must yield a.org,
 # not bob — the same rule canonicalize_url/surt_key apply (r13: the

@@ -819,7 +819,10 @@ class WetShardWriter(DataSourceWriter):
         # part-* scans don't see them)
         for f in os.listdir(self._path):
             if f.startswith(".part-") and ".tmp-" in f:
-                os.remove(os.path.join(self._path, f))
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass  # raced with another cleanup: already gone
         if overwrite:
             for f in os.listdir(self._path):
                 if f.startswith("part-"):

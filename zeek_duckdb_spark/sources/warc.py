@@ -878,10 +878,14 @@ def read_warc_selected(
 
     ``cdx_df`` is any subset of a :func:`cdx_records` result (filter
     it by urlkey prefix / mime / status first); the consumed columns
-    are (warc_file, offset, length, record_id) — record_id is the
-    sub-selection key inside multi-record gzip members (a URI is not
-    record identity: request/response pairs and same-URL re-crawls
-    share it).  Returns the same schema as :func:`read_warc`.
+    are (warc_file, offset, length) plus whichever identity columns
+    exist: ``record_id`` is the PREFERRED sub-selection key inside
+    multi-record gzip members (a URI is not record identity —
+    request/response pairs and same-URL re-crawls share it), with
+    ``url`` as the fallback for rows/indexes without record ids
+    (pre-r13 persisted indexes, external CDXJ conversions).  With
+    neither column the whole span emits (span-level selection only).
+    Returns the same schema as :func:`read_warc`.
 
     Scale shape: rows REPARTITION BY warc_file and sort by offset
     within the partition, so each task opens a file handle once and
@@ -903,15 +907,32 @@ def read_warc_selected(
 
     # ONE read per distinct span: multi-record members (whole-file
     # single-member .warc.gz is legal) share (offset, length) across
-    # their CDX rows — group the requested RECORD IDS per span so the
-    # read dedupes AND exactly the requested records re-emit.  A
-    # record-id-less row (malformed writer) is tracked by the
-    # _want_null flag since collect_set drops NULLs.
+    # their CDX rows — group the requested identities per span so the
+    # read dedupes AND exactly the requested records re-emit.
+    # Identity resolution per row: record_id when present, else url
+    # (collect_set drops NULLs, so a null-id row contributes its url
+    # to the fallback set); _want_all marks a row with NEITHER, which
+    # can only select the whole span.
+    cols_avail = set(cdx_df.columns)
+    rid_col = (
+        F.col("record_id") if "record_id" in cols_avail
+        else F.lit(None).cast("string")
+    )
+    url_col_ = (
+        F.col("url") if "url" in cols_avail else F.lit(None).cast("string")
+    )
     sel = (
-        cdx_df.groupBy("warc_file", "offset", "length")
+        cdx_df.withColumn("_rid", rid_col)
+        .withColumn("_url", url_col_)
+        .groupBy("warc_file", "offset", "length")
         .agg(
-            F.collect_set("record_id").alias("_want"),
-            F.max(F.col("record_id").isNull()).alias("_want_null"),
+            F.collect_set("_rid").alias("_want_ids"),
+            F.collect_set(
+                F.when(F.col("_rid").isNull(), F.col("_url"))
+            ).alias("_want_urls"),
+            F.max(
+                F.col("_rid").isNull() & F.col("_url").isNull()
+            ).alias("_want_all"),
         )
         .repartition(F.col("warc_file"))
         .sortWithinPartitions("warc_file", "offset")
@@ -927,9 +948,9 @@ def read_warc_selected(
 
         try:
             for pdf in it:
-                for fpath, off, length, want, want_null in zip(
+                for fpath, off, length, want_ids, want_urls, want_all in zip(
                     pdf["warc_file"], pdf["offset"], pdf["length"],
-                    pdf["_want"], pdf["_want_null"],
+                    pdf["_want_ids"], pdf["_want_urls"], pdf["_want_all"],
                 ):
                     local = str(fpath)
                     if local.startswith("file:"):
@@ -950,15 +971,19 @@ def read_warc_selected(
                             "or use gz/plain containers for selected "
                             "reads"
                         )
-                    wanted_ids = set(want)
+                    wanted_ids = set(want_ids)
+                    wanted_urls = set(want_urls)
                     for _s, _e, rec in _record_spans(
                         span, f"read_warc_selected({fpath})"
                     ):
                         rid = rec["headers"].get("warc-record-id")
-                        if rid is None:
-                            if not want_null:
-                                continue
-                        elif rid not in wanted_ids:
+                        uri = rec["headers"].get("warc-target-uri")
+                        picked = (
+                            bool(want_all)
+                            or (rid is not None and rid in wanted_ids)
+                            or (uri is not None and uri in wanted_urls)
+                        )
+                        if not picked:
                             continue  # co-member record nobody asked for
                         pending += _append_record_row(
                             rows, fpath, rec, decode_text,
