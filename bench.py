@@ -59,7 +59,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # snapshot commit so cross-round deltas stay falsifiable.  (r11 used
 # r10 HEAD 72fe19b — the round whose BENCH raw total moved +23% on
 # untouched queries while single-task probes pointed the wrong way.)
-BASELINE_COMMIT = "7661f939dade855f9217a1898c1ee0367a7ac030"
+BASELINE_COMMIT = "3997e9bc89e8e772b647e0049718e123b8252c20"
 
 # Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
 # machine-drift note: the observed idle end of the cpu 0.28-0.48 s /

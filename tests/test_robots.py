@@ -63,6 +63,40 @@ def test_longest_match_semantics():
     assert parse_robots("User-agent: *\nDisallow:\n") == []
 
 
+def test_literal_dollar_before_anchor():
+    """A '$' BEFORE the end anchor is a literal octet: only the final
+    '$' strips (r13 verdict: rstrip('$') stripped all of them, so
+    '/price$$' lost specificity ties it should win)."""
+    rules = [(False, "/price$$")]  # matches the literal path '/price$'
+    assert not robots_allowed("/price$", rules)
+    assert robots_allowed("/price", rules)      # anchor: no bare match
+    assert robots_allowed("/price$x", rules)    # anchored, not prefix
+    # specificity: '/price$$' (7 octets) must beat the 6-octet Allow
+    tie = [(False, "/price$$"), (True, "/price")]
+    assert not robots_allowed("/price$", tie)
+
+
+def test_percent_encoding_equivalence():
+    """RFC 9309 §2.2.2: unreserved escapes decode before comparison,
+    other escapes compare case-insensitively on their hex, and %2F
+    stays DISTINCT from '/'."""
+    # %7E (unreserved ~) in the rule matches the bare char in the path
+    assert not robots_allowed("/~joe/private", [(False, "/%7Ejoe/")])
+    # ...and the bare char in the rule matches the escape in the path
+    assert not robots_allowed("/%7ejoe/private", [(False, "/~joe/")])
+    # reserved escapes: hex case-folds but never decodes
+    assert not robots_allowed("/a%3fb", [(False, "/a%3Fb")])
+    # %2F is not a path separator: '/a%2Fb' != '/a/b' both ways
+    assert robots_allowed("/a/b", [(False, "/a%2Fb$")])
+    assert robots_allowed("/a%2Fb", [(False, "/a/b$")])
+    # invalid escape passes through literally
+    assert not robots_allowed("/x%zz", [(False, "/x%zz")])
+    # specificity counts decoded octets: '/%7E%7E' (3 octets) loses to
+    # a 4-octet allow on the same path
+    mixed = [(False, "/%7E%7E"), (True, "/~~x")]
+    assert robots_allowed("/~~x", mixed)
+
+
 def test_sitemaps_and_sitemap_xml():
     assert robots_sitemaps(_ROBOTS) == [
         "https://s.org/sitemap.xml", "https://s.org/sitemap-news.xml",

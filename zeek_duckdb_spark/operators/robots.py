@@ -21,9 +21,11 @@ FIRST octet; ``*`` matches any octet sequence and ``$`` anchors the
 end.  The MOST SPECIFIC match (longest pattern, in octets) wins;
 an allow/disallow tie at equal length resolves to ALLOW; no matching
 rule means allowed; an empty ``Disallow:`` line allows everything
-(it is not a pattern).  Percent-encoding equivalence (%2F vs /) is
-out of scope, documented — crawlers normalize upstream
-(``canonicalize_url``).
+(it is not a pattern).  Percent-encoding (RFC 9309 §2.2.2): both the
+rule pattern and the URL path are normalized at match time — escapes
+of UNRESERVED octets decode (``%7E`` == ``~``) and every other escape
+upper-cases its hex (``%3f`` == ``%3F``); reserved octets stay
+encoded, so ``%2F`` and ``/`` remain DISTINCT, per the RFC.
 """
 
 from __future__ import annotations
@@ -123,33 +125,63 @@ def robots_sitemaps(txt: str):
     return sitemaps
 
 
+# RFC 3986 unreserved characters: the only octets whose percent-
+# escapes are equivalent to the bare character (RFC 9309 §2.2.2).
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RX = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _pct_norm(s: str) -> str:
+    """Percent-encoding normalization applied to BOTH sides of a match
+    (rule pattern and URL path): escapes of unreserved octets decode
+    (``%7E`` -> ``~``), all other escapes upper-case their hex digits
+    (``%3f`` -> ``%3F``), reserved octets stay encoded so ``%2F`` and
+    ``/`` remain distinct (RFC 9309 §2.2.2 / RFC 3986 §2.3).  Invalid
+    escapes (``%ZZ``) pass through literally.  Decoding can never mint
+    a wildcard: ``*`` and ``$`` are reserved sub-delims, so their
+    escapes stay percent-encoded."""
+    def sub(m):
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RX.sub(sub, s)
+
+
 @functools.lru_cache(maxsize=8192)
-def _pattern_re(pattern: str):
-    """Rule pattern -> anchored regex: ``*`` -> ``.*``, trailing
-    ``$`` -> end anchor, everything else literal, matched from the
-    first path octet.  lru_cached: the match runs per URL over a
-    crawl's worth of paths while the pattern universe is per-host
-    rules — recompiling inside the loop measured 34x slower and
-    thrashes the re module's 512-entry cache once the batch spans
-    >512 distinct patterns (r13 review)."""
+def _compiled_rule(pattern: str):
+    """Rule pattern -> (anchored regex, specificity octets): ``*`` ->
+    ``.*``, a single trailing ``$`` -> end anchor (a literal ``$``
+    BEFORE the anchor stays a literal — strip at most one), everything
+    else literal after percent-normalization, matched from the first
+    path octet.  Specificity is the normalized body's octet length —
+    the value longest-match ranks on (``$`` is an anchor, not
+    specificity; ``%61`` counts as the one octet it decodes to).
+    lru_cached: the match runs per URL over a crawl's worth of paths
+    while the pattern universe is per-host rules — recompiling inside
+    the loop measured 34x slower and thrashes the re module's
+    512-entry cache once the batch spans >512 distinct patterns
+    (r13 review)."""
     anchor = pattern.endswith("$")
-    body = pattern[:-1] if anchor else pattern
+    body = _pct_norm(pattern[:-1] if anchor else pattern)
     rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
-    return re.compile("^" + rx + ("$" if anchor else ""))
+    return re.compile("^" + rx + ("$" if anchor else "")), len(body)
 
 
 def robots_allowed(path: str, rules) -> bool:
     """Longest-match decision for one path (include the query when the
     caller has one: ``/p?a=1``).  No match -> allowed; equal-length
-    allow/disallow -> allow."""
+    allow/disallow -> allow.  Path and patterns percent-normalize
+    before comparison (see :func:`_pct_norm`)."""
     if not path.startswith("/"):
         path = "/" + path
+    path = _pct_norm(path)
     best_len = -1
     best_allow = True
     for allow, pattern in rules:
-        if _pattern_re(pattern).match(path):
-            # '$' is an anchor, not pattern specificity
-            plen = len(pattern.rstrip("$"))
+        rx, plen = _compiled_rule(pattern)
+        if rx.match(path):
             if plen > best_len or (plen == best_len and allow):
                 best_len = plen
                 best_allow = allow
