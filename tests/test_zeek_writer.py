@@ -104,6 +104,52 @@ def test_mode_error_refuses_existing_output(spark, tmp_path):
     assert read_zeek(spark, f"{out}/*.log").count() == 1
 
 
+def test_batch_writers_two_phase_commit(tmp_path):
+    """All-or-nothing batch sinks (r13 advice): write() stages a
+    dot-prefixed tmp only — no visible part-* until commit() renames;
+    abort() discards; stale tmps from a SIGKILLed run reap at the next
+    writer's construction.  Driven at the writer-class level so the
+    mid-job window is deterministic, not a race."""
+    import os
+
+    from zeek_duckdb_spark.sources.datasource import WetShardWriter
+    from zeek_duckdb_spark.sources.zeek_writer import ZeekLogWriter
+
+    wdir = str(tmp_path / "wet")
+    w = WetShardWriter({"path": wdir}, overwrite=True)
+    msg = w.write(iter([("https://a.org/x", "2026-01-01T00:00:00Z", "hi")]))
+    # the mid-job window: task done, commit not yet run -> nothing visible
+    assert not any(f.startswith("part-") for f in os.listdir(wdir))
+    assert msg.tmp is not None and os.path.exists(msg.tmp)
+    w.commit([msg, None])
+    assert os.path.exists(os.path.join(wdir, "part-00000.warc.gz"))
+    assert not os.path.exists(msg.tmp)
+    # abort discards the staged bytes
+    msg2 = w.write(iter([("https://a.org/y", None, "t")]))
+    w.abort([msg2])
+    assert not os.path.exists(msg2.tmp)
+    # empty partition stages nothing and commit tolerates it
+    empty = w.write(iter([]))
+    assert empty.tmp is None
+    w.commit([empty])
+
+    zdir = str(tmp_path / "zeek")
+    z = ZeekLogWriter({"path": zdir, "zeek_header": "#separator \\x09"},
+                      overwrite=True)
+    m = z.write(iter([("a\tb",)]))
+    assert not any(f.startswith("part-") for f in os.listdir(zdir))
+    z.commit([m])
+    final = os.path.join(zdir, "part-00000.log")
+    assert os.path.exists(final)
+    with open(final) as fh:
+        assert fh.read() == "#separator \\x09\na\tb\n"
+    # stale dot-tmp reaping at construction
+    stale = os.path.join(zdir, ".part-00007.log.tmp-9")
+    open(stale, "wb").close()
+    ZeekLogWriter({"path": zdir, "zeek_header": ""}, overwrite=True)
+    assert not os.path.exists(stale)
+
+
 def test_typed_api_required(spark, tmp_path):
     # raw format("zeek") writes need the pre-formatted single column
     df = spark.createDataFrame([(1, "x")], "id long, text string")

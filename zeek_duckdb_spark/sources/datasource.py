@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -804,8 +805,45 @@ class WetDataSource(DataSource):
         return WetShardWriter(self.options, overwrite)
 
 
+class StagedShardMessage(WriterCommitMessage):
+    """Staged-file handoff from a batch write task to the driver
+    commit: (tmp path or None for an empty partition, final path)."""
+
+    def __init__(self, tmp: "str | None", final: "str | None"):
+        self.tmp = tmp
+        self.final = final
+
+
+def _publish_staged(messages) -> None:
+    """Driver-side batch commit: rename every staged tmp to its final
+    name.  Until this runs, NO final ``part-*`` file exists — a job
+    that dies after some tasks succeeded leaves only dot-tmps (reaped
+    by the next writer), so readers never see a partial export.  Same
+    shared-filesystem scope as ``ZeekStreamLogWriter.commit`` (the
+    driver renames what executors staged: local mode, NFS/Lustre —
+    the sinks' stated scope)."""
+    import os
+
+    for m in messages:
+        if m is not None and m.tmp is not None:
+            os.replace(m.tmp, m.final)
+
+
+def _discard_staged(messages) -> None:
+    import os
+
+    for m in messages:
+        if m is not None and m.tmp is not None:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass  # task already cleaned up / never created it
+
+
 class WetShardWriter(DataSourceWriter):
-    """Per-partition WET sink (see WetDataSource)."""
+    """Per-partition WET sink (see WetDataSource).  All-or-nothing:
+    tasks stage dot-prefixed tmps and the driver publishes them at
+    commit() — a job that fails mid-write leaves no visible shard."""
 
     def __init__(self, options: dict, overwrite: bool):
         import os
@@ -847,7 +885,8 @@ class WetShardWriter(DataSourceWriter):
         # dot-prefixed tmp: invisible to Spark directory listings and
         # to the writer's own part-* overwrite/error scans, so a
         # mid-write task kill can never poison a later read_warc over
-        # the directory or block mode='error'
+        # the directory or block mode='error'; it stays a tmp through
+        # write() and only commit() renames it (all-or-nothing)
         tmp = os.path.join(
             self._path, f".part-{pid:05d}.warc.gz.tmp-{attempt}"
         )
@@ -876,17 +915,15 @@ class WetShardWriter(DataSourceWriter):
         finally:
             if fh is not None:
                 fh.close()
-        from pyspark.sql.datasource import WriterCommitMessage
-
-        if fh is not None:
-            os.replace(tmp, final)  # atomic: retries can't interleave
-        return WriterCommitMessage()
+        if fh is None:
+            return StagedShardMessage(None, None)
+        return StagedShardMessage(tmp, final)
 
     def commit(self, messages):
-        pass
+        _publish_staged(messages)
 
     def abort(self, messages):
-        pass
+        _discard_staged(messages)
 
 
 def register_wet_datasource(spark) -> None:

@@ -389,7 +389,10 @@ def _codec(option_val) -> tuple[str, "object"]:
 class ZeekLogWriter(DataSourceWriter):
     """Per-partition sink: header block + pre-formatted lines into
     ``part-NNNNN.log[.gz|.zst]``.  Constructed by
-    ZeekDataSource.writer()."""
+    ZeekDataSource.writer().  All-or-nothing: tasks stage dot-prefixed
+    tmps and the driver publishes them at commit() (same shared-
+    filesystem scope as ZeekStreamLogWriter.commit) — a job that dies
+    after some tasks succeeded leaves no visible ``part-*`` file."""
 
     def __init__(self, options: dict, overwrite: bool):
         self._path = options.get("path")
@@ -398,6 +401,14 @@ class ZeekLogWriter(DataSourceWriter):
         self._header = options.get("zeek_header", "")
         self._ext, self._open = _codec(options.get("compress", "false"))
         os.makedirs(self._path, exist_ok=True)
+        # reap stale dot-tmps from SIGKILLed prior runs (their abort
+        # never ran; glob scans don't see dotfiles, so they'd pile up)
+        for f in os.listdir(self._path):
+            if f.startswith(".part-") and ".tmp-" in f:
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass  # raced with another cleanup: already gone
         if overwrite:
             for f in os.listdir(self._path):
                 if f.startswith("part-"):
@@ -411,24 +422,40 @@ class ZeekLogWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
+        from zeek_duckdb_spark.sources.datasource import StagedShardMessage
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
         final = os.path.join(self._path, f"part-{pid:05d}{self._ext}")
-        tmp = final + f".tmp-{attempt}"
-        with self._open(tmp) as fh:
-            fh.write(self._header + "\n")
-            for row in iterator:
-                fh.write(row[0])
-                fh.write("\n")
-        os.replace(tmp, final)  # atomic: retried attempts can't interleave
-        return WriterCommitMessage()
+        # dot-prefixed: invisible to glob scans and to the writer's own
+        # part-* overwrite/error checks until commit() renames it
+        tmp = os.path.join(
+            self._path, f".part-{pid:05d}{self._ext}.tmp-{attempt}"
+        )
+        try:
+            with self._open(tmp) as fh:
+                fh.write(self._header + "\n")
+                for row in iterator:
+                    fh.write(row[0])
+                    fh.write("\n")
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        return StagedShardMessage(tmp, final)
 
     def commit(self, messages):
-        pass
+        from zeek_duckdb_spark.sources.datasource import _publish_staged
+
+        _publish_staged(messages)
 
     def abort(self, messages):
-        pass
+        from zeek_duckdb_spark.sources.datasource import _discard_staged
+
+        _discard_staged(messages)
 
 
 class ZeekCommitMessage(WriterCommitMessage):
