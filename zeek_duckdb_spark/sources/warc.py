@@ -15,15 +15,17 @@ HTTP/1.x response; the HTTP head is parsed off (status, headers,
 chunked transfer-encoding decoded) so ``body`` is the actual entity
 bytes.  No third-party code.
 
-Scale shape: ONE task per WARC file (``spark.read.format
-("binaryFile")`` rows carry whole files; crawl WARCs are ~1 GiB, so a
-file fits executor memory the same way it fits the fetcher that wrote
-it), record expansion is a row-expanding ``mapInPandas`` exactly like
-``multimodal.sample_frames`` — pure map, zero shuffle, and everything
-downstream (charset decode, HTML extraction, dedup) stays declarative.
-Parsing is per-record Python (the inherent boundary — WARC framing has
-no JVM/SQL form); at higher throughput inject a native reader through
-the same composition seam.
+Scale shape: ONE task per WARC file, and (round-14) the default
+``engine='stream'`` is a path-based Python DataSource whose partition
+reader OPENS the file and streams — disk chunks -> incremental
+gunzip/zstd -> incremental record parse -> bounded Arrow flushes — so
+task-resident memory is ~(largest record + read chunk + flush batch)
+regardless of file size and a legal >2 GiB uncompressed WARC ingests
+(binaryFile's whole-blob rows hard-fail at 2 GiB).  Everything
+downstream (charset decode, HTML extraction, dedup) stays declarative;
+zero shuffle.  Parsing is per-record Python (the inherent boundary —
+WARC framing has no JVM/SQL form); at higher throughput inject a
+native reader through the same composition seam.
 
 The writer half (``encode_warc``) is the FIXTURE side, like
 ``encode_png``/``encode_avi_mjpeg``: build spec-compliant plain or
@@ -47,8 +49,10 @@ __all__ = [
     "encode_warc",
     "read_warc",
     "read_warc_stream",
+    "register_warc_datasource",
     "cdx_records",
     "read_warc_selected",
+    "fsspec_opener",
     "write_wet",
     "wet_record_bytes",
     "wet_shard_bytes",
@@ -512,6 +516,7 @@ def read_warc(
     path: str,
     record_types: tuple = ("response",),
     decode_text: bool = False,
+    engine: str = "stream",
 ) -> DataFrame:
     """Read WARC files (plain, .warc.gz or .warc.zst) into one row per record:
     (warc_file, record_id, warc_type, target_uri, warc_date string,
@@ -544,9 +549,33 @@ def read_warc(
     crosses Arrow once; quarantined records get NULL.  Feed it to
     ``htmlops.extract_text_html`` for pages.
 
-    One binaryFile row per WARC file -> row-expanding mapInPandas;
-    zero shuffle."""
+    ``engine`` (round-14):
+    - ``'stream'`` (default) — the path-based ``warc`` DataSource: one
+      task per file that OPENS the path and streams chunks ->
+      incremental decompress -> incremental record parse -> bounded
+      Arrow flushes.  Task memory is ~(largest record + read chunk +
+      flush batch) regardless of file size, and there is no file-size
+      limit — a >2 GiB uncompressed daily WARC (legal; the spec caps
+      nothing) ingests where binaryFile's 2 GiB row limit hard-fails.
+    - ``'binaryfile'`` — the previous engine (whole compressed file as
+      one binaryFile row -> row-expanding mapInPandas), kept for plans
+      that compose with other binaryFile-driven columns.
+    Zero shuffle either way; both engines share the record-row
+    assembly, so rows are identical (pinned by tests)."""
     wanted = None if record_types is None else {t.lower() for t in record_types}
+    if engine == "stream":
+        register_warc_datasource(spark)
+        rt = "*" if record_types is None else ",".join(record_types)
+        return (
+            spark.read.format("warc")
+            .option("record_types", rt)
+            .option("decode_text", str(decode_text).lower())
+            .load(path)
+        )
+    if engine != "binaryfile":
+        raise ValueError(
+            "read_warc: engine must be 'stream' or 'binaryfile'"
+        )
     # parallelism note: binaryFile's split sizing (bytesPerCore +
     # openCostInBytes padding) already lands ~min(n_files,
     # defaultParallelism) tasks for small-file layouts and one task
@@ -687,6 +716,511 @@ def _make_expand(wanted, decode_text: bool = False):
     return expand
 
 
+# ---------------------------------------------------------------------
+# Path-based STREAMING reader (round-14): the default engine of
+# read_warc/read_warc_stream.  The binaryFile engine holds each WHOLE
+# compressed file as one task-resident blob (plus, for plain/zst
+# containers, the full decompressed stream) and hard-fails legal
+# >2 GiB uncompressed WARCs at binaryFile's 2 GiB row limit.  This
+# reader instead opens the PATH on the executor and streams: disk ->
+# _READ_CHUNK-sized reads -> incremental gunzip/zstd -> an incremental
+# record parser whose buffer is bounded by (largest record + chunk),
+# -> bounded Arrow batch flushes.  Task-resident memory is
+# ~max(record) + _READ_CHUNK + flush batch, independent of file size.
+
+_READ_CHUNK = 4 << 20  # bytes per disk read / decompressed chunk
+# a single record IS a row: it must fit in memory (and in an Arrow
+# binary cell), so a lying Content-Length must not make the parser
+# buffer without bound — cap it loudly (crawlers cap records far
+# below this; Common Crawl truncates at 1 MiB)
+_MAX_RECORD_BYTES = (1 << 31) - 1
+# a WARC header block is named fields, bytes each; a stream that never
+# terminates one is an attack or corruption, not a crawl
+_MAX_HEADER_BYTES = 1 << 20
+_COMPACT_BYTES = 1 << 20  # consumed-prefix size that triggers compaction
+
+
+def _gunzip_chunks(chunks, who: str):
+    """Incrementally decompress a stream of CONCATENATED gzip members
+    (the crawl-standard member-per-record ``.warc.gz`` layout) from an
+    iterator of compressed chunks — never holding more than one chunk's
+    worth of compressed input.  Error wording mirrors
+    :func:`_iter_gzip_members` (corrupt / truncated member + offset)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    member_start = 0  # compressed offset of the current member
+    pos = 0           # compressed bytes consumed overall
+    in_member = False
+    for chunk in chunks:
+        data = chunk
+        while data:
+            try:
+                out = d.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"{who}: corrupt gzip member at offset "
+                    f"{member_start} ({exc})"
+                ) from None
+            in_member = True
+            if out:
+                yield out
+            if d.eof:
+                rest = d.unused_data
+                pos += len(data) - len(rest)
+                member_start = pos
+                d = zlib.decompressobj(wbits=31)
+                in_member = False
+                data = rest
+            else:
+                pos += len(data)
+                data = b""
+    if in_member:
+        raise ValueError(
+            f"{who}: truncated gzip member at offset {member_start}"
+        )
+
+
+def _gunzip_members_from_chunks(chunks, who: str):
+    """Streaming twin of :func:`_iter_gzip_members`: yields
+    ``(offset, compressed_length, decompressed member bytes)`` per
+    gzip member from an iterator of COMPRESSED chunks — the CDX
+    random-access contract, without the whole-file blob.  One member
+    is held at a time (record-sized in the crawl-standard layout; a
+    whole-file single-member gz materializes that file's stream, the
+    same bound the blob path had — stated)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    member_start = 0
+    pos = 0
+    out = bytearray()
+    in_member = False
+    for chunk in chunks:
+        data = chunk
+        while data:
+            try:
+                got = d.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"{who}: corrupt gzip member at offset "
+                    f"{member_start} ({exc})"
+                ) from None
+            in_member = True
+            if got:
+                out += got
+            if d.eof:
+                rest = d.unused_data
+                pos += len(data) - len(rest)
+                yield member_start, pos - member_start, bytes(out)
+                out = bytearray()
+                member_start = pos
+                d = zlib.decompressobj(wbits=31)
+                in_member = False
+                data = rest
+            else:
+                pos += len(data)
+                data = b""
+    if in_member:
+        raise ValueError(
+            f"{who}: truncated gzip member at offset {member_start}"
+        )
+
+
+def _zstd_stream_chunks(fh, who: str):
+    """Streaming ``.warc.zst`` decode: the ``zstandard`` module when
+    installed (true streaming, skippable IIPC dictionary frames
+    tolerated), else pyarrow's bundled codec streamed through
+    ``CompressedInputStream``, else the vendored store-mode codec as a
+    FULL-BUFFER fallback (environments with no native zstd anywhere —
+    test scale only, stated).  Dictionary-compressed frames error
+    naming the IIPC convention, same as :func:`_decompress_container`."""
+    try:
+        import zstandard  # type: ignore
+    except ImportError:
+        zstandard = None
+    if zstandard is not None:
+        try:
+            r = zstandard.ZstdDecompressor().stream_reader(
+                fh, read_across_frames=True
+            )
+            while True:
+                c = r.read(_READ_CHUNK)
+                if not c:
+                    return
+                yield c
+        except Exception as exc:
+            raise ValueError(
+                f"{who}: zstd decode failed ({exc}); {_ZSTD_DICT_NOTE}"
+            ) from None
+    try:
+        import pyarrow as pa
+
+        has_zstd = pa.Codec.is_available("zstd")
+    except Exception:
+        has_zstd = False
+    if has_zstd:
+        try:
+            stream = pa.CompressedInputStream(
+                pa.PythonFile(fh, mode="r"), "zstd"
+            )
+            while True:
+                c = stream.read(_READ_CHUNK)
+                if not c:
+                    return
+                yield bytes(c)
+        except Exception as exc:
+            raise ValueError(
+                f"{who}: zstd decode failed ({exc}); {_ZSTD_DICT_NOTE}"
+            ) from None
+    from zeek_duckdb_spark.sources.zstd_raw import (
+        ZstdCompressedBlockError,
+        ZstdRawError,
+        decompress,
+    )
+
+    buf = fh.read()
+    try:
+        yield decompress(buf)
+    except ZstdCompressedBlockError:
+        raise ValueError(
+            f"{who}: entropy-coded zstd WARC needs the zstandard "
+            "module or a pyarrow build with zstd"
+        ) from None
+    except ZstdRawError as exc:
+        raise ValueError(
+            f"{who}: corrupt or truncated zstd stream ({exc})"
+        ) from None
+
+
+def _decompressed_chunks(path: str, who: str):
+    """Open ``path`` and yield DECOMPRESSED byte chunks — container
+    routed by magic exactly like :func:`_decompress_container`, but
+    streamed: gzip members incrementally, zstd through the streaming
+    ladder, plain files in ``_READ_CHUNK`` reads."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        fh.seek(0)
+        if head[:2] == _GZIP_MAGIC:
+            yield from _gunzip_chunks(
+                iter(lambda: fh.read(_READ_CHUNK), b""), who
+            )
+        elif len(head) >= 4 and _is_zstd(head):
+            yield from _zstd_stream_chunks(fh, who)
+        else:
+            while True:
+                c = fh.read(_READ_CHUNK)
+                if not c:
+                    return
+                yield c
+
+
+def _records_from_chunks(
+    chunks, who: str, mem: "dict | None" = None, with_spans: bool = False
+):
+    """Incremental twin of :func:`_record_spans` over a decompressed
+    CHUNK stream: yields the same record dicts with the same error
+    wording (version line / truncated header / Content-Length /
+    truncated payload, offsets absolute into the decompressed stream),
+    but holds only the current record plus one read chunk — the
+    consumed prefix compacts away, so a 100 GiB file parses in
+    ~``_MAX_RECORD_BYTES``-bounded memory.  ``mem`` (tests): a dict
+    whose ``peak_buffered`` key records the buffer high-water mark.
+    ``with_spans``: yield ``(start, end, record)`` with absolute
+    offsets into the decompressed stream (the :func:`_record_spans`
+    span contract — the CDX builder's unit)."""
+    it = iter(chunks)
+    buf = bytearray()
+    pos = 0   # parse cursor into buf
+    base = 0  # absolute decompressed offset of buf[0]
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        while not eof:
+            try:
+                c = next(it)
+            except StopIteration:
+                eof = True
+                return False
+            if c:
+                buf.extend(c)
+                if mem is not None and len(buf) > mem.get("peak_buffered", 0):
+                    mem["peak_buffered"] = len(buf)
+                return True
+        return False
+
+    while True:
+        if pos >= _COMPACT_BYTES:
+            base += pos
+            del buf[:pos]
+            pos = 0
+        # inter-record CRLF padding (whole pairs only)
+        while True:
+            while len(buf) - pos < 2 and fill():
+                pass
+            if buf[pos : pos + 2] == b"\r\n":
+                pos += 2
+            else:
+                break
+        if pos >= len(buf) and eof:
+            return
+        # version line
+        scan = pos
+        while True:
+            nl = buf.find(b"\r\n", scan)
+            if nl >= 0:
+                break
+            scan = max(pos, len(buf) - 1)
+            if len(buf) - pos > _MAX_HEADER_BYTES:
+                raise ValueError(
+                    f"{who}: WARC header block exceeds "
+                    f"{_MAX_HEADER_BYTES} bytes"
+                )
+            if not fill():
+                raise ValueError(
+                    f"{who}: expected WARC version line at offset "
+                    f"{base + pos}"
+                )
+        if not buf[pos:nl].startswith(b"WARC/"):
+            raise ValueError(
+                f"{who}: expected WARC version line at offset {base + pos}"
+            )
+        # header block terminator
+        scan = nl
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n", scan)
+            if hdr_end >= 0:
+                break
+            scan = max(nl, len(buf) - 3)
+            if len(buf) - pos > _MAX_HEADER_BYTES:
+                raise ValueError(
+                    f"{who}: WARC header block exceeds "
+                    f"{_MAX_HEADER_BYTES} bytes"
+                )
+            if not fill():
+                raise ValueError(f"{who}: truncated WARC header block")
+        headers: dict = {}
+        for ln in bytes(buf[nl + 2 : hdr_end]).decode("latin-1").split("\r\n"):
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError(f"{who}: WARC record missing Content-Length")
+        cl = headers["content-length"]
+        try:
+            ln_ = int(cl)
+        except ValueError:
+            raise ValueError(
+                f"{who}: bad WARC Content-Length {cl!r}"
+            ) from None
+        if ln_ < 0:
+            raise ValueError(f"{who}: bad WARC Content-Length {cl!r}")
+        if ln_ > _MAX_RECORD_BYTES:
+            raise ValueError(
+                f"{who}: WARC Content-Length {ln_} exceeds the "
+                f"{_MAX_RECORD_BYTES}-byte record cap"
+            )
+        body_start = hdr_end + 4
+        while len(buf) < body_start + ln_:
+            if not fill():
+                raise ValueError(f"{who}: truncated WARC record payload")
+        rec = {
+            "headers": headers,
+            "payload": bytes(buf[body_start : body_start + ln_]),
+        }
+        if with_spans:
+            yield base + pos, base + body_start + ln_, rec
+        else:
+            yield rec
+        pos = body_start + ln_
+
+
+def _path_record_batches(path: str, wanted, decode_text: bool, who=None):
+    """One WARC file path -> Arrow RecordBatches in the reader schema:
+    the per-partition body of the ``warc`` DataSource (batch AND
+    stream).  Record-type filter, HTTP gate, quarantine, and flush
+    bounds are shared with the binaryFile expand (``_append_record_row``
+    / ``_FLUSH_RECORDS`` / ``_FLUSH_BYTES``), so the two engines cannot
+    drift."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+    cols = schema.fieldNames()
+    pa_schema = to_arrow_schema(schema)
+    who = who or f"read_warc({path})"
+    rows = {c: [] for c in cols}
+    pending = 0
+
+    def flush():
+        return pa.RecordBatch.from_pandas(
+            _typed_frame(cols, rows), schema=pa_schema, preserve_index=False
+        )
+
+    for rec in _records_from_chunks(_decompressed_chunks(path, who), who):
+        wtype = rec["headers"].get("warc-type", "")
+        if wanted is not None and wtype.lower() not in wanted:
+            continue
+        pending += _append_record_row(rows, path, rec, decode_text, who=who)
+        if len(rows["body"]) >= _FLUSH_RECORDS or pending >= _FLUSH_BYTES:
+            yield flush()
+            rows = {c: [] for c in cols}
+            pending = 0
+    if rows[cols[0]]:
+        yield flush()
+
+
+def _glob_warc_paths(path: str) -> list:
+    """Deterministic file listing for the ``warc`` DataSource: a
+    directory lists its non-hidden regular files (the same dot/_
+    hiding Spark's file sources apply — staged ``.part-*`` tmps must
+    never be read), anything else is a glob; sorted for stable
+    partition order."""
+    import glob as _g
+    import os
+
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    if os.path.isdir(p):
+        return sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(p, f))
+        )
+    return sorted(f for f in _g.glob(p) if os.path.isfile(f))
+
+
+from pyspark.sql.datasource import (  # noqa: E402 (after helpers they use)
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` / ``spark.readStream.format
+    ("warc")`` — the path-based streaming WARC reader (see the
+    round-14 note above ``_READ_CHUNK``).  One InputPartition per
+    file; the partition reader streams records from the path with
+    bounded memory and no 2 GiB file limit.
+
+    Options: ``path``; ``record_types`` — comma-separated WARC-Type
+    list, ``*`` for everything (default ``response``);
+    ``decode_text`` — add the charset-decoded ``body_text`` column.
+    ``read_warc`` / ``read_warc_stream`` are the typed API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def _parsed_options(self):
+        rt = str(self.options.get("record_types", "response"))
+        wanted = (
+            None
+            if rt.strip() == "*"
+            else {t.strip().lower() for t in rt.split(",") if t.strip()}
+        )
+        decode_text = str(
+            self.options.get("decode_text", "false")
+        ).strip().lower() in ("true", "1", "yes")
+        return wanted, decode_text
+
+    def schema(self) -> T.StructType:
+        _w, decode_text = self._parsed_options()
+        return _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+
+    def reader(self, schema: T.StructType) -> "WarcBatchReader":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("warc datasource requires a path (load(path))")
+        files = _glob_warc_paths(path)
+        if not files:
+            raise ValueError(f"read_warc: no WARC files match '{path}'")
+        wanted, decode_text = self._parsed_options()
+        return WarcBatchReader(files, wanted, decode_text)
+
+    def streamReader(self, schema: T.StructType) -> "WarcStreamReader":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("warc datasource requires a path (load(path))")
+        wanted, decode_text = self._parsed_options()
+        return WarcStreamReader(path, wanted, decode_text)
+
+
+class WarcBatchReader(DataSourceReader):
+    """One partition per WARC file (the reference-scan task shape);
+    each partition streams Arrow batches from its path."""
+
+    def __init__(self, files, wanted, decode_text):
+        self._files = files
+        self._wanted = wanted
+        self._decode_text = decode_text
+
+    def partitions(self):
+        return [WarcFilePartition(f) for f in self._files]
+
+    def read(self, partition: WarcFilePartition):
+        yield from _path_record_batches(
+            partition.path, self._wanted, self._decode_text
+        )
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming twin: offsets are the set of files already planned
+    (``{"files": {path: 1}}`` — JSON-primitive, checkpointable, the
+    ZeekStreamReader convention); each microbatch plans one partition
+    per NEW file and the partition reader streams from the path with
+    the batch reader's memory bounds.  The Python DataSource offset
+    API has no admission control, so there is no per-trigger file cap
+    on this engine — ``read_warc_stream(engine="binaryfile")`` keeps
+    ``max_files_per_trigger`` at the cost of whole-blob rows."""
+
+    def __init__(self, path, wanted, decode_text):
+        self._path = path
+        self._wanted = wanted
+        self._decode_text = decode_text
+        self._seen: dict = {}
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        seen = dict(self._seen)
+        for f in _glob_warc_paths(self._path):
+            seen[f] = 1
+        self._seen = seen  # monotone even if files rotate away
+        return {"files": seen}
+
+    def partitions(self, start: dict, end: dict):
+        new = [
+            f for f in end.get("files", {})
+            if f not in start.get("files", {})
+        ]
+        return [WarcFilePartition(f) for f in sorted(new)]
+
+    def read(self, partition: WarcFilePartition):
+        yield from _path_record_batches(
+            partition.path, self._wanted, self._decode_text
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_warc_datasource(spark: SparkSession) -> None:
+    spark.dataSource.register(WarcDataSource)
+
+
 # the binaryFile source's fixed schema — a STREAMING file source needs
 # it stated explicitly (batch infers it)
 _BINARY_FILE_SCHEMA = T.StructType(
@@ -705,25 +1239,58 @@ def read_warc_stream(
     record_types: tuple = ("response",),
     max_files_per_trigger: int | None = None,
     decode_text: bool = False,
+    engine: str | None = None,
 ) -> DataFrame:
-    """Streaming :func:`read_warc`: the same one-row-per-record expand
-    over a ``binaryFile`` FILE STREAM, for the daily-crawl shape —
-    new WARC files rotated into ``path`` become micro-batches, with
-    the file-source checkpoint guaranteeing each crawl file is parsed
-    exactly once across restarts.  Compose downstream exactly like the
-    batch form (``extract_text_html`` and the cleaning gates are all
-    stream-safe maps; feed ``pipeline.incremental_clean_ingest_stream``
-    for the dedup-against-standing-indexes loop).
+    """Streaming :func:`read_warc`: one row per record over a file
+    stream, for the daily-crawl shape — new WARC files rotated into
+    ``path`` become micro-batches, with the source checkpoint
+    guaranteeing each crawl file is parsed exactly once across
+    restarts.  Compose downstream exactly like the batch form
+    (``extract_text_html`` and the cleaning gates are all stream-safe
+    maps; feed ``pipeline.incremental_clean_ingest_stream`` for the
+    dedup-against-standing-indexes loop).
+
+    ``engine`` (round-14): ``'stream'`` — the path-based ``warc``
+    DataSource stream reader (bounded task memory, no 2 GiB file
+    limit; see :func:`read_warc`); ``'binaryfile'`` — the binaryFile
+    file stream (whole-file rows, but real admission control).
+    Default: ``'stream'``, unless ``max_files_per_trigger`` is set —
+    the Python DataSource offset API cannot bound a micro-batch, so a
+    file cap implies the binaryFile engine (requesting both
+    explicitly errors).  Checkpoints are PER-ENGINE: the two sources
+    serialize different offsets, so don't switch engines under an
+    existing checkpoint.
 
     ``max_files_per_trigger`` bounds a micro-batch (a crawl file is
     ~1 GiB; the default processes everything available)."""
+    if max_files_per_trigger is not None and max_files_per_trigger < 1:
+        raise ValueError(
+            "read_warc_stream: max_files_per_trigger must be >= 1"
+        )
+    if engine is None:
+        engine = "binaryfile" if max_files_per_trigger is not None else "stream"
+    if engine == "stream":
+        if max_files_per_trigger is not None:
+            raise ValueError(
+                "read_warc_stream: max_files_per_trigger needs "
+                "engine='binaryfile' (the Python DataSource offset API "
+                "has no admission control)"
+            )
+        register_warc_datasource(spark)
+        rt = "*" if record_types is None else ",".join(record_types)
+        return (
+            spark.readStream.format("warc")
+            .option("record_types", rt)
+            .option("decode_text", str(decode_text).lower())
+            .load(path)
+        )
+    if engine != "binaryfile":
+        raise ValueError(
+            "read_warc_stream: engine must be 'stream' or 'binaryfile'"
+        )
     wanted = None if record_types is None else {t.lower() for t in record_types}
     reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
     if max_files_per_trigger is not None:
-        if max_files_per_trigger < 1:
-            raise ValueError(
-                "read_warc_stream: max_files_per_trigger must be >= 1"
-            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path)
     return files.select("path", "content").mapInPandas(
@@ -751,10 +1318,177 @@ _CDX_SCHEMA = T.StructType(
 )
 
 
+def _stored_payload(payload: bytes) -> bytes:
+    """The STORED payload bytes a WARC-Payload-Digest covers (warcio's
+    convention, what Common Crawl / Wayback CDXes hash): for an HTTP
+    message, everything after the header block AS STORED — transfer
+    framing and Content-Encoding untouched; for anything else the
+    whole record payload."""
+    if payload[:5] == b"HTTP/":
+        sep = payload.find(b"\r\n\r\n")
+        if sep >= 0:
+            return payload[sep + 4 :]
+    return payload
+
+
+def _append_cdx_row(
+    rows: dict, fpath, off: int, length: int, rec: dict,
+    digest_mode: str, who: str,
+) -> None:
+    """Assemble ONE CDX row from a parsed record + its span (shared by
+    the binaryFile expand and the path-based DataSource, so the two
+    engines cannot drift).  ``digest_mode``: 'decoded' hashes the
+    fully-decoded entity (transfer/content codings undone — two
+    captures of identical content match across framings); 'stored'
+    hashes the stored payload bytes (interoperates with external CDX
+    tooling and WARC-Payload-Digest headers)."""
+    import base64
+    import hashlib
+
+    h = rec["headers"]
+    wtype = h.get("warc-type", "").lower()
+    if digest_mode == "stored":
+        body = _stored_payload(rec["payload"])
+        status = ctype = None
+        if wtype == "response":
+            status, ctype, _b, _c = _http_gate(h, rec["payload"], who=who)
+        else:
+            ctype = h.get("content-type")
+    elif wtype == "response":
+        status, ctype, body, _cenc = _http_gate(h, rec["payload"], who=who)
+    else:
+        status = None
+        ctype, body = h.get("content-type"), rec["payload"]
+    digest = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    wdate = h.get("warc-date") or ""
+    cdx_ts = "".join(c for c in wdate if c.isdigit())[:14]
+    mime = (ctype or "").split(";", 1)[0].strip() or None
+    rows["urlkey"].append(None)  # filled JVM-side
+    rows["cdx_ts"].append(cdx_ts or None)
+    rows["url"].append(h.get("warc-target-uri"))
+    rows["record_id"].append(h.get("warc-record-id"))
+    rows["mime"].append(mime)
+    rows["http_status"].append(status)
+    rows["digest"].append(digest)
+    rows["length"].append(length)
+    rows["offset"].append(off)
+    rows["warc_file"].append(fpath)
+
+
+def _path_cdx_spans(path: str, who: str):
+    """(offset, length, record) spans streamed from a WARC file PATH:
+    per-member spans for .warc.gz (via the streaming member iterator),
+    per-record decompressed-stream spans otherwise — the same span
+    contract as the blob-based builder, bounded memory."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        fh.seek(0)
+        if head[:2] == _GZIP_MAGIC:
+            for off, clen, data in _gunzip_members_from_chunks(
+                iter(lambda: fh.read(_READ_CHUNK), b""), who
+            ):
+                for _s, _e, rec in _record_spans(data, who):
+                    yield off, clen, rec
+        elif len(head) >= 4 and _is_zstd(head):
+            for s, e, rec in _records_from_chunks(
+                _zstd_stream_chunks(fh, who), who, with_spans=True
+            ):
+                yield s, e - s, rec
+        else:
+            def plain_chunks():
+                while True:
+                    c = fh.read(_READ_CHUNK)
+                    if not c:
+                        return
+                    yield c
+
+            for s, e, rec in _records_from_chunks(
+                plain_chunks(), who, with_spans=True
+            ):
+                yield s, e - s, rec
+
+
+def _path_cdx_batches(path: str, wanted, digest_mode: str):
+    """One WARC file path -> CDX-schema Arrow batches (urlkey NULL,
+    filled JVM-side) — the per-partition body of the ``cdx``
+    DataSource."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    cols = _CDX_SCHEMA.fieldNames()
+    pa_schema = to_arrow_schema(_CDX_SCHEMA)
+    who = f"cdx_records({path})"
+    rows = {c: [] for c in cols}
+
+    def flush():
+        return pa.RecordBatch.from_pandas(
+            _typed_frame(cols, rows), schema=pa_schema, preserve_index=False
+        )
+
+    for off, length, rec in _path_cdx_spans(path, who):
+        wtype = rec["headers"].get("warc-type", "").lower()
+        if wanted is not None and wtype not in wanted:
+            continue
+        _append_cdx_row(rows, path, off, length, rec, digest_mode, who)
+        if len(rows["url"]) >= _FLUSH_RECORDS:
+            yield flush()
+            rows = {c: [] for c in cols}
+    if rows["url"]:
+        yield flush()
+
+
+class CdxDataSource(DataSource):
+    """``spark.read.format("cdx")`` — the path-based CDX index builder
+    (``cdx_records`` is the typed API): one partition per WARC file,
+    streamed spans, bounded memory, no 2 GiB file limit.  Options:
+    ``path``, ``record_types`` (comma list / ``*``), ``digest``
+    ('decoded'|'stored')."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdx"
+
+    def schema(self) -> T.StructType:
+        return _CDX_SCHEMA
+
+    def reader(self, schema: T.StructType):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cdx datasource requires a path (load(path))")
+        files = _glob_warc_paths(path)
+        if not files:
+            raise ValueError(f"cdx_records: no WARC files match '{path}'")
+        rt = str(self.options.get("record_types", "response"))
+        wanted = (
+            None
+            if rt.strip() == "*"
+            else {t.strip().lower() for t in rt.split(",") if t.strip()}
+        )
+        digest_mode = str(self.options.get("digest", "decoded"))
+        return CdxBatchReader(files, wanted, digest_mode)
+
+
+class CdxBatchReader(DataSourceReader):
+    def __init__(self, files, wanted, digest_mode):
+        self._files = files
+        self._wanted = wanted
+        self._digest = digest_mode
+
+    def partitions(self):
+        return [WarcFilePartition(f) for f in self._files]
+
+    def read(self, partition: WarcFilePartition):
+        yield from _path_cdx_batches(
+            partition.path, self._wanted, self._digest
+        )
+
+
 def cdx_records(
     spark: SparkSession,
     path: str,
     record_types: tuple = ("response",),
+    digest: str = "decoded",
+    engine: str = "stream",
 ) -> DataFrame:
     """Build a CDX(J)-style index of WARC files — the standard
     web-archive random-access index (the format Common Crawl and
@@ -777,37 +1511,59 @@ def cdx_records(
 
     ``urlkey`` is :func:`textops.surt_key` applied JVM-side AFTER the
     expansion — one SURT implementation serves the frontier ops and
-    this index.  ``digest`` hashes the DECODED entity (chunked/
-    gzip/br undone), so two captures of identical content match even
-    when transfer framing differed; quarantined records hash their
-    raw bytes.  The quarantine policy is the reader's: no record
-    raises.
+    this index.  ``digest`` (round-14): ``'decoded'`` (default) hashes
+    the fully-decoded entity (chunked/gzip/br undone), so two captures
+    of identical content match even when transfer framing differed;
+    ``'stored'`` hashes the payload bytes AS STORED (the HTTP entity
+    after the header block, codings untouched) — the convention
+    external CDX tooling and ``WARC-Payload-Digest`` headers use, for
+    cross-matching existing web-archive indexes.  Quarantined records
+    hash their raw bytes either way; the quarantine policy is the
+    reader's: no record raises.
 
-    One binaryFile row per WARC file -> row-expanding mapInPandas,
-    zero shuffle; emit order is file order.  A CDX FILE is sorted by
-    (urlkey, cdx_ts): add ``.orderBy("urlkey", "cdx_ts")`` before
-    writing — the sort is a real shuffle, priced only when the
-    artifact needs it."""
+    ``engine='stream'`` (default, round-14): the path-based ``cdx``
+    DataSource — one task per file streaming spans from the path with
+    bounded memory and no 2 GiB file limit (the member iterator holds
+    one gzip member at a time).  ``engine='binaryfile'`` keeps the
+    previous whole-blob expand.  Zero shuffle either way; emit order
+    is file order.  A CDX FILE is sorted by (urlkey, cdx_ts): add
+    ``.orderBy("urlkey", "cdx_ts")`` before writing — the sort is a
+    real shuffle, priced only when the artifact needs it (or land it
+    pruned with :func:`write_cdx`)."""
     from zeek_duckdb_spark.operators.textops import surt_key
     from pyspark.sql import functions as F
 
+    if digest not in ("decoded", "stored"):
+        raise ValueError("cdx_records: digest must be 'decoded' or 'stored'")
+    if engine == "stream":
+        spark.dataSource.register(CdxDataSource)
+        rt = "*" if record_types is None else ",".join(record_types)
+        out = (
+            spark.read.format("cdx")
+            .option("record_types", rt)
+            .option("digest", digest)
+            .load(path)
+        )
+        return out.withColumn("urlkey", surt_key(F.col("url")))
+    if engine != "binaryfile":
+        raise ValueError(
+            "cdx_records: engine must be 'stream' or 'binaryfile'"
+        )
     wanted = None if record_types is None else {t.lower() for t in record_types}
     files = spark.read.format("binaryFile").load(path)
     out = files.select("path", "content").mapInPandas(
-        _make_cdx_expand(wanted), _CDX_SCHEMA
+        _make_cdx_expand(wanted, digest), _CDX_SCHEMA
     )
     return out.withColumn("urlkey", surt_key(F.col("url")))
 
 
-def _make_cdx_expand(wanted):
-    """CDX row builder: per-member spans for .warc.gz, per-record
-    spans otherwise; HTTP gating + quarantine identical to
-    :func:`_make_expand`; bounded flushes."""
+def _make_cdx_expand(wanted, digest_mode: str = "decoded"):
+    """CDX row builder (binaryFile engine): per-member spans for
+    .warc.gz, per-record spans otherwise; HTTP gating + quarantine
+    identical to :func:`_make_expand`; bounded flushes.  Row assembly
+    is :func:`_append_cdx_row`, shared with the path engine."""
 
     def expand(it):
-        import base64
-        import hashlib
-
         cols = _CDX_SCHEMA.fieldNames()
 
         def _frame(rows):
@@ -831,33 +1587,12 @@ def _make_cdx_expand(wanted):
                         for s, e, rec in _record_spans(data, who)
                     )
                 for off, length, rec in spans:
-                    h = rec["headers"]
-                    wtype = h.get("warc-type", "").lower()
+                    wtype = rec["headers"].get("warc-type", "").lower()
                     if wanted is not None and wtype not in wanted:
                         continue
-                    if wtype == "response":
-                        status, ctype, body, _cenc = _http_gate(
-                            h, rec["payload"], who=who
-                        )
-                    else:
-                        status = None
-                        ctype, body = h.get("content-type"), rec["payload"]
-                    digest = base64.b32encode(
-                        hashlib.sha1(body).digest()
-                    ).decode()
-                    wdate = h.get("warc-date") or ""
-                    cdx_ts = "".join(c for c in wdate if c.isdigit())[:14]
-                    mime = (ctype or "").split(";", 1)[0].strip() or None
-                    rows["urlkey"].append(None)  # filled JVM-side
-                    rows["cdx_ts"].append(cdx_ts or None)
-                    rows["url"].append(h.get("warc-target-uri"))
-                    rows["record_id"].append(h.get("warc-record-id"))
-                    rows["mime"].append(mime)
-                    rows["http_status"].append(status)
-                    rows["digest"].append(digest)
-                    rows["length"].append(length)
-                    rows["offset"].append(off)
-                    rows["warc_file"].append(fpath)
+                    _append_cdx_row(
+                        rows, fpath, off, length, rec, digest_mode, who
+                    )
                     if len(rows["url"]) >= _FLUSH_RECORDS:
                         yield _frame(rows)
                         rows = {c: [] for c in cols}
@@ -866,10 +1601,46 @@ def _make_cdx_expand(wanted):
     return expand
 
 
+def _posix_opener(path: str):
+    """Default span opener: POSIX open of a local/mounted path
+    (``file:`` prefix tolerated).  The injection seam of
+    :func:`read_warc_selected` — swap for a ranged-GET reader on
+    object stores."""
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file://"):]
+    elif local.startswith("file:"):
+        local = local[len("file:"):]
+    return open(local, "rb")
+
+
+def fsspec_opener(**kwargs):
+    """Object-store opener factory for :func:`read_warc_selected`,
+    behind an import guard: returns ``opener(path) -> file-like``
+    whose ``seek``/``read`` issue ranged GETs through fsspec
+    (``s3://``, ``gs://``, ``https://`` ... per installed backends).
+    fsspec is not bundled here — raises ImportError naming it.  The
+    returned callable must be picklable, so pass credentials through
+    ``kwargs`` (storage options), not closures over live clients."""
+    import fsspec  # noqa: F401 — the guard
+
+    import functools
+
+    return functools.partial(_fsspec_open, kwargs)
+
+
+def _fsspec_open(kwargs: dict, path: str):
+    import fsspec
+
+    return fsspec.open(path, "rb", **kwargs).open()
+
+
 def read_warc_selected(
     spark: SparkSession,
     cdx_df: DataFrame,
     decode_text: bool = False,
+    task_bytes: int = 64 << 20,
+    opener=None,
 ) -> DataFrame:
     """Random-access read of SELECTED records via their CDX spans —
     the payoff of :func:`cdx_records`: re-reading one domain's pages
@@ -887,23 +1658,32 @@ def read_warc_selected(
     neither column the whole span emits (span-level selection only).
     Returns the same schema as :func:`read_warc`.
 
-    Scale shape: rows REPARTITION BY warc_file and sort by offset
-    within the partition, so each task opens a file handle once and
-    seeks strictly forward (the one intentional shuffle here — it
-    converts random record access into sequential per-file reads; for
-    a selectivity near 100% just use ``read_warc``).  Each span is
-    read independently: gzip-member spans gunzip in isolation (the
-    CDX contract), plain-file spans re-parse directly.  ``.warc.zst``
+    Scale shape: rows REPARTITION BY (warc_file, offset-range bucket)
+    and sort by offset within the partition, so each task reads ITS
+    byte range of a file in strictly-forward seeks (the one
+    intentional shuffle here — it converts random record access into
+    sequential reads; for a selectivity near 100% just use
+    ``read_warc``).  ``task_bytes`` (round-14) sets the bucket width:
+    a selection concentrated in ONE archive — the SURT-clustered
+    "re-read this domain" case — splits into ~file_size/task_bytes
+    parallel tasks instead of serializing onto one (r13 verdict item
+    3); cross-file selections behave as before.  Each span is read
+    independently: gzip-member spans gunzip in isolation (the CDX
+    contract), plain-file spans re-parse directly.  ``.warc.zst``
     spans index the DECOMPRESSED stream (see cdx_records) — selected
     reads require pre-decompressed or gz/plain containers and error
     loudly otherwise.
 
-    Filesystem scope, stated: spans are read with POSIX open/seek on
-    the executor (``file:`` paths and anything mounted — NFS/Lustre/
-    fuse).  Object stores need a ranged-GET reader; the function is
-    the right seam to swap one in (the span arithmetic and row
-    assembly are container-independent)."""
+    ``opener`` (round-14): ``opener(path) -> file-like`` with
+    ``seek``/``read``, pickled to executors; default
+    :func:`_posix_opener` (local/mounted paths).  On object stores —
+    where ranged GETs are the whole point of a CDX — inject
+    :func:`fsspec_opener` (import-guarded) or any client wrapper; the
+    span arithmetic and row assembly are reader-independent."""
     from pyspark.sql import functions as F
+
+    if task_bytes < 1:
+        raise ValueError("read_warc_selected: task_bytes must be >= 1")
 
     # ONE read per distinct span: multi-record members (whole-file
     # single-member .warc.gz is legal) share (offset, length) across
@@ -934,9 +1714,17 @@ def read_warc_selected(
                 F.col("_rid").isNull() & F.col("_url").isNull()
             ).alias("_want_all"),
         )
-        .repartition(F.col("warc_file"))
-        .sortWithinPartitions("warc_file", "offset")
+        # offset-range bucket: contiguous task_bytes slices of a file
+        # land in the same task, so a one-archive selection fans out
+        # over ~size/task_bytes tasks while keeping each task's reads
+        # sequential (within a bucket offsets still sort ascending)
+        .withColumn(
+            "_bucket", F.floor(F.col("offset") / F.lit(int(task_bytes)))
+        )
+        .repartition(F.col("warc_file"), F.col("_bucket"))
+        .sortWithinPartitions("warc_file", "_bucket", "offset")
     )
+    open_fn = opener or _posix_opener
     schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
     cols = schema.fieldNames()
 
@@ -953,12 +1741,10 @@ def read_warc_selected(
                     pdf["_want_ids"], pdf["_want_urls"], pdf["_want_all"],
                 ):
                     local = str(fpath)
-                    if local.startswith("file:"):
-                        local = local[len("file:"):]
                     if local != cur_path:
                         if fh is not None:
                             fh.close()
-                        fh = open(local, "rb")
+                        fh = open_fn(local)
                         cur_path = local
                     fh.seek(int(off))
                     span = fh.read(int(length))
