@@ -1174,12 +1174,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver slot via sk_heavy_hitters; count-min's full-value oracle
     # stays locally checked) to driver-gate tx_html_extract — the
     # crawl front door's HTML→text whitespace contract, the round-12
-    # flagship whose oracle had only local coverage.
+    # flagship whose oracle had only local coverage.  Round 14 rotated
+    # q06_range_revenue out (pure range-filter aggregate — shape ⊂
+    # q01's agg scan + q03/q16's range predicates) to driver-gate
+    # mm_webp_roundtrip, the full-value oracle for the r13 VP8L codec
+    # (same hex-dump oracle as the PNG row; losslessness is the
+    # contract).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_nation_revenue": q05_nation_revenue,
-        "q06_range_revenue": q06_range_revenue,
         "q09_group_big": q09_group_big,
         "q11_window_rank": q11_window_rank,
         "q12_window_running": q12_window_running,
@@ -1208,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "tx_quality": tx_quality,
         "mm_png_roundtrip": mm_png_roundtrip,
+        "mm_webp_roundtrip": mm_webp_roundtrip,
         "tx_boilerplate": tx_boilerplate,
         "emb_comoments": emb_comoments,
         "tx_token_counts": tx_token_counts,
@@ -1230,6 +1235,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP_SQL = "('the','a','of','and','is','in','to','it')"
+
+# the shared lossless-codec round-trip oracle (mm_png_roundtrip /
+# mm_webp_roundtrip): hex-dump restatement of the tile+decode+moments
+# pipeline — losslessness is the contract, so one oracle serves any
+# lossless codec row
+_MM_ROUNDTRIP_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+      -- Spark side skips NULL payloads (nothing to encode);
+      -- keep the row sets identical by construction
+      WHERE doc_id < 100 AND text IS NOT NULL),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN repeat('00', 256)
+                  ELSE substring(repeat(hx, CAST(256 // n + 1 AS BIGINT)),
+                                 1, 512)
+             END AS thx
+      FROM b),
+    v AS (
+      SELECT doc_id,
+             list_transform(range(1, 257),
+               i -> CAST(concat('0x', substring(thx, 2*i - 1, 2))
+                         AS BIGINT)) AS bytes_
+      FROM t)
+    SELECT doc_id,
+           CAST(list_sum(bytes_) AS BIGINT) AS sum_gray,
+           CAST(list_sum(list_transform(bytes_, x -> x * x)) AS BIGINT)
+             AS sumsq_gray
+    FROM v ORDER BY doc_id
+"""
 
 
 # ----------------------------------------------------------------------
@@ -1730,15 +1767,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "q06_range_revenue": """
-            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-                   COUNT(*) AS n
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount BETWEEN 0.05 AND 0.07
-              AND l_quantity < 24
-        """,
         "q09_group_big": """
             SELECT l_partkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY l_partkey
@@ -2015,33 +2043,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PNG is lossless, so the engine-side encode->decode gray sums
         # equal tiled-payload byte sums restated from the hex dump
-        "mm_png_roundtrip": """
-            WITH b AS (
-              SELECT doc_id, hex(encode(text)) AS hx,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS n
-              FROM documents
-              -- Spark side skips NULL payloads (nothing to encode);
-              -- keep the row sets identical by construction
-              WHERE doc_id < 100 AND text IS NOT NULL),
-            t AS (
-              SELECT doc_id,
-                     CASE WHEN n = 0 THEN repeat('00', 256)
-                          ELSE substring(repeat(hx, CAST(256 // n + 1 AS BIGINT)),
-                                         1, 512)
-                     END AS thx
-              FROM b),
-            v AS (
-              SELECT doc_id,
-                     list_transform(range(1, 257),
-                       i -> CAST(concat('0x', substring(thx, 2*i - 1, 2))
-                                 AS BIGINT)) AS bytes_
-              FROM t)
-            SELECT doc_id,
-                   CAST(list_sum(bytes_) AS BIGINT) AS sum_gray,
-                   CAST(list_sum(list_transform(bytes_, x -> x * x)) AS BIGINT)
-                     AS sumsq_gray
-            FROM v ORDER BY doc_id
-        """,
+        "mm_png_roundtrip": _MM_ROUNDTRIP_ORACLE,
+        # losslessness is the whole contract, so ONE hex-dump oracle
+        # serves any lossless codec row (the WebP twin below)
+        "mm_webp_roundtrip": _MM_ROUNDTRIP_ORACLE,
         "tx_boilerplate": """
             WITH d AS (
               SELECT doc_id, concat_ws(chr(10), text, lang, source) AS text
@@ -2643,8 +2648,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_array_norms": q22_array_norms,
         "dd_cosine_pairs": dd_cosine_pairs,
         "ev_cm_median": ev_cm_median,
-        "mm_webp_roundtrip": mm_webp_roundtrip,
         "cx_surt_keys": cx_surt_keys,
+        "q06_range_revenue": q06_range_revenue,
     }
 
 
@@ -2797,9 +2802,17 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
         """,
         "ev_cm_median": _cm_median_oracle(),
-        # the SAME hex-dump restatement as the PNG row: losslessness
-        # is the whole contract, so one oracle serves any codec
-        "mm_webp_roundtrip": oracle_sql()["mm_png_roundtrip"],
+        # rotated out r14 (driver slot went to mm_webp_roundtrip);
+        # the local harness still oracle-checks it here
+        "q06_range_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
         "cx_surt_keys": r"""
             WITH t AS (
               SELECT doc_id,

@@ -652,24 +652,29 @@ def bench_crawl(iters: int) -> None:
     n_big = len(big_recs)
     del big_recs
 
-    def big_run():
+    def big_run(engine):
         # build the DataFrame fresh per run: re-collecting one
         # AdaptiveSparkPlan instance reuses its materialized shuffle
         # stages, which would time the 274 MB parse once and the
         # final-agg replay thereafter (measured 4.7 s -> 0.1 s)
-        row = read_warc(spark, big_path).agg(
+        row = read_warc(spark, big_path, engine=engine).agg(
             F.count("*").alias("n"), F.sum(F.length("body")).alias("b")
         ).collect()[0]
         assert row.n == n_big, row
         return row
 
-    big_run()  # warm
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        big_run()
-        ts.append(time.perf_counter() - t0)
-    t_big = statistics.median(ts)
+    # engine A/B (round 14): the path-based streaming DataSource
+    # (default) vs the whole-blob binaryFile expand on the same file
+    t_by_engine = {}
+    for eng in ("stream", "binaryfile"):
+        big_run(eng)  # warm
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            big_run(eng)
+            ts.append(time.perf_counter() - t0)
+        t_by_engine[eng] = statistics.median(ts)
+    t_big = t_by_engine["stream"]
 
     print("| path | input | wall | rate |")
     print("|---|---|---|---|")
@@ -681,8 +686,12 @@ def bench_crawl(iters: int) -> None:
           f"{raw_mb / t_spark:.1f} MB/s ({raw_mb / t_spark / core_rate:.1f}x "
           "the single core) |")
     print(f"| single {big_mb:.0f} MB plain .warc, 1 task (read_warc "
-          f"expand only, {n_big} pages, bounded flushes) | "
+          f"engine='stream', {n_big} pages, bounded memory) | "
           f"{big_mb:.0f} MB | {t_big:.2f} s | {big_mb / t_big:.1f} "
+          "MB/s/task |")
+    t_bf = t_by_engine["binaryfile"]
+    print(f"| same file, engine='binaryfile' (whole-blob expand) | "
+          f"{big_mb:.0f} MB | {t_bf:.2f} s | {big_mb / t_bf:.1f} "
           "MB/s/task |")
 
     # CDX index + selected-read tiers (round 13): index the big file

@@ -359,3 +359,66 @@ def test_sample_frames_validates_stride_driver_side(media):
         mm.sample_frames(media, max_frames=0, fake=True)
     with pytest.raises(ValueError, match="frame_bytes"):
         mm.sample_frames(media, frame_bytes=0, fake=True)
+
+
+def test_pil_adapter_guard_and_dispatch():
+    """decoder='pil' (round-14): the production-shaped Pillow adapter
+    behind an import guard — absent Pillow errors loudly NAMING the
+    package (never a silent wrong answer), and the string dispatch
+    knows the name either way."""
+    from zeek_duckdb_spark.operators.multimodal import pil_features, pil_gray
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        pytest.skip("Pillow present: covered by test_pil_parity_with_builtins")
+    with pytest.raises(ImportError, match="Pillow"):
+        pil_features(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ImportError, match="Pillow"):
+        pil_gray(b"\x89PNG\r\n\x1a\n")
+    # unknown-name errors enumerate 'pil' on both operators
+    d = None
+    with pytest.raises(ValueError, match="'pil'"):
+        mm.decode_media(d, decoder="bogus")
+    with pytest.raises(ValueError, match="'pil'"):
+        mm.phash_media(d, decoder="bogus")
+
+
+def test_pil_parity_with_builtins():
+    """When Pillow IS present (skipped honestly when absent — this
+    container ships no image libraries): the adapter's features must
+    exactly match the pure-Python codecs on overlapping formats, and —
+    the r13 advice item — Pillow serves as the EXTERNAL ANCHOR for the
+    VP8L WebP codec: libwebp's decode of our encoder's bytes must
+    equal our own decode."""
+    pytest.importorskip("PIL")
+    import numpy as np
+    from PIL import features as pil_feature_check
+
+    from zeek_duckdb_spark.operators.multimodal import pil_features
+    from zeek_duckdb_spark.operators.png import encode_png, png_features
+    from zeek_duckdb_spark.operators.webp import decode_webp, encode_webp
+
+    rng = np.random.RandomState(14)
+    gray = rng.randint(0, 256, (40, 56)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+
+    for img in (gray, rgb):
+        payload = encode_png(img)
+        assert pil_features(payload) == png_features(payload)
+
+    if pil_feature_check.check("webp"):
+        import io
+
+        from PIL import Image
+
+        wp = encode_webp(rgb)
+        ours = decode_webp(wp)
+        theirs = np.asarray(
+            Image.open(io.BytesIO(wp)).convert("RGB"), dtype=np.float64
+        ) @ np.array([0.299, 0.587, 0.114])
+        assert np.allclose(ours, theirs)

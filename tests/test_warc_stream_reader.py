@@ -444,6 +444,70 @@ def test_selected_reads_span_split_and_opener(spark, tmp_path):
     assert logged == spans  # ranged: only the indexed spans were read
 
 
+def test_write_cdx_pruned_lookup(spark, tmp_path):
+    """r13 verdict item 8: the CDX landing partitioned by host-hash
+    prefix — a domain lookup prunes to ONE directory (FileSourceScan
+    numPartitions/numFiles pinned), probe rows identical to a
+    full-scan filter, and the pruned rows feed read_warc_selected."""
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.warc import (
+        cdx_records, read_cdx, read_warc_selected, write_cdx)
+
+    recs = [
+        _resp(f"https://d{i % 7}.org/p{i}", f"<p>doc {i}</p>".encode())
+        for i in range(35)
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(encode_warc(recs))
+    idx = cdx_records(spark, str(tmp_path / "*.warc.gz"))
+    land = str(tmp_path / "cdxidx")
+    write_cdx(idx, land, pfx_mod=8)
+
+    def scan_metrics(df):
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        m = leaf.metrics()
+        return {k: m.apply(k).value() for k in ("numFiles", "numPartitions")}
+
+    full = scan_metrics(read_cdx(spark, land))
+    probe = read_cdx(spark, land, "org,d3)", pfx_mod=8)
+    pruned = scan_metrics(probe)
+    assert pruned["numPartitions"] == 1 < full["numPartitions"]
+    assert 0 < pruned["numFiles"] < full["numFiles"]
+    assert "PartitionFilters" in (
+        probe._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # probe rows == full-scan filter rows
+    want = {
+        (r.urlkey, r.record_id, r.offset, r.length)
+        for r in read_cdx(spark, land).filter(
+            F.col("urlkey").startswith("org,d3)")).collect()
+    }
+    got = {
+        (r.urlkey, r.record_id, r.offset, r.length)
+        for r in probe.collect()
+    }
+    assert got == want and len(got) == 5
+
+    # host-incomplete prefix: unpruned but correct
+    shallow = read_cdx(spark, land, "org,d3", pfx_mod=8)
+    assert {
+        (r.urlkey, r.record_id) for r in shallow.collect()
+    } >= {(r[0], r[1]) for r in want}
+
+    # the payoff chain: pruned probe -> selected spans -> records
+    sel = read_warc_selected(spark, probe, decode_text=True).collect()
+    assert sorted(r.body_text for r in sel) == sorted(
+        f"<p>doc {i}</p>" for i in (3, 10, 17, 24, 31)
+    )
+
+    with pytest.raises(ValueError, match="pfx_mod"):
+        write_cdx(idx, land, pfx_mod=0)
+    with pytest.raises(ValueError, match="mode must be"):
+        write_cdx(idx, land, mode="error")
+
+
 def test_over_2gib_plain_warc_ingests(spark, tmp_path):
     """THE round-14 acceptance: a legal >2 GiB uncompressed WARC —
     which binaryFile hard-fails at its 2 GiB row limit — ingests

@@ -266,13 +266,22 @@ def _iter_image_blocks(b: bytes, pos: int):
         yield start, pos, w, h, bool(packed & 0x40), lct, min_size, data
 
 
-def decode_gif(payload: bytes):
+# ring-wide decompression-bomb guard (the webp._MAX_PIXELS_DEFAULT
+# precedent): a 16-bit descriptor can claim 65535x65535 and LZW
+# legitimately expands thousands-to-one, so only a pixel cap bounds
+# the work.  ~4 MP covers crawl imagery; raise per call.
+_MAX_PIXELS_DEFAULT = 1 << 22
+
+
+def decode_gif(payload: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
     """GIF bytes -> 2-D float64 grayscale array (rows x cols) of the
     FIRST image block, the shape :func:`multimodal.phash_value`
     consumes.  Palette RGB is folded to ITU-R BT.601 luma (0.299 R +
     0.587 G + 0.114 B), matching the PNG/JPEG decoders.  Raises
     ValueError on anything that is not a well-formed GIF inside the
-    documented scope."""
+    documented scope, and on descriptors claiming more than
+    ``max_pixels`` pixels (the LZW expansion cap already stops at the
+    claimed raster; this bounds the claim itself)."""
     import numpy as np
 
     b, _sw, _sh, gct, pos = _parse_header(payload)
@@ -280,6 +289,11 @@ def decode_gif(payload: bytes):
         ct = lct if lct is not None else gct
         if ct is None:
             raise ValueError("decode_gif: image has neither local nor global color table")
+        if w * h > max_pixels:
+            raise ValueError(
+                f"decode_gif: {w}x{h} exceeds the {max_pixels}-pixel "
+                "bomb guard (pass max_pixels= to raise it)"
+            )
         idx = _lzw_decode(data, min_size, w * h)
         if len(idx) < w * h:
             raise ValueError(

@@ -256,12 +256,21 @@ def _split_scan(buf: bytes, pos: int):
     return segs, i
 
 
-def decode_jpeg(payload: bytes):
+# ring-wide decompression-bomb guard (the webp._MAX_PIXELS_DEFAULT
+# precedent): crawl bytes are untrusted, and a 16-bit SOF header can
+# claim 65535x65535 = 4.3e9 pixels — ~34 GB of float64 — from a
+# kilobyte of input.  ~4 MP covers crawl imagery; raise per call for
+# trusted archives.
+_MAX_PIXELS_DEFAULT = 1 << 22
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
     """Baseline JPEG bytes -> 2-D float64 grayscale array (rows x
     cols) — the luma plane, the shape :func:`multimodal.phash_value`
-    consumes.  Raises ValueError on malformed input or anything
+    consumes.  Raises ValueError on malformed input, anything
     outside the documented baseline scope (progressive and other SOFn
-    are named in the error)."""
+    are named in the error), or a header claiming more than
+    ``max_pixels`` pixels (the decompression-bomb guard)."""
     import numpy as np
 
     if payload is None:
@@ -347,6 +356,11 @@ def decode_jpeg(payload: bytes):
                 )
             if h == 0 or w == 0:
                 raise ValueError("decode_jpeg: zero-sized image")
+            if w * h > max_pixels:
+                raise ValueError(
+                    f"decode_jpeg: {w}x{h} exceeds the {max_pixels}-"
+                    "pixel bomb guard (pass max_pixels= to raise it)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

@@ -154,12 +154,60 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
+def pil_gray(payload: bytes):
+    """``phash_media(decoder="pil")`` adapter, behind an import guard:
+    decode with Pillow — covering what the pure-Python ring doesn't
+    (lossy VP8 WebP, progressive JPEG, TIFF, BMP...) — to the same
+    2-D float64 grayscale contract as ``decode_png``/``decode_jpeg``:
+    the raw channel for grayscale modes, BT.601 luma for color, alpha
+    ignored.  Pillow is NOT bundled in this container; the ImportError
+    names it (the honest `skipped: package absent` seam — when Pillow
+    IS present, parity with the built-in codecs on overlapping formats
+    is pinned by tests/test_multimodal.py)."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        raise ImportError(
+            "decoder='pil' needs Pillow (pip install Pillow); the "
+            "built-in pure-Python codecs cover png/jpeg(baseline)/"
+            "gif/webp(lossless)/wav without it"
+        ) from None
+    img = Image.open(io.BytesIO(bytes(payload)))
+    img.load()
+    if img.mode in ("L", "I", "F"):
+        return np.asarray(img, dtype=np.float64)
+    if img.mode == "LA":
+        return np.asarray(img, dtype=np.float64)[:, :, 0]
+    rgb = np.asarray(img.convert("RGB"), dtype=np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def pil_features(payload: bytes) -> list:
+    """``decode_media(decoder="pil")`` adapter: Pillow decode ->
+    ``[width, height, mean_gray, std_gray]``, the exact feature
+    contract of the built-in codecs (``png_features`` etc.), so
+    features cross-match where formats overlap.  Import-guarded like
+    :func:`pil_gray`."""
+    g = pil_gray(payload)
+    return [
+        float(g.shape[1]),
+        float(g.shape[0]),
+        float(g.mean()),
+        float(g.std()),
+    ]
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
     media_col: str = "media",
     fake: bool = False,
     decoder: Callable[[bytes], list] | str | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode/feature-extract media via mapInPandas.
 
@@ -174,9 +222,19 @@ def decode_media(
     uses the deterministic byte-statistics stub instead.  Neither ->
     NotImplementedError (clearly-marked stub; the container has no
     PIL/librosa and other formats need one).
+
+    ``on_error`` (round-14): ``'raise'`` (default) propagates decode
+    errors; ``'null'`` QUARANTINES them — an undecodable payload
+    yields a NULL ``feature`` (n_bytes kept) instead of killing the
+    job, the crawl-reality policy (one hostile image must not take
+    down a 100 TB ingest; every built-in codec raises ValueError only,
+    fuzz-pinned, so that is what quarantines — real bugs still
+    propagate).
     """
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
+    if on_error not in ("raise", "null"):
+        raise ValueError("decode_media: on_error must be 'raise' or 'null'")
     if isinstance(decoder, str):
         from zeek_duckdb_spark.operators.gif import gif_features
         from zeek_duckdb_spark.operators.jpeg import jpeg_features
@@ -198,11 +256,13 @@ def decode_media(
             )
         elif decoder == "wav":
             decoder = wav_features
+        elif decoder == "pil":
+            decoder = pil_features  # import-guarded at call time
         else:
             raise ValueError(
                 f"decode_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'gif', 'webp', 'image' or 'wav'); pass "
-                "a callable for other formats"
+                "('png', 'jpeg', 'gif', 'webp', 'image', 'wav' or "
+                "'pil'); pass a callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
@@ -229,8 +289,18 @@ def decode_media(
                 ]
 
             if decoder is not None:
-                # NULL payloads never reach the user callback
-                feat = lambda b: None if b is None else list(decoder(bytes(b)))
+                if on_error == "null":
+                    def feat(b):
+                        # NULL payloads never reach the user callback;
+                        # ValueError = decode failure -> quarantine
+                        if b is None:
+                            return None
+                        try:
+                            return list(decoder(bytes(b)))
+                        except ValueError:
+                            return None
+                else:
+                    feat = lambda b: None if b is None else list(decoder(bytes(b)))
             else:
                 feat = fake_feat
             yield pd.DataFrame(
@@ -687,6 +757,7 @@ def phash_media(
     fake: bool = False,
     decoder: Callable[[bytes], object] | str | None = None,
     bits: int = 60,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, phash): perceptual hash per media payload — the IMAGE
     near-dup key (byte-identical dedup misses re-encoded/resized
@@ -703,7 +774,9 @@ def phash_media(
     deterministic byte-tile stand-in.  mapInPandas Arrow batches; pure
     map, zero shuffle.  Pair generation: :func:`phash_pairs` (the
     SimHash block-permutation machinery — a pHash IS a 60-bit
-    locality-sensitive hash)."""
+    locality-sensitive hash).  ``on_error='skip'`` drops undecodable
+    payloads (ValueError from the decoder) like NULLs instead of
+    killing the job — the crawl-bytes policy; default ``'raise'``."""
     if fake and decoder is not None:
         raise ValueError("pass either fake=True or decoder=, not both")
     if isinstance(decoder, str):
@@ -729,11 +802,13 @@ def phash_media(
             # AUDIO near-dup through the same machinery: the log-band
             # spectrogram is a 2-D array exactly like a decoded image
             decoder = wav_spectrogram
+        elif decoder == "pil":
+            decoder = pil_gray  # import-guarded at call time
         else:
             raise ValueError(
                 f"phash_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'gif', 'webp', 'image' or 'wav'); "
-                "pass a callable for other formats"
+                "('png', 'jpeg', 'gif', 'webp', 'image', 'wav' or "
+                "'pil'); pass a callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
@@ -745,6 +820,8 @@ def phash_media(
         )
     if not 1 <= bits <= 60:
         raise ValueError("phash_media: bits must be in [1, 60]")
+    if on_error not in ("raise", "skip"):
+        raise ValueError("phash_media: on_error must be 'raise' or 'skip'")
     dec = _fake_image if fake else decoder
     id_field = df.schema[id_col]
 
@@ -755,14 +832,22 @@ def phash_media(
             sub = pdf[pdf[media_col].notna()]
             if len(sub) == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    id_col: sub[id_col].values,
-                    "phash": [
-                        phash_value(dec(bytes(b)), bits) for b in sub[media_col]
-                    ],
-                }
-            )
+            ids, hashes = [], []
+            for i, b in zip(sub[id_col].values, sub[media_col]):
+                try:
+                    h = phash_value(dec(bytes(b)), bits)
+                except ValueError:
+                    # on_error='skip': an undecodable payload is as
+                    # un-hashable as a NULL one — drop it instead of
+                    # killing the job (crawl bytes are hostile);
+                    # ValueError only, real bugs still propagate
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(i)
+                hashes.append(h)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     out = T.StructType([id_field, T.StructField("phash", T.LongType())])
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(

@@ -42,12 +42,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes):
+# ring-wide decompression-bomb guard (the webp._MAX_PIXELS_DEFAULT
+# precedent): IHDR dimensions are 32-bit and the IDAT stream is
+# deflate — a kilobyte zlib bomb can claim gigabytes.  ~4 MP covers
+# crawl imagery; raise per call for trusted archives.
+_MAX_PIXELS_DEFAULT = 1 << 22
+
+
+def decode_png(payload: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
     """PNG bytes -> 2-D float64 grayscale array (rows x cols), the
     shape :func:`multimodal.phash_value` consumes.  Raises ValueError
     on anything that is not a well-formed PNG inside the documented
     scope (bad signature, CRC mismatch, truncation, interlace,
-    non-8-bit depth)."""
+    non-8-bit depth) and on headers claiming more than ``max_pixels``
+    pixels; the IDAT inflate is CAPPED at the header-implied size, so
+    a zlib bomb aborts at the cap instead of allocating its claim."""
     import numpy as np
 
     if payload is None:
@@ -105,19 +114,36 @@ def decode_png(payload: bytes):
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("decode_png: palette image without valid PLTE")
 
+    if w * h > max_pixels:
+        raise ValueError(
+            f"decode_png: {w}x{h} exceeds the {max_pixels}-pixel bomb "
+            "guard (pass max_pixels= to raise it)"
+        )
     bpp = _CHANNELS[color]  # bytes per pixel at depth 8
     stride = w * bpp
+    want = (stride + 1) * h
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length caps the inflate at the header-implied size: a
+        # deflate bomb stops HERE, having allocated at most `want`
+        raw = d.decompress(b"".join(idat), want)
+        extra = (
+            d.decompress(d.unconsumed_tail, 1)
+            if d.unconsumed_tail
+            else d.flush(1)
+        )
     except zlib.error as e:
         # keep the documented single-exception contract: callers that
         # skip bad rows with `except ValueError` must not be killed by
         # a CRC-valid-but-corrupt deflate stream leaking zlib.error
         raise ValueError(f"decode_png: corrupt IDAT stream ({e})") from e
-    if len(raw) != (stride + 1) * h:
+    if extra:
         raise ValueError(
-            f"decode_png: inflated size {len(raw)} != expected "
-            f"{(stride + 1) * h}"
+            f"decode_png: inflated size exceeds expected {want}"
+        )
+    if len(raw) != want:
+        raise ValueError(
+            f"decode_png: inflated size {len(raw)} != expected {want}"
         )
 
     out = np.empty((h, stride), dtype=np.uint8)

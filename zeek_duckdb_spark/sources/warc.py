@@ -53,6 +53,8 @@ __all__ = [
     "cdx_records",
     "read_warc_selected",
     "fsspec_opener",
+    "write_cdx",
+    "read_cdx",
     "write_wet",
     "wet_record_bytes",
     "wet_shard_bytes",
@@ -89,7 +91,18 @@ def _decompress_container(buf: bytes, who: str) -> bytes:
     are tolerated, dictionary-COMPRESSED frames error naming the IIPC
     convention), else passthrough (plain .warc)."""
     if buf[:2] == _GZIP_MAGIC:
-        return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+        import zlib
+
+        try:
+            return gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+        except (EOFError, OSError, zlib.error) as exc:
+            # keep the ring's single-exception contract: truncated
+            # members raise EOFError and corrupt ones BadGzipFile
+            # (OSError) from the stdlib — both must surface as the
+            # documented ValueError (r14 fuzz find)
+            raise ValueError(
+                f"{who}: corrupt or truncated gzip container ({exc})"
+            ) from None
     if _is_zstd(buf):
         try:
             import zstandard  # type: ignore
@@ -1788,6 +1801,93 @@ def read_warc_selected(
                 fh.close()
 
     return sel.mapInPandas(fetch, schema)
+
+
+def write_cdx(
+    cdx_df: DataFrame,
+    path: str,
+    pfx_mod: int = 256,
+    mode: str = "append",
+) -> None:
+    """Land a CDX index PARTITIONED for pruned lookups — the
+    band-index pattern (``dedup.write_band_index``) applied to the
+    web-archive index: the directory key is ``pfx = pmod(xxhash64
+    (surt host part), pfx_mod)``, so the standing "which spans hold
+    domain X" probe (:func:`read_cdx` -> :func:`read_warc_selected`)
+    reads ONE directory instead of scanning the full index — the role
+    Common Crawl's cluster.idx plays for its sorted CDX shards.
+
+    Why hash-of-host and not a raw urlkey prefix: SURT keys lead with
+    the TLD (``com,``...), so fixed-length prefixes collapse most of
+    the web into one directory; the host hash is uniform by
+    construction and bounded at ``pfx_mod`` directories.  Rows sort by
+    (urlkey, cdx_ts) within each partition file — the CDX-file order,
+    which also tightens parquet row-group stats for within-partition
+    skipping.  ``mode='append'`` is the growth shape: each crawl's
+    index appends into the same directories; compact with the band-
+    index maintenance pattern when small files accumulate.
+
+    ``pfx_mod`` is part of the INDEX FORMAT — probes must pass the
+    same value (exactly like the band-index parameters)."""
+    from pyspark.sql import functions as F
+
+    if pfx_mod < 1:
+        raise ValueError("write_cdx: pfx_mod must be >= 1")
+    if mode not in ("append", "overwrite"):
+        raise ValueError("write_cdx: mode must be 'append' or 'overwrite'")
+    (
+        cdx_df.withColumn(
+            "pfx",
+            F.pmod(
+                F.xxhash64(F.substring_index(F.col("urlkey"), ")", 1)),
+                F.lit(pfx_mod),
+            ),
+        )
+        # co-locate each pfx into one task before partitionBy (the
+        # write_band_index lesson: without it every task writes into
+        # every directory — tasks x pfx_mod tiny files)
+        .repartition(F.col("pfx"))
+        .sortWithinPartitions("pfx", "urlkey", "cdx_ts")
+        .write.mode(mode)
+        .partitionBy("pfx")
+        .parquet(path)
+    )
+
+
+def read_cdx(
+    spark: SparkSession,
+    path: str,
+    urlkey_prefix: "str | None" = None,
+    pfx_mod: int = 256,
+) -> DataFrame:
+    """Read a :func:`write_cdx` landing, PARTITION-PRUNED to the one
+    host directory when ``urlkey_prefix`` is given (the probe shape:
+    ``read_cdx(spark, idx, "com,example)/")`` ->
+    ``read_warc_selected``).  The prefix must reach host granularity —
+    include the ``)`` (``"com,example)"`` or deeper) so the host part
+    is complete; a shallower prefix cannot name a directory and falls
+    back to the full scan with the same filter (correct, just
+    unpruned).  ``pfx_mod`` must match the write."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if urlkey_prefix is None:
+        return df.drop("pfx")
+    filtered = df.filter(F.col("urlkey").startswith(urlkey_prefix))
+    if ")" not in urlkey_prefix:
+        return filtered.drop("pfx")  # host part incomplete: full scan
+    host = urlkey_prefix.split(")", 1)[0]
+    # resolve the directory key to a LITERAL on the driver (one 1-row
+    # job), so Catalyst prunes against the file index at planning time
+    val = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(host)), F.lit(pfx_mod)).alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    return filtered.filter(F.col("pfx") == int(val)).drop("pfx")
 
 
 def write_wet(
