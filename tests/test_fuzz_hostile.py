@@ -185,6 +185,21 @@ def test_bomb_guards_cap_allocation():
     g[dsc + 5 : dsc + 9] = struct.pack("<HH", 65535, 65535)
     with pytest.raises(ValueError, match="pixel bomb guard"):
         decode_gif(bytes(g))
+    # PNG: a deflate stream that inflates to EXACTLY the expected size
+    # but ends before its final block / adler32 trailer must still
+    # raise (r14 review: the capped inflate silently accepted it)
+    img = _img()
+    good = bytearray(encode_png(img))
+    # rebuild with a truncated-but-size-exact zlib stream
+    raw = zlib.decompress(
+        good[good.find(b"IDAT") + 4 : good.rfind(b"IEND") - 8]
+    )
+    z = zlib.compress(raw, 9)[:-4]  # drop the adler32 trailer only
+    ihdr = struct.pack(">IIBBBBB", img.shape[1], img.shape[0], 8, 0, 0, 0, 0)
+    trunc_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                 + chunk(b"IDAT", z) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt IDAT|inflated size"):
+        decode_png(trunc_png)
     # WARC: lying Content-Length must abort, not buffer toward 2 TB
     from zeek_duckdb_spark.sources.warc import _records_from_chunks
 

@@ -411,6 +411,11 @@ def test_pil_parity_with_builtins():
         payload = encode_png(img)
         assert pil_features(payload) == png_features(payload)
 
+    # ring contract: garbage raises ValueError (never Pillow's own
+    # UnidentifiedImageError), so the on_error quarantine seams work
+    with pytest.raises(ValueError, match="Pillow decode failed"):
+        pil_features(b"not an image at all")
+
     if pil_feature_check.check("webp"):
         import io
 

@@ -127,6 +127,62 @@ def test_incremental_parser_bounded_buffer():
     assert mem["peak_buffered"] < (4 << 20), mem
 
 
+def test_gunzip_chunks_bounded_against_bomb():
+    """r14 review find: the streaming gunzip must cap each inflate
+    step — a ~60 KiB gzip member of 64 MiB zeros (deflate's ~1000:1)
+    must come out as _READ_CHUNK-bounded chunks, never one multi-GiB
+    object."""
+    from zeek_duckdb_spark.sources.warc import _READ_CHUNK, _gunzip_chunks
+
+    bomb = gzip.compress(b"\0" * (64 << 20), 9)
+    assert len(bomb) < (1 << 17)
+    total = 0
+    for c in _gunzip_chunks(iter([bomb]), "t"):
+        assert len(c) <= _READ_CHUNK
+        total += len(c)
+    assert total == 64 << 20
+
+
+def test_padding_run_stays_bounded():
+    """r14 review find: a long inter-record CRLF padding run must
+    compact out of the parse buffer, not accumulate."""
+    from zeek_duckdb_spark.sources.warc import _records_from_chunks
+
+    rec = encode_warc([_resp("http://p.org/x", b"ok")], compress=False)
+    pad_mib = 8
+
+    def chunks():
+        yield rec
+        for _ in range(pad_mib):
+            yield b"\r\n" * (1 << 19)  # 1 MiB of padding pairs
+        yield rec
+
+    mem = {}
+    got = list(_records_from_chunks(chunks(), "t", mem=mem))
+    assert len(got) == 2
+    assert mem["peak_buffered"] < (4 << 20), mem
+
+
+def test_engine_scheme_routing():
+    """r14 review find: remote schemes route to the binaryfile engine
+    by default, and an EXPLICIT engine='stream' on one errors naming
+    the mismatch instead of scanning nothing."""
+    from zeek_duckdb_spark.sources.warc import (
+        _is_local_path, _resolve_warc_engine)
+
+    assert _is_local_path("/a/b.warc.gz")
+    assert _is_local_path("file:/a/b.warc.gz")
+    assert _is_local_path("file:///a/b.warc.gz")
+    assert not _is_local_path("s3a://bucket/crawl/*.warc.gz")
+    assert not _is_local_path("hdfs://nn/crawl")
+    assert _resolve_warc_engine(None, "/a/*.gz", "t") == "stream"
+    assert _resolve_warc_engine(None, "s3a://b/x", "t") == "binaryfile"
+    with pytest.raises(ValueError, match="binaryfile"):
+        _resolve_warc_engine("stream", "s3a://b/x", "t")
+    # explicit stream on a local path stays stream
+    assert _resolve_warc_engine("stream", "/a/x", "t") == "stream"
+
+
 def test_streaming_gunzip_members_and_errors():
     """Concatenated gzip members decode incrementally with the member
     error wording of _iter_gzip_members."""
@@ -197,6 +253,10 @@ def test_read_warc_stream_engine_error_surfaces(spark, tmp_path):
     (d / ".part-0.warc.gz.tmp-1").write_bytes(b"garbage mid-write")
     (d / "_hidden.warc").write_bytes(b"also hidden")
     got = read_warc(spark, str(d)).collect()
+    assert [r.target_uri for r in got] == ["http://d.org/a"]
+    # the GLOB branch applies the same hidden-file rule (r14 review:
+    # '/out/*' must skip Spark job markers like _committed_*)
+    got = read_warc(spark, str(d / "*")).collect()
     assert [r.target_uri for r in got] == ["http://d.org/a"]
     with pytest.raises(Exception, match="no WARC files match"):
         read_warc(spark, str(tmp_path / "nope-*.warc.gz")).collect()

@@ -143,11 +143,20 @@ def test_batch_writers_two_phase_commit(tmp_path):
     assert os.path.exists(final)
     with open(final) as fh:
         assert fh.read() == "#separator \\x09\na\tb\n"
-    # stale dot-tmp reaping at construction
+    # dot-tmp reaping at construction is AGE-GATED (r14 review: an
+    # unconditional reap deleted a concurrent in-flight job's staged
+    # files): an old tmp from a SIGKILLed run reaps, a fresh one —
+    # some live job's staging — survives
+    import time
+
     stale = os.path.join(zdir, ".part-00007.log.tmp-9")
+    fresh = os.path.join(zdir, ".part-00008.log.tmp-2")
     open(stale, "wb").close()
+    open(fresh, "wb").close()
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
     ZeekLogWriter({"path": zdir, "zeek_header": ""}, overwrite=True)
     assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
 
 
 def test_typed_api_required(spark, tmp_path):

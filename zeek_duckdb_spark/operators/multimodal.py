@@ -154,7 +154,15 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def pil_gray(payload: bytes):
+# the codec ring's shared decompression-bomb default (the
+# webp/png/jpeg/gif _MAX_PIXELS_DEFAULT value), applied to the Pillow
+# adapter too — Pillow's own bomb limit (~178 MP) is far looser AND
+# raises its own exception type, which would punch through the
+# ValueError-only quarantine contract
+_PIL_MAX_PIXELS_DEFAULT = 1 << 22
+
+
+def pil_gray(payload: bytes, max_pixels: int = _PIL_MAX_PIXELS_DEFAULT):
     """``phash_media(decoder="pil")`` adapter, behind an import guard:
     decode with Pillow — covering what the pure-Python ring doesn't
     (lossy VP8 WebP, progressive JPEG, TIFF, BMP...) — to the same
@@ -163,7 +171,11 @@ def pil_gray(payload: bytes):
     ignored.  Pillow is NOT bundled in this container; the ImportError
     names it (the honest `skipped: package absent` seam — when Pillow
     IS present, parity with the built-in codecs on overlapping formats
-    is pinned by tests/test_multimodal.py)."""
+    is pinned by tests/test_multimodal.py).  Ring contract kept (r14
+    review): every decode failure — UnidentifiedImageError, truncated-
+    file OSError, Pillow's own bomb error — re-raises as ValueError,
+    so the ``on_error`` quarantine seams work, and the ring's
+    ``max_pixels`` cap applies before pixel data loads."""
     import io
 
     import numpy as np
@@ -176,14 +188,25 @@ def pil_gray(payload: bytes):
             "built-in pure-Python codecs cover png/jpeg(baseline)/"
             "gif/webp(lossless)/wav without it"
         ) from None
-    img = Image.open(io.BytesIO(bytes(payload)))
-    img.load()
-    if img.mode in ("L", "I", "F"):
-        return np.asarray(img, dtype=np.float64)
-    if img.mode == "LA":
-        return np.asarray(img, dtype=np.float64)[:, :, 0]
-    rgb = np.asarray(img.convert("RGB"), dtype=np.float64)
-    return rgb @ np.array([0.299, 0.587, 0.114])
+    try:
+        img = Image.open(io.BytesIO(bytes(payload)))
+        w, h = img.size
+        if w * h > max_pixels:
+            raise ValueError(
+                f"pil_gray: {w}x{h} exceeds the {max_pixels}-pixel "
+                "bomb guard (pass max_pixels= to raise it)"
+            )
+        img.load()
+        if img.mode in ("L", "I", "F"):
+            return np.asarray(img, dtype=np.float64)
+        if img.mode == "LA":
+            return np.asarray(img, dtype=np.float64)[:, :, 0]
+        rgb = np.asarray(img.convert("RGB"), dtype=np.float64)
+        return rgb @ np.array([0.299, 0.587, 0.114])
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"pil_gray: Pillow decode failed ({exc})") from None
 
 
 def pil_features(payload: bytes) -> list:

@@ -141,6 +141,13 @@ def decode_png(payload: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
         raise ValueError(
             f"decode_png: inflated size exceeds expected {want}"
         )
+    if not d.eof:
+        # exactly-want output from an UNFINISHED stream (missing final
+        # block / adler32) was accepted by the capped inflate — the
+        # uncapped zlib.decompress used to raise here (r14 review)
+        raise ValueError(
+            "decode_png: corrupt IDAT stream (truncated deflate)"
+        )
     if len(raw) != want:
         raise ValueError(
             f"decode_png: inflated size {len(raw)} != expected {want}"

@@ -840,6 +840,32 @@ def _discard_staged(messages) -> None:
                 pass  # task already cleaned up / never created it
 
 
+# a dot-tmp untouched this long is garbage from a SIGKILLed run whose
+# abort never ran; ACTIVE tasks keep their tmp's mtime fresh by
+# writing to it, so an age gate never reaps a live concurrent job's
+# staged file (r14 review: an unconditional reap failed a concurrent
+# append job at its driver commit)
+_STALE_TMP_SECONDS = 3600
+
+
+def _reap_stale_tmps(path: str) -> None:
+    """Remove ``.part-*...tmp-*`` files older than
+    ``_STALE_TMP_SECONDS`` — shared by the zeek and WET batch sinks'
+    constructors."""
+    import os
+    import time
+
+    cutoff = time.time() - _STALE_TMP_SECONDS
+    for f in os.listdir(path):
+        if f.startswith(".part-") and ".tmp-" in f:
+            full = os.path.join(path, f)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    os.remove(full)
+            except OSError:
+                pass  # raced with another cleanup: already gone
+
+
 class WetShardWriter(DataSourceWriter):
     """Per-partition WET sink (see WetDataSource).  All-or-nothing:
     tasks stage dot-prefixed tmps and the driver publishes them at
@@ -852,15 +878,11 @@ class WetShardWriter(DataSourceWriter):
         if not self._path:
             raise ValueError("write_wet: no output path")
         os.makedirs(self._path, exist_ok=True)
-        # always reap stale dot-tmps (a SIGKILLed task's except handler
-        # never ran; without this they accumulate forever since the
-        # part-* scans don't see them)
-        for f in os.listdir(self._path):
-            if f.startswith(".part-") and ".tmp-" in f:
-                try:
-                    os.remove(os.path.join(self._path, f))
-                except OSError:
-                    pass  # raced with another cleanup: already gone
+        # reap STALE dot-tmps (a SIGKILLed task's except handler never
+        # ran; without this they accumulate forever since the part-*
+        # scans don't see them) — age-gated so a concurrent in-flight
+        # job's staged files survive
+        _reap_stale_tmps(self._path)
         if overwrite:
             for f in os.listdir(self._path):
                 if f.startswith("part-"):

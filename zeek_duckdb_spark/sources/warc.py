@@ -524,12 +524,40 @@ def _charset_decode(raw: bytes, content_type) -> str:
         return raw.decode("utf-8", errors="replace")
 
 
+def _is_local_path(path: str) -> bool:
+    """True when a path is POSIX-openable on executors (no scheme, or
+    ``file:``) — what the path-based ``warc``/``cdx`` DataSource
+    engines can read.  Object-store/HDFS schemes route to the
+    binaryFile engine, whose Hadoop filesystem layer handles them."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", path)
+    return m is None or m.group(1).lower() == "file"
+
+
+def _resolve_warc_engine(engine, path: str, who: str) -> str:
+    """Shared engine resolution (r14 review): default (None) picks the
+    streaming engine for local/file paths and binaryFile for remote
+    schemes (s3a://, hdfs://, ...) the glob-based reader cannot list;
+    an EXPLICIT engine='stream' on a remote scheme errors naming the
+    mismatch instead of returning a silent empty scan."""
+    if engine is None:
+        return "stream" if _is_local_path(path) else "binaryfile"
+    if engine == "stream" and not _is_local_path(path):
+        raise ValueError(
+            f"{who}: engine='stream' reads through POSIX "
+            f"open/glob and cannot list '{path}' — use "
+            "engine='binaryfile' for object-store/HDFS schemes"
+        )
+    return engine
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple = ("response",),
     decode_text: bool = False,
-    engine: str = "stream",
+    engine: str | None = None,
 ) -> DataFrame:
     """Read WARC files (plain, .warc.gz or .warc.zst) into one row per record:
     (warc_file, record_id, warc_type, target_uri, warc_date string,
@@ -563,7 +591,8 @@ def read_warc(
     ``htmlops.extract_text_html`` for pages.
 
     ``engine`` (round-14):
-    - ``'stream'`` (default) — the path-based ``warc`` DataSource: one
+    - ``'stream'`` (default for local/``file:`` paths) — the
+      path-based ``warc`` DataSource: one
       task per file that OPENS the path and streams chunks ->
       incremental decompress -> incremental record parse -> bounded
       Arrow flushes.  Task memory is ~(largest record + read chunk +
@@ -572,9 +601,12 @@ def read_warc(
       nothing) ingests where binaryFile's 2 GiB row limit hard-fails.
     - ``'binaryfile'`` — the previous engine (whole compressed file as
       one binaryFile row -> row-expanding mapInPandas), kept for plans
-      that compose with other binaryFile-driven columns.
+      that compose with other binaryFile-driven columns, and the
+      automatic default for object-store/HDFS schemes the glob-based
+      reader cannot list (explicit 'stream' + remote scheme errors).
     Zero shuffle either way; both engines share the record-row
     assembly, so rows are identical (pinned by tests)."""
+    engine = _resolve_warc_engine(engine, path, "read_warc")
     wanted = None if record_types is None else {t.lower() for t in record_types}
     if engine == "stream":
         register_warc_datasource(spark)
@@ -769,7 +801,11 @@ def _gunzip_chunks(chunks, who: str):
         data = chunk
         while data:
             try:
-                out = d.decompress(data)
+                # max_length caps each inflate step: deflate expands up
+                # to ~1032:1, so an uncapped call on a 4 MiB hostile
+                # chunk could yield a ~4 GiB object — the exact bound
+                # this engine exists to enforce (r14 review)
+                out = d.decompress(data, _READ_CHUNK)
             except zlib.error as exc:
                 raise ValueError(
                     f"{who}: corrupt gzip member at offset "
@@ -786,8 +822,9 @@ def _gunzip_chunks(chunks, who: str):
                 in_member = False
                 data = rest
             else:
-                pos += len(data)
-                data = b""
+                tail = d.unconsumed_tail
+                pos += len(data) - len(tail)
+                data = tail
     if in_member:
         raise ValueError(
             f"{who}: truncated gzip member at offset {member_start}"
@@ -968,12 +1005,18 @@ def _records_from_chunks(
             base += pos
             del buf[:pos]
             pos = 0
-        # inter-record CRLF padding (whole pairs only)
+        # inter-record CRLF padding (whole pairs only); compaction
+        # runs INSIDE this loop too — a multi-GiB all-padding stream
+        # must not accumulate in buf (r14 review)
         while True:
             while len(buf) - pos < 2 and fill():
                 pass
             if buf[pos : pos + 2] == b"\r\n":
                 pos += 2
+                if pos >= _COMPACT_BYTES:
+                    base += pos
+                    del buf[:pos]
+                    pos = 0
             else:
                 break
         if pos >= len(buf) and eof:
@@ -1104,7 +1147,14 @@ def _glob_warc_paths(path: str) -> list:
             if not f.startswith((".", "_"))
             and os.path.isfile(os.path.join(p, f))
         )
-    return sorted(f for f in _g.glob(p) if os.path.isfile(f))
+    # the glob branch applies the same hidden-file rule: a glob like
+    # '/out/*' must not pick up Spark job markers (_committed_*,
+    # _metadata) the binaryfile engine's Hadoop filter skips (r14)
+    return sorted(
+        f for f in _g.glob(p)
+        if os.path.isfile(f)
+        and not os.path.basename(f).startswith((".", "_"))
+    )
 
 
 from pyspark.sql.datasource import (  # noqa: E402 (after helpers they use)
@@ -1280,8 +1330,9 @@ def read_warc_stream(
         raise ValueError(
             "read_warc_stream: max_files_per_trigger must be >= 1"
         )
-    if engine is None:
-        engine = "binaryfile" if max_files_per_trigger is not None else "stream"
+    if engine is None and max_files_per_trigger is not None:
+        engine = "binaryfile"
+    engine = _resolve_warc_engine(engine, path, "read_warc_stream")
     if engine == "stream":
         if max_files_per_trigger is not None:
             raise ValueError(
@@ -1501,7 +1552,7 @@ def cdx_records(
     path: str,
     record_types: tuple = ("response",),
     digest: str = "decoded",
-    engine: str = "stream",
+    engine: str | None = None,
 ) -> DataFrame:
     """Build a CDX(J)-style index of WARC files — the standard
     web-archive random-access index (the format Common Crawl and
@@ -1548,6 +1599,7 @@ def cdx_records(
 
     if digest not in ("decoded", "stored"):
         raise ValueError("cdx_records: digest must be 'decoded' or 'stored'")
+    engine = _resolve_warc_engine(engine, path, "cdx_records")
     if engine == "stream":
         spark.dataSource.register(CdxDataSource)
         rt = "*" if record_types is None else ",".join(record_types)

@@ -401,14 +401,12 @@ class ZeekLogWriter(DataSourceWriter):
         self._header = options.get("zeek_header", "")
         self._ext, self._open = _codec(options.get("compress", "false"))
         os.makedirs(self._path, exist_ok=True)
-        # reap stale dot-tmps from SIGKILLed prior runs (their abort
-        # never ran; glob scans don't see dotfiles, so they'd pile up)
-        for f in os.listdir(self._path):
-            if f.startswith(".part-") and ".tmp-" in f:
-                try:
-                    os.remove(os.path.join(self._path, f))
-                except OSError:
-                    pass  # raced with another cleanup: already gone
+        # reap STALE dot-tmps from SIGKILLed prior runs (their abort
+        # never ran; glob scans don't see dotfiles, so they'd pile
+        # up) — age-gated so a concurrent job's staged files survive
+        from zeek_duckdb_spark.sources.datasource import _reap_stale_tmps
+
+        _reap_stale_tmps(self._path)
         if overwrite:
             for f in os.listdir(self._path):
                 if f.startswith("part-"):
