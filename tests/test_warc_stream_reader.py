@@ -143,6 +143,43 @@ def test_gunzip_chunks_bounded_against_bomb():
     assert total == 64 << 20
 
 
+def test_gunzip_member_iterator_bounded_against_bomb():
+    """Second-pass review find: the CDX path's member iterator needs
+    the same inflate caps — a bomb member aborts at the member cap
+    instead of OOMing, and legit members still span correctly."""
+    from zeek_duckdb_spark.sources import warc as W
+
+    members = [gzip.compress(f"member {i} ".encode() * 50)
+               for i in range(3)]
+    got = list(W._gunzip_members_from_chunks(
+        iter(_chunked(b"".join(members), 11)), "t"))
+    assert len(got) == 3
+    assert [m[2] for m in got] == [
+        f"member {i} ".encode() * 50 for i in range(3)]
+    # spans tile the compressed stream
+    assert got[0][0] == 0
+    assert all(got[i][0] + got[i][1] == got[i + 1][0] for i in range(2))
+
+    bomb = gzip.compress(b"\0" * (8 << 20), 9)
+    try:
+        W._MAX_RECORD_BYTES, saved = (1 << 20), W._MAX_RECORD_BYTES
+        with pytest.raises(ValueError, match="member cap"):
+            list(W._gunzip_members_from_chunks(iter([bomb]), "t"))
+    finally:
+        W._MAX_RECORD_BYTES = saved
+
+
+def test_explicit_hidden_path_honored(spark, tmp_path):
+    """Second-pass review find: a metacharacter-free path the user
+    pointed at directly is honored even with a '_'/'.' basename — the
+    hidden-file rule applies to pattern EXPANSION only."""
+    f = tmp_path / "_rescued.warc"
+    f.write_bytes(encode_warc([_resp("http://r.org/x", b"ok")],
+                              compress=False))
+    got = read_warc(spark, str(f)).collect()
+    assert [r.target_uri for r in got] == ["http://r.org/x"]
+
+
 def test_padding_run_stays_bounded():
     """r14 review find: a long inter-record CRLF padding run must
     compact out of the parse buffer, not accumulate."""

@@ -153,7 +153,8 @@ def test_batch_writers_two_phase_commit(tmp_path):
     fresh = os.path.join(zdir, ".part-00008.log.tmp-2")
     open(stale, "wb").close()
     open(fresh, "wb").close()
-    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    old = time.time() - 48 * 3600  # past the 24h staleness window
+    os.utime(stale, (old, old))
     ZeekLogWriter({"path": zdir, "zeek_header": ""}, overwrite=True)
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)

@@ -154,12 +154,13 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-# the codec ring's shared decompression-bomb default (the
-# webp/png/jpeg/gif _MAX_PIXELS_DEFAULT value), applied to the Pillow
-# adapter too — Pillow's own bomb limit (~178 MP) is far looser AND
-# raises its own exception type, which would punch through the
-# ValueError-only quarantine contract
-_PIL_MAX_PIXELS_DEFAULT = 1 << 22
+# the Pillow adapter's decompression-bomb default: looser than the
+# pure-Python ring's 4 MP (those codecs are also SLOW past it; Pillow
+# is not — a 12-48 MP phone photo must decode under decoder='pil'),
+# tighter than Pillow's own ~178 MP warn limit, which additionally
+# raises its own exception type and would punch through the
+# ValueError-only quarantine contract (r14 review, second pass)
+_PIL_MAX_PIXELS_DEFAULT = 1 << 26  # 67 MP
 
 
 def pil_gray(payload: bytes, max_pixels: int = _PIL_MAX_PIXELS_DEFAULT):
@@ -194,7 +195,9 @@ def pil_gray(payload: bytes, max_pixels: int = _PIL_MAX_PIXELS_DEFAULT):
         if w * h > max_pixels:
             raise ValueError(
                 f"pil_gray: {w}x{h} exceeds the {max_pixels}-pixel "
-                "bomb guard (pass max_pixels= to raise it)"
+                "bomb guard (pass decoder=functools.partial(pil_gray, "
+                "max_pixels=...) — the string form 'pil' binds the "
+                "default)"
             )
         img.load()
         if img.mode in ("L", "I", "F"):

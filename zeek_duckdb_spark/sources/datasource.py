@@ -841,11 +841,13 @@ def _discard_staged(messages) -> None:
 
 
 # a dot-tmp untouched this long is garbage from a SIGKILLed run whose
-# abort never ran; ACTIVE tasks keep their tmp's mtime fresh by
-# writing to it, so an age gate never reaps a live concurrent job's
-# staged file (r14 review: an unconditional reap failed a concurrent
-# append job at its driver commit)
-_STALE_TMP_SECONDS = 3600
+# abort never ran (r14 review: an unconditional reap failed a
+# concurrent append job at its driver commit).  The window must cover
+# the FULL finished-staging-to-driver-commit gap of a concurrent job —
+# a completed task's tmp mtime goes stale while stragglers run — so it
+# is a day, not an hour; jobs with >24h task skew on one sink
+# directory are out of this heuristic's scope (stated).
+_STALE_TMP_SECONDS = 24 * 3600
 
 
 def _reap_stale_tmps(path: str) -> None:

@@ -836,9 +836,12 @@ def _gunzip_members_from_chunks(chunks, who: str):
     ``(offset, compressed_length, decompressed member bytes)`` per
     gzip member from an iterator of COMPRESSED chunks — the CDX
     random-access contract, without the whole-file blob.  One member
-    is held at a time (record-sized in the crawl-standard layout; a
-    whole-file single-member gz materializes that file's stream, the
-    same bound the blob path had — stated)."""
+    is held at a time (record-sized in the crawl-standard layout);
+    each inflate step is capped at ``_READ_CHUNK`` and the
+    accumulated member at ``_MAX_RECORD_BYTES`` — a gzip bomb aborts
+    loudly instead of OOMing the executor (r14 review, second pass),
+    and a legal whole-file single-member gz past the cap is told to
+    index the plain form instead."""
     import zlib
 
     d = zlib.decompressobj(wbits=31)
@@ -850,7 +853,7 @@ def _gunzip_members_from_chunks(chunks, who: str):
         data = chunk
         while data:
             try:
-                got = d.decompress(data)
+                got = d.decompress(data, _READ_CHUNK)
             except zlib.error as exc:
                 raise ValueError(
                     f"{who}: corrupt gzip member at offset "
@@ -859,6 +862,14 @@ def _gunzip_members_from_chunks(chunks, who: str):
             in_member = True
             if got:
                 out += got
+                if len(out) > _MAX_RECORD_BYTES:
+                    raise ValueError(
+                        f"{who}: gzip member at offset {member_start} "
+                        f"inflates past the {_MAX_RECORD_BYTES}-byte "
+                        "member cap — not the member-per-record crawl "
+                        "layout; pre-decompress and index the plain "
+                        "form for whole-file-member archives"
+                    )
             if d.eof:
                 rest = d.unused_data
                 pos += len(data) - len(rest)
@@ -869,8 +880,9 @@ def _gunzip_members_from_chunks(chunks, who: str):
                 in_member = False
                 data = rest
             else:
-                pos += len(data)
-                data = b""
+                tail = d.unconsumed_tail
+                pos += len(data) - len(tail)
+                data = tail
     if in_member:
         raise ValueError(
             f"{who}: truncated gzip member at offset {member_start}"
@@ -1147,9 +1159,16 @@ def _glob_warc_paths(path: str) -> list:
             if not f.startswith((".", "_"))
             and os.path.isfile(os.path.join(p, f))
         )
-    # the glob branch applies the same hidden-file rule: a glob like
-    # '/out/*' must not pick up Spark job markers (_committed_*,
-    # _metadata) the binaryfile engine's Hadoop filter skips (r14)
+    # an EXPLICIT metacharacter-free path is honored verbatim — the
+    # hidden-file rule is for pattern EXPANSION, not for a file the
+    # user pointed at directly (r14 review, second pass: filtering
+    # here broke read_warc('/data/_rescued.warc'))
+    if not any(c in p for c in "*?["):
+        return [p] if os.path.isfile(p) else []
+    # pattern expansion applies the same hidden-file rule as the
+    # directory branch: '/out/*' must not pick up Spark job markers
+    # (_committed_*, _metadata) the binaryfile engine's Hadoop filter
+    # skips (r14)
     return sorted(
         f for f in _g.glob(p)
         if os.path.isfile(f)
@@ -1317,10 +1336,12 @@ def read_warc_stream(
     DataSource stream reader (bounded task memory, no 2 GiB file
     limit; see :func:`read_warc`); ``'binaryfile'`` — the binaryFile
     file stream (whole-file rows, but real admission control).
-    Default: ``'stream'``, unless ``max_files_per_trigger`` is set —
-    the Python DataSource offset API cannot bound a micro-batch, so a
-    file cap implies the binaryFile engine (requesting both
-    explicitly errors).  Checkpoints are PER-ENGINE: the two sources
+    Default: ``'stream'`` for local/``file:`` paths, ``'binaryfile'``
+    when ``max_files_per_trigger`` is set (the Python DataSource
+    offset API cannot bound a micro-batch — requesting both
+    explicitly errors) OR when the path has an object-store/HDFS
+    scheme the glob-based reader cannot list (explicit 'stream' on
+    one errors).  Checkpoints are PER-ENGINE: the two sources
     serialize different offsets, so don't switch engines under an
     existing checkpoint.
 
