@@ -711,6 +711,18 @@ def test_index_crawl_subcommand(spark, tmp_path):
                  "--all-types", "--no-sort"], spark=spark) == 0
     assert spark.read.parquet(out).count() == 3
 
+    # r14: --partitioned lands the write_cdx pruned layout, --digest
+    # switches the hashing convention
+    pout = str(tmp_path / "cdxp")
+    assert main(["index-crawl", str(tmp_path / "*.warc.gz"), pout,
+                 "--partitioned", "--digest", "stored"],
+                spark=spark) == 0
+    from zeek_duckdb_spark.sources.warc import read_cdx
+
+    back = read_cdx(spark, pout)
+    assert back.count() == 2 and "pfx" not in back.columns
+    assert read_cdx(spark, pout, "org,a)").count() == 1
+
 
 def test_export_wet_subcommand(spark, tmp_path):
     """export-wet: a landed text corpus (the ingest-crawl output

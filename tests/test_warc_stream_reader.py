@@ -605,6 +605,66 @@ def test_write_cdx_pruned_lookup(spark, tmp_path):
         write_cdx(idx, land, mode="error")
 
 
+def test_cdx_records_stream_daily_index_loop(spark, tmp_path):
+    """The daily index-maintenance shape (r14): rotated-in WARC files
+    become exactly-once CDX micro-batches; foreachBatch lands them
+    into the write_cdx pruned layout; after two days the standing
+    index equals the batch rebuild and a domain probe still prunes +
+    feeds read_warc_selected."""
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.warc import (
+        cdx_records, cdx_records_stream, read_cdx, read_warc_selected,
+        write_cdx)
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    land, ck = str(tmp_path / "idx"), str(tmp_path / "ck")
+
+    def day(i):
+        return encode_warc([
+            _resp(f"https://d{j}.org/day{i}", f"<p>d{i}p{j}</p>".encode())
+            for j in range(3)
+        ])
+
+    (crawl / "day0.warc.gz").write_bytes(day(0))
+
+    def drain():
+        q = (
+            cdx_records_stream(spark, str(crawl / "*.warc.gz"))
+            .writeStream.foreachBatch(
+                lambda df, _id: write_cdx(df, land, pfx_mod=8,
+                                          mode="append"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert read_cdx(spark, land).count() == 3
+    (crawl / "day1.warc.gz").write_bytes(day(1))
+    drain()  # day0 NOT re-indexed (checkpoint)
+    standing = read_cdx(spark, land)
+    assert standing.count() == 6
+
+    batch = cdx_records(spark, str(crawl / "*.warc.gz"))
+    key = lambda rows: {  # noqa: E731
+        (r.urlkey, r.record_id, r.offset, r.length, r.digest)
+        for r in rows
+    }
+    assert key(standing.collect()) == key(batch.collect())
+
+    # the probe still prunes and feeds selected reads
+    probe = read_cdx(spark, land, "org,d1)", pfx_mod=8)
+    got = read_warc_selected(spark, probe, decode_text=True).collect()
+    assert sorted(r.body_text for r in got) == ["<p>d0p1</p>", "<p>d1p1</p>"]
+
+    with pytest.raises(ValueError, match="POSIX"):
+        cdx_records_stream(spark, "s3a://b/crawl")
+    with pytest.raises(ValueError, match="digest"):
+        cdx_records_stream(spark, str(crawl), digest="x")
+
+
 def test_over_2gib_plain_warc_ingests(spark, tmp_path):
     """THE round-14 acceptance: a legal >2 GiB uncompressed WARC —
     which binaryFile hard-fails at its 2 GiB row limit — ingests

@@ -179,6 +179,16 @@ def _build_parser() -> argparse.ArgumentParser:
     ic.add_argument("--no-sort", action="store_true",
                     help="skip the (urlkey, cdx_ts) sort (saves the "
                          "shuffle when the consumer sorts anyway)")
+    ic.add_argument("--digest", choices=("decoded", "stored"),
+                    default="decoded",
+                    help="'decoded' hashes the decoded entity (same "
+                         "content matches across framings); 'stored' "
+                         "hashes the payload as stored "
+                         "(WARC-Payload-Digest / external-CDX interop)")
+    ic.add_argument("--partitioned", action="store_true",
+                    help="land via write_cdx (host-hash-partitioned "
+                         "directories; domain lookups prune to one) "
+                         "instead of flat sorted parquet")
 
     ew = sub.add_parser(
         "export-wet",
@@ -427,15 +437,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             print(f"exported -> {args.out}", file=sys.stderr)
         elif args.cmd == "index-crawl":
-            from zeek_duckdb_spark.sources.warc import cdx_records
+            from zeek_duckdb_spark.sources.warc import cdx_records, write_cdx
 
             idx = cdx_records(
                 spark, args.pattern,
                 record_types=None if args.all_types else ("response",),
+                digest=args.digest,
             )
-            if not args.no_sort:
-                idx = idx.orderBy("urlkey", "cdx_ts")
-            idx.write.mode("overwrite").parquet(args.out)
+            if args.partitioned:
+                write_cdx(idx, args.out, mode="overwrite")
+            else:
+                if not args.no_sort:
+                    idx = idx.orderBy("urlkey", "cdx_ts")
+                idx.write.mode("overwrite").parquet(args.out)
             print(
                 f"indexed {_parquet_row_count(args.out)} records -> "
                 f"{args.out}",

@@ -51,6 +51,7 @@ __all__ = [
     "read_warc_stream",
     "register_warc_datasource",
     "cdx_records",
+    "cdx_records_stream",
     "read_warc_selected",
     "fsspec_opener",
     "write_cdx",
@@ -1257,20 +1258,16 @@ class WarcBatchReader(DataSourceReader):
         )
 
 
-class WarcStreamReader(DataSourceStreamReader):
-    """Streaming twin: offsets are the set of files already planned
-    (``{"files": {path: 1}}`` — JSON-primitive, checkpointable, the
-    ZeekStreamReader convention); each microbatch plans one partition
-    per NEW file and the partition reader streams from the path with
-    the batch reader's memory bounds.  The Python DataSource offset
+class _FileSetStreamReader(DataSourceStreamReader):
+    """Shared streaming machinery: offsets are the set of files
+    already planned (``{"files": {path: 1}}`` — JSON-primitive,
+    checkpointable, the ZeekStreamReader convention); each microbatch
+    plans one partition per NEW file.  The Python DataSource offset
     API has no admission control, so there is no per-trigger file cap
-    on this engine — ``read_warc_stream(engine="binaryfile")`` keeps
-    ``max_files_per_trigger`` at the cost of whole-blob rows."""
+    on these engines."""
 
-    def __init__(self, path, wanted, decode_text):
+    def __init__(self, path: str):
         self._path = path
-        self._wanted = wanted
-        self._decode_text = decode_text
         self._seen: dict = {}
 
     def initialOffset(self) -> dict:
@@ -1290,13 +1287,25 @@ class WarcStreamReader(DataSourceStreamReader):
         ]
         return [WarcFilePartition(f) for f in sorted(new)]
 
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class WarcStreamReader(_FileSetStreamReader):
+    """Streaming twin of WarcBatchReader: rotated-in WARC files become
+    exactly-once record micro-batches with the batch reader's memory
+    bounds.  ``read_warc_stream(engine="binaryfile")`` keeps
+    ``max_files_per_trigger`` at the cost of whole-blob rows."""
+
+    def __init__(self, path, wanted, decode_text):
+        super().__init__(path)
+        self._wanted = wanted
+        self._decode_text = decode_text
+
     def read(self, partition: WarcFilePartition):
         yield from _path_record_batches(
             partition.path, self._wanted, self._decode_text
         )
-
-    def commit(self, end: dict) -> None:
-        pass
 
 
 def register_warc_datasource(spark: SparkSession) -> None:
@@ -1552,6 +1561,20 @@ class CdxDataSource(DataSource):
         digest_mode = str(self.options.get("digest", "decoded"))
         return CdxBatchReader(files, wanted, digest_mode)
 
+    def streamReader(self, schema: T.StructType) -> "CdxStreamReader":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cdx datasource requires a path (load(path))")
+        rt = str(self.options.get("record_types", "response"))
+        wanted = (
+            None
+            if rt.strip() == "*"
+            else {t.strip().lower() for t in rt.split(",") if t.strip()}
+        )
+        return CdxStreamReader(
+            path, wanted, str(self.options.get("digest", "decoded"))
+        )
+
 
 class CdxBatchReader(DataSourceReader):
     def __init__(self, files, wanted, digest_mode):
@@ -1561,6 +1584,23 @@ class CdxBatchReader(DataSourceReader):
 
     def partitions(self):
         return [WarcFilePartition(f) for f in self._files]
+
+    def read(self, partition: WarcFilePartition):
+        yield from _path_cdx_batches(
+            partition.path, self._wanted, self._digest
+        )
+
+
+class CdxStreamReader(_FileSetStreamReader):
+    """Streaming twin of CdxBatchReader — the daily index-maintenance
+    shape: WARC files rotated into the path become exactly-once CDX
+    micro-batches (``cdx_records_stream`` is the typed API; land them
+    with ``write_cdx(mode='append')`` in ``foreachBatch``)."""
+
+    def __init__(self, path, wanted, digest_mode):
+        super().__init__(path)
+        self._wanted = wanted
+        self._digest = digest_mode
 
     def read(self, partition: WarcFilePartition):
         yield from _path_cdx_batches(
@@ -1639,6 +1679,53 @@ def cdx_records(
     files = spark.read.format("binaryFile").load(path)
     out = files.select("path", "content").mapInPandas(
         _make_cdx_expand(wanted, digest), _CDX_SCHEMA
+    )
+    return out.withColumn("urlkey", surt_key(F.col("url")))
+
+
+def cdx_records_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple = ("response",),
+    digest: str = "decoded",
+) -> DataFrame:
+    """Streaming :func:`cdx_records` — the daily index-maintenance
+    loop: WARC files rotated into ``path`` become exactly-once CDX
+    micro-batches (file-set offsets, checkpointed), so the standing
+    archive index GROWS with the crawl instead of being rebuilt.
+    Compose with the pruned landing::
+
+        q = (cdx_records_stream(spark, "crawl/*.warc.gz")
+             .writeStream.foreachBatch(
+                 lambda df, _id: write_cdx(df, "idx/", mode="append"))
+             .option("checkpointLocation", ck).start())
+
+    — each day's index rows append into the host-hash directories
+    :func:`read_cdx` prunes, and a replayed micro-batch after restart
+    re-lands the same rows (foreachBatch is at-least-once; CDX rows
+    are idempotent facts keyed by (warc_file, record_id), so dedup on
+    read or accept duplicates, stated).  Local/``file:`` paths only
+    (the file-set offsets glob through POSIX)."""
+    if digest not in ("decoded", "stored"):
+        raise ValueError(
+            "cdx_records_stream: digest must be 'decoded' or 'stored'"
+        )
+    if not _is_local_path(path):
+        raise ValueError(
+            f"cdx_records_stream: cannot glob '{path}' — the file-set "
+            "offsets list through POSIX; mount the store or index in "
+            "batch"
+        )
+    from zeek_duckdb_spark.operators.textops import surt_key
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(CdxDataSource)
+    rt = "*" if record_types is None else ",".join(record_types)
+    out = (
+        spark.readStream.format("cdx")
+        .option("record_types", rt)
+        .option("digest", digest)
+        .load(path)
     )
     return out.withColumn("urlkey", surt_key(F.col("url")))
 
@@ -1835,7 +1922,15 @@ def read_warc_selected(
                     fh.seek(int(off))
                     span = fh.read(int(length))
                     if span[:2] == _GZIP_MAGIC:
-                        span = gzip.decompress(span)
+                        # through the CAPPED member iterator, not bare
+                        # gzip.decompress: external/converted indexes
+                        # can point spans at bomb members too (r14)
+                        span = b"".join(
+                            m for _o, _l, m in _gunzip_members_from_chunks(
+                                iter([span]),
+                                f"read_warc_selected({fpath})",
+                            )
+                        )
                     elif _is_zstd(span) or local.endswith(".zst"):
                         raise ValueError(
                             "read_warc_selected: .warc.zst spans index "
