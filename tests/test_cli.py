@@ -723,6 +723,13 @@ def test_index_crawl_subcommand(spark, tmp_path):
     assert back.count() == 2 and "pfx" not in back.columns
     assert read_cdx(spark, pout, "org,a)").count() == 1
 
+    # conflicting flags error instead of silently ignoring --no-sort
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="conflicts with"):
+        main(["index-crawl", str(tmp_path / "*.warc.gz"), pout,
+              "--partitioned", "--no-sort"], spark=spark)
+
 
 def test_export_wet_subcommand(spark, tmp_path):
     """export-wet: a landed text corpus (the ingest-crawl output

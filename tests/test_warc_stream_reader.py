@@ -664,6 +664,22 @@ def test_cdx_records_stream_daily_index_loop(spark, tmp_path):
     with pytest.raises(ValueError, match="digest"):
         cdx_records_stream(spark, str(crawl), digest="x")
 
+    # a bare-string record_types means ONE type, not its characters
+    # (r14 review: ','.join('metadata') silently matched nothing)
+    as_str = cdx_records(
+        spark, str(crawl / "*.warc.gz"), record_types="response")
+    assert as_str.count() == 6
+    # and a raw .option('digest', typo) on the DataSource errors
+    # instead of silently hashing 'decoded'
+    spark.dataSource.register(
+        __import__(
+            "zeek_duckdb_spark.sources.warc", fromlist=["CdxDataSource"]
+        ).CdxDataSource
+    )
+    with pytest.raises(Exception, match="digest must be"):
+        (spark.read.format("cdx").option("digest", "storred")
+         .load(str(crawl / "*.warc.gz")).collect())
+
 
 def test_over_2gib_plain_warc_ingests(spark, tmp_path):
     """THE round-14 acceptance: a legal >2 GiB uncompressed WARC —

@@ -445,6 +445,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 digest=args.digest,
             )
             if args.partitioned:
+                if args.no_sort:
+                    # write_cdx's repartition+sort IS the landing
+                    # layout — a silent no-op flag would lie about the
+                    # shuffle being skipped (r14 review)
+                    raise SystemExit(
+                        "index-crawl: --no-sort conflicts with "
+                        "--partitioned (write_cdx sorts within its "
+                        "hash directories as part of the layout)"
+                    )
                 write_cdx(idx, args.out, mode="overwrite")
             else:
                 if not args.no_sort:

@@ -525,6 +525,18 @@ def _charset_decode(raw: bytes, content_type) -> str:
         return raw.decode("utf-8", errors="replace")
 
 
+def _norm_record_types(record_types):
+    """Accept None (everything), ONE WARC-Type as a bare string, or an
+    iterable of them — a bare string must mean one type, not its
+    characters (r14 review: ``",".join("metadata")`` silently matched
+    nothing)."""
+    if record_types is None:
+        return None
+    if isinstance(record_types, str):
+        return (record_types,)
+    return tuple(record_types)
+
+
 def _is_local_path(path: str) -> bool:
     """True when a path is POSIX-openable on executors (no scheme, or
     ``file:``) — what the path-based ``warc``/``cdx`` DataSource
@@ -608,6 +620,7 @@ def read_warc(
     Zero shuffle either way; both engines share the record-row
     assembly, so rows are identical (pinned by tests)."""
     engine = _resolve_warc_engine(engine, path, "read_warc")
+    record_types = _norm_record_types(record_types)
     wanted = None if record_types is None else {t.lower() for t in record_types}
     if engine == "stream":
         register_warc_datasource(spark)
@@ -1363,6 +1376,7 @@ def read_warc_stream(
     if engine is None and max_files_per_trigger is not None:
         engine = "binaryfile"
     engine = _resolve_warc_engine(engine, path, "read_warc_stream")
+    record_types = _norm_record_types(record_types)
     if engine == "stream":
         if max_files_per_trigger is not None:
             raise ValueError(
@@ -1545,13 +1559,14 @@ class CdxDataSource(DataSource):
     def schema(self) -> T.StructType:
         return _CDX_SCHEMA
 
-    def reader(self, schema: T.StructType):
+    def _parsed_options(self):
+        """ONE copy of the option parsing for batch and stream (r14
+        review: two in-class copies drifted the moment either grew),
+        validating digest so a raw ``.option("digest", typo)`` cannot
+        silently fall through to 'decoded' hashing."""
         path = self.options.get("path")
         if not path:
             raise ValueError("cdx datasource requires a path (load(path))")
-        files = _glob_warc_paths(path)
-        if not files:
-            raise ValueError(f"cdx_records: no WARC files match '{path}'")
         rt = str(self.options.get("record_types", "response"))
         wanted = (
             None
@@ -1559,21 +1574,23 @@ class CdxDataSource(DataSource):
             else {t.strip().lower() for t in rt.split(",") if t.strip()}
         )
         digest_mode = str(self.options.get("digest", "decoded"))
+        if digest_mode not in ("decoded", "stored"):
+            raise ValueError(
+                f"cdx: digest must be 'decoded' or 'stored', got "
+                f"{digest_mode!r}"
+            )
+        return path, wanted, digest_mode
+
+    def reader(self, schema: T.StructType):
+        path, wanted, digest_mode = self._parsed_options()
+        files = _glob_warc_paths(path)
+        if not files:
+            raise ValueError(f"cdx_records: no WARC files match '{path}'")
         return CdxBatchReader(files, wanted, digest_mode)
 
     def streamReader(self, schema: T.StructType) -> "CdxStreamReader":
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("cdx datasource requires a path (load(path))")
-        rt = str(self.options.get("record_types", "response"))
-        wanted = (
-            None
-            if rt.strip() == "*"
-            else {t.strip().lower() for t in rt.split(",") if t.strip()}
-        )
-        return CdxStreamReader(
-            path, wanted, str(self.options.get("digest", "decoded"))
-        )
+        path, wanted, digest_mode = self._parsed_options()
+        return CdxStreamReader(path, wanted, digest_mode)
 
 
 class CdxBatchReader(DataSourceReader):
@@ -1661,16 +1678,9 @@ def cdx_records(
     if digest not in ("decoded", "stored"):
         raise ValueError("cdx_records: digest must be 'decoded' or 'stored'")
     engine = _resolve_warc_engine(engine, path, "cdx_records")
+    record_types = _norm_record_types(record_types)
     if engine == "stream":
-        spark.dataSource.register(CdxDataSource)
-        rt = "*" if record_types is None else ",".join(record_types)
-        out = (
-            spark.read.format("cdx")
-            .option("record_types", rt)
-            .option("digest", digest)
-            .load(path)
-        )
-        return out.withColumn("urlkey", surt_key(F.col("url")))
+        return _cdx_frame(spark, path, record_types, digest, streaming=False)
     if engine != "binaryfile":
         raise ValueError(
             "cdx_records: engine must be 'stream' or 'binaryfile'"
@@ -1716,13 +1726,26 @@ def cdx_records_stream(
             "offsets list through POSIX; mount the store or index in "
             "batch"
         )
+    return _cdx_frame(spark, path, record_types, digest, streaming=True)
+
+
+def _cdx_frame(
+    spark: SparkSession, path: str, record_types, digest: str,
+    streaming: bool,
+) -> DataFrame:
+    """Shared builder of the batch and streaming ``cdx`` loads (one
+    copy of the option wiring + JVM-side urlkey, so the daily
+    maintenance index cannot drift from the batch rebuild — r14
+    review)."""
     from zeek_duckdb_spark.operators.textops import surt_key
     from pyspark.sql import functions as F
 
     spark.dataSource.register(CdxDataSource)
+    record_types = _norm_record_types(record_types)
     rt = "*" if record_types is None else ",".join(record_types)
+    reader = spark.readStream if streaming else spark.read
     out = (
-        spark.readStream.format("cdx")
+        reader.format("cdx")
         .option("record_types", rt)
         .option("digest", digest)
         .load(path)
@@ -1923,14 +1946,24 @@ def read_warc_selected(
                     span = fh.read(int(length))
                     if span[:2] == _GZIP_MAGIC:
                         # through the CAPPED member iterator, not bare
-                        # gzip.decompress: external/converted indexes
-                        # can point spans at bomb members too (r14)
-                        span = b"".join(
-                            m for _o, _l, m in _gunzip_members_from_chunks(
-                                iter([span]),
-                                f"read_warc_selected({fpath})",
-                            )
-                        )
+                        # gzip.decompress — and the TOTAL across a
+                        # multi-member span is capped too: external/
+                        # converted indexes can point spans at bomb
+                        # members, single or stacked (r14 review)
+                        parts, total = [], 0
+                        for _o, _l, m in _gunzip_members_from_chunks(
+                            iter([span]), f"read_warc_selected({fpath})"
+                        ):
+                            total += len(m)
+                            if total > _MAX_RECORD_BYTES:
+                                raise ValueError(
+                                    f"read_warc_selected({fpath}): span "
+                                    f"at offset {off} inflates past the "
+                                    f"{_MAX_RECORD_BYTES}-byte cap"
+                                )
+                            parts.append(m)
+                        span = b"".join(parts)
+                        del parts
                     elif _is_zstd(span) or local.endswith(".zst"):
                         raise ValueError(
                             "read_warc_selected: .warc.zst spans index "
