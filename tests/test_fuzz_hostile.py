@@ -211,6 +211,68 @@ def test_bomb_guards_cap_allocation():
     assert time.time() - t0 < 30
 
 
+def test_chunk_boundary_invariance_property():
+    """Property (hypothesis): the incremental WARC parser yields
+    byte-identical records under ANY chunking of the same stream —
+    the one invariant every boundary bug breaks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zeek_duckdb_spark.sources.warc import (
+        _records_from_chunks, encode_warc, parse_warc)
+
+    def resp(uri, body):
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:{uri}>",
+                 "WARC-Target-URI": uri,
+                 "Content-Type": "application/http; msgtype=response"},
+                http)
+
+    recs = [
+        resp("http://h.org/a", b"alpha body " * 9),
+        ({"WARC-Type": "metadata", "WARC-Target-URI": "http://h.org/a"},
+         b"via: x\r\n"),
+        resp("http://h.org/b", b""),
+    ]
+    plain = encode_warc(recs, compress=False) + b"\r\n\r\n"
+    want = list(parse_warc(plain))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(1, len(plain)), min_size=0, max_size=12))
+    def check(cuts):
+        points = sorted({0, *cuts, len(plain)})
+        chunks = [plain[a:b] for a, b in zip(points, points[1:])]
+        assert list(_records_from_chunks(iter(chunks), "t")) == want
+
+    check()
+
+
+def test_robots_and_sitemap_parsers_fail_closed():
+    """The politeness parsers feed on fetched crawl bytes too: random
+    and mangled text through parse_robots/robots_allowed and
+    extract_sitemap_urls must return or raise ValueError — never hang
+    or leak another exception type."""
+    from zeek_duckdb_spark.operators.robots import (
+        extract_sitemap_urls, parse_robots, robots_allowed)
+
+    for i in range(60):
+        blob = bytes(_RNG.bytes(_RNG.randint(1, 500)))
+        txt = blob.decode("latin-1")
+        rules = parse_robots(txt)  # must never raise on text
+        assert isinstance(robots_allowed("/any/path", rules), bool)
+        try:
+            extract_sitemap_urls(txt)
+        except ValueError:
+            pass
+    # pathological patterns through the matcher
+    for pattern in ("*" * 200, "$" * 50, "%", "%2", "%zz*$",
+                    "/" + "a*" * 100 + "$"):
+        assert isinstance(
+            robots_allowed("/a" * 50, [(False, pattern)]), bool
+        )
+
+
 def test_decode_media_quarantine_on_error_null(spark):
     """The Spark-side quarantine: a mixed media column with hostile
     payloads — on_error='null' lands NULL features for undecodable
