@@ -659,6 +659,34 @@ def test_cdx_records_stream_daily_index_loop(spark, tmp_path):
     got = read_warc_selected(spark, probe, decode_text=True).collect()
     assert sorted(r.body_text for r in got) == ["<p>d0p1</p>", "<p>d1p1</p>"]
 
+    # multi-prefix (batch-of-domains) probe: union of the singles
+    multi = read_cdx(spark, land, ["org,d0)", "org,d2)"], pfx_mod=8)
+    assert {r.url for r in multi.collect()} == {
+        f"https://d{j}.org/day{i}" for j in (0, 2) for i in (0, 1)
+    }
+    # a host-incomplete prefix in the list falls back unpruned but
+    # correct; empty list selects nothing
+    assert read_cdx(spark, land, ["org,d0"], pfx_mod=8).count() == 2
+    assert read_cdx(spark, land, [], pfx_mod=8).count() == 0
+
+    # compaction: after two appends each pfx dir holds 2+ files;
+    # compact_cdx rewrites to the target and probes are unchanged
+    import glob as _glob
+
+    from zeek_duckdb_spark.sources.warc import compact_cdx
+
+    before = {(r.url, r.record_id) for r in read_cdx(spark, land).collect()}
+    stats = compact_cdx(spark, land)
+    assert isinstance(stats, dict)
+    assert {(r.url, r.record_id)
+            for r in read_cdx(spark, land).collect()} == before
+    pfx_dirs = _glob.glob(os.path.join(land, "pfx=*"))
+    assert pfx_dirs and all(
+        len(_glob.glob(os.path.join(d, "*.parquet"))) == 1
+        for d in pfx_dirs
+    )
+    assert read_cdx(spark, land, "org,d1)", pfx_mod=8).count() == 2
+
     with pytest.raises(ValueError, match="POSIX"):
         cdx_records_stream(spark, "s3a://b/crawl")
     with pytest.raises(ValueError, match="digest"):

@@ -56,6 +56,7 @@ __all__ = [
     "fsspec_opener",
     "write_cdx",
     "read_cdx",
+    "compact_cdx",
     "write_wet",
     "wet_record_bytes",
     "wet_shard_bytes",
@@ -2058,37 +2059,75 @@ def write_cdx(
 def read_cdx(
     spark: SparkSession,
     path: str,
-    urlkey_prefix: "str | None" = None,
+    urlkey_prefix=None,
     pfx_mod: int = 256,
 ) -> DataFrame:
-    """Read a :func:`write_cdx` landing, PARTITION-PRUNED to the one
-    host directory when ``urlkey_prefix`` is given (the probe shape:
-    ``read_cdx(spark, idx, "com,example)/")`` ->
-    ``read_warc_selected``).  The prefix must reach host granularity —
-    include the ``)`` (``"com,example)"`` or deeper) so the host part
-    is complete; a shallower prefix cannot name a directory and falls
-    back to the full scan with the same filter (correct, just
-    unpruned).  ``pfx_mod`` must match the write."""
+    """Read a :func:`write_cdx` landing, PARTITION-PRUNED to the host
+    directories when ``urlkey_prefix`` is given — ONE prefix string or
+    a LIST of them (the probe shape: ``read_cdx(spark, idx,
+    ["com,example)/", "org,site)"])`` -> ``read_warc_selected``; the
+    list form is the batch-of-domains lookup, pruned to <= len(list)
+    directories).  Each prefix must reach host granularity — include
+    the ``)`` (``"com,example)"`` or deeper) so the host part is
+    complete; if ANY prefix is shallower the probe falls back to the
+    full scan with the same filter (correct, just unpruned).
+    ``pfx_mod`` must match the write."""
+    import functools
+    import operator
+
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
     if urlkey_prefix is None:
         return df.drop("pfx")
-    filtered = df.filter(F.col("urlkey").startswith(urlkey_prefix))
-    if ")" not in urlkey_prefix:
-        return filtered.drop("pfx")  # host part incomplete: full scan
-    host = urlkey_prefix.split(")", 1)[0]
-    # resolve the directory key to a LITERAL on the driver (one 1-row
-    # job), so Catalyst prunes against the file index at planning time
-    val = (
-        spark.range(1)
-        .select(
-            F.pmod(F.xxhash64(F.lit(host)), F.lit(pfx_mod)).alias("p")
-        )
-        .collect()[0]
-        .p
+    prefixes = (
+        [urlkey_prefix]
+        if isinstance(urlkey_prefix, str)
+        else list(urlkey_prefix)
     )
-    return filtered.filter(F.col("pfx") == int(val)).drop("pfx")
+    if not prefixes:
+        return df.filter(F.lit(False)).drop("pfx")
+    filtered = df.filter(
+        functools.reduce(
+            operator.or_,
+            [F.col("urlkey").startswith(p) for p in prefixes],
+        )
+    )
+    if any(")" not in p for p in prefixes):
+        return filtered.drop("pfx")  # a host part incomplete: full scan
+    hosts = sorted({p.split(")", 1)[0] for p in prefixes})
+    # resolve the directory keys to LITERALS on the driver (one tiny
+    # job), so Catalyst prunes against the file index at planning time
+    vals = [
+        int(r.p)
+        for r in spark.createDataFrame([(h,) for h in hosts], "h string")
+        .select(F.pmod(F.xxhash64(F.col("h")), F.lit(pfx_mod)).alias("p"))
+        .collect()
+    ]
+    return filtered.filter(F.col("pfx").isin(vals)).drop("pfx")
+
+
+def compact_cdx(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-file maintenance for a :func:`write_cdx` landing — the
+    standing job of the daily index loop: every
+    ``cdx_records_stream -> write_cdx(mode='append')`` micro-batch
+    adds one file per touched ``pfx`` directory, so after a year each
+    pruned probe pays ~365 file opens per directory, metadata-bound
+    long before IO-bound.  Delegates to
+    ``sources.sink.compact_landing`` (per-partition file targets,
+    atomic swap) with the ``pfx=*`` layout preserved — `read_cdx`
+    pruning is unchanged and later appends keep landing in the same
+    directories.  The within-file (urlkey, cdx_ts) sort of the
+    original shards is NOT preserved across a compaction (the probes
+    filter, they don't merge-scan — stated).  Returns the stats
+    dict."""
+    from zeek_duckdb_spark.sources.sink import compact_landing
+
+    return compact_landing(
+        spark, path, target_file_bytes, partition_col=["pfx"]
+    )
 
 
 def write_wet(
