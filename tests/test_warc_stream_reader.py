@@ -268,8 +268,27 @@ def test_read_warc_engines_row_identical(spark, tmp_path):
         }
 
     for kw in ({}, {"decode_text": True}, {"record_types": None},
-               {"record_types": ("metadata",)}):
+               {"record_types": ("metadata",)},
+               # string forms must mean the same thing on BOTH engines
+               # (r14 review: '*' and comma strings used to diverge
+               # through the option round-trip)
+               {"record_types": "*"},
+               {"record_types": "response,metadata"},
+               {"record_types": "metadata"}):
         assert rowset("stream", **kw) == rowset("binaryfile", **kw), kw
+    assert len(rowset("stream", record_types="*")) == 4
+    assert len(rowset("stream", record_types="response,metadata")) == 4
+    assert len(rowset("stream", record_types="metadata")) == 1
+    assert len(rowset("stream", record_types="response")) == 3
+
+    from zeek_duckdb_spark.sources.warc import _norm_record_types
+
+    assert _norm_record_types(None) is None
+    assert _norm_record_types("*") is None
+    assert _norm_record_types(("a", "*")) is None
+    assert _norm_record_types("response") == ("response",)
+    assert _norm_record_types("a, b") == ("a", "b")
+    assert _norm_record_types(()) == ()
 
     # schema identical too
     a = read_warc(spark, glob, decode_text=True, engine="stream")
@@ -686,6 +705,16 @@ def test_cdx_records_stream_daily_index_loop(spark, tmp_path):
         for d in pfx_dirs
     )
     assert read_cdx(spark, land, "org,d1)", pfx_mod=8).count() == 2
+    # the within-file (urlkey, cdx_ts) sort SURVIVES compaction (the
+    # row-group-stats skipping write_cdx set up — r14 review)
+    import pyarrow.parquet as pq
+
+    for d in pfx_dirs:
+        for pf in _glob.glob(os.path.join(d, "*.parquet")):
+            keys = pq.read_table(pf, columns=["urlkey", "cdx_ts"])
+            pairs = list(zip(keys.column(0).to_pylist(),
+                             keys.column(1).to_pylist()))
+            assert pairs == sorted(pairs), pf
 
     with pytest.raises(ValueError, match="POSIX"):
         cdx_records_stream(spark, "s3a://b/crawl")

@@ -166,6 +166,7 @@ def compact_landing(
     path: str,
     target_file_bytes: int = 128 << 20,
     partition_col: str | list[str] | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Small-file compaction for a parquet landing directory — the
     standing maintenance job of any streaming/incremental landing zone
@@ -198,6 +199,12 @@ def compact_landing(
     is for the plain-directory landing zone.  NOT for bucketed tables
     (write_bucketed) — bucket file layout is part of their contract;
     re-land those with write_bucketed itself.
+
+    ``sort_cols``: order rows by these columns WITHIN each rewritten
+    file — for landings whose write established a within-file sort
+    that feeds parquet row-group-stats skipping (``write_cdx``'s
+    (urlkey, cdx_ts)); the data is being rewritten anyway, so the
+    sort costs only the in-task ordering (r14).
 
     Returns {"files_before", "files_after", "bytes"}.
     """
@@ -334,17 +341,21 @@ def compact_landing(
                 ),
             ),
         )
+        out = salted.repartition(
+            *[F.col(c) for c in pcols], F.col("__salt")
+        ).drop("__salt")
+        if sort_cols:
+            out = out.sortWithinPartitions(*pcols, *sort_cols)
         (
-            salted.repartition(
-                *[F.col(c) for c in pcols], F.col("__salt")
-            )
-            .drop("__salt")
-            .write.partitionBy(*pcols)
+            out.write.partitionBy(*pcols)
             .mode("overwrite")
             .parquet(tmp)
         )
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        out = df.repartition(n_out)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     if _exchange_paths(tmp, path):
         shutil.rmtree(tmp)  # tmp now holds the pre-compaction data

@@ -527,15 +527,35 @@ def _charset_decode(raw: bytes, content_type) -> str:
 
 
 def _norm_record_types(record_types):
-    """Accept None (everything), ONE WARC-Type as a bare string, or an
-    iterable of them — a bare string must mean one type, not its
-    characters (r14 review: ``",".join("metadata")`` silently matched
+    """ONE canonical record-type filter for every entry point (r14
+    review, twice): accepts None or ``'*'`` (everything), a bare
+    WARC-Type string, a comma list in a string, or an iterable —
+    normalized BEFORE any engine branch, so the typed APIs, the
+    DataSource option round-trip (which serializes as a comma list),
+    and the binaryFile expand all agree.  Returns None for
+    everything, else a tuple of type tokens (empty tuple = match
     nothing)."""
     if record_types is None:
         return None
-    if isinstance(record_types, str):
-        return (record_types,)
-    return tuple(record_types)
+    items = (
+        [record_types]
+        if isinstance(record_types, str)
+        else list(record_types)
+    )
+    toks: list = []
+    for t in items:
+        toks.extend(x.strip() for x in str(t).split(",") if x.strip())
+    if "*" in toks:
+        return None
+    return tuple(toks)
+
+
+def _parse_record_types_option(rt: str):
+    """The DataSource-side twin (shared by the ``warc`` and ``cdx``
+    sources — one copy, r14 review): option string -> lowercased
+    wanted set, None = everything."""
+    norm = _norm_record_types(rt)
+    return None if norm is None else {t.lower() for t in norm}
 
 
 def _is_local_path(path: str) -> bool:
@@ -1221,11 +1241,8 @@ class WarcDataSource(DataSource):
         return "warc"
 
     def _parsed_options(self):
-        rt = str(self.options.get("record_types", "response"))
-        wanted = (
-            None
-            if rt.strip() == "*"
-            else {t.strip().lower() for t in rt.split(",") if t.strip()}
+        wanted = _parse_record_types_option(
+            str(self.options.get("record_types", "response"))
         )
         decode_text = str(
             self.options.get("decode_text", "false")
@@ -1568,11 +1585,8 @@ class CdxDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("cdx datasource requires a path (load(path))")
-        rt = str(self.options.get("record_types", "response"))
-        wanted = (
-            None
-            if rt.strip() == "*"
-            else {t.strip().lower() for t in rt.split(",") if t.strip()}
+        wanted = _parse_record_types_option(
+            str(self.options.get("record_types", "response"))
         )
         digest_mode = str(self.options.get("digest", "decoded"))
         if digest_mode not in ("decoded", "stored"):
@@ -2119,14 +2133,15 @@ def compact_cdx(
     ``sources.sink.compact_landing`` (per-partition file targets,
     atomic swap) with the ``pfx=*`` layout preserved — `read_cdx`
     pruning is unchanged and later appends keep landing in the same
-    directories.  The within-file (urlkey, cdx_ts) sort of the
-    original shards is NOT preserved across a compaction (the probes
-    filter, they don't merge-scan — stated).  Returns the stats
-    dict."""
+    directories, and the within-file (urlkey, cdx_ts) sort is
+    RE-ESTABLISHED in the rewrite (``sort_cols`` — the row-group-stats
+    skipping ``write_cdx`` set up survives compaction).  Returns the
+    stats dict."""
     from zeek_duckdb_spark.sources.sink import compact_landing
 
     return compact_landing(
-        spark, path, target_file_bytes, partition_col=["pfx"]
+        spark, path, target_file_bytes, partition_col=["pfx"],
+        sort_cols=["urlkey", "cdx_ts"],
     )
 
 
