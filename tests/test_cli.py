@@ -730,6 +730,11 @@ def test_index_crawl_subcommand(spark, tmp_path):
         main(["index-crawl", str(tmp_path / "*.warc.gz"), pout,
               "--partitioned", "--no-sort"], spark=spark)
 
+    # compact --sort-cols keeps the landing's within-file order
+    assert main(["compact", pout, "--partition-col", "pfx",
+                 "--sort-cols", "urlkey,cdx_ts"], spark=spark) == 0
+    assert read_cdx(spark, pout, "org,a)").count() == 1
+
 
 def test_export_wet_subcommand(spark, tmp_path):
     """export-wet: a landed text corpus (the ingest-crawl output

@@ -151,6 +151,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="directory-partition column; comma-separate for "
                          "nested layouts (e.g. band,pfx for the banded "
                          "index landings)")
+    co.add_argument("--sort-cols", default=None,
+                    help="re-establish a within-file sort in the rewrite "
+                         "(comma-separated; e.g. urlkey,cdx_ts for a "
+                         "write_cdx landing, preserving its row-group-"
+                         "stats skipping)")
 
     pr = sub.add_parser("profile", help="one-pass corpus health profile")
     pr.add_argument("path", help="parquet directory")
@@ -410,8 +415,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             pcol = args.partition_col
             if pcol and "," in pcol:
                 pcol = [c.strip() for c in pcol.split(",") if c.strip()]
+            scols = None
+            if args.sort_cols:
+                scols = [c.strip() for c in args.sort_cols.split(",")
+                         if c.strip()]
             stats = compact_landing(
-                spark, args.path, args.target_bytes, pcol
+                spark, args.path, args.target_bytes, pcol, scols
             )
             print(json.dumps(stats))
         elif args.cmd == "profile":

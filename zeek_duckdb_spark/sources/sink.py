@@ -379,6 +379,7 @@ def maybe_compact_landing(
     max_files_per_dir: int,
     target_file_bytes: int = 128 << 20,
     partition_col: str | list[str] | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict | None:
     """Threshold trigger for :func:`compact_landing` — the cadence
     hook the incremental ingest loops call after their index appends,
@@ -414,4 +415,6 @@ def maybe_compact_landing(
         worst = max(worst, n)
     if worst <= max_files_per_dir:
         return None
-    return compact_landing(spark, path, target_file_bytes, partition_col)
+    return compact_landing(
+        spark, path, target_file_bytes, partition_col, sort_cols
+    )

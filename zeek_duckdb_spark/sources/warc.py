@@ -550,10 +550,11 @@ def _norm_record_types(record_types):
     return tuple(toks)
 
 
-def _parse_record_types_option(rt: str):
-    """The DataSource-side twin (shared by the ``warc`` and ``cdx``
-    sources — one copy, r14 review): option string -> lowercased
-    wanted set, None = everything."""
+def _parse_record_types_option(rt):
+    """Record-type filter -> lowercased wanted set (None = everything)
+    — THE one conversion (r14 review, twice): the DataSources' option
+    strings and the typed APIs' binaryfile branches all come through
+    here, so matching semantics cannot drift between engines."""
     norm = _norm_record_types(rt)
     return None if norm is None else {t.lower() for t in norm}
 
@@ -589,7 +590,7 @@ def _resolve_warc_engine(engine, path: str, who: str) -> str:
 def read_warc(
     spark: SparkSession,
     path: str,
-    record_types: tuple = ("response",),
+    record_types: "tuple | str | None" = ("response",),
     decode_text: bool = False,
     engine: str | None = None,
 ) -> DataFrame:
@@ -600,7 +601,9 @@ def read_warc(
 
     ``record_types`` filters on WARC-Type (default: the ``response``
     records that carry page content; pass ``("response", "request",
-    "metadata", ...)`` or ``None`` for everything).  For response
+    "metadata", ...)``, a bare string — one type or a comma list —
+    or ``None``/``"*"`` for everything; identical semantics on both
+    engines by construction).  For response
     records the HTTP head is parsed off — ``http_status`` /
     ``content_type`` come from it and ``body`` is the entity bytes
     (chunked transfer-encoding decoded; gzip/deflate Content-Encoding
@@ -642,7 +645,6 @@ def read_warc(
     assembly, so rows are identical (pinned by tests)."""
     engine = _resolve_warc_engine(engine, path, "read_warc")
     record_types = _norm_record_types(record_types)
-    wanted = None if record_types is None else {t.lower() for t in record_types}
     if engine == "stream":
         register_warc_datasource(spark)
         rt = "*" if record_types is None else ",".join(record_types)
@@ -665,7 +667,7 @@ def read_warc(
     # linear is VM SMT contention, not task layout.
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        _make_expand(wanted, decode_text),
+        _make_expand(_parse_record_types_option(record_types), decode_text),
         _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA,
     )
 
@@ -1358,7 +1360,7 @@ _BINARY_FILE_SCHEMA = T.StructType(
 def read_warc_stream(
     spark: SparkSession,
     path: str,
-    record_types: tuple = ("response",),
+    record_types: "tuple | str | None" = ("response",),
     max_files_per_trigger: int | None = None,
     decode_text: bool = False,
     engine: str | None = None,
@@ -1414,7 +1416,7 @@ def read_warc_stream(
         raise ValueError(
             "read_warc_stream: engine must be 'stream' or 'binaryfile'"
         )
-    wanted = None if record_types is None else {t.lower() for t in record_types}
+    wanted = _parse_record_types_option(record_types)
     reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1643,7 +1645,7 @@ class CdxStreamReader(_FileSetStreamReader):
 def cdx_records(
     spark: SparkSession,
     path: str,
-    record_types: tuple = ("response",),
+    record_types: "tuple | str | None" = ("response",),
     digest: str = "decoded",
     engine: str | None = None,
 ) -> DataFrame:
@@ -1700,7 +1702,7 @@ def cdx_records(
         raise ValueError(
             "cdx_records: engine must be 'stream' or 'binaryfile'"
         )
-    wanted = None if record_types is None else {t.lower() for t in record_types}
+    wanted = _parse_record_types_option(record_types)
     files = spark.read.format("binaryFile").load(path)
     out = files.select("path", "content").mapInPandas(
         _make_cdx_expand(wanted, digest), _CDX_SCHEMA
@@ -1711,7 +1713,7 @@ def cdx_records(
 def cdx_records_stream(
     spark: SparkSession,
     path: str,
-    record_types: tuple = ("response",),
+    record_types: "tuple | str | None" = ("response",),
     digest: str = "decoded",
 ) -> DataFrame:
     """Streaming :func:`cdx_records` — the daily index-maintenance
