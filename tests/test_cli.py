@@ -730,10 +730,21 @@ def test_index_crawl_subcommand(spark, tmp_path):
         main(["index-crawl", str(tmp_path / "*.warc.gz"), pout,
               "--partitioned", "--no-sort"], spark=spark)
 
-    # compact --sort-cols keeps the landing's within-file order
+    # compact --sort-cols keeps the landing's within-file order —
+    # pinned by reading the rewritten parquet directly, not a count
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
     assert main(["compact", pout, "--partition-col", "pfx",
                  "--sort-cols", "urlkey,cdx_ts"], spark=spark) == 0
     assert read_cdx(spark, pout, "org,a)").count() == 1
+    for pf in _glob.glob(f"{pout}/pfx=*/*.parquet"):
+        keys = _pq.read_table(pf, columns=["urlkey"]).column(0).to_pylist()
+        assert keys == sorted(keys), pf
+    with _pytest.raises(SystemExit, match="no columns"):
+        main(["compact", pout, "--partition-col", "pfx",
+              "--sort-cols", ","], spark=spark)
 
 
 def test_export_wet_subcommand(spark, tmp_path):

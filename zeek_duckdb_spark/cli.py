@@ -416,9 +416,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if pcol and "," in pcol:
                 pcol = [c.strip() for c in pcol.split(",") if c.strip()]
             scols = None
-            if args.sort_cols:
+            if args.sort_cols is not None:
                 scols = [c.strip() for c in args.sort_cols.split(",")
                          if c.strip()]
+                if not scols:
+                    # a degenerate value (',' / whitespace) would fall
+                    # through as no-sort and silently destroy the
+                    # landing's within-file order (r14 review)
+                    raise SystemExit(
+                        "compact: --sort-cols parsed to no columns; "
+                        "pass a comma-separated column list"
+                    )
             stats = compact_landing(
                 spark, args.path, args.target_bytes, pcol, scols
             )

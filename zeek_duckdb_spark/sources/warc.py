@@ -559,6 +559,16 @@ def _parse_record_types_option(rt):
     return None if norm is None else {t.lower() for t in norm}
 
 
+def _record_types_option(record_types) -> str:
+    """Serialization twin of :func:`_parse_record_types_option`:
+    canonical filter -> the DataSource option string (``'*'`` =
+    everything) — one copy for the warc batch, warc stream, and cdx
+    loads (r14 review: three inline joins were the same drift class
+    the parse helper closed)."""
+    norm = _norm_record_types(record_types)
+    return "*" if norm is None else ",".join(norm)
+
+
 def _is_local_path(path: str) -> bool:
     """True when a path is POSIX-openable on executors (no scheme, or
     ``file:``) — what the path-based ``warc``/``cdx`` DataSource
@@ -644,10 +654,9 @@ def read_warc(
     Zero shuffle either way; both engines share the record-row
     assembly, so rows are identical (pinned by tests)."""
     engine = _resolve_warc_engine(engine, path, "read_warc")
-    record_types = _norm_record_types(record_types)
     if engine == "stream":
         register_warc_datasource(spark)
-        rt = "*" if record_types is None else ",".join(record_types)
+        rt = _record_types_option(record_types)
         return (
             spark.read.format("warc")
             .option("record_types", rt)
@@ -1396,7 +1405,6 @@ def read_warc_stream(
     if engine is None and max_files_per_trigger is not None:
         engine = "binaryfile"
     engine = _resolve_warc_engine(engine, path, "read_warc_stream")
-    record_types = _norm_record_types(record_types)
     if engine == "stream":
         if max_files_per_trigger is not None:
             raise ValueError(
@@ -1405,7 +1413,7 @@ def read_warc_stream(
                 "has no admission control)"
             )
         register_warc_datasource(spark)
-        rt = "*" if record_types is None else ",".join(record_types)
+        rt = _record_types_option(record_types)
         return (
             spark.readStream.format("warc")
             .option("record_types", rt)
@@ -1695,7 +1703,6 @@ def cdx_records(
     if digest not in ("decoded", "stored"):
         raise ValueError("cdx_records: digest must be 'decoded' or 'stored'")
     engine = _resolve_warc_engine(engine, path, "cdx_records")
-    record_types = _norm_record_types(record_types)
     if engine == "stream":
         return _cdx_frame(spark, path, record_types, digest, streaming=False)
     if engine != "binaryfile":
@@ -1758,8 +1765,7 @@ def _cdx_frame(
     from pyspark.sql import functions as F
 
     spark.dataSource.register(CdxDataSource)
-    record_types = _norm_record_types(record_types)
-    rt = "*" if record_types is None else ",".join(record_types)
+    rt = _record_types_option(record_types)
     reader = spark.readStream if streaming else spark.read
     out = (
         reader.format("cdx")
