@@ -54,6 +54,7 @@ __all__ = [
     "cdx_records_stream",
     "read_warc_selected",
     "fsspec_opener",
+    "fsspec_lister",
     "write_cdx",
     "read_cdx",
     "compact_cdx",
@@ -580,21 +581,63 @@ def _is_local_path(path: str) -> bool:
     return m is None or m.group(1).lower() == "file"
 
 
-def _resolve_warc_engine(engine, path: str, who: str) -> str:
+def _resolve_warc_engine(engine, path: str, who: str, has_fs: bool = False) -> str:
     """Shared engine resolution (r14 review): default (None) picks the
     streaming engine for local/file paths and binaryFile for remote
     schemes (s3a://, hdfs://, ...) the glob-based reader cannot list;
     an EXPLICIT engine='stream' on a remote scheme errors naming the
-    mismatch instead of returning a silent empty scan."""
+    mismatch instead of returning a silent empty scan.
+
+    ``has_fs`` (round-15): the caller supplied ``opener=``/``lister=``
+    filesystem callables, so the stream engine CAN open/list the
+    remote scheme — it becomes the default there too, closing the r14
+    gap where the 100 TB object-store deployment silently fell back to
+    the whole-blob binaryFile path and its 2 GiB row limit."""
     if engine is None:
-        return "stream" if _is_local_path(path) else "binaryfile"
-    if engine == "stream" and not _is_local_path(path):
+        return "stream" if (_is_local_path(path) or has_fs) else "binaryfile"
+    if engine == "binaryfile" and has_fs:
+        raise ValueError(
+            f"{who}: opener=/lister= are stream-engine seams — the "
+            "binaryfile engine reads through Spark's Hadoop filesystem "
+            "layer (configure fs.s3a.* / fs.gs.* instead)"
+        )
+    if engine == "stream" and not (_is_local_path(path) or has_fs):
         raise ValueError(
             f"{who}: engine='stream' reads through POSIX "
-            f"open/glob and cannot list '{path}' — use "
-            "engine='binaryfile' for object-store/HDFS schemes"
+            f"open/glob and cannot list '{path}' — pass opener= and "
+            "lister= (e.g. fsspec_opener()/fsspec_lister()) to stream "
+            "it, or engine='binaryfile' for Hadoop-configured schemes"
         )
     return engine
+
+
+def _fs_seams(opener, lister, path: str, who: str):
+    """Normalize the object-store seams (round-15): an opener with no
+    lister on a literal (metacharacter-free) path implies the
+    single-file listing; a glob/directory needs a real lister.
+    Returns (opener, lister, has_fs)."""
+    if opener is None and lister is None:
+        return None, None, False
+    if opener is None:
+        raise ValueError(
+            f"{who}: lister= without opener= — executors need "
+            "opener(path) to read the listed files"
+        )
+    if lister is None:
+        if any(c in path for c in "*?[") or _is_local_path(path):
+            raise ValueError(
+                f"{who}: opener= on a glob/directory path needs "
+                "lister= too (e.g. fsspec_lister()) — only a literal "
+                "remote file path implies its own listing"
+            )
+        lister = _literal_lister
+    return opener, lister, True
+
+
+def _literal_lister(path: str) -> list:
+    """The implied lister for a literal remote file path (module-level
+    so it pickles by reference, not closure)."""
+    return [path]
 
 
 def read_warc(
@@ -603,6 +646,8 @@ def read_warc(
     record_types: "tuple | str | None" = ("response",),
     decode_text: bool = False,
     engine: str | None = None,
+    opener=None,
+    lister=None,
 ) -> DataFrame:
     """Read WARC files (plain, .warc.gz or .warc.zst) into one row per record:
     (warc_file, record_id, warc_type, target_uri, warc_date string,
@@ -652,13 +697,24 @@ def read_warc(
       automatic default for object-store/HDFS schemes the glob-based
       reader cannot list (explicit 'stream' + remote scheme errors).
     Zero shuffle either way; both engines share the record-row
-    assembly, so rows are identical (pinned by tests)."""
-    engine = _resolve_warc_engine(engine, path, "read_warc")
+    assembly, so rows are identical (pinned by tests).
+
+    ``opener``/``lister`` (round-15): the object-store seams —
+    ``opener(path) -> file-like`` (ranged reads) and ``lister(path) ->
+    file paths`` (listing/glob expansion), both pickled to where they
+    run (:func:`fsspec_opener`/:func:`fsspec_lister` are the
+    import-guarded fsspec pair).  With them, ``engine='stream'``
+    becomes the default for ``s3://``/``gs://``/... too: the same
+    bounded-memory watermark and no 2 GiB limit on the deployment
+    where a 100 TB archive actually lives, instead of the r14
+    fallback to whole-blob binaryFile rows."""
+    opener, lister, has_fs = _fs_seams(opener, lister, path, "read_warc")
+    engine = _resolve_warc_engine(engine, path, "read_warc", has_fs)
     if engine == "stream":
-        register_warc_datasource(spark)
+        fmt = _warc_format(spark, opener, lister)
         rt = _record_types_option(record_types)
         return (
-            spark.read.format("warc")
+            spark.read.format(fmt)
             .option("record_types", rt)
             .option("decode_text", str(decode_text).lower())
             .load(path)
@@ -1001,12 +1057,19 @@ def _zstd_stream_chunks(fh, who: str):
         ) from None
 
 
-def _decompressed_chunks(path: str, who: str):
+def _decompressed_chunks(path: str, who: str, opener=None):
     """Open ``path`` and yield DECOMPRESSED byte chunks — container
     routed by magic exactly like :func:`_decompress_container`, but
     streamed: gzip members incrementally, zstd through the streaming
-    ladder, plain files in ``_READ_CHUNK`` reads."""
-    with open(path, "rb") as fh:
+    ladder, plain files in ``_READ_CHUNK`` reads.
+
+    ``opener`` (round-15): ``opener(path) -> file-like`` with
+    ``seek``/``read``/``close`` — the object-store seam (default
+    :func:`_posix_opener`).  The whole engine downstream of here is
+    chunk-iterator-shaped, so a ranged-GET reader gets the same
+    bounded-memory watermark as a local file."""
+    fh = (opener or _posix_opener)(path)
+    try:
         head = fh.read(4)
         fh.seek(0)
         if head[:2] == _GZIP_MAGIC:
@@ -1021,6 +1084,8 @@ def _decompressed_chunks(path: str, who: str):
                 if not c:
                     return
                 yield c
+    finally:
+        fh.close()
 
 
 def _records_from_chunks(
@@ -1149,7 +1214,9 @@ def _records_from_chunks(
         pos = body_start + ln_
 
 
-def _path_record_batches(path: str, wanted, decode_text: bool, who=None):
+def _path_record_batches(
+    path: str, wanted, decode_text: bool, who=None, opener=None
+):
     """One WARC file path -> Arrow RecordBatches in the reader schema:
     the per-partition body of the ``warc`` DataSource (batch AND
     stream).  Record-type filter, HTTP gate, quarantine, and flush
@@ -1171,7 +1238,9 @@ def _path_record_batches(path: str, wanted, decode_text: bool, who=None):
             _typed_frame(cols, rows), schema=pa_schema, preserve_index=False
         )
 
-    for rec in _records_from_chunks(_decompressed_chunks(path, who), who):
+    for rec in _records_from_chunks(
+        _decompressed_chunks(path, who, opener), who
+    ):
         wtype = rec["headers"].get("warc-type", "")
         if wanted is not None and wtype.lower() not in wanted:
             continue
@@ -1184,14 +1253,23 @@ def _path_record_batches(path: str, wanted, decode_text: bool, who=None):
         yield flush()
 
 
-def _glob_warc_paths(path: str) -> list:
+def _glob_warc_paths(path: str, lister=None) -> list:
     """Deterministic file listing for the ``warc`` DataSource: a
     directory lists its non-hidden regular files (the same dot/_
     hiding Spark's file sources apply — staged ``.part-*`` tmps must
     never be read), anything else is a glob; sorted for stable
-    partition order."""
+    partition order.
+
+    ``lister`` (round-15): ``lister(path) -> iterable of file paths``
+    — the object-store seam (see :func:`fsspec_lister`, which applies
+    these same directory/glob/hidden-file rules remotely).  An
+    injected lister owns its expansion semantics; only the
+    deterministic sort is applied here."""
     import glob as _g
     import os
+
+    if lister is not None:
+        return sorted(lister(path))
 
     p = path
     if p.startswith("file://"):
@@ -1235,6 +1313,47 @@ class WarcFilePartition(InputPartition):
         self.path = path
 
 
+def _parse_max_files_option(options, who: str):
+    """``max_files_per_trigger`` DataSource option -> int or None
+    (round-15 admission control, shared by the warc and cdx
+    sources)."""
+    raw = options.get("max_files_per_trigger")
+    if raw is None or str(raw).strip() in ("", "none"):
+        return None
+    try:
+        n = int(str(raw))
+    except ValueError:
+        raise ValueError(
+            f"{who}: max_files_per_trigger must be an integer, got "
+            f"{raw!r}"
+        ) from None
+    if n < 1:
+        raise ValueError(f"{who}: max_files_per_trigger must be >= 1")
+    return n
+
+
+def _fs_datasource(base, fmt_name: str, opener, lister):
+    """Derive a DataSource class carrying object-store callables as
+    class state (round-15).  String-only ``.option()``s cannot ship a
+    callable, and module-level classes pickle BY REFERENCE (executors
+    re-import them, losing any session-registered state) — but a class
+    created at runtime is serialized BY VALUE by cloudpickle,
+    opener/lister included, so the planning worker and every executor
+    see the exact callables the session supplied.  Registered under
+    ``fmt_name`` (last registration wins per session; the typed APIs
+    register immediately before ``.load()``, so concurrent same-session
+    loads with DIFFERENT openers must serialize — stated)."""
+    return type(
+        base.__name__ + "Fs",
+        (base,),
+        {
+            "_opener": staticmethod(opener) if opener is not None else None,
+            "_lister": staticmethod(lister) if lister is not None else None,
+            "name": classmethod(lambda cls: fmt_name),
+        },
+    )
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("warc")`` / ``spark.readStream.format
     ("warc")`` — the path-based streaming WARC reader (see the
@@ -1244,8 +1363,15 @@ class WarcDataSource(DataSource):
 
     Options: ``path``; ``record_types`` — comma-separated WARC-Type
     list, ``*`` for everything (default ``response``);
-    ``decode_text`` — add the charset-decoded ``body_text`` column.
-    ``read_warc`` / ``read_warc_stream`` are the typed API."""
+    ``decode_text`` — add the charset-decoded ``body_text`` column;
+    ``max_files_per_trigger`` (stream only, round-15) — admit at most
+    N new files per micro-batch.  ``read_warc`` / ``read_warc_stream``
+    are the typed API.  ``_opener``/``_lister`` are the object-store
+    seams, populated only on :func:`_fs_datasource`-derived classes —
+    this base class stays POSIX."""
+
+    _opener = None
+    _lister = None
 
     @classmethod
     def name(cls) -> str:
@@ -1268,90 +1394,145 @@ class WarcDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("warc datasource requires a path (load(path))")
-        files = _glob_warc_paths(path)
+        files = _glob_warc_paths(path, self._lister)
         if not files:
             raise ValueError(f"read_warc: no WARC files match '{path}'")
         wanted, decode_text = self._parsed_options()
-        return WarcBatchReader(files, wanted, decode_text)
+        return WarcBatchReader(files, wanted, decode_text, self._opener)
 
     def streamReader(self, schema: T.StructType) -> "WarcStreamReader":
         path = self.options.get("path")
         if not path:
             raise ValueError("warc datasource requires a path (load(path))")
         wanted, decode_text = self._parsed_options()
-        return WarcStreamReader(path, wanted, decode_text)
+        return WarcStreamReader(
+            path, wanted, decode_text,
+            lister=self._lister, opener=self._opener,
+            max_files=_parse_max_files_option(self.options, "read_warc_stream"),
+        )
 
 
 class WarcBatchReader(DataSourceReader):
     """One partition per WARC file (the reference-scan task shape);
-    each partition streams Arrow batches from its path."""
+    each partition streams Arrow batches from its path (through the
+    injected opener on object stores — the reader instance is
+    cloudpickled to executors with the callable aboard)."""
 
-    def __init__(self, files, wanted, decode_text):
+    def __init__(self, files, wanted, decode_text, opener=None):
         self._files = files
         self._wanted = wanted
         self._decode_text = decode_text
+        self._opener = opener
 
     def partitions(self):
         return [WarcFilePartition(f) for f in self._files]
 
     def read(self, partition: WarcFilePartition):
         yield from _path_record_batches(
-            partition.path, self._wanted, self._decode_text
+            partition.path, self._wanted, self._decode_text,
+            opener=self._opener,
         )
 
 
 class _FileSetStreamReader(DataSourceStreamReader):
-    """Shared streaming machinery: offsets are the set of files
-    already planned (``{"files": {path: 1}}`` — JSON-primitive,
-    checkpointable, the ZeekStreamReader convention); each microbatch
-    plans one partition per NEW file.  The Python DataSource offset
-    API has no admission control, so there is no per-trigger file cap
-    on these engines."""
+    """Shared streaming machinery: offsets are the SORTED LIST of
+    files already planned (``{"files": [path, ...]}`` —
+    JSON-primitive, checkpointable; round-15 compacted from the r14
+    ``{path: 1}`` dict, which doubled the checkpointed JSON with
+    constant values — old-format offsets still deserialize); each
+    microbatch plans one partition per NEW file.
 
-    def __init__(self, path: str):
+    ``max_files`` (round-15 admission control): ``latestOffset``
+    admits at most N not-yet-seen files, sorted, per trigger — a first
+    trigger against a year-old archive plans N files, not the whole
+    directory.  After a checkpoint restart the in-memory seen-set
+    starts empty, so the first ``latestOffset`` may spend its
+    admission slots re-admitting files the restored start offset
+    already covers; ``partitions`` diffs them away (no re-read, no
+    duplicate rows) and seeds the seen-set from the start offset, so
+    the ramp lasts exactly one trigger (pinned by the restart test).
+
+    ``lister`` is the object-store listing seam (None = POSIX glob)."""
+
+    def __init__(self, path: str, lister=None, max_files=None):
         self._path = path
-        self._seen: dict = {}
+        self._lister = lister
+        self._max_files = max_files
+        self._seen: set = set()
 
     def initialOffset(self) -> dict:
-        return {"files": {}}
+        return {"files": []}
+
+    @staticmethod
+    def _offset_files(off: dict) -> set:
+        # list (r15) or {path: 1} dict (r14 checkpoints): iterating a
+        # dict yields its keys, so one expression covers both
+        return set(off.get("files", []))
 
     def latestOffset(self) -> dict:
-        seen = dict(self._seen)
-        for f in _glob_warc_paths(self._path):
-            seen[f] = 1
-        self._seen = seen  # monotone even if files rotate away
-        return {"files": seen}
+        new = sorted(
+            set(_glob_warc_paths(self._path, self._lister)) - self._seen
+        )
+        if self._max_files is not None:
+            new = new[: self._max_files]
+        self._seen.update(new)  # monotone even if files rotate away
+        return {"files": sorted(self._seen)}
 
     def partitions(self, start: dict, end: dict):
-        new = [
-            f for f in end.get("files", {})
-            if f not in start.get("files", {})
-        ]
-        return [WarcFilePartition(f) for f in sorted(new)]
+        done = self._offset_files(start)
+        # restart seeding: the checkpointed start offset is the
+        # authoritative already-planned set — fold it into the
+        # in-memory view so later latestOffset calls stop re-admitting
+        self._seen.update(done)
+        new = sorted(self._offset_files(end) - done)
+        return [WarcFilePartition(f) for f in new]
 
     def commit(self, end: dict) -> None:
-        pass
+        # second seeding point: Spark calls commit(end) after a batch
+        # lands AND (on restart) for the recovered committed offset —
+        # without this, a restarted capped stream whose first
+        # latestOffset runs before any partitions() call would spend
+        # admission slots re-admitting done files every trigger
+        self._seen.update(self._offset_files(end))
 
 
 class WarcStreamReader(_FileSetStreamReader):
     """Streaming twin of WarcBatchReader: rotated-in WARC files become
     exactly-once record micro-batches with the batch reader's memory
-    bounds.  ``read_warc_stream(engine="binaryfile")`` keeps
-    ``max_files_per_trigger`` at the cost of whole-blob rows."""
+    bounds, per-trigger admission control (round-15), and the
+    object-store opener/lister seams."""
 
-    def __init__(self, path, wanted, decode_text):
-        super().__init__(path)
+    def __init__(
+        self, path, wanted, decode_text,
+        lister=None, opener=None, max_files=None,
+    ):
+        super().__init__(path, lister=lister, max_files=max_files)
         self._wanted = wanted
         self._decode_text = decode_text
+        self._opener = opener
 
     def read(self, partition: WarcFilePartition):
         yield from _path_record_batches(
-            partition.path, self._wanted, self._decode_text
+            partition.path, self._wanted, self._decode_text,
+            opener=self._opener,
         )
 
 
 def register_warc_datasource(spark: SparkSession) -> None:
     spark.dataSource.register(WarcDataSource)
+
+
+def _warc_format(spark: SparkSession, opener, lister) -> str:
+    """Register and name the ``warc`` format variant for this load:
+    the plain POSIX class, or a :func:`_fs_datasource`-derived
+    ``warc_fs`` carrying the session's opener/lister by value."""
+    if opener is None and lister is None:
+        register_warc_datasource(spark)
+        return "warc"
+    spark.dataSource.register(
+        _fs_datasource(WarcDataSource, "warc_fs", opener, lister)
+    )
+    return "warc_fs"
 
 
 # the binaryFile source's fixed schema — a STREAMING file source needs
@@ -1373,6 +1554,8 @@ def read_warc_stream(
     max_files_per_trigger: int | None = None,
     decode_text: bool = False,
     engine: str | None = None,
+    opener=None,
+    lister=None,
 ) -> DataFrame:
     """Streaming :func:`read_warc`: one row per record over a file
     stream, for the daily-crawl shape — new WARC files rotated into
@@ -1386,40 +1569,43 @@ def read_warc_stream(
     ``engine`` (round-14): ``'stream'`` — the path-based ``warc``
     DataSource stream reader (bounded task memory, no 2 GiB file
     limit; see :func:`read_warc`); ``'binaryfile'`` — the binaryFile
-    file stream (whole-file rows, but real admission control).
-    Default: ``'stream'`` for local/``file:`` paths, ``'binaryfile'``
-    when ``max_files_per_trigger`` is set (the Python DataSource
-    offset API cannot bound a micro-batch — requesting both
-    explicitly errors) OR when the path has an object-store/HDFS
-    scheme the glob-based reader cannot list (explicit 'stream' on
-    one errors).  Checkpoints are PER-ENGINE: the two sources
-    serialize different offsets, so don't switch engines under an
-    existing checkpoint.
+    file stream (whole-file rows).  Default: ``'stream'`` for
+    local/``file:`` paths and whenever ``opener``/``lister`` are
+    supplied (the round-15 object-store seams — see
+    :func:`read_warc`); ``'binaryfile'`` for seam-less object-store/
+    HDFS schemes (explicit 'stream' on one errors naming the seams).
+    Checkpoints are PER-ENGINE: the two sources serialize different
+    offsets, so don't switch engines under an existing checkpoint.
 
     ``max_files_per_trigger`` bounds a micro-batch (a crawl file is
-    ~1 GiB; the default processes everything available)."""
+    ~1 GiB; the default processes everything available).  Round-15:
+    supported natively on BOTH engines — the DataSource's
+    ``latestOffset`` admits at most N new sorted files per trigger, so
+    a first trigger against a deep archive plans N files, not the
+    whole directory (a NOTE for restarts: the first trigger after one
+    may admit-and-skip already-done files — see
+    ``_FileSetStreamReader``)."""
     if max_files_per_trigger is not None and max_files_per_trigger < 1:
         raise ValueError(
             "read_warc_stream: max_files_per_trigger must be >= 1"
         )
-    if engine is None and max_files_per_trigger is not None:
-        engine = "binaryfile"
-    engine = _resolve_warc_engine(engine, path, "read_warc_stream")
+    opener, lister, has_fs = _fs_seams(
+        opener, lister, path, "read_warc_stream"
+    )
+    engine = _resolve_warc_engine(engine, path, "read_warc_stream", has_fs)
     if engine == "stream":
-        if max_files_per_trigger is not None:
-            raise ValueError(
-                "read_warc_stream: max_files_per_trigger needs "
-                "engine='binaryfile' (the Python DataSource offset API "
-                "has no admission control)"
-            )
-        register_warc_datasource(spark)
+        fmt = _warc_format(spark, opener, lister)
         rt = _record_types_option(record_types)
-        return (
-            spark.readStream.format("warc")
+        reader = (
+            spark.readStream.format(fmt)
             .option("record_types", rt)
             .option("decode_text", str(decode_text).lower())
-            .load(path)
         )
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "max_files_per_trigger", str(max_files_per_trigger)
+            )
+        return reader.load(path)
     if engine != "binaryfile":
         raise ValueError(
             "read_warc_stream: engine must be 'stream' or 'binaryfile'"
@@ -1511,12 +1697,13 @@ def _append_cdx_row(
     rows["warc_file"].append(fpath)
 
 
-def _path_cdx_spans(path: str, who: str):
+def _path_cdx_spans(path: str, who: str, opener=None):
     """(offset, length, record) spans streamed from a WARC file PATH:
     per-member spans for .warc.gz (via the streaming member iterator),
     per-record decompressed-stream spans otherwise — the same span
-    contract as the blob-based builder, bounded memory."""
-    with open(path, "rb") as fh:
+    contract as the blob-based builder, bounded memory.  ``opener`` is
+    the object-store seam (default :func:`_posix_opener`)."""
+    with (opener or _posix_opener)(path) as fh:
         head = fh.read(4)
         fh.seek(0)
         if head[:2] == _GZIP_MAGIC:
@@ -1544,7 +1731,7 @@ def _path_cdx_spans(path: str, who: str):
                 yield s, e - s, rec
 
 
-def _path_cdx_batches(path: str, wanted, digest_mode: str):
+def _path_cdx_batches(path: str, wanted, digest_mode: str, opener=None):
     """One WARC file path -> CDX-schema Arrow batches (urlkey NULL,
     filled JVM-side) — the per-partition body of the ``cdx``
     DataSource."""
@@ -1561,7 +1748,7 @@ def _path_cdx_batches(path: str, wanted, digest_mode: str):
             _typed_frame(cols, rows), schema=pa_schema, preserve_index=False
         )
 
-    for off, length, rec in _path_cdx_spans(path, who):
+    for off, length, rec in _path_cdx_spans(path, who, opener):
         wtype = rec["headers"].get("warc-type", "").lower()
         if wanted is not None and wtype not in wanted:
             continue
@@ -1578,7 +1765,13 @@ class CdxDataSource(DataSource):
     (``cdx_records`` is the typed API): one partition per WARC file,
     streamed spans, bounded memory, no 2 GiB file limit.  Options:
     ``path``, ``record_types`` (comma list / ``*``), ``digest``
-    ('decoded'|'stored')."""
+    ('decoded'|'stored'), ``max_files_per_trigger`` (stream only,
+    round-15 admission control).  ``_opener``/``_lister`` are the
+    object-store seams (populated on :func:`_fs_datasource`-derived
+    classes only)."""
+
+    _opener = None
+    _lister = None
 
     @classmethod
     def name(cls) -> str:
@@ -1608,28 +1801,35 @@ class CdxDataSource(DataSource):
 
     def reader(self, schema: T.StructType):
         path, wanted, digest_mode = self._parsed_options()
-        files = _glob_warc_paths(path)
+        files = _glob_warc_paths(path, self._lister)
         if not files:
             raise ValueError(f"cdx_records: no WARC files match '{path}'")
-        return CdxBatchReader(files, wanted, digest_mode)
+        return CdxBatchReader(files, wanted, digest_mode, self._opener)
 
     def streamReader(self, schema: T.StructType) -> "CdxStreamReader":
         path, wanted, digest_mode = self._parsed_options()
-        return CdxStreamReader(path, wanted, digest_mode)
+        return CdxStreamReader(
+            path, wanted, digest_mode,
+            lister=self._lister, opener=self._opener,
+            max_files=_parse_max_files_option(
+                self.options, "cdx_records_stream"
+            ),
+        )
 
 
 class CdxBatchReader(DataSourceReader):
-    def __init__(self, files, wanted, digest_mode):
+    def __init__(self, files, wanted, digest_mode, opener=None):
         self._files = files
         self._wanted = wanted
         self._digest = digest_mode
+        self._opener = opener
 
     def partitions(self):
         return [WarcFilePartition(f) for f in self._files]
 
     def read(self, partition: WarcFilePartition):
         yield from _path_cdx_batches(
-            partition.path, self._wanted, self._digest
+            partition.path, self._wanted, self._digest, self._opener
         )
 
 
@@ -1639,14 +1839,18 @@ class CdxStreamReader(_FileSetStreamReader):
     micro-batches (``cdx_records_stream`` is the typed API; land them
     with ``write_cdx(mode='append')`` in ``foreachBatch``)."""
 
-    def __init__(self, path, wanted, digest_mode):
-        super().__init__(path)
+    def __init__(
+        self, path, wanted, digest_mode,
+        lister=None, opener=None, max_files=None,
+    ):
+        super().__init__(path, lister=lister, max_files=max_files)
         self._wanted = wanted
         self._digest = digest_mode
+        self._opener = opener
 
     def read(self, partition: WarcFilePartition):
         yield from _path_cdx_batches(
-            partition.path, self._wanted, self._digest
+            partition.path, self._wanted, self._digest, self._opener
         )
 
 
@@ -1656,6 +1860,8 @@ def cdx_records(
     record_types: "tuple | str | None" = ("response",),
     digest: str = "decoded",
     engine: str | None = None,
+    opener=None,
+    lister=None,
 ) -> DataFrame:
     """Build a CDX(J)-style index of WARC files — the standard
     web-archive random-access index (the format Common Crawl and
@@ -1702,9 +1908,13 @@ def cdx_records(
 
     if digest not in ("decoded", "stored"):
         raise ValueError("cdx_records: digest must be 'decoded' or 'stored'")
-    engine = _resolve_warc_engine(engine, path, "cdx_records")
+    opener, lister, has_fs = _fs_seams(opener, lister, path, "cdx_records")
+    engine = _resolve_warc_engine(engine, path, "cdx_records", has_fs)
     if engine == "stream":
-        return _cdx_frame(spark, path, record_types, digest, streaming=False)
+        return _cdx_frame(
+            spark, path, record_types, digest, streaming=False,
+            opener=opener, lister=lister,
+        )
     if engine != "binaryfile":
         raise ValueError(
             "cdx_records: engine must be 'stream' or 'binaryfile'"
@@ -1722,6 +1932,9 @@ def cdx_records_stream(
     path: str,
     record_types: "tuple | str | None" = ("response",),
     digest: str = "decoded",
+    max_files_per_trigger: int | None = None,
+    opener=None,
+    lister=None,
 ) -> DataFrame:
     """Streaming :func:`cdx_records` — the daily index-maintenance
     loop: WARC files rotated into ``path`` become exactly-once CDX
@@ -1738,24 +1951,41 @@ def cdx_records_stream(
     :func:`read_cdx` prunes, and a replayed micro-batch after restart
     re-lands the same rows (foreachBatch is at-least-once; CDX rows
     are idempotent facts keyed by (warc_file, record_id), so dedup on
-    read or accept duplicates, stated).  Local/``file:`` paths only
-    (the file-set offsets glob through POSIX)."""
+    read or accept duplicates, stated).
+
+    ``max_files_per_trigger`` (round-15): admit at most N new WARC
+    files per micro-batch — bounds first-trigger planning on a deep
+    archive.  ``opener``/``lister`` (round-15): the object-store seams
+    (see :func:`read_warc`); without them the file-set offsets glob
+    through POSIX, so seam-less remote schemes error here."""
     if digest not in ("decoded", "stored"):
         raise ValueError(
             "cdx_records_stream: digest must be 'decoded' or 'stored'"
         )
-    if not _is_local_path(path):
+    if max_files_per_trigger is not None and max_files_per_trigger < 1:
         raise ValueError(
-            f"cdx_records_stream: cannot glob '{path}' — the file-set "
-            "offsets list through POSIX; mount the store or index in "
-            "batch"
+            "cdx_records_stream: max_files_per_trigger must be >= 1"
         )
-    return _cdx_frame(spark, path, record_types, digest, streaming=True)
+    opener, lister, has_fs = _fs_seams(
+        opener, lister, path, "cdx_records_stream"
+    )
+    if not has_fs and not _is_local_path(path):
+        raise ValueError(
+            f"cdx_records_stream: cannot glob '{path}' — pass opener= "
+            "and lister= (e.g. the fsspec pair), mount the store, or "
+            "index in batch"
+        )
+    return _cdx_frame(
+        spark, path, record_types, digest, streaming=True,
+        opener=opener, lister=lister,
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
 
 def _cdx_frame(
     spark: SparkSession, path: str, record_types, digest: str,
-    streaming: bool,
+    streaming: bool, opener=None, lister=None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Shared builder of the batch and streaming ``cdx`` loads (one
     copy of the option wiring + JVM-side urlkey, so the daily
@@ -1764,15 +1994,26 @@ def _cdx_frame(
     from zeek_duckdb_spark.operators.textops import surt_key
     from pyspark.sql import functions as F
 
-    spark.dataSource.register(CdxDataSource)
+    if opener is None and lister is None:
+        fmt = "cdx"
+        spark.dataSource.register(CdxDataSource)
+    else:
+        fmt = "cdx_fs"
+        spark.dataSource.register(
+            _fs_datasource(CdxDataSource, "cdx_fs", opener, lister)
+        )
     rt = _record_types_option(record_types)
     reader = spark.readStream if streaming else spark.read
-    out = (
-        reader.format("cdx")
+    src = (
+        reader.format(fmt)
         .option("record_types", rt)
         .option("digest", digest)
-        .load(path)
     )
+    if max_files_per_trigger is not None:
+        src = src.option(
+            "max_files_per_trigger", str(max_files_per_trigger)
+        )
+    out = src.load(path)
     return out.withColumn("urlkey", surt_key(F.col("url")))
 
 
@@ -1852,6 +2093,45 @@ def _fsspec_open(kwargs: dict, path: str):
     import fsspec
 
     return fsspec.open(path, "rb", **kwargs).open()
+
+
+def fsspec_lister(**kwargs):
+    """Object-store listing factory (round-15) — the ``lister=`` twin
+    of :func:`fsspec_opener`: returns ``lister(path) -> [paths]``
+    applying :func:`_glob_warc_paths`'s directory/glob/hidden-file
+    rules through fsspec (``s3://``, ``gs://``, ... per installed
+    backends), with scheme-qualified results so the paired opener can
+    re-open them.  Import-guarded; pass storage options through
+    ``kwargs`` so the callable stays picklable."""
+    import fsspec  # noqa: F401 — the guard
+
+    import functools
+
+    return functools.partial(_fsspec_list, kwargs)
+
+
+def _fsspec_list(kwargs: dict, path: str) -> list:
+    import posixpath
+
+    import fsspec
+
+    fs, rest = fsspec.core.url_to_fs(path, **kwargs)
+
+    def _hidden(p: str) -> bool:
+        return posixpath.basename(p).startswith((".", "_"))
+
+    if fs.isdir(rest):
+        out = [
+            p for p in fs.ls(rest, detail=False)
+            if fs.isfile(p) and not _hidden(p)
+        ]
+    elif any(c in rest for c in "*?["):
+        out = [p for p in fs.glob(rest) if fs.isfile(p) and not _hidden(p)]
+    else:
+        # a literal path the user pointed at directly is honored even
+        # if hidden — same rule as the POSIX listing
+        out = [rest] if fs.isfile(rest) else []
+    return sorted(fs.unstrip_protocol(p) for p in out)
 
 
 def read_warc_selected(
