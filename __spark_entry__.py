@@ -1179,7 +1179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q01's agg scan + q03/q16's range predicates) to driver-gate
     # mm_webp_roundtrip, the full-value oracle for the r13 VP8L codec
     # (same hex-dump oracle as the PNG row; losslessness is the
-    # contract).
+    # contract).  Round 15 rotated qt_exact_quantiles out (the
+    # quantile family held two slots; qt_grouped_quantiles keeps one)
+    # to driver-gate cx_surt_keys — the SURT canonicalization
+    # full-value oracle, the crawl ring's CDX join key.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -1194,7 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_scalar_subquery": q17_scalar_subquery,
         "q18_date_trunc": q18_date_trunc,
         "q19_json_extract": q19_json_extract,
-        "qt_exact_quantiles": qt_exact_quantiles,
+        "cx_surt_keys": cx_surt_keys,
         "cls_quality_scores": cls_quality_scores,
         "q23_rollup": q23_rollup,
         "q25_exists_correlated": q25_exists_correlated,
@@ -1902,12 +1905,26 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
-        "qt_exact_quantiles": """
-            SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
-                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
-                                        [0.01, 0.25, 0.5, 0.75, 0.99]))
-                     AS value
-            FROM lineitem
+        "cx_surt_keys": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'http://www.' || source || '.example.com/' || lang ||
+                     '/D' || CAST(doc_id AS VARCHAR) || '?b=2&A=1' AS u
+              FROM documents WHERE doc_id < 300),
+            p AS (
+              SELECT doc_id,
+                     lower(regexp_replace(regexp_extract(u,
+                       '^https?://([A-Za-z0-9.-]+)', 1), '^www\.', '')) AS host,
+                     lower(regexp_extract(u,
+                       '^https?://[A-Za-z0-9.-]+(/[^?#]*)', 1)) AS path,
+                     lower(regexp_extract(u, '\?([^#]*)', 1)) AS q
+              FROM t)
+            SELECT doc_id,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' || path || '?' ||
+                   array_to_string(list_sort(string_split(q, '&')), '&')
+                     AS urlkey
+            FROM p
         """,
         "cls_quality_scores": _cls_scores_oracle(),
         "q23_rollup": """
@@ -2627,7 +2644,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     real-codec multimodal oracle) or round 13 (ev_cm_counts — the
     sketch family keeps a driver slot via sk_heavy_hitters; its slot
     driver-gates tx_html_extract, the crawl front door's HTML→text
-    whitespace-contract oracle)
+    whitespace-contract oracle) or round 15 (qt_exact_quantiles —
+    the quantile family held two driver slots, qt_grouped_quantiles
+    keeps one; its slot driver-gates cx_surt_keys, the SURT
+    canonicalization oracle)
     — still oracle-checked by the local harness
     (tests/test_entry_oracle.py) so their coverage never regresses."""
     return {
@@ -2648,7 +2668,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_array_norms": q22_array_norms,
         "dd_cosine_pairs": dd_cosine_pairs,
         "ev_cm_median": ev_cm_median,
-        "cx_surt_keys": cx_surt_keys,
+        "qt_exact_quantiles": qt_exact_quantiles,
         "q06_range_revenue": q06_range_revenue,
     }
 
@@ -2813,25 +2833,11 @@ def extra_oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
-        "cx_surt_keys": r"""
-            WITH t AS (
-              SELECT doc_id,
-                     'http://www.' || source || '.example.com/' || lang ||
-                     '/D' || CAST(doc_id AS VARCHAR) || '?b=2&A=1' AS u
-              FROM documents WHERE doc_id < 300),
-            p AS (
-              SELECT doc_id,
-                     lower(regexp_replace(regexp_extract(u,
-                       '^https?://([A-Za-z0-9.-]+)', 1), '^www\.', '')) AS host,
-                     lower(regexp_extract(u,
-                       '^https?://[A-Za-z0-9.-]+(/[^?#]*)', 1)) AS path,
-                     lower(regexp_extract(u, '\?([^#]*)', 1)) AS q
-              FROM t)
-            SELECT doc_id,
-                   array_to_string(list_reverse(string_split(host, '.')), ',')
-                   || ')' || path || '?' ||
-                   array_to_string(list_sort(string_split(q, '&')), '&')
-                     AS urlkey
-            FROM p
+        "qt_exact_quantiles": """
+            SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(CAST(l_extendedprice AS DOUBLE),
+                                        [0.01, 0.25, 0.5, 0.75, 0.99]))
+                     AS value
+            FROM lineitem
         """,
     }

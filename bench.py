@@ -52,14 +52,15 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# The pinned paired-arm baseline: the round-11 snapshot (same code as
-# r11 HEAD 1bc5113, plus that round's verdict files), so the round-12
-# paired ratio reads THIS round's code changes against the last graded
-# round.  Advance this once per round; keep it at the prior round's
-# snapshot commit so cross-round deltas stay falsifiable.  (r11 used
-# r10 HEAD 72fe19b — the round whose BENCH raw total moved +23% on
-# untouched queries while single-task probes pointed the wrong way.)
-BASELINE_COMMIT = "3997e9bc89e8e772b647e0049718e123b8252c20"
+# The pinned paired-arm baseline: the round-14 snapshot (r14 HEAD plus
+# that round's verdict files), so the round-15 paired ratio reads THIS
+# round's code changes against the last graded round.  Advance this
+# once per round; keep it at the prior round's snapshot commit so
+# cross-round deltas stay falsifiable.  (r11 used r10 HEAD 72fe19b —
+# the round whose BENCH raw total moved +23% on untouched queries
+# while single-task probes pointed the wrong way; r12-r14 used the
+# r11 snapshot 3997e9bc.)
+BASELINE_COMMIT = "b38c1873dde5a7aa0cfce9d7fbb445bfe5a3f388"
 
 # Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
 # machine-drift note: the observed idle end of the cpu 0.28-0.48 s /
