@@ -1,0 +1,196 @@
+"""Seekable ``.warc.zst`` (round-15, r14 verdict item 5): the IIPC
+frame-per-record layout — a structural frame walker (no entropy
+decode) turns frames into CDX-addressable COMPRESSED spans, selected
+reads ranged-read + decode one frame per hit through the capped
+ladder, and the single-whole-file-frame layout keeps its loud
+refusal.  Runs module-free: this container has no ``zstandard``, so
+the positive path exercises the pyarrow rung (entropy-coded frames
+with stated content sizes) and the vendored store-mode rung."""
+
+import io
+
+import pytest
+
+from zeek_duckdb_spark.sources.warc import (
+    _zstd_compress_frame,
+    _zstd_decompress_frame,
+    _zstd_frame_spans,
+    cdx_records,
+    encode_warc,
+    read_warc,
+    read_warc_selected,
+)
+from zeek_duckdb_spark.sources.zstd_raw import compress_store
+
+
+def _http(body: bytes, ctype="text/html", status=200) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _resp(uri: str, body: bytes, **kw):
+    return (
+        {"WARC-Type": "response", "WARC-Record-ID": f"<urn:{uri}>",
+         "WARC-Target-URI": uri, "WARC-Date": "2026-08-16T00:00:00Z",
+         "Content-Type": "application/http; msgtype=response"},
+        _http(body, **kw),
+    )
+
+
+def _skippable(payload: bytes, nibble=0) -> bytes:
+    return (
+        (0x184D2A50 + nibble).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little") + payload
+    )
+
+
+def test_frame_walker_structural():
+    """The walker resolves frame boundaries from headers alone:
+    entropy frames (pyarrow), store frames (vendored), RLE blocks and
+    skippable frames all span correctly; truncation and reserved bits
+    are loud."""
+    f1 = _zstd_compress_frame(b"alpha " * 100)
+    f2 = compress_store(b"beta " * 40)
+    skip = _skippable(b"dictionary-bytes", nibble=3)
+    blob = skip + f1 + f2
+    got = list(_zstd_frame_spans(io.BytesIO(blob), "t"))
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (0, len(skip), "skippable"),
+        (len(skip), len(f1), "data"),
+        (len(skip) + len(f1), len(f2), "data"),
+    ]
+    # stated content sizes ride along (both rungs state them)
+    assert got[1][4] == 600 and got[2][4] == 200
+
+    # RLE-block frame: spec says the block stores ONE byte while the
+    # header carries the REGENERATED size — the walker must skip 1.
+    # Hand-built spec frame: magic, FHD single-segment + 1-byte FCS,
+    # one last RLE block of regenerated size 200
+    rle = (b"\x28\xb5\x2f\xfd" + bytes([0x20]) + bytes([200])
+           + ((200 << 3) | (1 << 1) | 1).to_bytes(3, "little") + b"\x07")
+    assert _zstd_decompress_frame(rle, "t") == b"\x07" * 200
+    (span,) = _zstd_frame_spans(io.BytesIO(rle), "t")
+    assert span[1] == len(rle) and span[2] == "data" and span[4] == 200
+
+    with pytest.raises(ValueError, match="truncated zstd"):
+        list(_zstd_frame_spans(io.BytesIO(f1[:-3]), "t"))
+    with pytest.raises(ValueError, match="bad zstd frame magic"):
+        list(_zstd_frame_spans(io.BytesIO(b"\x00\x01\x02\x03rest"), "t"))
+    bad = bytearray(f1)
+    bad[4] |= 0x08  # reserved frame-header bit
+    with pytest.raises(ValueError, match="reserved"):
+        list(_zstd_frame_spans(io.BytesIO(bytes(bad)), "t"))
+
+
+def test_frame_decoder_capped_ladder():
+    data = b"payload " * 64
+    for frame in (_zstd_compress_frame(data), compress_store(data)):
+        assert _zstd_decompress_frame(frame, "t") == data
+    # a frame whose header states a past-cap size dies BEFORE decode
+    from zeek_duckdb_spark.sources import warc as W
+
+    big = _zstd_compress_frame(b"x" * 4096)
+    saved = W._MAX_RECORD_BYTES
+    try:
+        W._MAX_RECORD_BYTES = 100
+        with pytest.raises(ValueError, match="cap"):
+            _zstd_decompress_frame(big, "t")
+    finally:
+        W._MAX_RECORD_BYTES = saved
+
+
+def test_seekable_zst_cdx_spans_and_selected_read(spark, tmp_path):
+    """The full loop on a frame-per-record .warc.zst: cdx_records
+    emits compressed frame spans (offsets/lengths tile the file), and
+    read_warc_selected ranged-reads exactly the picked record."""
+    recs = [_resp(f"http://z{i}.org/p", f"<p>{i}</p>".encode() * (i + 1))
+            for i in range(5)]
+    blob = encode_warc(recs, compress="zst")
+    f = tmp_path / "crawl.warc.zst"
+    f.write_bytes(blob)
+
+    idx = cdx_records(spark, str(f))
+    rows = sorted(idx.collect(), key=lambda r: r.offset)
+    assert len(rows) == 5
+    assert rows[0].offset == 0
+    assert all(a.offset + a.length == b.offset
+               for a, b in zip(rows, rows[1:]))
+    assert rows[-1].offset + rows[-1].length == len(blob)
+
+    pick = idx.filter("url = 'http://z3.org/p'")
+    got = read_warc_selected(spark, pick).collect()
+    assert [r.target_uri for r in got] == ["http://z3.org/p"]
+    assert bytes(got[0].body) == b"<p>3</p>" * 4
+
+    # whole-index selected read matches the sequential reader
+    whole = {(r.target_uri, bytes(r.body))
+             for r in read_warc_selected(spark, idx).collect()}
+    seq = {(r.target_uri, bytes(r.body))
+           for r in read_warc(spark, str(f)).collect()}
+    assert whole == seq and len(whole) == 5
+
+
+def test_seekable_zst_with_leading_skippable(spark, tmp_path):
+    """A leading skippable frame (the IIPC dictionary carrier, here
+    dict-FREE content frames) offsets every span; decode skips it."""
+    recs = [_resp(f"http://s{i}.org/", b"body-%d" % i) for i in range(3)]
+    blob = _skippable(b"not-actually-a-dict") + encode_warc(
+        recs, compress="zst")
+    f = tmp_path / "skip.warc.zst"
+    f.write_bytes(blob)
+
+    idx = cdx_records(spark, str(f))
+    rows = sorted(idx.collect(), key=lambda r: r.offset)
+    assert len(rows) == 3 and rows[0].offset > 0
+    got = read_warc_selected(
+        spark, idx.filter("url = 'http://s1.org/'")).collect()
+    assert bytes(got[0].body) == b"body-1"
+
+
+def test_single_frame_zst_keeps_refusal(spark, tmp_path):
+    """A whole-file single-frame .warc.zst still indexes the
+    DECOMPRESSED stream and selected reads refuse it loudly — the r14
+    contract, now scoped to exactly this layout."""
+    plain = encode_warc(
+        [_resp(f"http://w{i}.org/", b"xy" * 30) for i in range(3)],
+        compress=False)
+    f = tmp_path / "one.warc.zst"
+    f.write_bytes(_zstd_compress_frame(plain))
+
+    idx = cdx_records(spark, str(f))
+    rows = sorted(idx.collect(), key=lambda r: r.offset)
+    assert len(rows) == 3
+    # decompressed-stream spans: offsets index the PLAIN bytes (the
+    # last span ends at most one trailing CRLF-pair short of EOF)
+    end = rows[-1].offset + rows[-1].length
+    assert len(plain) - 4 <= end <= len(plain)
+    assert plain[rows[1].offset:rows[1].offset + 8] == b"WARC/1.0"
+    with pytest.raises(Exception, match="decompressed stream"):
+        read_warc_selected(spark, idx).collect()
+
+
+def test_non_record_aligned_frames_are_loud(spark, tmp_path):
+    """Frames that split a record (NOT the IIPC convention) must error
+    naming the layout, never emit wrong spans."""
+    plain = encode_warc(
+        [_resp("http://a.org/", b"q" * 400)], compress=False)
+    cut = len(plain) // 2
+    blob = _zstd_compress_frame(plain[:cut]) + _zstd_compress_frame(
+        plain[cut:])
+    f = tmp_path / "mis.warc.zst"
+    f.write_bytes(blob)
+    with pytest.raises(Exception, match="record-aligned"):
+        cdx_records(spark, str(f)).collect()
+
+
+def test_read_warc_stream_engine_reads_multiframe_zst(spark, tmp_path):
+    """The sequential stream engine keeps working on the seekable
+    layout (concatenated frames decode through the pyarrow rung)."""
+    recs = [_resp(f"http://m{i}.org/", b"mm" * (i + 1)) for i in range(4)]
+    f = tmp_path / "m.warc.zst"
+    f.write_bytes(encode_warc(recs, compress="zst"))
+    got = read_warc(spark, str(f)).collect()
+    assert sorted(r.target_uri for r in got) == [
+        f"http://m{i}.org/" for i in range(4)]

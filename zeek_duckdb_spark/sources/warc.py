@@ -464,10 +464,17 @@ def _record_spans(buf: bytes, who: str):
         pos = body_start + ln_
 
 
-def encode_warc(records, compress: bool = True) -> bytes:
+def encode_warc(records, compress="gz") -> bytes:
     """Fixture encoder: ``records`` is an iterable of (headers dict,
-    payload bytes); emits spec-compliant WARC bytes, gzipped one
-    member per record when ``compress`` (the crawl-standard layout)."""
+    payload bytes); emits spec-compliant WARC bytes.  ``compress``:
+    ``'gz'``/True — one gzip member per record (the crawl-standard
+    ``.warc.gz`` layout); ``'zst'`` — one zstd frame per record (the
+    IIPC seekable ``.warc.zst`` layout, round-15); ``False`` —
+    plain."""
+    if compress is True:
+        compress = "gz"
+    if compress not in ("gz", "zst", False):
+        raise ValueError("encode_warc: compress must be 'gz', 'zst' or False")
     out = bytearray()
     for headers, payload in records:
         head = [b"WARC/1.0"]
@@ -475,7 +482,12 @@ def encode_warc(records, compress: bool = True) -> bytes:
             head.append(f"{k}: {v}".encode("latin-1"))
         head.append(f"Content-Length: {len(payload)}".encode())
         rec = b"\r\n".join(head) + b"\r\n\r\n" + bytes(payload) + b"\r\n\r\n"
-        out += gzip.compress(rec) if compress else rec
+        if compress == "gz":
+            out += gzip.compress(rec)
+        elif compress == "zst":
+            out += _zstd_compress_frame(rec)
+        else:
+            out += rec
     return bytes(out)
 
 
@@ -1055,6 +1067,197 @@ def _zstd_stream_chunks(fh, who: str):
         raise ValueError(
             f"{who}: corrupt or truncated zstd stream ({exc})"
         ) from None
+
+
+def _zstd_frame_spans(fh, who: str):
+    """STRUCTURAL walk of a zstd container: yields ``(offset, length,
+    kind, dict_id, content_size)`` per top-level frame — kind
+    'skippable' or 'data' — WITHOUT entropy-decoding anything.  The
+    zstd format (RFC 8878 §3.1) makes this possible: the frame header
+    states its own field widths and every block header carries its
+    compressed size, so frame boundaries resolve from a few header
+    bytes per block.  This is what turns the IIPC seekable
+    ``.warc.zst`` layout (one data frame per record, optional leading
+    skippable dictionary frame) into CDX-addressable spans:
+    ``cdx_records`` indexes COMPRESSED frame spans and
+    ``read_warc_selected`` ranged-reads + decodes one frame per hit.
+    ``content_size`` is the frame-header FCS when stated else None;
+    ``dict_id`` nonzero means the frame needs the shared dictionary
+    (out of the pyarrow ladder's scope — loud downstream)."""
+    fh.seek(0, 2)
+    file_end = fh.tell()
+    fh.seek(0)
+    pos = 0
+
+    def need(n: int, what: str) -> bytes:
+        b = fh.read(n)
+        if len(b) != n:
+            raise ValueError(f"{who}: truncated zstd {what} at {pos}")
+        return b
+
+    while pos < file_end:
+        fh.seek(pos)
+        magic = int.from_bytes(need(4, "frame magic"), "little")
+        if 0x184D2A50 <= magic <= 0x184D2A5F:
+            size = int.from_bytes(need(4, "skippable frame size"), "little")
+            if pos + 8 + size > file_end:
+                raise ValueError(
+                    f"{who}: truncated zstd skippable frame at {pos}"
+                )
+            yield pos, 8 + size, "skippable", None, None
+            pos += 8 + size
+            continue
+        if magic != int.from_bytes(_ZSTD_MAGIC, "little"):
+            raise ValueError(
+                f"{who}: bad zstd frame magic {magic:#x} at {pos}"
+            )
+        fhd = need(1, "frame header descriptor")[0]
+        if fhd & 0x08:
+            raise ValueError(
+                f"{who}: reserved zstd frame-header bit set at {pos}"
+            )
+        fcs_flag, single = fhd >> 6, (fhd >> 5) & 1
+        has_checksum, did_flag = (fhd >> 2) & 1, fhd & 3
+        if not single:
+            need(1, "window descriptor")
+        did_bytes = (0, 1, 2, 4)[did_flag]
+        dict_id = (
+            int.from_bytes(need(did_bytes, "dictionary id"), "little")
+            if did_bytes else 0
+        )
+        fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        content_size = None
+        if fcs_bytes:
+            content_size = int.from_bytes(
+                need(fcs_bytes, "frame content size"), "little"
+            )
+            if fcs_bytes == 2:
+                content_size += 256  # RFC 8878: 2-byte FCS is offset
+        cur = fh.tell()
+        while True:
+            bh = int.from_bytes(need(3, "block header"), "little")
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 3:
+                raise ValueError(
+                    f"{who}: reserved zstd block type at {cur}"
+                )
+            # RLE blocks store ONE byte; bsize is the regenerated size
+            content = 1 if btype == 1 else bsize
+            cur = fh.tell() + content
+            if cur > file_end:
+                raise ValueError(f"{who}: truncated zstd block at {pos}")
+            fh.seek(cur)
+            if last:
+                break
+        if has_checksum:
+            need(4, "content checksum")
+            cur += 4
+        yield pos, cur - pos, "data", dict_id, content_size
+        pos = cur
+
+
+def _zstd_decompress_frame(data: bytes, who: str) -> bytes:
+    """ONE zstd frame -> bytes, capped at ``_MAX_RECORD_BYTES`` — the
+    per-span decoder of the seekable path.  Ladder: the ``zstandard``
+    module (true output cap), else pyarrow's codec gated on the
+    frame's stated content size (an unsized frame cannot be capped
+    one-shot, so it errors naming the module), else the vendored
+    store-mode codec.  Dictionary frames error with the IIPC note on
+    every rung."""
+    try:
+        import zstandard  # type: ignore
+    except ImportError:
+        zstandard = None
+    if zstandard is not None:
+        try:
+            return zstandard.ZstdDecompressor().decompress(
+                data, max_output_size=_MAX_RECORD_BYTES
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"{who}: zstd frame decode failed ({exc}); "
+                f"{_ZSTD_DICT_NOTE}"
+            ) from None
+    _off, _ln, _kind, dict_id, fcs = next(
+        _zstd_frame_spans(io.BytesIO(data), who)
+    )
+    if dict_id:
+        raise ValueError(f"{who}: {_ZSTD_DICT_NOTE}")
+    if fcs is not None and fcs > _MAX_RECORD_BYTES:
+        raise ValueError(
+            f"{who}: zstd frame states {fcs} content bytes — past the "
+            f"{_MAX_RECORD_BYTES}-byte record cap"
+        )
+    try:
+        import pyarrow as pa
+
+        has_zstd = pa.Codec.is_available("zstd")
+    except Exception:
+        has_zstd = False
+    if has_zstd:
+        if fcs is None:
+            raise ValueError(
+                f"{who}: zstd frame states no content size — capping "
+                "an unsized frame needs the zstandard module"
+            )
+        try:
+            out = bytes(
+                pa.CompressedInputStream(
+                    pa.BufferReader(data), "zstd"
+                ).read()
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"{who}: zstd frame decode failed ({exc}); "
+                f"{_ZSTD_DICT_NOTE}"
+            ) from None
+        if len(out) != fcs:
+            raise ValueError(
+                f"{who}: zstd frame decoded to {len(out)} bytes, "
+                f"header stated {fcs}"
+            )
+        return out
+    from zeek_duckdb_spark.sources.zstd_raw import (
+        ZstdCompressedBlockError,
+        ZstdRawError,
+        decompress,
+    )
+
+    try:
+        return decompress(data)
+    except ZstdCompressedBlockError:
+        raise ValueError(
+            f"{who}: entropy-coded zstd WARC needs the zstandard "
+            "module or a pyarrow build with zstd"
+        ) from None
+    except ZstdRawError as exc:
+        raise ValueError(
+            f"{who}: corrupt zstd frame ({exc})"
+        ) from None
+
+
+def _zstd_compress_frame(data: bytes) -> bytes:
+    """bytes -> ONE standalone zstd frame (the seekable layout's
+    unit).  Ladder: zstandard module, pyarrow codec, vendored
+    store-mode encoder — every rung emits a spec-legal frame with its
+    content size stated, so :func:`_zstd_decompress_frame` can cap
+    it."""
+    try:
+        import zstandard  # type: ignore
+
+        return zstandard.ZstdCompressor().compress(data)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return bytes(pa.Codec("zstd").compress(data))
+    except Exception:
+        pass
+    from zeek_duckdb_spark.sources.zstd_raw import compress_store
+
+    return compress_store(data)
 
 
 def _decompressed_chunks(path: str, who: str, opener=None):
@@ -1713,10 +1916,42 @@ def _path_cdx_spans(path: str, who: str, opener=None):
                 for _s, _e, rec in _record_spans(data, who):
                     yield off, clen, rec
         elif len(head) >= 4 and _is_zstd(head):
-            for s, e, rec in _records_from_chunks(
-                _zstd_stream_chunks(fh, who), who, with_spans=True
+            # structural frame walk first (header bytes only): TWO OR
+            # MORE data frames = the IIPC seekable layout — index
+            # COMPRESSED frame spans so read_warc_selected can
+            # ranged-read + decode one frame per hit (round-15).  A
+            # single whole-file frame keeps the r14 behavior:
+            # decompressed-stream spans (selected reads refuse them).
+            frames = [
+                f for f in _zstd_frame_spans(fh, who) if f[2] == "data"
+            ]
+            # ...and only when every frame is record-cap-sized: a
+            # 2-frame 100 GB split is NOT the record-per-frame
+            # convention, and reading one such frame whole would
+            # reintroduce the blob memory model
+            if len(frames) >= 2 and all(
+                f[1] <= _MAX_RECORD_BYTES for f in frames
             ):
-                yield s, e - s, rec
+                for off, clen, _kind, _did, _fcs in frames:
+                    fh.seek(off)
+                    data = _zstd_decompress_frame(fh.read(clen), who)
+                    try:
+                        recs = list(_record_spans(data, who))
+                    except ValueError as exc:
+                        raise ValueError(
+                            f"{who}: multi-frame .warc.zst is not "
+                            "record-aligned — the seekable IIPC "
+                            "layout needs whole records per frame "
+                            f"({exc})"
+                        ) from None
+                    for _s, _e, rec in recs:
+                        yield off, clen, rec
+            else:
+                fh.seek(0)
+                for s, e, rec in _records_from_chunks(
+                    _zstd_stream_chunks(fh, who), who, with_spans=True
+                ):
+                    yield s, e - s, rec
         else:
             def plain_chunks():
                 while True:
@@ -1877,10 +2112,14 @@ def cdx_records(
       the round-trip test).  A member holding several records yields
       that many rows sharing the member span.
     - plain ``.warc``: the record's direct byte span.
-    - ``.warc.zst``: spans into the DECOMPRESSED stream (frame-level
-      random access needs the IIPC dictionary layout — out of scope,
-      stated; the index is still a valid lookup table after
-      pre-decompression).
+    - ``.warc.zst`` (round-15): a MULTI-FRAME container (the IIPC
+      seekable frame-per-record convention, detected by a structural
+      header walk — no decode) indexes COMPRESSED frame spans, the
+      exact gz-member contract; a single whole-file frame keeps the
+      r14 behavior — spans into the DECOMPRESSED stream (still a
+      valid lookup table after pre-decompression; selected reads
+      refuse it loudly).  Dictionary-compressed frames stay out of
+      scope (stated, errors name the IIPC note).
 
     ``urlkey`` is :func:`textops.surt_key` applied JVM-side AFTER the
     expansion — one SURT implementation serves the frontier ops and
@@ -2168,10 +2407,10 @@ def read_warc_selected(
     parallel tasks instead of serializing onto one (r13 verdict item
     3); cross-file selections behave as before.  Each span is read
     independently: gzip-member spans gunzip in isolation (the CDX
-    contract), plain-file spans re-parse directly.  ``.warc.zst``
-    spans index the DECOMPRESSED stream (see cdx_records) — selected
-    reads require pre-decompressed or gz/plain containers and error
-    loudly otherwise.
+    contract), plain-file spans re-parse directly, and seekable
+    ``.warc.zst`` frame spans (round-15) decode through the capped
+    zstd ladder — single-frame zst indexes (decompressed-stream
+    spans, see cdx_records) still error loudly.
 
     ``opener`` (round-14): ``opener(path) -> file-like`` with
     ``seek``/``read``, pickled to executors; default
@@ -2267,12 +2506,39 @@ def read_warc_selected(
                             parts.append(m)
                         span = b"".join(parts)
                         del parts
-                    elif _is_zstd(span) or local.endswith(".zst"):
+                    elif _is_zstd(span):
+                        # seekable .warc.zst span (round-15): one or
+                        # more whole zstd frames — decode each through
+                        # the capped ladder; skippable frames (the
+                        # IIPC dictionary carrier) contribute no bytes
+                        parts, total = [], 0
+                        for _o2, _l2, kind, _did, _fcs in _zstd_frame_spans(
+                            io.BytesIO(span),
+                            f"read_warc_selected({fpath})",
+                        ):
+                            if kind != "data":
+                                continue
+                            data = _zstd_decompress_frame(
+                                span[_o2:_o2 + _l2],
+                                f"read_warc_selected({fpath})",
+                            )
+                            total += len(data)
+                            if total > _MAX_RECORD_BYTES:
+                                raise ValueError(
+                                    f"read_warc_selected({fpath}): span "
+                                    f"at offset {off} inflates past the "
+                                    f"{_MAX_RECORD_BYTES}-byte cap"
+                                )
+                            parts.append(data)
+                        span = b"".join(parts)
+                        del parts
+                    elif local.endswith(".zst"):
                         raise ValueError(
-                            "read_warc_selected: .warc.zst spans index "
-                            "the decompressed stream — pre-decompress "
-                            "or use gz/plain containers for selected "
-                            "reads"
+                            "read_warc_selected: this .warc.zst span "
+                            "indexes the decompressed stream (single-"
+                            "frame container) — re-index a seekable "
+                            "frame-per-record layout, pre-decompress, "
+                            "or use gz/plain containers"
                         )
                     wanted_ids = set(want_ids)
                     wanted_urls = set(want_urls)
