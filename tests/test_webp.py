@@ -3,8 +3,12 @@ crawl-thumbnail format the PNG/JPEG/GIF trio didn't cover (VERDICT
 r12 missing item #2), closed through the same `decoder=` seam with
 zero new packages.
 
-Validation strategy: there is NO independent WebP encoder in this
-container (no PIL/libwebp), so (a) every decoder feature is
+Validation strategy: (0) the EXTERNAL anchor lives in
+test_webp_libwebp_anchor.py (round-15): a vendored real-libwebp
+fixture decodes container-independently, and where libwebp.so is
+installed (this container ships it) both codec halves cross-check
+against it live via ctypes.  Within THIS file: (a) every decoder
+feature is
 round-trip-tested through the fixture encoder's per-feature switches
 (subtract-green, color cache, LZ77 with BOTH distance encodings —
 plane-coded and direct, left-predictor transform, constant color
