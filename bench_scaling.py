@@ -836,7 +836,17 @@ def bench_bucketed(sf_label: str, sf_dir: str, iters: int) -> dict:
     join key — the pay-the-shuffle-at-ingest layout), then run q03/q05
     against the bucketed tables and record wall time + the number of
     shuffle exchanges in the plan.  At 100 TB the landing write is
-    amortized over every subsequent join on the key."""
+    amortized over every subsequent join on the key.
+
+    Round-15 (r14 verdict item 6): this is now a PAIRED arm — each
+    cycle runs the bucketed Spark queries AND their DuckDB oracles
+    back-to-back (same `_paired_cycles` protocol as the headline
+    tables), so the join family's 2x-bar reading at sf>=1 is measured
+    on the landing a standing deployment would actually use, with
+    per-query ratios recorded."""
+    import duckdb
+
+    import __spark_entry__ as em
     from zeek_duckdb_spark.plans import audit
     from zeek_duckdb_spark.session import get_spark
     from zeek_duckdb_spark.sources.sink import write_bucketed
@@ -855,21 +865,39 @@ def bench_bucketed(sf_label: str, sf_dir: str, iters: int) -> dict:
     landing_s = time.perf_counter() - t0
 
     qs = _bucketed_queries(spark, sf_dir, li_t, ord_t)
-    out: dict = {"landing_s": round(landing_s, 3)}
+    names = list(qs)
+    con = duckdb.connect()
+    con.execute("SET threads TO " + os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    oracles = em.oracle_sql()
+    oracles.update(em.extra_oracle_sql())
 
-    def run(fn) -> float:
+    def run_spark(name: str) -> float:
         t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
+        qs[name]().write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    for name, fn in qs.items():
-        run(fn)  # warm-up
-        samples = [run(fn) for _ in range(iters)]
+    def run_duck(name: str) -> float:
+        t0 = time.perf_counter()
+        con.sql(oracles[name]).fetchall()
+        return time.perf_counter() - t0
+
+    for n in names:  # warm-up both engines
+        run_spark(n)
+        run_duck(n)
+    paired = _paired_cycles(iters, names, run_spark, run_duck)
+    out: dict = {"landing_s": round(landing_s, 3), "paired": paired}
+    for name in names:
         out[name] = {
-            "median_s": round(statistics.median(samples), 3),
-            "spread": [round(min(samples), 3), round(max(samples), 3)],
-            "exchanges": audit.num_shuffles(fn()),
+            "median_s": round(paired["spark"][name], 3),
+            "duckdb_s": round(paired["duckdb"][name], 3),
+            "exchanges": audit.num_shuffles(qs[name]()),
         }
+    con.close()
     for t in (li_t, ord_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
@@ -1091,18 +1119,32 @@ def main() -> None:
             "submitted plan (broadcast exchanges of constant-size dims",
             "excluded); the zero-exchange q03 plan is also pinned by",
             "tests/test_plans.py::test_bucketed_landing_q03_zero_exchange.",
+            "Round-15: the bucketed arm is PAIRED against the DuckDB",
+            "oracles per cycle (same protocol as the headline tables) —",
+            "this is the join family's 2x-bar reading at sf>=1 on the",
+            "landing a standing deployment would actually use.",
             "",
-            "| scale | landing write | query | median | spread | shuffle exchanges |",
-            "|---|---|---|---|---|---|",
+            "| scale | landing write | query | spark (bucketed) | duckdb | ratio | shuffle exchanges |",
+            "|---|---|---|---|---|---|---|",
         ]
         for label, b in bucketed.items():
             for q in ("q03_top_orders", "q05_nation_revenue"):
                 r = b[q]
                 lines.append(
                     f"| {label} | {b['landing_s']:.1f} s (once) | {q} | "
-                    f"{r['median_s']:.3f} | {r['spread'][0]:.3f}-{r['spread'][1]:.3f} | "
+                    f"{r['median_s']:.3f} | {r['duckdb_s']:.3f} | "
+                    f"{r['median_s'] / r['duckdb_s']:.1f}x | "
                     f"{r['exchanges']} |"
                 )
+        lines += [""]
+        for label, b in bucketed.items():
+            p = b["paired"]
+            lines.append(
+                f"Paired per-cycle join-family ratio (bucketed), {label}: "
+                f"**{p['ratio_median']:.2f}x** "
+                f"[{p['ratio_spread'][0]:.2f}x-{p['ratio_spread'][1]:.2f}x] "
+                f"over cycles {p['cycle_ratios']}."
+            )
         lines += [""]
     lines += [
         "## Cosine kernel A/B (expr fold vs Arrow pandas_udf)",

@@ -332,7 +332,7 @@ def test_phash_validation(spark):
     from zeek_duckdb_spark.operators.multimodal import phash_media
 
     d = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, media binary")
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(NotImplementedError, match="native library"):
         phash_media(d)
     with pytest.raises(ValueError, match="bits"):
         phash_media(d, fake=True, bits=64)

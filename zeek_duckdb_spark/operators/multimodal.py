@@ -227,6 +227,117 @@ def pil_features(payload: bytes) -> list:
     ]
 
 
+def _libwebp_lib():
+    """Memoized ctypes handle on the SYSTEM libwebp shared library —
+    the zero-package seam for LOSSY WebP (VP8/VP8X+ALPH), the one
+    crawl-dominant image shape the pure-Python ring leaves stubbed.
+    ImportError when the library is absent (the honest
+    `skipped: library absent` seam, same contract as Pillow's)."""
+    global _LIBWEBP
+    if _LIBWEBP is not None:
+        return _LIBWEBP
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    for name in (ctypes.util.find_library("webp"), "libwebp.so.7"):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        raise ImportError(
+            "decoder='libwebp' needs the libwebp shared library "
+            "(apt install libwebp7 / brew install webp); the built-in "
+            "pure-Python codec covers lossless VP8L without it"
+        )
+    lib.WebPGetInfo.restype = ctypes.c_int
+    lib.WebPGetInfo.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    _LIBWEBP = lib
+    return lib
+
+
+_LIBWEBP = None
+
+# libwebp bomb guard: same rationale and default as the Pillow
+# adapter's — the native decoder is fast, so the cap is about memory,
+# not CPU
+_LIBWEBP_MAX_PIXELS_DEFAULT = _PIL_MAX_PIXELS_DEFAULT
+
+
+def libwebp_gray(
+    payload: bytes, max_pixels: int = _LIBWEBP_MAX_PIXELS_DEFAULT
+):
+    """``phash_media(decoder="libwebp")`` adapter: decode ANY WebP —
+    lossy VP8, VP8X+ALPH, and lossless VP8L alike — through the system
+    libwebp via ctypes, to the ring's 2-D float64 grayscale contract
+    (exact channel when R==G==B, BT.601 luma otherwise — the same fold
+    as :func:`operators.webp.decode_webp`, so the two decoders agree
+    bit-for-bit on lossless streams, pinned by tests).  The bomb guard
+    reads dimensions via ``WebPGetInfo`` BEFORE any pixel decodes;
+    every decode failure raises ValueError so the ``on_error``
+    quarantine seams apply."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _libwebp_lib()
+    data = bytes(payload)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if not lib.WebPGetInfo(data, len(data), ctypes.byref(w), ctypes.byref(h)):
+        raise ValueError("libwebp_gray: not a decodable WebP header")
+    if w.value * h.value > max_pixels:
+        raise ValueError(
+            f"libwebp_gray: {w.value}x{h.value} exceeds the "
+            f"{max_pixels}-pixel bomb guard (pass decoder="
+            "functools.partial(libwebp_gray, max_pixels=...) — the "
+            "string form 'libwebp' binds the default)"
+        )
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise ValueError("libwebp_gray: libwebp decode failed")
+    try:
+        n = w.value * h.value * 4
+        rgba = np.ctypeslib.as_array(p, shape=(n,)).reshape(
+            h.value, w.value, 4
+        ).copy()
+    finally:
+        lib.WebPFree(p)
+    r = rgba[:, :, 0].astype(np.float64)
+    g = rgba[:, :, 1].astype(np.float64)
+    b = rgba[:, :, 2].astype(np.float64)
+    if (rgba[:, :, 0] == rgba[:, :, 1]).all() and (
+        rgba[:, :, 1] == rgba[:, :, 2]
+    ).all():
+        return g
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def libwebp_features(payload: bytes) -> list:
+    """``decode_media(decoder="libwebp")`` adapter — the built-in
+    codecs' ``[width, height, mean_gray, std_gray]`` contract through
+    the system libwebp (see :func:`libwebp_gray`)."""
+    g = libwebp_gray(payload)
+    return [
+        float(g.shape[1]),
+        float(g.shape[0]),
+        float(g.mean()),
+        float(g.std()),
+    ]
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -284,19 +395,23 @@ def decode_media(
             decoder = wav_features
         elif decoder == "pil":
             decoder = pil_features  # import-guarded at call time
+        elif decoder == "libwebp":
+            decoder = libwebp_features  # library-guarded at call time
         else:
             raise ValueError(
                 f"decode_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'gif', 'webp', 'image', 'wav' or "
-                "'pil'); pass a callable for other formats"
+                "('png', 'jpeg', 'gif', 'webp', 'image', 'wav', 'pil' "
+                "or 'libwebp'); pass a callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
             "real media decode beyond PNG/JPEG/GIF/WebP(lossless)/WAV "
             "requires an image/audio library not present in this "
             "environment; pass decoder='png'/'jpeg'/'gif'/'webp'/"
-            "'image'/'wav' for the built-in codecs, fake=True for the "
-            "deterministic stub, or inject decoder=fn(payload)->list[float]"
+            "'image'/'wav' for the built-in codecs, 'libwebp'/'pil' "
+            "for the guarded native adapters (lossy formats), "
+            "fake=True for the deterministic stub, or inject "
+            "decoder=fn(payload)->list[float]"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -830,18 +945,21 @@ def phash_media(
             decoder = wav_spectrogram
         elif decoder == "pil":
             decoder = pil_gray  # import-guarded at call time
+        elif decoder == "libwebp":
+            decoder = libwebp_gray  # library-guarded at call time
         else:
             raise ValueError(
                 f"phash_media: unknown built-in decoder {decoder!r} "
-                "('png', 'jpeg', 'gif', 'webp', 'image', 'wav' or "
-                "'pil'); pass a callable for other formats"
+                "('png', 'jpeg', 'gif', 'webp', 'image', 'wav', 'pil' "
+                "or 'libwebp'); pass a callable for other formats"
             )
     if not fake and decoder is None:
         raise NotImplementedError(
             "real media decode beyond PNG/JPEG/GIF/WebP(lossless)/WAV "
-            "requires PIL/soundfile (absent in this environment); pass "
-            "decoder='png'/'jpeg'/'gif'/'webp'/'image'/'wav' for the "
-            "built-in codecs, fake=True, or inject "
+            "requires a native library; pass decoder='png'/'jpeg'/"
+            "'gif'/'webp'/'image'/'wav' for the built-in codecs, "
+            "'libwebp'/'pil' for the guarded native adapters (lossy "
+            "formats), fake=True, or inject "
             "decoder=fn(payload)->2-D array"
         )
     if not 1 <= bits <= 60:
