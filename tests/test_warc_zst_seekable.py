@@ -194,3 +194,41 @@ def test_read_warc_stream_engine_reads_multiframe_zst(spark, tmp_path):
     got = read_warc(spark, str(f)).collect()
     assert sorted(r.target_uri for r in got) == [
         f"http://m{i}.org/" for i in range(4)]
+
+
+def test_frame_walker_differential_property():
+    """Property (hypothesis): for ANY concatenation of pyarrow- and
+    store-encoded frames plus skippable frames, the structural walk
+    tiles the blob exactly and each data frame's span decodes alone to
+    its source payload — the walker can never mis-frame a legal
+    stream."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.binary(min_size=0, max_size=4096)
+    frame = st.one_of(
+        payload.map(lambda b: (b, _zstd_compress_frame(b))),
+        payload.map(lambda b: (b, compress_store(b))),
+        st.binary(min_size=0, max_size=64).map(
+            lambda b: (None, _skippable(b, nibble=len(b) % 16))),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(frame, min_size=1, max_size=6))
+    def run(frames):
+        blob = b"".join(f[1] for f in frames)
+        spans = list(_zstd_frame_spans(io.BytesIO(blob), "t"))
+        assert len(spans) == len(frames)
+        pos = 0
+        for (src, enc), (off, ln, kind, _d, _fcs) in zip(frames, spans):
+            assert off == pos and ln == len(enc)
+            pos += ln
+            if src is None:
+                assert kind == "skippable"
+            else:
+                assert kind == "data"
+                assert _zstd_decompress_frame(
+                    blob[off:off + ln], "t") == src
+        assert pos == len(blob)
+
+    run()
