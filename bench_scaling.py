@@ -795,9 +795,20 @@ def bench_crawl(iters: int) -> None:
 
 
 def _bucketed_queries(spark, sf_dir: str, li_t: str, ord_t: str):
-    """q03/q05 re-expressed over the bucketed catalog tables — same
-    semantics as the __spark_entry__ versions, facts read from the
-    co-located landing instead of plain parquet."""
+    """q03/q05 over the bucketed catalog tables, carrying the SAME
+    round-6 plan discipline as the __spark_entry__ versions (eager
+    lineitem pre-aggregation, narrow projections, no broadcast of an
+    unbounded side) — round-15: the r14 bench arm ran a NAIVE
+    fact-first formulation here, which at sf5 measured ~4x slower
+    than these (6.1 -> 1.6 s q03, 6.0 -> 1.8 s q05, same rows modulo
+    float summation order) and unfairly inflated the bucketed arm's
+    ratios.  On the bucketed landing the pre-aggregation itself needs
+    no exchange (grouped on the bucket key), and the fact-fact join
+    keeps the zero-exchange bucketed sort-merge via the `merge` hint
+    — Catalyst's static size estimate would otherwise BROADCAST the
+    narrow orders projection, a 7.5M-row hash build at sf5 (measured
+    6.2 s) and an OOM at 100 TB.  Dimension tables are 1x at every
+    replicate tier by protocol, so the customer chain broadcasts."""
     from pyspark.sql import functions as F
 
     lb, ob = spark.table(li_t), spark.table(ord_t)
@@ -805,26 +816,46 @@ def _bucketed_queries(spark, sf_dir: str, li_t: str, ord_t: str):
     n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
 
-    def q03b():
-        cb = c.filter(F.col("c_mktsegment") == "BUILDING")
+    def _lagg():
         return (
-            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
-            .join(cb, ob.o_custkey == cb.c_custkey)
-            .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            lb.select("l_orderkey", "l_extendedprice", "l_discount")
+            .groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+
+    def q03b():
+        cb = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        return (
+            _lagg()
+            .join(
+                ob.select("o_orderkey", "o_orderdate", "o_custkey").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(cb), F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                F.col("o_orderkey"), F.col("o_orderdate"),
+                F.round(F.col("rev"), 2).alias("revenue"),
+            )
             .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
             .limit(10)
         )
 
     def q05b():
-        rf = r.filter(F.col("r_name") == "ASIA")
+        rf = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+        dim = (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(rf), n.n_regionkey == F.col("r_regionkey"))
+            .select("c_custkey", "n_name")
+        )
         return (
-            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
-            .join(c, ob.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .join(F.broadcast(rf), n.n_regionkey == rf.r_regionkey)
+            _lagg()
+            .join(
+                ob.select("o_orderkey", "o_custkey").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         )
 
     return {"q03_top_orders": q03b, "q05_nation_revenue": q05b}

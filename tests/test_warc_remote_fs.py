@@ -191,9 +191,11 @@ def test_engine_resolution_with_seams(spark):
 
 
 def test_offset_format_back_compat():
-    """r14 checkpoints stored ``{"files": {path: 1}}``; the r15 list
-    form and the dict form must both deserialize (a live stream
-    restarted onto r15 code keeps its offsets)."""
+    """Three offset generations deserialize to the same file set (a
+    live stream restarted onto r15 code keeps its offsets): the r14
+    ``{"files": {path: 1}}`` dict, the interim sorted list, and the
+    r15 directory-grouped form — whose serialize/deserialize pair
+    round-trips any path set, including splits that don't rejoin."""
     assert _FileSetStreamReader._offset_files(
         {"files": {"a.warc": 1, "b.warc": 1}}
     ) == {"a.warc", "b.warc"}
@@ -201,3 +203,20 @@ def test_offset_format_back_compat():
         {"files": ["a.warc", "b.warc"]}
     ) == {"a.warc", "b.warc"}
     assert _FileSetStreamReader._offset_files({"files": []}) == set()
+
+    paths = {
+        "/crawl/2026/day0.warc.gz", "/crawl/2026/day1.warc.gz",
+        "/crawl/2027/day0.warc.gz", "mem://bucket/x.warc",
+        "bare.warc", "s3://b//doubleslash.warc",  # non-rejoining split
+    }
+    off = _FileSetStreamReader._serialize_files(paths)
+    assert _FileSetStreamReader._offset_files(off) == paths
+    # each directory name appears once; the two 2026 files share a key
+    assert set(off["d"]["/crawl/2026"]) == {"day0.warc.gz", "day1.warc.gz"}
+    assert "s3://b//doubleslash.warc" in off["d"][""]
+    assert "bare.warc" in off["d"][""]
+    # JSON-primitive (the checkpoint requirement) and deterministic
+    import json
+
+    assert json.loads(json.dumps(off)) == off
+    assert off == _FileSetStreamReader._serialize_files(set(paths))

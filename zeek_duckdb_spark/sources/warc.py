@@ -1638,12 +1638,17 @@ class WarcBatchReader(DataSourceReader):
 
 
 class _FileSetStreamReader(DataSourceStreamReader):
-    """Shared streaming machinery: offsets are the SORTED LIST of
-    files already planned (``{"files": [path, ...]}`` —
-    JSON-primitive, checkpointable; round-15 compacted from the r14
-    ``{path: 1}`` dict, which doubled the checkpointed JSON with
-    constant values — old-format offsets still deserialize); each
-    microbatch plans one partition per NEW file.
+    """Shared streaming machinery: offsets are the set of files
+    already planned, serialized DIRECTORY-GROUPED (round-15:
+    ``{"d": {dirname: [sorted basenames]}}`` — each directory name is
+    checkpointed once instead of once per file, which at the stated
+    100k-file archive scale is the difference between a ~1 MiB and a
+    multi-MiB offset JSON written per batch; a path whose
+    dirname/basename split does not round-trip exactly — e.g. a
+    double-slash — lands verbatim under the ``""`` key).  Both older
+    formats still deserialize: the r14 ``{"files": {path: 1}}`` dict
+    and the interim sorted list.  Each microbatch plans one partition
+    per NEW file.
 
     ``max_files`` (round-15 admission control): ``latestOffset``
     admits at most N not-yet-seen files, sorted, per trigger — a first
@@ -1668,9 +1673,30 @@ class _FileSetStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _offset_files(off: dict) -> set:
-        # list (r15) or {path: 1} dict (r14 checkpoints): iterating a
-        # dict yields its keys, so one expression covers both
+        import posixpath
+
+        if "d" in off:  # r15 directory-grouped form
+            return {
+                posixpath.join(d, n) if d else n
+                for d, names in off["d"].items()
+                for n in names
+            }
+        # interim r15 list or r14 {path: 1} dict: iterating a dict
+        # yields its keys, so one expression covers both
         return set(off.get("files", []))
+
+    @staticmethod
+    def _serialize_files(seen: set) -> dict:
+        import posixpath
+
+        groups: dict = {}
+        for p in seen:
+            d, n = posixpath.dirname(p), posixpath.basename(p)
+            # verbatim fallback when the split doesn't round-trip
+            if not d or posixpath.join(d, n) != p:
+                d, n = "", p
+            groups.setdefault(d, []).append(n)
+        return {"d": {d: sorted(ns) for d, ns in sorted(groups.items())}}
 
     def latestOffset(self) -> dict:
         new = sorted(
@@ -1679,7 +1705,7 @@ class _FileSetStreamReader(DataSourceStreamReader):
         if self._max_files is not None:
             new = new[: self._max_files]
         self._seen.update(new)  # monotone even if files rotate away
-        return {"files": sorted(self._seen)}
+        return self._serialize_files(self._seen)
 
     def partitions(self, start: dict, end: dict):
         done = self._offset_files(start)
