@@ -229,3 +229,50 @@ def test_raw_datasource_guards(spark, tmp_path):
     with pytest.raises(Exception, match="not sorted"):
         (df.write.format("cdxj").mode("overwrite")
          .save(str(tmp_path / "y")))
+
+
+def test_cdxj_line_roundtrip_property():
+    """Property (hypothesis): any legal index row survives
+    _cdxj_line -> _parse_cdxj_line exactly — json quoting, optional
+    fields, unicode urls, large offsets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zeek_duckdb_spark.sources.cdxj import _cdxj_line, _parse_cdxj_line
+
+    key = st.text(
+        alphabet=st.characters(
+            blacklist_characters=" \t\r\n",
+            blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+        ),
+        min_size=1, max_size=40,
+    )
+    ts = st.integers(10**13, 10**14 - 1).map(str)
+    opt_text = st.one_of(st.none(), st.text(max_size=30))
+    nonneg = st.integers(0, 2**62)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        key, ts,
+        st.text(min_size=1, max_size=60),          # url (any text)
+        opt_text,                                  # record_id
+        opt_text,                                  # mime
+        st.one_of(st.none(), st.integers(0, 999)),  # http_status
+        opt_text,                                  # digest
+        nonneg, nonneg,                            # length, offset
+        st.text(min_size=1, max_size=60),          # warc_file
+    )
+    def run(k, t, url, rid, mime, status, digest, length, offset, wf):
+        row = (k, t, url, rid, mime, status, digest, length, offset, wf)
+        line = _cdxj_line(row)
+        assert "\n" not in line and "\r" not in line
+        back = _parse_cdxj_line(line, "t")
+        # ''/'-' text optionals read back as NULL (the CDX
+        # absent-value convention — a stated one-way fold); the key
+        # itself is never folded
+        fold = lambda v: None if v in ("", "-") else v  # noqa: E731
+        want = (k, t, fold(url), fold(rid), fold(mime), status,
+                fold(digest), length, offset, fold(wf))
+        assert tuple(back) == want
+
+    run()
