@@ -152,3 +152,28 @@ def test_multi_record_member_copies_whole(spark, tmp_path):
     got = read_warc(spark, out + "/part-*.warc.gz")
     assert sorted(r.target_uri for r in got.collect()) == [
         f"http://mm.org/{i}" for i in range(3)]  # whole member, stated
+
+
+def test_warcinfo_leader(spark, tmp_path):
+    """warcinfo=True prepends each shard with a deterministic
+    warcinfo member (the Common Crawl shard convention); the data
+    records stay byte-identical and a default read_warc (responses
+    only) returns the same rows."""
+    crawl = _archive(tmp_path, hosts=1, pages=2)
+    idx = cdx_records(spark, str(crawl / "*.warc.gz"))
+    out = str(tmp_path / "subset")
+    extract_warc(spark, idx, out, warcinfo=True)
+    shard = sorted(f for f in os.listdir(out) if f.startswith("part-"))[0]
+    blob = open(os.path.join(out, shard), "rb").read()
+    info = read_warc(spark, out + "/part-*.warc.gz",
+                     record_types=("warcinfo",)).collect()
+    assert len(info) == 1
+    first = gzip.GzipFile(fileobj=io.BytesIO(blob)).read(64)
+    assert b"WARC-Type: warcinfo" in first or first.startswith(b"WARC/1.0")
+    got = read_warc(spark, out + "/part-*.warc.gz")
+    assert sorted(r.target_uri for r in got.collect()) == [
+        "http://h0.org/p0", "http://h0.org/p1"]
+    # deterministic: a re-extract produces identical shard bytes
+    extract_warc(spark, idx, str(tmp_path / "again"), warcinfo=True)
+    again = sorted(f for f in os.listdir(str(tmp_path / "again")))
+    assert open(os.path.join(str(tmp_path / "again"), again[0]), "rb").read() == blob

@@ -2606,6 +2606,7 @@ def extract_warc(
     out_dir: str,
     task_bytes: int = 64 << 20,
     opener=None,
+    warcinfo: bool = False,
 ) -> dict:
     """BYTE-EXACT archive subsetting — the web-archive "extraction"
     operation (what warcio/pywb's extract does, distributed): copy the
@@ -2637,7 +2638,12 @@ def extract_warc(
     leaves no visible shard) and returns a manifest dict
     ``{"files": n, "records_spans": n, "bytes": n}``.  ``opener`` is
     the object-store READ seam; the sink is POSIX/NFS-scope like the
-    zeek/WET writers."""
+    zeek/WET writers.
+
+    ``warcinfo=True`` prepends each shard with a deterministic
+    ``warcinfo`` record member naming this engine (the Common Crawl /
+    warcio shard convention — some consumers expect it first); default
+    False keeps shards to exactly the copied spans."""
     import os
     import uuid as _uuid
 
@@ -2759,6 +2765,27 @@ def extract_warc(
                         out_bytes = _gzip.compress(span, mtime=0)
                     if out is None:
                         out = open(tmp, "wb")
+                        if warcinfo:
+                            import hashlib
+
+                            body = (
+                                b"software: zeek-duckdb-spark "
+                                b"extract_warc\r\nformat: WARC File "
+                                b"Format 1.0\r\n"
+                            )
+                            rid = hashlib.sha1(
+                                final.encode() + body
+                            ).hexdigest()
+                            info = _gzip.compress(encode_warc([(
+                                {"WARC-Type": "warcinfo",
+                                 "WARC-Record-ID": f"<urn:sha1:{rid}>",
+                                 "WARC-Filename": final,
+                                 "Content-Type":
+                                     "application/warc-fields"},
+                                body,
+                            )], compress=False), mtime=0)
+                            out.write(info)
+                            wrote += len(info)
                     out.write(out_bytes)
                     spans += 1
                     wrote += len(out_bytes)
