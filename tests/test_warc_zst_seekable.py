@@ -101,6 +101,19 @@ def test_frame_decoder_capped_ladder():
         W._MAX_RECORD_BYTES = saved
 
 
+def test_frame_decoder_lying_fcs_is_loud():
+    """A frame whose header UNDER-states its content size (the bomb
+    shape the stated-size gate alone cannot catch) errors instead of
+    inflating past the statement: every ladder rung reads at most
+    stated+1 bytes before the mismatch check."""
+    data = b"A" * 1000
+    frame = bytearray(compress_store(data))
+    assert frame[4] == 0x60  # single-segment, 2-byte FCS
+    frame[5:7] = (0).to_bytes(2, "little")  # now states 256, not 1000
+    with pytest.raises(ValueError, match="zstd frame"):
+        _zstd_decompress_frame(bytes(frame), "t")
+
+
 def test_seekable_zst_cdx_spans_and_selected_read(spark, tmp_path):
     """The full loop on a frame-per-record .warc.zst: cdx_records
     emits compressed frame spans (offsets/lengths tile the file), and

@@ -1202,11 +1202,20 @@ def _zstd_decompress_frame(data: bytes, who: str) -> bytes:
                 "an unsized frame needs the zstandard module"
             )
         try:
-            out = bytes(
-                pa.CompressedInputStream(
-                    pa.BufferReader(data), "zstd"
-                ).read()
+            # read AT MOST fcs+1 bytes: a lying header (small stated
+            # size, huge actual output) must hit the mismatch error
+            # below, not inflate unbounded before the length check
+            stream = pa.CompressedInputStream(
+                pa.BufferReader(data), "zstd"
             )
+            parts, total = [], 0
+            while total <= fcs:
+                c = stream.read(min(_READ_CHUNK, fcs + 1 - total))
+                if not c:
+                    break
+                parts.append(bytes(c))
+                total += len(c)
+            out = b"".join(parts)
         except Exception as exc:
             raise ValueError(
                 f"{who}: zstd frame decode failed ({exc}); "
