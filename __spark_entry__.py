@@ -2389,6 +2389,122 @@ def cx_surt_keys(spark, sf):
     return d.select("doc_id", surt_key(url).alias("urlkey"))
 
 
+# cx_resolve_revisits input construction — ONE expression text per
+# column, legal in both Spark SQL and DuckDB (STRING alias, FLOOR
+# division, md5, lpad, || concat are shared), so the two engines
+# synthesize byte-identical CDX frames from `documents`
+_RR_UK = (
+    "CASE WHEN idx = 2 AND gid % 5 = 0 THEN 'x)/' || CAST(gid AS STRING) "
+    "ELSE 'k)/' || CAST(gid AS STRING) END"
+)
+_RR_TS = (
+    "'202601' || lpad(CAST(CASE WHEN idx = 0 THEN 2 + gid % 3 "
+    "WHEN idx = 1 THEN 6 WHEN gid % 11 = 0 THEN 1 "
+    "WHEN gid % 2 = 0 THEN 4 ELSE 7 END AS STRING), 2, '0') || '000000'"
+)
+_RR_MIME = (
+    "CASE WHEN idx = 2 THEN 'warc/revisit' WHEN gid % 4 = 0 THEN NULL "
+    "ELSE 'text/html' END"
+)
+_RR_DIGEST = (
+    "CASE WHEN idx = 2 AND gid % 7 = 0 THEN 'none' || CAST(gid AS STRING) "
+    "ELSE md5(CAST(gid AS STRING)) END"
+)
+
+
+def cx_resolve_revisits(spark, sf):
+    """The web-archive revisit-resolution join (sources/warc.
+    resolve_revisits, round 15): a synthetic CDX frame from
+    `documents` — 3 captures per digest group, the third a
+    ``warc/revisit`` row whose urlkey / timestamp / digest vary by
+    group to hit every preference rank (latest-at-or-before,
+    earliest-same-url, cross-url earliest), plus unmatched digests
+    (dropped) and NULL-mime originals (null-safe passthrough).  The
+    oracle restates the as-of ranking as a candidates join +
+    ROW_NUMBER with rank-class ordering — the semantics, not the
+    (window-pass, no-explosion) plan."""
+    from zeek_duckdb_spark.sources.warc import resolve_revisits
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    b = d.select(
+        F.expr("CAST(FLOOR(doc_id / 3) AS BIGINT)").alias("gid"),
+        F.expr("CAST(doc_id % 3 AS INT)").alias("idx"),
+        "doc_id",
+    )
+    cdx = b.select(
+        F.expr(_RR_UK).alias("urlkey"),
+        F.expr(_RR_TS).alias("cdx_ts"),
+        F.expr("'http://' || " + _RR_UK).alias("url"),
+        F.expr("'r' || CAST(doc_id AS STRING)").alias("record_id"),
+        F.expr(_RR_MIME).alias("mime"),
+        F.expr("CAST(200 AS INT)").alias("http_status"),
+        F.expr(_RR_DIGEST).alias("digest"),
+        F.expr("CAST(100 + doc_id AS BIGINT)").alias("length"),
+        F.expr("CAST(1000 * doc_id AS BIGINT)").alias("offset"),
+        F.expr("'w' || CAST(gid % 2 AS STRING) || '.warc.gz'").alias(
+            "warc_file"
+        ),
+    )
+    return resolve_revisits(cdx)
+
+
+def _resolve_revisits_oracle() -> str:
+    return f"""
+        WITH base AS (
+          SELECT CAST(FLOOR(doc_id / 3) AS BIGINT) AS gid,
+                 CAST(doc_id % 3 AS INT) AS idx, doc_id
+          FROM documents WHERE doc_id < 300),
+        cdx AS (
+          SELECT {_RR_UK} AS urlkey,
+                 {_RR_TS} AS cdx_ts,
+                 'http://' || {_RR_UK} AS url,
+                 'r' || CAST(doc_id AS STRING) AS record_id,
+                 {_RR_MIME} AS mime,
+                 CAST(200 AS INT) AS http_status,
+                 {_RR_DIGEST} AS digest,
+                 CAST(100 + doc_id AS BIGINT) AS "length",
+                 CAST(1000 * doc_id AS BIGINT) AS "offset",
+                 'w' || CAST(gid % 2 AS STRING) || '.warc.gz' AS warc_file
+          FROM base),
+        orig AS (SELECT * FROM cdx
+                 WHERE mime IS DISTINCT FROM 'warc/revisit'),
+        rev AS (SELECT * FROM cdx
+                WHERE mime IS NOT DISTINCT FROM 'warc/revisit'),
+        cand AS (
+          SELECT r.urlkey AS r_urlkey, r.cdx_ts AS r_cdx_ts,
+                 r.url AS r_url, r.http_status AS r_status,
+                 r.digest AS r_digest,
+                 o.record_id, o.mime, o."length", o."offset", o.warc_file,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY r.record_id
+                   ORDER BY
+                     CASE WHEN o.urlkey = r.urlkey
+                               AND coalesce(o.cdx_ts, '')
+                                   <= coalesce(r.cdx_ts, '') THEN 0
+                          WHEN o.urlkey = r.urlkey THEN 1 ELSE 2 END,
+                     CASE WHEN o.urlkey = r.urlkey
+                               AND coalesce(o.cdx_ts, '')
+                                   <= coalesce(r.cdx_ts, '')
+                          THEN coalesce(o.cdx_ts, '') END DESC,
+                     CASE WHEN o.urlkey = r.urlkey
+                               AND coalesce(o.cdx_ts, '')
+                                   <= coalesce(r.cdx_ts, '')
+                          THEN coalesce(o.record_id, '') END DESC,
+                     coalesce(o.cdx_ts, '') ASC,
+                     coalesce(o.record_id, '') ASC) AS rn
+          FROM rev r JOIN orig o
+            ON o.digest = r.digest AND o.digest IS NOT NULL)
+        SELECT urlkey, cdx_ts, url, record_id, mime, http_status,
+               digest, "length", "offset", warc_file
+        FROM orig
+        UNION ALL
+        SELECT r_urlkey AS urlkey, r_cdx_ts AS cdx_ts, r_url AS url,
+               record_id, mime, r_status AS http_status,
+               r_digest AS digest, "length", "offset", warc_file
+        FROM cand WHERE rn = 1
+    """
+
+
 def ev_cm_median(spark, sf):
     """CM-median over a signed sketch (operators/sketches, r10):
     insert sketch over event user_ids MERGED with a deletion batch
@@ -2670,6 +2786,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cm_median": ev_cm_median,
         "qt_exact_quantiles": qt_exact_quantiles,
         "q06_range_revenue": q06_range_revenue,
+        "cx_resolve_revisits": cx_resolve_revisits,
     }
 
 
@@ -2696,6 +2813,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "mm_decode_fake": _decode_fake_oracle(),
+        "cx_resolve_revisits": _resolve_revisits_oracle(),
         "ev_cm_counts": _cm_counts_oracle(),
         "tx_repetition": """
             WITH d AS (

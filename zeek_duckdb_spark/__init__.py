@@ -20,7 +20,11 @@ from zeek_duckdb_spark.header import ZeekHeader, parse_header, zeek_type_to_spar
 from zeek_duckdb_spark.sources.zeek import read_zeek
 from zeek_duckdb_spark.sources.zeek_json import read_zeek_json
 from zeek_duckdb_spark.sources.zeek_writer import write_zeek, write_zeek_stream
-from zeek_duckdb_spark.sources.warc import extract_warc, read_warc
+from zeek_duckdb_spark.sources.warc import (
+    extract_warc,
+    read_warc,
+    resolve_revisits,
+)
 from zeek_duckdb_spark.sources.cdxj import read_cdxj, write_cdxj
 from zeek_duckdb_spark.functions.inet import register_inet_functions
 from zeek_duckdb_spark.functions.intervals import (
@@ -50,6 +54,7 @@ __all__ = [
     "read_zeek_json",
     "read_warc",
     "extract_warc",
+    "resolve_revisits",
     "read_cdxj",
     "write_cdxj",
     "write_zeek",

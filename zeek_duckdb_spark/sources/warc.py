@@ -54,6 +54,7 @@ __all__ = [
     "cdx_records_stream",
     "read_warc_selected",
     "extract_warc",
+    "resolve_revisits",
     "fsspec_opener",
     "fsspec_lister",
     "write_cdx",
@@ -1911,19 +1912,33 @@ def _append_cdx_row(
     if digest_mode == "stored":
         body = _stored_payload(rec["payload"])
         status = ctype = None
-        if wtype == "response":
+        if wtype in ("response", "revisit"):
             status, ctype, _b, _c = _http_gate(h, rec["payload"], who=who)
         else:
             ctype = h.get("content-type")
-    elif wtype == "response":
+    elif wtype in ("response", "revisit"):
         status, ctype, body, _cenc = _http_gate(h, rec["payload"], who=who)
     else:
         status = None
         ctype, body = h.get("content-type"), rec["payload"]
     digest = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    mime_override = None
+    if wtype == "revisit":
+        # the external CDX convention for revisit records (pywb /
+        # Common Crawl): mime is the literal 'warc/revisit' marker and
+        # digest is the ORIGINAL payload's digest from the
+        # WARC-Payload-Digest header (the whole point of the record —
+        # its own payload is just the re-fetch's HTTP head), so
+        # resolve_revisits can equi-join it back to the capture that
+        # stored the content.  Header absent -> own-payload hash, as
+        # for any other record (a row that then matches nothing).
+        mime_override = "warc/revisit"
+        hd = h.get("warc-payload-digest")
+        if hd:
+            digest = hd.split(":", 1)[-1].strip()
     wdate = h.get("warc-date") or ""
     cdx_ts = "".join(c for c in wdate if c.isdigit())[:14]
-    mime = (ctype or "").split(";", 1)[0].strip() or None
+    mime = mime_override or (ctype or "").split(";", 1)[0].strip() or None
     rows["urlkey"].append(None)  # filled JVM-side
     rows["cdx_ts"].append(cdx_ts or None)
     rows["url"].append(h.get("warc-target-uri"))
@@ -2831,6 +2846,182 @@ def extract_warc(
         "record_spans": int(sum(m.spans for m in manifest)),
         "bytes": int(sum(m.bytes for m in manifest)),
     }
+
+
+_REVISIT_MIME = "warc/revisit"
+
+
+def resolve_revisits(
+    cdx_df: DataFrame,
+    on_unmatched: str = "drop",
+    cross_url: bool = True,
+) -> DataFrame:
+    """Resolve WARC ``revisit`` records to the capture that STORED the
+    content — the web-archive dedup join (ISO 28500 §6.7.2
+    identical-payload-digest profile; what pywb's self-redundant
+    lookup and Common Crawl consumers do before reading payloads).  A
+    crawler that re-fetches an unchanged page writes a tiny revisit
+    record carrying only the original payload's digest; a corpus read
+    that ignores them silently loses every re-crawled page, and one
+    that reads them gets empty bodies.
+
+    Input: a :func:`cdx_records` frame indexed with revisits included
+    (``record_types=('response', 'revisit')``) — revisit rows carry
+    ``mime='warc/revisit'`` and the ORIGINAL's digest (the external
+    CDX convention; use ``digest='stored'`` so header digests and
+    computed response digests share one convention).  Output: the same
+    schema; non-revisit rows pass through; each resolved revisit keeps
+    its CAPTURE identity (urlkey, cdx_ts, url, http_status) while its
+    content fields (mime, length, offset, warc_file, record_id) become
+    the matched original's — so :func:`read_warc_selected` /
+    :func:`extract_warc` materialize the real payload at the revisit's
+    place in history.
+
+    Match preference, per revisit: (1) same urlkey, LATEST original at
+    cdx_ts <= the revisit's (ties: the original wins, then record_id);
+    (2) same urlkey, earliest original overall (archives are not
+    written in time order across segments); (3) ``cross_url=True``:
+    earliest original anywhere with that digest (the spec's
+    WARC-Refers-To-Target-URI recommendation makes same-URL the
+    common case, but cross-URL duplicates are legal).  ``on_unmatched``:
+    ``'drop'`` (default — the training-corpus posture: no span, no
+    row), ``'keep'`` (pass the revisit row through untouched, still
+    ``warc/revisit``-marked), ``'error'`` (fail the JOB at execution
+    time naming the first unmatched urlkey).
+
+    Scale shape (the 100 TB posture): rank-1/2 resolve in ONE window
+    pass over rows shuffled by (digest, urlkey) — an as-of join with
+    NO candidate explosion: a hyper-duplicated digest (the empty-page
+    digest a million captures share) costs a sort of its group, never
+    a quadratic join.  The cross-url fallback pre-aggregates originals
+    to ONE row per digest before its equi-join, so it cannot explode
+    either; it joins only the (typically tiny) still-unmatched rest.
+    No driver-side materialization; no UDF."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if on_unmatched not in ("drop", "keep", "error"):
+        raise ValueError(
+            "resolve_revisits: on_unmatched must be 'drop', 'keep' or "
+            "'error'"
+        )
+    out_cols = _CDX_SCHEMA.fieldNames()
+    missing = [c for c in out_cols if c not in cdx_df.columns]
+    if missing:
+        raise ValueError(
+            f"resolve_revisits: input is missing CDX columns {missing} "
+            "— pass a cdx_records()/read_cdx()/read_cdxj() frame"
+        )
+
+    # null-SAFE test: a NULL mime is an ordinary (non-revisit) row —
+    # plain == would null out the passthrough filter and silently drop
+    # every null-mime original (caught in the r15 plan audit)
+    is_rev = F.col("mime").eqNullSafe(F.lit(_REVISIT_MIME))
+    # the fields a match supplies (digest is the join key — same on
+    # both sides by construction)
+    span = F.struct(
+        F.col("mime").alias("mime"),
+        F.col("length").alias("length"),
+        F.col("offset").alias("offset"),
+        F.col("warc_file").alias("warc_file"),
+        F.col("record_id").alias("record_id"),
+    )
+    tagged = cdx_df.select(*out_cols).withColumn(
+        "__rev", is_rev.cast("int")
+    ).withColumn(
+        "__orig",
+        F.when(~is_rev & F.col("digest").isNotNull(), span),
+    )
+    # original-before-revisit at equal cdx_ts: __rev breaks the tie so
+    # the running last() sees it; record_id makes the order total
+    order = [
+        F.coalesce(F.col("cdx_ts"), F.lit("")).asc(),
+        F.col("__rev").asc(),
+        F.coalesce(F.col("record_id"), F.lit("")).asc(),
+    ]
+    w_run = (
+        Window.partitionBy("digest", "urlkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("digest", "urlkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    matched = F.coalesce(
+        F.last("__orig", ignorenulls=True).over(w_run),   # rank 1
+        F.first("__orig", ignorenulls=True).over(w_all),  # rank 2
+    )
+    wdf = tagged.withColumn(
+        "__m", F.when(F.col("__rev") == 1, matched)
+    )
+    passthrough = wdf.filter(F.col("__rev") == 0).select(*out_cols)
+    rev = wdf.filter(F.col("__rev") == 1)
+
+    if cross_url:
+        # rank 3: ONE candidate per digest, aggregated BEFORE the join
+        best_any = (
+            tagged.filter(
+                (F.col("__rev") == 0) & F.col("__orig").isNotNull()
+            )
+            .groupBy("digest")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.coalesce(F.col("cdx_ts"), F.lit("")).alias("ts"),
+                        F.coalesce(F.col("record_id"), F.lit("")).alias(
+                            "rid"
+                        ),
+                        F.col("__orig").alias("o"),
+                    )
+                ).alias("__b")
+            )
+            .select("digest", F.col("__b.o").alias("__m2"))
+        )
+        unres = rev.filter(F.col("__m").isNull()).drop("__m").join(
+            best_any, "digest", "left"
+        ).withColumnRenamed("__m2", "__m")
+        rev = rev.filter(F.col("__m").isNotNull()).unionByName(
+            unres.select(*rev.columns)
+        )
+
+    resolved = rev.filter(F.col("__m").isNotNull()).select(
+        "urlkey", "cdx_ts", "url",
+        F.col("__m.record_id").alias("record_id"),
+        F.col("__m.mime").alias("mime"),
+        "http_status", "digest",
+        F.col("__m.length").alias("length"),
+        F.col("__m.offset").alias("offset"),
+        F.col("__m.warc_file").alias("warc_file"),
+    ).select(*out_cols)
+
+    unmatched = rev.filter(F.col("__m").isNull())
+    if on_unmatched == "drop":
+        extra = None
+    elif on_unmatched == "keep":
+        extra = unmatched.select(*out_cols)
+    else:  # 'error' — lazy: the job fails at execution, not at plan
+        boom = F.raise_error(
+            F.concat(
+                F.lit(
+                    "resolve_revisits: no original found for revisit "
+                    "urlkey "
+                ),
+                F.coalesce(F.col("urlkey"), F.lit("<null>")),
+                F.lit(" digest "),
+                F.coalesce(F.col("digest"), F.lit("<null>")),
+            )
+        ).cast("string")
+        extra = unmatched.select(
+            *(boom.alias(c) if c == "urlkey" else F.col(c)
+              for c in out_cols)
+        )
+
+    out = passthrough.unionByName(resolved)
+    if extra is not None:
+        out = out.unionByName(extra)
+    return out
 
 
 def write_cdx(
