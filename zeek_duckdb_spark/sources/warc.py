@@ -513,6 +513,52 @@ _WARC_TEXT_SCHEMA = T.StructType(
     _WARC_SCHEMA.fields + [T.StructField("body_text", T.StringType())]
 )
 
+# headers=True (round-15) appends both raw header maps — the WAT-style
+# metadata surface (arbitrary-header filtering, Server/Set-Cookie/
+# Link analytics) the fixed columns cannot carry
+_HEADER_FIELDS = [
+    T.StructField(
+        "warc_headers", T.MapType(T.StringType(), T.StringType())
+    ),
+    T.StructField(
+        "http_headers", T.MapType(T.StringType(), T.StringType())
+    ),
+]
+
+
+def _reader_schema(decode_text: bool, headers: bool) -> T.StructType:
+    """The reader schema for an option combination — ONE builder so
+    every engine (binaryFile expand, path DataSource batch + stream,
+    selected reads) agrees on column order."""
+    base = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+    if not headers:
+        return base
+    return T.StructType(base.fields + _HEADER_FIELDS)
+
+
+def _http_header_map(payload: bytes):
+    """The parsed HTTP head as a lowercase-keyed map, or None when the
+    payload carries no parseable head (non-HTTP captures, quarantined
+    'http' residuals).  Duplicate field names combine with ", " (the
+    RFC 9110 §5.2 list rule — Set-Cookie loses its multiplicity in a
+    map, stated).  The status line is NOT a map entry (it is the
+    ``http_status`` column)."""
+    if not payload.startswith(b"HTTP/"):
+        return None
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    lines = payload[:sep].decode("latin-1").split("\r\n")
+    out: dict = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        k = k.strip().lower()
+        if not k:
+            continue
+        v = v.strip()
+        out[k] = out[k] + ", " + v if k in out else v
+    return out
+
 
 def _charset_decode(raw: bytes, content_type) -> str:
     """Charset-aware entity decode — the shared policy of
@@ -662,6 +708,7 @@ def read_warc(
     engine: str | None = None,
     opener=None,
     lister=None,
+    headers: bool = False,
 ) -> DataFrame:
     """Read WARC files (plain, .warc.gz or .warc.zst) into one row per record:
     (warc_file, record_id, warc_type, target_uri, warc_date string,
@@ -721,7 +768,16 @@ def read_warc(
     becomes the default for ``s3://``/``gs://``/... too: the same
     bounded-memory watermark and no 2 GiB limit on the deployment
     where a 100 TB archive actually lives, instead of the r14
-    fallback to whole-blob binaryFile rows."""
+    fallback to whole-blob binaryFile rows.
+
+    ``headers=True`` (round-15) appends two ``map<string,string>``
+    columns — ``warc_headers`` (every WARC header, lowercase keys, as
+    parsed) and ``http_headers`` (the parsed HTTP head; NULL for
+    non-HTTP captures and 'http'-residual quarantines; duplicate
+    field names combine with ", " per RFC 9110 §5.2) — the WAT-style
+    metadata surface for arbitrary-header filtering and analytics
+    (Server/Set-Cookie/Link studies) without re-parsing bodies.
+    Identical on both engines and on :func:`read_warc_selected`."""
     opener, lister, has_fs = _fs_seams(opener, lister, path, "read_warc")
     engine = _resolve_warc_engine(engine, path, "read_warc", has_fs)
     if engine == "stream":
@@ -731,6 +787,7 @@ def read_warc(
             spark.read.format(fmt)
             .option("record_types", rt)
             .option("decode_text", str(decode_text).lower())
+            .option("headers", str(headers).lower())
             .load(path)
         )
     if engine != "binaryfile":
@@ -746,8 +803,10 @@ def read_warc(
     # linear is VM SMT contention, not task layout.
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        _make_expand(_parse_record_types_option(record_types), decode_text),
-        _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA,
+        _make_expand(
+            _parse_record_types_option(record_types), decode_text, headers
+        ),
+        _reader_schema(decode_text, headers),
     )
 
 
@@ -783,7 +842,10 @@ def _http_gate(h: dict, payload: bytes, who: str):
         return None, ctype, payload, ("http" if declared else None)
 
 
-def _append_record_row(rows: dict, fpath, rec: dict, decode_text: bool, who: str) -> int:
+def _append_record_row(
+    rows: dict, fpath, rec: dict, decode_text: bool, who: str,
+    headers: bool = False,
+) -> int:
     """Assemble ONE reader-schema row from a parsed record (the shared
     body of read_warc's expand and read_warc_selected — one copy of
     the gate/quarantine/decode policy).  Returns the body length for
@@ -808,6 +870,11 @@ def _append_record_row(rows: dict, fpath, rec: dict, decode_text: bool, who: str
         rows["body_text"].append(
             None if cenc is not None else _charset_decode(body, ctype)
         )
+    if headers:
+        # the parser's dict is reused for its next record bookkeeping
+        # nowhere, but copy anyway: the row must own its map
+        rows["warc_headers"].append(dict(h))
+        rows["http_headers"].append(_http_header_map(rec["payload"]))
     return len(body) if body is not None else 0
 
 
@@ -823,7 +890,7 @@ _FLUSH_RECORDS = 2048
 _FLUSH_BYTES = 64 << 20
 
 
-def _make_expand(wanted, decode_text: bool = False):
+def _make_expand(wanted, decode_text: bool = False, headers: bool = False):
     """The record-expansion mapInPandas body shared by the batch and
     streaming readers (``wanted`` = lowercased WARC-Type filter set or
     None).  ``decode_text`` adds a ``body_text`` column decoded HERE —
@@ -846,7 +913,7 @@ def _make_expand(wanted, decode_text: bool = False):
     Yields a DataFrame every ``_FLUSH_RECORDS`` records or
     ``_FLUSH_BYTES`` expanded body bytes (see constants above) so a
     1 GiB crawl file never holds its full expansion in flight."""
-    schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+    schema = _reader_schema(decode_text, headers)
     cols = schema.fieldNames()
 
     def _frame(rows):
@@ -863,7 +930,7 @@ def _make_expand(wanted, decode_text: bool = False):
                         continue
                     pending += _append_record_row(
                         rows, fpath, rec, decode_text,
-                        who=f"read_warc({fpath})",
+                        who=f"read_warc({fpath})", headers=headers,
                     )
                     if (
                         len(rows["body"]) >= _FLUSH_RECORDS
@@ -1429,7 +1496,8 @@ def _records_from_chunks(
 
 
 def _path_record_batches(
-    path: str, wanted, decode_text: bool, who=None, opener=None
+    path: str, wanted, decode_text: bool, who=None, opener=None,
+    headers: bool = False,
 ):
     """One WARC file path -> Arrow RecordBatches in the reader schema:
     the per-partition body of the ``warc`` DataSource (batch AND
@@ -1440,7 +1508,7 @@ def _path_record_batches(
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+    schema = _reader_schema(decode_text, headers)
     cols = schema.fieldNames()
     pa_schema = to_arrow_schema(schema)
     who = who or f"read_warc({path})"
@@ -1458,7 +1526,9 @@ def _path_record_batches(
         wtype = rec["headers"].get("warc-type", "")
         if wanted is not None and wtype.lower() not in wanted:
             continue
-        pending += _append_record_row(rows, path, rec, decode_text, who=who)
+        pending += _append_record_row(
+            rows, path, rec, decode_text, who=who, headers=headers,
+        )
         if len(rows["body"]) >= _FLUSH_RECORDS or pending >= _FLUSH_BYTES:
             yield flush()
             rows = {c: [] for c in cols}
@@ -1578,8 +1648,9 @@ class WarcDataSource(DataSource):
     Options: ``path``; ``record_types`` — comma-separated WARC-Type
     list, ``*`` for everything (default ``response``);
     ``decode_text`` — add the charset-decoded ``body_text`` column;
-    ``max_files_per_trigger`` (stream only, round-15) — admit at most
-    N new files per micro-batch.  ``read_warc`` / ``read_warc_stream``
+    ``headers`` — add the ``warc_headers``/``http_headers`` map
+    columns (round-15); ``max_files_per_trigger`` (stream only,
+    round-15) — admit at most N new files per micro-batch.  ``read_warc`` / ``read_warc_stream``
     are the typed API.  ``_opener``/``_lister`` are the object-store
     seams, populated only on :func:`_fs_datasource`-derived classes —
     this base class stays POSIX."""
@@ -1598,11 +1669,14 @@ class WarcDataSource(DataSource):
         decode_text = str(
             self.options.get("decode_text", "false")
         ).strip().lower() in ("true", "1", "yes")
-        return wanted, decode_text
+        headers = str(
+            self.options.get("headers", "false")
+        ).strip().lower() in ("true", "1", "yes")
+        return wanted, decode_text, headers
 
     def schema(self) -> T.StructType:
-        _w, decode_text = self._parsed_options()
-        return _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+        _w, decode_text, headers = self._parsed_options()
+        return _reader_schema(decode_text, headers)
 
     def reader(self, schema: T.StructType) -> "WarcBatchReader":
         path = self.options.get("path")
@@ -1611,18 +1685,21 @@ class WarcDataSource(DataSource):
         files = _glob_warc_paths(path, self._lister)
         if not files:
             raise ValueError(f"read_warc: no WARC files match '{path}'")
-        wanted, decode_text = self._parsed_options()
-        return WarcBatchReader(files, wanted, decode_text, self._opener)
+        wanted, decode_text, headers = self._parsed_options()
+        return WarcBatchReader(
+            files, wanted, decode_text, self._opener, headers=headers
+        )
 
     def streamReader(self, schema: T.StructType) -> "WarcStreamReader":
         path = self.options.get("path")
         if not path:
             raise ValueError("warc datasource requires a path (load(path))")
-        wanted, decode_text = self._parsed_options()
+        wanted, decode_text, headers = self._parsed_options()
         return WarcStreamReader(
             path, wanted, decode_text,
             lister=self._lister, opener=self._opener,
             max_files=_parse_max_files_option(self.options, "read_warc_stream"),
+            headers=headers,
         )
 
 
@@ -1632,11 +1709,13 @@ class WarcBatchReader(DataSourceReader):
     injected opener on object stores — the reader instance is
     cloudpickled to executors with the callable aboard)."""
 
-    def __init__(self, files, wanted, decode_text, opener=None):
+    def __init__(self, files, wanted, decode_text, opener=None,
+                 headers=False):
         self._files = files
         self._wanted = wanted
         self._decode_text = decode_text
         self._opener = opener
+        self._headers = headers
 
     def partitions(self):
         return [WarcFilePartition(f) for f in self._files]
@@ -1644,7 +1723,7 @@ class WarcBatchReader(DataSourceReader):
     def read(self, partition: WarcFilePartition):
         yield from _path_record_batches(
             partition.path, self._wanted, self._decode_text,
-            opener=self._opener,
+            opener=self._opener, headers=self._headers,
         )
 
 
@@ -1744,17 +1823,18 @@ class WarcStreamReader(_FileSetStreamReader):
 
     def __init__(
         self, path, wanted, decode_text,
-        lister=None, opener=None, max_files=None,
+        lister=None, opener=None, max_files=None, headers=False,
     ):
         super().__init__(path, lister=lister, max_files=max_files)
         self._wanted = wanted
         self._decode_text = decode_text
         self._opener = opener
+        self._headers = headers
 
     def read(self, partition: WarcFilePartition):
         yield from _path_record_batches(
             partition.path, self._wanted, self._decode_text,
-            opener=self._opener,
+            opener=self._opener, headers=self._headers,
         )
 
 
@@ -1796,6 +1876,7 @@ def read_warc_stream(
     engine: str | None = None,
     opener=None,
     lister=None,
+    headers: bool = False,
 ) -> DataFrame:
     """Streaming :func:`read_warc`: one row per record over a file
     stream, for the daily-crawl shape — new WARC files rotated into
@@ -1840,6 +1921,7 @@ def read_warc_stream(
             spark.readStream.format(fmt)
             .option("record_types", rt)
             .option("decode_text", str(decode_text).lower())
+            .option("headers", str(headers).lower())
         )
         if max_files_per_trigger is not None:
             reader = reader.option(
@@ -1856,8 +1938,8 @@ def read_warc_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path)
     return files.select("path", "content").mapInPandas(
-        _make_expand(wanted, decode_text),
-        _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA,
+        _make_expand(wanted, decode_text, headers),
+        _reader_schema(decode_text, headers),
     )
 
 
@@ -2430,6 +2512,7 @@ def read_warc_selected(
     decode_text: bool = False,
     task_bytes: int = 64 << 20,
     opener=None,
+    headers: bool = False,
 ) -> DataFrame:
     """Random-access read of SELECTED records via their CDX spans —
     the payoff of :func:`cdx_records`: re-reading one domain's pages
@@ -2514,7 +2597,7 @@ def read_warc_selected(
         .sortWithinPartitions("warc_file", "_bucket", "offset")
     )
     open_fn = opener or _posix_opener
-    schema = _WARC_TEXT_SCHEMA if decode_text else _WARC_SCHEMA
+    schema = _reader_schema(decode_text, headers)
     cols = schema.fieldNames()
 
     def fetch(it):
@@ -2608,6 +2691,7 @@ def read_warc_selected(
                         pending += _append_record_row(
                             rows, fpath, rec, decode_text,
                             who=f"read_warc_selected({fpath})",
+                            headers=headers,
                         )
                         if (
                             len(rows["body"]) >= _FLUSH_RECORDS
