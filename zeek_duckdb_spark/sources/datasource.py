@@ -868,17 +868,23 @@ def _reap_stale_tmps(path: str) -> None:
                 pass  # raced with another cleanup: already gone
 
 
-class WetShardWriter(DataSourceWriter):
-    """Per-partition WET sink (see WetDataSource).  All-or-nothing:
+class _RecordShardWriter(DataSourceWriter):
+    """Shared per-partition member-per-record ``.warc.gz`` shard sink
+    (WET conversion records, WAT metadata records).  All-or-nothing:
     tasks stage dot-prefixed tmps and the driver publishes them at
-    commit() — a job that fails mid-write leaves no visible shard."""
+    commit() — a job that fails mid-write leaves no visible shard.
+    Subclasses state ``_WHO`` (error prefix), ``_KIND`` (shard noun)
+    and ``_record_bytes(row) -> bytes | None``."""
+
+    _WHO = "write"
+    _KIND = "shards"
 
     def __init__(self, options: dict, overwrite: bool):
         import os
 
         self._path = options.get("path")
         if not self._path:
-            raise ValueError("write_wet: no output path")
+            raise ValueError(f"{self._WHO}: no output path")
         os.makedirs(self._path, exist_ok=True)
         # reap STALE dot-tmps (a SIGKILLed task's except handler never
         # ran; without this they accumulate forever since the part-*
@@ -891,16 +897,18 @@ class WetShardWriter(DataSourceWriter):
                     os.remove(os.path.join(self._path, f))
         elif any(f.startswith("part-") for f in os.listdir(self._path)):
             raise ValueError(
-                f"write_wet: '{self._path}' already contains WET shards "
-                "(mode='error'); use mode='overwrite'"
+                f"{self._WHO}: '{self._path}' already contains "
+                f"{self._KIND} (mode='error'); use mode='overwrite'"
             )
+
+    @staticmethod
+    def _record_bytes(row):
+        raise NotImplementedError
 
     def write(self, iterator):
         import os
 
         from pyspark import TaskContext
-
-        from zeek_duckdb_spark.sources.warc import wet_record_bytes
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -921,7 +929,7 @@ class WetShardWriter(DataSourceWriter):
         fh = None
         try:
             for row in iterator:
-                member = wet_record_bytes(row[0], row[1], row[2])
+                member = self._record_bytes(row)
                 if member is None:
                     continue
                 if fh is None:
@@ -950,5 +958,63 @@ class WetShardWriter(DataSourceWriter):
         _discard_staged(messages)
 
 
+class WetShardWriter(_RecordShardWriter):
+    """WET conversion-record sink (see WetDataSource): each (url,
+    warc_date, text) row becomes one gzip member, streamed row-by-row
+    (a multi-GiB text partition never materializes in memory, matching
+    ZeekLogWriter's per-row discipline)."""
+
+    _WHO = "write_wet"
+    _KIND = "WET shards"
+
+    @staticmethod
+    def _record_bytes(row):
+        from zeek_duckdb_spark.sources.warc import wet_record_bytes
+
+        return wet_record_bytes(row[0], row[1], row[2])
+
+
+class WatDataSource(DataSource):
+    """Write half of the WAT export (``warc.write_wat`` is the typed
+    API): (url, warc_date, refers_to, wat) string rows -> one
+    member-per-record ``part-NNNNN.warc.gz`` shard of WARC
+    ``metadata`` records, same staged all-or-nothing sink as WET."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wat"
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        want = ["url", "warc_date", "refers_to", "wat"]
+        names = [f.name for f in schema.fields]
+        if names != want or any(
+            not isinstance(f.dataType, T.StringType) for f in schema.fields
+        ):
+            raise ValueError(
+                "wat writer expects exactly (url string, warc_date "
+                "string, refers_to string, wat string) — use "
+                "zeek_duckdb_spark.sources.warc.write_wat(df, path, "
+                "...) for the typed API"
+            )
+        return WatShardWriter(self.options, overwrite)
+
+
+class WatShardWriter(_RecordShardWriter):
+    """WAT metadata-record sink (see WatDataSource)."""
+
+    _WHO = "write_wat"
+    _KIND = "WAT shards"
+
+    @staticmethod
+    def _record_bytes(row):
+        from zeek_duckdb_spark.sources.warc import wat_record_bytes
+
+        return wat_record_bytes(row[0], row[1], row[2], row[3])
+
+
 def register_wet_datasource(spark) -> None:
     spark.dataSource.register(WetDataSource)
+
+
+def register_wat_datasource(spark) -> None:
+    spark.dataSource.register(WatDataSource)

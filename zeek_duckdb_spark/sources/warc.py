@@ -61,6 +61,9 @@ __all__ = [
     "read_cdx",
     "compact_cdx",
     "write_wet",
+    "wat_records",
+    "write_wat",
+    "wat_record_bytes",
     "wet_record_bytes",
     "wet_shard_bytes",
     "body_text_col",
@@ -485,7 +488,9 @@ def encode_warc(records, compress="gz") -> bytes:
         head.append(f"Content-Length: {len(payload)}".encode())
         rec = b"\r\n".join(head) + b"\r\n\r\n" + bytes(payload) + b"\r\n\r\n"
         if compress == "gz":
-            out += gzip.compress(rec)
+            # mtime=0: members are byte-stable across runs — the WET/
+            # WAT re-export determinism contract flows through here
+            out += gzip.compress(rec, mtime=0)
         elif compress == "zst":
             out += _zstd_compress_frame(rec)
         else:
@@ -3310,6 +3315,180 @@ def wet_shard_bytes(rows) -> bytes:
     instead of joining them)."""
     return b"".join(
         m for m in (wet_record_bytes(*r) for r in rows) if m is not None
+    )
+
+
+def wat_records(df: DataFrame, links: bool = True) -> DataFrame:
+    """Build WAT metadata rows from a ``read_warc(..., headers=True)``
+    frame — the Common Crawl derived-metadata artifact (WARC/WET/WAT
+    triple): per record, a JSON envelope with the WARC header map, the
+    parsed HTTP header map + status + entity length, and (``links=``)
+    the harvested ``a[href]`` targets of HTML pages.  Returns
+    (url, warc_date, refers_to, wat) — feed :func:`write_wat` to land
+    it as WARC ``metadata`` records external WAT consumers read.
+
+    Envelope (a documented SUBSET of Common Crawl's, same shape)::
+
+        {"Envelope": {"Format": "WARC",
+                      "WARC-Header-Metadata": {...lowercase keys...},
+                      "Payload-Metadata": {
+                        "Actual-Content-Type": ...,
+                        "HTTP-Response-Metadata": {
+                          "Headers": {...}, "Status-Code": ...,
+                          "Entity-Length": ...,
+                          "HTML-Metadata": {"Links":
+                            [{"path": "A@/href", "url": ...}, ...]}}}},
+         "Container": {"Filename": ...}}
+
+    Deviations, stated: header keys are lowercase (the parser's
+    canonical form; CC preserves wire case), duplicate HTTP fields
+    combine with ", ", and no Gzip-Metadata/offset container fields
+    (span-free reader rows).  NULL branches drop from the JSON
+    (``ignoreNullFields``), so non-HTTP records carry no
+    HTTP-Response-Metadata and non-HTML pages no HTML-Metadata.
+
+    Scale shape: the envelope is ONE native ``to_json`` over built-in
+    expressions — zero shuffle, zero Python for the default columns;
+    only link harvesting (``links=True``) runs an Arrow-batched
+    pandas_udf, gated to rows whose content_type says text/html."""
+    from pyspark.sql import functions as F
+
+    need = ("warc_headers", "http_headers")
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"wat_records: input is missing {missing} — read with "
+            "read_warc(..., headers=True)"
+        )
+
+    is_html = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).contains(
+        "text/html"
+    )
+    if links:
+        import pandas as _pd  # noqa: F401
+
+        @F.pandas_udf(
+            "array<struct<path:string,url:string>>"
+        )
+        def _links(body: pd.Series, ctype: pd.Series) -> pd.Series:
+            from zeek_duckdb_spark.operators.htmlops import extract_links
+
+            out = []
+            for raw, ct in zip(body, ctype):
+                if raw is None:
+                    out.append(None)
+                    continue
+                try:
+                    hrefs = extract_links(
+                        _charset_decode(bytes(raw), ct)
+                    )
+                except Exception:
+                    hrefs = []
+                out.append([("A@/href", h) for h in hrefs] or None)
+            return pd.Series(out, dtype="object")
+
+        # gate at the INPUT: a Python UDF inside when() is still
+        # extracted to a projection that runs on every row, so null
+        # the body for non-HTML/quarantined rows instead — the UDF
+        # sees None and skips
+        gated_body = F.when(
+            is_html & F.col("content_encoding").isNull(), F.col("body")
+        )
+        links_col = _links(gated_body, F.col("content_type"))
+        html_meta = F.when(
+            links_col.isNotNull(), F.struct(links_col.alias("Links"))
+        )
+    else:
+        html_meta = F.lit(None).cast(
+            "struct<Links:array<struct<path:string,url:string>>>"
+        )
+
+    http_meta = F.when(
+        F.col("http_headers").isNotNull(),
+        F.struct(
+            F.col("http_headers").alias("Headers"),
+            F.col("http_status").alias("Status-Code"),
+            F.length(F.col("body")).alias("Entity-Length"),
+            html_meta.alias("HTML-Metadata"),
+        ),
+    )
+    envelope = F.struct(
+        F.struct(
+            F.lit("WARC").alias("Format"),
+            F.col("warc_headers").alias("WARC-Header-Metadata"),
+            F.struct(
+                F.col("content_type").alias("Actual-Content-Type"),
+                http_meta.alias("HTTP-Response-Metadata"),
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope"),
+        F.struct(F.col("warc_file").alias("Filename")).alias("Container"),
+    )
+    return df.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("warc_date"),
+        F.col("record_id").alias("refers_to"),
+        F.to_json(envelope, {"ignoreNullFields": "true"}).alias("wat"),
+    )
+
+
+def wat_record_bytes(url, wdate, refers_to, wat) -> "bytes | None":
+    """ONE (url, warc_date, refers_to, wat_json) row -> one gzip-member
+    WARC ``metadata`` record (None for NULL wat — nothing to carry).
+    Deterministic sha1-urn record id, same convention as
+    :func:`wet_record_bytes`."""
+    import hashlib
+
+    if wat is None:
+        return None
+    payload = wat.encode("utf-8")
+    rid = hashlib.sha1(
+        ((url or "") + "\x00" + (wdate or "") + "\x00").encode("utf-8")
+        + payload
+    ).hexdigest()
+    headers = {
+        "WARC-Type": "metadata",
+        "WARC-Record-ID": f"<urn:sha1:{rid}>",
+        "Content-Type": "application/json",
+    }
+    if url:
+        headers["WARC-Target-URI"] = url
+    if wdate:
+        headers["WARC-Date"] = wdate
+    if refers_to:
+        headers["WARC-Refers-To"] = refers_to
+    return encode_warc([(headers, payload)], compress=True)
+
+
+def write_wat(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """WAT export: land a :func:`wat_records` frame (or any
+    (url, warc_date, refers_to, wat) frame) as member-per-record
+    ``part-NNNNN.warc.gz`` shards of WARC ``metadata`` records —
+    ``read_warc(path, record_types=('metadata',))`` round-trips it,
+    and external WAT consumers read the same container Common Crawl
+    ships.  Same staged all-or-nothing per-partition sink as
+    :func:`write_wet` (control shard count via ``df.repartition(n)``);
+    rows with NULL wat are skipped."""
+    if mode not in ("overwrite", "error"):
+        raise ValueError("write_wat: mode must be 'overwrite' or 'error'")
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.datasource import register_wat_datasource
+
+    register_wat_datasource(df.sparkSession)
+    out = df.select(
+        F.col("url").cast("string").alias("url"),
+        F.col("warc_date").cast("string").alias("warc_date"),
+        F.col("refers_to").cast("string").alias("refers_to"),
+        F.col("wat").cast("string").alias("wat"),
+    )
+    (
+        out.write.format("wat")
+        .mode("overwrite" if mode == "overwrite" else "append")
+        .save(path)
     )
 
 
