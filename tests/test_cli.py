@@ -767,6 +767,46 @@ def test_export_wet_subcommand(spark, tmp_path):
     assert got == {"https://c.org/a": "text one", "https://c.org/b": "two"}
 
 
+def test_export_wat_subcommand(spark, tmp_path):
+    """export-wat: WARC files -> WAT metadata shards in one command;
+    the envelope carries the HTTP headers and harvested links, and
+    --no-links keeps the plan Python-free."""
+    import json as _json
+
+    from zeek_duckdb_spark.sources.warc import encode_warc, read_warc
+
+    html = b'<html><a href="http://t.org/z">z</a></html>'
+    arc = tmp_path / "c.warc.gz"
+    arc.write_bytes(encode_warc([({
+        "WARC-Type": "response",
+        "WARC-Record-ID": "<urn:uuid:w1>",
+        "WARC-Target-URI": "http://t.org/p",
+        "WARC-Date": "2026-08-16T00:00:00Z",
+        "Content-Type": "application/http; msgtype=response",
+    }, b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+       b"Content-Length: %d\r\n\r\n" % len(html) + html)]))
+    out = str(tmp_path / "wat")
+    rc = main(["export-wat", str(arc), out, "--shards", "1"], spark=spark)
+    assert rc == 0
+    back = read_warc(spark, f"{out}/part-*.warc.gz",
+                     record_types=("metadata",), headers=True).collect()
+    assert len(back) == 1
+    assert back[0].warc_headers["warc-refers-to"] == "<urn:uuid:w1>"
+    env = _json.loads(bytes(back[0].body).decode())["Envelope"]
+    hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+    assert hm["Headers"]["content-type"] == "text/html"
+    assert hm["HTML-Metadata"]["Links"] == [
+        {"path": "A@/href", "url": "http://t.org/z"}]
+    out2 = str(tmp_path / "wat2")
+    assert main(["export-wat", str(arc), out2, "--no-links"],
+                spark=spark) == 0
+    back2 = read_warc(spark, f"{out2}/part-*.warc.gz",
+                      record_types=("metadata",)).collect()
+    env2 = _json.loads(bytes(back2[0].body).decode())["Envelope"]
+    assert "HTML-Metadata" not in env2["Payload-Metadata"][
+        "HTTP-Response-Metadata"]
+
+
 def test_ingest_crawl_charset_and_link_density(spark, tmp_path):
     """ingest-crawl decodes per the page's declared charset and
     --max-link-density drops navigation boilerplate."""

@@ -207,6 +207,20 @@ def _build_parser() -> argparse.ArgumentParser:
     ew.add_argument("--shards", type=int, default=None,
                     help="repartition to N output shards")
 
+    wa = sub.add_parser(
+        "export-wat",
+        help="derive WAT (WARC metadata) shards from WARC files",
+    )
+    wa.add_argument("pattern", help="WARC glob (plain/.gz/.zst)")
+    wa.add_argument("out")
+    wa.add_argument("--all-types", action="store_true",
+                    help="cover every record type, not just responses")
+    wa.add_argument("--no-links", action="store_true",
+                    help="skip a[href] harvesting (no Python in the "
+                         "plan at all)")
+    wa.add_argument("--shards", type=int, default=None,
+                    help="repartition to N output shards")
+
     ch = sub.add_parser("check", help="data-quality gate from a rules JSON file")
     ch.add_argument("path", help="parquet directory")
     ch.add_argument("rules", help="JSON file: list of rule objects")
@@ -500,6 +514,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 text_col=args.text_col,
             )
             print(f"exported WET -> {args.out}", file=sys.stderr)
+        elif args.cmd == "export-wat":
+            from zeek_duckdb_spark.sources.warc import (
+                read_warc,
+                wat_records,
+                write_wat,
+            )
+
+            df = read_warc(
+                spark, args.pattern,
+                record_types=None if args.all_types else ("response",),
+                headers=True,
+            )
+            wat = wat_records(df, links=not args.no_links)
+            if args.shards:
+                wat = wat.repartition(args.shards)
+            write_wat(wat, args.out)
+            print(f"exported WAT -> {args.out}", file=sys.stderr)
         elif args.cmd == "check":
             from zeek_duckdb_spark.operators.quality_checks import check_rules
 
