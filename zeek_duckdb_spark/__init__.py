@@ -24,6 +24,7 @@ from zeek_duckdb_spark.sources.warc import (
     extract_warc,
     read_warc,
     resolve_revisits,
+    write_warc,
 )
 from zeek_duckdb_spark.sources.cdxj import read_cdxj, write_cdxj
 from zeek_duckdb_spark.functions.inet import register_inet_functions
@@ -55,6 +56,7 @@ __all__ = [
     "read_warc",
     "extract_warc",
     "resolve_revisits",
+    "write_warc",
     "read_cdxj",
     "write_cdxj",
     "write_zeek",

@@ -879,9 +879,13 @@ class _RecordShardWriter(DataSourceWriter):
     _WHO = "write"
     _KIND = "shards"
 
+    def _suffix(self) -> str:
+        return ".warc.gz"
+
     def __init__(self, options: dict, overwrite: bool):
         import os
 
+        self._options = options
         self._path = options.get("path")
         if not self._path:
             raise ValueError(f"{self._WHO}: no output path")
@@ -913,14 +917,16 @@ class _RecordShardWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
-        final = os.path.join(self._path, f"part-{pid:05d}.warc.gz")
+        final = os.path.join(
+            self._path, f"part-{pid:05d}{self._suffix()}"
+        )
         # dot-prefixed tmp: invisible to Spark directory listings and
         # to the writer's own part-* overwrite/error scans, so a
         # mid-write task kill can never poison a later read_warc over
         # the directory or block mode='error'; it stays a tmp through
         # write() and only commit() renames it (all-or-nothing)
         tmp = os.path.join(
-            self._path, f".part-{pid:05d}.warc.gz.tmp-{attempt}"
+            self._path, f".part-{pid:05d}{self._suffix()}.tmp-{attempt}"
         )
         # STREAM record-by-record (each row -> one gzip member appended
         # immediately): a multi-GiB text partition never materializes
@@ -1012,9 +1018,63 @@ class WatShardWriter(_RecordShardWriter):
         return wat_record_bytes(row[0], row[1], row[2], row[3])
 
 
+_WARCOUT_COLS = (
+    "url", "warc_date", "record_id", "warc_type", "http_status",
+    "content_type", "content_encoding", "body", "warc_headers",
+    "http_headers",
+)
+
+
+class WarcOutDataSource(DataSource):
+    """Write half of the general WARC export (``warc.write_warc`` is
+    the typed API): reader-schema rows -> one member/frame-per-record
+    WARC shard per partition (``compress`` option: gz / zst — the IIPC
+    seekable layout / false — plain), same staged all-or-nothing sink
+    as WET/WAT."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warcout"
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        names = tuple(f.name for f in schema.fields)
+        if names != _WARCOUT_COLS:
+            raise ValueError(
+                "warcout writer expects exactly the columns "
+                f"{list(_WARCOUT_COLS)} — use zeek_duckdb_spark."
+                "sources.warc.write_warc(df, path, ...) for the typed "
+                "API"
+            )
+        return WarcOutShardWriter(self.options, overwrite)
+
+
+class WarcOutShardWriter(_RecordShardWriter):
+    """General WARC record sink (see WarcOutDataSource)."""
+
+    _WHO = "write_warc"
+    _KIND = "WARC shards"
+
+    def _compress(self):
+        c = self._options.get("compress", "gz")
+        return False if c == "false" else c
+
+    def _suffix(self) -> str:
+        c = self._compress()
+        return {"gz": ".warc.gz", "zst": ".warc.zst"}.get(c, ".warc")
+
+    def _record_bytes(self, row):
+        from zeek_duckdb_spark.sources.warc import warc_record_bytes_out
+
+        return warc_record_bytes_out(*row, compress=self._compress())
+
+
 def register_wet_datasource(spark) -> None:
     spark.dataSource.register(WetDataSource)
 
 
 def register_wat_datasource(spark) -> None:
     spark.dataSource.register(WatDataSource)
+
+
+def register_warcout_datasource(spark) -> None:
+    spark.dataSource.register(WarcOutDataSource)

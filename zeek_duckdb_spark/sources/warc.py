@@ -61,6 +61,8 @@ __all__ = [
     "read_cdx",
     "compact_cdx",
     "write_wet",
+    "write_warc",
+    "warc_record_bytes_out",
     "wat_records",
     "write_wat",
     "wat_record_bytes",
@@ -3487,6 +3489,168 @@ def write_wat(
     )
     (
         out.write.format("wat")
+        .mode("overwrite" if mode == "overwrite" else "append")
+        .save(path)
+    )
+
+
+def _warc_case(k: str) -> str:
+    """Canonical WARC/HTTP header casing from the parser's lowercase
+    form: ``warc-target-uri`` -> ``WARC-Target-URI`` (spec headers are
+    case-insensitive; canonical casing keeps external tools and humans
+    comfortable)."""
+    special = {"warc": "WARC", "id": "ID", "uri": "URI", "ip": "IP"}
+    return "-".join(
+        special.get(p, p.capitalize()) for p in k.split("-")
+    )
+
+
+def warc_record_bytes_out(
+    url, wdate, record_id, wtype, status, ctype, cenc, body,
+    warc_headers, http_headers, compress="gz",
+) -> "bytes | None":
+    """ONE reader-schema row -> one WARC record's container bytes (a
+    gzip member, a zstd frame, or plain) — the streaming unit of
+    :func:`write_warc`.  None for NULL body (nothing to land).
+
+    HTTP reconstruction: when ``status`` is present the payload gets a
+    rebuilt head — the ``http_headers`` map's fields in order (reason
+    phrase is not preserved; stated), with Content-Length recomputed
+    from the body and, for DECODED rows (``cenc`` NULL),
+    Transfer-Encoding/Content-Encoding dropped so the record stays
+    self-consistent (the body IS the decoded entity).  Quarantined
+    rows (``cenc`` non-NULL) keep those fields verbatim — their body
+    kept the raw still-encoded bytes, so the head must keep saying so.
+    No map + no ``ctype`` -> a minimal valid head.
+
+    WARC headers: the ``warc_headers`` map (canonical casing restored)
+    with Content-Length / WARC-Block-Digest dropped (recomputed /
+    stale after decode) and WARC-Payload-Digest recomputed in the
+    stored convention (sha1-base32 of the bytes after the head — the
+    ``cdx_records(digest='stored')`` cross-match); the explicit
+    columns override map entries for identity fields.  Without a map,
+    a minimal conformant header set synthesizes (deterministic sha1
+    urn when ``record_id`` is NULL)."""
+    import base64
+    import hashlib
+
+    if body is None:
+        return None
+    body = bytes(body)
+    wtype = wtype or "response"
+
+    if status is not None:
+        head = [f"HTTP/1.1 {int(status)} OK"]
+        skip = {"content-length"}
+        if cenc is None:
+            skip |= {"transfer-encoding", "content-encoding"}
+        if http_headers:
+            for k, v in http_headers.items():
+                if k.lower() in skip:
+                    continue
+                head.append(f"{_warc_case(k)}: {v}")
+        elif ctype is not None:
+            head.append(f"Content-Type: {ctype}")
+        head.append(f"Content-Length: {len(body)}")
+        payload = (
+            "\r\n".join(head).encode("latin-1") + b"\r\n\r\n" + body
+        )
+        rec_ctype = "application/http; msgtype=response"
+    else:
+        payload = body
+        rec_ctype = ctype
+
+    digest = base64.b32encode(
+        hashlib.sha1(_stored_payload(payload)).digest()
+    ).decode()
+
+    headers: dict = {}
+    if warc_headers:
+        for k, v in warc_headers.items():
+            lk = k.lower()
+            if lk in (
+                "content-length", "warc-block-digest",
+                "warc-payload-digest",
+            ):
+                continue
+            headers[_warc_case(lk)] = v
+    headers["WARC-Type"] = wtype
+    if record_id:
+        headers["WARC-Record-ID"] = record_id
+    elif "WARC-Record-ID" not in headers:
+        rid = hashlib.sha1(
+            ((url or "") + "\x00" + (wdate or "") + "\x00").encode()
+            + payload
+        ).hexdigest()
+        headers["WARC-Record-ID"] = f"<urn:sha1:{rid}>"
+    if url:
+        headers["WARC-Target-URI"] = url
+    if wdate:
+        headers["WARC-Date"] = wdate
+    if rec_ctype:
+        headers["Content-Type"] = rec_ctype
+    headers["WARC-Payload-Digest"] = f"sha1:{digest}"
+    return encode_warc([(headers, payload)], compress=compress)
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    compress: "str | bool" = "gz",
+    mode: str = "overwrite",
+) -> None:
+    """General WARC export — the write half of :func:`read_warc`: land
+    reader-schema rows (any subset of the columns; ``body`` required,
+    ``headers=True`` maps used when present for faithful head/header
+    reconstruction) as member-per-record WARC shards.  ``compress``:
+    ``'gz'`` (the crawl-standard layout), ``'zst'`` (one frame per
+    record — the IIPC SEEKABLE layout, so ``cdx_records`` indexes the
+    output's compressed frame spans directly), or ``False`` (plain).
+
+    Closes the container round trip: ``read_warc(headers=True)`` ->
+    transform/filter -> ``write_warc`` re-lands a derived archive any
+    WARC consumer (including this reader, the CDX ring and
+    ``extract_warc``) can use; re-exports are byte-stable
+    (deterministic ids, mtime=0 members).  Reconstruction semantics
+    (reason phrase, decoded-entity head rewriting, digest recompute):
+    see :func:`warc_record_bytes_out`.  Same staged all-or-nothing
+    per-partition sink as WET/WAT; control shard count via
+    ``df.repartition(n)``."""
+    if compress is True:
+        compress = "gz"
+    if compress not in ("gz", "zst", False):
+        raise ValueError("write_warc: compress must be 'gz', 'zst' or False")
+    if mode not in ("overwrite", "error"):
+        raise ValueError("write_warc: mode must be 'overwrite' or 'error'")
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.datasource import (
+        _WARCOUT_COLS,
+        register_warcout_datasource,
+    )
+
+    if "body" not in df.columns:
+        raise ValueError("write_warc: input needs a body binary column")
+    cols = set(df.columns)
+    alias = {"url": "target_uri"}  # reader schema names target_uri
+    sel = []
+    for c in _WARCOUT_COLS:
+        src = c if c in cols else alias.get(c)
+        src = src if src in cols else None
+        typ = (
+            "binary" if c == "body"
+            else "int" if c == "http_status"
+            else "map<string,string>" if c.endswith("_headers")
+            else "string"
+        )
+        sel.append(
+            (F.col(src) if src else F.lit(None)).cast(typ).alias(c)
+        )
+    register_warcout_datasource(df.sparkSession)
+    (
+        df.select(*sel)
+        .write.format("warcout")
+        .option("compress", "false" if compress is False else compress)
         .mode("overwrite" if mode == "overwrite" else "append")
         .save(path)
     )
