@@ -1,0 +1,137 @@
+"""dedup_to_revisits (round 15) — write-time archive deduplication,
+the inverse of resolve_revisits: later captures of identical payloads
+become spec-conformant revisit rows (empty body, identical-payload-
+digest profile, refers-to chain), write_warc keeps the header digest
+verbatim for revisit records, and the full circle
+dedup -> write -> index -> resolve -> selected-read restores every
+capture's real payload."""
+
+import base64
+import hashlib
+
+import pytest
+
+from zeek_duckdb_spark.sources.warc import (
+    _REVISIT_PROFILE,
+    cdx_records,
+    dedup_to_revisits,
+    encode_warc,
+    read_warc,
+    read_warc_selected,
+    resolve_revisits,
+    write_warc,
+)
+
+SAME = b"<html>same</html>"
+OTHER = b"<html>unique</html>"
+
+
+def _resp(rid, uri, date, ent):
+    return ({
+        "WARC-Type": "response",
+        "WARC-Record-ID": rid,
+        "WARC-Target-URI": uri,
+        "WARC-Date": date,
+        "Content-Type": "application/http; msgtype=response",
+    }, b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+       b"Content-Length: %d\r\n\r\n" % len(ent) + ent)
+
+
+def _archive(tmp_path):
+    arc = tmp_path / "a.warc.gz"
+    arc.write_bytes(encode_warc([
+        _resp("<urn:uuid:a>", "http://s.org/p",
+              "2026-01-01T00:00:00Z", SAME),
+        _resp("<urn:uuid:b>", "http://s.org/p",
+              "2026-02-01T00:00:00Z", SAME),
+        _resp("<urn:uuid:c>", "http://t.org/q",
+              "2026-03-01T00:00:00Z", SAME),
+        _resp("<urn:uuid:d>", "http://u.org/r",
+              "2026-01-15T00:00:00Z", OTHER),
+        ({"WARC-Type": "metadata", "WARC-Record-ID": "<urn:uuid:m>",
+          "WARC-Target-URI": "http://s.org/p",
+          "WARC-Date": "2026-01-01T00:00:00Z",
+          "Content-Type": "application/warc-fields"}, SAME),
+    ]))
+    return str(arc)
+
+
+def test_dedup_semantics(spark, tmp_path):
+    df = read_warc(spark, _archive(tmp_path), record_types="*",
+                   headers=True)
+    rows = {r.record_id: r for r in dedup_to_revisits(df).collect()}
+    b32 = base64.b32encode(hashlib.sha1(SAME).digest()).decode()
+    # earliest capture keeps its content
+    a = rows["<urn:uuid:a>"]
+    assert a.warc_type == "response" and bytes(a.body) == SAME
+    # later captures (same AND different urls) become revisits
+    for rid in ("<urn:uuid:b>", "<urn:uuid:c>"):
+        r = rows[rid]
+        assert r.warc_type == "revisit" and bytes(r.body) == b""
+        assert r.content_encoding is None
+        assert r.warc_headers["warc-profile"] == _REVISIT_PROFILE
+        assert r.warc_headers["warc-payload-digest"] == "sha1:" + b32
+        assert r.warc_headers["warc-refers-to"] == "<urn:uuid:a>"
+        assert r.warc_headers["warc-refers-to-target-uri"] == (
+            "http://s.org/p")
+        assert r.warc_headers["warc-refers-to-date"] == (
+            "2026-01-01T00:00:00Z")
+        assert r.http_status == 200  # the re-fetch head survives
+    # unique payloads and non-response records pass through untouched
+    assert rows["<urn:uuid:d>"].warc_type == "response"
+    m = rows["<urn:uuid:m>"]
+    assert m.warc_type == "metadata" and bytes(m.body) == SAME
+
+
+def test_full_circle_restores_corpus(spark, tmp_path):
+    """dedup -> write -> index -> resolve -> selected-read: every
+    distinct payload lands ONCE and every capture still resolves to
+    its real content."""
+    df = read_warc(spark, _archive(tmp_path), headers=True)
+    out = str(tmp_path / "dd")
+    write_warc(dedup_to_revisits(df), out)
+    idx = cdx_records(spark, f"{out}/part-*.warc.gz",
+                      record_types=("response", "revisit"),
+                      digest="stored")
+    res = resolve_revisits(idx)
+    assert res.count() == 4  # all four captures survive in the index
+    got = read_warc_selected(spark, res)
+    stored = sorted((r.record_id, bytes(r.body)) for r in got.collect())
+    assert stored == [("<urn:uuid:a>", SAME), ("<urn:uuid:d>", OTHER)]
+    # written revisit records carry the ORIGINAL digest (write_warc's
+    # revisit exception), so the index's revisit rows equi-join it
+    back = {r.record_id: r for r in read_warc(
+        spark, f"{out}/part-*.warc.gz",
+        record_types=("revisit",), headers=True).collect()}
+    b32 = base64.b32encode(hashlib.sha1(SAME).digest()).decode()
+    assert back["<urn:uuid:b>"].warc_headers[
+        "warc-payload-digest"] == "sha1:" + b32
+
+
+def test_without_header_maps_grows_column(spark, tmp_path):
+    df = read_warc(spark, _archive(tmp_path))  # no headers= maps
+    out = dedup_to_revisits(df)
+    assert "warc_headers" in out.columns
+    rows = {r.record_id: r for r in out.collect()}
+    assert rows["<urn:uuid:b>"].warc_headers["warc-refers-to"] == (
+        "<urn:uuid:a>")
+    assert rows["<urn:uuid:a>"].warc_headers is None
+
+
+def test_missing_columns_loud(spark):
+    with pytest.raises(ValueError, match="missing"):
+        dedup_to_revisits(spark.range(1))
+
+
+def test_no_duplicates_is_identity(spark, tmp_path):
+    arc = tmp_path / "u.warc.gz"
+    arc.write_bytes(encode_warc([
+        _resp("<urn:uuid:x>", "http://a/", "2026-01-01T00:00:00Z",
+              b"one"),
+        _resp("<urn:uuid:y>", "http://b/", "2026-01-02T00:00:00Z",
+              b"two"),
+    ]))
+    df = read_warc(spark, str(arc), headers=True)
+    out = dedup_to_revisits(df).collect()
+    assert all(r.warc_type == "response" for r in out)
+    assert sorted(bytes(r.body) for r in out) == [b"one", b"two"]

@@ -23,6 +23,7 @@ from zeek_duckdb_spark.sources.zeek_writer import write_zeek, write_zeek_stream
 from zeek_duckdb_spark.sources.warc import (
     extract_warc,
     read_warc,
+    dedup_to_revisits,
     resolve_revisits,
     write_warc,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "read_warc",
     "extract_warc",
     "resolve_revisits",
+    "dedup_to_revisits",
     "write_warc",
     "read_cdxj",
     "write_cdxj",

@@ -55,6 +55,7 @@ __all__ = [
     "read_warc_selected",
     "extract_warc",
     "resolve_revisits",
+    "dedup_to_revisits",
     "fsspec_opener",
     "fsspec_lister",
     "write_cdx",
@@ -3115,6 +3116,158 @@ def resolve_revisits(
     return out
 
 
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def dedup_to_revisits(df: DataFrame) -> DataFrame:
+    """The INVERSE of :func:`resolve_revisits` — write-time archive
+    deduplication, what a wayback-style crawler's dedup module does
+    (ISO 28500 §6.7.2): among ``response`` rows with identical payload
+    bytes, the EARLIEST capture keeps its content and every later one
+    becomes a ``revisit`` row — empty body, ``WARC-Profile``
+    identical-payload-digest, ``WARC-Payload-Digest`` naming the
+    shared content, ``WARC-Refers-To``(+Target-URI/-Date) naming the
+    original.  Feed :func:`write_warc`: storage collapses to one copy
+    per distinct payload while every capture stays in the record; the
+    output re-indexes with :func:`cdx_records` and
+    :func:`resolve_revisits` restores the full corpus (the round trip
+    is pinned).
+
+    Input/output: the :func:`read_warc` schema (``headers=True`` maps
+    carried through and extended when present).  Non-response rows,
+    NULL bodies and the first capture of each payload pass through
+    unchanged; duplicate detection is over the exact body bytes
+    (decoded entities, this engine's digest convention — quarantined
+    rows dedup over their raw bytes, which is still exact).
+
+    Scale shape: one Arrow-batched digest UDF over response bodies
+    (gated at the input — other rows never reach Python), then ONE
+    window pass over rows shuffled by (digest, warc_type) — rank and
+    first-capture identity in the same frame, no self-join, no
+    explosion: a million identical pages cost a group sort.  The maps
+    edit is JVM-side (``map_filter`` + ``map_concat``)."""
+    import pandas as _pd  # noqa: F401
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    need = [
+        "record_id", "warc_type", "target_uri", "warc_date",
+        "http_status", "content_type", "content_encoding", "body",
+    ]
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"dedup_to_revisits: input is missing {missing} — pass a "
+            "read_warc() frame"
+        )
+    cols = df.columns
+    has_wh = "warc_headers" in cols
+
+    @F.pandas_udf("string")
+    def _b32sha1(b: pd.Series) -> pd.Series:
+        import base64
+        import hashlib
+
+        return pd.Series(
+            [
+                None if raw is None else base64.b32encode(
+                    hashlib.sha1(bytes(raw)).digest()
+                ).decode()
+                for raw in b
+            ],
+            dtype="object",
+        )
+
+    is_resp = F.col("warc_type") == F.lit("response")
+    gated = F.when(is_resp & F.col("body").isNotNull(), F.col("body"))
+    d = df.withColumn("__dg", _b32sha1(gated))
+
+    order = [
+        F.coalesce(F.col("warc_date"), F.lit("")).asc(),
+        F.coalesce(F.col("record_id"), F.lit("")).asc(),
+    ]
+    w = Window.partitionBy("__dg", "warc_type").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__first",
+        F.first(
+            F.struct(
+                F.col("record_id").alias("rid"),
+                F.col("target_uri").alias("uri"),
+                F.col("warc_date").alias("dt"),
+            )
+        ).over(w_run),
+    )
+    is_dup = F.col("__dg").isNotNull() & (F.col("__rn") > 1)
+
+    # the revisit header entries, null-valued ones dropped (a NULL
+    # header value must not serialize as the string 'None')
+    entries = F.filter(
+        F.array(
+            F.struct(
+                F.lit("warc-profile").alias("key"),
+                F.lit(_REVISIT_PROFILE).alias("value"),
+            ),
+            F.struct(
+                F.lit("warc-payload-digest").alias("key"),
+                F.concat(F.lit("sha1:"), F.col("__dg")).alias("value"),
+            ),
+            F.struct(
+                F.lit("warc-refers-to").alias("key"),
+                F.col("__first.rid").alias("value"),
+            ),
+            F.struct(
+                F.lit("warc-refers-to-target-uri").alias("key"),
+                F.col("__first.uri").alias("value"),
+            ),
+            F.struct(
+                F.lit("warc-refers-to-date").alias("key"),
+                F.col("__first.dt").alias("value"),
+            ),
+        ),
+        lambda x: x.value.isNotNull(),
+    )
+    base_map = (
+        F.col("warc_headers") if has_wh
+        else F.lit(None).cast("map<string,string>")
+    )
+    ours = (
+        "warc-profile", "warc-payload-digest", "warc-refers-to",
+        "warc-refers-to-target-uri", "warc-refers-to-date",
+        "warc-block-digest", "content-length",
+    )
+    cleaned = F.map_filter(
+        F.coalesce(base_map, F.expr("map()")),
+        lambda k, _v: ~F.lower(k).isin(*ours),
+    )
+    rev_map = F.map_concat(cleaned, F.map_from_entries(entries))
+
+    out_exprs = []
+    for c in cols:
+        if c == "warc_type":
+            e = F.when(is_dup, F.lit("revisit")).otherwise(F.col(c))
+        elif c == "body":
+            e = F.when(is_dup, F.lit(b"")).otherwise(F.col(c))
+        elif c == "content_encoding":
+            e = F.when(is_dup, F.lit(None).cast("string")).otherwise(
+                F.col(c)
+            )
+        elif c == "warc_headers":
+            e = F.when(is_dup, rev_map).otherwise(F.col(c))
+        else:
+            e = F.col(c)
+        out_exprs.append(e.alias(c))
+    if not has_wh:
+        # no maps in the input: the revisit headers must still exist
+        # for write_warc to land them — the output grows the column
+        # (NULL on every untouched row; stated)
+        out_exprs.append(F.when(is_dup, rev_map).alias("warc_headers"))
+    return d.select(*out_exprs)
+
+
 def write_cdx(
     cdx_df: DataFrame,
     path: str,
@@ -3528,9 +3681,13 @@ def warc_record_bytes_out(
     stale after decode) and WARC-Payload-Digest recomputed in the
     stored convention (sha1-base32 of the bytes after the head — the
     ``cdx_records(digest='stored')`` cross-match); the explicit
-    columns override map entries for identity fields.  Without a map,
-    a minimal conformant header set synthesizes (deterministic sha1
-    urn when ``record_id`` is NULL)."""
+    columns override map entries for identity fields.  EXCEPTION:
+    ``revisit`` records KEEP the map's WARC-Payload-Digest — it names
+    the ORIGINAL payload's digest (the record's whole point; its own
+    payload is just the re-fetch head) and must not be replaced by a
+    hash of the empty body.  Without a map, a minimal conformant
+    header set synthesizes (deterministic sha1 urn when ``record_id``
+    is NULL)."""
     import base64
     import hashlib
 
@@ -3568,11 +3725,10 @@ def warc_record_bytes_out(
     if warc_headers:
         for k, v in warc_headers.items():
             lk = k.lower()
-            if lk in (
-                "content-length", "warc-block-digest",
-                "warc-payload-digest",
-            ):
+            if lk in ("content-length", "warc-block-digest"):
                 continue
+            if lk == "warc-payload-digest" and wtype != "revisit":
+                continue  # stale after decode; recomputed below
             headers[_warc_case(lk)] = v
     headers["WARC-Type"] = wtype
     if record_id:
@@ -3589,7 +3745,8 @@ def warc_record_bytes_out(
         headers["WARC-Date"] = wdate
     if rec_ctype:
         headers["Content-Type"] = rec_ctype
-    headers["WARC-Payload-Digest"] = f"sha1:{digest}"
+    if not (wtype == "revisit" and "WARC-Payload-Digest" in headers):
+        headers["WARC-Payload-Digest"] = f"sha1:{digest}"
     return encode_warc([(headers, payload)], compress=compress)
 
 
