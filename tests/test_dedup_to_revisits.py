@@ -118,6 +118,16 @@ def test_without_header_maps_grows_column(spark, tmp_path):
     assert rows["<urn:uuid:a>"].warc_headers is None
 
 
+def test_decode_text_frame_nulls_stale_text(spark, tmp_path):
+    """On a decode_text=True frame the revisit rows' body_text nulls
+    out with the body — pre-dedup text on an empty record would lie."""
+    df = read_warc(spark, _archive(tmp_path), headers=True,
+                   decode_text=True)
+    rows = {r.record_id: r for r in dedup_to_revisits(df).collect()}
+    assert rows["<urn:uuid:b>"].body_text is None
+    assert rows["<urn:uuid:a>"].body_text == SAME.decode()
+
+
 def test_missing_columns_loud(spark):
     with pytest.raises(ValueError, match="missing"):
         dedup_to_revisits(spark.range(1))

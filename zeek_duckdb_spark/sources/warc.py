@@ -3251,7 +3251,9 @@ def dedup_to_revisits(df: DataFrame) -> DataFrame:
             e = F.when(is_dup, F.lit("revisit")).otherwise(F.col(c))
         elif c == "body":
             e = F.when(is_dup, F.lit(b"")).otherwise(F.col(c))
-        elif c == "content_encoding":
+        elif c in ("content_encoding", "body_text"):
+            # the emptied body has no encoding residual and no text —
+            # a revisit row keeping its pre-dedup body_text would lie
             e = F.when(is_dup, F.lit(None).cast("string")).otherwise(
                 F.col(c)
             )
