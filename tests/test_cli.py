@@ -807,6 +807,40 @@ def test_export_wat_subcommand(spark, tmp_path):
         "HTTP-Response-Metadata"]
 
 
+def test_dedup_archive_subcommand(spark, tmp_path):
+    """dedup-archive: duplicate payloads re-land as revisit records;
+    the output resolves back to the full corpus."""
+    from zeek_duckdb_spark.sources.warc import (
+        cdx_records,
+        encode_warc,
+        read_warc_selected,
+        resolve_revisits,
+    )
+
+    ent = b"<html>dup</html>"
+    def _r(rid, uri, date):
+        return ({"WARC-Type": "response", "WARC-Record-ID": rid,
+                 "WARC-Target-URI": uri, "WARC-Date": date,
+                 "Content-Type": "application/http; msgtype=response"},
+                b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n"
+                % len(ent) + ent)
+    arc = tmp_path / "d.warc.gz"
+    arc.write_bytes(encode_warc([
+        _r("<urn:uuid:1>", "http://a/", "2026-01-01T00:00:00Z"),
+        _r("<urn:uuid:2>", "http://a/", "2026-02-01T00:00:00Z"),
+    ]))
+    out = str(tmp_path / "dd")
+    rc = main(["dedup-archive", str(arc), out, "--shards", "1",
+               "--compress", "zst"], spark=spark)
+    assert rc == 0
+    idx = cdx_records(spark, f"{out}/part-*.warc.zst",
+                      record_types=("response", "revisit"),
+                      digest="stored")
+    got = read_warc_selected(spark, resolve_revisits(idx)).collect()
+    assert len(got) == 1 and bytes(got[0].body) == ent
+    assert idx.count() == 2
+
+
 def test_ingest_crawl_charset_and_link_density(spark, tmp_path):
     """ingest-crawl decodes per the page's declared charset and
     --max-link-density drops navigation boilerplate."""

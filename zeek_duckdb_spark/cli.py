@@ -221,6 +221,20 @@ def _build_parser() -> argparse.ArgumentParser:
     wa.add_argument("--shards", type=int, default=None,
                     help="repartition to N output shards")
 
+    da = sub.add_parser(
+        "dedup-archive",
+        help="rewrite a WARC archive with duplicate payloads as "
+             "revisit records (one stored copy per distinct payload)",
+    )
+    da.add_argument("pattern", help="WARC glob (plain/.gz/.zst)")
+    da.add_argument("out")
+    da.add_argument("--compress", choices=("gz", "zst", "plain"),
+                    default="gz",
+                    help="output container ('zst' = the IIPC seekable "
+                         "frame-per-record layout)")
+    da.add_argument("--shards", type=int, default=None,
+                    help="repartition to N output shards")
+
     ch = sub.add_parser("check", help="data-quality gate from a rules JSON file")
     ch.add_argument("path", help="parquet directory")
     ch.add_argument("rules", help="JSON file: list of rule objects")
@@ -531,6 +545,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 wat = wat.repartition(args.shards)
             write_wat(wat, args.out)
             print(f"exported WAT -> {args.out}", file=sys.stderr)
+        elif args.cmd == "dedup-archive":
+            from zeek_duckdb_spark.sources.warc import (
+                dedup_to_revisits,
+                read_warc,
+                write_warc,
+            )
+
+            df = read_warc(
+                spark, args.pattern, record_types="*", headers=True
+            )
+            dd = dedup_to_revisits(df)
+            if args.shards:
+                dd = dd.repartition(args.shards)
+            write_warc(
+                dd, args.out,
+                compress=False if args.compress == "plain"
+                else args.compress,
+            )
+            print(f"deduplicated archive -> {args.out}", file=sys.stderr)
         elif args.cmd == "check":
             from zeek_duckdb_spark.operators.quality_checks import check_rules
 
