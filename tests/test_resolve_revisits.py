@@ -189,6 +189,51 @@ def test_null_mime_original_passes_through_and_matches(spark):
     assert sorted(r.offset for r in out) == [100, 100]
 
 
+def test_hot_digest_volume(spark):
+    """The no-explosion shape under volume: ONE digest shared by 1000
+    captures (600 revisits) plus 400 singleton groups resolves
+    correctly — the window pass costs a group sort, and every revisit
+    lands on the rank-1 original for its timestamp."""
+    rows = []
+    # hot group: originals at even days, revisits at odd days
+    for i in range(1000):
+        ts = f"202601{(i % 27) + 1:02d}{i % 24:02d}0000"
+        if i % 5 < 2:
+            rows.append(_row("hot)/", ts, "HOT", rid=f"<o{i:04d}>",
+                             off=i))
+        else:
+            rows.append(_row("hot)/", ts, "HOT", mime="warc/revisit",
+                             rid=f"<r{i:04d}>", off=i))
+    for g in range(400):
+        rows.append(_row(f"s{g})/", "20260101000000", f"D{g}",
+                         rid=f"<s{g}>", off=g))
+    in_orig_ts = {  # rid -> ts of the hot group's originals
+        r[3]: r[1] for r in rows
+        if r[0] == "hot)/" and r[3].startswith("<o")
+    }
+    earliest = min(in_orig_ts.values())
+    out = resolve_revisits(_cdx(spark, rows))
+    got = out.collect()
+    assert len(got) == 1400  # every row resolved, none dropped
+    hot = [r for r in got if r.urlkey == "hot)/"]
+    assert len(hot) == 1000
+    # every hot row points at an ORIGINAL record (revisit ids gone)
+    assert all(r.record_id.startswith("<o") for r in hot)
+    # the as-of invariant, row by row: the matched original is at or
+    # before the capture — except captures predating every original,
+    # which take the earliest (rank 2)
+    revisit_caps = {r[1] for r in rows
+                    if r[0] == "hot)/" and r[3].startswith("<r")}
+    for r in hot:
+        if r.cdx_ts not in revisit_caps:
+            continue  # a passthrough original
+        matched = in_orig_ts[r.record_id]
+        if any(ts <= r.cdx_ts for ts in in_orig_ts.values()):
+            assert matched <= r.cdx_ts
+        else:
+            assert matched == earliest
+
+
 def test_no_revisits_is_identity(spark):
     rows = [
         _row("a)/", "20260101000000", "D1", off=100),
