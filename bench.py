@@ -52,15 +52,18 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# The pinned paired-arm baseline: the round-14 snapshot (r14 HEAD plus
-# that round's verdict files), so the round-15 paired ratio reads THIS
+# The pinned paired-arm baseline: the round-15 snapshot (r15 HEAD plus
+# that round's verdict files), so the round-16 paired ratio reads THIS
 # round's code changes against the last graded round.  Advance this
 # once per round; keep it at the prior round's snapshot commit so
 # cross-round deltas stay falsifiable.  (r11 used r10 HEAD 72fe19b —
 # the round whose BENCH raw total moved +23% on untouched queries
 # while single-task probes pointed the wrong way; r12-r14 used the
-# r11 snapshot 3997e9bc.)
-BASELINE_COMMIT = "b38c1873dde5a7aa0cfce9d7fbb445bfe5a3f388"
+# r11 snapshot 3997e9bc; r15 used the r14 snapshot b38c1873.)
+# Before advancing, the r15 1.053 anomaly was re-run on an idle
+# window against the OLD pin per protocol: it read 0.965 (worst
+# per-query 1.038) — wobble, not a regression; see OPTIMIZATION_r16.md.
+BASELINE_COMMIT = "eb7dc5f3ec8268ec517d646a0c77d6c4a8199649"
 
 # Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
 # machine-drift note: the observed idle end of the cpu 0.28-0.48 s /
