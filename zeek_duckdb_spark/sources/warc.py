@@ -3142,14 +3142,24 @@ def dedup_to_revisits(df: DataFrame) -> DataFrame:
     (decoded entities, this engine's digest convention — quarantined
     rows dedup over their raw bytes, which is still exact).
 
-    Scale shape: one Arrow-batched digest UDF over response bodies
-    (gated at the input — other rows never reach Python), then ONE
-    window pass over rows shuffled by (digest, warc_type) — rank and
+    Scale shape: the payload digest is computed ENTIRELY in the JVM —
+    ``sha1(body)`` natively, then the base32 re-encode as pure string
+    expressions (RFC 4648 base32 of the 20-byte digest == ``conv(hex
+    chunk, 16, 32)`` per 5-byte group under a digit-alphabet
+    ``translate``; 4 chunks of 40 bits each stay inside conv's 64-bit
+    arithmetic) — bodies never cross the JVM↔Python boundary and the
+    plan has no Python node at all (r16; the r15 shape shipped every
+    response body through Arrow to a pandas sha1).  Then ONE window
+    pass over rows shuffled by (digest, salt, warc_type) — rank and
     first-capture identity in the same frame, no self-join, no
-    explosion: a million identical pages cost a group sort.  The maps
-    edit is JVM-side (``map_filter`` + ``map_concat``)."""
-    import pandas as _pd  # noqa: F401
-
+    explosion: a million identical pages cost a group sort.  The salt
+    key is 0 for every digest-bearing row (grouping unchanged) and a
+    deterministic per-row hash for NULL-digest passthrough rows, whose
+    window values are discarded anyway — without it every
+    request/metadata/warcinfo row of a type lands in ONE window
+    partition and a 100 TB ``record_types='*'`` pass sorts that whole
+    remainder on a single task.  The maps edit is JVM-side
+    (``map_filter`` + ``map_concat``)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -3166,19 +3176,26 @@ def dedup_to_revisits(df: DataFrame) -> DataFrame:
     cols = df.columns
     has_wh = "warc_headers" in cols
 
-    @F.pandas_udf("string")
-    def _b32sha1(b: pd.Series) -> pd.Series:
-        import base64
-        import hashlib
-
-        return pd.Series(
-            [
-                None if raw is None else base64.b32encode(
-                    hashlib.sha1(bytes(raw)).digest()
-                ).decode()
-                for raw in b
-            ],
-            dtype="object",
+    def _b32sha1(col):
+        """RFC 4648 base32 of the raw sha1 digest, in JVM expressions:
+        sha1() yields 40 hex chars = 4 chunks of 10 (40 bits — inside
+        conv's 64-bit math); conv(chunk, 16, 32) emits the SAME 5-bit
+        groups base32 does, in the digit alphabet 0-9A-V, which maps
+        1:1 onto A-Z2-7 via translate.  20 bytes = exactly 32 base32
+        chars, no padding.  Bit-equality with base64.b32encode(sha1())
+        is pinned by tests/test_dedup_to_revisits.py (digest asserts)
+        and a dedicated property test."""
+        hx = F.sha1(col)
+        chunks = [
+            F.lpad(
+                F.conv(F.substring(hx, 1 + 10 * i, 10), 16, 32), 8, "0"
+            )
+            for i in range(4)
+        ]
+        return F.translate(
+            F.concat(*chunks),
+            "0123456789ABCDEFGHIJKLMNOPQRSTUV",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567",
         )
 
     is_resp = F.col("warc_type") == F.lit("response")
@@ -3189,7 +3206,21 @@ def dedup_to_revisits(df: DataFrame) -> DataFrame:
         F.coalesce(F.col("warc_date"), F.lit("")).asc(),
         F.coalesce(F.col("record_id"), F.lit("")).asc(),
     ]
-    w = Window.partitionBy("__dg", "warc_type").orderBy(*order)
+    # NULL-digest rows never use their window values (is_dup requires a
+    # digest), so spread them across deterministic salt buckets instead
+    # of letting a whole record type pile into one sorted partition;
+    # digest-bearing rows keep salt=0 and group exactly as before
+    salt = F.when(
+        F.col("__dg").isNotNull(), F.lit(0)
+    ).otherwise(
+        F.pmod(
+            F.xxhash64(
+                F.col("record_id"), F.col("target_uri"), F.col("warc_date")
+            ),
+            F.lit(65536),
+        )
+    )
+    w = Window.partitionBy("__dg", salt, "warc_type").orderBy(*order)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__first",
