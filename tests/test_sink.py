@@ -290,3 +290,53 @@ def test_recover_landing_crash_states(spark, tmp_path):
     os.rename(p, p + ".compact-old")
     assert maybe_compact_landing(spark, p, max_files_per_dir=1000) is None
     assert spark.read.parquet(p).count() == 100
+
+
+def test_bucketed_one_file_per_bucket_and_sortfree_merge(spark):
+    """r16 layout contract: write_bucketed's default repartitions on
+    the bucket column so each bucket is exactly ONE file, and under
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true (only legal
+    on single-file buckets) the bucketed merge join runs with NO Sort
+    on either fact side — the sortBy order is real and reported."""
+    import glob
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.plans import audit
+    from zeek_duckdb_spark.sources.sink import write_bucketed
+
+    sfx = uuid.uuid4().hex[:8]
+    a_name, b_name = f"of_a_{sfx}", f"of_b_{sfx}"
+    a = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_ord = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try:
+        write_bucketed(a, a_name, "k", n_buckets=8, sort_col="k")
+        write_bucketed(b, b_name, "k", n_buckets=8, sort_col="k")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (a_name, b_name):
+            files = glob.glob(f"{wh}/{t}/*.parquet")
+            assert len(files) == 8, files  # one file per bucket
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        ta, tb = spark.table(a_name), spark.table(b_name)
+        joined = ta.join(tb, "k").agg(F.sum(ta.va + tb.vb).alias("s"))
+        plan = audit.physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(k" not in plan
+        assert "+- Sort " not in plan, plan  # scan order satisfies the join
+        assert joined.first().s == sum(i * 2 + i * 3 for i in range(4000))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord)
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")

@@ -80,6 +80,7 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    one_file_per_bucket: bool = True,
 ) -> None:
     """Write a BUCKETED parquet table (Hive-style bucketing via
     ``bucketBy``) — the co-located-join layout: two tables bucketed the
@@ -94,10 +95,30 @@ def write_bucketed(
     need no sort.  Bucketed writes must go through the session catalog
     (``saveAsTable``) — plain ``.parquet(path)`` silently drops bucket
     metadata, which is the part that eliminates the exchange.
+
+    ``one_file_per_bucket`` (default, r16) repartitions on the bucket
+    column before the write so each bucket lands as exactly ONE file
+    (``repartition(n, col)`` and ``bucketBy`` share murmur3 hashing, so
+    every write task holds exactly its bucket's rows).  Without it each
+    input task writes its own file per bucket — up to tasks x buckets
+    small files (guide §6's small-files trap), and, more importantly,
+    Spark refuses to report the ``sortBy`` order for multi-file buckets
+    (a merge would be needed), so
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` can
+    never eliminate the scan-side sorts.  On the one-file layout with
+    that conf set, the bucketed merge join needs NO sort on either
+    fact side (measured on the sf~5 bucketed q03/q05: -13%/-14%
+    query wall; the landing write itself is one shuffle of the input
+    either way).  Set it False only when a single file per bucket
+    would be unreasonably large for the writer (size buckets so it
+    is not).
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    from pyspark.sql import functions as F
+
+    src = df.repartition(n_buckets, F.col(bucket_col)) if one_file_per_bucket else df
+    writer = src.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
