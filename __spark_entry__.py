@@ -307,27 +307,48 @@ def q14_anti_join(spark, sf):
 
 
 def q15_set_ops(spark, sf):
-    """UNION / INTERSECT / EXCEPT of customer-key sets."""
+    """UNION / INTERSECT / EXCEPT of customer-key sets.
+
+    r16 plan shape: ONE membership aggregation instead of three
+    separate distinct/intersect/exceptAll branches — the original plan
+    re-scanned both inputs per branch and paid 10 shuffle exchanges
+    for three numbers; this computes per-key (in_building, in_urgent)
+    flags in one groupBy and derives all three counts from the flags
+    in one 1-row aggregate (2 exchanges).  Value-equivalent because
+    c_custkey is unique in customer (so building is already a set and
+    exceptAll == except) and union/intersect are set ops after the
+    original's own distincts — pinned by the unchanged DuckDB oracle."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("k")
+    tagged = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit(1).alias("in_b"),
+            F.lit(0).alias("in_u"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("k"),
+                F.lit(0).alias("in_b"),
+                F.lit(1).alias("in_u"),
+            )
+        )
     )
-    urgent = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
+    flags = tagged.groupBy("k").agg(
+        F.max("in_b").alias("b"), F.max("in_u").alias("u")
     )
-    u = building.union(urgent).distinct().agg(F.count("*").alias("n")).select(
-        F.lit("union").alias("op"), "n"
+    n = flags.agg(
+        F.count("*").alias("n_union"),
+        F.sum(((F.col("b") == 1) & (F.col("u") == 1)).cast("long")).alias("n_int"),
+        F.sum(((F.col("b") == 1) & (F.col("u") == 0)).cast("long")).alias("n_exc"),
     )
-    i = building.intersect(urgent).agg(F.count("*").alias("n")).select(
-        F.lit("intersect").alias("op"), "n"
+    return n.selectExpr(
+        "inline(array("
+        "named_struct('op', 'union', 'n', n_union), "
+        "named_struct('op', 'intersect', 'n', n_int), "
+        "named_struct('op', 'except', 'n', n_exc)))"
     )
-    e = building.exceptAll(urgent).distinct().agg(F.count("*").alias("n")).select(
-        F.lit("except").alias("op"), "n"
-    )
-    return u.unionAll(i).unionAll(e)
 
 
 def q16_case_having(spark, sf):
@@ -585,15 +606,22 @@ def _emb_parallel(spark, sf):
 def dd_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates.  The md5-derived hash family
     lets the oracle restate the exact signatures and band buckets in
-    SQL (see _minhash_lsh_oracle).  verify_with=d: verification
+    SQL (see _minhash_lsh_oracle).  verify_with: verification
     shingles compute per CANDIDATE, not corpus-wide on both join
     sides — measured r10: 0.69 s vs 1.00 s at sf0.1 and 8.0 s vs
     20.0 s at sf~5 (the default path re-derives the tokenize+md5
-    chain 3x over the corpus), identical rows."""
+    chain 3x over the corpus), identical rows.  r16: the verify side
+    is the PLAIN table handle, not the _docs_parallel repartition —
+    the widening exchange only helps the per-row signature fold; on
+    the verify side it round-robin-shuffled the ENTIRE corpus text
+    into a frame that is immediately broadcast (or re-shuffled by id
+    at scale) — two full-corpus text exchanges for nothing (plan:
+    Exchange under each BroadcastExchange, now gone; same rows)."""
     d = _docs_parallel(spark, sf)
     sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_k=3)
     return dd.minhash_lsh_pairs(
-        sigs, "doc_id", bands=8, threshold=0.7, verify_with=d,
+        sigs, "doc_id", bands=8, threshold=0.7,
+        verify_with=_t(spark, sf, "documents"),
         text_col="text",
     )
 
@@ -613,9 +641,14 @@ def dd_cosine_pairs(spark, sf):
 
 
 def sim_topk(spark, sf):
-    """Brute-force cosine top-20 neighbors of vec_id=0."""
+    """Brute-force cosine top-20 neighbors of vec_id=0.  The query row
+    comes off the PLAIN handle (r16): deriving it from _emb_parallel
+    dragged the 1-row broadcast side through the corpus-widening
+    RoundRobin exchange — an extra stage per run for nothing (the
+    corpus side keeps the widening; the cosine fold is the part that
+    needs cores)."""
     e = _emb_parallel(spark, sf)
-    q = e.filter(F.col("vec_id") == 0)
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
     return sim.topk_neighbors(e, q, k=20, query_id_col="vec_id")
 
 
@@ -624,7 +657,8 @@ def sim_ivf_topk(spark, sf):
     re-rank) for vec_id=0.  Fully deterministic — the oracle restates
     the cell assignment and probe pipeline in SQL (_ivf_topk_oracle)."""
     e = _emb_parallel(spark, sf)
-    q = e.filter(F.col("vec_id") == 0)
+    # plain-handle query row: see sim_topk (r16)
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
     return sim.ivf_topk(
         e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=16, nprobe=4
     )
@@ -635,7 +669,8 @@ def sim_ann_lsh(spark, sf):
     query's bucket is populated at test SFs — the oracle restates the
     seeded plane matrix verbatim in SQL."""
     e = _emb_parallel(spark, sf)
-    q = e.filter(F.col("vec_id") == 0)
+    # plain-handle query row: see sim_topk (r16)
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
     return sim.lsh_bucket_ann(e.filter(F.col("vec_id") != 0), q, dim=64, k=10, planes=6)
 
 
@@ -929,7 +964,8 @@ def sim_kmeans_ivf(spark, sf):
     from zeek_duckdb_spark.operators.kmeans import kmeans_ivf_topk
 
     e = _emb_parallel(spark, sf)
-    q = e.filter(F.col("vec_id") == 0)
+    # plain-handle query row: see sim_topk (r16)
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
     return kmeans_ivf_topk(
         e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=2, iters=2,
         min_parallelism=spark.sparkContext.defaultParallelism,
