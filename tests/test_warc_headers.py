@@ -135,3 +135,23 @@ def test_http_header_map_unit():
         b"HTTP/1.1 200 OK\r\nA: 1\r\n: skipme\r\nB:\r\n\r\nbody"
     )
     assert m == {"a": "1", "b": ""}
+
+
+def test_http_header_map_obs_fold():
+    """Obs-fold continuations (RFC 9112 §5.2) append to the previous
+    field's value instead of becoming a bogus lowercase key (r16)."""
+    m = _http_header_map(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: multipart/mixed;\r\n"
+        b"\tboundary=x\r\n"
+        b"A: 1\r\n"
+        b"   continued A\r\n"
+        b"\r\nbody"
+    )
+    assert m == {
+        "content-type": "multipart/mixed; boundary=x",
+        "a": "1 continued A",
+    }
+    # a fold with no preceding field is dropped, not a key
+    m2 = _http_header_map(b"HTTP/1.1 200 OK\r\n  orphan\r\nB: 2\r\n\r\n")
+    assert m2 == {"b": "2"}

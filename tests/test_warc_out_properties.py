@@ -81,3 +81,33 @@ def test_record_out_parses_back(
         assert not tehdr  # decoded rows never re-claim an encoding
     else:
         assert payload == body
+
+
+def test_kept_transfer_encoding_suppresses_content_length():
+    """A quarantined row (cenc non-null) keeps Transfer-Encoding
+    verbatim — the rebuilt head must then NOT add Content-Length
+    (RFC 9112 §6.3 forbids the pair; strict replayers mis-frame it).
+    Decoded rows still carry the recomputed Content-Length (r16)."""
+    raw = warc_record_bytes_out(
+        "http://q/", "2026-08-17T00:00:00Z", "<urn:uuid:q>", "response",
+        200, "text/html", "chunked",
+        b"5\r\nhello\r\n0\r\n\r\n",
+        None, {"transfer-encoding": "chunked", "server": "s/1"},
+        compress=False,
+    )
+    recs = list(_record_spans(raw, "prop"))
+    head, _, _ent = recs[0][2]["payload"].partition(b"\r\n\r\n")
+    low = head.lower()
+    assert b"transfer-encoding: chunked" in low
+    assert b"content-length" not in low
+    # decoded row (cenc None): Content-Length present, TE dropped
+    raw2 = warc_record_bytes_out(
+        "http://q/", "2026-08-17T00:00:00Z", "<urn:uuid:q2>", "response",
+        200, "text/html", None, b"hello",
+        None, {"transfer-encoding": "chunked", "server": "s/1"},
+        compress=False,
+    )
+    head2, _, _ = list(_record_spans(raw2, "prop"))[0][2][
+        "payload"].partition(b"\r\n\r\n")
+    assert b"content-length: 5" in head2.lower()
+    assert b"transfer-encoding" not in head2.lower()

@@ -245,3 +245,29 @@ def test_frame_walker_differential_property():
         assert pos == len(blob)
 
     run()
+
+
+def test_single_frame_offset0_span_gets_reindex_guidance(spark, tmp_path):
+    """A decompressed-stream span at OFFSET 0 of a single-frame
+    container starts with the zstd magic, so it takes the frame-walk
+    branch — the walk's failure must surface the re-index guidance,
+    not a bare truncated-frame error (r16, advice fix)."""
+    import random
+
+    random.seed(160)
+    # incompressible bodies: the offset-0 span (first record's PLAIN
+    # length) must be SHORTER than the compressed frame, so the frame
+    # walk really sees a truncated frame
+    plain = encode_warc(
+        [_resp(f"http://z{i}.org/", random.randbytes(600))
+         for i in range(3)],
+        compress=False)
+    f = tmp_path / "one0.warc.zst"
+    f.write_bytes(_zstd_compress_frame(plain))
+    idx = cdx_records(spark, str(f))
+    first = idx.filter("offset = 0")
+    assert first.count() == 1
+    # the offset-0 span reads the COMPRESSED file head: zstd magic, but
+    # a truncated frame (span length = the first record's PLAIN length)
+    with pytest.raises(Exception, match="decompressed stream"):
+        read_warc_selected(spark, first).collect()

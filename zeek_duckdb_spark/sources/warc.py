@@ -550,7 +550,10 @@ def _http_header_map(payload: bytes):
     'http' residuals).  Duplicate field names combine with ", " (the
     RFC 9110 §5.2 list rule — Set-Cookie loses its multiplicity in a
     map, stated).  The status line is NOT a map entry (it is the
-    ``http_status`` column)."""
+    ``http_status`` column).  Obs-fold continuation lines (RFC 9112
+    §5.2: a line starting with SP/HTAB continues the previous field's
+    value) append to the previously parsed key instead of being
+    mis-parsed as a bogus key (r16, advice fix)."""
     if not payload.startswith(b"HTTP/"):
         return None
     sep = payload.find(b"\r\n\r\n")
@@ -558,13 +561,20 @@ def _http_header_map(payload: bytes):
         return None
     lines = payload[:sep].decode("latin-1").split("\r\n")
     out: dict = {}
+    last_key = None
     for ln in lines[1:]:
+        if ln[:1] in (" ", "\t"):
+            cont = ln.strip()
+            if last_key is not None and cont:
+                out[last_key] = out[last_key] + " " + cont
+            continue
         k, _, v = ln.partition(":")
         k = k.strip().lower()
         if not k:
             continue
         v = v.strip()
         out[k] = out[k] + ", " + v if k in out else v
+        last_key = k
     return out
 
 
@@ -2652,26 +2662,51 @@ def read_warc_selected(
                         # seekable .warc.zst span (round-15): one or
                         # more whole zstd frames — decode each through
                         # the capped ladder; skippable frames (the
-                        # IIPC dictionary carrier) contribute no bytes
-                        parts, total = [], 0
-                        for _o2, _l2, kind, _did, _fcs in _zstd_frame_spans(
-                            io.BytesIO(span),
-                            f"read_warc_selected({fpath})",
-                        ):
-                            if kind != "data":
-                                continue
-                            data = _zstd_decompress_frame(
-                                span[_o2:_o2 + _l2],
+                        # IIPC dictionary carrier) contribute no bytes.
+                        # A decompressed-stream span that happens to
+                        # start at offset 0 of a single-frame container
+                        # ALSO begins with the zstd magic — convert the
+                        # frame walk's failure into the re-index
+                        # guidance instead of a bare truncated-frame
+                        # error (r16, advice fix)
+                        try:
+                            parts, total = [], 0
+                            for (
+                                _o2, _l2, kind, _did, _fcs,
+                            ) in _zstd_frame_spans(
+                                io.BytesIO(span),
                                 f"read_warc_selected({fpath})",
-                            )
-                            total += len(data)
-                            if total > _MAX_RECORD_BYTES:
-                                raise ValueError(
-                                    f"read_warc_selected({fpath}): span "
-                                    f"at offset {off} inflates past the "
-                                    f"{_MAX_RECORD_BYTES}-byte cap"
+                            ):
+                                if kind != "data":
+                                    continue
+                                data = _zstd_decompress_frame(
+                                    span[_o2:_o2 + _l2],
+                                    f"read_warc_selected({fpath})",
                                 )
-                            parts.append(data)
+                                total += len(data)
+                                if total > _MAX_RECORD_BYTES:
+                                    raise ValueError(
+                                        f"read_warc_selected({fpath}): "
+                                        f"span at offset {off} inflates "
+                                        f"past the "
+                                        f"{_MAX_RECORD_BYTES}-byte cap"
+                                    )
+                                parts.append(data)
+                        except ValueError as exc:
+                            if "inflates past" in str(exc):
+                                raise
+                            if local.endswith(".zst"):
+                                raise ValueError(
+                                    "read_warc_selected: this .warc.zst "
+                                    "span did not decode as whole zstd "
+                                    f"frames ({exc}) — if the index was "
+                                    "built against the decompressed "
+                                    "stream (single-frame container), "
+                                    "re-index a seekable frame-per-"
+                                    "record layout, pre-decompress, or "
+                                    "use gz/plain containers"
+                                ) from exc
+                            raise
                         span = b"".join(parts)
                         del parts
                     elif local.endswith(".zst"):
@@ -2841,24 +2876,40 @@ def extract_warc(
                     elif _is_zstd(span):
                         # seekable-zst frame span: decode through the
                         # capped ladder, re-land as one gz member per
-                        # record so mixed sources share one container
-                        parts, total = [], 0
-                        for _o, _l, kind, _d, _f in _zstd_frame_spans(
-                            io.BytesIO(span), who
-                        ):
-                            if kind != "data":
-                                continue
-                            data = _zstd_decompress_frame(
-                                span[_o:_o + _l], who
-                            )
-                            total += len(data)
-                            if total > _MAX_RECORD_BYTES:
-                                raise ValueError(
-                                    f"{who}: span at {off} inflates "
-                                    f"past the {_MAX_RECORD_BYTES}-"
-                                    "byte cap"
+                        # record so mixed sources share one container.
+                        # Same decompressed-stream-span error
+                        # conversion as read_warc_selected (r16)
+                        try:
+                            parts, total = [], 0
+                            for _o, _l, kind, _d, _f in _zstd_frame_spans(
+                                io.BytesIO(span), who
+                            ):
+                                if kind != "data":
+                                    continue
+                                data = _zstd_decompress_frame(
+                                    span[_o:_o + _l], who
                                 )
-                            parts.append(data)
+                                total += len(data)
+                                if total > _MAX_RECORD_BYTES:
+                                    raise ValueError(
+                                        f"{who}: span at {off} inflates "
+                                        f"past the {_MAX_RECORD_BYTES}-"
+                                        "byte cap"
+                                    )
+                                parts.append(data)
+                        except ValueError as exc:
+                            if "inflates past" in str(exc):
+                                raise
+                            if local.endswith(".zst"):
+                                raise ValueError(
+                                    f"{who}: this .warc.zst span did "
+                                    "not decode as whole zstd frames "
+                                    f"({exc}) — if the index was built "
+                                    "against the decompressed stream "
+                                    "(single-frame container), re-index "
+                                    "a seekable layout or pre-decompress"
+                                ) from exc
+                            raise
                         out_bytes = _gzip.compress(b"".join(parts), mtime=0)
                     elif local.endswith(".zst"):
                         raise ValueError(
@@ -3734,14 +3785,23 @@ def warc_record_bytes_out(
         skip = {"content-length"}
         if cenc is None:
             skip |= {"transfer-encoding", "content-encoding"}
+        kept_te = False
         if http_headers:
             for k, v in http_headers.items():
                 if k.lower() in skip:
                     continue
+                if k.lower() == "transfer-encoding":
+                    kept_te = True
                 head.append(f"{_warc_case(k)}: {v}")
         elif ctype is not None:
             head.append(f"Content-Type: {ctype}")
-        head.append(f"Content-Length: {len(body)}")
+        # a head that keeps Transfer-Encoding (quarantined rows keep it
+        # verbatim) must NOT also carry Content-Length — RFC 9112 §6.3
+        # forbids the pair and strict replayers reject or mis-frame it
+        # (r16, advice fix); the WARC record's own Content-Length still
+        # frames the block
+        if not kept_te:
+            head.append(f"Content-Length: {len(body)}")
         payload = (
             "\r\n".join(head).encode("latin-1") + b"\r\n\r\n" + body
         )
