@@ -452,7 +452,12 @@ def decode_media(
                 }
             )
 
-    return df.mapInPandas(batches, _DECODED_SCHEMA)
+    # project to the two columns the batch fn reads: an opaque
+    # mapInPandas over the full frame would ship (and scan) every
+    # other column through Arrow for nothing (guide §4.1; r16)
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, _DECODED_SCHEMA
+    )
 
 
 def resize_media(
@@ -557,7 +562,10 @@ def resize_media(
             T.StructField("resized", T.BinaryType()),
         ]
     )
-    return df.mapInPandas(batches, schema)
+    # column-pruned Python boundary (guide §4.1; r16)
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, schema
+    )
 
 
 def sample_frames(
@@ -690,7 +698,10 @@ def sample_frames(
             T.StructField("frame", T.BinaryType()),
         ]
     )
-    return df.mapInPandas(batches, schema)
+    # column-pruned Python boundary (guide §4.1; r16)
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, schema
+    )
 
 
 def media_stats(df: DataFrame, group_col: str) -> DataFrame:
