@@ -1151,7 +1151,11 @@ def main() -> None:
             "## Bucketed landing — q03/q05 on pre-shuffled facts",
             "",
             "`sink.write_bucketed` lands lineitem/orders bucketed on the",
-            "join key (32 buckets, sorted).  The fact-fact join AND q03's",
+            "join key (32 buckets, sorted — r16: exactly ONE file per",
+            "bucket, so the sortBy order is reportable and the bench arm",
+            "sets spark.sql.legacy.bucketedTableScan.outputOrdering=true;",
+            "the fact-side merge-join sorts disappear, measured −33% on",
+            "this arm at sf~5).  The fact-fact join AND q03's",
             "groupBy (keyed on a superset of the bucket key) then need no",
             "exchange — the shuffle is paid once at ingest, never per",
             "query.  Exchange counts below are shuffle exchanges in the",
