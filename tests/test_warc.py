@@ -910,3 +910,60 @@ def test_warc_zst_container(tmp_path):
         got = list(parse_warc(bytes(buf.getvalue())))
         assert got[0]["headers"]["warc-target-uri"] == "http://z.org/a"
         assert got[0]["payload"].endswith(b"<p>zstd page</p>")
+
+
+def test_body_text_col_jvm_fast_path_differential(spark):
+    """r16: body_text_col decodes valid-utf8/utf8-charset rows in the
+    JVM and routes only gate-failing rows to Python — the output must
+    be BIT-IDENTICAL to the pure-Python _charset_decode policy on
+    every row class: valid utf-8 (ascii, multibyte, astral), malformed
+    bytes, named non-utf8 charsets, lying/garbage charsets, NULL body,
+    empty body.  Also pins that fast-path bodies do not reach the UDF
+    (the UDF input is gated NULL)."""
+    import random
+
+    from zeek_duckdb_spark.sources.warc import _charset_decode, body_text_col
+
+    random.seed(1616)
+    rows = [
+        (0, b"plain ascii", None),
+        (1, "héllo wörld".encode("utf-8"), "text/html; charset=UTF-8"),
+        (2, "astral \U0001F600".encode("utf-8"), 'text/html; charset="utf8"'),
+        (3, b"\xff\xfe broken \x80", "text/html"),
+        (4, "caf\xe9".encode("latin-1"), "text/html; charset=ISO-8859-1"),
+        (5, b"\xe4\xf6\xfc", "text/plain; charset=latin-1"),
+        (6, b"abc", "text/plain; charset=not-a-codec"),
+        (7, b"abc", "text/plain; charset=hex"),  # bytes transform
+        (8, None, "text/html"),
+        (9, b"", None),
+        (10, b"\xed\xa0\x80 lone surrogate bytes", None),  # CESU-ish
+        (11, "utf16?".encode("utf-16"), "text/html; charset=utf-16"),
+    ] + [
+        (100 + i, bytes(random.randbytes(random.randint(0, 80))),
+         random.choice([None, "text/html", "text/html; charset=utf-8",
+                        "text/html; charset=windows-1252"]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b) if b is not None else None, ct)
+         for i, b, ct in rows],
+        "doc_id int, body binary, content_type string",
+    )
+    got = {r.doc_id: r.t for r in
+           df.select("doc_id", body_text_col().alias("t")).collect()}
+    for i, b, ct in rows:
+        want = None if b is None else _charset_decode(bytes(b), ct)
+        assert got[i] == want, (i, b, ct, got[i], want)
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    try:
+        plan = df.select(body_text_col().alias("t"))._jdf.queryExecution(
+        ).executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    # the JVM gate + JVM decode are really in the plan (is_valid_utf8
+    # prints as invoke(...isValid()), decode as StringDecode.decode)
+    assert ".isValid()" in plan
+    assert "StringDecode.decode" in plan
+    # and the UDF input is the gated CASE, not the raw body column
+    assert "_dec(CASE WHEN" in plan

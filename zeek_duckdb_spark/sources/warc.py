@@ -3917,7 +3917,23 @@ def body_text_col(
     to utf-8-replace — a 100 TB ingest must not die on one page's
     lying header; route suspect pages out afterwards with the quality
     gates (mojibake scores terribly) rather than crashing the job.
-    One Arrow-batched map, zero shuffle, NULL body -> NULL text."""
+    Zero shuffle, NULL body -> NULL text.
+
+    Scale shape (r16): the dominant crawl case — a body that is VALID
+    utf-8 under an absent/utf-8 charset header — decodes entirely in
+    the JVM (``is_valid_utf8`` gate + ``decode(body, 'UTF-8')``, both
+    lazy under the CASE), bit-identical to Python's
+    ``bytes.decode('utf-8')`` on valid input.  Only rows that fail the
+    gate (named non-utf8 charset, or malformed bytes, where Python's
+    per-byte U+FFFD replacement policy is the contract) cross into the
+    Arrow-batched pandas UDF — the gate feeds the UDF NULL for
+    fast-path rows, so their bytes never ride the JVM→Python boundary.
+    The charset token is extracted with the SAME regex as
+    :func:`_charset_decode`; an alias outside the known utf-8 set
+    falls to Python (slower, never wrong — Python then resolves it via
+    ``codecs.lookup``).  Differential-pinned against the pure-Python
+    policy on valid/malformed/charset-bearing rows in
+    tests/test_warc.py."""
     import pandas as _pd  # noqa: F401 (pandas_udf hint resolution)
 
     from pyspark.sql import functions as F
@@ -3935,4 +3951,19 @@ def body_text_col(
             dtype="object",
         )
 
-    return _dec(body, content_type)
+    cs = F.lower(
+        F.regexp_extract(
+            F.coalesce(content_type, F.lit("")),
+            r"(?i)charset=[\"']?([\w.:-]+)",
+            1,
+        )
+    )
+    # python codec aliases that resolve to utf_8; anything else (or a
+    # token the ASCII-only Java \w truncated differently — all python
+    # codec names are ASCII, so a truncated token either matches this
+    # list with the same utf-8 outcome or falls through to Python)
+    utf8_cs = cs.isin("", "utf-8", "utf8", "utf_8", "u8", "utf", "cp65001")
+    fast = body.isNotNull() & utf8_cs & F.is_valid_utf8(body)
+    return F.when(fast, F.decode(body, "UTF-8")).otherwise(
+        _dec(F.when(~fast, body), content_type)
+    )
