@@ -490,32 +490,55 @@ def exact_quantiles_grouped(
         .filter(F.col("__x").isNotNull())
     )
 
-    # one global validation + cardinality-guard pass
-    guard = src.agg(
-        F.approx_count_distinct("__g").alias("gc"),
-        F.sum(
-            F.when(
-                (F.col("__w") > 0)
-                & (F.isnan("__x") | (F.abs(F.col("__x")) == float("inf"))),
-                1,
-            ).otherwise(0)
-        ).alias("nans"),
-        F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
-    ).first()
-    if int(guard["nans"] or 0) > 0:
+    # ONE per-group stats + validation pass (r16: this was two
+    # separate full-corpus jobs — a global guard aggregate, then the
+    # per-group heads collect; merged, the refine path reads the
+    # corpus once less per call).  Driver safety is unchanged: the
+    # collect is bounded by take(max_groups + 1) — a pushed limit, so
+    # an over-cardinality group key returns max_groups+1 rows and
+    # raises instead of flooding the driver — and the validation
+    # counters are conditional aggregates inside the same job (the
+    # NaN/negw checks see every group because over-cardinality raises
+    # first).
+    w_pos = F.col("__w") > 0
+    grp_rows = (
+        src.groupBy("__g")
+        .agg(
+            F.sum(F.when(w_pos, F.col("__w")).otherwise(0)).alias("n"),
+            F.min(F.when(w_pos, F.col("__x"))).alias("mn"),
+            F.max(F.when(w_pos, F.col("__x"))).alias("mx"),
+            F.sum(
+                F.when(
+                    w_pos
+                    & (
+                        F.isnan("__x")
+                        | (F.abs(F.col("__x")) == float("inf"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("nans"),
+            F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
+        )
+        .orderBy("__g")
+        .take(max_groups + 1)
+    )
+    if len(grp_rows) > max_groups:
+        raise ValueError(
+            f"exact_quantiles_grouped: >{max_groups} groups exceeds "
+            f"max_groups={max_groups} — bucket the group key first (the "
+            "per-group interval state is driver-side model state)"
+        )
+    if any(int(r["nans"] or 0) > 0 for r in grp_rows):
         raise ValueError(
             f"exact_quantiles_grouped: column {col!r} contains NaN/inf — "
             "filter first"
         )
-    if int(guard["negw"] or 0) > 0:
+    if any(int(r["negw"] or 0) > 0 for r in grp_rows):
         raise ValueError("exact_quantiles_grouped: negative weights")
-    if int(guard["gc"] or 0) > max_groups * 1.1:
-        raise ValueError(
-            f"exact_quantiles_grouped: ~{int(guard['gc'])} groups exceeds "
-            f"max_groups={max_groups} — bucket the group key first (the "
-            "per-group interval state is driver-side model state)"
-        )
     src = src.filter(F.col("__w") > 0)
+    # groups whose weight mass is zero (all-NULL / all zero-weight)
+    # emit nothing, exactly as the old post-filter heads never saw them
+    grp_rows = [r for r in grp_rows if int(r["n"] or 0) > 0]
 
     import pyspark.sql.types as T
 
@@ -527,22 +550,16 @@ def exact_quantiles_grouped(
         ]
     )
     if strategy == "shuffle":
-        # explicit shuffle: skip the per-group min/max heads (they only
-        # feed the refine path) but STILL verify the shuffle-partition
-        # invariant — each group's rows must fit one executor, and a
-        # forced call on one monster group should raise loudly, not
-        # OOM an executor mid-shuffle.  One map-side-combined agg;
-        # counters only, never rows.
-        biggest = (
-            src.groupBy("__g")
-            .agg(F.sum("__w").alias("n"))
-            .agg(F.max("n").alias("mx"))
-            .first()
-        )
-        if int(biggest["mx"] or 0) > shuffle_group_cap:
+        # explicit shuffle: the shuffle-partition invariant — each
+        # group's rows must fit one executor — checks against the
+        # per-group masses the stats pass already computed; a forced
+        # call on one monster group raises loudly instead of OOMing
+        # an executor mid-shuffle.
+        biggest_mass = max((int(r["n"]) for r in grp_rows), default=0)
+        if biggest_mass > shuffle_group_cap:
             raise ValueError(
                 "exact_quantiles_grouped: largest group's weight mass "
-                f"({int(biggest['mx'])}) exceeds shuffle_group_cap="
+                f"({biggest_mass}) exceeds shuffle_group_cap="
                 f"{shuffle_group_cap}; strategy='shuffle' requires every "
                 "group to fit one executor — use strategy='refine' (or "
                 "'auto') for monster groups, or raise shuffle_group_cap "
@@ -550,21 +567,7 @@ def exact_quantiles_grouped(
             )
         return _grouped_shuffle(src, qs, group_col, oschema)
 
-    heads = (
-        src.groupBy("__g")
-        .agg(
-            F.sum("__w").alias("n"),
-            F.min("__x").alias("mn"),
-            F.max("__x").alias("mx"),
-        )
-        .orderBy("__g")
-        .collect()
-    )
-    if len(heads) > max_groups:
-        raise ValueError(
-            f"exact_quantiles_grouped: {len(heads)} groups exceeds "
-            f"max_groups={max_groups}"
-        )
+    heads = grp_rows  # (n, mn, mx) per group, already __g-ordered
     gvals = [r["__g"] for r in heads]  # deterministic group order
 
     if strategy == "auto":
