@@ -155,3 +155,14 @@ def test_http_header_map_obs_fold():
     # a fold with no preceding field is dropped, not a key
     m2 = _http_header_map(b"HTTP/1.1 200 OK\r\n  orphan\r\nB: 2\r\n\r\n")
     assert m2 == {"b": "2"}
+    # a malformed EMPTY-KEY line resets the fold anchor: the stray
+    # continuation after it is dropped, not appended to 'a' (r17,
+    # advice fix)
+    m3 = _http_header_map(
+        b"HTTP/1.1 200 OK\r\n"
+        b"A: 1\r\n"
+        b": empty-key\r\n"
+        b"  stray fold\r\n"
+        b"B: 2\r\n\r\n"
+    )
+    assert m3 == {"a": "1", "b": "2"}

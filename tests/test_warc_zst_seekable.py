@@ -162,6 +162,60 @@ def test_seekable_zst_with_leading_skippable(spark, tmp_path):
     assert bytes(got[0].body) == b"body-1"
 
 
+def test_corrupt_frame_error_is_not_reindex_guidance(spark, tmp_path):
+    """A genuinely corrupt frame in a REAL seekable .warc.zst (frame
+    structure intact, entropy payload flipped) surfaces the decode
+    failure verbatim — not the 'index was built against the
+    decompressed stream' re-index guidance, which would send the
+    operator chasing a layout problem that does not exist (r17,
+    advice fix: only _ZstdStructureError converts)."""
+    recs = [_resp(f"http://c{i}.org/", b"<p>corrupt me</p>" * 20)
+            for i in range(3)]
+    blob = bytearray(encode_warc(recs, compress="zst"))
+    f = tmp_path / "ok.warc.zst"
+    f.write_bytes(bytes(blob))
+    idx = cdx_records(spark, str(f))
+    rows = sorted(idx.collect(), key=lambda r: r.offset)
+
+    # flip one byte inside the middle frame's entropy payload such
+    # that the STRUCTURAL walk still succeeds but the decode fails —
+    # scan candidate positions so the test does not depend on the
+    # frame's exact internal layout
+    import zeek_duckdb_spark.sources.warc as W
+
+    target = rows[1]
+    frame = bytes(blob[target.offset:target.offset + target.length])
+    poisoned = None
+    for pos in range(12, len(frame) - 4):
+        cand = bytearray(frame)
+        cand[pos] ^= 0xFF
+        cand = bytes(cand)
+        try:
+            spans = list(W._zstd_frame_spans(io.BytesIO(cand), "t"))
+        except ValueError:
+            continue  # structural break — not the case under test
+        if len(spans) != 1 or spans[0][1] != len(frame):
+            continue
+        try:
+            W._zstd_decompress_frame(cand, "t")
+        except W._ZstdStructureError:
+            continue
+        except ValueError:
+            poisoned = cand
+            break
+        continue  # decoded fine — flip elsewhere
+    assert poisoned is not None, "could not build a corrupt-but-walkable frame"
+    blob[target.offset:target.offset + target.length] = poisoned
+    f.write_bytes(bytes(blob))
+
+    pick = idx.filter(f"offset = {target.offset}")
+    with pytest.raises(Exception) as ei:
+        read_warc_selected(spark, pick).collect()
+    msg = str(ei.value)
+    assert "decompressed stream" not in msg
+    assert "zstd frame" in msg
+
+
 def test_single_frame_zst_keeps_refusal(spark, tmp_path):
     """A whole-file single-frame .warc.zst still indexes the
     DECOMPRESSED stream and selected reads refuse it loudly — the r14

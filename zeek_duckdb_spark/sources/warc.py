@@ -571,6 +571,11 @@ def _http_header_map(payload: bytes):
         k, _, v = ln.partition(":")
         k = k.strip().lower()
         if not k:
+            # malformed empty-key line: also reset last_key so a stray
+            # obs-fold continuation after it is DROPPED rather than
+            # appended to whatever field happened to parse earlier
+            # (r17, advice fix)
+            last_key = None
             continue
         v = v.strip()
         out[k] = out[k] + ", " + v if k in out else v
@@ -1156,6 +1161,18 @@ def _zstd_stream_chunks(fh, who: str):
         ) from None
 
 
+class _ZstdStructureError(ValueError):
+    """The byte stream is not a sequence of whole zstd frames — the
+    STRUCTURAL failure class of :func:`_zstd_frame_spans` (truncated
+    header/block, bad magic, reserved bits).  Distinct from decode-time
+    failures (:func:`_zstd_decompress_frame`'s bomb caps, dictionary
+    frames, corrupt entropy data) so the span-read paths can convert
+    exactly the "this span is a decompressed-stream slice, not frames"
+    case into re-index guidance without mislabeling a genuinely corrupt
+    frame (r17, advice fix).  Subclasses ValueError, so every existing
+    broad handler keeps working."""
+
+
 def _zstd_frame_spans(fh, who: str):
     """STRUCTURAL walk of a zstd container: yields ``(offset, length,
     kind, dict_id, content_size)`` per top-level frame — kind
@@ -1179,7 +1196,7 @@ def _zstd_frame_spans(fh, who: str):
     def need(n: int, what: str) -> bytes:
         b = fh.read(n)
         if len(b) != n:
-            raise ValueError(f"{who}: truncated zstd {what} at {pos}")
+            raise _ZstdStructureError(f"{who}: truncated zstd {what} at {pos}")
         return b
 
     while pos < file_end:
@@ -1188,19 +1205,19 @@ def _zstd_frame_spans(fh, who: str):
         if 0x184D2A50 <= magic <= 0x184D2A5F:
             size = int.from_bytes(need(4, "skippable frame size"), "little")
             if pos + 8 + size > file_end:
-                raise ValueError(
+                raise _ZstdStructureError(
                     f"{who}: truncated zstd skippable frame at {pos}"
                 )
             yield pos, 8 + size, "skippable", None, None
             pos += 8 + size
             continue
         if magic != int.from_bytes(_ZSTD_MAGIC, "little"):
-            raise ValueError(
+            raise _ZstdStructureError(
                 f"{who}: bad zstd frame magic {magic:#x} at {pos}"
             )
         fhd = need(1, "frame header descriptor")[0]
         if fhd & 0x08:
-            raise ValueError(
+            raise _ZstdStructureError(
                 f"{who}: reserved zstd frame-header bit set at {pos}"
             )
         fcs_flag, single = fhd >> 6, (fhd >> 5) & 1
@@ -1225,14 +1242,14 @@ def _zstd_frame_spans(fh, who: str):
             bh = int.from_bytes(need(3, "block header"), "little")
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             if btype == 3:
-                raise ValueError(
+                raise _ZstdStructureError(
                     f"{who}: reserved zstd block type at {cur}"
                 )
             # RLE blocks store ONE byte; bsize is the regenerated size
             content = 1 if btype == 1 else bsize
             cur = fh.tell() + content
             if cur > file_end:
-                raise ValueError(f"{who}: truncated zstd block at {pos}")
+                raise _ZstdStructureError(f"{who}: truncated zstd block at {pos}")
             fh.seek(cur)
             if last:
                 break
@@ -2666,9 +2683,11 @@ def read_warc_selected(
                         # A decompressed-stream span that happens to
                         # start at offset 0 of a single-frame container
                         # ALSO begins with the zstd magic — convert the
-                        # frame walk's failure into the re-index
-                        # guidance instead of a bare truncated-frame
-                        # error (r16, advice fix)
+                        # frame walk's STRUCTURAL failure into the
+                        # re-index guidance (r16 advice fix; r17: typed
+                        # _ZstdStructureError so a genuinely corrupt
+                        # frame's decode/bomb-cap error propagates
+                        # verbatim instead of being mislabeled)
                         try:
                             parts, total = [], 0
                             for (
@@ -2692,9 +2711,7 @@ def read_warc_selected(
                                         f"{_MAX_RECORD_BYTES}-byte cap"
                                     )
                                 parts.append(data)
-                        except ValueError as exc:
-                            if "inflates past" in str(exc):
-                                raise
+                        except _ZstdStructureError as exc:
                             if local.endswith(".zst"):
                                 raise ValueError(
                                     "read_warc_selected: this .warc.zst "
@@ -2878,7 +2895,8 @@ def extract_warc(
                         # capped ladder, re-land as one gz member per
                         # record so mixed sources share one container.
                         # Same decompressed-stream-span error
-                        # conversion as read_warc_selected (r16)
+                        # conversion as read_warc_selected (r16; r17
+                        # typed — structural walk failures only)
                         try:
                             parts, total = [], 0
                             for _o, _l, kind, _d, _f in _zstd_frame_spans(
@@ -2897,9 +2915,7 @@ def extract_warc(
                                         "byte cap"
                                     )
                                 parts.append(data)
-                        except ValueError as exc:
-                            if "inflates past" in str(exc):
-                                raise
+                        except _ZstdStructureError as exc:
                             if local.endswith(".zst"):
                                 raise ValueError(
                                     f"{who}: this .warc.zst span did "
