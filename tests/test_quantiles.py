@@ -61,6 +61,7 @@ def test_forced_deep_refinement_same_answers(spark, li):
     assert got == want
 
 
+@pytest.mark.slow
 def test_negative_and_constant_columns(spark):
     sp = [(float(v),) for v in [-5, -1, -1, -1, 0, 2, 2, 9]]
     df = spark.createDataFrame(sp, "x double")
@@ -145,6 +146,7 @@ def _py_weighted_disc(pairs, qs):
     return out
 
 
+@pytest.mark.slow
 def test_weighted_matches_multiset_expansion(spark):
     import random
 
@@ -222,6 +224,7 @@ def test_grouped_matches_duckdb_group_by(spark, li):
     assert got2 == _duck_grouped("l_linenumber", "l_quantity", [0.0, 0.5, 1.0])
 
 
+@pytest.mark.slow
 def test_grouped_forced_deep_and_null_group(spark, li):
     # NULL group key is a real group (DuckDB GROUP BY semantics);
     # tiny leaf + buckets=2 forces the slow joint-descent path
@@ -457,6 +460,7 @@ def test_infinities_rejected_and_extreme_range_converges(spark):
     assert exact_quantiles(df, "x", [0.0, 0.5, 1.0]) == [-big, 0.0, big]
 
 
+@pytest.mark.slow
 def test_duplicate_mass_at_zero_exceeding_leaf_limit(spark):
     # five copies of 0.0 with leaf_limit=1: bisection toward 0.0 can
     # shrink the interval for hundreds of passes (float resolution
@@ -518,6 +522,7 @@ def _py_disc(vals, qs):
     leaf=st.integers(min_value=1, max_value=8),
     parts=st.integers(min_value=1, max_value=5),
 )
+@pytest.mark.slow
 def test_property_exact_quantiles_any_multiset(spark, vals, qs, leaf, parts):
     """For ANY multiset (duplicate-heavy, +-0.0, denormal-adjacent),
     ANY targets, tiny leaf limits, and any partitioning: the answers
@@ -531,6 +536,7 @@ def test_property_exact_quantiles_any_multiset(spark, vals, qs, leaf, parts):
     assert got == _py_disc(vals, qs)
 
 
+@pytest.mark.slow
 def test_outlier_skewed_interval_reanchors_instead_of_collecting(spark):
     """Review-fix regression: one extreme outlier (1e300) leaves the
     refinement hunting a [0, 1e300] interval whose mass all lives in
@@ -553,6 +559,7 @@ def test_outlier_skewed_interval_reanchors_instead_of_collecting(spark):
     assert got == [float(v) for v in want]
 
 
+@pytest.mark.slow
 def test_reanchor_keeps_upper_bound_through_degenerate_path(spark):
     """Advice-fix regression: a stalled interval re-anchors to
     [mn, nextafter(mx)) with top=False — NOT (mn, mx, top=True), which

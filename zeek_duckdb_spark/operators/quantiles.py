@@ -389,6 +389,132 @@ def exact_quantiles_df(
     )
 
 
+# the arrow refine kernel ships its interval table as a task closure:
+# cap it so a forced-refine call over thousands of groups cannot build
+# a multi-MB closure (beyond the cap the broadcast-join path serves,
+# which scales to max_groups by construction)
+_REFINE_ARROW_MAX_INTERVALS = 256
+
+
+def _arrow_group_ok(dtype) -> bool:
+    """Group-key types the arrow refine kernel matches EXACTLY across
+    the boundary: strings, integrals, booleans and dates survive the
+    Arrow round-trip with value identity (pa.scalar equality == Spark
+    eqNullSafe for non-null keys; nulls matched via is_null).  Floats
+    (NaN keys), timestamps (tz reinterpretation) and decimals fall
+    back to the join path rather than risk a silent key mismatch."""
+    import pyspark.sql.types as T
+
+    return isinstance(
+        dtype,
+        (
+            T.StringType,
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.BooleanType,
+            T.DateType,
+        ),
+    )
+
+
+def _refine_hist_arrow(
+    src: DataFrame,
+    iks: list[tuple[int, float, float, bool]],
+    ip: dict[tuple[int, float, float, bool], list[float]],
+    buckets: int,
+    gvals: list,
+) -> dict[int, dict[int, int]]:
+    """One joint-refinement histogram pass, vectorized (guide
+    §4.1/§4.2): ship ONLY (__g, __x, __w) through Arrow and compute
+    each interval's bucket counts as one ``np.searchsorted`` +
+    ``np.add.at`` per batch — the JVM alternative evaluates an
+    interpreted per-row ``aggregate()`` fold over the edge array
+    (CodegenFallback, one lambda eval per edge per row).
+
+    Exactness is preserved bit-for-bit: ``searchsorted(edges, x,
+    'right') - 1`` equals ``count(edges <= x) - 1`` over the same
+    float64 edge constants (the predicates the next interval reuses),
+    and the histogram accumulates in int64 (``np.add.at``), never
+    float.  ``mapInArrow`` (not pandas) so integral group keys keep
+    their exact values — pandas would widen nullable int64 to float64
+    and corrupt keys past 2^53."""
+    import numpy as np
+
+    table: dict = {}
+    for ii, (gi, lo, hi, top) in enumerate(iks):
+        edges = np.asarray(ip[(gi, lo, hi, top)][:buckets], dtype=np.float64)
+        table.setdefault(gvals[gi], []).append((ii, lo, hi, top, edges))
+    items = list(table.items())
+    nb = int(buckets)
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema(
+            [
+                pa.field("__eti", pa.int32()),
+                pa.field("__b", pa.int32()),
+                pa.field("cnt", pa.int64()),
+            ]
+        )
+        for rb in batches:
+            g = rb.column(0)
+            x = rb.column(1).to_numpy(zero_copy_only=False)
+            w = rb.column(2).to_numpy(zero_copy_only=False)
+            out_ii: list = []
+            out_b: list = []
+            out_c: list = []
+            for gval, ivs in items:
+                if gval is None:
+                    gm = pc.is_null(g).to_numpy(zero_copy_only=False)
+                else:
+                    eq = pc.equal(g, pa.scalar(gval, type=g.type))
+                    gm = pc.fill_null(eq, False).to_numpy(
+                        zero_copy_only=False
+                    )
+                gm = gm.astype(bool, copy=False)
+                if not gm.any():
+                    continue
+                xs_g = x[gm]
+                ws_g = w[gm]
+                for ii, lo, hi, top, edges in ivs:
+                    m = xs_g >= lo
+                    if not top:
+                        m &= xs_g < hi
+                    xs = xs_g[m]
+                    if xs.size == 0:
+                        continue
+                    b = np.searchsorted(edges, xs, side="right") - 1
+                    cnt = np.zeros(nb, dtype=np.int64)
+                    np.add.at(cnt, b, ws_g[m])
+                    nz = np.nonzero(cnt)[0]
+                    out_ii.extend([ii] * len(nz))
+                    out_b.extend(int(v) for v in nz)
+                    out_c.extend(int(v) for v in cnt[nz])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ii, type=pa.int32()),
+                    pa.array(out_b, type=pa.int32()),
+                    pa.array(out_c, type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    part = src.select("__g", "__x", "__w").mapInArrow(
+        fn, schema="__eti int, __b int, cnt long"
+    )
+    counts = (
+        part.groupBy("__eti", "__b").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    hist: dict[int, dict[int, int]] = {ii: {} for ii in range(len(iks))}
+    for r in counts:
+        hist[int(r["__eti"])][int(r["__b"])] = int(r["cnt"])
+    return hist
+
+
 def exact_quantiles_grouped(
     df: DataFrame,
     col: str,
@@ -501,7 +627,7 @@ def exact_quantiles_grouped(
     # NaN/negw checks see every group because over-cardinality raises
     # first).
     w_pos = F.col("__w") > 0
-    grp_rows = (
+    grp_stats = (
         src.groupBy("__g")
         .agg(
             F.sum(F.when(w_pos, F.col("__w")).otherwise(0)).alias("n"),
@@ -519,9 +645,16 @@ def exact_quantiles_grouped(
             ).alias("nans"),
             F.sum(F.when(F.col("__w") < 0, 1).otherwise(0)).alias("negw"),
         )
-        .orderBy("__g")
-        .take(max_groups + 1)
     )
+    # the __g sort only matters where grp_rows feeds the refine path's
+    # deterministic group order (gvals); the explicit-shuffle branch
+    # uses the rows solely for the cap/NaN/negw guards, so it skips the
+    # global orderBy of per-group stats (r17, advice).  The cap check
+    # is order-independent either way: take(max_groups + 1) returns
+    # > max_groups rows iff more groups exist.
+    if strategy != "shuffle":
+        grp_stats = grp_stats.orderBy("__g")
+    grp_rows = grp_stats.take(max_groups + 1)
     if len(grp_rows) > max_groups:
         raise ValueError(
             f"exact_quantiles_grouped: >{max_groups} groups exceeds "
@@ -779,38 +912,55 @@ def exact_quantiles_grouped(
                 ip[ik] = edges
             itargets.setdefault(ik, []).append(k)
         iks = list(ip)
-        erows = [
-            (gvals[gi], gi, ii, lo, hi, top, ip[(gi, lo, hi, top)][:buckets])
-            for ii, (gi, lo, hi, top) in enumerate(iks)
-        ]
-        eschema = ischema + ", __edges array<double>"
-        ivals = F.broadcast(spark.createDataFrame(erows, eschema))
-        # bucket index = count(edge constants <= x) - 1 over the SAME
-        # edge values the next interval's predicates will use — the
-        # b-th bucket IS the next interval, bit for bit
-        bucket_ix = (
-            F.aggregate(
-                F.col("__edges"),
-                F.lit(0),
-                lambda acc, e: acc
-                + F.when(F.col("__x") >= e, F.lit(1)).otherwise(F.lit(0)),
+        if len(iks) <= _REFINE_ARROW_MAX_INTERVALS and _arrow_group_ok(
+            gfield.dataType
+        ):
+            # vectorized histogram kernel (r17, guide §4.1/§4.2): one
+            # searchsorted per (interval, batch) in numpy replaces the
+            # interpreted per-row aggregate() fold over the edge array
+            # — measured 3.42 s -> 0.75 s per pass on the sf0.1
+            # 600k-row refine (identical counts; the 192-column
+            # codegen conditional-sum alternative was measured at
+            # 28 s — method-size fallback — and rejected)
+            hist = _refine_hist_arrow(
+                src, iks, ip, buckets, gvals
             )
-            - F.lit(1)
-        ).alias("__b")
-        counts = (
-            src.join(
-                ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
-                how="inner",
+        else:
+            erows = [
+                (gvals[gi], gi, ii, lo, hi, top,
+                 ip[(gi, lo, hi, top)][:buckets])
+                for ii, (gi, lo, hi, top) in enumerate(iks)
+            ]
+            eschema = ischema + ", __edges array<double>"
+            ivals = F.broadcast(spark.createDataFrame(erows, eschema))
+            # bucket index = count(edge constants <= x) - 1 over the
+            # SAME edge values the next interval's predicates will use
+            # — the b-th bucket IS the next interval, bit for bit
+            bucket_ix = (
+                F.aggregate(
+                    F.col("__edges"),
+                    F.lit(0),
+                    lambda acc, e: acc
+                    + F.when(F.col("__x") >= e, F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+                - F.lit(1)
+            ).alias("__b")
+            counts = (
+                src.join(
+                    ivals, on=F.col("__g").eqNullSafe(F.col("__eg")),
+                    how="inner",
+                )
+                .filter(member)
+                .select("__egi", "__eti", bucket_ix, "__w")
+                .groupBy("__egi", "__eti", "__b")
+                .agg(F.sum("__w").alias("cnt"))
+                .collect()
             )
-            .filter(member)
-            .select("__egi", "__eti", bucket_ix, "__w")
-            .groupBy("__egi", "__eti", "__b")
-            .agg(F.sum("__w").alias("cnt"))
-            .collect()
-        )
-        hist: dict[int, dict[int, int]] = {ii: {} for ii in range(len(iks))}
-        for r in counts:
-            hist[int(r["__eti"])][int(r["__b"])] = int(r["cnt"])
+            hist = {ii: {} for ii in range(len(iks))}
+            for r in counts:
+                hist[int(r["__eti"])][int(r["__b"])] = int(r["cnt"])
         for ii, ik in enumerate(iks):
             edges = ip[ik]
             for k in itargets[ik]:
