@@ -51,6 +51,48 @@ def test_minhash_lsh_finds_near_dups_and_orders_ids(spark):
     assert 0.0 < pairs[0].jaccard <= 1.0
 
 
+def test_minhash_verify_shapes_identical_and_guarded(spark):
+    """r17: the two verification join shapes — 'broadcast' (small
+    corpora; planner broadcasts the (id, text) side) and 'semi'
+    (semi-join the corpus to candidate ids, shingles once per distinct
+    doc) — return IDENTICAL pairs, the coverage guard fires loudly on
+    both, and 'auto' picks 'broadcast' for a tiny in-memory corpus."""
+    from pyspark.errors import PySparkException
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (10, base),
+        (11, base + " extra"),
+        (12, base + " other tail words"),
+        (13, "completely different words entirely here now again"),
+    ]
+    docs = _docs(spark, rows)
+    sigs = dd.minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    got = {}
+    for shape in ("broadcast", "semi"):
+        got[shape] = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.minhash_lsh_pairs(
+                sigs, bands=8, threshold=0.3, verify_with=docs,
+                verify_shape=shape,
+            ).collect()
+        )
+    assert got["broadcast"] == got["semi"] and got["semi"]
+    # under-covering verify_with raises per-row on the semi shape too
+    with pytest.raises(PySparkException, match="does not cover"):
+        dd.minhash_lsh_pairs(
+            sigs, bands=8, threshold=0.3,
+            verify_with=docs.filter(F.col("doc_id") != 11),
+            verify_shape="semi",
+        ).collect()
+    # auto on a tiny (non-file) corpus keeps the broadcast shape
+    assert dd._verify_shape_auto(docs, "doc_id", "text") == "broadcast"
+    with pytest.raises(ValueError, match="verify_shape"):
+        dd.minhash_lsh_pairs(
+            sigs, verify_with=docs, verify_shape="bogus"
+        ).collect()
+
+
 def test_simhash_hamming_tracks_similarity(spark):
     base = " ".join(f"word{i}" for i in range(40))
     rows = [
@@ -138,6 +180,7 @@ def test_simhash_pairs_bucket_guard(spark):
     assert ok.count() == 0
 
 
+@pytest.mark.slow
 def test_hyperplane_signature_compiles_at_dim_768(spark):
     big = spark.range(8).select(
         F.col("id").alias("vec_id"),
@@ -153,6 +196,7 @@ def test_hyperplane_signature_compiles_at_dim_768(spark):
     assert all(0 <= r.b < (1 << 16) for r in out)
 
 
+@pytest.mark.slow
 def test_hyperplane_signature_matches_unrolled_reference(spark):
     # same plane constants, dumb unrolled projection — buckets must match
     e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
@@ -453,6 +497,7 @@ def test_incremental_lsh_matches_full_pass_on_new_pairs(spark):
     assert (1, 101) in inc and (102, 103) in inc  # both pair kinds found
 
 
+@pytest.mark.slow
 def test_band_index_probe_matches_flat_probe(spark, tmp_path):
     """A write_band_index landing, loaded pruned to the batch's
     touched partitions, must yield EXACTLY the flat-index probe's
@@ -972,6 +1017,7 @@ def test_exact_dedup_incremental_differential(spark):
     assert got == full
 
 
+@pytest.mark.slow
 def test_incremental_ingest_two_day_composition(spark, tmp_path):
     """The daily-crawl loop end-to-end: day 0 lands a deduped corpus
     plus its fingerprint and signature indexes; day 1's batch flows
@@ -1093,6 +1139,7 @@ def test_corpus_overlap_tolerates_null_text(spark):
         assert r["containment_b_in_a"] == 1.0
 
 
+@pytest.mark.slow
 def test_strip_dup_spans_preserves_extra_columns(spark):
     """strip_duplicate_spans must carry non-(id, text) columns through
     — clean_corpus composes it with a carried classifier score."""
@@ -1173,6 +1220,7 @@ def test_band_buckets_reject_non_dividing_bands(spark):
         dd.write_band_index(sigs, "/tmp/never", bands=48, num_hashes=32)
 
 
+@pytest.mark.slow
 def test_compact_band_index_preserves_rows_layout_and_pruning(
     spark, tmp_path
 ):
@@ -1322,6 +1370,7 @@ def test_minhash_arrow_kernel_bit_identical(spark):
         dd.minhash_signatures(docs, kernel="gpu")
 
 
+@pytest.mark.slow
 def test_minhash_incremental_supports_arrow_frames_via_verify_with(spark):
     """The incremental daily-crawl pass over kernel='arrow' signature
     frames: verify_with computes candidate shingles (the frames carry

@@ -366,6 +366,144 @@ def _band_buckets(
     return banded.selectExpr(f"`{id_col}`", "inline(" + arr + ")")
 
 
+def _verify_shape_auto(
+    verify_with: DataFrame, id_col: str, text_col: str
+) -> str:
+    """Pick the verification join shape from the corpus' size (guide
+    §3.1: choose the strategy deliberately).  'broadcast' leaves the
+    planner to broadcast the (id, text) side — optimal while the whole
+    corpus text fits a broadcast cheaply, because the candidate frame
+    then probes it with zero extra stages.  'semi' first reduces the
+    corpus to candidate ids (semi-join) and computes shingles once per
+    distinct candidate doc — three more stages, but the full corpus
+    text never rides a broadcast build or a shuffle.
+
+    The cutoff is autoBroadcastJoinThreshold/4 against the UNCOMPRESSED
+    (id + text) bytes: what ships is decoded text (on-disk parquet
+    understates it ~4-6x), and the flat extra-stage cost of 'semi' is
+    only worth paying once the build cost clears it.  MEASURED
+    (interleaved A/B, identical output rows): uncompressed text 1.5 MB
+    (sf0.1) -> semi is 1.58x WORSE; 20 MB (sf1) -> semi 0.86x;
+    113 MB (sf5) -> semi 0.75x.  64 MB threshold / 4 = 16 MB sits in
+    the measured gap.  No estimate (non-file source) -> 'broadcast'
+    (such frames are driver-built and small)."""
+    from zeek_duckdb_spark.plans.scanstats import estimated_uncompressed_bytes
+
+    est = estimated_uncompressed_bytes(verify_with, [id_col, text_col])
+    if est is None:
+        return "broadcast"
+    spark = verify_with.sparkSession
+    try:
+        thr = int(
+            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+            .lower()
+            .rstrip("b")
+        )
+    except (TypeError, ValueError):
+        thr = 64 << 20
+    if thr <= 0:  # broadcast disabled -> never plan around one
+        return "semi"
+    return "semi" if est > thr // 4 else "broadcast"
+
+
+def _attach_verify_shingles(
+    cand: DataFrame,
+    verify_with: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    verify_shape: str,
+    who: str,
+):
+    """Attach verification shingles to a candidate-pair frame —
+    shared by :func:`minhash_lsh_pairs` and
+    :func:`minhash_lsh_pairs_incremental`.  Returns
+    ``(joined, a_sh, b_sh)`` where the shingle columns carry the loud
+    per-row coverage guard.
+
+    Two shapes (r17, guide §2.3/§3.1 + §8):
+
+    - 'broadcast' (small corpora): stored text passes through the
+      joins unevaluated; shingles compute per surviving pair side.
+      LEFT joins + loud per-row guard — an inner join would silently
+      DROP any candidate pair whose id is missing from verify_with (a
+      quiet recall loss, not a filter).
+    - 'semi' (big corpora): reduce the corpus to CANDIDATE ids first
+      (semi-join), compute shingles ONCE per distinct candidate doc
+      in a materialized column, then left-join the two pair sides.
+      The broadcast shape puts the full (id, text) corpus on the
+      build side of both verify joins — fine while genuinely small,
+      but at scale it broadcasts (or shuffles) every document so a
+      tiny candidate set can probe it, and the tokenize+shingle chain
+      re-runs per PAIR SIDE (and per Filter/Project consumer — no CSE
+      for interpreted expressions) instead of once per doc.  Coverage
+      contract unchanged: _shingles(NULL text) is NULL and an absent
+      id LEFT-joins to NULL, so the same per-row raise fires for
+      both.
+
+    Measured (interleaved A/B, identical output rows): semi is 1.58x
+    WORSE at sf0.1 (stage floor dominates a 1.5 MB corpus), 0.86x at
+    sf1, 0.75x at sf5 — hence the size-adaptive 'auto' default via
+    :func:`_verify_shape_auto`."""
+    if verify_shape not in ("auto", "broadcast", "semi"):
+        raise ValueError(
+            f"{who}: verify_shape must be 'auto', 'broadcast' or "
+            f"'semi', got {verify_shape!r}"
+        )
+    shape = (
+        _verify_shape_auto(verify_with, id_col, text_col)
+        if verify_shape == "auto"
+        else verify_shape
+    )
+    cov_err = (
+        f"{who}: verify_with does not cover candidate id (absent or "
+        "NULL text): "
+    )
+    src = verify_with.select(F.col(id_col), F.col(text_col).alias("__txt"))
+    if shape == "semi":
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b")))
+            .distinct()
+        )
+        need = src.join(ids, id_col, "leftsemi")
+        shingled = need.select(
+            F.col(id_col), _shingles(F.col("__txt"), shingle_k).alias("__sh")
+        )
+        sh_a = shingled.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+        )
+        sh_b = shingled.select(
+            F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+        )
+        joined = cand.join(sh_a, "id_a", "left").join(sh_b, "id_b", "left")
+        a_sh = F.when(
+            F.col("__sh_a").isNull(),
+            F.raise_error(F.concat(F.lit(cov_err), F.col("id_a").cast("string"))),
+        ).otherwise(F.col("__sh_a"))
+        b_sh = F.when(
+            F.col("__sh_b").isNull(),
+            F.raise_error(F.concat(F.lit(cov_err), F.col("id_b").cast("string"))),
+        ).otherwise(F.col("__sh_b"))
+        return joined, a_sh, b_sh
+    sh_a = src.select(
+        F.col(id_col).alias("id_a"), F.col("__txt").alias("__txt_a")
+    )
+    sh_b = src.select(
+        F.col(id_col).alias("id_b"), F.col("__txt").alias("__txt_b")
+    )
+    joined = cand.join(sh_a, "id_a", "left").join(sh_b, "id_b", "left")
+    a_txt = F.when(
+        F.col("__txt_a").isNull(),
+        F.raise_error(F.concat(F.lit(cov_err), F.col("id_a").cast("string"))),
+    ).otherwise(F.col("__txt_a"))
+    b_txt = F.when(
+        F.col("__txt_b").isNull(),
+        F.raise_error(F.concat(F.lit(cov_err), F.col("id_b").cast("string"))),
+    ).otherwise(F.col("__txt_b"))
+    return joined, _shingles(a_txt, shingle_k), _shingles(b_txt, shingle_k)
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -377,6 +515,7 @@ def minhash_lsh_pairs(
     verify_with: DataFrame | None = None,
     text_col: str = "text",
     shingle_k: int = 3,
+    verify_shape: str = "auto",
 ) -> DataFrame:
     """Banded LSH candidate generation + exact-Jaccard verification.
 
@@ -414,6 +553,14 @@ def minhash_lsh_pairs(
       non-NULL text — an under-covering frame raises per-row instead
       of silently shrinking the pair set (the same loud-failure
       contract as ``minhash_lsh_pairs_incremental``).
+      ``verify_shape`` picks how the text attaches (r17): 'broadcast'
+      (small corpora — the planner broadcasts the (id, text) side),
+      'semi' (big corpora — semi-join the corpus down to candidate
+      ids and compute shingles once per distinct candidate doc; the
+      corpus text never rides a broadcast build), or 'auto' (default
+      — by the corpus' UNCOMPRESSED text size vs the broadcast
+      budget; see :func:`_verify_shape_auto` for the measured
+      crossover).  Output rows are identical across shapes (pinned).
     - empty-shingle docs are excluded via the signature sentinel
       (``minhash[0] == 2^31-1``, unreachable for any real shingle since
       the fold is mod 2^31-1), not by re-deriving shingles.
@@ -451,30 +598,10 @@ def minhash_lsh_pairs(
         ["id_a", "id_b"]
     )
     if verify_with is not None:
-        # stored text passes through the join unevaluated; shingles are
-        # computed only for rows that survive the candidate join.
-        # LEFT joins + loud per-row guard (same contract as
-        # minhash_lsh_pairs_incremental): an inner join would silently
-        # DROP any candidate pair whose id is missing from verify_with
-        # — a quiet recall loss, not a filter
-        src = verify_with.select(F.col(id_col), F.col(text_col).alias("__txt"))
-        sh_a = src.select(F.col(id_col).alias("id_a"), F.col("__txt").alias("__txt_a"))
-        sh_b = src.select(F.col(id_col).alias("id_b"), F.col("__txt").alias("__txt_b"))
-        joined = cand.join(sh_a, "id_a", "left").join(sh_b, "id_b", "left")
-        cov_err = (
-            "minhash_lsh_pairs: verify_with does not cover candidate "
-            "id (absent or NULL text): "
+        joined, a_sh, b_sh = _attach_verify_shingles(
+            cand, verify_with, id_col, text_col, shingle_k, verify_shape,
+            "minhash_lsh_pairs",
         )
-        a_txt = F.when(
-            F.col("__txt_a").isNull(),
-            F.raise_error(F.concat(F.lit(cov_err), F.col("id_a").cast("string"))),
-        ).otherwise(F.col("__txt_a"))
-        b_txt = F.when(
-            F.col("__txt_b").isNull(),
-            F.raise_error(F.concat(F.lit(cov_err), F.col("id_b").cast("string"))),
-        ).otherwise(F.col("__txt_b"))
-        a_sh = _shingles(a_txt, shingle_k)
-        b_sh = _shingles(b_txt, shingle_k)
     else:
         if "shingles" not in sig_df.columns:
             raise ValueError(
@@ -648,6 +775,7 @@ def minhash_lsh_pairs_incremental(
     verify_with: DataFrame | None = None,
     text_col: str = "text",
     shingle_k: int = 3,
+    verify_shape: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest: a new batch of
     signatures against a persisted corpus index, without re-pairing
@@ -740,34 +868,14 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_with is not None:
-        src = verify_with.select(F.col(id_col), F.col(text_col).alias("__txt"))
-        sh_a = src.select(
-            F.col(id_col).alias("id_a"), F.col("__txt").alias("__txt_a")
+        # shape-adaptive attachment shared with minhash_lsh_pairs
+        # (r17): see _attach_verify_shingles — LEFT joins + the loud
+        # per-row coverage guard on both shapes; zero extra jobs, the
+        # check is a row-level raise inside the projection itself.
+        joined, a_sh, b_sh = _attach_verify_shingles(
+            cand, verify_with, id_col, text_col, shingle_k, verify_shape,
+            "minhash_lsh_pairs_incremental",
         )
-        sh_b = src.select(
-            F.col(id_col).alias("id_b"), F.col("__txt").alias("__txt_b")
-        )
-        # LEFT joins + loud per-row guard: an inner join here would
-        # silently DROP any candidate pair whose id is missing from
-        # verify_with — a quiet recall loss.  Instead an under-covering
-        # docs frame errors, matching the loud-failure contract of the
-        # missing-shingles branch below.  Zero extra jobs: the check is
-        # a row-level raise inside the verification projection itself.
-        joined = cand.join(sh_a, "id_a", "left").join(sh_b, "id_b", "left")
-        cov_err = (
-            "minhash_lsh_pairs_incremental: verify_with does not cover "
-            "candidate id (absent or NULL text): "
-        )
-        a_txt = F.when(
-            F.col("__txt_a").isNull(),
-            F.raise_error(F.concat(F.lit(cov_err), F.col("id_a").cast("string"))),
-        ).otherwise(F.col("__txt_a"))
-        b_txt = F.when(
-            F.col("__txt_b").isNull(),
-            F.raise_error(F.concat(F.lit(cov_err), F.col("id_b").cast("string"))),
-        ).otherwise(F.col("__txt_b"))
-        a_sh = _shingles(a_txt, shingle_k)
-        b_sh = _shingles(b_txt, shingle_k)
     else:
         for side, frame in (("new_sigs", new_sigs), ("index_sigs", index_sigs)):
             if "shingles" not in frame.columns:
