@@ -63,6 +63,7 @@ def _np_reference_fit(X, y, iters, lr, l2=0.0):
     return (w / scale).tolist(), b
 
 
+@pytest.mark.slow
 def test_fit_deterministic_and_matches_numpy(spark):
     df, X, y = _blobs(spark)
     m1 = logreg_fit(df, "label", DIM, iters=5, lr=1.0)
@@ -76,6 +77,7 @@ def test_fit_deterministic_and_matches_numpy(spark):
     assert m1["loss"][0] > m1["loss"][-1]
 
 
+@pytest.mark.slow
 def test_fit_separates_and_gate_keeps_quality(spark):
     df, X, y = _blobs(spark, n=600, seed=11)
     m = logreg_fit(df, "label", DIM, iters=30, lr=2.0)
@@ -249,6 +251,7 @@ def _text_blobs(spark, n_per=120, seed=9, parts=8):
     ).repartition(parts)
 
 
+@pytest.mark.slow
 def test_token_logreg_fit_deterministic_accurate_and_oracle(spark):
     """The in-engine fastText-style token-classifier fit: bit-identical
     weights under any partitioning (exact int64 gradients on the
@@ -340,6 +343,7 @@ def test_token_logreg_fit_null_empty_docs_and_guards(spark):
         token_logreg_fit(df.filter("doc_id < 0"), "label", dim=8, iters=1)
 
 
+@pytest.mark.slow
 def test_token_fit_composes_with_clean_corpus_gate(spark):
     """The full in-engine loop: fit the token classifier, then gate a
     corpus through clean_corpus(classifier=) — planted junk dies, good

@@ -46,6 +46,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve at module scope)
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -276,45 +278,30 @@ def logreg_score(
     import pandas as pd
 
     wv = np.asarray(weights, dtype=np.float64)
-    fields = df.schema.fields
 
-    def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+    # r17 (guide §4.1/§4.3): a scalar Arrow-serialized pandas UDF over
+    # ONLY the vector column.  The previous shape was a full-frame
+    # mapInPandas that appended one double — every OTHER column rode
+    # the Arrow boundary both ways for nothing, and the opaque batch
+    # function blocked column pruning at the scan.  withColumn keeps
+    # the replace-at-position semantics (the existing-out_col advice
+    # fix) with no hand-built schema.
+    @F.pandas_udf("double")
+    def _score(vs: pd.Series) -> pd.Series:
+        scores = []
+        for v in vs:
+            if v is None:  # expr kernel scores NULL; parity
+                scores.append(None)
                 continue
-            scores = []
-            for v in pdf[vec_col]:
-                if v is None:  # expr kernel scores NULL; parity
-                    scores.append(None)
-                    continue
-                xa = np.asarray(v, dtype=np.float64)
-                if xa.ndim != 1 or xa.shape[0] != dim:
-                    scores.append(None)
-                    continue
-                z = float(xa @ wv) + float(bias)
-                scores.append(round(_sigmoid(z), 6))
-            pdf[out_col] = pd.Series(scores, index=pdf.index, dtype="float64")
-            yield pdf
+            xa = np.asarray(v, dtype=np.float64)
+            if xa.ndim != 1 or xa.shape[0] != dim:
+                scores.append(None)
+                continue
+            z = float(xa @ wv) + float(bias)
+            scores.append(round(_sigmoid(z), 6))
+        return pd.Series(scores, dtype="float64")
 
-    # out_col may already exist (withColumn-replace semantics, matching
-    # the expr kernel): the pandas assignment overwrites in place, so
-    # the schema must REPLACE the existing field at its position —
-    # appending a duplicate field would declare one more column than
-    # the yielded batches carry and fail at runtime
-    if any(f.name == out_col for f in fields):
-        schema = T.StructType(
-            [
-                T.StructField(out_col, T.DoubleType())
-                if f.name == out_col
-                else f
-                for f in fields
-            ]
-        )
-    else:
-        schema = T.StructType(
-            list(fields) + [T.StructField(out_col, T.DoubleType())]
-        )
-    return df.mapInPandas(fn, schema=schema)
+    return df.withColumn(out_col, _score(F.col(vec_col)))
 
 
 def filter_by_classifier(
