@@ -883,14 +883,11 @@ def bench_bucketed(sf_label: str, sf_dir: str, iters: int) -> dict:
     from zeek_duckdb_spark.sources.sink import write_bucketed
 
     spark = get_spark("bench-bucketed")
-    # r16: the landing is one file per bucket (write_bucketed default)
-    # and sortBy'd on the key, so tell the planner the scan order is
-    # real — Spark only reports bucketed sortBy order under this conf
-    # (and only for single-file buckets).  Measured at sf~5: removes
-    # the fact-side Sort from the merge join, q03 1.07->0.93 s, q05
-    # 1.09->0.94 s (same plan otherwise; scale-independent — the conf
-    # reads a property of the landing, not of the cluster).
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # r17: spark.sql.legacy.bucketedTableScan.outputOrdering=true now
+    # lives in get_spark itself (session.py) — any library consumer of
+    # write_bucketed gets the sort-free merge join, not just this arm.
+    # (r16 measured it here: removes the fact-side Sort, q03 1.07->
+    # 0.93 s, q05 1.09->0.94 s at sf~5.)
     suffix = sf_label.replace(".", "_").replace("~", "")
     li_t, ord_t = f"bl_lineitem_{suffix}", f"bl_orders_{suffix}"
 

@@ -292,6 +292,37 @@ def test_recover_landing_crash_states(spark, tmp_path):
     assert spark.read.parquet(p).count() == 100
 
 
+def test_bucketed_low_bucket_count_warns(spark):
+    """r17 advice: the one-file-per-bucket default caps the write at
+    n_buckets tasks — a bucket count far below the cluster's slots
+    warns loudly (behavior unchanged, opt-out named)."""
+    import uuid
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from zeek_duckdb_spark.sources.sink import write_bucketed
+
+    name = f"warn_b_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            write_bucketed(df, name, "k", n_buckets=1, sort_col="k")
+        assert any("caps the write" in str(x.message) for x in w)
+        # adequate bucket counts stay silent (8 buckets, 4 test cores)
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            write_bucketed(
+                df, name, "k", n_buckets=8, sort_col="k", mode="overwrite"
+            )
+        assert not any("caps the write" in str(x.message) for x in w2)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_bucketed_one_file_per_bucket_and_sortfree_merge(spark):
     """r16 layout contract: write_bucketed's default repartitions on
     the bucket column so each bucket is exactly ONE file, and under
@@ -315,8 +346,11 @@ def test_bucketed_one_file_per_bucket_and_sortfree_merge(spark):
         F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
     )
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_ord = spark.conf.get(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    # r17: the conf is a get_spark DEFAULT now (session.py), not a
+    # bench-arm setting — pin that here so a regression in the session
+    # factory fails library-side, without any bench involvement
+    assert spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering") == "true"
     try:
         write_bucketed(a, a_name, "k", n_buckets=8, sort_col="k")
         write_bucketed(b, b_name, "k", n_buckets=8, sort_col="k")
@@ -325,8 +359,6 @@ def test_bucketed_one_file_per_bucket_and_sortfree_merge(spark):
             files = glob.glob(f"{wh}/{t}/*.parquet")
             assert len(files) == 8, files  # one file per bucket
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         ta, tb = spark.table(a_name), spark.table(b_name)
         joined = ta.join(tb, "k").agg(F.sum(ta.va + tb.vb).alias("s"))
         plan = audit.physical_plan(joined)
@@ -336,7 +368,5 @@ def test_bucketed_one_file_per_bucket_and_sortfree_merge(spark):
         assert joined.first().s == sum(i * 2 + i * 3 for i in range(4000))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-        spark.conf.set(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord)
         spark.sql(f"DROP TABLE IF EXISTS {a_name}")
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")

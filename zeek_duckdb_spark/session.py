@@ -45,6 +45,15 @@ def get_spark(app_name: str = "zeek-spark", shuffle_partitions: int | None = Non
         # dwarfs maxPartitionBytes so this only affects the tiny tail
         .config("spark.sql.files.openCostInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # report the bucketed sortBy order from the scan (r17, promoted
+        # from the bench arm): write_bucketed's default landing is ONE
+        # file per bucket (sink.py r16), and Spark itself only honors
+        # this conf when every bucket is a single file — multi-file
+        # buckets (foreign tables) keep the sort, so the conf can never
+        # claim an order the files don't have.  Removes the fact-side
+        # Sort under bucketed merge joins (measured −33% on the
+        # bucketed q03/q05 family at sf~5, SCALING.md r16).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

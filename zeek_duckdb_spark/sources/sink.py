@@ -117,6 +117,26 @@ def write_bucketed(
         raise ValueError("n_buckets must be >= 1")
     from pyspark.sql import functions as F
 
+    if one_file_per_bucket:
+        # advice (r17): the one-file default caps write parallelism at
+        # n_buckets and serializes each bucket into one task — name
+        # that loudly when the bucket count is far below the cluster's
+        # parallelism instead of letting a 4-bucket write quietly run
+        # on 4 of 128 cores (behavior is unchanged; opt out with
+        # one_file_per_bucket=False when write speed matters more than
+        # the sort-free layout)
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if n_buckets * 4 <= cores:
+            import warnings
+
+            warnings.warn(
+                f"write_bucketed: n_buckets={n_buckets} caps the write at "
+                f"{n_buckets} tasks on a {cores}-slot cluster (one file "
+                "per bucket); raise n_buckets or pass "
+                "one_file_per_bucket=False if write throughput matters "
+                "more than the sort-free bucketed-join layout",
+                stacklevel=2,
+            )
     src = df.repartition(n_buckets, F.col(bucket_col)) if one_file_per_bucket else df
     writer = src.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
