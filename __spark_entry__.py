@@ -340,8 +340,18 @@ def q15_set_ops(spark, sf):
     )
     n = flags.agg(
         F.count("*").alias("n_union"),
-        F.sum(((F.col("b") == 1) & (F.col("u") == 1)).cast("long")).alias("n_int"),
-        F.sum(((F.col("b") == 1) & (F.col("u") == 0)).cast("long")).alias("n_exc"),
+        # coalesce(..., 0): sum() over ZERO rows is NULL where the
+        # original count(*) branches returned 0 — preserve the
+        # 0-on-empty semantics for empty inputs (r17, advice fix;
+        # value-identical on any non-empty input)
+        F.coalesce(
+            F.sum(((F.col("b") == 1) & (F.col("u") == 1)).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_int"),
+        F.coalesce(
+            F.sum(((F.col("b") == 1) & (F.col("u") == 0)).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_exc"),
     )
     return n.selectExpr(
         "inline(array("

@@ -52,18 +52,16 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# The pinned paired-arm baseline: the round-15 snapshot (r15 HEAD plus
-# that round's verdict files), so the round-16 paired ratio reads THIS
+# The pinned paired-arm baseline: the round-16 snapshot (r16 HEAD plus
+# that round's verdict files), so the round-17 paired ratio reads THIS
 # round's code changes against the last graded round.  Advance this
 # once per round; keep it at the prior round's snapshot commit so
 # cross-round deltas stay falsifiable.  (r11 used r10 HEAD 72fe19b —
 # the round whose BENCH raw total moved +23% on untouched queries
 # while single-task probes pointed the wrong way; r12-r14 used the
-# r11 snapshot 3997e9bc; r15 used the r14 snapshot b38c1873.)
-# Before advancing, the r15 1.053 anomaly was re-run on an idle
-# window against the OLD pin per protocol: it read 0.965 (worst
-# per-query 1.038) — wobble, not a regression; see OPTIMIZATION_r16.md.
-BASELINE_COMMIT = "eb7dc5f3ec8268ec517d646a0c77d6c4a8199649"
+# r11 snapshot 3997e9bc; r15 used the r14 snapshot b38c1873; r16 used
+# the r15 snapshot eb7dc5f3.)
+BASELINE_COMMIT = "408e2f6a36eef630a131e6a85fa440a774b7a6ba"
 
 # Historical IDLE-machine probe medians (recorded 2026-08-14, SCALING.md
 # machine-drift note: the observed idle end of the cpu 0.28-0.48 s /
@@ -151,7 +149,27 @@ class Arm:
     def cmd(self, command: str) -> float:
         self.proc.stdin.write(command + "\n")
         self.proc.stdin.flush()
-        return float(self._await("TIME").split()[1])
+        t = float(self._await("TIME").split()[1])
+        if command.startswith("RUN "):
+            # r17 scaling contract: RUN is followed by a STATS line
+            # (job/stage/task counts, gathered after the clock stopped)
+            try:
+                self.last_stats = json.loads(
+                    self._await("STATS").split(" ", 1)[1]
+                )
+            except Exception:
+                self.last_stats = {}
+        return t
+
+    def info(self) -> dict:
+        """Session parallelism report (r17): proves the env core count
+        reaches the engine and names the effective shuffle width."""
+        self.proc.stdin.write("INFO\n")
+        self.proc.stdin.flush()
+        try:
+            return json.loads(self._await("INFO").split(" ", 1)[1])
+        except Exception:
+            return {}
 
     def close(self) -> None:
         try:
@@ -207,6 +225,7 @@ def main() -> None:
     base_dir = ensure_baseline_worktree() if want_paired else None
     head = Arm("head", REPO, sf_dir)
     base = Arm("baseline", base_dir, sf_dir) if base_dir else None
+    sess_info = head.info()
 
     # untimed warm-up pass per arm (alternating so cache state is fair)
     for name in HEADLINE:
@@ -223,6 +242,7 @@ def main() -> None:
 
     h_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     b_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    h_stats: dict[str, dict] = {}
     for cycle in range(iters):
         for name in HEADLINE:
             arms = [head] if base is None else (
@@ -231,6 +251,15 @@ def main() -> None:
             for arm in arms:
                 t = arm.cmd(f"RUN {name}")
                 (h_samples if arm is head else b_samples)[name].append(t)
+                if arm is head and getattr(arm, "last_stats", None):
+                    # keep the max-over-iterations census (AQE can
+                    # vary stage counts run to run; max is the honest
+                    # "how parallel does this query ever get" answer)
+                    prev = h_stats.get(name, {})
+                    h_stats[name] = {
+                        k: max(int(prev.get(k, 0)), int(v))
+                        for k, v in arm.last_stats.items()
+                    }
 
     timings = {n: round(statistics.median(s), 4) for n, s in h_samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in h_samples.items()}
@@ -273,6 +302,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "parallelism": {
+                    # r17 scaling-legibility contract (VERDICT r16 #2):
+                    # default_parallelism proves SPARK_GRAFT_CPUS
+                    # reached the engine; per-query task censuses show
+                    # whether a query CAN express core scaling at this
+                    # sf (max_stage_tasks at the low-core count means
+                    # the ratio is a scheduling-floor read, not an
+                    # ignored env var)
+                    "cpus_env": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    **sess_info,
+                    "per_query": h_stats,
+                },
                 "paired": paired,
                 "iters": iters,
                 "calibration_sec": round(calib_med, 4),

@@ -10,9 +10,17 @@ snapshot does not need to contain this script.
 
 Protocol (line-oriented, stdout):
   parent -> child: ``RUN <query>`` | ``CALIB`` | ``CALIBSCAN`` |
-                   ``CALIBSTAGE`` | ``QUIT``
+                   ``CALIBSTAGE`` | ``INFO`` | ``QUIT``
   child -> parent: ``READY`` once after Spark starts, then one
                    ``TIME <sec>`` (or ``ERR <msg>``) per command.
+                   RUN additionally emits ``STATS <json>`` AFTER the
+                   TIME line (job/stage/task counts, gathered from the
+                   status tracker AFTER the clock stops — the timed
+                   region is unchanged); ``INFO`` replies
+                   ``INFO <json>`` with the session's effective
+                   parallelism (r17: the scaling-legibility contract —
+                   the driver can see that SPARK_GRAFT_CPUS is honored
+                   and how many tasks each query actually runs).
 
 Spark's own logging goes to stderr, so stdout stays protocol-clean;
 the parent still skips unknown lines defensively.
@@ -20,6 +28,7 @@ the parent still skips unknown lines defensively.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -37,10 +46,44 @@ def main() -> int:
     queries = entry_mod.queries()
     print("READY", flush=True)
 
-    def timed(fn) -> None:
+    run_seq = 0
+
+    def timed(fn, stats_group: str | None = None) -> None:
+        sc = spark.sparkContext
+        if stats_group is not None:
+            # group assignment is pre-clock and costs microseconds; all
+            # stats READING happens after the TIME line is emitted, so
+            # the timed region is byte-identical to the r16 protocol
+            sc.setJobGroup(stats_group, stats_group)
         t0 = time.perf_counter()
         fn()
         print(f"TIME {time.perf_counter() - t0:.6f}", flush=True)
+        if stats_group is not None:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            try:
+                st = sc.statusTracker()
+                jids = st.getJobIdsForGroup(stats_group) or []
+                stage_ids: set[int] = set()
+                for j in jids:
+                    ji = st.getJobInfo(j)
+                    if ji is not None:
+                        stage_ids.update(ji.stageIds)
+                tasks = 0
+                max_stage_tasks = 0
+                for sid in stage_ids:
+                    si = st.getStageInfo(sid)
+                    if si is not None:
+                        tasks += si.numTasks
+                        max_stage_tasks = max(max_stage_tasks, si.numTasks)
+                stats = {
+                    "jobs": len(jids),
+                    "stages": len(stage_ids),
+                    "tasks": tasks,
+                    "max_stage_tasks": max_stage_tasks,
+                }
+            except Exception:
+                stats = {}
+            print("STATS " + json.dumps(stats), flush=True)
 
     for line in sys.stdin:
         line = line.strip()
@@ -51,11 +94,13 @@ def main() -> int:
         try:
             if line.startswith("RUN "):
                 name = line[4:].strip()
+                run_seq += 1
                 timed(
                     lambda: queries[name](spark, sf_dir)
                     .write.format("noop")
                     .mode("overwrite")
-                    .save()
+                    .save(),
+                    stats_group=f"bench:{name}:{run_seq}",
                 )
             elif line == "CALIB":
                 # pure-codegen ALU probe (32 long tasks): tracks raw
@@ -88,6 +133,24 @@ def main() -> int:
                     .groupBy("k")
                     .count()
                     .collect()
+                )
+            elif line == "INFO":
+                # effective-parallelism report (r17 scaling contract):
+                # proof in the bench JSON that SPARK_GRAFT_CPUS reaches
+                # the session, plus the shuffle width queries will get
+                print(
+                    "INFO "
+                    + json.dumps(
+                        {
+                            "default_parallelism":
+                                spark.sparkContext.defaultParallelism,
+                            "shuffle_partitions": int(
+                                spark.conf.get("spark.sql.shuffle.partitions")
+                            ),
+                            "master": spark.sparkContext.master,
+                        }
+                    ),
+                    flush=True,
                 )
             else:
                 print(f"ERR unknown command {line!r}", flush=True)

@@ -6,7 +6,10 @@ import json
 import os
 import subprocess
 
+import pytest
 
+
+@pytest.mark.slow
 def test_bench_emits_one_json_line_with_required_fields():
     env = dict(
         os.environ,
@@ -47,6 +50,18 @@ def test_bench_emits_one_json_line_with_required_fields():
     assert d["value_normalized"] > 0
     assert abs(d["value_normalized"] - d["value"] / drift) < 0.05
     assert d["sf"] == 0.001
+    # r17 scaling-legibility contract: the JSON names the effective
+    # parallelism (proof SPARK_GRAFT_CPUS reached the engine) and a
+    # per-query job/stage/task census (so a flat low-core/high-core
+    # ratio is distinguishable from an ignored env var)
+    par = d["parallelism"]
+    assert par["default_parallelism"] == par["cpus_env"]
+    assert f"local[{par['cpus_env']}]" == par["master"]
+    assert par["shuffle_partitions"] > 0
+    for q in d["queries"]:
+        st = par["per_query"][q]
+        assert st["jobs"] >= 1 and st["stages"] >= 1
+        assert st["tasks"] >= st["max_stage_tasks"] >= 1
 
 
 def test_scaling_md_regeneration_preserves_manual_sections(tmp_path):
