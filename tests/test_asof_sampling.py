@@ -20,6 +20,7 @@ def _ts(m):
     return TS(2024, 1, 1, 0, m)
 
 
+@pytest.mark.slow
 def test_asof_basic_backward(spark):
     left = spark.createDataFrame(
         [(1, 10, _ts(5)), (2, 10, _ts(9)), (3, 10, _ts(1)), (4, 20, _ts(7))],

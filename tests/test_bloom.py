@@ -113,6 +113,7 @@ def test_probe_plan_zero_shuffle(spark, keys, model):
     assert "Python" not in plan  # pure JVM probe
 
 
+@pytest.mark.slow
 def test_probe_df_matches_dict_probe(spark, keys, model, tmp_path):
     from zeek_duckdb_spark.operators.bloom import bloom_probe_df
 

@@ -75,6 +75,7 @@ def test_golden_cdxj_line():
         _cdxj_line(row[:8] + (None, row[9]))
 
 
+@pytest.mark.slow
 def test_roundtrip_and_layout(spark, tmp_path):
     """cdx_records -> write_cdxj -> read_cdxj returns the same rows;
     the on-disk layout is genuine zipnum: range-ordered gzip-member

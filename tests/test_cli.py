@@ -25,6 +25,7 @@ def test_query_view_tsv(spark, capsys):
     assert out[0] == "host_ip\tn" and out[1] == "10.21.7.136\t43"
 
 
+@pytest.mark.slow
 def test_ingest_compact_export_round_trip(spark, tmp_path, capsys):
     land = str(tmp_path / "land")
     rc = main(
@@ -67,6 +68,7 @@ def test_profile_over_parquet(spark, capsys):
     assert out[0].startswith("n_docs\t") and len(out) == 2
 
 
+@pytest.mark.slow
 def test_python_dash_m_subprocess_smoke():
     import subprocess
 
@@ -147,6 +149,7 @@ def test_cli_export_zst(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
 
 
+@pytest.mark.slow
 def test_cli_clean_incremental_two_days(spark, tmp_path):
     """The daily-crawl loop from the shell: day 1 bootstraps the
     indexes and lands survivors; day 2's duplicate is dropped against
@@ -307,6 +310,7 @@ def test_distinct_slice_catalog_land_and_merge(spark, tmp_path, capsys):
         main(["distinct", day1], spark=spark)
 
 
+@pytest.mark.slow
 def test_score_fit_gate_loop(spark, tmp_path, capsys):
     """The classifier loop from a shell: fit on a labeled sample
     (landing the model JSON), score the corpus, gate at a threshold —
@@ -412,6 +416,7 @@ def test_batch_id_contract():
     assert _batch_id("/") == "root-" + _batch_id("/").rsplit("-", 1)[-1]
 
 
+@pytest.mark.slow
 def test_cli_clean_incremental_legacy_landing_guard(spark, tmp_path):
     """Advice-fix regression: a pre-hash batch=<basename> landing
     (older id scheme) next to this input's new-id landing is surfaced
@@ -442,6 +447,7 @@ def test_cli_clean_incremental_legacy_landing_guard(spark, tmp_path):
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows_out"] == 1
 
 
+@pytest.mark.slow
 def test_score_token_features_loop(spark, tmp_path, capsys):
     """The fastText-style TOKEN classifier loop from a shell
     (--features tokens): fit on labeled text, gate the corpus, serve
@@ -492,6 +498,7 @@ def test_score_token_features_loop(spark, tmp_path, capsys):
         main(["score", corpus, out3, "--model", model], spark=spark)
 
 
+@pytest.mark.slow
 def test_clean_with_classifier_model(spark, tmp_path, capsys):
     """The full shell loop: fit the token classifier (score --fit
     --features tokens), then clean --classifier-model gates the corpus
@@ -537,6 +544,7 @@ def test_clean_with_classifier_model(spark, tmp_path, capsys):
              spark=spark)
 
 
+@pytest.mark.slow
 def test_clean_incremental_classifier_gate_and_legacy_model_refusal(
     spark, tmp_path, capsys
 ):
@@ -627,6 +635,7 @@ def test_compact_nested_partition_cols(spark, tmp_path, capsys):
     assert all(d.startswith("band=") and "pfx=" in d for d in dirs)
 
 
+@pytest.mark.slow
 def test_ingest_crawl_subcommand(spark, tmp_path):
     """WARC glob -> extracted-text parquet landing from the command
     line: only 200/html responses land by default, script junk is
@@ -682,6 +691,7 @@ def test_ingest_crawl_subcommand(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+@pytest.mark.slow
 def test_index_crawl_subcommand(spark, tmp_path):
     """index-crawl: WARC glob -> sorted CDX parquet from the command
     line (urlkey order; --all-types widens past responses)."""
@@ -807,6 +817,7 @@ def test_export_wat_subcommand(spark, tmp_path):
         "HTTP-Response-Metadata"]
 
 
+@pytest.mark.slow
 def test_dedup_archive_subcommand(spark, tmp_path):
     """dedup-archive: duplicate payloads re-land as revisit records;
     the output resolves back to the full corpus."""

@@ -59,6 +59,7 @@ def test_ds_stream_typed_rows_match_batch(spark, tmp_path):
     assert g == b and len(g) > 0
 
 
+@pytest.mark.slow
 def test_ds_stream_checkpointed_incremental_pickup(spark, tmp_path):
     d = _stage(tmp_path, 6)
     out = str(tmp_path / "out")
@@ -172,6 +173,7 @@ def test_ds_stream_union_rotated_subset_maps_by_name(spark, tmp_path):
     assert row.value == 70 and row.extra is None
 
 
+@pytest.mark.slow
 def test_ds_stream_union_rejects_rotated_type_conflict(spark, tmp_path):
     # a rotated file whose SHARED field changed type must fail the
     # microbatch with the batch path's union wording — not stream
@@ -203,6 +205,7 @@ def test_ds_stream_union_rejects_rotated_type_conflict(spark, tmp_path):
         raise RuntimeError("microbatch unexpectedly succeeded")
 
 
+@pytest.mark.slow
 def test_ds_stream_union_ignore_file_errors_skips_conflict(spark, tmp_path):
     d = tmp_path / "logs"
     d.mkdir()

@@ -83,6 +83,7 @@ def test_dedup_semantics(spark, tmp_path):
     assert m.warc_type == "metadata" and bytes(m.body) == SAME
 
 
+@pytest.mark.slow
 def test_full_circle_restores_corpus(spark, tmp_path):
     """dedup -> write -> index -> resolve -> selected-read: every
     distinct payload lands ONCE and every capture still resolves to

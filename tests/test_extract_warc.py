@@ -80,6 +80,7 @@ def test_gz_subset_verbatim_and_roundtrip(spark, tmp_path):
     assert d1 == d0
 
 
+@pytest.mark.slow
 def test_plain_and_seekable_zst_sources(spark, tmp_path):
     for compress, glob in ((False, "*.warc"), ("zst", "*.warc.zst")):
         crawl = _archive(tmp_path / str(compress), compress=compress,

@@ -271,6 +271,7 @@ def test_sample_frames_gif_end_to_end(spark):
 # Spark integration: near-dup, mixed-format sniff, resize
 # ----------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_phash_real_gif_planted_near_dups_collapse(spark):
     """Planted GIF upscale + cross-format JPEG re-encode collapse via
     phash_pairs on REAL bytes through decoder='image' — the three-way

@@ -23,6 +23,7 @@ def test_cc_triangle_and_chain(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.slow
 def test_cc_long_chain_converges(spark):
     n = 20
     pairs = _pairs(spark, [(i, i + 1) for i in range(n)])

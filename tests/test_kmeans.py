@@ -24,6 +24,7 @@ def test_fit_is_deterministic_across_partitionings(spark, emb):
     assert a == b
 
 
+@pytest.mark.slow
 def test_arrow_fit_kernel_identical_centroids(spark, emb):
     # the Arrow Lloyd pass accumulates the cosine folds in the expr
     # kernel's sequential order — centroids must be IDENTICAL (not
@@ -38,6 +39,7 @@ def test_arrow_fit_kernel_identical_centroids(spark, emb):
         kmeans_fit_quantized(emb, k=4, kernel="gpu")
 
 
+@pytest.mark.slow
 def test_arrow_fit_kernel_survives_empty_partitions(spark):
     # 6 rows over 32 partitions: most partitions are EMPTY and the
     # Lloyd partial kernel must yield nothing for them (empty pandas
@@ -72,6 +74,7 @@ def test_arrow_assign_kernel_identical_cells(spark, emb):
     assert az == xz
 
 
+@pytest.mark.slow
 def test_kmeans_ivf_topk_arrow_kernel_identical_rows(spark, emb):
     q = emb.filter(F.col("vec_id") == 0)
     corpus = emb.filter(F.col("vec_id") != 0)
@@ -135,6 +138,7 @@ def test_training_does_not_shuffle_the_corpus_assignment(spark, emb):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow
 def test_materialized_ivf_probe_matches_inline(spark, emb, tmp_path):
     # write the index partitioned by cell, probe it, and get exactly
     # what the inline (unmaterialized) path computes
@@ -225,6 +229,7 @@ def _spherical_cost(df, cents):
     return tot
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_deterministic_and_better(spark):
     from zeek_duckdb_spark.operators.kmeans import kmeans_parallel_init
 
@@ -254,6 +259,7 @@ def test_kmeans_parallel_init_validation(spark):
         kmeans_parallel_init(corpus, k=30, rounds=1, oversample=1)
 
 
+@pytest.mark.slow
 def test_batched_probe_matches_per_query_loop(spark, emb, tmp_path):
     """ivf_probe_topk_batch: one union-cell scan for the whole request
     batch, per-query results IDENTICAL to the per-query probe loop —

@@ -134,6 +134,7 @@ def test_warm_start_validates_model(spark, emb):
         )
 
 
+@pytest.mark.slow
 def test_ivf_compact_preserves_probes_and_appends(spark, emb, tmp_path):
     """ivf_compact folds the one-file-per-append accumulation back to
     size-targeted files per cell: probe results identical, cell

@@ -160,6 +160,7 @@ def test_end_to_end_security_pipeline_round_trip(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_beacon_stream_matches_batch_after_rotations(spark, tmp_path):
     # feed three rotations through the stateful stream; the LATEST row
     # per pair must equal the batch operator over all data so far —

@@ -284,6 +284,7 @@ def test_pack_sequences_rejects_bad_token_counts(spark):
     assert len(ok) == 2
 
 
+@pytest.mark.slow
 def test_clean_corpus_near_dedup_removes_planted_near_dups(spark):
     # exact dedup misses boilerplate-perturbed copies; near_dedup must
     # catch them and keep the lowest id of each fuzzy cluster
@@ -369,6 +370,7 @@ def test_epoch_shuffle_plan_one_exchange_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
+@pytest.mark.slow
 def test_clean_corpus_near_keep_score_prefers_quality(spark):
     # the quality-aware keep policy retains the best-scoring cluster
     # member instead of the lowest id; the score rides in on the INPUT
@@ -600,6 +602,7 @@ def test_chunk_documents_matches_duckdb(spark):
     assert got == sorted((a, int(b), c, int(d_)) for a, b, c, d_ in want)
 
 
+@pytest.mark.slow
 def test_clean_media_corpus_e2e(spark):
     """Media-side cleaning composition: size gate -> exact byte dedup
     (min id wins) -> pHash near-dedup with the keep-best policy — a
@@ -850,6 +853,7 @@ def test_cap_per_group_exact_deterministic(spark):
         cap_per_group(d, "domain", k=0)
 
 
+@pytest.mark.slow
 def test_incremental_clean_ingest_two_days(spark, tmp_path):
     """The packaged daily-crawl loop: bootstrap day 0, ingest day 1
     against the persisted indexes, index-always-wins transitivity
@@ -905,6 +909,7 @@ def test_incremental_clean_ingest_two_days(spark, tmp_path):
     assert out2.count() == 0       # day-1 survivor guards the index
 
 
+@pytest.mark.slow
 def test_incremental_clean_ingest_dry_run_is_stable_and_ids_checked(spark, tmp_path):
     """Review regressions: a dry-run's verdicts are snapshotted (a
     later real ingest can't change the frame already held), and id
@@ -936,6 +941,7 @@ def test_incremental_clean_ingest_dry_run_is_stable_and_ids_checked(spark, tmp_p
     assert rerun.count() == 0  # fp already indexed -> exact pass drops
 
 
+@pytest.mark.slow
 def test_incremental_clean_ingest_auto_compaction(spark, tmp_path):
     """Round-12 maintenance cadence: ``compact_after`` compacts the
     fp/sig indexes MID-LOOP when a directory exceeds the threshold.
@@ -1058,6 +1064,7 @@ def test_weighted_sample_k_matches_duckdb(spark):
     assert got == [(k, int(w)) for k, w in want]
 
 
+@pytest.mark.slow
 def test_weighted_sample_k_favors_heavy_and_is_deterministic(spark):
     from zeek_duckdb_spark.operators.pipeline import weighted_sample_k
 
@@ -1358,6 +1365,7 @@ def test_chunk_documents_no_fully_contained_trailing_chunk(spark):
                 assert not (s2 <= s1 and e1 <= e2)
 
 
+@pytest.mark.slow
 def test_incremental_clean_ingest_recovers_crashed_compaction(spark, tmp_path):
     """A compaction killed inside its rename-pair fallback window
     leaves the index path MISSING with the data stranded in the

@@ -213,6 +213,7 @@ def test_ivfpq_recall_on_planted_clusters_and_plan_is_narrow(spark):
     assert "TakeOrderedAndProject" in audit.physical_plan(top)
 
 
+@pytest.mark.slow
 def test_ivfpq_refine_exact_resolves_needle_regime(spark):
     """The r8 recall curves' honest negative: within a DENSE cluster
     the residual noise sits below the code resolution, ADC collapses,
@@ -356,6 +357,7 @@ def test_arrow_train_kernel_identical_codebooks(spark, emb, model):
         pq_train(emb, dim=DIM, m=M, k=K, kernel="gpu")
 
 
+@pytest.mark.slow
 def test_arrow_train_kernel_survives_empty_partitions(spark):
     # a tiny corpus spread over many partitions leaves most partitions
     # EMPTY — the partial-sum kernel must yield nothing there (an
@@ -493,6 +495,7 @@ def test_ivfpq_l2_refine_null_vectors_sink(spark):
     assert all(r.exact_dist is not None for r in got)
 
 
+@pytest.mark.slow
 def test_ivfpq_batch_matches_per_query_loop(spark, emb, ivfpq):
     """ivfpq_topk_batch: one union-cell scan for the whole request
     batch; per-query ADC ranking identical to the ivfpq_topk loop

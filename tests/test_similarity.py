@@ -105,6 +105,7 @@ def test_kcenter_malformed_rows_dropped_and_string_ids(spark):
     assert [i for i, _ in got] == ["a1", "c3"]  # min-id anchor, ties low
 
 
+@pytest.mark.slow
 def test_kcenter_coreset_composition_and_covering_radius(spark):
     """Coreset mode (sample_fraction): the k greedy rounds scan only a
     deterministic sample, every selected id comes FROM that sample,

@@ -306,6 +306,7 @@ def test_semantic_pairs_cells_are_subset(spark):
     assert got  # the geometry-following buckets find in-group pairs
 
 
+@pytest.mark.slow
 def test_semantic_dedup_keeps_one_per_group(spark):
     df = _planted(spark)
     kept = sorted(
@@ -318,6 +319,7 @@ def test_semantic_dedup_keeps_one_per_group(spark):
     assert sorted(r.vec_id for r in sim.semantic_dedup(once, 0.95, n_cells=1).collect()) == kept
 
 
+@pytest.mark.slow
 def test_semantic_dedup_low_centroid_sim_policy(spark):
     import numpy as np
 
@@ -382,6 +384,7 @@ def test_batch_topk_rescore_matches_expr_fold(spark, emb):
         assert got == [(r.vec_id, r.cosine_sim) for r in one]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_with_trained_kmeans_centroids(spark):
     # the production composition: kmeans_fit_quantized centroids feed
     # semantic_pairs/semantic_dedup in place of the lowest-id sample

@@ -161,6 +161,7 @@ _key_st = st.sampled_from([f"k{i}" for i in range(40)])
     capacity=st.integers(min_value=3, max_value=50),
     parts=st.integers(min_value=1, max_value=6),
 )
+@pytest.mark.slow
 def test_property_bounds_and_exactness(spark, vals, capacity, parts):
     """For ANY stream / capacity / partitioning: exact counts are
     truly exact for every emitted key, one-pass bounds contain the

@@ -68,6 +68,7 @@ def _poll_memory(spark, table, want, deadline_s=120):
         time.sleep(1)
 
 
+@pytest.mark.slow
 def test_stream_compose_dedup_then_sessionize(spark, tmp_path):
     d = str(tmp_path / "logs")
     files = _stage(d, 24)
@@ -125,6 +126,7 @@ def test_stream_compose_dedup_then_sessionize(spark, tmp_path):
     assert sorted((r.user_id, r.n_events) for r in got) == sorted(want_closed)
 
 
+@pytest.mark.slow
 def test_stream_dedup_checkpoint_exactly_once(spark, tmp_path):
     d = str(tmp_path / "logs")
     out = str(tmp_path / "out")
@@ -225,6 +227,7 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path):
     assert n_fps == 3
 
 
+@pytest.mark.slow
 def test_stream_clean_ingest_two_batches_restart(spark, tmp_path, monkeypatch):
     """incremental_clean_ingest_stream: the FULL daily-crawl loop
     (exact + fuzzy dedup vs the persisted indexes, per-batch landing,
@@ -323,6 +326,7 @@ def test_stream_clean_ingest_two_batches_restart(spark, tmp_path, monkeypatch):
         assert n == 1, f"{idx}: expected the one-file floor, got {n}"
 
 
+@pytest.mark.slow
 def test_stream_clean_ingest_classifier_gate_matches_batch(spark, tmp_path):
     """Streaming classifier gate (clean_corpus's learned-quality dict
     threaded through incremental_clean_ingest_stream): a planted

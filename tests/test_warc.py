@@ -341,6 +341,7 @@ def test_body_text_col_charset_decode(spark):
     assert got[6] == "你好"               # gbk honored
 
 
+@pytest.mark.slow
 def test_read_warc_stream_exactly_once(spark, tmp_path):
     """The daily-crawl stream shape: rotated-in WARC files become
     micro-batches; a second availableNow run from the same checkpoint

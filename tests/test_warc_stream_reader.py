@@ -237,6 +237,7 @@ def test_streaming_gunzip_members_and_errors():
         list(_gunzip_chunks(iter([blob[:10] + b"\xff" * 30]), "t"))
 
 
+@pytest.mark.slow
 def test_read_warc_engines_row_identical(spark, tmp_path):
     """The two engines share row assembly; prove the full row set is
     identical on a mixed fixture (quarantined chunked record, non-HTTP
@@ -318,6 +319,7 @@ def test_read_warc_stream_engine_error_surfaces(spark, tmp_path):
         read_warc(spark, str(tmp_path / "nope-*.warc.gz")).collect()
 
 
+@pytest.mark.slow
 def test_warc_datasource_stream_exactly_once(spark, tmp_path):
     """The DataSource STREAM engine: rotated-in files become
     micro-batches; a second availableNow run from the same checkpoint
@@ -363,6 +365,7 @@ def test_warc_datasource_stream_exactly_once(spark, tmp_path):
                          max_files_per_trigger=0)
 
 
+@pytest.mark.slow
 def test_warc_stream_admission_control(spark, tmp_path):
     """Round-15 ``max_files_per_trigger`` on the DataSource stream
     engine: with 3 files pre-existing and a cap of 1, each micro-batch
@@ -679,6 +682,7 @@ def test_write_cdx_pruned_lookup(spark, tmp_path):
         write_cdx(idx, land, mode="error")
 
 
+@pytest.mark.slow
 def test_cdx_records_stream_daily_index_loop(spark, tmp_path):
     """The daily index-maintenance shape (r14): rotated-in WARC files
     become exactly-once CDX micro-batches; foreachBatch lands them
@@ -793,6 +797,7 @@ def test_cdx_records_stream_daily_index_loop(spark, tmp_path):
          .load(str(crawl / "*.warc.gz")).collect())
 
 
+@pytest.mark.slow
 def test_over_2gib_plain_warc_ingests(spark, tmp_path):
     """THE round-14 acceptance: a legal >2 GiB uncompressed WARC —
     which binaryFile hard-fails at its 2 GiB row limit — ingests
@@ -832,6 +837,7 @@ def test_over_2gib_plain_warc_ingests(spark, tmp_path):
     assert agg.total == 2 * payload
 
 
+@pytest.mark.slow
 def test_warc_stream_poisoned_file_restart_determinism(spark, tmp_path):
     """Round-15 (r14 verdict item 8): error-path determinism of the
     checkpointed stream when a CORRUPT file rotates in.  Pins the
@@ -889,6 +895,7 @@ def test_warc_stream_poisoned_file_restart_determinism(spark, tmp_path):
         r.target_uri for r in spark.read.parquet(out).collect()
     ) == ["http://g.org/a", "http://g.org/b"]
 
+@pytest.mark.slow
 def test_cdx_stream_poisoned_file_restart_determinism(spark, tmp_path):
     """The cdx stream twin of the warc poisoned-file pin (r14 verdict
     item 8): a corrupt gzip container rotated into a checkpointed

@@ -253,6 +253,7 @@ def test_set_separator_inside_element_guarded(spark, tmp_path):
 
 # --- streaming sink -----------------------------------------------------
 
+@pytest.mark.slow
 def test_stream_round_trip_and_exactly_once_restart(spark, tmp_path):
     import shutil
 
@@ -313,6 +314,7 @@ def test_leading_hash_first_column_guarded(spark, tmp_path):
     assert read_zeek(spark, str(tmp_path / "mid") + "/*.log").first().msg == "#tag"
 
 
+@pytest.mark.slow
 def test_schema_randomized_round_trip_fuzz(spark, tmp_path):
     # 10 random schemas over the full wire-type vocabulary, random
     # typed rows each, exact round trip (modulo the documented
@@ -416,6 +418,7 @@ def test_schema_randomized_round_trip_fuzz(spark, tmp_path):
         assert a == b, trial
 
 
+@pytest.mark.slow
 def test_stream_to_stream_composition(spark, tmp_path):
     # rotated logs stream IN -> transformed -> stream OUT as rotated
     # zeek logs -> streamed back IN: the sink's batch-*.log layout IS
