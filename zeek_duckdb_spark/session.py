@@ -21,6 +21,12 @@ def get_spark(app_name: str = "zeek-spark", shuffle_partitions: int | None = Non
         # fewer initial partitions = less scheduling overhead).  On a real
         # cluster raise via SPARK_GRAFT_SHUFFLE_PARTITIONS (or rely on
         # AQE's initialPartitionNum) — the data sizes there want hundreds+.
+        # r17 re-probe of scaling this WITH the core count (2*cpus):
+        # sf0.1 totals 6.15->6.28 s @32 cores and 5.31->5.66 s @8 cores,
+        # sf1 10.63->10.45 s (parity) — rejected; the bench's
+        # parallelism census (defaultParallelism + per-query task
+        # counts) is what makes core-scaling legible at tiny SFs, not
+        # a wider initial shuffle.
         env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         shuffle_partitions = int(env) if env else max(8, int(cpus) // 4)
     builder = (
